@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Dev-side oracle pre-check (mirrors the driver's t2 gate): load each
+Verify output parquet, run the corresponding oracle SQL in DuckDB over the
+same sf directory, and compare row sets (columns sorted by name, rows
+sorted, values hashed). Usage: check.py <sfDir> <verifyOutDir>"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            tbl = pq.read_table(f"{out_dir}/{name}")
+            s_cols = tbl.column_names
+            s_rows = [tuple(r[c] for c in s_cols) for r in tbl.to_pylist()]
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_bad += 1
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            n_bad += 1
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            n_bad += 1
+            continue
+        a, b = rowset(s_cols, s_rows), rowset(d_cols, d_rows)
+        if a == b:
+            print(f"ok   {name} ({len(a)} rows)")
+            n_ok += 1
+        else:
+            n_bad += 1
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+            sa, sb = set(a), set(b)
+            for x in list(sa - sb)[:3]:
+                print(f"     spark-only: {x[:160]}")
+            for x in list(sb - sa)[:3]:
+                print(f"     duck-only:  {x[:160]}")
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for the training-data pipeline surface
+  * (SURVEY §7.1 step 7). Everything here is row-local — built from
+  * higher-order array functions and codegen'd string expressions — so it
+  * scales embarrassingly: no shuffle is introduced until a caller groups or
+  * joins on the derived values.
+  *
+  * Cross-engine determinism: hashing is `md5` (identical hex output in Spark
+  * and DuckDB), ratios are single double divisions of exact integer counts
+  * (IEEE-deterministic), so every function here is oracle-comparable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Empty string → single empty token, like the SQL
+    * `str_split` contract in DuckDB — keep both sides identical. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish regex token count: lowercase word runs. */
+  def regexTokenCount(c: Column): Column = regexp_count(c, lit("[a-z]+"))
+
+  /** Distinct word set (order-insensitive; used by set-similarity ops). */
+  def wordSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Distinct k-gram (word) shingles, computed row-wise with `transform`
+    * over an index sequence — no explode, no shuffle. Docs shorter than k
+    * words → empty array. */
+  def shingles(c: Column, k: Int = 2): Column = {
+    val parts = tokens(c)
+    val grams = transform(
+      sequence(lit(0), size(parts) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(parts, i + j + 1)): _*))
+    when(size(parts) >= k, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash component: min over shingles of md5(seed:shingle), compared
+    * lexicographically on the hex string. Lowercase-hex ordering is identical
+    * in Spark and DuckDB, which makes MinHash signatures oracle-checkable —
+    * and md5 is a perfectly serviceable uniform hash for MinHash. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** Full signature as an array of `numHashes` hex minima. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i => minhash(shingleArr, i)): _*)
+
+  /** SimHash over the distinct word set, `bits` wide (≤ 32). Bit j of a
+    * word's hash is the high bit of hex digit j of md5(word) — extractable
+    * with plain string ops in both engines. Per-bit ±1 votes are summed over
+    * words; positive sum ⇒ bit set. Row-local (aggregate over the word
+    * array), so it shuffles nothing. */
+  def simhash(c: Column, bits: Int = 16): Column = {
+    val words = wordSet(c)
+    val votes = aggregate(
+      words,
+      array_repeat(lit(0), bits),
+      (acc, w) => {
+        val h = md5(w)
+        val wordBits = array((1 to bits).map { j =>
+          when(substring(h, j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)
+        }: _*)
+        zip_with(acc, wordBits, (a, b) => a + b)
+      })
+    (0 until bits).map { j =>
+      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Document fingerprint: md5 of the case/whitespace-normalized text.
+    * (The "rolling hash" of the survey's fingerprinting row, realized as a
+    * whole-document digest — stable across engines.) */
+  def fingerprint(c: Column): Column = md5(lower(trim(c)))
+
+  /** Count of tokens that belong to a stopword list. */
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(c), w => w.isin(stopwords.map(lit(_)): _*)))
+
+  val EnglishStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Heuristic language ID: stopword-ratio thresholding. Deterministic and
+    * cheap; a real n-gram model slots in behind the same column signature. */
+  def langId(c: Column): Column = {
+    val n = tokenCount(c)
+    val ratio = stopwordCount(c, EnglishStopwords).cast("double") / n.cast("double")
+    when(n === 0, lit("unknown"))
+      .when(ratio >= lit(0.05), lit("en"))
+      .otherwise(lit("other"))
+  }
+
+  /** Quality-score feature columns: (n_chars, n_tokens, avg_token_len,
+    * punct_ratio, stopword_ratio). All exact-int-derived doubles. */
+  def qualityFeatures(c: Column): Seq[(String, Column)] = {
+    val nChars = length(c)
+    val nTok = tokenCount(c)
+    val nonSpace = length(regexp_replace(c, " ", ""))
+    val punct = length(c) - length(regexp_replace(c, "[.!?,;:]", ""))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nTok.cast("long"),
+      "avg_token_len" -> (nonSpace.cast("double") / nTok.cast("double")),
+      "punct_ratio" -> (punct.cast("double") / nChars.cast("double")),
+      "stopword_ratio" -> (stopwordCount(c, EnglishStopwords).cast("double") / nTok.cast("double"))
+    )
+  }
+}

@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` columns, built from higher-order
+  * functions (`zip_with` + `aggregate`) — row-local, no UDF, no shuffle.
+  *
+  * Determinism: float products are accumulated left-to-right into a double,
+  * which matches an in-order SQL SUM over the same products; judged queries
+  * additionally round derived similarities to a fixed scale (Registry
+  * contract) so cross-engine ulp drift cannot flip a hash.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    // double multiply (not float): bit-identical to DuckDB's
+    // list_cosine_similarity over DOUBLE[] casts, which the oracles use
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine rounded for oracle comparison. */
+  def cosineRounded(a: Column, b: Column, scale: Int = 4): Column =
+    round(cosine(a, b), scale)
+}

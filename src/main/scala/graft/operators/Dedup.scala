@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for the training-data pipeline surface.
+  *
+  * Scale design: exact dedup is one hash-aggregate shuffle on the dup key.
+  * MinHash-LSH is the 100 TB path for near-dup: signatures are computed
+  * row-locally (no explode of shingles across the cluster), then only the
+  * tiny (doc_id, band_key) projection is shuffled — candidate generation is
+  * a self-equi-join on band keys, which Catalyst executes as a shuffled hash
+  * join keyed on the band. Exact pairwise Jaccard is provided for
+  * verification on bounded subsets, never for full-corpus use.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per key group with the kept (minimum) id and the
+    * duplicate count. Equivalent to `dropDuplicates` but keeps lineage of
+    * how many rows collapsed. */
+  def exact(df: DataFrame, keys: Seq[Column], idCol: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_rows"))
+
+  /** (doc_id, band, band_key) rows: `numHashes` MinHash components split
+    * into `bands` bands whose key is the concatenation of the band's
+    * component hashes. Docs with no shingles get null keys (dropped by the
+    * subsequent equi-join). */
+  def minhashBands(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    val sh = shingles(textCol, shingleK)
+    val withSig = docs.select(idCol.as("doc_id"),
+      minhashSignature(sh, numHashes).as("sig"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
+          .as("band_key"))
+    }
+    withSig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Distinct candidate near-dup pairs (doc_a < doc_b) that share at least
+    * one LSH band. */
+  def lshCandidatePairs(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
+    val bk = minhashBands(docs, idCol, textCol, numHashes, bands, shingleK)
+    val a = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact k-gram Jaccard similarity for all pairs within `docs` — O(n²) in
+    * candidate pairs; intended for verification subsets or as the refine
+    * step after [[lshCandidatePairs]]. The join key is the shingle, so
+    * co-occurrence counting is a shuffle on shingle values followed by a
+    * pair-keyed aggregate. */
+  def jaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleK: Int = 2): DataFrame = {
+    val sh = docs.select(idCol.as("doc_id"), explode(shingles(textCol, shingleK)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** (doc_id, simhash) — near-dup docs land on equal or near-equal (small
+    * Hamming distance) values; bucketing on the simhash is then an exact
+    * groupBy. Row-local computation, no shuffle. */
+  def simhashDocs(docs: DataFrame, idCol: Column, textCol: Column,
+      bits: Int = 16): DataFrame =
+    docs.select(idCol.as("doc_id"), simhash(textCol, bits).as("simhash"))
+
+  /** Embedding-cosine near-dup pairs above `threshold` (rounded to 4dp for
+    * the oracle contract). Brute-force pairwise — verification scale only;
+    * the 100 TB path is [[Similarity.ivfTopK]]-style bucketing first. */
+  def embeddingNearDups(emb: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double): DataFrame = {
+    val a = emb.select(idCol.as("id_a"), vecCol.as("vec_a"))
+    val b = emb.select(idCol.as("id_b"), vecCol.as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosineRounded(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

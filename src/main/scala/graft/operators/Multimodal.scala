@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata alongside.
+  *
+  * The actual media decode (JPEG/WAV/MP4) is STUBBED — the container has no
+  * media libraries — behind [[decodeStub]], a deterministic fake keyed on the
+  * payload bytes so results are oracle-checkable. Everything around it is the
+  * real article: binary schema, per-partition batched iteration
+  * (`mapPartitions`, the Scala analogue of a batched pandas UDF), explicit
+  * output `StructType`, and row-local metadata projections that never shuffle.
+  *
+  * Scale posture: payload bytes stay inside their partition — no shuffle ever
+  * moves the binary column in these operators; only extracted (small) feature
+  * columns flow downstream.
+  */
+object Multimodal {
+
+  /** Synthesizes a binary payload column from any string column (stand-in
+    * for real media bytes in fixtures). */
+  def asPayload(c: Column): Column = encode(c, "UTF-8")
+
+  /** Row-local metadata over a binary payload: size, digest, magic bytes.
+    * Pure built-ins — stays in whole-stage codegen. */
+  def binaryMeta(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("digest"),
+      decode(substring(col("payload"), 1, 4), "UTF-8").as("magic"))
+
+  /** Deterministic fake "decode": derives (width, height) from payload size.
+    * A real implementation would parse the media header here; the signature
+    * — bytes in, fixed-schema features out, no driver involvement — is what
+    * a production decode plugs into. */
+  private def decodeStub(payload: Array[Byte]): (Int, Int) =
+    (payload.length % 640, payload.length % 480)
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Per-partition batched feature extraction over binary payloads —
+    * `mapPartitions` so a real decoder could amortize per-batch setup
+    * (model load, codec init) exactly once per partition. */
+  def decodeFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "payload").rdd.mapPartitions { it =>
+      // per-partition setup for a real decoder would happen here, once
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h) = decodeStub(bytes)
+        Row(id, w, h, bytes.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

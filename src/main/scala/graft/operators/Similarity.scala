@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Brute-force is the correctness baseline: broadcast the (small) query set
+  * against the corpus — one pass over the corpus, no shuffle of the corpus
+  * itself, then a per-query top-k window. The scale path is IVF: assign every
+  * corpus vector to its nearest coarse centroid once (row-local against a
+  * broadcast centroid table), then probe only matching clusters — turning a
+  * full scan into a cluster-pruned scan, exactly how an IVF index trades
+  * recall for throughput at 100 TB.
+  */
+object Similarity {
+
+  /** Top-k neighbors per query vector by cosine (rounded to 4dp; ties broken
+    * by neighbor id so results are total-ordered and oracle-stable). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.alias("c")
+      .crossJoin(broadcast(queries.alias("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosineRounded(col("q.embedding"), col("c.embedding")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Assign each vector to the nearest of the broadcast `centroids` by
+    * cosine. Returns the input plus a `cluster` column. */
+  def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.alias("v")
+      .crossJoin(broadcast(centroids.select(
+        col("vec_id").as("centroid_id"), col("embedding").as("centroid"))))
+      .withColumn("c_sim", cosine(col("v.embedding"), col("centroid")))
+    val w = Window.partitionBy(col("v.vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "c_sim", "centroid")
+      .withColumnRenamed("centroid_id", "cluster")
+  }
+
+  /** IVF-style ANN: both corpus and queries are assigned to coarse clusters;
+    * each query searches only its own cluster (single-probe). Approximate by
+    * construction — recall depends on centroid quality and probe count. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val corpusC = assignClusters(corpus, centroids)
+      .select(col("cluster"), col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+    val queriesC = assignClusters(queries, centroids)
+      .select(col("cluster"), col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val joined = queriesC.join(corpusC, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

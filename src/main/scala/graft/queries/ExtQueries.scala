@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Q
+import graft.operators.EventOps
+import graft.sources.Tables
+
+/** Extension query surface: the operator categories the reference lacks
+  * (SURVEY §2.9) but the north star requires — window functions, grouping
+  * sets, set ops, range/as-of joins, pivot, JSON map extraction, and the
+  * batch-mode equivalents of the streaming windows (the streaming variants of
+  * the same transforms live in [[graft.streaming.EventStreams]]).
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  val all: Seq[Q] = Seq(
+
+    // Window: rank per group (top-3 orders per customer)
+    Q("w1_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rk", rank().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+      },
+      Some("""SELECT * FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+                FROM orders) WHERE rk <= 3""".stripMargin),
+      headline = true),
+
+    // Window: running sum over a total order (exact decimal → double)
+    Q("w2_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).over(w)
+            .cast("double").as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+              FROM orders""".stripMargin)),
+
+    // Window: lag
+    Q("w3_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+              FROM orders""".stripMargin)),
+
+    // Rollup (subtotals + grand total; null markers match SQL ROLLUP)
+    Q("a5_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // Cube
+    Q("a6_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_rows")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows
+              FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // COUNT(DISTINCT)
+    Q("a7_count_distinct",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust")),
+      Some("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY o_orderstatus")),
+
+    // approx_count_distinct — HLL sketch; implementation-specific, so no SQL
+    // oracle (driver records a rows-only check). The exact variant above is
+    // the correctness anchor.
+    Q("a8_approx_count_distinct",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey")).as("n_cust_approx")),
+      None),
+
+    // INTERSECT / EXCEPT
+    Q("set_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier")),
+
+    Q("set_except",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier")),
+
+    // Range join: band bucketing against a small inline ranges table —
+    // broadcast nested-loop on the tiny side, never a shuffle of `part`.
+    Q("rj_range_join",
+      (s, d) => {
+        val buckets = s.createDataFrame(Seq(
+          (0, 900.0, 925.0), (1, 925.0, 950.0), (2, 950.0, 975.0), (3, 975.0, 1000.0)
+        )).toDF("bucket", "lo", "hi")
+        t(s, d, "part")
+          .join(broadcast(buckets),
+            col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("p_retailprice").cast("decimal(20,4)")).cast("double").as("sum_price"))
+      },
+      Some("""SELECT bucket, COUNT(*) AS n_parts,
+                CAST(SUM(CAST(p_retailprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+              FROM part
+              JOIN (VALUES (0, 900.0, 925.0), (1, 925.0, 950.0), (2, 950.0, 975.0), (3, 975.0, 1000.0)) b(bucket, lo, hi)
+                ON p_retailprice >= lo AND p_retailprice < hi
+              GROUP BY bucket""".stripMargin)),
+
+    // As-of join: latest 'view' at-or-before each 'purchase', per user.
+    // Spark has no native as-of join — EventOps.asofJoin is the
+    // union+window formulation (single shuffle). DuckDB validates with its
+    // native ASOF JOIN.
+    Q("aj_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        EventOps.asofJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"))
+      },
+      Some("""SELECT a.event_id, a.user_id, a.ts, b.ts AS view_ts
+              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') a
+              ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') b
+                ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin),
+      headline = true),
+
+    // Pivot over a fixed type list
+    Q("pv_pivot",
+      (s, d) => EventOps.pivotCounts(t(s, d, "events"), EventTypes),
+      Some("""SELECT user_id,
+                COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+              FROM events GROUP BY user_id""".stripMargin)),
+
+    // JSON map extraction (schema-on-read over `props`)
+    Q("js_json_extract",
+      (s, d) => EventOps.propsKey(t(s, d, "events"), "k"),
+      Some("SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events")),
+
+    // Streaming window shapes, batch-mode for the oracle; the same transform
+    // functions run under readStream+watermark in graft.streaming.
+    Q("st_tumbling_window",
+      (s, d) => EventOps.tumbling(t(s, d, "events"), "1 hour"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total_value
+              FROM events GROUP BY 1, 2""".stripMargin),
+      headline = true),
+
+    Q("st_sliding_window",
+      (s, d) => EventOps.sliding(t(s, d, "events"), "1 hour", "30 minutes"),
+      Some("""WITH b AS (
+                SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS bucket, event_type FROM events)
+              SELECT window_start, event_type, COUNT(*) AS n_events FROM (
+                SELECT bucket AS window_start, event_type FROM b
+                UNION ALL
+                SELECT bucket - INTERVAL '30 minutes' AS window_start, event_type FROM b)
+              GROUP BY 1, 2""".stripMargin)),
+
+    Q("st_session_window",
+      (s, d) => EventOps.sessionize(t(s, d, "events"), "6 hours"),
+      Some("""WITH flagged AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '6 hours'
+                            OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events),
+              sess AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM flagged)
+              SELECT user_id, MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL '6 hours' AS session_end,
+                     COUNT(*) AS n_events
+              FROM sess GROUP BY user_id, sid""".stripMargin))
+  )
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Q
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Training-data-pipeline query surface (north star beyond the reference):
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + IVF), text analysis
+  * (lang-ID, quality, token counts, fingerprints), and multimodal binary
+  * column plumbing. Each entry is oracle-checked against DuckDB running
+  * equivalent SQL over the same parquet.
+  *
+  * Scale notes are on the operator objects ([[graft.operators.Dedup]],
+  * [[graft.operators.Similarity]]); quadratic *verification* shapes are
+  * bounded here by key-range filters so the judged queries stay
+  * shuffle-light while the operators themselves remain the linear /
+  * LSH-bucketed 100 TB paths.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  private val NumHashes = 16
+  private val Bands = 4
+
+  /** DuckDB word-bigram shingle CTE, mirroring TextFunctions.shingles(k=2). */
+  private val ShinglesCte =
+    """WITH toks AS (
+      |  SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(parts) >= 2
+      |      THEN list_distinct(list_transform(generate_series(1, len(parts) - 1),
+      |             i -> parts[i] || ' ' || parts[i + 1]))
+      |      ELSE [] END AS sh
+      |  FROM toks)""".stripMargin
+
+  /** DuckDB MinHash band-key CTE over [[ShinglesCte]]: seed s component is
+    * min over shingles of md5('s:'||shingle); band key concatenates its
+    * rows' components — identical to Dedup.minhashBands. */
+  private val BandsCte =
+    ShinglesCte + s""",
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, ${NumHashes - 1}),
+      |      s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || ':' || x)))) AS sig
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, b.band,
+      |    sig[b.band * ${NumHashes / Bands} + 1] || sig[b.band * ${NumHashes / Bands} + 2] ||
+      |    sig[b.band * ${NumHashes / Bands} + 3] || sig[b.band * ${NumHashes / Bands} + 4] AS band_key
+      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Deduplication ----------------------------------------------------
+
+    // Exact dedup by content fingerprint: one hash-agg shuffle, keeps the
+    // minimum id per group plus collapse count.
+    Q("dd_exact_dedup",
+      (s, d) => Dedup.exact(
+        t(s, d, "documents").withColumn("fp", fingerprint(col("text"))),
+        Seq(col("fp")), col("doc_id")),
+      Some("""SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_rows
+              FROM documents GROUP BY 1""".stripMargin),
+      headline = true),
+
+    // MinHash signatures → LSH band keys (the shuffle-light near-dup path).
+    Q("dd_minhash_bands",
+      (s, d) => Dedup.minhashBands(t(s, d, "documents"), col("doc_id"), col("text"),
+        NumHashes, Bands),
+      Some(BandsCte + "\nSELECT doc_id, CAST(band AS INT) AS band, band_key FROM bands")),
+
+    // LSH candidate pairs: equi-join on band keys only.
+    Q("dd_lsh_pairs",
+      (s, d) => Dedup.lshCandidatePairs(t(s, d, "documents"), col("doc_id"), col("text"),
+        NumHashes, Bands),
+      Some(BandsCte + """
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |WHERE a.doc_id < b.doc_id""".stripMargin),
+      headline = true),
+
+    // SimHash fingerprints (row-local, zero shuffle).
+    Q("dd_simhash",
+      (s, d) => Dedup.simhashDocs(t(s, d, "documents"), col("doc_id"), col("text")),
+      Some("""WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word FROM documents),
+        |v AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN substring(md5(word), j, 1) IN ('8','9','a','b','c','d','e','f')
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) bits
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM v GROUP BY doc_id""".stripMargin)),
+
+    // Exact n-gram Jaccard — quadratic refine step, judged on a bounded
+    // subset (the full-corpus path is LSH candidates → this refine).
+    Q("dd_jaccard",
+      (s, d) => Dedup.jaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 128),
+        col("doc_id"), col("text"), threshold = 0.5),
+      Some(ShinglesCte + """,
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id < 128),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // Embedding-cosine near-dups on a bounded subset (scale path = IVF).
+    Q("dd_embed_neardup",
+      (s, d) => Dedup.embeddingNearDups(
+        t(s, d, "embeddings").filter(col("vec_id") < 256),
+        col("vec_id"), col("embedding"), threshold = 0.5),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 256 AND b.vec_id < 256
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.5""".stripMargin)),
+
+    // ---- Similarity search ------------------------------------------------
+
+    // Brute-force cosine top-k: broadcast query set, one corpus pass.
+    Q("sim_bruteforce_topk",
+      (s, d) => Similarity.bruteForceTopK(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 16), k = 5),
+      Some("""SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 16)
+        |WHERE rn <= 5""".stripMargin),
+      headline = true),
+
+    // IVF-style ANN: cluster-pruned search against broadcast centroids.
+    Q("sim_ivf_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") >= 32),
+          emb.filter(col("vec_id") >= 16 && col("vec_id") < 32),
+          emb.filter(col("vec_id") < 8), k = 3)
+          .select("query_id", "neighbor_id", "sim")
+      },
+      Some("""WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid FROM embeddings WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        |    SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.centroid) DESC, c.centroid_id) AS rn
+        |    FROM embeddings v CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |corpus AS (SELECT cluster, vec_id AS neighbor_id, embedding AS n_vec FROM assign WHERE vec_id >= 32),
+        |queries AS (SELECT cluster, vec_id AS query_id, embedding AS q_vec FROM assign WHERE vec_id >= 16 AND vec_id < 32)
+        |SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(q_vec, n_vec), 4) AS sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(q_vec, n_vec), 4) DESC, neighbor_id) AS rn
+        |  FROM queries JOIN corpus USING (cluster)
+        |  WHERE query_id != neighbor_id)
+        |WHERE rn <= 3""".stripMargin)),
+
+    // ---- Text analysis ----------------------------------------------------
+
+    // Quality-score features (all row-local, codegen'd string expressions).
+    Q("tx_quality",
+      (s, d) => {
+        val feats = qualityFeatures(col("text"))
+        t(s, d, "documents").select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      },
+      Some("""SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(str_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |    / len(str_split(text, ' ')) AS stopword_ratio
+        |FROM documents""".stripMargin),
+      headline = true),
+
+    // Heuristic language ID + token counts (whitespace and regex tokenizers).
+    Q("tx_langid",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        langId(col("text")).as("lang_pred"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        regexTokenCount(col("text")).cast("long").as("n_regex_tokens")),
+      Some("""SELECT doc_id,
+        |  CASE WHEN len(str_split(text, ' ')) = 0 THEN 'unknown'
+        |       WHEN CAST(len(list_filter(str_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |            / len(str_split(text, ' ')) >= 0.05 THEN 'en'
+        |       ELSE 'other' END AS lang_pred,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_regex_tokens
+        |FROM documents""".stripMargin)),
+
+    // Document fingerprint digest.
+    Q("tx_fingerprint",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents")),
+
+    // ---- Multimodal binary columns ---------------------------------------
+
+    // Binary metadata extraction: text encoded to a binary payload column,
+    // then byte length / sha-256 digest / magic-prefix — the schema +
+    // projection plumbing any opaque media column needs.
+    Q("mm_binary_meta",
+      (s, d) => Multimodal.binaryMeta(
+        t(s, d, "documents").select(col("doc_id"),
+          Multimodal.asPayload(col("text")).as("payload"))),
+      Some("""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS digest,
+        |  substring(text, 1, 4) AS magic
+        |FROM documents""".stripMargin)),
+
+    // Typed feature-extraction over binary payloads via mapPartitions (the
+    // decode step is a deterministic stub — see Multimodal.scala — but the
+    // batching, schema, and partition plumbing are the real article).
+    Q("mm_decode_features",
+      (s, d) => Multimodal.decodeFeatures(
+        t(s, d, "documents").select(col("doc_id"),
+          Multimodal.asPayload(col("text")).as("payload"))),
+      Some("""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin))
+  )
+}

@@ -48,12 +48,16 @@ object EventStreams {
     EventOps.sessionize(events.withWatermark("ts", watermark), gap)
 
   /** Start a query writing window aggregates to an in-memory sink `table`
-    * (test/demo harness; production would target a parquet/Kafka sink). */
-  def startMemorySink(df: DataFrame, table: String): StreamingQuery =
+    * (test/demo harness; production would target a parquet/Kafka sink).
+    * Complete mode by default: under AvailableNow, append-mode windowed
+    * aggregates whose window end hasn't crossed the watermark stay in state
+    * and never reach the sink before the query stops. */
+  def startMemorySink(df: DataFrame, table: String,
+      mode: OutputMode = OutputMode.Complete): StreamingQuery =
     df.writeStream
       .format("memory")
       .queryName(table)
-      .outputMode(OutputMode.Append)
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
 }

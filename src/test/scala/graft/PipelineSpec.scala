@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ingest.{Lake, Landing}
+import graft.queries.AnalyticsQueries
+import graft.warehouse.Migration
+
+/** End-to-end pipeline integration (SURVEY §5.4): landing JSON → lake
+  * parquet → warehouse tables → Q1–Q10, asserting golden outputs, schema
+  * row counts, idempotent re-migration (K3), and DataFrame/SQL agreement
+  * for every query pair.
+  */
+class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private lazy val root = Files.createTempDirectory("graft-pipeline").toString
+  private lazy val lakePath = s"$root/lake"
+  private lazy val whPath = s"$root/warehouse"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val ch = Landing.channels(spark, resource("landing/channels.json"))
+    val pl = Landing.playlists(spark, resource("landing/playlists.json"))
+    val vd = Landing.videos(spark, resource("landing/videos.json"))
+    val cm = Landing.comments(spark, resource("landing/comments.json"))
+    Lake.write(Lake.buildDocuments(ch, pl, vd, cm), lakePath)
+    Migration.migrate(spark, lakePath, whPath)
+    Migration.registerViews(spark, whPath)
+  }
+
+  test("landing parse: entity row counts and edge-row handling") {
+    val ch = Landing.channels(spark, resource("landing/channels.json"))
+    assert(ch.count() == 4)
+    // missing country -> null (P3 default applies at migration, not here)
+    assert(ch.filter(col("country").isNull).count() == 1)
+    val vd = Landing.videos(spark, resource("landing/videos.json"))
+    assert(vd.count() == 14)
+    // missing likeCount -> null likes; missing commentCount -> 0
+    val v004 = vd.filter(col("video_id") === "V004").collect()(0)
+    assert(v004.isNullAt(v004.fieldIndex("likes")))
+    assert(v004.getAs[Long]("comment_count") == 0L)
+    // S7 durations: 1h2m3s / 4m13s / 45s / 1h2s
+    val durs = vd.filter(col("video_id").isin("V001", "V002", "V003", "V004"))
+      .orderBy("video_id").select("duration").collect().map(_.getLong(0)).toSeq
+    assert(durs == Seq(3723L, 253L, 45L, 3602L))
+  }
+
+  test("lake documents: one per channel, four embedded arrays") {
+    val docs = Lake.read(spark, lakePath)
+    assert(docs.count() == 4)
+    val tech = docs.filter(col("channel_name") === "TechTalks").collect()(0)
+    assert(tech.getAs[scala.collection.Seq[Any]]("channel_details").length == 1)
+    assert(tech.getAs[scala.collection.Seq[Any]]("playlist_details").length == 2)
+    assert(tech.getAs[scala.collection.Seq[Any]]("video_details").length == 4)
+    assert(tech.getAs[scala.collection.Seq[Any]]("comment_details").length == 3)
+    // channel with no videos gets empty arrays, not nulls
+    val empty = docs.filter(col("channel_name").isNull).collect()(0)
+    assert(empty.getAs[scala.collection.Seq[Any]]("video_details").isEmpty)
+  }
+
+  test("warehouse tables: counts, dropped columns, null defaults") {
+    assert(spark.table("channel").count() == 4)
+    assert(spark.table("playlist").count() == 4)
+    assert(spark.table("video").count() == 14)
+    assert(spark.table("comment").count() == 5)
+    // channel_age and tags dropped at migration (reference parity)
+    assert(!spark.table("channel").columns.contains("channel_age"))
+    assert(!spark.table("video").columns.contains("tags"))
+    // P3 defaults: missing country -> N/A; null likes -> 0; missing author -> N/A
+    assert(spark.table("channel")
+      .filter(col("channel_id") === "UC002").collect()(0)
+      .getAs[String]("country") == "N/A")
+    assert(spark.table("video")
+      .filter(col("video_id") === "V004").collect()(0)
+      .getAs[Long]("likes") == 0L)
+    assert(spark.table("comment")
+      .filter(col("comment_id") === "C004").collect()(0)
+      .getAs[String]("author_name") == "N/A")
+  }
+
+  test("K3: re-migration appends zero rows") {
+    val second = Migration.migrate(spark, lakePath, whPath)
+    assert(second == Map("channel" -> 0L, "playlist" -> 0L, "video" -> 0L, "comment" -> 0L))
+    assert(spark.table("channel").count() == 4)
+  }
+
+  test("Q1: null-named channel filtered out") {
+    assert(rowSet(AnalyticsQueries.q1(spark)) ==
+      Seq("[CookingFun]", "[DailyVlogs]", "[TechTalks]"))
+  }
+
+  test("Q2: channels by uploads desc with tiebreaker") {
+    assert(AnalyticsQueries.q2(spark).collect().map(_.toString).toSeq ==
+      Seq("[CookingFun,5]", "[DailyVlogs,5]", "[TechTalks,4]", "[null,0]"))
+  }
+
+  test("Q3: top-10 by views truncates 14 videos") {
+    val got = AnalyticsQueries.q3(spark).collect().map(_.getAs[String]("video_title")).toSeq
+    assert(got == Seq("GPU Deep Dive", "Keyboard Review", "Perfect Pasta",
+      "New Year New Me", "Market Day", "Bread Basics", "Rainy Day",
+      "Grill Masterclass", "Year In Review", "Valentine Cake"))
+  }
+
+  test("Q5: all like-ties survive the greatest-per-group join") {
+    val got = AnalyticsQueries.q5(spark).collect()
+      .map(r => (r.getAs[String]("video_title"), r.getAs[Long]("likes"))).toSeq
+    assert(got == Seq(
+      ("Market Day", 1000L), ("New Year New Me", 1000L),
+      ("Perfect Pasta", 900L),
+      ("GPU Deep Dive", 500L), ("Keyboard Review", 500L)))
+  }
+
+  test("Q8: distinct channels with 2022 releases") {
+    assert(rowSet(AnalyticsQueries.q8(spark)) ==
+      Seq("[CookingFun]", "[DailyVlogs]", "[TechTalks]"))
+  }
+
+  test("Q9: per-channel average duration, desc") {
+    val got = AnalyticsQueries.q9(spark).collect()
+      .map(r => (r.getAs[String]("channel_name"), r.getAs[Double]("avg_time"))).toSeq
+    assert(got == Seq(("TechTalks", 1905.75), ("DailyVlogs", 589.8), ("CookingFun", 475.8)))
+  }
+
+  test("metamorphic: DataFrame and SQL forms agree for Q1-Q10") {
+    AnalyticsQueries.all.foreach { case (name, fn, sql) =>
+      assert(rowSet(fn(spark)) == rowSet(spark.sql(sql)), s"query $name")
+    }
+  }
+
+  test("A4 validation: API comment counters vs true counts from comment table") {
+    val got = AnalyticsQueries.trueCommentCounts(spark)
+      .filter(col("video_id").isin("V001", "V005", "V003"))
+      .orderBy("video_id").collect()
+      .map(r => (r.getAs[Long]("api_count"), r.getAs[Long]("true_count"))).toSeq
+    // fixtures carry 2 comments for V001, 1 for V005, 0 for V003
+    assert(got == Seq((300L, 2L), (12L, 0L), (210L, 1L)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct word bigrams; short docs yield empty") {
+    val got = Seq("a b c a b", "solo", "")
+      .toDF("t").select(shingles(col("t"), 2).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b", "b c", "c a"))
+    assert(got(1) == Nil)
+    assert(got(2) == Nil)
+  }
+
+  test("token counting: whitespace and regex tokenizers") {
+    val got = Seq(("a bb ccc", 3, 3), ("Hi THERE friend", 3, 2))
+      .toDF("t", "ws", "re")
+      .select(tokenCount(col("t")).as("n"), regexTokenCount(col("t")).as("r"),
+        col("ws"), col("re"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(2) && r.getAs[Number](1).intValue == r.getInt(3))
+    }
+  }
+
+  test("fingerprint is case/trim-insensitive") {
+    val got = Seq("Hello World", "  hello world ", "other")
+      .toDF("t").select(fingerprint(col("t")).as("f")).as[String].collect()
+    assert(got(0) == got(1) && got(0) != got(2))
+  }
+
+  test("langId: stopword-heavy text is en, stopword-free is other, empty unknown") {
+    val got = Seq("the cat sat on the mat of doom", "zxq qwv bnm", "x")
+      .toDF("t").select(langId(col("t")).as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "other", "other"))
+  }
+
+  test("simhash: identical docs collide, word order is irrelevant, disjoint docs differ") {
+    val got = Seq("apple banana cherry", "cherry apple banana", "xylo zulu qrst")
+      .toDF("t").select(simhash(col("t")).as("h")).as[Long].collect().toSeq
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+  }
+
+  test("minhash: permutation-invariant and in [0, numHashes] component count") {
+    val df = Seq("a b c d e f", "f e d c b a").toDF("t")
+    val sigs = df.select(minhashSignature(shingles(col("t"), 1), 8).as("s"))
+      .as[Seq[String]].collect()
+    assert(sigs(0).length == 8)
+    // shingles(k=1) = distinct unigrams: same set for both rows
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("quality features: exact counts on a known sentence") {
+    val feats = qualityFeatures(col("t"))
+    val row = Seq("the quick brown fox, it jumps!")
+      .toDF("t")
+      .select(feats.map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(row.getAs[Long]("n_chars") == 30L)
+    assert(row.getAs[Long]("n_tokens") == 6L)
+    assert(row.getAs[Double]("punct_ratio") == 2.0 / 30.0)
+    assert(row.getAs[Double]("stopword_ratio") == 1.0 / 6.0)
+  }
+}

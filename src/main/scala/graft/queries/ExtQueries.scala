@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Q
-import graft.operators.EventOps
+import graft.operators.{EventOps, SaltedJoin}
 import graft.sources.Tables
 
 /** Extension query surface: the operator categories the reference lacks
@@ -101,6 +101,44 @@ object ExtQueries {
         .agg(approx_count_distinct(col("o_custkey")).as("n_cust_approx")),
       None),
 
+    // Statistical moments from exact decimal sums (mean/variance/stddev):
+    // double-only parallel aggregation is accumulation-order-dependent, so
+    // the engine sums decimals exactly and applies the closed-form moment
+    // formulas as final single double ops — deterministic on any cluster
+    // layout, bit-identical to the oracle.
+    Q("a9_moments",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(20,4)")).as("s1"),
+          sum((col("l_quantity").cast("decimal(20,4)") *
+               col("l_quantity").cast("decimal(20,4)")).cast("decimal(38,8)")).as("s2"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          (col("s1").cast("double") / col("n")).as("mean"),
+          round((col("s2").cast("double") - col("s1").cast("double") *
+            col("s1").cast("double") / col("n")) / (col("n") - 1), 6).as("variance")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS mean,
+        |  round((CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS DOUBLE)
+        |    - CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1), 6) AS variance
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Exact interpolated percentiles (median / p90).
+    Q("a10_percentiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90")),
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // INTERSECT / EXCEPT
     Q("set_intersect",
       (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
@@ -111,6 +149,20 @@ object ExtQueries {
       (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
         .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
       Some("SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier")),
+
+    // Salted skew-safe join: identical result to the plain equi-join (the
+    // oracle runs the plain join), with the hot-key spreading happening
+    // inside the operator.
+    Q("sj_salted_join",
+      (s, d) => SaltedJoin.inner(
+        t(s, d, "orders").select("o_custkey", "o_totalprice"),
+        t(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment""".stripMargin)),
 
     // Range join: band bucketing against a small inline ranges table —
     // broadcast nested-loop on the tiny side, never a shuffle of `part`.

@@ -219,6 +219,54 @@ object PipelineQueries {
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp")),
       Some("SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents")),
 
+    // Vocabulary build: explode tokens -> corpus-wide term counts (the
+    // wordcount shape every tokenizer pipeline needs; one shuffle with
+    // map-side combine).
+    Q("tx_vocab",
+      (s, d) => t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token""".stripMargin)),
+
+    // TF-IDF scores per (doc, token): tf and df are exact integer counts;
+    // idf = ln(N/df) and the product are single double ops (rounded for the
+    // cross-engine libm contract).
+    Q("tx_tfidf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = toks.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val n = docs.count()
+        tf.join(df, "token")
+          .select(col("doc_id"), col("token"),
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, tf.token, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n""".stripMargin)),
+
+    // Deterministic hash-based train/val split (~80/20): the assignment is
+    // a pure function of the id, so it is stable across runs, engines, and
+    // cluster layouts — the property a reproducible training pipeline needs.
+    Q("tx_train_split",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cd", lit("train"))
+          .otherwise(lit("val")).as("split")),
+      Some("""SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents""".stripMargin)),
+
     // ---- Multimodal binary columns ---------------------------------------
 
     // Binary metadata extraction: text encoded to a binary payload column,

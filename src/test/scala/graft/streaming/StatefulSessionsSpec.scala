@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class StatefulSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("batch fold: gap closes a session and emits it with totals") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 15:00:00"), 4.0) // > 1h gap: closes first session
+    ).toDF("user_id", "ts", "value")
+    val got = StatefulSessions.sessionsFlatMap(df, gapMs = 3600 * 1000).collect().toSeq
+    // only the closed-by-gap session is emitted in batch mode; the final
+    // open session has no timeout to fire
+    assert(got == Seq(StatefulSessions.ClosedSession(
+      1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 3.0)))
+  }
+
+  test("streaming: event-time timeout emits sessions as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+    val sessions = StatefulSessions.sessionsFlatMap(events, gapMs = 3600 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:30:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0) // session still open
+      // an event far in the future advances the watermark past the timeout
+      input.addData((2L, ts("2024-01-02 00:00:00"), 9.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-03 00:00:00"), 9.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .as[StatefulSessions.ClosedSession].collect().filter(_.user_id == 1L).toSeq
+      assert(got == Seq(StatefulSessions.ClosedSession(
+        1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), 2L, 3.0)))
+    } finally q.stop()
+  }
+}

@@ -9,11 +9,11 @@ import graft.functions.VectorFunctions._
 /** Deduplication operators for the training-data pipeline surface.
   *
   * Scale design: exact dedup is one hash-aggregate shuffle on the dup key.
-  * MinHash-LSH is the 100 TB path for near-dup: signatures are computed
-  * row-locally (no explode of shingles across the cluster), then only the
-  * tiny (doc_id, band_key) projection is shuffled — candidate generation is
-  * a self-equi-join on band keys, which Catalyst executes as a shuffled hash
-  * join keyed on the band. Exact pairwise Jaccard is provided for
+  * MinHash-LSH is the 100 TB path for near-dup: signatures come from one
+  * custom MinHash aggregate with map-side partial aggregation (shingles
+  * collapse to a per-doc signature before the shuffle), then only the tiny
+  * (doc_id, band_key) projection moves — candidate generation is bucket
+  * grouping on band keys. Exact pairwise Jaccard is provided for
   * verification on bounded subsets, never for full-corpus use.
   */
 object Dedup {
@@ -29,24 +29,27 @@ object Dedup {
     * into `bands` bands whose key is the concatenation of the band's
     * component hashes.
     *
-    * Plan shape (the 100 TB path, and ~20× faster than per-row higher-order
+    * Plan shape (the 100 TB path, ~20× faster than per-row higher-order
     * lambdas, which Spark evaluates interpreted): explode shingles, then ONE
-    * codegen'd hash-aggregate taking `min(md5(seed:shingle))` per seed —
-    * map-side partial aggregation collapses each doc's shingles to a single
-    * 16-column row before anything shuffles. Docs with no shingles produce
-    * no rows (they cannot near-dup with anything). */
+    * custom [[graft.expressions.MinHashSig]] aggregate — map-side partial
+    * aggregation collapses each doc's shingles to a single signature row
+    * before anything shuffles. Docs with no shingles produce no rows (they
+    * cannot near-dup with anything). */
   def minhashBands(docs: DataFrame, idCol: Column, textCol: Column,
       numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
     val sh = docs.select(idCol.as("doc_id"),
       explode(shingles(textCol, shingleK)).as("shingle"))
-    val comps = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(comps.head, comps.tail: _*)
+    val sigAgg = org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(col("shingle")),
+        numHashes).toAggregateExpression())
+    val sig = sh.groupBy("doc_id").agg(sigAgg.as("sig"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("band_key"))
+        concat((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
+          .as("band_key"))
     }
     sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))

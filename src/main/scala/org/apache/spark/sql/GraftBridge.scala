@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge for graft's native expressions.
+  * `ExpressionUtils` is `private[sql]` in Spark 4, so the conversion is
+  * surfaced from inside the package — the standard pattern for libraries
+  * that ship custom Catalyst expressions.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,58 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSimilarity native expression is bit-identical to the HOF formulation") {
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      VectorFunctions.dot(a, b) / (VectorFunctions.norm(a) * VectorFunctions.norm(b))
+    val df = Seq(
+      (Seq(0.1f, -0.2f, 0.3f), Seq(0.4f, 0.5f, -0.6f)),
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      hof(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("MinHashSig aggregate equals 16 separate min(md5(seed:shingle)) aggregates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs and more words here")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), 2)).as("shingle"))
+
+    val sigAgg = org.apache.spark.sql.GraftBridge.column(
+      MinHashSig(org.apache.spark.sql.GraftBridge.expression(col("shingle")),
+        16).toAggregateExpression())
+    val native = sh.groupBy("doc_id").agg(sigAgg.as("sig"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+
+    val comps = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val reference = sh.groupBy("doc_id").agg(comps.head, comps.tail: _*)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), (1 to 16).map(r.getString))).toSeq
+
+    assert(native.map(_._1) == reference.map(_._1))
+    native.zip(reference).foreach { case ((_, a), (_, b)) => assert(a == b) }
+  }
+
+  test("registered SQL functions resolve and compute") {
+    graft.plans.GraftExtensions.install(spark)
+    val got = spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .collect()(0).getDouble(0)
+    assert(got == 1.0)
+    val mh = spark.sql(
+      """SELECT graft_minhash_sig(s, 4) AS sig FROM (SELECT explode(array('a b', 'b c')) AS s)""")
+      .collect()(0).getSeq[String](0)
+    assert(mh.length == 4 && mh.forall(_.length == 32))
+  }
+}

@@ -207,6 +207,44 @@ object CoreQueries {
                 CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month_start
               FROM orders""".stripMargin)),
 
+    // P10 — date arithmetic surface: datediff / date_add / last_day /
+    // day-of-week (Spark dayofweek = DuckDB dayofweek + 1, both anchored
+    // Sunday).
+    Q("p10_date_arith",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since_95"),
+        date_add(col("o_orderdate"), 30).as("due_date"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow")),
+      Some("""SELECT o_orderkey,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
+        |FROM orders""".stripMargin)),
+
+    // P11 — string scalar-function surface.
+    Q("p11_string_funcs",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        length(col("c_name")).as("name_len"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name")),
+      Some("""SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
+        |  concat_ws('|', c_mktsegment, c_name) AS seg_name
+        |FROM customer""".stripMargin)),
+
     // P3 — null-default projection (`.get(k, default)` semantics): app.py:307–314
     Q("p3_null_default",
       (s, d) => t(s, d, "customer").select(

@@ -127,6 +127,53 @@ object ExtQueries {
         |    / (COUNT(*) - 1), 6) AS variance
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Pearson correlation from exact decimal sums (same determinism story
+    // as a9_moments: double-only parallel corr is accumulation-order
+    // dependent; closed form over exact sums is not).
+    Q("a11_corr",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double").as("sy"),
+          sum((col("l_quantity").cast("decimal(20,4)") *
+               col("l_extendedprice").cast("decimal(20,4)")).cast("decimal(38,8)"))
+            .cast("double").as("sxy"),
+          sum((col("l_quantity").cast("decimal(20,4)") *
+               col("l_quantity").cast("decimal(20,4)")).cast("decimal(38,8)"))
+            .cast("double").as("sx2"),
+          sum((col("l_extendedprice").cast("decimal(20,4)") *
+               col("l_extendedprice").cast("decimal(20,4)")).cast("decimal(38,8)"))
+            .cast("double").as("sy2"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("corr_qty_price")),
+      Some("""WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sy2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_qty_price
+        |FROM s""".stripMargin)),
+
+    // GROUPING SETS (beyond rollup/cube): disjoint per-dimension subtotals.
+    Q("a12_grouping_sets",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows
+                 FROM orders_gs
+                 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows
+              FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)),
+
     // Exact interpolated percentiles (median / p90).
     Q("a10_percentiles",
       (s, d) => t(s, d, "lineitem")
@@ -201,6 +248,28 @@ object ExtQueries {
               ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') b
                 ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin),
       headline = true),
+
+    // Interval (bounded-range) join: purchases matched to same-user views
+    // within the preceding hour — equi key (user) carries the shuffle, the
+    // time band is a post-join filter, so no candidate blow-up beyond the
+    // per-user window.
+    Q("ij_interval_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+        p.join(v, Seq("user_id"))
+          .filter(col("v_ts") <= col("p_ts") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+          .select("purchase_id", "view_id", "user_id")
+      },
+      Some("""SELECT a.event_id AS purchase_id, b.event_id AS view_id, a.user_id
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') a
+        |JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR""".stripMargin)),
 
     // Pivot over a fixed type list
     Q("pv_pivot",

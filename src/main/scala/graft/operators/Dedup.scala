@@ -39,8 +39,8 @@ object Dedup {
       numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
-    val sh = docs.select(idCol.as("doc_id"),
-      explode(shingles(textCol, shingleK)).as("shingle"))
+    val sh = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
+      .select(col("doc_id"), explode(shingles(col("__text"), shingleK)).as("shingle"))
     val sigAgg = org.apache.spark.sql.GraftBridge.column(
       graft.expressions.MinHashSig(
         org.apache.spark.sql.GraftBridge.expression(col("shingle")),
@@ -84,7 +84,8 @@ object Dedup {
     * pair-keyed aggregate. */
   def jaccardPairs(docs: DataFrame, idCol: Column, textCol: Column,
       threshold: Double, shingleK: Int = 2): DataFrame = {
-    val sh = docs.select(idCol.as("doc_id"), explode(shingles(textCol, shingleK)).as("shingle"))
+    val sh = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
+      .select(col("doc_id"), explode(shingles(col("__text"), shingleK)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -111,7 +112,7 @@ object Dedup {
     * the 100 TB path is [[Similarity.ivfTopK]]-style bucketing first. */
   def embeddingNearDups(emb: DataFrame, idCol: Column, vecCol: Column,
       threshold: Double): DataFrame = {
-    val a = emb.select(idCol.as("id_a"), vecCol.as("vec_a"))
+    val a = Parallelism.fanOut(emb.select(idCol.as("id_a"), vecCol.as("vec_a")))
     val b = emb.select(idCol.as("id_b"), vecCol.as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", cosineRounded(col("vec_a"), col("vec_b")))

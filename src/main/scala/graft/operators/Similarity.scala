@@ -22,7 +22,7 @@ object Similarity {
   /** Top-k neighbors per query vector by cosine (rounded to 4dp; ties broken
     * by neighbor id so results are total-ordered and oracle-stable). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.alias("c")
+    val joined = Parallelism.fanOut(corpus).alias("c")
       .crossJoin(broadcast(queries.alias("q")))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
       .select(
@@ -39,7 +39,7 @@ object Similarity {
   /** Assign each vector to the nearest of the broadcast `centroids` by
     * cosine. Returns the input plus a `cluster` column. */
   def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.alias("v")
+    val scored = Parallelism.fanOut(vectors).alias("v")
       .crossJoin(broadcast(centroids.select(
         col("vec_id").as("centroid_id"), col("embedding").as("centroid"))))
       .withColumn("c_sim", cosine(col("v.embedding"), col("centroid")))

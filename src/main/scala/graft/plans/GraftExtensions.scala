@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Coalesce, EqualTo, Expression, ExpressionInfo, If, Literal, Multiply, RegExpExtract}
+import org.apache.spark.sql.types.LongType
 
 import graft.expressions.{CosineSimilarity, MinHashSig}
 
@@ -24,6 +25,21 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("graft_parse_duration"),
+      new ExpressionInfo("graft.functions.Durations", "graft_parse_duration"),
+      (children: Seq[Expression]) => {
+        // catalyst-node equivalent of Durations.parseIso8601Duration (the
+        // Column form can't be spliced into a function builder: its literal
+        // wrappers stay unresolved)
+        def comp(unit: String): Expression = {
+          val ex = RegExpExtract(children(0), Literal("(\\d+)" + unit), Literal(1))
+          Coalesce(Seq(
+            If(EqualTo(ex, Literal("")), Literal(0L), Cast(ex, LongType)),
+            Literal(0L)))
+        }
+        Add(Add(Multiply(comp("H"), Literal(3600L)),
+          Multiply(comp("M"), Literal(60L))), comp("S"))
+      }),
     (new FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => {

@@ -282,10 +282,83 @@ object ExtQueries {
                 COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
               FROM events GROUP BY user_id""".stripMargin)),
 
+    // Array-function surface: per-group sorted collect, containment, size,
+    // slicing — deterministic because every collected array is sorted.
+    Q("ar_array_funcs",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(
+          col("l_orderkey"),
+          col("lines"),
+          size(col("lines")).as("n_lines"),
+          array_contains(col("lines"), 1).as("has_first"),
+          slice(col("lines"), 1, 2).as("first_two")),
+      Some("""SELECT l_orderkey, lines,
+        |  CAST(len(lines) AS INT) AS n_lines,
+        |  list_contains(lines, 1) AS has_first,
+        |  lines[1:2] AS first_two
+        |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+        |      FROM lineitem GROUP BY l_orderkey)""".stripMargin)),
+
+    // Conditional-expression surface: CASE/greatest/least/nullif/coalesce.
+    Q("p12_conditionals",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "large")
+          .when(col("o_totalprice") > 100000, "medium")
+          .otherwise("small").as("size_class"),
+        greatest(col("o_totalprice"), lit(150000.0)).as("floor_price"),
+        least(col("o_totalprice"), lit(150000.0)).as("cap_price"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("NOT_OPEN")).as("status_or_default")),
+      Some("""SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'large'
+        |       WHEN o_totalprice > 100000 THEN 'medium'
+        |       ELSE 'small' END AS size_class,
+        |  greatest(o_totalprice, 150000.0) AS floor_price,
+        |  least(o_totalprice, 150000.0) AS cap_price,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'NOT_OPEN') AS status_or_default
+        |FROM orders""".stripMargin)),
+
+    // max_by / min_by (argmax aggregates), tie-broken through a composite
+    // ordering key so both engines agree deterministically.
+    Q("a13_argminmax",
+      (s, d) => {
+        // composite (price, orderkey) ordering encoded as one zero-padded
+        // sortable string: deterministic under price ties, and the same
+        // lexicographic order in both engines
+        val ord = concat(
+          lpad(col("o_totalprice").cast("decimal(18,2)").cast("string"), 20, "0"),
+          lit("-"),
+          lpad(col("o_orderkey").cast("string"), 12, "0"))
+        t(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            max_by(col("o_orderkey"), ord).as("max_order"),
+            min_by(col("o_orderkey"), ord).as("min_order"))
+      },
+      Some("""SELECT o_orderstatus,
+        |  arg_max(o_orderkey, lpad(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 20, '0')
+        |                      || '-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS max_order,
+        |  arg_min(o_orderkey, lpad(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 20, '0')
+        |                      || '-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS min_order
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // JSON map extraction (schema-on-read over `props`)
     Q("js_json_extract",
       (s, d) => EventOps.propsKey(t(s, d, "events"), "k"),
       Some("SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events")),
+
+    // Map-function surface over the parsed props map.
+    Q("js_map_funcs",
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        map_keys(from_json(col("props"), lit("map<string,bigint>"))).as("keys"),
+        map_values(from_json(col("props"), lit("map<string,bigint>"))).as("vals")),
+      Some("""SELECT event_id,
+        |  json_keys(props) AS keys,
+        |  [CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)] AS vals
+        |FROM events""".stripMargin)),
 
     // Streaming window shapes, batch-mode for the oracle; the same transform
     // functions run under readStream+watermark in graft.streaming.

@@ -47,6 +47,24 @@ object EventStreams {
   def sessions(events: DataFrame, gap: String, watermark: String): DataFrame =
     EventOps.sessionize(events.withWatermark("ts", watermark), gap)
 
+  /** Watermarked stream-stream join: purchases matched to same-user views
+    * within the preceding hour. The time bound plus both watermarks make
+    * join state evictable — without them stream-stream state grows without
+    * bound. Batch-equivalent: the `ij_interval_join` judged query. */
+  def purchaseViewJoin(events: DataFrame, watermark: String): DataFrame = {
+    val p = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "view_id", "user_id")
+  }
+
   /** Start a query writing window aggregates to an in-memory sink `table`
     * (test/demo harness; production would target a parquet/Kafka sink).
     * Complete mode by default: under AvailableNow, append-mode windowed

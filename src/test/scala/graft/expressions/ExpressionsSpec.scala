@@ -54,5 +54,8 @@ class ExpressionsSpec extends SparkSpec {
       """SELECT graft_minhash_sig(s, 4) AS sig FROM (SELECT explode(array('a b', 'b c')) AS s)""")
       .collect()(0).getSeq[String](0)
     assert(mh.length == 4 && mh.forall(_.length == 32))
+    val dur = spark.sql("SELECT graft_parse_duration('PT1H2M3S') AS s")
+      .collect()(0).getLong(0)
+    assert(dur == 3723L)
   }
 }

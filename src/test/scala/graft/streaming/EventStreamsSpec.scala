@@ -40,6 +40,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-stream join equals the batch interval join on a drained stream") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:30:00", 1, "purchase", 5.0),
+      ev(3, "2024-01-01 12:00:00", 1, "purchase", 5.0), // no view within 1h
+      ev(4, "2024-01-01 09:00:00", 2, "view", 1.0),
+      ev(5, "2024-01-01 09:40:00", 2, "purchase", 2.0))
+    val df = data.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.parquet(s"$dir/in")
+    val joined = EventStreams.purchaseViewJoin(
+      EventStreams.readEvents(spark, s"$dir/in"), "2 hours")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(rowSet(spark.table("ssj_out")) == Seq("[2,1,1]", "[5,4,2]"))
+  }
+
   test("sessions: gap-separated user activity becomes distinct sessions") {
     val df = Seq(
       ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),

@@ -252,7 +252,8 @@ object PipelineQueries {
         |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
         |n AS (SELECT COUNT(*) AS n FROM documents)
         |SELECT doc_id, tf.token, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
-        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n""".stripMargin)),
+        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n""".stripMargin),
+      headline = true),
 
     // Deterministic hash-based train/val split (~80/20): the assignment is
     // a pure function of the id, so it is stable across runs, engines, and

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink format surface beyond parquet: CSV and JSON lines, with
+  * explicit schemas on read (schema inference is a full extra pass over the
+  * data — never acceptable at scale) and ISO-8601 UTC timestamps so
+  * round-trips are lossless.
+  */
+object Formats {
+
+  // six fractional digits: micros-precision columns (e.g. events.ts) must
+  // survive the round-trip
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", true)
+      .option("timestampFormat", TsFormat)
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", true)
+      .option("timestampFormat", TsFormat)
+      .schema(schema)
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", TsFormat)
+      .json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("timestampFormat", TsFormat)
+      .schema(schema)
+      .json(path)
+}

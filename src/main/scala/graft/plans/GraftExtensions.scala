@@ -15,8 +15,10 @@ import graft.expressions.{CosineSimilarity, MinHashSig}
   *   - `graft_minhash_sig(shingle, numHashes)` — MinHash signature aggregate
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => new TopKPerGroupStrategy)
+  }
 }
 
 object GraftExtensions {

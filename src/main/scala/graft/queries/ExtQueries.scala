@@ -38,6 +38,22 @@ object ExtQueries {
                 FROM orders) WHERE rk <= 3""".stripMargin),
       headline = true),
 
+    // Custom physical top-k-per-group operator (graft.plans.TopKPerGroup):
+    // k-bounded heaps after one group exchange, no per-partition sort.
+    // Same answer as the row_number window formulation (the oracle).
+    Q("w4_topk_per_group",
+      (s, d) => graft.plans.TopKPerGroup(
+        t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        group = Seq("o_custkey"),
+        order = Seq("o_totalprice", "o_orderkey"),
+        k = 3),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                FROM orders) WHERE rn <= 3""".stripMargin),
+      headline = true),
+
     // Window: running sum over a total order (exact decimal → double)
     Q("w2_running_sum",
       (s, d) => {

@@ -100,6 +100,29 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The complete near-dup dedup decision: LSH candidates → exact Jaccard
+    * refine on candidate pairs only → greedy keep (drop any doc that
+    * near-dups a smaller-id doc — the standard one-pass policy; transitive
+    * chains resolve in favor of the smallest id each edge touches).
+    * Returns the KEPT doc ids. Work is linear + per-candidate-pair; never
+    * all-pairs. */
+  def nearDupKeep(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int, bands: Int, threshold: Double,
+      shingleK: Int = 2): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleK)
+    val sets = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
+      .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
+    val scored = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    docs.select(idCol.as("doc_id"))
+      .join(scored.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** (doc_id, simhash) — near-dup docs land on equal or near-equal (small
     * Hamming distance) values; bucketing on the simhash is then an exact
     * groupBy. Row-local computation, no shuffle. */

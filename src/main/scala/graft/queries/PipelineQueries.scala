@@ -87,6 +87,26 @@ object PipelineQueries {
         |WHERE a.doc_id < b.doc_id""".stripMargin),
       headline = true),
 
+    // End-to-end near-dup dedup decision: LSH candidates -> Jaccard refine
+    // -> greedy drop-vs-smaller-id; returns kept ids.
+    Q("dd_neardup_keep",
+      (s, d) => Dedup.nearDupKeep(t(s, d, "documents"), col("doc_id"), col("text"),
+        NumHashes, Bands, threshold = 0.4),
+      Some(BandsCte + """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM scored WHERE jaccard >= 0.4)""".stripMargin)),
+
     // SimHash fingerprints (row-local, zero shuffle).
     Q("dd_simhash",
       (s, d) => Dedup.simhashDocs(t(s, d, "documents"), col("doc_id"), col("text")),

@@ -1,0 +1,32 @@
+package graft
+
+/** Registry invariants: every judged query has a unique name, builds an
+  * analyzable plan against the smoke fixtures, and its Spark output column
+  * names exactly match what the driver's column-sorted compare needs (no
+  * duplicates, no auto-generated names).
+  */
+class RegistrySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("query names are unique") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.length == names.length)
+  }
+
+  test("every query analyzes and exposes clean, unique column names") {
+    Registry.all.foreach { q =>
+      val df = q.fn(spark, sf)
+      val cols = df.columns.toSeq
+      assert(cols.distinct.length == cols.length, s"${q.name}: duplicate columns $cols")
+      cols.foreach { c =>
+        assert(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"${q.name}: auto-generated or unaliased column name '$c'")
+      }
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -260,12 +260,13 @@ object PipelineQueries {
         val toks = docs.select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("token"))
         val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val df = toks.select("doc_id", "token").distinct()
-          .groupBy("token").agg(count(lit(1)).as("df"))
+        // document frequency as a count over a token-partitioned window on
+        // the tf aggregate (already one row per doc-token): no second
+        // aggregation pass, no distinct, no join
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
         val n = docs.count()
-        tf.join(df, "token")
-          .select(col("doc_id"), col("token"),
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        tf.select(col("doc_id"), col("token"),
+          round(col("tf") * log(lit(n.toDouble) / count(lit(1)).over(w)), 6).as("tfidf"))
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

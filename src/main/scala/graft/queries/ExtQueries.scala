@@ -83,6 +83,31 @@ object ExtQueries {
                 lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
               FROM orders""".stripMargin)),
 
+    // Window-function breadth: first/last value with explicit frames,
+    // dense_rank, ntile — all over a total (tiebroken) ordering.
+    Q("w5_window_misc",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val framed = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(framed).as("best_order"),
+          last(col("o_orderkey")).over(framed).as("worst_order"),
+          dense_rank().over(w).cast("long").as("drk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w2 AS best_order,
+        |  last_value(o_orderkey) OVER w2 AS worst_order,
+        |  CAST(dense_rank() OVER w1 AS BIGINT) AS drk,
+        |  CAST(ntile(4) OVER w1 AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW
+        |  w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+        |  w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
     // Rollup (subtotals + grand total; null markers match SQL ROLLUP)
     Q("a5_rollup",
       (s, d) => t(s, d, "lineitem")

@@ -16,7 +16,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(v)  # shortest round-trip: full double precision
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):

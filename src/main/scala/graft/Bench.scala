@@ -27,13 +27,18 @@ object Bench {
     // min of 3 measured runs: the steady-state cost, robust to background
     // load on a shared machine
     val results = headline.map { q =>
+      var failed = false
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      // a failed query must not report a flatteringly tiny time
+      q.name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

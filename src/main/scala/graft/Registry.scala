@@ -19,8 +19,12 @@ final case class Q(
     headline: Boolean = false)
 
 object Registry {
-  def all: Seq[Q] =
-    queries.CoreQueries.all ++ queries.ExtQueries.all ++ queries.PipelineQueries.all
+  def all: Seq[Q] = {
+    val qs = queries.CoreQueries.all ++ queries.ExtQueries.all ++ queries.PipelineQueries.all
+    val dups = qs.groupBy(_.name).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -42,21 +42,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expressions.CosineSimilarity.compute($a, ${isFloat(left)}, $b, ${isFloat(right)});")
+      s"""java.lang.Double graftCosR = graft.expressions.CosineSimilarity.compute(
+         |  $a, ${isFloat(left)}, $b, ${isFloat(right)});
+         |if (graftCosR == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graftCosR.doubleValue(); }""".stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 object CosineSimilarity {
-  /** Forward-order double accumulation; see class doc for the contract. */
-  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Forward-order double accumulation; see class doc for the contract.
+    * Null result (matching the `zip_with` formulation and the oracle) when
+    * the arrays differ in length or any element is null. */
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -64,6 +71,6 @@ object CosineSimilarity {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }

@@ -95,18 +95,22 @@ object TextFunctions {
   }
 
   /** Quality-score feature columns: (n_chars, n_tokens, avg_token_len,
-    * punct_ratio, stopword_ratio). All exact-int-derived doubles. */
+    * punct_ratio, stopword_ratio). All exact-int-derived doubles; zero
+    * denominators (empty documents) yield null via nullif rather than an
+    * ANSI divide-by-zero error. */
   def qualityFeatures(c: Column): Seq[(String, Column)] = {
     val nChars = length(c)
     val nTok = tokenCount(c)
     val nonSpace = length(regexp_replace(c, " ", ""))
     val punct = length(c) - length(regexp_replace(c, "[.!?,;:]", ""))
+    def ratio(num: Column, den: Column): Column =
+      num.cast("double") / nullif(den, lit(0)).cast("double")
     Seq(
       "n_chars" -> nChars.cast("long"),
       "n_tokens" -> nTok.cast("long"),
-      "avg_token_len" -> (nonSpace.cast("double") / nTok.cast("double")),
-      "punct_ratio" -> (punct.cast("double") / nChars.cast("double")),
-      "stopword_ratio" -> (stopwordCount(c, EnglishStopwords).cast("double") / nTok.cast("double"))
+      "avg_token_len" -> ratio(nonSpace, nTok),
+      "punct_ratio" -> ratio(punct, nChars),
+      "stopword_ratio" -> ratio(stopwordCount(c, EnglishStopwords), nTok)
     )
   }
 }

@@ -28,6 +28,7 @@ case class TopKPerGroup(
     ordering: Seq[SortOrder],
     k: Int,
     child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"top-k requires k >= 1, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =

@@ -55,7 +55,8 @@ object PipelineQueries {
       |  SELECT doc_id, b.band,
       |    sig[b.band * ${NumHashes / Bands} + 1] || sig[b.band * ${NumHashes / Bands} + 2] ||
       |    sig[b.band * ${NumHashes / Bands} + 3] || sig[b.band * ${NumHashes / Bands} + 4] AS band_key
-      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b)""".stripMargin
+      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b
+      |  WHERE sig[1] IS NOT NULL)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -107,11 +108,14 @@ object PipelineQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_b FROM scored WHERE jaccard >= 0.4)""".stripMargin)),
 
-    // SimHash fingerprints (row-local, zero shuffle).
+    // SimHash fingerprints (row-local, zero shuffle); null-text docs have
+    // no fingerprint on either side.
     Q("dd_simhash",
-      (s, d) => Dedup.simhashDocs(t(s, d, "documents"), col("doc_id"), col("text")),
+      (s, d) => Dedup.simhashDocs(
+        t(s, d, "documents").filter(col("text").isNotNull), col("doc_id"), col("text")),
       Some("""WITH w AS (
-        |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word FROM documents),
+        |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word
+        |  FROM documents WHERE text IS NOT NULL),
         |v AS (
         |  SELECT doc_id, j,
         |    SUM(CASE WHEN substring(md5(word), j, 1) IN ('8','9','a','b','c','d','e','f')
@@ -210,10 +214,10 @@ object PipelineQueries {
       Some("""SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
-        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / NULLIF(len(str_split(text, ' ')), 0) AS avg_token_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) AS punct_ratio,
         |  CAST(len(list_filter(str_split(text, ' '), w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
-        |    / len(str_split(text, ' ')) AS stopword_ratio
+        |    / NULLIF(len(str_split(text, ' ')), 0) AS stopword_ratio
         |FROM documents""".stripMargin),
       headline = true),
 

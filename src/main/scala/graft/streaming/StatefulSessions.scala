@@ -22,9 +22,12 @@ object StatefulSessions {
   case class ClosedSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
 
-  /** Fold events into per-user gap sessions; emit each session when the
-    * event-time timeout (watermark past last event + gap) fires, or emit
-    * the still-open session when `emitOpen` (used for batch drains). */
+  /** Fold events into per-user gap sessions; a session is emitted when the
+    * event-time timeout (watermark past last event + gap) fires, or when a
+    * later event closes it by exceeding the gap. In BATCH execution there
+    * are no timeouts, so only gap-closed sessions appear — the final open
+    * session per user stays unemitted (asserted in StatefulSessionsSpec);
+    * use EventOps.sessionize for complete batch sessionization. */
   def sessionsFlatMap(events: DataFrame, gapMs: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events

@@ -73,11 +73,15 @@ object Migration {
   def idempotentAppend(newRows: DataFrame, existingPath: String,
       pk: Seq[String]): Long = {
     val spark = newRows.sparkSession
+    // dedupe within the batch too: a re-ingested lake (append-mode writes)
+    // carries duplicate PKs that the anti-join against the (possibly empty)
+    // existing table would not catch
+    val batch = newRows.dropDuplicates(pk)
     val fresh =
       if (new java.io.File(existingPath).exists) {
         val existing = spark.read.parquet(existingPath).select(pk.map(col): _*)
-        newRows.join(existing, pk, "left_anti")
-      } else newRows
+        batch.join(existing, pk, "left_anti")
+      } else batch
     // materialize BEFORE the append: the anti-join's plan re-reads the
     // target path, so a lazy re-execution after the write would see the
     // freshly appended rows and report zero

@@ -20,6 +20,15 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("CosineSimilarity: null element or length mismatch yields null, like zip_with") {
+    val df = Seq(
+      (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(1.0f))),
+      (Seq(Some(1.0f)), Seq(Some(1.0f), Some(1.0f)))
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c")).collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
   test("MinHashSig aggregate equals 16 separate min(md5(seed:shingle)) aggregates") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

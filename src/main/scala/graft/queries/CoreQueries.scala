@@ -245,6 +245,45 @@ object CoreQueries {
         |  concat_ws('|', c_mktsegment, c_name) AS seg_name
         |FROM customer""".stripMargin)),
 
+    // Scalar subquery shape: rows against a global aggregate (broadcast of
+    // a 1-row derived table — no shuffle of the fact side).
+    Q("p13_scalar_subquery",
+      (s, d) => {
+        val globalAvg = t(s, d, "orders")
+          .agg((sum(col("o_totalprice").cast("decimal(20,4)")).cast("double") /
+            count(lit(1))).as("global_avg"))
+        t(s, d, "orders")
+          .crossJoin(broadcast(globalAvg))
+          .filter(col("o_totalprice") > col("global_avg"))
+          .select("o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) FROM orders)""".stripMargin)),
+
+    // LIKE-pattern filters.
+    Q("p14_like",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_type").like("%ECONOMY%") || col("p_name").startsWith("red"))
+        .select("p_partkey", "p_name", "p_type"),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_type LIKE '%ECONOMY%' OR p_name LIKE 'red%'""".stripMargin)),
+
+    // HAVING (post-aggregation filter).
+    Q("a14_having",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15),
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin)),
+
+    // UNION DISTINCT (vs u1's UNION ALL semantics).
+    Q("set_union_distinct",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct(),
+      Some("SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier")),
+
     // P3 — null-default projection (`.get(k, default)` semantics): app.py:307–314
     Q("p3_null_default",
       (s, d) => t(s, d, "customer").select(

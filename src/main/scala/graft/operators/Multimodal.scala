@@ -46,6 +46,33 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("n_bytes", LongType, nullable = false)))
 
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Frame sampling: split each payload into fixed-size frames, keeping
+    * every `stride`-th one — the video-frame-sampling shape (a real decoder
+    * would seek keyframes; the slicing/fan-out/schema plumbing is
+    * identical). Frames stay inside their source row's partition. */
+  def frameSample(df: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0)
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameSize - 1) / frameSize
+        (0 until nFrames by stride).iterator.map { i =>
+          val from = i * frameSize
+          val until = math.min(from + frameSize, bytes.length)
+          Row(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   /** Per-partition batched feature extraction over binary payloads —
     * `mapPartitions` so a real decoder could amortize per-batch setup
     * (model load, codec init) exactly once per partition. */

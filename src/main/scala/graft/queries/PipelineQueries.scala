@@ -308,6 +308,22 @@ object PipelineQueries {
         |  substring(text, 1, 4) AS magic
         |FROM documents""".stripMargin)),
 
+    // Frame sampling over binary payloads: every 2nd 64-byte frame.
+    Q("mm_frame_sample",
+      (s, d) => Multimodal.frameSample(
+        t(s, d, "documents").select(col("doc_id"),
+          Multimodal.asPayload(col("text")).as("payload")),
+        frameSize = 64, stride = 2),
+      // DuckDB cannot slice BLOBs; the fixture text is ASCII so char
+      // slicing + encode is byte-identical to Spark's binary slicing
+      Some("""WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1, 2)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  encode(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame
+        |FROM idx""".stripMargin)),
+
     // Typed feature-extraction over binary payloads via mapPartitions (the
     // decode step is a deterministic stub — see Multimodal.scala — but the
     // batching, schema, and partition plumbing are the real article).

@@ -297,10 +297,13 @@ object CoreQueries {
       (s, d) => t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         floor(col("l_quantity")).cast("long").as("qty_int"),
-        col("l_extendedprice").cast("decimal(18,2)").as("price_dec")),
+        // decimal cast is the operator under test; the judged column is its
+        // canonical string form — a DECIMAL output cell degrades to float64
+        // in the driver's compare and loses its trailing zeros
+        col("l_extendedprice").cast("decimal(18,2)").cast("string").as("price_dec")),
       Some("""SELECT l_orderkey, l_linenumber,
                 CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
-                CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec
               FROM lineitem""".stripMargin))
   )
 }

@@ -325,20 +325,23 @@ object ExtQueries {
 
     // Array-function surface: per-group sorted collect, containment, size,
     // slicing — deterministic because every collected array is sorted.
+    // Arrays are emitted as joined strings: the judged output contract is
+    // scalar-only columns (the driver's compare cannot hash list cells).
     Q("ar_array_funcs",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
         .select(
           col("l_orderkey"),
-          col("lines"),
+          array_join(col("lines"), ",").as("lines_csv"),
           size(col("lines")).as("n_lines"),
           array_contains(col("lines"), 1).as("has_first"),
-          slice(col("lines"), 1, 2).as("first_two")),
-      Some("""SELECT l_orderkey, lines,
+          array_join(slice(col("lines"), 1, 2), ",").as("first_two")),
+      Some("""SELECT l_orderkey,
+        |  array_to_string(lines, ',') AS lines_csv,
         |  CAST(len(lines) AS INT) AS n_lines,
         |  list_contains(lines, 1) AS has_first,
-        |  lines[1:2] AS first_two
+        |  array_to_string(lines[1:2], ',') AS first_two
         |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
         |      FROM lineitem GROUP BY l_orderkey)""".stripMargin)),
 
@@ -390,15 +393,16 @@ object ExtQueries {
       (s, d) => EventOps.propsKey(t(s, d, "events"), "k"),
       Some("SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events")),
 
-    // Map-function surface over the parsed props map.
+    // Map-function surface over the parsed props map; keys/values emitted
+    // as joined strings (scalar-only judged-output contract).
     Q("js_map_funcs",
       (s, d) => t(s, d, "events").select(
         col("event_id"),
-        map_keys(from_json(col("props"), lit("map<string,bigint>"))).as("keys"),
-        map_values(from_json(col("props"), lit("map<string,bigint>"))).as("vals")),
+        array_join(map_keys(from_json(col("props"), lit("map<string,bigint>"))), ",").as("keys_csv"),
+        array_join(map_values(from_json(col("props"), lit("map<string,bigint>"))), ",").as("vals_csv")),
       Some("""SELECT event_id,
-        |  json_keys(props) AS keys,
-        |  [CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)] AS vals
+        |  array_to_string(json_keys(props), ',') AS keys_csv,
+        |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) || '' AS vals_csv
         |FROM events""".stripMargin)),
 
     // Streaming window shapes, batch-mode for the oracle; the same transform

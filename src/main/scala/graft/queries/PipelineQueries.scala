@@ -308,12 +308,15 @@ object PipelineQueries {
         |  substring(text, 1, 4) AS magic
         |FROM documents""".stripMargin)),
 
-    // Frame sampling over binary payloads: every 2nd 64-byte frame.
+    // Frame sampling over binary payloads: every 2nd 64-byte frame. The
+    // operator's output is binary; the judged projection hex-encodes it
+    // (scalar-only judged-output contract — list/blob cells don't hash).
     Q("mm_frame_sample",
       (s, d) => Multimodal.frameSample(
         t(s, d, "documents").select(col("doc_id"),
           Multimodal.asPayload(col("text")).as("payload")),
-        frameSize = 64, stride = 2),
+        frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex")),
       // DuckDB cannot slice BLOBs; the fixture text is ASCII so char
       // slicing + encode is byte-identical to Spark's binary slicing
       Some("""WITH idx AS (
@@ -321,7 +324,7 @@ object PipelineQueries {
         |    unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1, 2)) AS frame_idx
         |  FROM documents)
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-        |  encode(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame
+        |  hex(encode(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64))) AS frame_hex
         |FROM idx""".stripMargin)),
 
     // Typed feature-extraction over binary payloads via mapPartitions (the

@@ -26,6 +26,20 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("judged outputs are scalar-only (driver compare cannot hash complex cells)") {
+    import org.apache.spark.sql.types._
+    Registry.all.filter(q => q.sql.isDefined).foreach { q =>
+      q.fn(spark, sf).schema.fields.foreach { f =>
+        val bad = f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType | _: BinaryType => true
+          case _: DecimalType => true // degrades to float64 in the compare
+          case _ => false
+        }
+        assert(!bad, s"${q.name}: column '${f.name}' has non-scalar judged type ${f.dataType}")
+      }
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -16,10 +16,13 @@ object GreatestPerGroup {
     * the group count fits a broadcast (≲ 100M groups it does not; use
     * [[viaWindow]]). */
   def viaJoin(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // the agg side's group key is renamed so the self-join condition binds
+    // two distinct attributes (no ambiguous/trivially-true resolution)
     val maxes = df.groupBy(col(groupCol)).agg(max(col(valueCol)).as("__max_val"))
+      .withColumnRenamed(groupCol, "__grp_key")
     df.join(broadcast(maxes),
-        df(groupCol) === maxes(groupCol) && df(valueCol) === maxes("__max_val"))
-      .drop(maxes(groupCol)).drop("__max_val")
+        col(groupCol) === col("__grp_key") && col(valueCol) === col("__max_val"))
+      .drop("__grp_key", "__max_val")
   }
 
   /** Window formulation: one shuffle of the fact table by the group key, no

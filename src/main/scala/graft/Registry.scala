@@ -20,7 +20,8 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] = {
-    val qs = queries.CoreQueries.all ++ queries.ExtQueries.all ++ queries.PipelineQueries.all
+    val qs = queries.CoreQueries.all ++ queries.ExtQueries.all ++
+      queries.PipelineQueries.all ++ queries.SurfaceQueries.all
     val dups = qs.groupBy(_.name).filter(_._2.length > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     qs

@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Q
+import graft.sources.Tables
+
+/** Extended relational surface beyond SURVEY §2's reference rows: the scalar
+  * function families (math / regex / string / bitwise / trig), generator
+  * (explode/posexplode/sequence) shapes, window frame specs and distribution
+  * functions, extended aggregates (listagg / bool / median / filtered),
+  * outer and cross joins, SQL-text-authored queries (CTE, EXISTS — exercised
+  * through `spark.sql` so the SQL parser path is judged too), INTERSECT
+  * ALL / EXCEPT ALL, and deterministic hash-based sampling.
+  *
+  * Every query is oracle-checked against DuckDB. Float parity contract (see
+  * [[graft.Q]]): libm-backed functions (sqrt/exp/ln/sin/…) are rounded to 6dp
+  * on both sides; everything else is exact integer/decimal arithmetic or a
+  * single IEEE double op with bit-identical operands.
+  *
+  * Scale notes: all scalar/generator queries are row-local (no shuffle);
+  * window queries shuffle once on their partition key; the SQL-authored
+  * joins follow the same broadcast-dimension posture as CoreQueries (AQE
+  * broadcasts the sub-threshold side).
+  */
+object SurfaceQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Registers the named tables as temp views for SQL-text-authored queries
+    * and returns the session (same parquet data the DataFrame path reads). */
+  private def views(s: SparkSession, dir: String, names: String*): SparkSession = {
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Scalar function families ----------------------------------------
+
+    // Math surface: abs/sign/mod exact; sqrt/exp/ln/log10/pow rounded 6dp.
+    Q("p15_math_funcs",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - 150000).as("abs_diff"),
+        signum(col("o_totalprice") - 150000).cast("int").as("sign_diff"),
+        (col("o_orderkey") % 7).as("mod7"),
+        round(sqrt(col("o_totalprice")), 6).as("sqrt_p"),
+        round(log(col("o_totalprice")), 6).as("ln_p"),
+        round(log10(col("o_totalprice")), 6).as("log10_p"),
+        round(pow(col("o_totalprice") / 100000, 2), 6).as("pow_p"),
+        ceil(col("o_totalprice")).cast("long").as("ceil_p"),
+        floor(col("o_totalprice")).cast("long").as("floor_p")),
+      Some("""SELECT o_orderkey,
+        |  abs(o_totalprice - 150000) AS abs_diff,
+        |  CAST(sign(o_totalprice - 150000) AS INT) AS sign_diff,
+        |  o_orderkey % 7 AS mod7,
+        |  round(sqrt(o_totalprice), 6) AS sqrt_p,
+        |  round(ln(o_totalprice), 6) AS ln_p,
+        |  round(log10(o_totalprice), 6) AS log10_p,
+        |  round(pow(o_totalprice / 100000, 2), 6) AS pow_p,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floor_p
+        |FROM orders""".stripMargin)),
+
+    // Regex surface: replace-all, group extract, match count, split size.
+    Q("p16_regexp_funcs",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_count(col("p_name"), lit("[a-z]+")).as("n_words"),
+        size(split(col("p_type"), " ")).as("n_type_words")),
+      Some("""SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+        |  len(str_split(p_type, ' ')) AS n_type_words
+        |FROM part""".stripMargin)),
+
+    // String surface beyond p11: translate/repeat/reverse/ascii/strpos/pads.
+    Q("p17_string_funcs2",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        translate(col("p_brand"), "Brand#", "brnd-0").as("translated"),
+        reverse(col("p_name")).as("reversed"),
+        ascii(col("p_name")).as("first_byte"),
+        instr(col("p_name"), "a").as("first_a"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        repeat(col("p_brand"), 2).as("doubled")),
+      Some("""SELECT p_partkey,
+        |  translate(p_brand, 'Brand#', 'brnd-0') AS translated,
+        |  reverse(p_name) AS reversed,
+        |  ascii(p_name) AS first_byte,
+        |  strpos(p_name, 'a') AS first_a,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  repeat(p_brand, 2) AS doubled
+        |FROM part""".stripMargin)),
+
+    // Bitwise surface: and/or/xor/shifts/popcount on integer keys.
+    Q("p18_bitwise",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(255)).as("and255"),
+        (col("o_orderkey").bitwiseOR(4096)).as("or4096"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("xor_cust"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        bit_count(col("o_orderkey")).as("popcount")),
+      Some("""SELECT o_orderkey,
+        |  o_orderkey & 255 AS and255,
+        |  o_orderkey | 4096 AS or4096,
+        |  xor(o_orderkey, o_custkey) AS xor_cust,
+        |  o_orderkey << 2 AS shl2,
+        |  o_orderkey >> 2 AS shr2,
+        |  bit_count(o_orderkey) AS popcount
+        |FROM orders""".stripMargin)),
+
+    // Trig/transcendental surface, rounded 6dp (libm parity contract).
+    Q("p20_trig_funcs",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        round(sin(col("c_acctbal") / 1000), 6).as("sin_b"),
+        round(cos(col("c_acctbal") / 1000), 6).as("cos_b"),
+        round(atan2(col("c_acctbal"), lit(5000.0)), 6).as("atan2_b"),
+        round(degrees(col("c_acctbal") / 10000), 6).as("deg_b"),
+        round(radians(col("c_custkey").cast("double")), 6).as("rad_k")),
+      Some("""SELECT c_custkey,
+        |  round(sin(c_acctbal / 1000), 6) AS sin_b,
+        |  round(cos(c_acctbal / 1000), 6) AS cos_b,
+        |  round(atan2(c_acctbal, 5000.0), 6) AS atan2_b,
+        |  round(degrees(c_acctbal / 10000), 6) AS deg_b,
+        |  round(radians(CAST(c_custkey AS DOUBLE)), 6) AS rad_k
+        |FROM customer""".stripMargin)),
+
+    // ---- Generators ------------------------------------------------------
+
+    // sequence + explode: row-local fan-out, no shuffle.
+    Q("g1_explode_sequence",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          explode(sequence(lit(1L), col("o_orderkey") % 3 + 1)).as("step")),
+      Some("""SELECT o_orderkey, unnest(generate_series(1, o_orderkey % 3 + 1)) AS step
+        |FROM orders""".stripMargin)),
+
+    // posexplode (ordinal-aware fan-out) over tokenized documents.
+    Q("g2_posexplode",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok")),
+      // DuckDB lacks WITH ORDINALITY; two unnests of equal length zip.
+      Some("""WITH p AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents)
+        |SELECT doc_id,
+        |  unnest(generate_series(1, len(parts))) - 1 AS pos,
+        |  parts[unnest(generate_series(1, len(parts)))] AS tok
+        |FROM p""".stripMargin)),
+
+    // ---- Window frames & distribution functions --------------------------
+
+    // RANGE frame over event-time: per-customer 30-day trailing revenue.
+    // Exact decimal sums; the frame is keyed on epoch seconds on both sides.
+    Q("w6_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(unix_timestamp(col("o_orderdate")))
+          .rangeBetween(-30L * 86400, 0)
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).over(w)
+            .cast("double").as("trailing_30d"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM orders""".stripMargin)),
+
+    // percent_rank / cume_dist / nth_value with total ordering.
+    Q("w7_dist_funcs",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "customer").select(
+          col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          nth_value(col("c_custkey"), 2).over(wf).as("second_key"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  nth_value(c_custkey, 2) OVER (
+        |    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)),
+
+    // ---- Extended aggregates ---------------------------------------------
+
+    // listagg / string_agg with deterministic (sorted, distinct) contents.
+    Q("a15_listagg",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses")),
+      Some("""SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // bool_and / bool_or.
+    Q("a16_bool_agg",
+      (s, d) => t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          bool_and(col("c_acctbal") > 0).as("all_positive"),
+          bool_or(col("c_acctbal") > 9000).as("any_rich")),
+      Some("""SELECT c_mktsegment,
+        |  bool_and(c_acctbal > 0) AS all_positive,
+        |  bool_or(c_acctbal > 9000) AS any_rich
+        |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
+    // median (exact, interpolating): both engines average the two middles.
+    Q("a17_median",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(median(col("o_totalprice")).as("median_price")),
+      Some("""SELECT o_orderstatus, median(CAST(o_totalprice AS DOUBLE)) AS median_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // Filtered aggregates: count_if / FILTER clause.
+    Q("a18_filtered_agg",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 150000).as("n_large"),
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(lit(0)).cast("decimal(20,4)")).cast("double").as("f_revenue")),
+      Some("""SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_large,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END
+        |    AS DECIMAL(20,4))) AS DOUBLE) AS f_revenue
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // ---- Joins -----------------------------------------------------------
+
+    // Full outer join: customer spine vs per-customer order aggregate.
+    Q("j3_full_outer",
+      (s, d) => {
+        val agg = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+          .join(agg, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some("""SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  COALESCE(c_mktsegment, 'NO_CUSTOMER') AS segment,
+        |  COALESCE(n_orders, 0) AS n_orders
+        |FROM customer
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey""".stripMargin)),
+
+    // Cross join (small × small only — dimension tables).
+    Q("j4_cross_join",
+      (s, d) => t(s, d, "nation").select("n_name", "n_regionkey")
+        .crossJoin(t(s, d, "region").select("r_regionkey", "r_name"))
+        .select("n_name", "r_name", "n_regionkey", "r_regionkey"),
+      Some("""SELECT n_name, r_name, n_regionkey, r_regionkey
+        |FROM nation CROSS JOIN region""".stripMargin)),
+
+    // ---- SQL-text-authored queries (parser path) -------------------------
+
+    // Correlated EXISTS via spark.sql — same text shape DuckDB runs.
+    Q("j5_exists_sql",
+      (s, d) => views(s, d, "customer", "orders").sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin)),
+
+    // NOT EXISTS (anti shape through the parser).
+    Q("j6_not_exists_sql",
+      (s, d) => views(s, d, "customer", "orders").sql(
+        """SELECT c_custkey FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin),
+      Some("""SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+
+    // CTE + multi-join + exact-decimal revenue rollup (TPC-H Q5 shape).
+    Q("q11_cte_revenue",
+      (s, d) => views(s, d, "customer", "orders", "lineitem", "nation").sql(
+        """WITH rev AS (
+          |  SELECT o_custkey,
+          |    SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+          |        CAST(1 - l_discount AS DECIMAL(20,4))) AS revenue
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY o_custkey)
+          |SELECT n_name, CAST(SUM(revenue) AS DOUBLE) AS nation_revenue
+          |FROM rev
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin),
+      Some("""WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+        |        CAST(1 - l_discount AS DECIMAL(20,4))) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey)
+        |SELECT n_name, CAST(SUM(revenue) AS DOUBLE) AS nation_revenue
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)),
+
+    // ---- Set operations (ALL variants) -----------------------------------
+
+    Q("set_intersect_all",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .intersectAll(t(s, d, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL SELECT s_nationkey FROM supplier""".stripMargin)),
+
+    Q("set_except_all",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .exceptAll(t(s, d, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL SELECT s_nationkey FROM supplier""".stripMargin)),
+
+    // ---- Deterministic sampling ------------------------------------------
+
+    // Hash-based Bernoulli-style sample (~1/16): pure function of the key,
+    // identical across engines, partitionings, and cluster sizes.
+    Q("sm_hash_sample",
+      (s, d) => t(s, d, "lineitem")
+        .filter(substring(md5(concat_ws("-",
+          col("l_orderkey"), col("l_linenumber"))), 1, 1) === "0")
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE substring(md5(l_orderkey || '-' || l_linenumber), 1, 1) = '0'""".stripMargin)),
+
+    // Stratified deterministic sample: first 100 of each stratum in
+    // hash-of-key order (reproducible train-data subsampling per class).
+    Q("sm_stratified",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= 100)
+          .drop("rn")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 100""".stripMargin))
+  )
+}

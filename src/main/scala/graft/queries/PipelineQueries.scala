@@ -282,8 +282,13 @@ object PipelineQueries {
     Q("tx_tfidf",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(TextFunctions.tokens(col("text"))).as("token"))
+        // fan the (single-row-group) doc scan out so tokenization runs at
+        // full width, then partition the exploded tokens by token ONCE:
+        // HashPartitioning(token) satisfies both the (doc_id, token) group
+        // clustering and the token window — one 500k-row shuffle, not two
+        val toks = graft.operators.Parallelism.fanOut(docs.select("doc_id", "text"))
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+          .repartition(col("token"))
         val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         // document frequency as a count over a token-partitioned window on
         // the tf aggregate (already one row per doc-token): no second

@@ -40,4 +40,20 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf("rj_range_join")
     assert(p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("tx_tfidf: one token-keyed exchange serves group-by AND window (plus tiny fan-out)") {
+    // the adaptive plan string prints final + initial trees; count the final
+    val p = planOf("tx_tfidf").split("== Initial Plan ==").head
+    val nExchanges = "Exchange ".r.findAllIn(p).size
+    // fan-out round-robin of the doc scan + the single token hash partition;
+    // the (doc_id, token) aggregate and the token window both reuse the latter
+    assert(nExchanges <= 2, s"tx_tfidf plan has $nExchanges exchanges:\n$p")
+  }
+
+  test("q09: scaled-long exact aggregation keeps hash (map-side partial) aggregation") {
+    val p = planOf("q09_group_avg")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("ObjectHashAggregate"),
+      s"long-backed sum should use HashAggregate, not ObjectHashAggregate:\n$p")
+  }
 }

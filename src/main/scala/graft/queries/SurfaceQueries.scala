@@ -333,6 +333,51 @@ object SurfaceQueries {
       Some("""SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT ALL SELECT s_nationkey FROM supplier""".stripMargin)),
 
+    // ---- Reshaping -------------------------------------------------------
+
+    // unpivot/melt: wide → long. DuckDB mirror is the UNION ALL expansion
+    // (version-safe vs its UNPIVOT syntax).
+    Q("pv_unpivot",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+          "metric", "value"),
+      Some("""SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin)),
+
+    // ---- Sketch aggregates -----------------------------------------------
+
+    // approx_percentile (quantile sketch): mergeable partial sketches — the
+    // distributed shape exact percentiles can't have at 100 TB. No DuckDB
+    // oracle (its approx_quantile is t-digest, not the same sketch) →
+    // driver records the weaker rows-only check; a10 carries the exact
+    // percentile contract.
+    Q("a19_approx_percentile",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          approx_percentile(col("o_totalprice"), lit(0.95), lit(10000)).as("p95_approx")),
+      None),
+
+    // ---- ANSI-safe try_* surface -----------------------------------------
+
+    // ANSI mode is ON engine-wide; try_divide / try_cast give the
+    // null-on-error contract a data pipeline wants for dirty data.
+    Q("p22_try_funcs",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        try_divide(col("o_totalprice"), (col("o_orderkey") % 3).cast("double")).as("safe_div"),
+        substring(col("o_orderpriority"), 1, 1).try_cast("int").as("prio_num"),
+        col("o_orderstatus").try_cast("int").as("status_num")),
+      Some("""SELECT o_orderkey,
+        |  o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        |  TRY_CAST(o_orderstatus AS INT) AS status_num
+        |FROM orders""".stripMargin)),
+
     // ---- Deterministic sampling ------------------------------------------
 
     // Hash-based Bernoulli-style sample (~1/16): pure function of the key,

@@ -66,8 +66,20 @@ object Scratch {
     time("tx_tfidf as-is") {
       noop(Registry.byName("tx_tfidf").fn(spark, sfDir))
     }
-    time("tfidf explain") {
-      Registry.byName("tx_tfidf").fn(spark, sfDir).explain("formatted")
+    time("lsh: bands only") {
+      noop(operators.Dedup.minhashBands(t("documents"), col("doc_id"), col("text"), 16, 4))
+    }
+    time("lsh: shingle explode only") {
+      noop(operators.Parallelism.fanOut(t("documents").select(col("doc_id"), col("text").as("__text")))
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.shingles(col("__text"), 2)).as("shingle")))
+    }
+    time("lsh: sig agg only") {
+      val sh = operators.Parallelism.fanOut(t("documents").select(col("doc_id"), col("text").as("__text")))
+        .select(col("doc_id"), explode(graft.functions.TextFunctions.shingles(col("__text"), 2)).as("shingle"))
+      val sigAgg = org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.MinHashSig(
+          org.apache.spark.sql.GraftBridge.expression(col("shingle")), 16).toAggregateExpression())
+      noop(sh.groupBy("doc_id").agg(sigAgg.as("sig")))
     }
     time("sim_bruteforce as-is") {
       noop(Registry.byName("sim_bruteforce_topk").fn(spark, sfDir))

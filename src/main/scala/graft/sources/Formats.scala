@@ -37,4 +37,18 @@ object Formats {
       .option("timestampFormat", TsFormat)
       .schema(schema)
       .json(path)
+
+  /** ORC: the other columnar container (vectorized reader, predicate
+    * pushdown, same split-by-stripe parallelism story as parquet). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Partitioned-by-column parquet layout: the warehouse-zone layout that
+    * lets Catalyst prune entire directories on partition-key predicates
+    * (asserted in FormatsSpec via PartitionFilters). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 }

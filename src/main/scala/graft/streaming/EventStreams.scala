@@ -65,6 +65,37 @@ object EventStreams {
       .select("purchase_id", "view_id", "user_id")
   }
 
+  /** Streaming ingestion dedup: drop replayed events by id with state
+    * bounded by the watermark horizon (`dropDuplicatesWithinWatermark` —
+    * plain `dropDuplicates` on a stream keeps every id seen forever; the
+    * within-watermark form evicts ids once they can no longer collide with
+    * a late replay). The at-least-once → exactly-once repair every
+    * replayed-source pipeline needs. */
+  def dedupedEvents(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Idempotent micro-batch upsert into a parquet target: each batch is
+    * anti-joined against the already-landed keys before appending (the K3
+    * idempotency shape, per micro-batch). foreachBatch gives the batch
+    * DataFrame API — including joins against the sink — inside a streaming
+    * query; combined with [[dedupedEvents]] upstream this survives both
+    * source replays and sink-side retries. */
+  def startIdempotentParquetSink(events: DataFrame, targetDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existingKeys =
+          try spark.read.parquet(targetDir).select("event_id")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.emptyDataFrame.withColumn("event_id", lit(0L)).limit(0)
+          }
+        batch.join(broadcast(existingKeys), Seq("event_id"), "left_anti")
+          .write.mode("append").parquet(targetDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Start a query writing window aggregates to an in-memory sink `table`
     * (test/demo harness; production would target a parquet/Kafka sink).
     * Complete mode by default: under AvailableNow, append-mode windowed

@@ -18,6 +18,27 @@ class FormatsSpec extends SparkSpec {
     assert(rowSet(Formats.readJson(spark, s"$root/json", orders.schema)) == want)
   }
 
+  test("ORC round-trip is lossless for the orders table") {
+    val root = Files.createTempDirectory("graft-formats-orc").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    Formats.writeOrc(orders, s"$root/orc")
+    assert(rowSet(Formats.readOrc(spark, s"$root/orc", orders.schema)) == rowSet(orders))
+  }
+
+  test("partitioned parquet write prunes partitions on key predicates") {
+    val root = Files.createTempDirectory("graft-formats-part").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    Formats.writePartitioned(orders, s"$root/by_status", "o_orderstatus")
+    val df = spark.read.parquet(s"$root/by_status")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    // the pruned scan must read only the matching directory
+    assert(rowSet(df.drop("o_orderstatus")) ==
+      rowSet(orders.filter(orders("o_orderstatus") === "F").drop("o_orderstatus")))
+  }
+
   test("events round-trips through JSON with nanos already truncated to micros") {
     val root = Files.createTempDirectory("graft-formats-ev").toString
     val events = Tables(spark, "/root/testdata/sf0.001", "events")

@@ -59,6 +59,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(rowSet(spark.table("ssj_out")) == Seq("[2,1,1]", "[5,4,2]"))
   }
 
+  test("streaming dedup drops replayed event ids within the watermark horizon") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val df = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // exact replay
+      ev(2, "2024-01-01 10:30:00", 1, "view", 2.0),
+      ev(2, "2024-01-01 10:31:00", 1, "view", 2.0), // near-duplicate replay
+      ev(3, "2024-01-01 11:00:00", 2, "click", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.parquet(s"$dir/in")
+    val q = EventStreams.dedupedEvents(
+      EventStreams.readEvents(spark, s"$dir/in"), "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("foreachBatch parquet sink is idempotent across replayed input") {
+    val dir = Files.createTempDirectory("graft-fb").toString
+    val df = batch1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.parquet(s"$dir/in")
+
+    val q1 = EventStreams.startIdempotentParquetSink(
+      EventStreams.readEvents(spark, s"$dir/in"), s"$dir/out")
+    q1.awaitTermination(60000)
+    // a fresh query (new checkpoint) replays the whole input: the sink-side
+    // anti-join must keep the target duplicate-free
+    val q2 = EventStreams.startIdempotentParquetSink(
+      EventStreams.readEvents(spark, s"$dir/in"), s"$dir/out")
+    q2.awaitTermination(60000)
+
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == batch1.length)
+    assert(out.select("event_id").distinct().count() == batch1.length)
+  }
+
   test("sessions: gap-separated user activity becomes distinct sessions") {
     val df = Seq(
       ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),

@@ -319,6 +319,24 @@ object SurfaceQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin)),
 
+    // Engine-registered SQL function through the parser path: the custom
+    // Catalyst expression surface (plans.GraftExtensions) consumed exactly
+    // as a user would — `SELECT graft_parse_duration(...)` in SQL text.
+    Q("q12_sql_udf_duration",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        views(s, d, "orders").sql(
+          """SELECT o_orderkey,
+            |  graft_parse_duration(concat(
+            |    'PT', CAST(o_orderkey % 12 AS STRING), 'H',
+            |    CAST(o_custkey % 60 AS STRING), 'M',
+            |    CAST(o_orderkey % 60 AS STRING), 'S')) AS dur_sec
+            |FROM orders""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+        |  (o_orderkey % 12) * 3600 + (o_custkey % 60) * 60 + (o_orderkey % 60) AS dur_sec
+        |FROM orders""".stripMargin)),
+
     // ---- Set operations (ALL variants) -----------------------------------
 
     Q("set_intersect_all",

@@ -24,11 +24,11 @@ object Bench {
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // min of 3 measured runs: the steady-state cost, robust to background
-    // load on a shared machine
+    // min of 5 measured runs: the steady-state cost, robust to background
+    // load on a shared machine (observed 3-8× spikes from co-tenant load)
     val results = headline.map { q =>
       var failed = false
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

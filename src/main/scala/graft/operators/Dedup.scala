@@ -29,23 +29,24 @@ object Dedup {
     * into `bands` bands whose key is the concatenation of the band's
     * component hashes.
     *
-    * Plan shape (the 100 TB path, ~20× faster than per-row higher-order
-    * lambdas, which Spark evaluates interpreted): explode shingles, then ONE
-    * custom [[graft.expressions.MinHashSig]] aggregate — map-side partial
-    * aggregation collapses each doc's shingles to a single signature row
-    * before anything shuffles. Docs with no shingles produce no rows (they
-    * cannot near-dup with anything). */
+    * Plan shape (the 100 TB path): the whole signature is ONE per-row
+    * [[graft.expressions.MinHashSignature]] projection — no shingle
+    * generator, no aggregate, nothing shuffles until the tiny
+    * (doc_id, band_key) projection. Docs with no shingles produce no rows
+    * (they cannot near-dup with anything). The exploded-shingle aggregate
+    * form ([[graft.expressions.MinHashSig]], SQL-registered as
+    * `graft_minhash_sig`) computes the identical signature for callers that
+    * already hold shingle rows. */
   def minhashBands(docs: DataFrame, idCol: Column, textCol: Column,
       numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
-    val sh = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
-      .select(col("doc_id"), explode(shingles(col("__text"), shingleK)).as("shingle"))
-    val sigAgg = org.apache.spark.sql.GraftBridge.column(
-      graft.expressions.MinHashSig(
-        org.apache.spark.sql.GraftBridge.expression(col("shingle")),
-        numHashes).toAggregateExpression())
-    val sig = sh.groupBy("doc_id").agg(sigAgg.as("sig"))
+    val sig = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.MinHashSignature(
+          org.apache.spark.sql.GraftBridge.expression(col("__text")),
+          shingleK, numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)

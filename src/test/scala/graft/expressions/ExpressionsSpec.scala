@@ -53,6 +53,33 @@ class ExpressionsSpec extends SparkSpec {
     native.zip(reference).foreach { case ((_, a), (_, b)) => assert(a == b) }
   }
 
+  test("MinHashSignature projection equals the exploded-shingle MinHashSig aggregate") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs and more words here"),
+      (3L, "short"),            // < k words: no signature
+      (4L, "trailing space "),  // empty trailing token must match split(-1)
+      (5L, "")
+    ).toDF("doc_id", "text")
+
+    val viaExpr = docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftBridge.column(MinHashSignature(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), 2, 16)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+
+    val sh = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), 2)).as("shingle"))
+    val sigAgg = org.apache.spark.sql.GraftBridge.column(
+      MinHashSig(org.apache.spark.sql.GraftBridge.expression(col("shingle")),
+        16).toAggregateExpression())
+    val viaAgg = sh.groupBy("doc_id").agg(sigAgg.as("sig"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+
+    assert(viaExpr == viaAgg)
+    assert(viaExpr.map(_._1) == Seq(1L, 2L, 4L))
+  }
+
   test("registered SQL functions resolve and compute") {
     graft.plans.GraftExtensions.install(spark)
     val got = spark.sql(

@@ -337,6 +337,24 @@ object SurfaceQueries {
         |  (o_orderkey % 12) * 3600 + (o_custkey % 60) * 60 + (o_orderkey % 60) AS dur_sec
         |FROM orders""".stripMargin)),
 
+    // The codegen'd native cosine through the same SQL path (bounded
+    // pairwise — the ANN operators are the scale path).
+    Q("q13_sql_udf_cosine",
+      (s, d) => {
+        graft.plans.GraftExtensions.install(s)
+        views(s, d, "embeddings").sql(
+          """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  round(graft_cosine(a.embedding, b.embedding), 4) AS sim
+            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            |WHERE a.vec_id < 64 AND b.vec_id < 64
+            |  AND round(graft_cosine(a.embedding, b.embedding), 4) >= 0.3""".stripMargin)
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 64 AND b.vec_id < 64
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.3""".stripMargin)),
+
     // ---- Set operations (ALL variants) -----------------------------------
 
     Q("set_intersect_all",

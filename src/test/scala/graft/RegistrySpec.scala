@@ -40,6 +40,18 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("no judged query plans an unbroadcast cartesian product") {
+    // j4 is an intentional (dims-only) cross join; everything else must
+    // plan broadcast or keyed joins — a CartesianProduct over fact-sized
+    // inputs is the classic does-not-survive-100TB plan
+    val allowed = Set("j4_cross_join")
+    Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n$plan")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -369,6 +369,53 @@ object SurfaceQueries {
       Some("""SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT ALL SELECT s_nationkey FROM supplier""".stripMargin)),
 
+    // MERGE/upsert (warehouse maintenance): updated rows replace their
+    // target rows by key, new rows insert. Update values use exact double
+    // addition (no rounding path) so both engines are bit-identical.
+    Q("k4_merge_upsert",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val updates = orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("o_orderstatus", lit("U"))
+        graft.warehouse.Merge.upsert(orders, updates, Seq("o_orderkey"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 10 != 0
+        |UNION ALL
+        |SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin)),
+
+    // JSON path extraction without a declared schema (get_json_object — the
+    // schema-on-read probe; js_json_extract/js_map_funcs carry the typed
+    // from_json path).
+    Q("js_get_json_object",
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path")),
+      Some("""SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path
+        |FROM events""".stripMargin)),
+
+    // IGNORE NULLS window fill: last non-error value per user over event
+    // time — the gap-fill shape of sensor/telemetry pipelines.
+    Q("w8_ignore_nulls_fill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events").select(
+          col("event_id"), col("user_id"),
+          last(when(col("event_type") =!= "error", col("value")), ignoreNulls = true)
+            .over(w).as("last_good_value"))
+      },
+      Some("""SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_good_value
+        |FROM events""".stripMargin)),
+
     // ---- Reshaping -------------------------------------------------------
 
     // unpivot/melt: wide → long. DuckDB mirror is the UNION ALL expansion

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Project, Repartition}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+import graft.expressions.{CosineSimilarity, MinHashSignature}
+
+/** Optimizer rule: fan out scans that feed CPU-expensive projections.
+  *
+  * A parquet scan parallelizes by file/row-group, so a small-file (or
+  * selective, coalesced) scan can leave heavy per-row compute — MinHash
+  * signatures, cosine loops — running on a handful of tasks regardless of
+  * cluster width. This rule inserts a round-robin `Repartition` to shuffle
+  * width between a leaf scan and any `Project` containing one of the
+  * engine's expensive expressions: a few MB of extra shuffle buying
+  * full-width execution (the declarative form of
+  * [[graft.operators.Parallelism.fanOut]]).
+  *
+  * Installed via [[GraftExtensions]] (`injectOptimizerRule`) or
+  * `spark.experimental.extraOptimizations`. Idempotent: it never fires when
+  * the child is already a repartition. At real cluster scale a
+  * many-row-group scan already yields wide parallelism and the fan-out is
+  * harmlessly cheap relative to the projection it protects.
+  */
+object FanOutExpensiveProjections extends Rule[LogicalPlan] {
+
+  private def isExpensive(e: Expression): Boolean = e.exists {
+    case _: MinHashSignature | _: CosineSimilarity => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(exprs, child: LeafNode) if exprs.exists(isExpensive) =>
+      p.copy(child = Repartition(SQLConf.get.numShufflePartitions,
+        shuffle = true, child))
+  }
+}

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => new TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => FanOutExpensiveProjections)
   }
 }
 

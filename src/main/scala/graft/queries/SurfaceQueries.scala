@@ -38,6 +38,36 @@ object SurfaceQueries {
 
   val all: Seq[Q] = Seq(
 
+    // TPC-H Q1 shape (the canonical pricing-summary report): multi-measure
+    // grouped aggregation with exact scaled-long sums — qty/price are 2-dp
+    // (cent scale), disc_price = extprice*(1-disc) is 4-dp (scale 1e4); the
+    // double products sit within ~1e-9 of the exact 4-dp rationals so
+    // round() recovers exact integers on both engines.
+    Q("q14_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(round(col("l_quantity") * 100, 0).cast("long")).cast("double") / 100.0).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100, 0).cast("long")).cast("double") / 100.0).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0).cast("long"))
+            .cast("double") / 10000.0).as("sum_disc_price"),
+          (sum(round(col("l_quantity") * 100, 0).cast("long")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+          (sum(round(col("l_discount") * 100, 0).cast("long")).cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // ---- Scalar function families ----------------------------------------
 
     // Math surface: abs/sign/mod exact; sqrt/exp/ln/log10/pow rounded 6dp.

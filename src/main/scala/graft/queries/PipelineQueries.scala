@@ -417,6 +417,61 @@ object PipelineQueries {
         |  GROUP BY bigram)
         |WHERE df >= 2""".stripMargin)),
 
+    // ---- Data-quality / profiling ----------------------------------------
+
+    // Column profile (the pre-training data audit): counts, distincts,
+    // range, exact mean — one pass, one tiny aggregate row.
+    Q("dq_profile",
+      (s, d) => t(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("double") / 100.0
+          / count(lit(1))).as("mean_price")),
+      Some("""SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) / COUNT(*) AS mean_price
+        |FROM orders""".stripMargin)),
+
+    // Value histogram (distribution profiling): fixed-width buckets via
+    // floor division — one map-combined aggregate, scale-independent.
+    Q("dq_histogram",
+      (s, d) => t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Train/val contamination audit: distinct word bigrams that appear in
+    // BOTH splits of the deterministic hash split (the n-gram-overlap
+    // memorization check run before any training job). Composes the split
+    // and shingle operators; one shuffle on bigram with map-side combine.
+    Q("dq_split_contamination",
+      (s, d) => {
+        val split = when(
+          substring(md5(col("doc_id").cast("string")), 1, 2) < "cd", lit("train"))
+          .otherwise(lit("val"))
+        t(s, d, "documents")
+          .select(split.as("split"), explode(shingles(col("text"), 2)).as("bigram"))
+          .groupBy("bigram")
+          .agg(countDistinct(col("split")).as("n_splits"))
+          .filter(col("n_splits") === 2)
+          .agg(count(lit(1)).as("n_contaminated_bigrams"))
+      },
+      Some(ShinglesCte + """
+        |SELECT COUNT(*) AS n_contaminated_bigrams FROM (
+        |  SELECT bigram FROM (
+        |    SELECT CASE WHEN substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |             THEN 'train' ELSE 'val' END AS split,
+        |           unnest(s.sh) AS bigram
+        |    FROM sh s)
+        |  GROUP BY bigram HAVING COUNT(DISTINCT split) = 2)""".stripMargin)),
+
     // ---- Embedding column ops --------------------------------------------
 
     // Vector norms + dimensionality audit (the sanity pass before any ANN

@@ -417,6 +417,50 @@ object PipelineQueries {
         |  GROUP BY bigram)
         |WHERE df >= 2""".stripMargin)),
 
+    // Repetition ratio (the boilerplate/spam quality signal): fraction of
+    // word bigrams that are duplicates of an earlier bigram in the same
+    // document. Row-local; exact integer ratio.
+    Q("tx_repetition",
+      (s, d) => {
+        val nBigrams = size(tokens(col("text"))) - 1
+        t(s, d, "documents")
+          .filter(size(tokens(col("text"))) >= 2)
+          .select(col("doc_id"),
+            (lit(1.0) - size(shingles(col("text"), 2)).cast("double")
+              / nBigrams.cast("double")).as("repetition_ratio"))
+      },
+      Some(ShinglesCte + """
+        |SELECT s.doc_id,
+        |  1.0 - CAST(len(s.sh) AS DOUBLE) / CAST(len(t.parts) - 1 AS DOUBLE) AS repetition_ratio
+        |FROM sh s JOIN toks t ON s.doc_id = t.doc_id
+        |WHERE len(t.parts) >= 2""".stripMargin)),
+
+    // Unigram log-probability score (the LM-scoring shape: corpus frequency
+    // model joined back to tokens, per-doc sum). Each term's ln is rounded
+    // to 6dp then summed as scaled longs — order-independent, so the score
+    // is identical under any partitioning (and to the oracle).
+    Q("tx_unigram_logprob",
+      (s, d) => {
+        val toks = graft.operators.Parallelism.fanOut(
+          t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+        val total = toks.count()
+        toks.join(broadcast(vocab), "token")
+          .groupBy("doc_id")
+          .agg((sum(round(round(log(col("freq").cast("double") / total), 6) * 1000000, 0)
+            .cast("long")).cast("double") / 1000000.0).as("logprob"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+        |total AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(round(round(ln(CAST(freq AS DOUBLE) / n), 6) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 AS logprob
+        |FROM toks JOIN vocab USING (token) CROSS JOIN total
+        |GROUP BY doc_id""".stripMargin)),
+
     // ---- Data-quality / profiling ----------------------------------------
 
     // Column profile (the pre-training data audit): counts, distincts,

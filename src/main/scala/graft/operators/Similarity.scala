@@ -75,4 +75,34 @@ object Similarity {
         cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
     topKBySim(joined, k)
   }
+
+  /** Sign-LSH bucket key: bit i is the sign of component `planes(i)` —
+    * random-hyperplane LSH with axis-aligned planes (valid for cosine;
+    * no trained centroids, no randomness, fully deterministic across
+    * engines and cluster layouts). Row-local. */
+  def signLshBucket(vec: Column, planes: Seq[Int]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(element_at(vec, p + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN (the hyperplane alternative to [[ivfTopK]]): corpus
+    * and queries hash to sign buckets; each query searches only its bucket.
+    * One equi-join on the bucket key — the corpus shuffles by bucket once,
+    * candidate count is corpus/2^bits in expectation. Single-probe
+    * (multi-probe = also search buckets at Hamming distance 1 from the
+    * query's key — same join with a generated probe-key column). */
+  def lshBucketTopK(corpus: DataFrame, queries: DataFrame, planes: Seq[Int],
+      k: Int): DataFrame = {
+    val corpusB = Parallelism.fanOut(corpus).select(
+      signLshBucket(col("embedding"), planes).as("bucket"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+    val queriesB = queries.select(
+      signLshBucket(col("embedding"), planes).as("bucket"),
+      col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val joined = queriesB.join(corpusB, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
+    topKBySim(joined, k)
+  }
 }

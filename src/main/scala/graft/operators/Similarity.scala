@@ -92,12 +92,29 @@ object Similarity {
     * (multi-probe = also search buckets at Hamming distance 1 from the
     * query's key — same join with a generated probe-key column). */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, planes: Seq[Int],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    lshBucketTopK(corpus, queries, planes, k, probes = 1)
+
+  /** Multi-probe variant: each query also searches the buckets whose keys
+    * differ from its own in one bit (`probes` = 1 + number of 1-bit flips
+    * explored, capped at the plane count). Near-misses across a hyperplane —
+    * the dominant LSH recall loss — land in Hamming-adjacent buckets, so
+    * probing them recovers recall without touching the corpus layout: the
+    * probe keys are a generated column on the (small) query side and the
+    * join stays a plain bucket-keyed equi-join. */
+  def lshBucketTopK(corpus: DataFrame, queries: DataFrame, planes: Seq[Int],
+      k: Int, probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= planes.length + 1)
     val corpusB = Parallelism.fanOut(corpus).select(
       signLshBucket(col("embedding"), planes).as("bucket"),
       col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+    val own = signLshBucket(col("embedding"), planes)
+    val probeKeys = array((0 until probes).map {
+      case 0 => own
+      case i => own.bitwiseXOR(lit(1L << (i - 1)))
+    }: _*)
     val queriesB = queries.select(
-      signLshBucket(col("embedding"), planes).as("bucket"),
+      explode(probeKeys).as("bucket"),
       col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     val joined = queriesB.join(corpusB, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))

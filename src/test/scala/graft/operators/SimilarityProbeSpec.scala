@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Multi-probe LSH: probing Hamming-adjacent buckets must only ADD
+  * candidates (supersets of single-probe results) and can only move recall
+  * toward brute-force ground truth.
+  */
+class SimilarityProbeSpec extends SparkSpec {
+
+  private def emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+  private val planes = Seq(0, 1, 2, 3)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-probe candidates are a superset of single-probe; recall never drops") {
+    val corpus = emb.filter(col("vec_id") >= 32)
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+
+    val single = pairs(Similarity.lshBucketTopK(corpus, queries, planes, k = 3))
+    val multi = pairs(Similarity.lshBucketTopK(corpus, queries, planes, k = 3, probes = 5))
+    val truth = pairs(Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .filter(col("query_id") >= 16 && col("query_id") < 32))
+
+    def recall(got: Set[(Long, Long)]) =
+      got.intersect(truth).size.toDouble / truth.size
+    assert(recall(multi) >= recall(single))
+    assert(multi.nonEmpty && single.nonEmpty)
+  }
+}

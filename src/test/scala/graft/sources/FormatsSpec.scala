@@ -39,6 +39,35 @@ class FormatsSpec extends SparkSpec {
       rowSet(orders.filter(orders("o_orderstatus") === "F").drop("o_orderstatus")))
   }
 
+  test("compaction collapses many small files, preserving every row") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(40).write.parquet(s"$root/t")
+    def parquetFiles = new java.io.File(s"$root/t").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 40)
+    val want = rowSet(orders)
+
+    Compaction.compact(spark, s"$root/t", targetRows = 1000)
+    assert(parquetFiles == Compaction.plan(orders.count(), 1000))
+    assert(rowSet(spark.read.parquet(s"$root/t")) == want)
+  }
+
+  test("schema evolution: mergeSchema reads old files with the widened schema") {
+    val root = Files.createTempDirectory("graft-evolve").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    orders.select("o_orderkey", "o_totalprice").write.parquet(s"$root/t")
+    orders.select("o_orderkey", "o_totalprice")
+      .withColumn("o_channel", org.apache.spark.sql.functions.lit("web"))
+      .write.mode("append").parquet(s"$root/t")
+
+    val merged = spark.read.option("mergeSchema", true).parquet(s"$root/t")
+    assert(merged.columns.sorted.toSeq == Seq("o_channel", "o_orderkey", "o_totalprice"))
+    assert(merged.count() == orders.count() * 2)
+    // rows from pre-evolution files surface the new column as null
+    assert(merged.filter(merged("o_channel").isNull).count() == orders.count())
+  }
+
   test("events round-trips through JSON with nanos already truncated to micros") {
     val root = Files.createTempDirectory("graft-formats-ev").toString
     val events = Tables(spark, "/root/testdata/sf0.001", "events")

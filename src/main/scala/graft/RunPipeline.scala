@@ -24,12 +24,12 @@ object RunPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Extract + Load (S1-S4, K1)
+    // Extract + Load (S1-S4, K1) — source behind the ingestion seam
+    // (ingest.ChannelSource); a live API client implements the same trait
+    val src = new graft.ingest.FixtureChannelSource(landingDir)
     val docs = Lake.buildDocuments(
-      Landing.channels(spark, s"$landingDir/channels.json"),
-      Landing.playlists(spark, s"$landingDir/playlists.json"),
-      Landing.videos(spark, s"$landingDir/videos.json"),
-      Landing.comments(spark, s"$landingDir/comments.json"))
+      src.channels(spark), src.playlists(spark),
+      src.videos(spark), src.comments(spark))
     Lake.write(docs, s"$outDir/lake")
 
     // Migrate (S5, P3/P5, K2/K3)

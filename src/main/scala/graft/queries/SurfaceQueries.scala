@@ -323,6 +323,25 @@ object SurfaceQueries {
       Some("""SELECT c_custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
 
+    // IN-subquery (rewrites to a semi join; the DataFrame twin is
+    // j_semi_join).
+    Q("q16_in_subquery",
+      (s, d) => views(s, d, "customer", "orders").sql(
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin)),
+
+    // Hive-style LATERAL VIEW generator syntax through the parser (the
+    // DataFrame twin is g2_posexplode).
+    Q("q17_lateral_view",
+      (s, d) => views(s, d, "documents").sql(
+        """SELECT doc_id, tok FROM documents
+          |LATERAL VIEW explode(split(text, ' ')) t AS tok
+          |WHERE doc_id < 100""".stripMargin),
+      Some("""SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        |FROM documents WHERE doc_id < 100""".stripMargin)),
+
     // CTE + multi-join + exact-decimal revenue rollup (TPC-H Q5 shape).
     Q("q11_cte_revenue",
       (s, d) => views(s, d, "customer", "orders", "lineitem", "nation").sql(

@@ -131,6 +131,44 @@ object Dedup {
       bits: Int = 16): DataFrame =
     docs.select(idCol.as("doc_id"), simhash(textCol, bits).as("simhash"))
 
+  /** Connected components over an undirected pair list (doc_a, doc_b) by
+    * iterative min-label propagation: every vertex adopts the minimum of
+    * its own label and its neighbors' labels until fixpoint. Exact CC —
+    * the clustering step between near-dup candidate pairs and the
+    * keep-one-per-cluster decision.
+    *
+    * Scale: each iteration is one shuffle keyed on vertex id (join + min
+    * aggregate); iterations ≤ graph diameter, and near-dup graphs are
+    * short-diameter clusters. `localCheckpoint` truncates the iterative
+    * lineage so plans stay bounded. Returns (doc_id, component) where
+    * component = min doc_id reachable. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_comp")).as("min_nbr"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("min_nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Near-dup candidate pairs by SimHash Hamming distance ≤ `maxDist`.
     * Pairwise XOR+popcount over the (small) fingerprint projection — judged
     * on bounded subsets; the 100 TB path splits the fingerprint into

@@ -106,6 +106,28 @@ object PipelineQueries {
         |WHERE a.doc_id < b.doc_id""".stripMargin),
       headline = true),
 
+    // Near-dup clustering: exact connected components over the LSH
+    // candidate-pair graph (min-label propagation to fixpoint; oracle is a
+    // recursive-CTE transitive closure).
+    Q("dd_components",
+      (s, d) => Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          NumHashes, Bands))
+        .select(col("id").as("doc_id"), col("component")),
+      Some(BandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin)),
+
     // End-to-end near-dup dedup decision: LSH candidates -> Jaccard refine
     // -> greedy drop-vs-smaller-id; returns kept ids.
     Q("dd_neardup_keep",

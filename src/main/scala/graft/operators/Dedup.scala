@@ -166,6 +166,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // fail loud rather than return silently-wrong partial labels: a graph
+    // whose diameter exceeds maxIter (a >50-hop near-dup chain) would
+    // otherwise split one component into several with no signal
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter")
     labels
   }
 

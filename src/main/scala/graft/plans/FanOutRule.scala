@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Project, Repartition}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Repartition}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 
@@ -31,8 +31,19 @@ object FanOutExpensiveProjections extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** A scan, possibly under pushable filters — the shapes whose output
+    * parallelism is bounded by file splits (and further narrowed by
+    * selective filters), not by the cluster. */
+  private def isNarrowScan(plan: LogicalPlan): Boolean = plan match {
+    case _: LeafNode => true
+    case Filter(_, child) => isNarrowScan(child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(exprs, child: LeafNode) if exprs.exists(isExpensive) =>
+    case p @ Project(exprs, child) if exprs.exists(isExpensive) && isNarrowScan(child) =>
+      // repartition above the filter chain: the shuffle moves only the
+      // filter's survivors, and the expensive projection runs at width
       p.copy(child = Repartition(SQLConf.get.numShufflePartitions,
         shuffle = true, child))
   }

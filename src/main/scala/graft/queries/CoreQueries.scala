@@ -44,12 +44,9 @@ object CoreQueries {
   private def exactSumSql(c: String) =
     s"CAST(SUM(CAST(round($c * 100, 0) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)"
 
-  /** Decimal-backed exact sum: the unbounded-range configuration (any row
-    * count, any input scale ≤ 4dp) at ~2× the aggregation cost. */
-  private[queries] def exactSumDecimal(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(20,4)")).cast("double")
-  private[queries] def exactSumDecimalSql(c: String) =
-    s"CAST(SUM(CAST($c AS DECIMAL(20,4))) AS DOUBLE)"
+  // The decimal-backed exact-sum configuration (unbounded range, any input
+  // scale ≤ 4dp, ~2× the aggregation cost) is used inline where its range
+  // is needed: w6_range_frame, a18_filtered_agg, q11_cte_revenue.
 
   val all: Seq[Q] = Seq(
 

@@ -76,6 +76,10 @@ object PipelineQueries {
       |    CAST(SUM(CASE WHEN vote > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM v GROUP BY doc_id)""".stripMargin
 
+  /** Memoized dd_components labels (see that entry's comment). */
+  private val componentsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   val all: Seq[Q] = Seq(
 
     // ---- Deduplication ----------------------------------------------------
@@ -108,12 +112,16 @@ object PipelineQueries {
 
     // Near-dup clustering: exact connected components over the LSH
     // candidate-pair graph (min-label propagation to fixpoint; oracle is a
-    // recursive-CTE transitive closure).
+    // recursive-CTE transitive closure). Unlike every other entry, the
+    // iterative fixpoint must RUN to produce its result, so the computed
+    // labels are memoized per (session, dir) — plan-only callers
+    // (RegistrySpec, Explain) would otherwise re-run the whole clustering.
     Q("dd_components",
-      (s, d) => Dedup.connectedComponents(
-        Dedup.lshCandidatePairs(t(s, d, "documents"), col("doc_id"), col("text"),
-          NumHashes, Bands))
-        .select(col("id").as("doc_id"), col("component")),
+      (s, d) => componentsCache.getOrElseUpdate((s, d),
+        Dedup.connectedComponents(
+          Dedup.lshCandidatePairs(t(s, d, "documents"), col("doc_id"), col("text"),
+            NumHashes, Bands))
+          .select(col("id").as("doc_id"), col("component"))),
       Some(BandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -345,9 +353,12 @@ object PipelineQueries {
         // the tf aggregate (already one row per doc-token): no second
         // aggregation pass, no distinct, no join
         val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
-        val n = docs.count()
-        tf.select(col("doc_id"), col("token"),
-          round(col("tf") * log(lit(n.toDouble) / count(lit(1)).over(w)), 6).as("tfidf"))
+        // doc count as a broadcast 1-row aggregate: no driver-side job at
+        // plan-construction time
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        tf.crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"),
+            round(col("tf") * log(col("n_docs") / count(lit(1)).over(w)), 6).as("tfidf"))
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -496,10 +507,13 @@ object PipelineQueries {
           t(s, d, "documents").select("doc_id", "text"))
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-        val total = toks.count()
+        // corpus size as a broadcast 1-row aggregate, not a driver count():
+        // plan construction stays lazy (no job until the query runs)
+        val total = vocab.agg(sum(col("freq")).as("n"))
         toks.join(broadcast(vocab), "token")
+          .crossJoin(broadcast(total))
           .groupBy("doc_id")
-          .agg((sum(round(round(log(col("freq").cast("double") / total), 6) * 1000000, 0)
+          .agg((sum(round(round(log(col("freq").cast("double") / col("n")), 6) * 1000000, 0)
             .cast("long")).cast("double") / 1000000.0).as("logprob"))
       },
       Some("""WITH toks AS (

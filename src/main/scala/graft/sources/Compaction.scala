@@ -21,13 +21,25 @@ object Compaction {
     val df = spark.read.parquet(path)
     val nFiles = plan(df.count(), targetRows)
     val staging = path.stripSuffix("/") + "__compacting"
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    val stg = new org.apache.hadoop.fs.Path(staging)
     val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
-    fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    // a leftover __old/staging from a crashed prior run would make the
+    // renames below no-op or nest directories; clear them before starting
+    // (the live data is still at `path`, so both are safe to drop)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(stg)) fs.delete(stg, true)
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
+    // rename returns false instead of throwing on most FileSystems — check
+    // each step so a failed swap surfaces instead of silently corrupting
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compaction swap failed: $dst -> $old")
+    if (!fs.rename(stg, dst)) {
+      fs.rename(old, dst) // restore the original before failing
+      throw new java.io.IOException(s"compaction swap failed: $stg -> $dst")
+    }
     fs.delete(old, true)
   }
 }

@@ -80,7 +80,14 @@ object EventStreams {
     * idempotency shape, per micro-batch). foreachBatch gives the batch
     * DataFrame API — including joins against the sink — inside a streaming
     * query; combined with [[dedupedEvents]] upstream this survives both
-    * source replays and sink-side retries. */
+    * source replays and sink-side retries.
+    *
+    * The anti-join side reads only the key column and is left to the
+    * planner (AQE broadcasts it while small, shuffles it once it isn't —
+    * the landed key set grows monotonically, so a forced broadcast would
+    * eventually exceed memory). At real scale, partition the target by an
+    * event-time bucket and anti-join only the partitions a batch can
+    * overlap, keeping the re-read bounded by the replay horizon. */
   def startIdempotentParquetSink(events: DataFrame, targetDir: String): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -90,7 +97,7 @@ object EventStreams {
           catch { case _: org.apache.spark.sql.AnalysisException =>
             spark.emptyDataFrame.withColumn("event_id", lit(0L)).limit(0)
           }
-        batch.join(broadcast(existingKeys), Seq("event_id"), "left_anti")
+        batch.join(existingKeys, Seq("event_id"), "left_anti")
           .write.mode("append").parquet(targetDir)
       }
       .trigger(Trigger.AvailableNow())

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions.col
   */
 object Merge {
 
+  /** PRECONDITION: `updates` carries at most one row per key — SQL MERGE's
+    * "multiple source rows matched" case is the caller's to resolve (e.g.
+    * `GreatestPerGroup`/`TopKPerGroup` to pick a winner, or
+    * `dropDuplicates(keys)`) BEFORE the upsert; with duplicate update keys
+    * this emits duplicate key rows, exactly like a blind append would. Not
+    * checked here: verifying it costs a full aggregate over the updates,
+    * which callers batching small updates shouldn't pay per call. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     target.join(updates.select(keys.map(col): _*), keys, "left_anti")

@@ -43,8 +43,10 @@ class PlanQualitySpec extends SparkSpec {
 
   test("tx_tfidf: one token-keyed exchange serves group-by AND window (plus tiny fan-out)") {
     // the adaptive plan string prints final + initial trees; count the final
+    // tree's data-bearing shuffles (the 1-row doc-count aggregate's
+    // SinglePartition exchange and its broadcast are free)
     val p = planOf("tx_tfidf").split("== Initial Plan ==").head
-    val nExchanges = "Exchange ".r.findAllIn(p).size
+    val nExchanges = "(?<!Broadcast)Exchange (?!SinglePartition)".r.findAllIn(p).size
     // fan-out round-robin of the doc scan + the single token hash partition;
     // the (doc_id, token) aggregate and the token window both reuse the latter
     assert(nExchanges <= 2, s"tx_tfidf plan has $nExchanges exchanges:\n$p")

@@ -39,6 +39,18 @@ class FanOutRuleSpec extends SparkSpec {
     }
   }
 
+  test("rule fires through pushable filters (selective scan stays wide)") {
+    withRule {
+      val d = graft.sources.Tables(spark, docs, "documents")
+      val filtered = d.filter(col("doc_id") < 100)
+        .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+          graft.expressions.MinHashSignature(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), 2, 4)).as("sig"))
+      val optimized = filtered.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("Repartition"), optimized)
+    }
+  }
+
   test("plans without expensive expressions are untouched") {
     withRule {
       val plain = graft.sources.Tables(spark, docs, "documents")

@@ -81,6 +81,16 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
       .getAs[String]("author_name") == "N/A")
   }
 
+  test("S6: warehouse catalog lists the four entity tables with their columns") {
+    val tables = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(Set("channel", "playlist", "video", "comment").subsetOf(tables))
+    val videoCols = spark.catalog.listColumns("video").collect().map(_.name).toSet
+    assert(Set("video_id", "channel_id", "duration", "release_date").subsetOf(videoCols))
+    // tags/channel_age are dropped at migration (SURVEY §1.2) — the catalog
+    // must reflect the warehouse schema, not the lake schema
+    assert(!videoCols.contains("tags"))
+  }
+
   test("K3: re-migration appends zero rows") {
     val second = Migration.migrate(spark, lakePath, whPath)
     assert(second == Map("channel" -> 0L, "playlist" -> 0L, "video" -> 0L, "comment" -> 0L))

@@ -1,0 +1,39 @@
+package graft
+
+/** The cluster-determinism pledge (SURVEY §8), tested: every judged query
+  * whose output contains derived floats must produce IDENTICAL rows under
+  * different shuffle widths — the local proxy for different executor
+  * counts, task orders, and partitionings. Exact sums, per-term rounding
+  * before accumulation, and forward-order row-local loops are what make
+  * this hold; a raw double SUM would fail it.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // the float-bearing judged queries (everything else is exact by type)
+  private val risky = Seq(
+    "q09_group_avg", "j2_fk_join", "a9_moments", "a10_percentiles",
+    "a11_corr", "w2_running_sum", "w6_range_frame", "tx_tfidf",
+    "tx_unigram_logprob", "sim_bruteforce_topk", "dd_embed_neardup",
+    "q14_pricing_summary", "tx_quality", "emb_norms")
+
+  test("float-bearing queries are bit-identical across shuffle widths") {
+    val conf = "spark.sql.shuffle.partitions"
+    val original = spark.conf.get(conf)
+    try {
+      risky.foreach { name =>
+        val q = Registry.byName(name)
+        spark.conf.set(conf, "3")
+        val narrow = rowSet(q.fn(spark, sf))
+        spark.conf.set(conf, "13")
+        val wide = rowSet(q.fn(spark, sf))
+        assert(narrow == wide, s"$name differs between 3 and 13 shuffle partitions")
+        // dd_embed_neardup's threshold yields zero pairs at this SF (so does
+        // its oracle) — empty-but-equal is the correct answer there
+        if (name != "dd_embed_neardup")
+          assert(narrow.nonEmpty, s"$name returned no rows")
+      }
+    } finally spark.conf.set(conf, original)
+  }
+}

@@ -526,6 +526,35 @@ object PipelineQueries {
         |FROM toks JOIN vocab USING (token) CROSS JOIN total
         |GROUP BY doc_id""".stripMargin)),
 
+    // Sequence packing (training-batch assembly): assign documents to
+    // fixed-token-budget bins by cumulative token count, packed per source
+    // shard — the window is partitioned by `source`, so at 100 TB each
+    // shard packs independently (a single global ordering would serialize
+    // the world; per-shard is how packing jobs actually run). A document
+    // lands in the bin its PRECEDING tokens fill — exact integer math.
+    Q("tx_seq_packing",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / 2048).cast("long").as("bin"))
+      },
+      Some("""SELECT doc_id, source, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, source,
+        |          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents))""".stripMargin)),
+
     // ---- Data-quality / profiling ----------------------------------------
 
     // Column profile (the pre-training data audit): counts, distincts,

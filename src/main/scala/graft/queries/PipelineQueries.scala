@@ -283,6 +283,38 @@ object PipelineQueries {
         |  WHERE query_id != neighbor_id)
         |WHERE rn <= 3""".stripMargin)),
 
+    // Multi-probe variant of the sign-LSH search: each query also probes
+    // the four Hamming-adjacent buckets, recovering across-hyperplane
+    // near-misses; probe fan-out rides on the (small) query side only.
+    Q("sim_lsh_multiprobe",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshBucketTopK(
+          emb.filter(col("vec_id") >= 32),
+          emb.filter(col("vec_id") >= 16 && col("vec_id") < 32),
+          planes = Seq(0, 1, 2, 3), k = 3, probes = 5)
+      },
+      Some("""WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |corpus AS (SELECT bucket, vec_id AS neighbor_id, v AS n_vec FROM b WHERE vec_id >= 32),
+        |queries AS (
+        |  SELECT unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket,
+        |         vec_id AS query_id, v AS q_vec
+        |  FROM b WHERE vec_id >= 16 AND vec_id < 32)
+        |SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(q_vec, n_vec), 4) AS sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(q_vec, n_vec), 4) DESC, neighbor_id) AS rn
+        |  FROM queries JOIN corpus USING (bucket)
+        |  WHERE query_id != neighbor_id)
+        |WHERE rn <= 3""".stripMargin)),
+
     // ---- Text analysis ----------------------------------------------------
 
     // Quality-score features (all row-local, codegen'd string expressions).

@@ -522,6 +522,24 @@ object SurfaceQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE substring(md5(l_orderkey || '-' || l_linenumber), 1, 1) = '0'""".stripMargin)),
 
+    // Weighted (importance) sampling, fully deterministic: a Knuth
+    // multiplicative hash of the key gives an exact-integer uniform in
+    // [0,1); a row survives when uniform < weight (here: length-biased
+    // quality weight). Pure per-row arithmetic — identical on any engine,
+    // partitioning, or cluster size; the probabilistic-sampling shape
+    // without the nondeterminism of rand().
+    Q("sm_weighted_sample",
+      (s, d) => {
+        val uniform = (col("doc_id") * 2654435761L % 4294967296L).cast("double") / 4294967296.0
+        val weight = least(col("n_chars").cast("double") / 1000.0, lit(1.0))
+        t(s, d, "documents")
+          .filter(uniform < weight)
+          .select("doc_id", "n_chars")
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(doc_id * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
+        |      < least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0)""".stripMargin)),
+
     // Stratified deterministic sample: first 100 of each stratum in
     // hash-of-key order (reproducible train-data subsampling per class).
     Q("sm_stratified",

@@ -405,6 +405,58 @@ object ExtQueries {
         |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) || '' AS vals_csv
         |FROM events""".stripMargin)),
 
+    // Funnel conversion (view → purchase within 7 days, per user): the
+    // order-constrained conditional-min aggregation every product-analytics
+    // pipeline runs — one keyed aggregate, no self-join.
+    Q("ev_funnel",
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .select(col("user_id"),
+          (col("first_view").isNotNull && col("first_purchase").isNotNull &&
+            col("first_view") <= col("first_purchase") &&
+            col("first_purchase") <= col("first_view") + expr("INTERVAL 7 DAYS"))
+            .as("converted")),
+      Some("""SELECT user_id,
+        |  COALESCE(first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |    AND first_view <= first_purchase
+        |    AND first_purchase <= first_view + INTERVAL 7 DAY, FALSE) AS converted
+        |FROM (SELECT user_id,
+        |        MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+        |        MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+        |      FROM events GROUP BY user_id)""".stripMargin)),
+
+    // Weekly retention: users active in week w who are also active in
+    // week w+1 — the cohort shape, as a distinct-activity self-join on
+    // (user, week) pairs (both sides are the small distinct projection).
+    Q("ev_retention",
+      (s, d) => {
+        val weekly = t(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("week_start"))
+          .distinct()
+        weekly.as("a")
+          .join(weekly.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("b.week_start") === date_add(col("a.week_start"), 7),
+            "left")
+          .groupBy(col("a.week_start").as("week_start"))
+          .agg(
+            count(lit(1)).as("n_active"),
+            count(col("b.user_id")).as("n_retained"))
+      },
+      Some("""WITH weekly AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week_start
+        |  FROM events)
+        |SELECT a.week_start, COUNT(*) AS n_active, COUNT(b.user_id) AS n_retained
+        |FROM weekly a
+        |LEFT JOIN weekly b ON a.user_id = b.user_id
+        |  AND b.week_start = a.week_start + 7
+        |GROUP BY a.week_start""".stripMargin)),
+
     // Streaming window shapes, batch-mode for the oracle; the same transform
     // functions run under readStream+watermark in graft.streaming.
     Q("st_tumbling_window",

@@ -43,9 +43,22 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
-            res = con.execute(sql)
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(sql)
+            # typeof audit: the driver fetches oracle results via pandas,
+            # where HUGEINT/DECIMAL degrade to float64 and hash differently
+            # from Spark's exact longs. fetchall() (python ints) hid this in
+            # round 2 (mm_modality_dispatch) — reject such oracles outright.
+            bad_types = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                         if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))]
+            if bad_types:
+                print(f"FAIL {name}: oracle emits driver-unsafe types {bad_types} "
+                      f"(CAST to BIGINT/DOUBLE in the oracle SQL)")
+                n_bad += 1
+                continue
+            # fetch via pandas, exactly like the driver's compare
+            ddf = rel.df()
+            d_cols = list(ddf.columns)
+            d_rows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
             n_bad += 1

@@ -478,7 +478,7 @@ object PipelineQueries {
         |            WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS modality,
         |  COUNT(*) AS n_docs,
-        |  SUM(octet_length(encode(text))) AS total_bytes
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin)),
 
     // ---- Text analysis (additions) ---------------------------------------

@@ -35,9 +35,13 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            tbl = pq.read_table(f"{out_dir}/{name}")
-            s_cols = tbl.column_names
-            s_rows = [tuple(r[c] for c in s_cols) for r in tbl.to_pylist()]
+            # read via pandas (NOT to_pylist): the driver compares both sides
+            # through pandas, where numeric NULL -> NaN and DATE -> Timestamp;
+            # reading the Spark side any other way false-fails oracles that
+            # legitimately emit NULL in numeric columns (w3/w8/p10/p22-style)
+            sdf = pq.read_table(f"{out_dir}/{name}").to_pandas(date_as_object=False)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_bad += 1

@@ -175,15 +175,14 @@ object Dedup {
     labels
   }
 
-  /** Near-dup candidate pairs by SimHash Hamming distance ≤ `maxDist`.
-    * Pairwise XOR+popcount over the (small) fingerprint projection — judged
-    * on bounded subsets; the 100 TB path splits the fingerprint into
-    * `maxDist + 1` bands (pigeonhole: any pair within distance d shares at
-    * least one exact band) and bucket-joins on band values, exactly like
-    * [[lshCandidatePairs]], before this exact refine. */
+  /** Near-dup candidate pairs by SimHash Hamming distance ≤ `maxDist` —
+    * all-pairs XOR+popcount. O(n²) by construction: VERIFICATION-SCALE ONLY
+    * (it plans a BroadcastNestedLoopJoin); every judged/production path goes
+    * through [[simhashBandedPairs]], which produces the identical row set
+    * via pigeonhole banding. Kept as the recall oracle for specs. */
   def simhashHammingPairs(docs: DataFrame, idCol: Column, textCol: Column,
       maxDist: Int, bits: Int = 16): DataFrame = {
-    val sh = simhashDocs(docs, idCol, textCol)
+    val sh = simhashDocs(docs, idCol, textCol, bits)
     val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -192,14 +191,88 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** SimHash Hamming pairs by pigeonhole banding — the 100 TB path, with
+    * EXACTLY the same output as [[simhashHammingPairs]] (banding is a
+    * complete candidate generator, not an approximation): split the `bits`
+    * fingerprint into `maxDist + 1` contiguous bands; a pair within Hamming
+    * distance d has at most d differing bits spread over d+1 bands, so at
+    * least one band matches exactly. Candidate generation is therefore a
+    * bucket grouping on (band, band_value) — one shuffle of the tiny
+    * (doc_id, simhash) projection, no join of any kind — followed by the
+    * exact XOR/popcount refine inside each bucket.
+    *
+    * Bucket sizes scale as n / 2^(bits/(maxDist+1)): choose bits ≫ maxDist
+    * at corpus scale (e.g. 64-bit simhash, maxDist 3 → 16-bit bands → 65k
+    * buckets) so intra-bucket pair emission stays linear-ish. */
+  def simhashBandedPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      maxDist: Int, bits: Int = 16): DataFrame = {
+    val numBands = maxDist + 1
+    require(numBands <= bits,
+      s"need at least maxDist+1=$numBands bands out of $bits fingerprint bits")
+    val sh = simhashDocs(docs, idCol, textCol, bits)
+    // contiguous bands with sizes differing by at most one bit
+    val bandCols = (0 until numBands).map { i =>
+      val lo = i * bits / numBands
+      val hi = (i + 1) * bits / numBands
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), lo)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("band_val"))
+    }
+    val buckets = sh
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .groupBy(col("b.band"), col("b.band_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("items"))
+      .filter(size(col("items")) > 1)
+    val pairs = flatten(transform(col("items"), (x, i) =>
+      transform(slice(col("items"), i + 2, size(col("items"))), y =>
+        struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+          bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+            .as("hamming")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct() // a pair may share several bands
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold` (rounded to 4dp for
-    * the oracle contract). Brute-force pairwise — verification scale only;
-    * the 100 TB path is [[Similarity.ivfTopK]]-style bucketing first. */
+    * the oracle contract). Brute-force pairwise — O(n²), plans a
+    * BroadcastNestedLoopJoin: VERIFICATION-SCALE ONLY, kept as the recall
+    * oracle for [[embeddingNearDupsBucketed]] specs. */
   def embeddingNearDups(emb: DataFrame, idCol: Column, vecCol: Column,
       threshold: Double): DataFrame = {
     val a = Parallelism.fanOut(emb.select(idCol.as("id_a"), vecCol.as("vec_a")))
     val b = emb.select(idCol.as("id_b"), vecCol.as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosineRounded(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Embedding near-dup through sign-LSH buckets — the 100 TB path: each
+    * vector lands in its [[Similarity.signLshBucket]] bucket; the pair
+    * search is ONE bucket-keyed equi-join (left side keeps its own key,
+    * right side additionally probes every 1-bit-flip key, so any pair whose
+    * bucket keys differ in ≤ 1 plane sign is generated — exactly once,
+    * since flip keys are distinct). Exact cosine refine follows, so
+    * precision is always 1; recall is empirical in the plane count (the
+    * companion spec pins it against [[embeddingNearDups]] at the judged
+    * threshold). Corpus shuffles once, keyed by bucket; never all-pairs. */
+  def embeddingNearDupsBucketed(emb: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double, planes: Seq[Int]): DataFrame = {
+    val base = Parallelism.fanOut(emb.select(idCol.as("id"), vecCol.as("vec")))
+    val own = Similarity.signLshBucket(col("vec"), planes)
+    val a = base.select(own.as("bucket"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    val probeKeys = array((0 to planes.length).map {
+      case 0 => own
+      case i => own.bitwiseXOR(lit(1L << (i - 1)))
+    }: _*)
+    val b = base.select(explode(probeKeys).as("bucket"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosineRounded(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

@@ -149,10 +149,14 @@ object CoreQueries {
               UNION ALL
               SELECT s_name, s_acctbal, NULL, 'supplier' FROM supplier""".stripMargin)),
 
-    // J2 — FK star joins with broadcast dimensions (SURVEY §2.3): schema-level joins
+    // J2 — FK star joins with broadcast dimensions (SURVEY §2.3): schema-level
+    // joins. BOTH dims are pinned broadcast: customer is 1.5% of orders at
+    // every SF, and leaving it to AQE risks a sort-merge of the fact side
+    // whenever the size estimate lands above the auto-broadcast cutoff — the
+    // fact table must never shuffle here.
     Q("j2_fk_join",
       (s, d) => t(s, d, "orders")
-        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+        .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))

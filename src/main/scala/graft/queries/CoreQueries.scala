@@ -306,6 +306,25 @@ object CoreQueries {
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("N/A")).as("segment_or_default")),
       Some("SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') AS segment_or_default FROM customer")),
 
+    // P4 — the DataFrameNaFunctions surface (na.fill / na.replace), judged:
+    // nulls are synthesized (the test tables ship none), then filled with
+    // per-column constants and value-replaced — the fill-constant path the
+    // reference holds behind its first-load branch (app.py:236-239).
+    Q("p23_na_fill",
+      (s, d) => t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("segment"),
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+        .na.fill(Map("segment" -> "N/A", "bal" -> 0.0))
+        .na.replace("segment", Map("MACHINERY" -> "MACH")),
+      Some("""SELECT c_custkey,
+        |  CASE COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A')
+        |    WHEN 'MACHINERY' THEN 'MACH'
+        |    ELSE COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'N/A') END AS segment,
+        |  COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal
+        |FROM customer""".stripMargin)),
+
     // P2 — int casts (floor contract: Spark truncates double→long, DuckDB
     // rounds, so both sides floor explicitly): app.py:225–233
     Q("p2_cast_projection",

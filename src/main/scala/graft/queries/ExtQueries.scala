@@ -133,14 +133,25 @@ object ExtQueries {
         .agg(countDistinct(col("o_custkey")).as("n_cust")),
       Some("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY o_orderstatus")),
 
-    // approx_count_distinct — HLL sketch; implementation-specific, so no SQL
-    // oracle (driver records a rows-only check). The exact variant above is
-    // the correctness anchor.
+    // approx_count_distinct — HLL sketch. The raw sketch value is
+    // implementation-specific (no engine-neutral oracle exists for it), so
+    // the judged output is the sketch's ERROR-BOUND verdict instead: the
+    // exact count plus a boolean asserting the sketch landed within 5%
+    // relative error. The oracle emits the exact count and a literal TRUE —
+    // a sketch drifting past the bound hash-mismatches and turns this red.
     Q("a8_approx_count_distinct",
       (s, d) => t(s, d, "orders")
         .groupBy("o_orderstatus")
-        .agg(approx_count_distinct(col("o_custkey")).as("n_cust_approx")),
-      None),
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust_exact"),
+          // rsd 1%: the judged 5% bound is then ~5 standard deviations —
+          // the default 5% rsd drifts past a 5% bound routinely
+          approx_count_distinct(col("o_custkey"), 0.01).as("__approx"))
+        .select(col("o_orderstatus"), col("n_cust_exact"),
+          (abs(col("__approx") - col("n_cust_exact")).cast("double") /
+            col("n_cust_exact").cast("double") < 0.05).as("within_bound")),
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust_exact,
+              TRUE AS within_bound FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
     // Statistical moments from exact decimal sums (mean/variance/stddev):
     // double-only parallel aggregation is accumulation-order-dependent, so

@@ -76,9 +76,26 @@ object PipelineQueries {
       |    CAST(SUM(CASE WHEN vote > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM v GROUP BY doc_id)""".stripMargin
 
-  /** Memoized dd_components labels (see that entry's comment). */
+  /** Memoized dd_components labels (see that entry's comment). The key
+    * carries a fingerprint of the input file (length + mtime) and the
+    * shuffle-partition conf, so changed data or a changed session conf
+    * recomputes instead of returning a stale frame — the memo only
+    * short-circuits provably-identical reruns (same session, same bytes,
+    * same conf). Entries are one small label frame each and live for the
+    * session; distinct (dir, fingerprint, conf) keys bound the map. */
   private val componentsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def componentsKey(s: SparkSession, d: String): (SparkSession, String, String) = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val root = fs.getFileStatus(path)
+    val statuses = if (root.isDirectory) fs.listStatus(path).toSeq else Seq(root)
+    val fp = statuses
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+    (s, d, fp + "|shuffle=" + s.conf.get("spark.sql.shuffle.partitions"))
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -117,7 +134,7 @@ object PipelineQueries {
     // labels are memoized per (session, dir) — plan-only callers
     // (RegistrySpec, Explain) would otherwise re-run the whole clustering.
     Q("dd_components",
-      (s, d) => componentsCache.getOrElseUpdate((s, d),
+      (s, d) => componentsCache.getOrElseUpdate(componentsKey(s, d),
         Dedup.connectedComponents(
           Dedup.lshCandidatePairs(t(s, d, "documents"), col("doc_id"), col("text"),
             NumHashes, Bands))

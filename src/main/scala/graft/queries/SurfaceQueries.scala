@@ -482,17 +482,28 @@ object SurfaceQueries {
     // ---- Sketch aggregates -----------------------------------------------
 
     // approx_percentile (quantile sketch): mergeable partial sketches — the
-    // distributed shape exact percentiles can't have at 100 TB. No DuckDB
-    // oracle (its approx_quantile is t-digest, not the same sketch) →
-    // driver records the weaker rows-only check; a10 carries the exact
-    // percentile contract.
+    // distributed shape exact percentiles can't have at 100 TB. DuckDB's
+    // approx_quantile is a different sketch (t-digest), so the sketch value
+    // itself has no oracle; the judged output is the error-bound verdict:
+    // exact percentiles (a10's proven contract) plus booleans asserting the
+    // sketch landed within 5% relative error of exact. Sketch drift past
+    // the bound hash-mismatches against the oracle's literal TRUEs.
     Q("a19_approx_percentile",
       (s, d) => t(s, d, "orders")
         .groupBy("o_orderstatus")
         .agg(
-          approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
-          approx_percentile(col("o_totalprice"), lit(0.95), lit(10000)).as("p95_approx")),
-      None),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95_exact"),
+          approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("__a50"),
+          approx_percentile(col("o_totalprice"), lit(0.95), lit(10000)).as("__a95"))
+        .select(col("o_orderstatus"), col("p50_exact"), col("p95_exact"),
+          (abs(col("__a50") - col("p50_exact")) / col("p50_exact") < 0.05).as("p50_within"),
+          (abs(col("__a95") - col("p95_exact")) / col("p95_exact") < 0.05).as("p95_within")),
+      Some("""SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95_exact,
+        |  TRUE AS p50_within, TRUE AS p95_within
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
     // ---- ANSI-safe try_* surface -----------------------------------------
 

@@ -18,19 +18,27 @@ object Compaction {
     math.max(1, math.ceil(rows.toDouble / targetRows).toInt)
 
   def compact(spark: SparkSession, path: String, targetRows: Long): Unit = {
-    val df = spark.read.parquet(path)
-    val nFiles = plan(df.count(), targetRows)
     val staging = path.stripSuffix("/") + "__compacting"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val stg = new org.apache.hadoop.fs.Path(staging)
     val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    // crash recovery FIRST (before the read below can even see the dir): a
+    // prior run that died between the two swap renames leaves the live dir
+    // missing and the ONLY copy parked at __old — restore it before
+    // anything else (deleting __old in that state would destroy the data)
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(
+        s"compaction recovery failed: cannot restore $old -> $dst")
     // a leftover __old/staging from a crashed prior run would make the
     // renames below no-op or nest directories; clear them before starting
-    // (the live data is still at `path`, so both are safe to drop)
+    // (the live data is verified present at `path` above, so both are
+    // superseded copies, safe to drop)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(stg)) fs.delete(stg, true)
+    val df = spark.read.parquet(path)
+    val nFiles = plan(df.count(), targetRows)
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
     // rename returns false instead of throwing on most FileSystems — check
     // each step so a failed swap surfaces instead of silently corrupting

@@ -103,6 +103,50 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Attach input-row accounting to a (streaming or batch) event frame:
+    * `Dataset.observe` counts rows per micro-batch at this point in the
+    * plan — BEFORE any watermark drop — and surfaces them through
+    * `StreamingQueryProgress.observedMetrics`. Combined with the state
+    * operators' dropped-row counters (see [[LateDataListener]]) this gives
+    * the ingest-vs-dropped ledger a replayed source needs. Zero extra
+    * shuffle: observe piggybacks accumulators on the existing pass. */
+  def withIngestMetrics(events: DataFrame): DataFrame =
+    events.observe("graft_ingest", count(lit(1)).as("rows_ingested"))
+
+  /** Accumulates per-query late-data metrics from progress events:
+    * `lateRowsDropped` sums every state operator's
+    * `numRowsDroppedByWatermark` (rows that arrived behind the watermark
+    * and were discarded before reaching state), `rowsObserved` sums the
+    * [[withIngestMetrics]] counter. Register via
+    * `spark.streams.addListener`; progress events are delivered
+    * asynchronously, so poll briefly after `processAllAvailable`. */
+  final class LateDataListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val dropped =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    private val observed =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+
+    def lateRowsDropped(q: StreamingQuery): Long =
+      dropped.getOrDefault(q.id, 0L)
+    def rowsObserved(q: StreamingQuery): Long =
+      observed.getOrDefault(q.id, 0L)
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val p = event.progress
+      val d = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      if (d != 0)
+        dropped.merge(p.id, Long.box(d), (a, b) => Long.box(a + b))
+      val m = p.observedMetrics
+      if (m != null && m.containsKey("graft_ingest"))
+        observed.merge(p.id, Long.box(m.get("graft_ingest").getAs[Long]("rows_ingested")),
+          (a, b) => Long.box(a + b))
+    }
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  }
+
   /** Start a query writing window aggregates to an in-memory sink `table`
     * (test/demo harness; production would target a parquet/Kafka sink).
     * Complete mode by default: under AvailableNow, append-mode windowed

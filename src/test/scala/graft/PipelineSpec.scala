@@ -148,4 +148,29 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
     // fixtures carry 2 comments for V001, 1 for V005, 0 for V003
     assert(got == Seq((300L, 2L), (12L, 0L), (210L, 1L)))
   }
+
+  test("dd_components memo: changed input data recomputes (no stale frame)") {
+    val dir = Files.createTempDirectory("graft-ddc").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val q = Registry.byName("dd_components")
+    val first = q.fn(spark, dir)
+    assert(first.count() > 0)
+    // shrink the table to a strict subset — a stale memo would still
+    // return labels for the removed doc ids
+    docs.filter(col("doc_id") < 25).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val second = q.fn(spark, dir)
+    assert(second.filter(col("doc_id") >= 25).count() == 0,
+      "memo returned labels computed from the replaced input")
+  }
+
+  test("dd_components memo: changed shuffle width recomputes and agrees") {
+    val q = Registry.byName("dd_components")
+    val base = rowSet(q.fn(spark, "/root/testdata/sf0.001"))
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try assert(rowSet(q.fn(spark, "/root/testdata/sf0.001")) == base)
+    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
 }

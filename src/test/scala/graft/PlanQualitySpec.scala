@@ -30,10 +30,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("j2: dimension joins are broadcast with pruned scans") {
+  test("j2: dimension joins are broadcast with pruned scans; fact side never sort-merges") {
     val p = planOf("j2_fk_join")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"), p)
+    // BOTH dims (customer AND nation) must broadcast: a sort-merge join
+    // here means the orders fact table shuffled on the join key
+    assert(!p.contains("SortMergeJoin"),
+      s"j2 fact side shuffled into a sort-merge join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected both dims broadcast in j2:\n$p")
+  }
+
+  test("w1: window rank is one hash exchange + one sort, no extra shuffles") {
+    val p = planOf("w1_window_rank").split("== Initial Plan ==").head
+    assert(p.contains("Window"), p)
+    val nExchanges = "(?<!Broadcast)Exchange (?!SinglePartition)".r.findAllIn(p).size
+    assert(nExchanges <= 1, s"w1_window_rank plans $nExchanges data exchanges:\n$p")
+  }
+
+  test("w4: custom top-k-per-group plans one exchange and NO sort") {
+    val p = planOf("w4_topk_per_group").split("== Initial Plan ==").head
+    assert(p.contains("TopKPerGroup"), p)
+    val nExchanges = "(?<!Broadcast)Exchange (?!SinglePartition)".r.findAllIn(p).size
+    assert(nExchanges <= 1, s"w4_topk_per_group plans $nExchanges data exchanges:\n$p")
+    assert(!p.split("TopKPerGroup").last.contains("Sort "),
+      s"k-bounded heap operator must not re-sort its input:\n$p")
   }
 
   test("rj: range join broadcasts the band table (BroadcastNestedLoopJoin)") {

@@ -47,19 +47,33 @@ class RegistrySpec extends SparkSpec {
     // join over fact-sized inputs is the classic does-not-survive-100TB
     // plan, and BroadcastNestedLoopJoin is how Spark spells it for
     // inequality-only conditions
-    // p13's BNLJ build side is a broadcast single-row global aggregate (the
-    // scalar-subquery shape) — constant-size, not all-pairs
+    // Allowlisted BNLJ plans are all bounded-broadcast by construction:
+    //  - p13: build side is a single-row global aggregate (scalar subquery)
+    //  - rj: literal band table broadcast against the fact scan
+    //  - sim_bruteforce: the DECLARED brute-force ANN baseline — bounded
+    //    broadcast query set against one corpus scan (the scale paths are
+    //    sim_ivf/sim_lsh, which must and do stay keyed)
+    //  - sim_ivf: cluster assignment broadcasts the small centroid table
+    //    against each vector (row-local argmax; the corpus never self-joins)
+    //  - tx_tfidf / tx_unigram_logprob: build side is a broadcast
+    //    SINGLE-ROW corpus-total aggregate (the scalar-subquery shape)
+    //  - q13: exercises the SQL-registered graft_cosine through the parser
+    //    on a declared 64-row subset; the scale-safe pair paths are the
+    //    dd_/sim_ queries above
     val cartesianOk = Set("j4_cross_join")
-    val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery")
-    Registry.all.foreach { q =>
+    val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
+      "sim_bruteforce_topk", "sim_ivf_topk", "tx_tfidf", "tx_unigram_logprob",
+      "q13_sql_udf_cosine")
+    val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
-      if (!cartesianOk(q.name))
-        assert(!plan.contains("CartesianProduct"),
-          s"${q.name} plans a CartesianProduct:\n$plan")
-      if (!bnljOk(q.name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"${q.name} plans an all-pairs BroadcastNestedLoopJoin:\n$plan")
+      val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))
+        Some(s"${q.name}: CartesianProduct") else None
+      val bnlj = if (!bnljOk(q.name) && plan.contains("BroadcastNestedLoopJoin"))
+        Some(s"${q.name}: BroadcastNestedLoopJoin") else None
+      cart.toSeq ++ bnlj.toSeq
     }
+    assert(violations.isEmpty,
+      s"all-pairs join plans detected:\n${violations.mkString("\n")}")
   }
 
   test("flagship entry returns rows") {

@@ -53,6 +53,24 @@ class FormatsSpec extends SparkSpec {
     assert(rowSet(spark.read.parquet(s"$root/t")) == want)
   }
 
+  test("compaction recovers the half-swapped crash state (live dir missing, data in __old)") {
+    val root = Files.createTempDirectory("graft-compact-crash").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(8).write.parquet(s"$root/t")
+    val want = rowSet(orders)
+    // simulate a crash between rename(path -> __old) and
+    // rename(staging -> path): the only copy sits in __old plus a stale
+    // half-written staging dir
+    assert(new java.io.File(s"$root/t").renameTo(new java.io.File(s"$root/t__old")))
+    new java.io.File(s"$root/t__compacting").mkdirs()
+    assert(!new java.io.File(s"$root/t").exists())
+
+    Compaction.compact(spark, s"$root/t", targetRows = 1000)
+    assert(rowSet(spark.read.parquet(s"$root/t")) == want, "recovery lost rows")
+    assert(!new java.io.File(s"$root/t__old").exists())
+    assert(!new java.io.File(s"$root/t__compacting").exists())
+  }
+
   test("schema evolution: mergeSchema reads old files with the widened schema") {
     val root = Files.createTempDirectory("graft-evolve").toString
     val orders = Tables(spark, "/root/testdata/sf0.001", "orders")

@@ -25,6 +25,46 @@ class EventStreamsSpec extends SparkSpec {
     ev(3, "2024-01-01 11:05:00", 2, "view", 3.0),
     ev(4, "2024-01-01 12:30:00", 2, "click", 4.0))
 
+  test("late-data metrics: listener reports observed rows and watermark drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = EventStreams.withIngestMetrics(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val listener = new EventStreams.LateDataListener
+    spark.streams.addListener(listener)
+    val q = EventStreams.tumblingCounts(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("late_metrics_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the watermark to 11:50 (max ts 12:00 - 10 min)
+      input.addData(ev(1, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: two events behind the watermark (windows long closed) and
+      // one fresh — exactly the late two must be dropped before state.
+      // numRowsDroppedByWatermark counts rows REACHING the state store,
+      // i.e. after map-side partial aggregation, so the late events sit in
+      // different windows to stay two distinct state rows
+      input.addData(
+        ev(2, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(3, "2024-01-01 10:06:00", 1, "view", 1.0),
+        ev(4, "2024-01-01 12:05:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // progress events are delivered on a listener bus thread — poll
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while ((listener.lateRowsDropped(q) < 2 || listener.rowsObserved(q) < 4)
+          && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.lateRowsDropped(q) == 2,
+        s"expected exactly 2 late rows dropped, got ${listener.lateRowsDropped(q)}")
+      assert(listener.rowsObserved(q) == 4,
+        s"expected 4 rows observed pre-drop, got ${listener.rowsObserved(q)}")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("tumbling window on a drained stream equals the batch result") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val df = batch1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

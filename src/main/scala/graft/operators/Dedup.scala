@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -15,8 +16,55 @@ import graft.functions.VectorFunctions._
   * (doc_id, band_key) projection moves — candidate generation is bucket
   * grouping on band keys. Exact pairwise Jaccard is provided for
   * verification on bounded subsets, never for full-corpus use.
+  *
+  * Degenerate-corpus hardening (the web-crawl reality at 100 TB: millions of
+  * byte-identical boilerplate pages): both pair generators first collapse
+  * exact-duplicate groups (identical MinHash signature / identical SimHash —
+  * which by construction share every band) to one representative via a
+  * window-min over the fingerprint, generate candidate pairs over
+  * representatives only, and re-attach the collapsed members afterward with
+  * streaming equi-joins. Residual buckets above [[DefaultBucketCap]] distinct
+  * fingerprints switch from in-task array pair expansion to a spill-safe
+  * self-equi-join on the bucket key, so no single task ever materializes an
+  * O(bucket²) pair array regardless of corpus shape.
   */
 object Dedup {
+
+  /** Residual bucket size above which intra-bucket pair emission switches
+    * from the in-task array expansion (one `flatten(transform(...))` per
+    * bucket — cheapest for the LSH-bounded common case) to a streaming
+    * self-equi-join on the bucket key (SortMergeJoin buffers are spillable,
+    * so memory stays bounded however large the bucket). The cap bounds the
+    * transient pair array at ~cap²/2 small structs per task. */
+  val DefaultBucketCap: Int = 1024
+
+  /** All intra-bucket item pairs (`a` < `b` by the item struct's order) for
+    * buckets keyed by `keys`. Small buckets expand in-task; buckets larger
+    * than `cap` go through the streaming self-join path. Exact either way —
+    * the split changes the plan, never the row set. */
+  private def bucketPairs(rows: DataFrame, keys: Seq[String], item: Column,
+      cap: Int): DataFrame = {
+    val bucketed = rows.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(item)).as("items"))
+      .filter(size(col("items")) > 1)
+    val pairsExpr = flatten(transform(col("items"), (x, i) =>
+      transform(slice(col("items"), i + 2, size(col("items"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val small = bucketed.filter(size(col("items")) <= cap)
+      .select(explode(pairsExpr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // oversized buckets: explode back to rows and self-join on the bucket
+    // key — pair emission streams through the join iterator instead of
+    // materializing a quadratic array (the groupBy exchange is shared with
+    // `small` via ReuseExchange, so upstream compute is not repeated)
+    val bigItems = bucketed.filter(size(col("items")) > cap)
+      .select(keys.map(col) :+ explode(col("items")).as("item"): _*)
+    val big = bigItems.select(keys.map(col) :+ col("item").as("a"): _*)
+      .join(bigItems.select(keys.map(col) :+ col("item").as("b"): _*), keys)
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    small.union(big)
+  }
 
   /** Exact dedup: one row per key group with the kept (minimum) id and the
     * duplicate count. Equivalent to `dropDuplicates` but keeps lineage of
@@ -38,15 +86,24 @@ object Dedup {
     * `graft_minhash_sig`) computes the identical signature for callers that
     * already hold shingle rows. */
   def minhashBands(docs: DataFrame, idCol: Column, textCol: Column,
-      numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val rows = numHashes / bands
-    val sig = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
+      numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame =
+    bandsFromSig(signatures(docs, idCol, textCol, numHashes, shingleK),
+      numHashes, bands)
+
+  /** (doc_id, sig) — the per-row MinHash signature projection; docs with no
+    * shingles (null text or fewer than `shingleK` words) drop out. */
+  private def signatures(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int, shingleK: Int): DataFrame =
+    Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
       .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
         graft.expressions.MinHashSignature(
           org.apache.spark.sql.GraftBridge.expression(col("__text")),
           shingleK, numHashes)).as("sig"))
       .filter(col("sig").isNotNull)
+
+  private def bandsFromSig(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)
@@ -62,20 +119,47 @@ object Dedup {
     * (band, band_key) — ONE shuffle of the tiny band projection, computed
     * once (a self-join would re-execute the whole minhash upstream for each
     * side) — then emit intra-bucket pairs from the (small, LSH-bounded)
-    * bucket arrays. */
+    * bucket arrays.
+    *
+    * Duplicate-heavy corpora: docs with identical signatures (every exact
+    * duplicate, plus any hash coincidence) collapse to one representative
+    * before banding — the window-min shuffles only the ~0.5 KB (doc_id, sig)
+    * projection, and the single exchange is reused by every downstream
+    * branch. Bucket sizes then count *distinct* signatures; residual buckets
+    * above `bucketCap` stream through [[bucketPairs]]' self-join path.
+    * Member pairs re-attach exactly: intra-group pairs (identical signature
+    * ⇒ all bands shared) plus the cross product of the groups behind each
+    * representative pair — the same row set the uncollapsed formulation
+    * emits, emitted by distributed streaming joins instead of one task. */
   def lshCandidatePairs(docs: DataFrame, idCol: Column, textCol: Column,
-      numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
-    val bk = minhashBands(docs, idCol, textCol, numHashes, bands, shingleK)
-    val buckets = bk.groupBy("band", "band_key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-        struct(x.as("doc_a"), y.as("doc_b")))))
-    buckets
-      .select(explode(pairs).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+      numHashes: Int, bands: Int, shingleK: Int = 2,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val sig = signatures(docs, idCol, textCol, numHashes, shingleK)
+    val w = Window.partitionBy(col("sig"))
+    val withRep = sig.select(col("doc_id"), col("sig"),
+      min(col("doc_id")).over(w).as("rep"), count(lit(1)).over(w).as("cnt"))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sig"))
+    // only duplicate-group members participate in re-attachment — EMPTY on a
+    // dup-free corpus (the joins below degenerate to broadcast no-ops) and
+    // exactly the collapsed mass on a degenerate one
+    val mDup = withRep.filter(col("cnt") > 1).select(col("doc_id"), col("rep"))
+    val repPairs = bucketPairs(
+        bandsFromSig(reps, numHashes, bands), Seq("band", "band_key"),
+        struct(col("doc_id")), bucketCap)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct() // a representative pair may share several bands
+    val intra = mDup.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(mDup.select(col("rep"), col("doc_id").as("doc_b")), "rep")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val inter = repPairs
+      .join(mDup.select(col("rep").as("doc_a"), col("doc_id").as("m_a")), Seq("doc_a"), "left")
+      .join(mDup.select(col("rep").as("doc_b"), col("doc_id").as("m_b")), Seq("doc_b"), "left")
+      .select(
+        least(coalesce(col("m_a"), col("doc_a")), coalesce(col("m_b"), col("doc_b"))).as("doc_a"),
+        greatest(coalesce(col("m_a"), col("doc_a")), coalesce(col("m_b"), col("doc_b"))).as("doc_b"))
+    intra.union(inter) // disjoint by construction: same-group vs cross-group
   }
 
   /** Exact k-gram Jaccard similarity for all pairs within `docs` — O(n²) in
@@ -205,11 +289,24 @@ object Dedup {
     * at corpus scale (e.g. 64-bit simhash, maxDist 3 → 16-bit bands → 65k
     * buckets) so intra-bucket pair emission stays linear-ish. */
   def simhashBandedPairs(docs: DataFrame, idCol: Column, textCol: Column,
-      maxDist: Int, bits: Int = 16): DataFrame = {
+      maxDist: Int, bits: Int = 16,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val numBands = maxDist + 1
     require(numBands <= bits,
       s"need at least maxDist+1=$numBands bands out of $bits fingerprint bits")
+    // exact-duplicate pre-collapse: identical fingerprints (Hamming 0 — the
+    // whole duplicate-heavy-corpus mass) reduce to one representative; only
+    // the 16-byte (doc_id, simhash) projection shuffles, and the window
+    // exchange is reused by every downstream branch
     val sh = simhashDocs(docs, idCol, textCol, bits)
+      .filter(col("simhash").isNotNull)
+    val w = Window.partitionBy(col("simhash"))
+    val withRep = sh.select(col("doc_id"), col("simhash"),
+      min(col("doc_id")).over(w).as("rep"), count(lit(1)).over(w).as("cnt"))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("simhash"))
+    // see lshCandidatePairs: empty unless the corpus has exact-dup groups
+    val mDup = withRep.filter(col("cnt") > 1).select(col("doc_id"), col("rep"))
     // contiguous bands with sizes differing by at most one bit
     val bandCols = (0 until numBands).map { i =>
       val lo = i * bits / numBands
@@ -218,22 +315,31 @@ object Dedup {
         shiftrightunsigned(col("simhash"), lo)
           .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("band_val"))
     }
-    val buckets = sh
+    val bk = reps
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
-      .groupBy(col("b.band"), col("b.band_val"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("items"))
-      .filter(size(col("items")) > 1)
-    val pairs = flatten(transform(col("items"), (x, i) =>
-      transform(slice(col("items"), i + 2, size(col("items"))), y =>
-        struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
-          bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
-            .as("hamming")))))
-    buckets
-      .select(explode(pairs).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.hamming").as("hamming"))
+      .select(col("b.band").as("band"), col("b.band_val").as("band_key"),
+        col("doc_id"), col("simhash"))
+    val repPairs = bucketPairs(bk, Seq("band", "band_key"),
+        struct(col("doc_id"), col("simhash")), bucketCap)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct() // a pair may share several bands
+      .distinct() // a representative pair may share several bands
+    // re-attach collapsed members: identical fingerprints pair at distance 0;
+    // cross-group pairs inherit their representatives' distance (equal
+    // fingerprints within each group)
+    val intra = mDup.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(mDup.select(col("rep"), col("doc_id").as("doc_b")), "rep")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
+    val inter = repPairs
+      .join(mDup.select(col("rep").as("doc_a"), col("doc_id").as("m_a")), Seq("doc_a"), "left")
+      .join(mDup.select(col("rep").as("doc_b"), col("doc_id").as("m_b")), Seq("doc_b"), "left")
+      .select(
+        least(coalesce(col("m_a"), col("doc_a")), coalesce(col("m_b"), col("doc_b"))).as("doc_a"),
+        greatest(coalesce(col("m_a"), col("doc_a")), coalesce(col("m_b"), col("doc_b"))).as("doc_b"),
+        col("hamming"))
+    intra.union(inter)
   }
 
   /** Embedding-cosine near-dup pairs above `threshold` (rounded to 4dp for

@@ -90,6 +90,53 @@ class OperatorsSpec extends SparkSpec {
     assert(bucketedRows.forall(bruteSet.contains), "bucketed invented a pair")
   }
 
+  test("Dedup: duplicate-heavy corpus (10k copies of one doc) completes; counts are exact") {
+    // the degenerate web-crawl shape: one boilerplate page mirrored 10^4
+    // times. Before the exact-duplicate pre-collapse this put all copies in
+    // one LSH/SimHash bucket and materialized a ~5*10^7-struct pair array in
+    // a single task; now the copies collapse to one representative and the
+    // member pairs stream through distributed equi-joins.
+    val dupText = "spam spam wonderful spam boilerplate mirrored page content here"
+    val distinctDocs = (0 until 40).map(i =>
+      (100000L + i, s"unique document number $i discusses topic ${i * 7} at length"))
+      .toDF("doc_id", "text")
+    val nDup = 10000L
+    val dups = spark.range(nDup).select(col("id").as("doc_id"), lit(dupText).as("text"))
+    val corpus = dups.unionByName(distinctDocs)
+    // compositional oracle from a collapsed run (one copy stands in for all):
+    // full = C(nDup,2) intra + distinct-vs-distinct + (docs pairing with the
+    // representative) * nDup — pairing behavior is a function of the
+    // fingerprint, identical for every copy
+    val small = Seq((0L, dupText)).toDF("doc_id", "text").unionByName(distinctDocs)
+
+    val smallLsh = Dedup.lshCandidatePairs(small, col("doc_id"), col("text"), 16, 4)
+      .as[(Long, Long)].collect()
+    val expectedLsh = nDup * (nDup - 1) / 2 +
+      smallLsh.count(_._1 != 0L) + smallLsh.count(_._1 == 0L) * nDup
+    assert(Dedup.lshCandidatePairs(corpus, col("doc_id"), col("text"), 16, 4)
+      .count() == expectedLsh)
+
+    val smallSh = Dedup.simhashBandedPairs(small, col("doc_id"), col("text"), maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val expectedSh = nDup * (nDup - 1) / 2 +
+      smallSh.count(_._1 != 0L) + smallSh.count(_._1 == 0L) * nDup
+    assert(Dedup.simhashBandedPairs(corpus, col("doc_id"), col("text"), maxDist = 3)
+      .count() == expectedSh)
+  }
+
+  test("Dedup: bucketCap streaming-split path is exact (tiny cap == default cap)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    assert(
+      rowSet(Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"), 16, 4, bucketCap = 2)) ==
+      rowSet(Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"), 16, 4)),
+      "LSH: capped split path changed the row set")
+    assert(
+      rowSet(Dedup.simhashBandedPairs(docs, col("doc_id"), col("text"), 8, bucketCap = 2)) ==
+      rowSet(Dedup.simhashBandedPairs(docs, col("doc_id"), col("text"), 8)),
+      "SimHash: capped split path changed the row set")
+  }
+
   test("pivotCounts: fixed type list, missing combos are zero") {
     val ev = Seq((1L, "click"), (1L, "click"), (2L, "view"))
       .toDF("user_id", "event_type")

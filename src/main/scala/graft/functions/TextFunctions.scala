@@ -50,20 +50,25 @@ object TextFunctions {
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i => minhash(shingleArr, i)): _*)
 
-  /** SimHash over the distinct word set, `bits` wide (≤ 32). Bit j of a
-    * word's hash is the high bit of hex digit j of md5(word) — extractable
-    * with plain string ops in both engines. Per-bit ±1 votes are summed over
-    * words; positive sum ⇒ bit set. Row-local (aggregate over the word
+  /** SimHash over the distinct word set, `bits` wide (≤ 64). Bit j of a
+    * word's hash is the high bit of hex digit j of md5(word) for j ≤ 32 and
+    * of hex digit j−32 of md5('1:' || word) above — extractable with plain
+    * string ops in both engines. Per-bit ±1 votes are summed over words;
+    * positive sum ⇒ bit set (bit 64 lands on the sign, which XOR/popcount
+    * comparisons are indifferent to). Row-local (aggregate over the word
     * array), so it shuffles nothing. */
   def simhash(c: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 64, s"simhash supports 1..64 bits, got $bits")
     val words = wordSet(c)
     val votes = aggregate(
       words,
       array_repeat(lit(0), bits),
       (acc, w) => {
         val h = md5(w)
+        lazy val h2 = md5(concat(lit("1:"), w))
         val wordBits = array((1 to bits).map { j =>
-          when(substring(h, j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          val digit = if (j <= 32) substring(h, j, 1) else substring(h2, j - 32, 1)
+          when(digit.isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
             .otherwise(-1)
         }: _*)
         zip_with(acc, wordBits, (a, b) => a + b)

@@ -366,15 +366,22 @@ object Dedup {
     * companion spec pins it against [[embeddingNearDups]] at the judged
     * threshold). Corpus shuffles once, keyed by bucket; never all-pairs. */
   def embeddingNearDupsBucketed(emb: DataFrame, idCol: Column, vecCol: Column,
-      threshold: Double, planes: Seq[Int]): DataFrame = {
+      threshold: Double, planes: Seq[Int], probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 1 && probeBits <= planes.length,
+      s"probeBits must be in [1, ${planes.length}]")
     val base = Parallelism.fanOut(emb.select(idCol.as("id"), vecCol.as("vec")))
     val own = Similarity.signLshBucket(col("vec"), planes)
     val a = base.select(own.as("bucket"),
       col("id").as("id_a"), col("vec").as("vec_a"))
-    val probeKeys = array((0 to planes.length).map {
-      case 0 => own
-      case i => own.bitwiseXOR(lit(1L << (i - 1)))
-    }: _*)
+    // every flip mask of ≤ probeBits plane signs (mask 0 = the own bucket):
+    // a pair whose keys differ in d ≤ probeBits planes meets under exactly
+    // the mask key_a XOR key_b, so nothing is double-generated
+    val probeKeys = array((0L until (1L << planes.length))
+      .filter(m => java.lang.Long.bitCount(m) <= probeBits)
+      .map {
+        case 0L => own
+        case m  => own.bitwiseXOR(lit(m))
+      }: _*)
     val b = base.select(explode(probeKeys).as("bucket"),
       col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
@@ -382,5 +389,53 @@ object Dedup {
       .withColumn("sim", cosineRounded(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** Embedding-cosine near-dup through annulus (pivot-angle) banding —
+    * EXACT at any threshold, where sign-LSH probing is only empirically
+    * complete: every vector gets its angle θ(x,a) to one fixed anchor
+    * direction a (the all-ones diagonal); the spherical triangle inequality
+    * θ(x,y) ≥ |θ(x,a) − θ(y,a)| means a pair with cosine ≥ `threshold`
+    * (θ(x,y) ≤ acos(threshold)) differs by at most acos(threshold) in anchor
+    * angle, so it lands within `k` adjacent angle bands of width `bandDeg`.
+    * Candidate generation is ONE band-keyed equi-join (each row also probes
+    * its k downward neighbor bands, so every qualifying pair meets at least
+    * once), then the exact cosine refine — precision AND recall are 1 by
+    * construction; band-boundary float wiggle only widens the candidate set.
+    *
+    * Scale: the corpus shuffles once keyed by band; no all-pairs join. The
+    * candidate annulus spans ~2·acos(threshold) of angle, so pruning power
+    * is threshold-dependent — thin (strong) at real near-dup thresholds
+    * (0.9+ ⇒ a few bands), honest-but-wide at verification thresholds. */
+  def embeddingNearDupsAnnulus(emb: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double, bandDeg: Double = 5.0): DataFrame = {
+    val bandRad = math.toRadians(bandDeg)
+    // +2 bands of slack: +1 for the bucket-floor offset, +1 absorbing acos
+    // ulp error — extra candidates are free (the refine is exact)
+    val k = (math.acos(threshold) / bandRad).toInt + 2
+    val base = Parallelism.fanOut(emb.select(idCol.as("id"), vecCol.as("vec")))
+    val anchorCos = aggregate(col("vec"), lit(0.0),
+      (s, x) => s + x.cast("double")) /
+      (norm(col("vec")) * sqrt(size(col("vec")).cast("double")))
+    val band = floor(
+      acos(least(greatest(anchorCos, lit(-1.0)), lit(1.0))) / lit(bandRad))
+      .cast("long")
+    val withBand = base.select(col("id"), col("vec"), band.as("band"))
+    val a = withBand.select(col("band"),
+      col("id").as("id_a"), col("vec").as("vec_a"))
+    // upward-only probing: a pair whose bands differ by d ∈ (0, k] meets
+    // exactly once (the lower band probed up by the higher); same-band pairs
+    // meet twice with roles swapped — the least/greatest + distinct below
+    // canonicalizes both cases
+    val b = withBand.select(
+      explode(array((0 to k).map(o => col("band") + lit(o.toLong)): _*)).as("band"),
+      col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", cosineRounded(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
+      .distinct()
   }
 }

@@ -76,6 +76,31 @@ object PipelineQueries {
       |    CAST(SUM(CASE WHEN vote > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM v GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB 64-bit SimHash CTE mirroring TextFunctions.simhash(bits = 64):
+    * bits 1–32 from md5(word) hex digits as in [[SimHashCte]]; bits 33–64
+    * from md5('1:' || word). Bit 64 is the BIGINT sign, so the bit values
+    * are summed as HUGEINT and cast back — the mathematical value is always
+    * in BIGINT range (it IS the two's-complement fingerprint). */
+  private val SimHash64Cte =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word
+      |  FROM documents WHERE text IS NOT NULL),
+      |v AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN substring(
+      |          CASE WHEN j <= 32 THEN md5(word) ELSE md5('1:' || word) END,
+      |          CASE WHEN j <= 32 THEN j ELSE j - 32 END, 1)
+      |        IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS vote
+      |  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) bits
+      |  GROUP BY doc_id, j),
+      |sh64 AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote > 0 THEN
+      |      CASE WHEN j = 64 THEN CAST(-9223372036854775807 - 1 AS HUGEINT)
+      |           ELSE CAST(1::BIGINT << (j - 1) AS HUGEINT) END
+      |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+      |  FROM v GROUP BY doc_id)""".stripMargin
+
   /** Memoized dd_components labels (see that entry's comment). The key
     * carries a fingerprint of the input file (length + mtime) and the
     * shuffle-partition conf, so changed data or a changed session conf
@@ -210,6 +235,20 @@ object PipelineQueries {
         |FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
 
+    // The scaladoc's 100 TB recipe judged end-to-end: 64-bit fingerprints at
+    // maxDist 3 ⇒ 4 exact 16-bit bands (65k bucket values per band, so
+    // buckets shrink as the corpus grows). The all-pairs oracle proves the
+    // banding loses/invents nothing at the production bit width.
+    Q("dd_simhash64_banded",
+      (s, d) => Dedup.simhashBandedPairs(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        col("doc_id"), col("text"), maxDist = 3, bits = 64),
+      Some(SimHash64Cte + """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
+
     // Exact n-gram Jaccard — quadratic refine step, judged on a bounded
     // subset (the full-corpus path is LSH candidates → this refine).
     Q("dd_jaccard",
@@ -230,21 +269,22 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin)),
 
-    // Embedding-cosine near-dups through sign-LSH buckets (bucket-keyed
-    // equi-join + exact cosine refine; the all-pairs oracle judges recall).
-    // Planes 0-3 with 1-bit probes: empirically complete at the 0.5
-    // threshold on this corpus with margin — the highest-sim pair the
-    // probing could miss sits at 0.43 (sf0.01) / 0.48 (sf0.1), measured;
-    // DedupSpec pins bucketed == brute-force at the judged parameters.
+    // Embedding-cosine near-dups through annulus (pivot-angle) banding —
+    // band-keyed equi-join + exact cosine refine, complete at ANY threshold
+    // by the spherical triangle inequality (sign-LSH probing, kept as
+    // Dedup.embeddingNearDupsBucketed, is only empirically complete and
+    // measurably misses pairs below ~0.5 on this corpus). Judged at 0.3 so
+    // the all-pairs oracle exercises a NONZERO row set (232 pairs at
+    // sf0.01); OperatorsSpec pins annulus == brute-force at 0.3/0.5/0.9.
     Q("dd_embed_neardup",
-      (s, d) => Dedup.embeddingNearDupsBucketed(
+      (s, d) => Dedup.embeddingNearDupsAnnulus(
         t(s, d, "embeddings").filter(col("vec_id") < 256),
-        col("vec_id"), col("embedding"), threshold = 0.5, planes = Seq(0, 1, 2, 3)),
+        col("vec_id"), col("embedding"), threshold = 0.3),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 256 AND b.vec_id < 256
-        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.5""".stripMargin)),
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.3""".stripMargin)),
 
     // ---- Similarity search ------------------------------------------------
 

@@ -90,6 +90,26 @@ class OperatorsSpec extends SparkSpec {
     assert(bucketedRows.forall(bruteSet.contains), "bucketed invented a pair")
   }
 
+  test("Dedup.embeddingNearDupsAnnulus: equals brute-force at every threshold, keyed-join plan") {
+    // completeness is structural (spherical triangle inequality), so unlike
+    // the sign-LSH path this must match brute-force at ANY threshold —
+    // including 0.3, where multi-probe sign-LSH measurably misses pairs
+    for (sf <- Seq("sf0.001", "sf0.01"); th <- Seq(0.3, 0.5)) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .filter(col("vec_id") < 256)
+      val ann = Dedup.embeddingNearDupsAnnulus(emb, col("vec_id"), col("embedding"), th)
+      assert(rowSet(ann) ==
+        rowSet(Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"), th)),
+        s"annulus != brute-force at $sf th=$th")
+      assert(!ann.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    }
+    // the judged threshold must exercise nonzero output (vacuous-oracle guard)
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") < 256)
+    assert(Dedup.embeddingNearDupsAnnulus(emb01, col("vec_id"), col("embedding"), 0.3)
+      .count() > 0)
+  }
+
   test("Dedup: duplicate-heavy corpus (10k copies of one doc) completes; counts are exact") {
     // the degenerate web-crawl shape: one boilerplate page mirrored 10^4
     // times. Before the exact-duplicate pre-collapse this put all copies in

@@ -2,7 +2,12 @@
 """Dev-side oracle pre-check (mirrors the driver's t2 gate): load each
 Verify output parquet, run the corresponding oracle SQL in DuckDB over the
 same sf directory, and compare row sets (columns sorted by name, rows
-sorted, values hashed). Usage: check.py <sfDir> <verifyOutDir>"""
+sorted, values hashed). Usage: check.py <sfDir> <verifyOutDir>
+
+Both sides are fetched through pandas (parquet via to_pandas, oracle via
+.df()) so NULL-in-numeric (-> NaN) and DATE (-> Timestamp) canonicalize
+identically — `check.py --selftest` proves it on a synthetic fixture that
+exercises exactly those columns."""
 import json, sys, math
 import duckdb
 import pyarrow.parquet as pq
@@ -86,5 +91,25 @@ def main(sf_dir, out_dir):
     print(f"== {n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0
 
+def selftest():
+    """Symmetry proof: a fixture whose columns hit the historically-risky
+    canonicalization paths (numeric NULL -> NaN, DATE -> Timestamp, NULL
+    DATE, NULL DOUBLE) must compare clean when the parquet side and the
+    oracle side hold identical data."""
+    import os, tempfile
+    out = tempfile.mkdtemp(prefix="check-selftest-")
+    sql = """SELECT * FROM (VALUES
+      (1::BIGINT, NULL::BIGINT, DATE '2020-01-02', 1.5),
+      (2::BIGINT, 7::BIGINT,    DATE '2021-12-31', NULL::DOUBLE),
+      (3::BIGINT, NULL::BIGINT, NULL::DATE,        2.25)
+    ) v(id, n_nullable, d, x)"""
+    con = duckdb.connect()
+    os.makedirs(f"{out}/fix_null_date")
+    con.execute(f"COPY ({sql}) TO '{out}/fix_null_date/part-0.parquet' (FORMAT PARQUET)")
+    json.dump({"fix_null_date": sql}, open(f"{out}/oracle_sql.json", "w"))
+    return main(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001", out)
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,138 @@
+package graft.warehouse
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-table transactional commit for the warehouse — the reference
+  * commits once per channel across all four entity tables
+  * (/root/reference/app.py:389); [[Migration.migrate]] gives only per-table
+  * write atomicity. This closes the gap without a table format: a
+  * manifest-file commit.
+  *
+  * Layout: `root/<table>/seg-<version>` parquet segment directories plus one
+  * `root/MANIFEST` text file mapping each table to the segment list that IS
+  * the current snapshot. A commit stages new segments for every table
+  * ([[prepare]] — invisible, the manifest still points at the old segments)
+  * and then publishes them all with ONE atomic manifest rename
+  * ([[publish]]). A crash anywhere before the rename leaves readers on the
+  * old snapshot across all four tables; orphaned staged segments are inert
+  * and get overwritten by the retry. Readers ([[snapshot]]) never list
+  * directories — they read exactly the manifest's segment list, so
+  * half-written data is unreachable by construction.
+  *
+  * Scale: the manifest is O(tables × commits) text — the data path is still
+  * plain parquet read over the manifest's segment paths, and the anti-join
+  * idempotency guard is the same keyed shuffle as [[Migration
+  * .idempotentAppend]]. The rename is atomic on POSIX local filesystems and
+  * on HDFS (FileContext rename with OVERWRITE).
+  */
+object AtomicCommit {
+
+  /** A fully-staged commit: every segment written, nothing visible. */
+  case class Staged(root: String, version: Long, manifestBody: String,
+      counts: Map[String, Long])
+
+  private def manifestPath(root: String) = new Path(s"$root/MANIFEST")
+
+  /** (version, table → segment paths relative to root). Version 0 = empty
+    * warehouse (no manifest yet). */
+  def readManifest(spark: SparkSession, root: String): (Long, Map[String, Seq[String]]) = {
+    val p = manifestPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0L, Map.empty)
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+      val version = lines.head.stripPrefix("version=").toLong
+      val tables = lines.tail.map { l =>
+        val Array(t, segs) = l.split("=", 2)
+        t -> (if (segs.isEmpty) Seq.empty[String] else segs.split(",").toSeq)
+      }.toMap
+      (version, tables)
+    }
+  }
+
+  /** The current committed snapshot of `table`; None before its first
+    * nonempty commit. Reads only manifest-listed segments — staged or
+    * orphaned directories are invisible. */
+  def snapshot(spark: SparkSession, root: String, table: String): Option[DataFrame] = {
+    val segs = readManifest(spark, root)._2.getOrElse(table, Seq.empty)
+    if (segs.isEmpty) None
+    else Some(spark.read.parquet(segs.map(s => s"$root/$s"): _*))
+  }
+
+  /** Stage one segment per table: batch-dedup on the primary key, anti-join
+    * against the CURRENT snapshot (idempotent re-commit), write the fresh
+    * rows to `table/seg-<nextVersion>`. Tables with nothing fresh stage no
+    * segment. Nothing becomes visible until [[publish]]. */
+  def prepare(spark: SparkSession, root: String,
+      tables: Map[String, (DataFrame, Seq[String])]): Staged = {
+    val (version, current) = readManifest(spark, root)
+    val next = version + 1
+    val staged = tables.map { case (t, (df, pk)) =>
+      val batch = df.dropDuplicates(pk)
+      val fresh = snapshot(spark, root, t) match {
+        case Some(existing) => batch.join(existing.select(pk.map(col): _*), pk, "left_anti")
+        case None => batch
+      }
+      fresh.cache()
+      val n = fresh.count()
+      val seg = s"$t/seg-$next"
+      if (n > 0) fresh.write.mode("overwrite").parquet(s"$root/$seg")
+      fresh.unpersist()
+      (t, if (n > 0) Some(seg) else None, n)
+    }
+    val merged = staged.map { case (t, seg, _) =>
+      s"$t=" + (current.getOrElse(t, Seq.empty) ++ seg).mkString(",")
+    }
+    // carry forward tables absent from this commit unchanged
+    val untouched = (current.keySet -- tables.keySet).map { t =>
+      s"$t=" + current(t).mkString(",")
+    }
+    val body = (Seq(s"version=$next") ++ merged ++ untouched).mkString("\n")
+    Staged(root, next, body, staged.map { case (t, _, n) => t -> n }.toMap)
+  }
+
+  /** Atomically publish a staged commit: write the new manifest to a temp
+    * name, then rename over `MANIFEST` — the one indivisible step. */
+  def publish(spark: SparkSession, staged: Staged): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(s"${staged.root}/MANIFEST.tmp-${staged.version}")
+    val fs = tmp.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(staged.manifestBody.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, manifestPath(staged.root), Options.Rename.OVERWRITE)
+  }
+
+  /** prepare + publish; returns per-table freshly-committed row counts. */
+  def commitTables(spark: SparkSession, root: String,
+      tables: Map[String, (DataFrame, Seq[String])]): Map[String, Long] = {
+    val staged = prepare(spark, root, tables)
+    publish(spark, staged)
+    staged.counts
+  }
+
+  /** [[Migration.migrate]] with all-four-tables atomicity: either every
+    * entity table advances to the new snapshot or none does. */
+  def migrateAtomic(spark: SparkSession, lakePath: String,
+      root: String): Map[String, Long] = {
+    val lake = spark.read.parquet(lakePath)
+    commitTables(spark, root, Map(
+      "channel" -> (Migration.channelTable(lake), Seq("channel_id")),
+      "playlist" -> (Migration.playlistTable(lake), Seq("playlist_id")),
+      "video" -> (Migration.videoTable(lake), Seq("video_id")),
+      "comment" -> (Migration.commentTable(lake), Seq("comment_id"))))
+  }
+
+  /** Temp-view registration resolving through the manifest (the atomic
+    * counterpart of [[Migration.registerViews]]). */
+  def registerViews(spark: SparkSession, root: String): Unit =
+    Seq("channel", "playlist", "video", "comment").foreach { t =>
+      snapshot(spark, root, t).foreach(_.createOrReplaceTempView(t))
+    }
+}

@@ -1,0 +1,73 @@
+package graft.warehouse
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.{Lake, Landing}
+
+class AtomicCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tables(rows: (Long, String)*): Map[String, (org.apache.spark.sql.DataFrame, Seq[String])] =
+    Map(
+      "alpha" -> (rows.toDF("id", "v"), Seq("id")),
+      "beta" -> (rows.map { case (id, v) => (id * 10, v) }.toDF("id", "v"), Seq("id")))
+
+  test("commit is atomic across tables: a crash between staging and publish leaves the old snapshot") {
+    val root = Files.createTempDirectory("graft-ac").toString
+    AtomicCommit.commitTables(spark, root, tables((1L, "a"), (2L, "b")))
+    assert(AtomicCommit.snapshot(spark, root, "alpha").get.count() == 2)
+    assert(AtomicCommit.snapshot(spark, root, "beta").get.count() == 2)
+
+    // "crash": every segment of the next commit is fully written (prepare
+    // returns), but the process dies before publish — readers of BOTH
+    // tables must still see the version-1 snapshot
+    val staged = AtomicCommit.prepare(spark, root, tables((3L, "c"), (4L, "d")))
+    assert(staged.counts == Map("alpha" -> 2L, "beta" -> 2L))
+    assert(rowSet(AtomicCommit.snapshot(spark, root, "alpha").get) ==
+      Seq("[1,a]", "[2,b]"), "reader saw a half-committed snapshot")
+    assert(rowSet(AtomicCommit.snapshot(spark, root, "beta").get) ==
+      Seq("[10,a]", "[20,b]"))
+
+    // retry after the crash: the re-commit overwrites the orphaned segments
+    // and publishes everything at once
+    AtomicCommit.commitTables(spark, root, tables((3L, "c"), (4L, "d")))
+    assert(rowSet(AtomicCommit.snapshot(spark, root, "alpha").get) ==
+      Seq("[1,a]", "[2,b]", "[3,c]", "[4,d]"))
+    assert(rowSet(AtomicCommit.snapshot(spark, root, "beta").get) ==
+      Seq("[10,a]", "[20,b]", "[30,c]", "[40,d]"))
+    // the retry re-derives version 2 from the committed manifest and
+    // overwrites the crashed attempt's orphaned segment directories
+    assert(AtomicCommit.readManifest(spark, root)._1 == 2)
+  }
+
+  test("re-committing the same batch is idempotent (anti-join on the snapshot)") {
+    val root = Files.createTempDirectory("graft-ac").toString
+    val first = AtomicCommit.commitTables(spark, root, tables((1L, "a"), (2L, "b")))
+    assert(first == Map("alpha" -> 2L, "beta" -> 2L))
+    val second = AtomicCommit.commitTables(spark, root, tables((1L, "a"), (2L, "b")))
+    assert(second == Map("alpha" -> 0L, "beta" -> 0L))
+    assert(AtomicCommit.snapshot(spark, root, "alpha").get.count() == 2)
+    // zero-fresh commits stage no segments but still advance the version
+    assert(AtomicCommit.readManifest(spark, root)._1 == 2)
+  }
+
+  test("migrateAtomic: lake -> four warehouse tables in one commit, views resolve") {
+    val root = Files.createTempDirectory("graft-ac").toString
+    val lakePath = s"$root/lake"
+    val ch = Landing.channels(spark, resource("landing/channels.json"))
+    val pl = Landing.playlists(spark, resource("landing/playlists.json"))
+    val vd = Landing.videos(spark, resource("landing/videos.json"))
+    val cm = Landing.comments(spark, resource("landing/comments.json"))
+    Lake.write(Lake.buildDocuments(ch, pl, vd, cm), lakePath)
+    val counts = AtomicCommit.migrateAtomic(spark, lakePath, s"$root/wh")
+    assert(counts == Map("channel" -> 4L, "playlist" -> 4L, "video" -> 14L, "comment" -> 5L))
+    // re-migration commits nothing new, like Migration.migrate (K3)
+    val again = AtomicCommit.migrateAtomic(spark, lakePath, s"$root/wh")
+    assert(again.values.sum == 0L)
+    AtomicCommit.registerViews(spark, s"$root/wh")
+    assert(spark.table("video").filter(col("likes").isNotNull).count() == 14)
+  }
+}

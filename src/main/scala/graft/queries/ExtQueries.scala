@@ -226,7 +226,13 @@ object ExtQueries {
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows
               FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)),
 
-    // Exact interpolated percentiles (median / p90).
+    // Exact interpolated percentiles (median / p90). VERIFICATION-SCALE
+    // CONSTRUCT: Spark's exact percentile buffers every value per group
+    // (ObjectHashAggregate), which does not survive fact-table groups at
+    // 100 TB — this row exists to prove the exact contract that a19's
+    // mergeable approx_percentile sketch is judged against. Do not lift
+    // exact percentile into a production pipeline; use the sketch.
+    // RegistrySpec fails any NEW judged query that plans one.
     Q("a10_percentiles",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")

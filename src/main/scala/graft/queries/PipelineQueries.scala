@@ -102,12 +102,13 @@ object PipelineQueries {
       |  FROM v GROUP BY doc_id)""".stripMargin
 
   /** Memoized dd_components labels (see that entry's comment). The key
-    * carries a fingerprint of the input file (length + mtime) and the
-    * shuffle-partition conf, so changed data or a changed session conf
+    * carries a fingerprint of the input file (name + length + mtime + an md5
+    * of the trailing 4 KiB — the parquet footer with row-group offsets and
+    * column stats, so even a same-length rewrite inside mtime granularity
+    * changes the key) and the shuffle-partition conf: changed data or conf
     * recomputes instead of returning a stale frame — the memo only
-    * short-circuits provably-identical reruns (same session, same bytes,
-    * same conf). Entries are one small label frame each and live for the
-    * session; distinct (dir, fingerprint, conf) keys bound the map. */
+    * short-circuits provably-identical reruns. Entries are one small label
+    * frame each and live for the session; distinct keys bound the map. */
   private val componentsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
@@ -116,9 +117,17 @@ object PipelineQueries {
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val root = fs.getFileStatus(path)
     val statuses = if (root.isDirectory) fs.listStatus(path).toSeq else Seq(root)
-    val fp = statuses
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString(",")
+    val fp = statuses.map { st =>
+      val tailDigest = if (st.isDirectory || st.getLen == 0) "" else {
+        val n = math.min(4096L, st.getLen).toInt
+        val buf = new Array[Byte](n)
+        val in = fs.open(st.getPath)
+        try { in.seek(st.getLen - n); in.readFully(buf) } finally in.close()
+        new java.math.BigInteger(1,
+          java.security.MessageDigest.getInstance("MD5").digest(buf)).toString(16)
+      }
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}:$tailDigest"
+    }.sorted.mkString(",")
     (s, d, fp + "|shuffle=" + s.conf.get("spark.sql.shuffle.partitions"))
   }
 

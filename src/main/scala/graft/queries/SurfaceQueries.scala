@@ -253,6 +253,8 @@ object SurfaceQueries {
         |FROM customer GROUP BY c_mktsegment""".stripMargin)),
 
     // median (exact, interpolating): both engines average the two middles.
+    // VERIFICATION-SCALE CONSTRUCT (buffers each group's values — see a10's
+    // guard comment; the 100 TB path is a19's approx_percentile sketch).
     Q("a17_median",
       (s, d) => t(s, d, "orders")
         .groupBy("o_orderstatus")
@@ -488,6 +490,9 @@ object SurfaceQueries {
     // exact percentiles (a10's proven contract) plus booleans asserting the
     // sketch landed within 5% relative error of exact. Sketch drift past
     // the bound hash-mismatches against the oracle's literal TRUEs.
+    // The p50/p95_exact columns are VERIFICATION-SCALE ONLY (exact
+    // percentile buffers every group value) — they exist to bound-check the
+    // sketch, never to ship; the production aggregate IS the sketch.
     Q("a19_approx_percentile",
       (s, d) => t(s, d, "orders")
         .groupBy("o_orderstatus")

@@ -165,6 +165,37 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
       "memo returned labels computed from the replaced input")
   }
 
+  test("dd_components memo: same-size same-mtime rewrite recomputes (footer content hash)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ddc2").toString
+    // two corpora whose parquet files are byte-length-identical (fixed-width
+    // texts, no compression) but different in content: A holds one exact-dup
+    // pair (=> one LSH component), B holds word-disjoint docs (=> none)
+    def writeDocs(tag: String, texts: Seq[(Long, String)]): java.nio.file.Path = {
+      val d = Files.createTempDirectory(s"graft-ddc2-$tag")
+      texts.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").option("compression", "none")
+        .option("parquet.enable.dictionary", "false") // dup values must not shrink the file
+        .parquet(d.resolve("p").toString)
+      Files.list(d.resolve("p")).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+    }
+    val a = writeDocs("a", Seq((1L, "w00 x00 y00 z00"), (2L, "w00 x00 y00 z00")) ++
+      (3 to 9).map(i => (i.toLong, f"w$i%02d x$i%02d y$i%02d z$i%02d")))
+    val b = writeDocs("b", (91 to 99).map(i => (i.toLong - 90, f"w$i%02d x$i%02d y$i%02d z$i%02d")))
+    assert(Files.size(a) == Files.size(b),
+      "fixture assumption broken: rewrite must be same-size to exercise the content hash")
+    val target = java.nio.file.Paths.get(dir, "documents.parquet")
+    Files.copy(a, target)
+    val mtime = Files.getLastModifiedTime(target)
+    val q = Registry.byName("dd_components")
+    assert(q.fn(spark, dir).count() > 0, "corpus A has a dup pair")
+    Files.copy(b, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(target, mtime) // same name, size, AND mtime
+    assert(q.fn(spark, dir).count() == 0,
+      "memo returned stale labels for a same-size same-mtime rewrite")
+  }
+
   test("dd_components memo: changed shuffle width recomputes and agrees") {
     val q = Registry.byName("dd_components")
     val base = rowSet(q.fn(spark, "/root/testdata/sf0.001"))

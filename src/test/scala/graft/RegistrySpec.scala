@@ -76,6 +76,24 @@ class RegistrySpec extends SparkSpec {
       s"all-pairs join plans detected:\n${violations.mkString("\n")}")
   }
 
+  test("no judged query plans an exact percentile/median outside the sketch-verification rows") {
+    // exact percentile buffers EVERY value of a group in the aggregate
+    // (ObjectHashAggregate over a fact column) — a memory cliff at 100 TB.
+    // The judged rows that legitimately use it exist to verify the sketch
+    // counterparts and are documented as verification-scale constructs:
+    //  - a10/a17: the exact contract the a19 sketch is bound-checked against
+    //  - a19: carries the exact columns alongside the sketch's error bound
+    val exactOk = Set("a10_percentiles", "a17_median", "a19_approx_percentile")
+    val exactAgg = "(?<![_a-z])(percentile|median)\\(".r
+    val violations = Registry.all.filter(q => q.sql.isDefined && !exactOk(q.name))
+      .flatMap { q =>
+        val plan = q.fn(spark, sf).queryExecution.analyzed.toString
+        if (exactAgg.findFirstIn(plan).isDefined) Some(q.name) else None
+      }
+    assert(violations.isEmpty,
+      s"exact percentile/median planned outside the verification allowlist: $violations")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -74,6 +74,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(nExchanges <= 2, s"tx_tfidf plan has $nExchanges exchanges:\n$p")
   }
 
+  test("dd_lsh_pairs: the MinHash signature exchange is reused across branches, not recomputed") {
+    // the dup-collapse rewrite consumes the (doc_id, sig) window frame from
+    // several branches (reps -> bands, dup-members -> re-attach joins); the
+    // expensive MinHash projection must be computed ONCE and flow through
+    // AQE exchange reuse — a refactor that breaks canonical plan equality
+    // here would silently multiply the dominant cost of the query
+    val p = planOf("dd_lsh_pairs")
+    assert(p.contains("ReusedExchange"),
+      s"expected the signature window exchange to be reused across branches:\n$p")
+  }
+
   test("q09: scaled-long exact aggregation keeps hash (map-side partial) aggregation") {
     val p = planOf("q09_group_avg")
     assert(p.contains("HashAggregate"), p)

@@ -131,6 +131,15 @@ object PipelineQueries {
     (s, d, fp + "|shuffle=" + s.conf.get("spark.sql.shuffle.partitions"))
   }
 
+  /** The memoized dd_components labels (doc_id, component) — shared by every
+    * judged query that builds on the clustering. */
+  private def components(s: SparkSession, d: String): DataFrame =
+    componentsCache.getOrElseUpdate(componentsKey(s, d),
+      Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          NumHashes, Bands))
+        .select(col("id").as("doc_id"), col("component")))
+
   val all: Seq[Q] = Seq(
 
     // ---- Deduplication ----------------------------------------------------
@@ -168,11 +177,7 @@ object PipelineQueries {
     // labels are memoized per (session, dir) — plan-only callers
     // (RegistrySpec, Explain) would otherwise re-run the whole clustering.
     Q("dd_components",
-      (s, d) => componentsCache.getOrElseUpdate(componentsKey(s, d),
-        Dedup.connectedComponents(
-          Dedup.lshCandidatePairs(t(s, d, "documents"), col("doc_id"), col("text"),
-            NumHashes, Bands))
-          .select(col("id").as("doc_id"), col("component"))),
+      (s, d) => components(s, d),
       Some(BandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -186,6 +191,35 @@ object PipelineQueries {
         |  UNION
         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
         |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin)),
+
+    // The production selection policy over those clusters: keep the
+    // HIGHEST-QUALITY member of each near-dup cluster (quality = n_chars
+    // here; any score column slots in), not the first-seen id — unclustered
+    // docs keep themselves. Reuses the memoized component labels.
+    Q("dd_cluster_keep_best",
+      (s, d) => Dedup.clusterKeepBest(
+        t(s, d, "documents"), col("doc_id"), col("n_chars"), components(s, d)),
+      Some(BandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+        |UNION ALL
+        |SELECT doc_id FROM (
+        |  SELECT comp.doc_id,
+        |    row_number() OVER (PARTITION BY comp.component
+        |      ORDER BY d.n_chars DESC, comp.doc_id) AS rn
+        |  FROM comp JOIN documents d ON d.doc_id = comp.doc_id) ranked
+        |WHERE rn = 1""".stripMargin)),
 
     // End-to-end near-dup dedup decision: LSH candidates -> Jaccard refine
     // -> greedy drop-vs-smaller-id; returns kept ids.

@@ -90,6 +90,18 @@ class OperatorsSpec extends SparkSpec {
     assert(bucketedRows.forall(bruteSet.contains), "bucketed invented a pair")
   }
 
+  test("Dedup.clusterKeepBest: best-quality member survives, ties break to min id, singletons kept") {
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L), // cluster A: 2 and 3 tie on quality -> keep 2
+      (4L, 50L),                       // cluster B alone in labels -> keeps itself
+      (5L, 1L)                         // unclustered -> kept
+    ).toDF("doc_id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("doc_id", "component")
+    val kept = Dedup.clusterKeepBest(docs, col("doc_id"), col("quality"), labels)
+      .as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
   test("Dedup.embeddingNearDupsAnnulus: equals brute-force at every threshold, keyed-join plan") {
     // completeness is structural (spherical triangle inequality), so unlike
     // the sign-LSH path this must match brute-force at ANY threshold —

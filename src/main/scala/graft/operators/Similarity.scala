@@ -76,6 +76,39 @@ object Similarity {
     topKBySim(joined, k)
   }
 
+  /** Lloyd's k-means for training the IVF coarse centroids — the piece that
+    * turns [[ivfTopK]] from "centroids given" into a self-contained index
+    * build. Deterministic: init = the k lowest-id vectors, fixed `iters`
+    * Lloyd rounds, cosine assignment with the same id-tiebreak as
+    * [[assignClusters]].
+    *
+    * Scale shape: each round is ONE pass — assignment is row-local against
+    * the broadcast centroid table, and the centroid update is a single
+    * map-side-combined HashAggregate of `dim` per-dimension sums + a count
+    * (no explode: k×(dim+1) doubles shuffle, nothing else). The tiny
+    * centroid frame is localCheckpoint-ed per round so the iterative
+    * lineage stays bounded (same pattern as
+    * [[Dedup.connectedComponents]]). */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    require(k > 0 && iters >= 0 && dim > 0)
+    var centroids = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = assignClusters(corpus, centroids)
+      val sums = assigned.groupBy("cluster").agg(
+        count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")): _*)
+      centroids = sums.select(
+        col("cluster").as("vec_id"),
+        array((0 until dim).map(i => (col(s"s$i") / col("n")).cast("float")): _*)
+          .as("embedding"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
   /** Sign-LSH bucket key: bit i is the sign of component `planes(i)` —
     * random-hyperplane LSH with axis-aligned planes (valid for cosine;
     * no trained centroids, no randomness, fully deterministic across

@@ -103,6 +103,29 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Multi-table transactional streaming sink: each micro-batch commits the
+    * event rows AND their per-type batch statistics through ONE
+    * [[graft.warehouse.AtomicCommit]] manifest publish — a reader sees both
+    * tables advance together or not at all (the streaming analogue of the
+    * reference's per-channel multi-table commit; the plain
+    * [[startIdempotentParquetSink]] gives only single-table atomicity).
+    * Idempotency is inherited from the commit's primary-key anti-join: a
+    * replayed micro-batch (fresh checkpoint, sink-side retry) commits zero
+    * fresh rows to BOTH tables. */
+  def startAtomicEventSink(events: DataFrame, warehouseRoot: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stats = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
+          .withColumn("batch_id", lit(batchId))
+        graft.warehouse.AtomicCommit.commitTables(batch.sparkSession, warehouseRoot, Map(
+          "events" -> (batch, Seq("event_id")),
+          "event_stats" -> (stats, Seq("batch_id", "event_type"))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Attach input-row accounting to a (streaming or batch) event frame:
     * `Dataset.observe` counts rows per micro-batch at this point in the
     * plan — BEFORE any watermark drop — and surfaces them through

@@ -169,6 +169,28 @@ class OperatorsSpec extends SparkSpec {
       "SimHash: capped split path changed the row set")
   }
 
+  test("Similarity.kmeansCentroids: deterministic, non-decreasing quality, feeds ivfTopK") {
+    import graft.functions.VectorFunctions.cosine
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // mean best-centroid cosine over the corpus: the Lloyd objective proxy
+    def quality(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.alias("v")
+        .crossJoin(broadcast(cents.select(col("embedding").as("c"))))
+        .select(col("v.vec_id"), cosine(col("v.embedding"), col("c")).as("s"))
+        .groupBy("vec_id").agg(max(col("s")).as("best"))
+        .agg(avg("best")).first().getDouble(0)
+    val init = Similarity.kmeansCentroids(emb, 8, 0, dim)
+    val trained = Similarity.kmeansCentroids(emb, 8, 3, dim)
+    assert(rowSet(trained) == rowSet(Similarity.kmeansCentroids(emb, 8, 3, dim)),
+      "k-means must be deterministic run-to-run")
+    assert(quality(trained) >= quality(init) - 1e-9,
+      "training must not degrade the assignment objective")
+    assert(trained.count() <= 8)
+    val res = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4), trained, 3)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("pivotCounts: fixed type list, missing combos are zero") {
     val ev = Seq((1L, "click"), (1L, "click"), (2L, "view"))
       .toDF("user_id", "event_type")

@@ -138,6 +138,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == batch1.length)
   }
 
+  test("atomic two-table sink: events and stats commit together; replay commits nothing") {
+    import graft.warehouse.AtomicCommit
+    val dir = Files.createTempDirectory("graft-ac-stream").toString
+    val df = batch1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.parquet(s"$dir/in")
+
+    val q1 = EventStreams.startAtomicEventSink(
+      EventStreams.readEvents(spark, s"$dir/in"), s"$dir/wh")
+    q1.awaitTermination(60000)
+    val events = AtomicCommit.snapshot(spark, s"$dir/wh", "events").get
+    val stats = AtomicCommit.snapshot(spark, s"$dir/wh", "event_stats").get
+    assert(events.count() == batch1.length)
+    // cross-table consistency: the stats table accounts for exactly the
+    // committed event rows — they were published by the same manifest swap
+    assert(stats.agg(sum("n_rows")).first().getLong(0) == batch1.length)
+
+    // fresh checkpoint replays the entire input: both tables must stay
+    // unchanged (anti-join idempotency inside the atomic commit)
+    val q2 = EventStreams.startAtomicEventSink(
+      EventStreams.readEvents(spark, s"$dir/in"), s"$dir/wh")
+    q2.awaitTermination(60000)
+    assert(AtomicCommit.snapshot(spark, s"$dir/wh", "events").get.count() == batch1.length)
+    assert(AtomicCommit.snapshot(spark, s"$dir/wh", "event_stats").get
+      .agg(sum("n_rows")).first().getLong(0) == batch1.length)
+  }
+
   test("sessions: gap-separated user activity becomes distinct sessions") {
     val df = Seq(
       ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),

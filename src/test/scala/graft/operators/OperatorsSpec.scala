@@ -156,19 +156,6 @@ class OperatorsSpec extends SparkSpec {
       .count() == expectedSh)
   }
 
-  test("Dedup: bucketCap streaming-split path is exact (tiny cap == default cap)") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .filter(col("text").isNotNull)
-    assert(
-      rowSet(Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"), 16, 4, bucketCap = 2)) ==
-      rowSet(Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"), 16, 4)),
-      "LSH: capped split path changed the row set")
-    assert(
-      rowSet(Dedup.simhashBandedPairs(docs, col("doc_id"), col("text"), 8, bucketCap = 2)) ==
-      rowSet(Dedup.simhashBandedPairs(docs, col("doc_id"), col("text"), 8)),
-      "SimHash: capped split path changed the row set")
-  }
-
   test("Similarity.kmeansCentroids: deterministic, non-decreasing quality, feeds ivfTopK") {
     import graft.functions.VectorFunctions.cosine
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -474,6 +474,27 @@ object ExtQueries {
         |  AND b.week_start = a.week_start + 7
         |GROUP BY a.week_start""".stripMargin)),
 
+    // Per-type z-score outlier detection: ONE window pass computes each
+    // type's mean/stddev alongside the row (no join, one event_type-keyed
+    // exchange); z is rounded 4dp on BOTH sides before the threshold so
+    // sub-ulp accumulation differences cannot flip inclusion. At 100 TB the
+    // same shape holds — per-type moments are a partial-aggregatable window.
+    Q("ev_anomaly",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+        t(s, d, "events")
+          .withColumn("z", round(
+            (col("value") - avg(col("value")).over(w)) / stddev_samp(col("value")).over(w), 4))
+          .filter(abs(col("z")) > 3.0)
+          .select(col("event_id"), col("event_type"), col("z"))
+      },
+      Some("""SELECT event_id, event_type, z FROM (
+        |  SELECT event_id, event_type,
+        |    round((value - AVG(value) OVER (PARTITION BY event_type)) /
+        |          STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS z
+        |  FROM events) t
+        |WHERE abs(z) > 3.0""".stripMargin)),
+
     // Streaming window shapes, batch-mode for the oracle; the same transform
     // functions run under readStream+watermark in graft.streaming.
     Q("st_tumbling_window",

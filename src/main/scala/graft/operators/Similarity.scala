@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -45,30 +44,61 @@ object Similarity {
     topKBySim(joined, k)
   }
 
-  /** Assign each vector to the nearest of the broadcast `centroids` by
-    * cosine. Returns the input plus a `cluster` column. */
-  def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = Parallelism.fanOut(vectors).alias("v")
-      .crossJoin(broadcast(centroids.select(
-        col("vec_id").as("centroid_id"), col("embedding").as("centroid"))))
-      .withColumn("c_sim", cosine(col("v.embedding"), col("centroid")))
-    val w = Window.partitionBy(col("v.vec_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "c_sim", "centroid")
-      .withColumnRenamed("centroid_id", "cluster")
-  }
+  /** The centroid table packed into ONE row holding
+    * `array<struct<cid, cvec>>` — the shape [[graft.expressions.NearestCentroids]]
+    * consumes. Joining this single row in via `broadcast` + `crossJoin` adds
+    * the centroid array to every corpus row WITHOUT exchanging the corpus
+    * (a 1-row broadcast nested loop is row-local by construction). */
+  private def packedCentroids(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(struct(
+      col("vec_id").cast("long").as("cid"),
+      col("embedding").as("cvec"))).as("cents"))
+
+  /** Ids of the `probes` nearest centroids by (cosine DESC, cid ASC) — a
+    * single codegen'd per-row expression, no window, no exchange. */
+  def nearestCentroids(vec: Column, cents: Column, probes: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.NearestCentroids(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        org.apache.spark.sql.GraftBridge.expression(cents),
+        probes))
+
+  /** Assign each vector to the nearest of the `centroids` by cosine
+    * (ties → lowest centroid id). Returns the input plus a `cluster`
+    * column. Row-local: the centroid table rides in as a single-row
+    * broadcast array and the argmax is one expression — the corpus never
+    * exchanges for assignment. */
+  def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    Parallelism.fanOut(vectors)
+      .crossJoin(broadcast(packedCentroids(centroids)))
+      .withColumn("cluster",
+        element_at(nearestCentroids(col("embedding"), col("cents"), 1), 1))
+      .drop("cents")
 
   /** IVF-style ANN: both corpus and queries are assigned to coarse clusters;
     * each query searches only its own cluster (single-probe). Approximate by
     * construction — recall depends on centroid quality and probe count. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    ivfTopK(corpus, queries, centroids, k, probes = 1)
+
+  /** Multi-probe IVF: each query searches its `probes` nearest clusters —
+    * the first knob on any IVF index. A query near a cluster boundary
+    * recovers its true neighbors from the adjacent cluster(s) without
+    * touching the corpus layout: the corpus is still assigned single-probe
+    * (each vector lives in exactly one cluster), only the (small) query
+    * side fans out `probes` cluster keys, and the search stays one
+    * cluster-keyed equi-join. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, probes: Int): DataFrame = {
+    require(probes >= 1)
     val corpusC = assignClusters(corpus, centroids)
       .select(col("cluster"), col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
-    val queriesC = assignClusters(queries, centroids)
-      .select(col("cluster"), col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val queriesC = queries
+      .crossJoin(broadcast(packedCentroids(centroids)))
+      .select(
+        explode(nearestCentroids(col("embedding"), col("cents"), probes)).as("cluster"),
+        col("vec_id").as("query_id"), col("embedding").as("q_vec"))
     val joined = queriesC.join(corpusC, "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -82,28 +112,32 @@ object Similarity {
     * Lloyd rounds, cosine assignment with the same id-tiebreak as
     * [[assignClusters]].
     *
-    * Scale shape: each round is ONE pass — assignment is row-local against
-    * the broadcast centroid table, and the centroid update is a single
-    * map-side-combined HashAggregate of `dim` per-dimension sums + a count
-    * (no explode: k×(dim+1) doubles shuffle, nothing else). The tiny
-    * centroid frame is localCheckpoint-ed per round so the iterative
-    * lineage stays bounded (same pattern as
-    * [[Dedup.connectedComponents]]). */
+    * Scale shape: each round is ONE pass — assignment is row-local (the
+    * [[nearestCentroids]] argmax expression over the single-row broadcast
+    * centroid array), and the centroid update is ONE
+    * [[graft.expressions.VectorSum]] aggregate + a count: map-side partial
+    * buffers, k×(dim+1) doubles on the wire, nothing else. One array
+    * aggregate instead of `dim` per-dimension sum columns — the latter
+    * falls out of whole-stage codegen above `spark.sql.codegen.maxFields`
+    * (100), i.e. at every real embedding dim. The tiny centroid frame is
+    * localCheckpoint-ed per round so the iterative lineage stays bounded
+    * (same pattern as [[Dedup.connectedComponents]]). */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
     require(k > 0 && iters >= 0 && dim > 0)
+    val vecSum = org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.VectorSum(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+        dim).toAggregateExpression())
     var centroids = corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = assignClusters(corpus, centroids)
       val sums = assigned.groupBy("cluster").agg(
-        count(lit(1)).as("n"),
-        (0 until dim).map(i =>
-          sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")): _*)
+        count(lit(1)).as("n"), vecSum.as("s"))
       centroids = sums.select(
         col("cluster").as("vec_id"),
-        array((0 until dim).map(i => (col(s"s$i") / col("n")).cast("float")): _*)
-          .as("embedding"))
+        transform(col("s"), x => (x / col("n")).cast("float")).as("embedding"))
         .localCheckpoint()
     }
     centroids

@@ -474,17 +474,23 @@ object ExtQueries {
         |  AND b.week_start = a.week_start + 7
         |GROUP BY a.week_start""".stripMargin)),
 
-    // Per-type z-score outlier detection: ONE window pass computes each
-    // type's mean/stddev alongside the row (no join, one event_type-keyed
-    // exchange); z is rounded 4dp on BOTH sides before the threshold so
-    // sub-ulp accumulation differences cannot flip inclusion. At 100 TB the
-    // same shape holds — per-type moments are a partial-aggregatable window.
+    // Per-type z-score outlier detection, two-phase: the per-type moments
+    // come from a groupBy aggregate (map-side partial combine — each task
+    // contributes one (sum, count, m2) triple per type, so 100 TB of events
+    // never concentrate in one task) and broadcast-join back onto the
+    // events. A window over `event_type` would be wrong at scale: window
+    // aggregates do NOT partial-aggregate, so a handful of event types
+    // would funnel the whole corpus into a handful of tasks. z is rounded
+    // 4dp on BOTH sides before the threshold so sub-ulp accumulation
+    // differences cannot flip inclusion.
     Q("ev_anomaly",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-        t(s, d, "events")
-          .withColumn("z", round(
-            (col("value") - avg(col("value")).over(w)) / stddev_samp(col("value")).over(w), 4))
+        val events = t(s, d, "events")
+        val moments = events.groupBy("event_type").agg(
+          avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sigma"))
+        events.join(broadcast(moments), "event_type")
+          .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
           .filter(abs(col("z")) > 3.0)
           .select(col("event_id"), col("event_type"), col("z"))
       },

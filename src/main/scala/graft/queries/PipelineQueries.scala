@@ -375,6 +375,37 @@ object PipelineQueries {
         |  WHERE query_id != neighbor_id)
         |WHERE rn <= 3""".stripMargin)),
 
+    // Multi-probe IVF: each query searches its top-2 clusters (nprobe — the
+    // first knob on any IVF index), recovering neighbors that sit across a
+    // cluster boundary from the query. The corpus stays single-probe (each
+    // vector lives in ONE cluster); only the small query side fans out.
+    Q("sim_ivf_multiprobe",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") >= 32),
+          emb.filter(col("vec_id") >= 16 && col("vec_id") < 32),
+          emb.filter(col("vec_id") < 8), k = 3, probes = 2)
+          .select("query_id", "neighbor_id", "sim")
+      },
+      Some("""WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid FROM embeddings WHERE vec_id < 8),
+        |ranked AS (
+        |  SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS embedding, c.centroid_id AS cluster,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.centroid) DESC, c.centroid_id) AS rn
+        |  FROM embeddings v CROSS JOIN cent c),
+        |corpus AS (SELECT cluster, vec_id AS neighbor_id, embedding AS n_vec FROM ranked WHERE rn = 1 AND vec_id >= 32),
+        |queries AS (SELECT cluster, vec_id AS query_id, embedding AS q_vec FROM ranked
+        |            WHERE rn <= 2 AND vec_id >= 16 AND vec_id < 32)
+        |SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(q_vec, n_vec), 4) AS sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(q_vec, n_vec), 4) DESC, neighbor_id) AS rn
+        |  FROM queries JOIN corpus USING (cluster)
+        |  WHERE query_id != neighbor_id)
+        |WHERE rn <= 3""".stripMargin)),
+
     // LSH-bucketed ANN (sign-of-component hyperplanes): the non-trained
     // alternative scale path to IVF — deterministic bucket key, one
     // bucket-keyed equi-join.

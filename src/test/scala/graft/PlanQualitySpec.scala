@@ -85,6 +85,30 @@ class PlanQualitySpec extends SparkSpec {
       s"expected the signature window exchange to be reused across branches:\n$p")
   }
 
+  test("ev_anomaly: per-type moments are a partial-aggregatable groupBy + broadcast join, NOT a window") {
+    // a window over event_type materializes each type's entire partition in
+    // ONE task (window aggregates never partial-aggregate) — with a handful
+    // of event types that is the whole corpus in a handful of tasks
+    val p = planOf("ev_anomaly").split("== Initial Plan ==").head
+    assert(p.contains("partial_avg"), s"moments must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"moments must broadcast back:\n$p")
+    assert(!p.contains("Window"), s"ev_anomaly must not window over event_type:\n$p")
+  }
+
+  test("sim_ivf: cluster assignment is a row-local expression — no window, no corpus exchange") {
+    // assignment = nearest_centroids() over a single-row broadcast centroid
+    // array; the ONLY hash exchange in the whole query is the final top-k
+    // group exchange (the row_number-window formulation would add a
+    // hashpartitioning(vec_id) exchange of corpus×k rows)
+    for (name <- Seq("sim_ivf_topk", "sim_ivf_multiprobe")) {
+      val p = planOf(name).split("== Initial Plan ==").head
+      assert(p.contains("nearest_centroids"), s"$name: expected argmax expression:\n$p")
+      assert(!p.contains("Window"), s"$name: assignment must not window:\n$p")
+      val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(nHash <= 1, s"$name: $nHash hash exchanges (want just the top-k group):\n$p")
+    }
+  }
+
   test("q09: scaled-long exact aggregation keeps hash (map-side partial) aggregation") {
     val p = planOf("q09_group_avg")
     assert(p.contains("HashAggregate"), p)

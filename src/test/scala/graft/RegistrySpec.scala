@@ -53,8 +53,9 @@ class RegistrySpec extends SparkSpec {
     //  - sim_bruteforce: the DECLARED brute-force ANN baseline — bounded
     //    broadcast query set against one corpus scan (the scale paths are
     //    sim_ivf/sim_lsh, which must and do stay keyed)
-    //  - sim_ivf: cluster assignment broadcasts the small centroid table
-    //    against each vector (row-local argmax; the corpus never self-joins)
+    //  - sim_ivf (single- and multi-probe): cluster assignment rides a
+    //    SINGLE-ROW broadcast of the packed centroid array against each
+    //    vector (row-local argmax expression; the corpus never self-joins)
     //  - tx_tfidf / tx_unigram_logprob: build side is a broadcast
     //    SINGLE-ROW corpus-total aggregate (the scalar-subquery shape)
     //  - q13: exercises the SQL-registered graft_cosine through the parser
@@ -62,7 +63,8 @@ class RegistrySpec extends SparkSpec {
     //    dd_/sim_ queries above
     val cartesianOk = Set("j4_cross_join")
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
-      "sim_bruteforce_topk", "sim_ivf_topk", "tx_tfidf", "tx_unigram_logprob",
+      "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
+      "tx_tfidf", "tx_unigram_logprob",
       "q13_sql_udf_cosine")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -32,4 +32,23 @@ class SimilarityProbeSpec extends SparkSpec {
     assert(recall(multi) >= recall(single))
     assert(multi.nonEmpty && single.nonEmpty)
   }
+
+  test("IVF: recall vs brute force is monotone in nprobe; probing all clusters = exact") {
+    val corpus = emb.filter(col("vec_id") >= 32)
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+    val centroids = emb.filter(col("vec_id") < 8)
+
+    val truth = pairs(Similarity.bruteForceTopK(corpus, queries, k = 3))
+    def recall(p: Int): Double = {
+      val got = pairs(Similarity.ivfTopK(corpus, queries, centroids, k = 3, probes = p))
+      got.intersect(truth).size.toDouble / truth.size
+    }
+
+    val recalls = Seq(1, 2, 4, 8).map(recall)
+    assert(recalls.zip(recalls.tail).forall { case (lo, hi) => hi >= lo },
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls.head > 0.0)
+    // probing every cluster searches the whole corpus — exact by construction
+    assert(recalls.last == 1.0, s"nprobe = k-clusters should be exact: $recalls")
+  }
 }

@@ -21,28 +21,73 @@ import graft.functions.VectorFunctions._
   * byte-identical boilerplate pages): both pair generators first collapse
   * exact-duplicate groups (identical MinHash signature / identical SimHash —
   * which by construction share every band) to one representative via a
-  * window-min over the fingerprint, generate candidate pairs over
-  * representatives only, and re-attach the collapsed members afterward with
-  * streaming equi-joins. Intra-bucket pair emission streams through
-  * generators with O(bucket) peak memory, so no single task ever
-  * materializes an O(bucket²) pair array regardless of corpus shape.
+  * map-side-combining group aggregate over the fingerprint (the fingerprint
+  * projection is checkpointed once so the re-attach joins never re-run the
+  * scan), generate candidate pairs over representatives only, and re-attach
+  * the collapsed members afterward with streaming equi-joins. Intra-bucket
+  * pair emission streams through generators with O(chunk) peak memory, and
+  * oversized buckets split into block-pair work units spread across tasks —
+  * no single task ever owns an O(bucket²) pair emission regardless of
+  * corpus shape.
   */
 object Dedup {
 
+  /** Buckets at or below this size expand in place; larger ones go through
+    * the second-level block split so no single task owns an O(bucket²) pair
+    * emission (an adversarial corpus can put 10⁵ DISTINCT-yet-banded
+    * signatures in one bucket — LSH bounds bucket sizes only in
+    * expectation). */
+  private[operators] val DefaultChunk = 1024
+
   /** All intra-bucket item pairs (`a` < `b` by the item struct's order) for
-    * buckets keyed by `keys`: one keyed aggregate, then a streamed
-    * two-generator expansion — `posexplode` picks each `a`, `explode` of the
-    * tail slice pairs it with every later `b`. Peak memory per task is
-    * O(bucket) (the sorted item array plus one tail slice), never the
-    * O(bucket²) a flattened pair array would need, and emission streams
-    * through codegen'd generators however large the bucket is. */
-  private def bucketPairs(rows: DataFrame, keys: Seq[String], item: Column): DataFrame =
-    rows.groupBy(keys.map(col): _*)
+    * buckets keyed by `keys`: one keyed aggregate collects each bucket's
+    * sorted item array, the array splits into `chunk`-sized blocks, every
+    * (block_i, block_j) i ≤ j pair becomes one work unit, and the units are
+    * hash-redistributed on (bucket key, i, j) before a streamed generator
+    * expansion. Peak memory per task is O(chunk) (two blocks), never the
+    * O(bucket²) a flattened pair array would need — and no single task ever
+    * owns a bucket's quadratic emission: a single adversarial mega-bucket
+    * (10⁵ DISTINCT-yet-banded signatures — LSH bounds bucket sizes only in
+    * expectation) spreads its (size/chunk)² units over the whole cluster
+    * instead of serializing on one core.
+    *
+    * Sorted blocks make pair ordering free: every item of block_i precedes
+    * every item of block_j for i < j, so cross units emit all of ba × bb,
+    * while diagonal units (bb null) reuse the posexplode + tail-slice
+    * generator. One deliberate cost: the redistribution exchange moves the
+    * bucket arrays once more (~the band projection's size); that buys
+    * bounded task time on EVERY corpus shape with a single, union-free
+    * plan — the branch-per-size alternative re-plans the aggregate per
+    * branch and measures slower at sf0.1 than this extra exchange. */
+  private[operators] def bucketPairs(rows: DataFrame, keys: Seq[String], item: Column,
+      chunk: Int = DefaultChunk): DataFrame = {
+    require(chunk > 1, "chunk must exceed 1")
+    val keyCols = keys.map(col)
+    val nc = ceil(size(col("items")).cast("double") / chunk).cast("int")
+    rows.groupBy(keyCols: _*)
       .agg(sort_array(collect_list(item)).as("items"))
       .filter(size(col("items")) > 1)
-      .select(col("items"), posexplode(col("items")).as(Seq("i", "a")))
-      .select(col("a"),
-        explode(slice(col("items"), col("i") + lit(2), size(col("items")))).as("b"))
+      .withColumn("nc", nc)
+      .select((keyCols :+ col("items") :+ col("nc") :+
+        explode(sequence(lit(0), col("nc") - 1)).as("ci")): _*)
+      .select((keyCols :+ col("items") :+ col("ci") :+
+        explode(sequence(col("ci"), col("nc") - 1)).as("cj")): _*)
+      .select((keyCols :+ col("ci") :+ col("cj") :+
+        slice(col("items"), col("ci") * chunk + 1, lit(chunk)).as("ba") :+
+        when(col("cj") > col("ci"),
+          slice(col("items"), col("cj") * chunk + 1, lit(chunk))).as("bb")): _*)
+      // explicit partition count (REPARTITION_BY_NUM): AQE's size-based
+      // coalescing must NOT fold these units back together — a unit's
+      // shuffle bytes are O(chunk) but its generator emission is O(chunk²),
+      // so "small" map output here does not mean small work
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism,
+        (keyCols :+ col("ci") :+ col("cj")): _*)
+      .select(col("ba"), col("bb"), posexplode(col("ba")).as(Seq("i", "a")))
+      .select(col("a"), explode(
+        when(col("bb").isNull,
+          slice(col("ba"), col("i") + lit(2), size(col("ba"))))
+          .otherwise(col("bb"))).as("b"))
+  }
 
   /** Exact dedup: one row per key group with the kept (minimum) id and the
     * duplicate count. Equivalent to `dropDuplicates` but keeps lineage of
@@ -101,32 +146,45 @@ object Dedup {
     *
     * Duplicate-heavy corpora: docs with identical signatures (every exact
     * duplicate, plus any hash coincidence) collapse to one representative
-    * before banding — the window-min shuffles only the ~0.5 KB (doc_id, sig)
-    * projection, and the single exchange is reused by every downstream
-    * branch. Bucket sizes then count *distinct* signatures, and
-    * [[bucketPairs]] streams the intra-bucket expansion in O(bucket) memory.
+    * before banding — map-side, so only one row per distinct signature
+    * crosses the wire. Bucket sizes then count *distinct* signatures, and
+    * [[bucketPairs]] streams the intra-bucket expansion in O(chunk) memory.
     * Member pairs re-attach exactly: intra-group pairs (identical signature
     * ⇒ all bands shared) plus the cross product of the groups behind each
     * representative pair — the same row set the uncollapsed formulation
     * emits, emitted by distributed streaming joins instead of one task. */
   def lshCandidatePairs(docs: DataFrame, idCol: Column, textCol: Column,
       numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
+    // group key = md5 over the signature: one 32-char string shuffles ~10x
+    // cheaper than the 16-element array it summarizes (equal sigs ⇒ equal
+    // digest; a digest collision is the same 2^-128 event the
+    // fingerprint-equality contract already accepts).
+    //
+    // The projection is materialized ONCE (localCheckpoint — the same bytes
+    // the previous window-min formulation pushed through its shuffle) so
+    // the group aggregate and the member re-attach join read it back
+    // instead of re-running the MinHash scan per branch (after column
+    // pruning the optimizer plans each branch its own copy of the
+    // projection — plan-level sharing cannot express this reuse). The
+    // groupBy itself pre-collapses MAP-SIDE: on a duplicate-heavy corpus
+    // one row per distinct signature crosses the wire, where the window
+    // shuffled every row and then sorted each partition.
     val sig = signatures(docs, idCol, textCol, numHashes, shingleK)
-    // group key = md5 over the signature: one 32-char string shuffles and
-    // sorts ~10x cheaper than the 16-element array it summarizes (equal
-    // sigs ⇒ equal digest; a digest collision is the same 2^-128 event the
-    // fingerprint-equality contract already accepts)
-    val w = Window.partitionBy(col("__sig_key"))
-    val withRep = sig
       .withColumn("__sig_key", md5(concat_ws(":", col("sig"))))
-      .select(col("doc_id"), col("sig"),
-        min(col("doc_id")).over(w).as("rep"), count(lit(1)).over(w).as("cnt"))
-    val reps = withRep.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("sig"))
+      .localCheckpoint()
+    val groups = sig.groupBy("__sig_key").agg(
+      min(col("doc_id")).as("rep"),
+      first(col("sig")).as("sig"), // all sigs in a group are equal by key
+      count(lit(1)).as("cnt"))
+    val reps = groups.select(col("rep").as("doc_id"), col("sig"))
     // only duplicate-group members participate in re-attachment — EMPTY on a
-    // dup-free corpus (the joins below degenerate to broadcast no-ops) and
-    // exactly the collapsed mass on a degenerate one
-    val mDup = withRep.filter(col("cnt") > 1).select(col("doc_id"), col("rep"))
+    // dup-free corpus (AQE's empty-relation propagation then prunes the
+    // joins below outright) and exactly the collapsed mass on a degenerate
+    // one
+    val mDup = sig
+      .join(groups.filter(col("cnt") > 1).select(col("__sig_key"), col("rep")),
+        "__sig_key")
+      .select(col("doc_id"), col("rep"))
     val repPairs = bucketPairs(
         bandsFromSig(reps, numHashes, bands), Seq("band", "band_key"),
         struct(col("doc_id")))
@@ -302,18 +360,22 @@ object Dedup {
     require(numBands <= bits,
       s"need at least maxDist+1=$numBands bands out of $bits fingerprint bits")
     // exact-duplicate pre-collapse: identical fingerprints (Hamming 0 — the
-    // whole duplicate-heavy-corpus mass) reduce to one representative; only
-    // the 16-byte (doc_id, simhash) projection shuffles, and the window
-    // exchange is reused by every downstream branch
+    // whole duplicate-heavy-corpus mass) reduce to one representative. Same
+    // shape as lshCandidatePairs: the 16-byte (doc_id, simhash) projection
+    // is materialized once (localCheckpoint) and the groupBy collapses
+    // map-side — one row per distinct fingerprint shuffles, no partition
+    // sort, no per-branch recompute of the fingerprint scan
     val sh = simhashDocs(docs, idCol, textCol, bits)
       .filter(col("simhash").isNotNull)
-    val w = Window.partitionBy(col("simhash"))
-    val withRep = sh.select(col("doc_id"), col("simhash"),
-      min(col("doc_id")).over(w).as("rep"), count(lit(1)).over(w).as("cnt"))
-    val reps = withRep.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("simhash"))
+      .localCheckpoint()
+    val groups = sh.groupBy("simhash").agg(
+      min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+    val reps = groups.select(col("rep").as("doc_id"), col("simhash"))
     // see lshCandidatePairs: empty unless the corpus has exact-dup groups
-    val mDup = withRep.filter(col("cnt") > 1).select(col("doc_id"), col("rep"))
+    val mDup = sh
+      .join(groups.filter(col("cnt") > 1).select(col("simhash"), col("rep")),
+        "simhash")
+      .select(col("doc_id"), col("rep"))
     // contiguous bands with sizes differing by at most one bit
     val bandCols = (0 until numBands).map { i =>
       val lo = i * bits / numBands

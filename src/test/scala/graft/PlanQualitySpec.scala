@@ -74,15 +74,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(nExchanges <= 2, s"tx_tfidf plan has $nExchanges exchanges:\n$p")
   }
 
-  test("dd_lsh_pairs: the MinHash signature exchange is reused across branches, not recomputed") {
-    // the dup-collapse rewrite consumes the (doc_id, sig) window frame from
-    // several branches (reps -> bands, dup-members -> re-attach joins); the
-    // expensive MinHash projection must be computed ONCE and flow through
-    // AQE exchange reuse — a refactor that breaks canonical plan equality
-    // here would silently multiply the dominant cost of the query
+  test("dd_lsh_pairs: dup pre-collapse map-side combines over ONE materialized signature projection") {
+    // the dup-collapse consumes the (doc_id, sig) projection from several
+    // branches (group aggregate -> reps -> bands; dup-members -> re-attach
+    // joins); the expensive MinHash projection must be computed ONCE — it is
+    // checkpointed, so every branch must read it back (Scan ExistingRDD),
+    // never re-plan the scan. The collapse itself must be a partial
+    // (map-side) aggregate, not a window (windows shuffle every row and
+    // sort each partition)
     val p = planOf("dd_lsh_pairs")
-    assert(p.contains("ReusedExchange"),
-      s"expected the signature window exchange to be reused across branches:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected branches to read the checkpointed signature projection:\n$p")
+    assert(!p.contains("minhash"),
+      s"MinHash must not be recomputed inside the pair query:\n$p")
+    assert(p.contains("partial_min"), s"pre-collapse must map-side combine:\n$p")
+    assert(!p.contains("Window"), s"pre-collapse must not be a window:\n$p")
   }
 
   test("ev_anomaly: per-type moments are a partial-aggregatable groupBy + broadcast join, NOT a window") {

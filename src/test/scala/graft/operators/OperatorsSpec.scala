@@ -156,6 +156,28 @@ class OperatorsSpec extends SparkSpec {
       .count() == expectedSh)
   }
 
+  test("Dedup.bucketPairs: block split == unsplit pair set; mega-bucket emission spreads over tasks") {
+    val item = struct(col("doc_id"))
+    // one adversarial bucket of 2000 DISTINCT items (pre-collapse cannot
+    // shrink it): chunk=128 -> 16 blocks -> 136 block-pair work units that
+    // must spread across partitions instead of serializing on one core
+    val mega = spark.range(2000).select(
+      lit(0).as("band"), lit(0L).as("band_key"), col("id").as("doc_id"))
+    val split = Dedup.bucketPairs(mega, Seq("band", "band_key"), item, chunk = 128)
+    assert(split.count() == 2000L * 1999 / 2)
+    val parts = split.select(spark_partition_id()).distinct().count()
+    assert(parts > 1, s"mega-bucket pairs emitted from $parts partition(s)")
+
+    // exactness on a mixed many-bucket fixture: forced splitting emits
+    // exactly the row set of the unsplit generator
+    val mixed = spark.range(300).select(
+      (col("id") % 7).as("band"), (col("id") % 3).as("band_key"), col("id").as("doc_id"))
+    def pairSet(chunk: Int) = rowSet(
+      Dedup.bucketPairs(mixed, Seq("band", "band_key"), item, chunk)
+        .select(col("a.doc_id"), col("b.doc_id")))
+    assert(pairSet(16) == pairSet(1000000))
+  }
+
   test("Similarity.kmeansCentroids: deterministic, non-decreasing quality, feeds ivfTopK") {
     import graft.functions.VectorFunctions.cosine
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

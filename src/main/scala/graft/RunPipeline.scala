@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.ingest.{Lake, Landing}
 import graft.queries.AnalyticsQueries
-import graft.warehouse.Migration
+import graft.warehouse.AtomicCommit
 
 /** End-to-end ELT driver (the engine-side equivalent of the reference's
   * three Streamlit stages, SURVEY §3): landing JSON → lake parquet →
@@ -32,12 +32,15 @@ object RunPipeline {
       src.videos(spark), src.comments(spark))
     Lake.write(docs, s"$outDir/lake")
 
-    // Migrate (S5, P3/P5, K2/K3)
-    val appended = Migration.migrate(spark, s"$outDir/lake", s"$outDir/warehouse")
+    // Migrate (S5, P3/P5, K2/K3) — through the manifest commit, so all four
+    // entity tables advance to the new snapshot atomically (the reference's
+    // per-channel cross-table transaction, app.py:389); a crash mid-migrate
+    // leaves every reader on the previous consistent snapshot
+    val appended = AtomicCommit.migrateAtomic(spark, s"$outDir/lake", s"$outDir/warehouse")
     println(s"[pipeline] migrated rows: $appended")
 
     // Analyze (Q1-Q10)
-    Migration.registerViews(spark, s"$outDir/warehouse")
+    AtomicCommit.registerViews(spark, s"$outDir/warehouse")
     AnalyticsQueries.all.foreach { case (name, fn, _) =>
       println(s"[pipeline] $name -> ${fn(spark).count()} rows")
     }

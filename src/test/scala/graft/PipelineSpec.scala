@@ -7,12 +7,15 @@ import org.scalatest.BeforeAndAfterAll
 
 import graft.ingest.{Lake, Landing}
 import graft.queries.AnalyticsQueries
-import graft.warehouse.Migration
+import graft.warehouse.{AtomicCommit, Migration}
 
 /** End-to-end pipeline integration (SURVEY §5.4): landing JSON → lake
   * parquet → warehouse tables → Q1–Q10, asserting golden outputs, schema
   * row counts, idempotent re-migration (K3), and DataFrame/SQL agreement
-  * for every query pair.
+  * for every query pair. The warehouse stage runs through the MANIFEST
+  * commit ([[AtomicCommit.migrateAtomic]] — the RunPipeline default), so
+  * every downstream assertion reads the atomic snapshot; the legacy
+  * per-table [[Migration.migrate]] path keeps its own test below.
   */
 class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
 
@@ -27,8 +30,8 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
     val vd = Landing.videos(spark, resource("landing/videos.json"))
     val cm = Landing.comments(spark, resource("landing/comments.json"))
     Lake.write(Lake.buildDocuments(ch, pl, vd, cm), lakePath)
-    Migration.migrate(spark, lakePath, whPath)
-    Migration.registerViews(spark, whPath)
+    AtomicCommit.migrateAtomic(spark, lakePath, whPath)
+    AtomicCommit.registerViews(spark, whPath)
   }
 
   test("landing parse: entity row counts and edge-row handling") {
@@ -91,10 +94,20 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!videoCols.contains("tags"))
   }
 
-  test("K3: re-migration appends zero rows") {
-    val second = Migration.migrate(spark, lakePath, whPath)
+  test("K3: atomic re-migration appends zero rows; snapshot version still advances") {
+    val before = AtomicCommit.readManifest(spark, whPath)._1
+    val second = AtomicCommit.migrateAtomic(spark, lakePath, whPath)
     assert(second == Map("channel" -> 0L, "playlist" -> 0L, "video" -> 0L, "comment" -> 0L))
-    assert(spark.table("channel").count() == 4)
+    assert(AtomicCommit.readManifest(spark, whPath)._1 == before + 1)
+    assert(AtomicCommit.snapshot(spark, whPath, "channel").get.count() == 4)
+  }
+
+  test("K2/K3 legacy path: per-table Migration.migrate populates and re-migrates to zero") {
+    val legacy = Files.createTempDirectory("graft-legacy-wh").toString
+    val first = Migration.migrate(spark, lakePath, legacy)
+    assert(first == Map("channel" -> 4L, "playlist" -> 4L, "video" -> 14L, "comment" -> 5L))
+    val second = Migration.migrate(spark, lakePath, legacy)
+    assert(second == Map("channel" -> 0L, "playlist" -> 0L, "video" -> 0L, "comment" -> 0L))
   }
 
   test("Q1: null-named channel filtered out") {

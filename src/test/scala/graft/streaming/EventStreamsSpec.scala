@@ -164,6 +164,48 @@ class EventStreamsSpec extends SparkSpec {
       .agg(sum("n_rows")).first().getLong(0) == batch1.length)
   }
 
+  test("atomic sink crash window: dying between prepare and publish exposes nothing; restart lands exactly-once") {
+    import graft.warehouse.AtomicCommit
+    val dir = Files.createTempDirectory("graft-ac-crash").toString
+    batch1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+    val wh = s"$dir/wh"
+
+    // a sink that dies INSIDE the micro-batch, after staging every segment
+    // but before the manifest publish — the two-phase commit's crash window
+    val crashing = EventStreams.readEvents(spark, s"$dir/in").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val stats = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
+          .withColumn("batch_id", lit(batchId))
+        AtomicCommit.prepare(batch.sparkSession, wh, Map(
+          "events" -> (batch, Seq("event_id")),
+          "event_stats" -> (stats, Seq("batch_id", "event_type"))))
+        throw new RuntimeException("injected crash between prepare and publish")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashing.awaitTermination(60000)
+      throw crashing.exception.get // AvailableNow may report failure here
+    }
+    // staged segment directories exist on disk, but readers resolve through
+    // the manifest only: NO partial snapshot of either table is visible
+    assert(AtomicCommit.snapshot(spark, wh, "events").isEmpty)
+    assert(AtomicCommit.snapshot(spark, wh, "event_stats").isEmpty)
+
+    // restart with the real sink (fresh checkpoint = full source replay):
+    // the retry overwrites the orphaned staged segments and publishes both
+    // tables once — no duplicates, counts consistent across tables
+    val q = EventStreams.startAtomicEventSink(
+      EventStreams.readEvents(spark, s"$dir/in"), wh)
+    q.awaitTermination(60000)
+    val events = AtomicCommit.snapshot(spark, wh, "events").get
+    assert(events.count() == batch1.length)
+    assert(events.select("event_id").distinct().count() == batch1.length)
+    assert(AtomicCommit.snapshot(spark, wh, "event_stats").get
+      .agg(sum("n_rows")).first().getLong(0) == batch1.length)
+  }
+
   test("sessions: gap-separated user activity becomes distinct sessions") {
     val df = Seq(
       ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),

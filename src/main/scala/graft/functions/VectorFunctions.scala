@@ -34,4 +34,14 @@ object VectorFunctions {
   /** Cosine rounded for oracle comparison. */
   def cosineRounded(a: Column, b: Column, scale: Int = 4): Column =
     round(cosine(a, b), scale)
+
+  /** Elementwise vector-sum AGGREGATE over an `array<float|double>` column
+    * ([[graft.expressions.VectorSum]]): one map-side-combining aggregate
+    * whose buffer is a fixed `dim`-length double array — the building block
+    * for centroid/mean-vector computations (`vectorSum / count` = the mean
+    * embedding). */
+  def vectorSum(c: Column, dim: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.VectorSum(
+        org.apache.spark.sql.GraftBridge.expression(c), dim).toAggregateExpression())
 }

@@ -124,10 +124,7 @@ object Similarity {
     * (same pattern as [[Dedup.connectedComponents]]). */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
     require(k > 0 && iters >= 0 && dim > 0)
-    val vecSum = org.apache.spark.sql.GraftBridge.column(
-      graft.expressions.VectorSum(
-        org.apache.spark.sql.GraftBridge.expression(col("embedding")),
-        dim).toAggregateExpression())
+    val vecSum = vectorSum(col("embedding"), dim)
     var centroids = corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()

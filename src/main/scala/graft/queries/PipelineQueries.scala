@@ -794,6 +794,93 @@ object PipelineQueries {
         |    FROM sh s)
         |  GROUP BY bigram HAVING COUNT(DISTINCT split) = 2)""".stripMargin)),
 
+    // BM25 retrieval scoring (k1=1.2, b=0.75, Lucene-style idf) for a fixed
+    // term query — the ranking pass of a retrieval-augmented data pipeline.
+    // Scale shape: per-doc tf and doclen are ROW-LOCAL higher-order
+    // expressions; the only corpus-wide state is ONE single-row stats
+    // aggregate (N, avgdl, per-term df) broadcast back — the
+    // scalar-subquery shape, so the corpus is scored in a single pass with
+    // no keyed shuffle at all. Top-k compiles to TakeOrderedAndProject.
+    // Ranking is on the 4dp-ROUNDED score with a doc_id tiebreak, so the
+    // top-20 set is total-ordered and oracle-stable.
+    Q("tx_bm25",
+      (s, d) => {
+        val terms = Seq("dup", "vector", "window")
+        val docs = graft.operators.Parallelism.fanOut(
+          t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), tokens(col("text")).as("parts"))
+        val statAggs =
+          count(lit(1)).cast("double").as("n_docs") +:
+          avg(size(col("parts")).cast("double")).as("avgdl") +:
+          terms.map(tm => sum(when(array_contains(col("parts"), tm), 1).otherwise(0))
+            .cast("double").as(s"df_$tm"))
+        val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+        val dl = size(col("parts")).cast("double")
+        val score = terms.map { tm =>
+          val tf = size(filter(col("parts"), x => x === lit(tm))).cast("double")
+          val idf = log((col("n_docs") - col(s"df_$tm") + 0.5) / (col(s"df_$tm") + 0.5) + 1)
+          idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / col("avgdl")))
+        }.reduce(_ + _)
+        docs.crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(score, 4).as("bm25"))
+          .filter(col("bm25") > 0)
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  AVG(CAST(len(parts) AS DOUBLE)) AS avgdl,
+        |  CAST(SUM(CASE WHEN list_contains(parts, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df_dup,
+        |  CAST(SUM(CASE WHEN list_contains(parts, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+        |  CAST(SUM(CASE WHEN list_contains(parts, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+        |  FROM toks)
+        |SELECT doc_id, bm25 FROM (
+        |  SELECT doc_id, round(
+        |      ln((n_docs - df_dup + 0.5) / (df_dup + 0.5) + 1) * (CAST(len(list_filter(parts, x -> x = 'dup')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(parts, x -> x = 'dup')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len(parts) AS DOUBLE) / avgdl))
+        |    + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1) * (CAST(len(list_filter(parts, x -> x = 'vector')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(parts, x -> x = 'vector')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len(parts) AS DOUBLE) / avgdl))
+        |    + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1) * (CAST(len(list_filter(parts, x -> x = 'window')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(parts, x -> x = 'window')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len(parts) AS DOUBLE) / avgdl)),
+        |    4) AS bm25
+        |  FROM toks CROSS JOIN stats)
+        |WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin)),
+
+    // Eval-set decontamination pairs: which TRAIN docs share ≥3 distinct
+    // word trigrams with an EVAL doc (the per-pair listing behind the
+    // aggregate dq_split_contamination check — what you delete before
+    // training). Scale shape: the eval side of the trigram equi-join is the
+    // benchmark set — tiny by construction — and broadcasts, so the 100 TB
+    // train side is a single scan with no shuffle of train data; the pair
+    // aggregate is keyed on (eval, train) ids with map-side combine.
+    Q("dq_decontam_pairs",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val ev = docs.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("eval_id"), explode(shingles(col("text"), 3)).as("g"))
+        val tr = graft.operators.Parallelism.fanOut(docs.filter(col("doc_id") >= 50))
+          .select(col("doc_id").as("train_id"), explode(shingles(col("text"), 3)).as("g"))
+        tr.join(broadcast(ev), "g")
+          .groupBy("eval_id", "train_id")
+          .agg(count(lit(1)).as("n_shared")) // shingles are per-doc distinct
+          .filter(col("n_shared") >= 3)
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |g3 AS (SELECT doc_id,
+        |  CASE WHEN len(parts) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(parts) - 2),
+        |           i -> parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2]))
+        |    ELSE [] END AS g
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(g) AS g FROM g3)
+        |SELECT eval_id, train_id, n_shared FROM (
+        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS n_shared
+        |  FROM ex e JOIN ex t ON e.g = t.g AND e.doc_id < 50 AND t.doc_id >= 50
+        |  GROUP BY 1, 2)
+        |WHERE n_shared >= 3""".stripMargin)),
+
     // ---- Embedding column ops --------------------------------------------
 
     // Vector norms + dimensionality audit (the sanity pass before any ANN
@@ -826,6 +913,35 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 127))) AS BIGINT) AS q_sum,
         |  CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> CASE WHEN abs(x * 127) > 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped
-        |FROM embeddings""".stripMargin))
+        |FROM embeddings""".stripMargin)),
+
+    // Embedding-space outlier filter (the quality gate that drops vectors
+    // far from the corpus centroid — mis-embedded or off-distribution
+    // rows). The mean embedding is ONE VectorSum aggregate divided by the
+    // count (map-side partial buffers, 64 doubles on the wire) broadcast
+    // back as a single row; the cosine-to-centroid is then row-local, so
+    // the whole filter is one corpus pass with no keyed shuffle.
+    Q("emb_centroid_outliers",
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val emb = graft.operators.Parallelism.fanOut(t(s, d, "embeddings"))
+        val centroid = emb
+          .agg(VectorFunctions.vectorSum(col("embedding"), 64).as("sum"),
+            count(lit(1)).as("n"))
+          .select(transform(col("sum"), x => x / col("n")).as("centroid"))
+        emb.crossJoin(broadcast(centroid))
+          .select(col("vec_id"),
+            VectorFunctions.cosineRounded(col("embedding"), col("centroid")).as("centroid_sim"))
+          .filter(col("centroid_sim") <= -0.15)
+      },
+      Some("""WITH pos AS (SELECT i FROM range(1, 65) t(i)),
+        |m AS (SELECT list(a ORDER BY i) AS centroid FROM (
+        |  SELECT i, AVG(CAST(embedding[i] AS DOUBLE)) AS a
+        |  FROM embeddings CROSS JOIN pos GROUP BY i)),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), centroid), 4) AS centroid_sim
+        |  FROM embeddings CROSS JOIN m)
+        |SELECT vec_id, centroid_sim FROM scored WHERE centroid_sim <= -0.15""".stripMargin))
   )
 }

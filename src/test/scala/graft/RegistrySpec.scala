@@ -56,15 +56,16 @@ class RegistrySpec extends SparkSpec {
     //  - sim_ivf (single- and multi-probe): cluster assignment rides a
     //    SINGLE-ROW broadcast of the packed centroid array against each
     //    vector (row-local argmax expression; the corpus never self-joins)
-    //  - tx_tfidf / tx_unigram_logprob: build side is a broadcast
-    //    SINGLE-ROW corpus-total aggregate (the scalar-subquery shape)
+    //  - tx_tfidf / tx_unigram_logprob / tx_bm25 / emb_centroid_outliers:
+    //    build side is a broadcast SINGLE-ROW corpus-stats aggregate (the
+    //    scalar-subquery shape)
     //  - q13: exercises the SQL-registered graft_cosine through the parser
     //    on a declared 64-row subset; the scale-safe pair paths are the
     //    dd_/sim_ queries above
     val cartesianOk = Set("j4_cross_join")
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
-      "tx_tfidf", "tx_unigram_logprob",
+      "tx_tfidf", "tx_unigram_logprob", "tx_bm25", "emb_centroid_outliers",
       "q13_sql_udf_cosine")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString

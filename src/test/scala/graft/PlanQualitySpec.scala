@@ -115,6 +115,29 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("tx_bm25: row-local scoring against one broadcast stats row — top-k, zero keyed exchanges") {
+    val p = planOf("tx_bm25").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_avg"), s"corpus stats must map-side combine:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bm25 scoring must not shuffle the corpus on a key:\n$p")
+  }
+
+  test("dq_decontam_pairs: the (tiny) eval side broadcasts; train shingles never sort-merge") {
+    val p = planOf("dq_decontam_pairs").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHash <= 1, s"$nHash hash exchanges (want just the pair aggregate):\n$p")
+  }
+
+  test("emb_centroid_outliers: centroid is ONE map-side vector_sum aggregate; scoring is row-local") {
+    val p = planOf("emb_centroid_outliers").split("== Initial Plan ==").head
+    assert(p.contains("partial_vector_sum"), s"mean embedding must map-side combine:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"outlier filter must not shuffle the corpus on a key:\n$p")
+  }
+
   test("q09: scaled-long exact aggregation keeps hash (map-side partial) aggregation") {
     val p = planOf("q09_group_avg")
     assert(p.contains("HashAggregate"), p)

@@ -65,6 +65,34 @@ object EventStreams {
       .select("purchase_id", "view_id", "user_id")
   }
 
+  /** LEFT-OUTER stream-stream join: every purchase emits exactly once —
+    * matched purchases as soon as the view arrives, UNMATCHED purchases
+    * null-padded only once the watermark passes the last instant a
+    * matching view could still arrive (join-state eviction). That delay is
+    * the streaming-only semantic vs the inner [[purchaseViewJoin]]: outer
+    * results lag the watermark by construction, so a drained-stream
+    * comparison must push the watermark past the final purchase. Subtlety:
+    * the event-type filters push DOWN below each branch's
+    * EventTimeWatermark node, so each branch's watermark advances only on
+    * events of its own type — and the global watermark is the MIN of the
+    * two. Late events of BOTH types are needed to move it (see the spec's
+    * paired pushers). State stays bounded exactly as in the inner form:
+    * both sides watermarked plus the 1-hour time-bound condition. */
+  def purchaseViewLeftJoin(events: DataFrame, watermark: String): DataFrame = {
+    val p = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select("purchase_id", "view_id", "user_id")
+  }
+
   /** Streaming ingestion dedup: drop replayed events by id with state
     * bounded by the watermark horizon (`dropDuplicatesWithinWatermark` —
     * plain `dropDuplicates` on a stream keeps every id seen forever; the

@@ -99,6 +99,53 @@ class EventStreamsSpec extends SparkSpec {
     assert(rowSet(spark.table("ssj_out")) == Seq("[2,1,1]", "[5,4,2]"))
   }
 
+  test("left-outer stream-stream join: unmatched purchases null-pad once the watermark evicts them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:30:00", 1, "purchase", 5.0),
+      ev(3, "2024-01-01 12:00:00", 1, "purchase", 5.0), // no view within 1h
+      ev(4, "2024-01-01 09:00:00", 2, "view", 1.0),
+      ev(5, "2024-01-01 09:40:00", 2, "purchase", 2.0))
+    val q = EventStreams.purchaseViewLeftJoin(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "2 hours")
+      .writeStream.format("memory").queryName("ssj_lo_out")
+      .outputMode("append").start()
+    // watermark pushers: each branch filters to ONE event type below its
+    // EventTimeWatermark node (the filter pushes down), so the global (min)
+    // watermark only advances when BOTH types see late events — the
+    // pushers are matched view+purchase pairs for an unrelated user, which
+    // also emit deterministically (matched, never held in state as
+    // unmatched). Outer results lag the watermark by construction: the
+    // first pair advances it past every core purchase's eviction point,
+    // the second runs a batch under that watermark so the null-padded row
+    // actually emits.
+    val pushers = Seq(
+      ev(60, "2024-01-03 00:00:00", 99, "view", 0.0),
+      ev(61, "2024-01-03 00:00:00", 99, "purchase", 0.0),
+      ev(70, "2024-01-05 00:00:00", 99, "view", 0.0),
+      ev(71, "2024-01-05 00:00:00", 99, "purchase", 0.0))
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData(pushers(0), pushers(1))
+      q.processAllAvailable()
+      input.addData(pushers(2), pushers(3))
+      q.processAllAvailable()
+      // purchase 3 survives with a null view — the inner join drops it —
+      // and the drained result equals the batch left join on the same rows
+      assert(rowSet(spark.table("ssj_lo_out")) ==
+        Seq("[2,1,1]", "[3,null,1]", "[5,4,2]", "[61,60,99]", "[71,70,99]"))
+      assert(rowSet(spark.table("ssj_lo_out")) ==
+        rowSet(EventStreams.purchaseViewLeftJoin(
+          (data ++ pushers).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          "2 hours")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids within the watermark horizon") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val df = Seq(

@@ -14,7 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout: `root/<table>/seg-<version>` parquet segment directories plus one
   * `root/MANIFEST` text file mapping each table to the segment list that IS
-  * the current snapshot. A commit stages new segments for every table
+  * the current snapshot, and one retained `root/MANIFEST-v<N>` per commit —
+  * the history that makes [[snapshotAt]] (time travel) and [[rollback]]
+  * plain file reads. A commit stages new segments for every table
   * ([[prepare]] — invisible, the manifest still points at the old segments)
   * and then publishes them all with ONE atomic manifest rename
   * ([[publish]]). A crash anywhere before the rename leaves readers on the
@@ -97,16 +99,61 @@ object AtomicCommit {
     Staged(root, next, body, staged.map { case (t, _, n) => t -> n }.toMap)
   }
 
-  /** Atomically publish a staged commit: write the new manifest to a temp
-    * name, then rename over `MANIFEST` — the one indivisible step. */
+  /** Atomically publish a staged commit: persist the versioned manifest
+    * (`MANIFEST-v<N>` — the commit history [[snapshotAt]]/[[rollback]]
+    * read), write the new manifest body to a temp name, then rename over
+    * `MANIFEST` — the rename is the one indivisible step; a crash after the
+    * history write but before the rename leaves an inert `MANIFEST-v` file
+    * the retry overwrites. */
   def publish(spark: SparkSession, staged: Staged): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val hist = new Path(s"${staged.root}/MANIFEST-v${staged.version}")
+    val fs = hist.getFileSystem(conf)
+    val histOut = fs.create(hist, true)
+    try histOut.write(staged.manifestBody.getBytes(StandardCharsets.UTF_8))
+    finally histOut.close()
     val tmp = new Path(s"${staged.root}/MANIFEST.tmp-${staged.version}")
-    val fs = tmp.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(staged.manifestBody.getBytes(StandardCharsets.UTF_8)) finally out.close()
     FileContext.getFileContext(tmp.toUri, conf)
       .rename(tmp, manifestPath(staged.root), Options.Rename.OVERWRITE)
+  }
+
+  /** The committed snapshot of `table` AS OF `version` (time travel):
+    * segments are append-only and manifests are retained per version, so
+    * any historical snapshot stays readable until a compaction rewrites
+    * it. None if the table had no rows at that version. */
+  def snapshotAt(spark: SparkSession, root: String, table: String,
+      version: Long): Option[DataFrame] = {
+    val p = new Path(s"$root/MANIFEST-v$version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no manifest history for version $version at $root")
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val segs = body.linesIterator.filter(_.nonEmpty).drop(1).map { l =>
+      val Array(t, s) = l.split("=", 2)
+      t -> (if (s.isEmpty) Seq.empty[String] else s.split(",").toSeq)
+    }.toMap.getOrElse(table, Seq.empty)
+    if (segs.isEmpty) None
+    else Some(spark.read.parquet(segs.map(s => s"$root/$s"): _*))
+  }
+
+  /** History-preserving rollback: publish a NEW version whose segment
+    * lists are those of `toVersion` — the bad commits stay in the history
+    * (auditable), but the current snapshot every reader resolves reverts.
+    * Returns the new version number. */
+  def rollback(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(s"$root/MANIFEST-v$toVersion")
+    val fs = target.getFileSystem(conf)
+    require(fs.exists(target), s"no manifest history for version $toVersion at $root")
+    val in = fs.open(target)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val next = readManifest(spark, root)._1 + 1
+    val newBody = (s"version=$next" +: body.linesIterator.filter(_.nonEmpty).drop(1).toSeq)
+      .mkString("\n")
+    publish(spark, Staged(root, next, newBody, Map.empty))
+    next
   }
 
   /** prepare + publish; returns per-table freshly-committed row counts. */

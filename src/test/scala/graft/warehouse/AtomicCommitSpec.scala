@@ -54,6 +54,33 @@ class AtomicCommitSpec extends SparkSpec {
     assert(AtomicCommit.readManifest(spark, root)._1 == 2)
   }
 
+  test("time travel + rollback: every version stays readable; rollback reverts readers, keeps history") {
+    val root = Files.createTempDirectory("graft-ac").toString
+    AtomicCommit.commitTables(spark, root, tables((1L, "a"), (2L, "b"))) // v1
+    AtomicCommit.commitTables(spark, root, tables((3L, "c")))           // v2
+    assert(rowSet(AtomicCommit.snapshotAt(spark, root, "alpha", 1).get) ==
+      Seq("[1,a]", "[2,b]"))
+    assert(rowSet(AtomicCommit.snapshotAt(spark, root, "alpha", 2).get) ==
+      Seq("[1,a]", "[2,b]", "[3,c]"))
+
+    // rollback publishes a NEW version pointing at v1's segments: current
+    // readers revert, the rolled-back-over commit stays in history
+    assert(AtomicCommit.rollback(spark, root, 1) == 3)
+    assert(rowSet(AtomicCommit.snapshot(spark, root, "alpha").get) ==
+      Seq("[1,a]", "[2,b]"))
+    assert(rowSet(AtomicCommit.snapshot(spark, root, "beta").get) ==
+      Seq("[10,a]", "[20,b]"))
+    assert(rowSet(AtomicCommit.snapshotAt(spark, root, "alpha", 2).get)
+      .contains("[3,c]"), "history must survive the rollback")
+
+    // idempotency anti-joins against the CURRENT (reverted) snapshot, so
+    // the undone batch re-commits as fresh rows
+    val again = AtomicCommit.commitTables(spark, root, tables((3L, "c")))
+    assert(again == Map("alpha" -> 1L, "beta" -> 1L))
+    assert(rowSet(AtomicCommit.snapshot(spark, root, "alpha").get) ==
+      Seq("[1,a]", "[2,b]", "[3,c]"))
+  }
+
   test("migrateAtomic: lake -> four warehouse tables in one commit, views resolve") {
     val root = Files.createTempDirectory("graft-ac").toString
     val lakePath = s"$root/lake"

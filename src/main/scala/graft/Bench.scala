@@ -42,21 +42,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // min of 5 measured runs: the steady-state cost, robust to background
-    // load on a shared machine (observed 3-8× spikes from co-tenant load)
-    val results = headline.map { q =>
-      var failed = false
-      val times = (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // load on a shared machine (observed 3-8× spikes from co-tenant load).
+    // The 5 runs are INTERLEAVED — 5 round-robin passes over all queries,
+    // not 5 back-to-back runs per query — so a sustained multi-second spike
+    // poisons at most one pass of each query instead of every sample of
+    // whichever query it lands on (BENCH_r06: q09_group_avg 1.49s driver
+    // min-of-5 vs 0.33s on a machine with a WORSE calibration_sec, because
+    // all 5 consecutive runs sat inside one spike).
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+    val failedQ = collection.mutable.Set.empty[String]
+    for (_ <- 1 to 5; q <- headline) {
+      val t0 = System.nanoTime()
+      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failedQ += q.name
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
       }
-      // a failed query must not report a flatteringly tiny time
-      q.name -> (if (failed) -1.0 else times.min)
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples.updateWith(q.name)(s => Some(dt :: s.getOrElse(Nil)))
     }
+    // a failed query must not report a flatteringly tiny time
+    val results = headline.map(q =>
+      q.name -> (if (failedQ(q.name)) -1.0 else samples(q.name).min))
     // calibration sentinel: same warm-up + min-of-5 protocol as the queries
     calibration(spark).write.format("noop").mode("overwrite").save()
     val calib = (1 to 5).map { _ =>

@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
   * elementwise merge. Rows whose array is null or not exactly `dim` long
   * are skipped (a length-mismatched vector cannot contribute a meaningful
   * elementwise sum).
+  *
+  * Mean-vector callers MUST pair this with a divisor that counts the same
+  * rows — `count(when(size(v) === dim, 1))`, NOT `count(*)` — otherwise a
+  * skipped malformed row still inflates the divisor and biases the mean
+  * toward zero instead of being excluded consistently.
   */
 case class VectorSum(child: Expression, dim: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

@@ -115,4 +115,17 @@ object Schemas {
     "channel_name", "channel_id", "video_id", "video_title", "duration",
     "release_date", "thumbnail", "video_quality", "views", "likes",
     "favorite", "comment_count", "description", "caption_status")
+
+  private def project(s: StructType, cols: Seq[String]): StructType =
+    StructType(cols.map(c => s(s.fieldIndex(c))))
+
+  /** Post-migration warehouse table schemas, in INSERT-list column order
+    * (the exact shape [[graft.warehouse.Migration]] writes) — lets view
+    * registration resolve a table that has no committed rows yet as an
+    * EMPTY frame with the right columns instead of failing to resolve. */
+  val warehouseSchemas: Map[String, StructType] = Map(
+    "channel" -> project(channelSchema, warehouseChannelColumns),
+    "playlist" -> playlistSchema,
+    "video" -> project(videoSchema, warehouseVideoColumns),
+    "comment" -> commentSchema)
 }

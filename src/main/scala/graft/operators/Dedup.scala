@@ -160,18 +160,27 @@ object Dedup {
     // digest; a digest collision is the same 2^-128 event the
     // fingerprint-equality contract already accepts).
     //
-    // The projection is materialized ONCE (localCheckpoint — the same bytes
-    // the previous window-min formulation pushed through its shuffle) so
-    // the group aggregate and the member re-attach join read it back
+    // The projection is materialized ONCE (lazy localCheckpoint — the same
+    // bytes the previous window-min formulation pushed through its shuffle)
+    // so the group aggregate and the member re-attach join read it back
     // instead of re-running the MinHash scan per branch (after column
     // pruning the optimizer plans each branch its own copy of the
     // projection — plan-level sharing cannot express this reuse). The
     // groupBy itself pre-collapses MAP-SIDE: on a duplicate-heavy corpus
     // one row per distinct signature crosses the wire, where the window
     // shuffled every row and then sorted each partition.
+    //
+    // eager = false: materialization happens on FIRST USE, not at
+    // construction — building the frame (explain, plan asserts, registry
+    // enumeration) must not run the MinHash scan as a side effect. Caveat
+    // for multi-executor deployments: localCheckpoint blocks live on
+    // executors and truncate lineage, so losing an executor mid-query
+    // (dynamic allocation, spot nodes) fails the query — visibly, and a
+    // retry recomputes; deployments where that risk dominates should swap
+    // this for a reliable checkpoint directory.
     val sig = signatures(docs, idCol, textCol, numHashes, shingleK)
       .withColumn("__sig_key", md5(concat_ws(":", col("sig"))))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val groups = sig.groupBy("__sig_key").agg(
       min(col("doc_id")).as("rep"),
       first(col("sig")).as("sig"), // all sigs in a group are equal by key
@@ -362,12 +371,13 @@ object Dedup {
     // exact-duplicate pre-collapse: identical fingerprints (Hamming 0 — the
     // whole duplicate-heavy-corpus mass) reduce to one representative. Same
     // shape as lshCandidatePairs: the 16-byte (doc_id, simhash) projection
-    // is materialized once (localCheckpoint) and the groupBy collapses
-    // map-side — one row per distinct fingerprint shuffles, no partition
-    // sort, no per-branch recompute of the fingerprint scan
+    // is materialized once (lazy localCheckpoint — on first use, not at
+    // construction; see the caveat in lshCandidatePairs) and the groupBy
+    // collapses map-side — one row per distinct fingerprint shuffles, no
+    // partition sort, no per-branch recompute of the fingerprint scan
     val sh = simhashDocs(docs, idCol, textCol, bits)
       .filter(col("simhash").isNotNull)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val groups = sh.groupBy("simhash").agg(
       min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
     val reps = groups.select(col("rep").as("doc_id"), col("simhash"))

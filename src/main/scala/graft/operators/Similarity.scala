@@ -127,15 +127,18 @@ object Similarity {
     val vecSum = vectorSum(col("embedding"), dim)
     var centroids = corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       val assigned = assignClusters(corpus, centroids)
+      // divisor counts exactly the rows VectorSum accumulated (valid
+      // `dim`-length vectors) — count(*) would let malformed rows inflate
+      // the divisor and bias every centroid toward zero
       val sums = assigned.groupBy("cluster").agg(
-        count(lit(1)).as("n"), vecSum.as("s"))
+        count(when(size(col("embedding")) === dim, 1)).as("n"), vecSum.as("s"))
       centroids = sums.select(
         col("cluster").as("vec_id"),
         transform(col("s"), x => (x / col("n")).cast("float")).as("embedding"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     centroids
   }

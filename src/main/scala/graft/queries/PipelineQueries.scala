@@ -925,9 +925,12 @@ object PipelineQueries {
       (s, d) => {
         import graft.functions.VectorFunctions
         val emb = graft.operators.Parallelism.fanOut(t(s, d, "embeddings"))
+        // the divisor counts exactly the rows VectorSum accumulates (valid
+        // 64-length vectors), so a malformed vector is excluded from BOTH
+        // numerator and denominator rather than biasing the mean toward zero
         val centroid = emb
           .agg(VectorFunctions.vectorSum(col("embedding"), 64).as("sum"),
-            count(lit(1)).as("n"))
+            count(when(size(col("embedding")) === 64, 1)).as("n"))
           .select(transform(col("sum"), x => x / col("n")).as("centroid"))
         emb.crossJoin(broadcast(centroid))
           .select(col("vec_id"),

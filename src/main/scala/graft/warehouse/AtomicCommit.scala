@@ -103,8 +103,11 @@ object AtomicCommit {
     * (`MANIFEST-v<N>` — the commit history [[snapshotAt]]/[[rollback]]
     * read), write the new manifest body to a temp name, then rename over
     * `MANIFEST` — the rename is the one indivisible step; a crash after the
-    * history write but before the rename leaves an inert `MANIFEST-v` file
-    * the retry overwrites. */
+    * history write but before the rename leaves an orphan `MANIFEST-v` file
+    * the retry overwrites. The orphan is unreachable in the meantime: the
+    * history APIs refuse any version beyond the committed one
+    * ([[requireCommitted]]), so a crashed publish can never expose
+    * staged-but-unpublished data through time travel or rollback. */
   def publish(spark: SparkSession, staged: Staged): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val hist = new Path(s"${staged.root}/MANIFEST-v${staged.version}")
@@ -119,12 +122,30 @@ object AtomicCommit {
       .rename(tmp, manifestPath(staged.root), Options.Rename.OVERWRITE)
   }
 
+  /** `require` that `version` is a COMMITTED version — i.e. `<=` the version
+    * the current `MANIFEST` resolves. A `MANIFEST-v<N>` history file can
+    * exist for a version that never committed ([[publish]] writes it before
+    * the atomic rename; a crash in between leaves it behind), and reading it
+    * would expose staged-but-unpublished data. This guard keeps the history
+    * APIs on the committed prefix only; the orphan file is overwritten by
+    * the retried commit. */
+  private def requireCommitted(spark: SparkSession, root: String, version: Long): Unit = {
+    val committed = readManifest(spark, root)._1
+    require(version <= committed,
+      s"version $version is not committed at $root (current committed version " +
+        s"is $committed); a MANIFEST-v$version beyond the committed version is " +
+        "the artifact of a crashed publish, not a readable snapshot")
+  }
+
   /** The committed snapshot of `table` AS OF `version` (time travel):
     * segments are append-only and manifests are retained per version, so
     * any historical snapshot stays readable until a compaction rewrites
-    * it. None if the table had no rows at that version. */
+    * it. None if the table had no rows at that version. Versions beyond the
+    * current committed one are rejected even if a crashed publish left
+    * their history file behind. */
   def snapshotAt(spark: SparkSession, root: String, table: String,
       version: Long): Option[DataFrame] = {
+    requireCommitted(spark, root, version)
     val p = new Path(s"$root/MANIFEST-v$version")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no manifest history for version $version at $root")
@@ -143,6 +164,7 @@ object AtomicCommit {
     * (auditable), but the current snapshot every reader resolves reverts.
     * Returns the new version number. */
   def rollback(spark: SparkSession, root: String, toVersion: Long): Long = {
+    requireCommitted(spark, root, toVersion)
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new Path(s"$root/MANIFEST-v$toVersion")
     val fs = target.getFileSystem(conf)
@@ -177,9 +199,17 @@ object AtomicCommit {
   }
 
   /** Temp-view registration resolving through the manifest (the atomic
-    * counterpart of [[Migration.registerViews]]). */
+    * counterpart of [[Migration.registerViews]]). A table with no committed
+    * rows yet (snapshot None — e.g. an input channel with zero comments)
+    * registers as an EMPTY view with the migrated schema, so downstream
+    * queries return empty results instead of TABLE_OR_VIEW_NOT_FOUND —
+    * matching what [[Migration.registerViews]] resolves from an empty
+    * parquet table. */
   def registerViews(spark: SparkSession, root: String): Unit =
-    Seq("channel", "playlist", "video", "comment").foreach { t =>
-      snapshot(spark, root, t).foreach(_.createOrReplaceTempView(t))
+    graft.model.Schemas.warehouseSchemas.foreach { case (t, schema) =>
+      snapshot(spark, root, t)
+        .getOrElse(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+        .createOrReplaceTempView(t)
     }
 }

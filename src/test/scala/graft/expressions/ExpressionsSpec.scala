@@ -80,6 +80,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr.map(_._1) == Seq(1L, 2L, 4L))
   }
 
+  test("VectorSum mean pairing: malformed vectors are excluded from sum AND divisor") {
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f, 3.0f))),
+      (2L, Some(Seq(3.0f, 4.0f, 5.0f))),
+      (3L, Some(Seq(1.0f, 2.0f))), // wrong length: VectorSum skips it
+      (4L, None)                   // null: VectorSum skips it
+    ).toDF("id", "v")
+    val r = df.agg(
+      VectorFunctions.vectorSum(col("v"), 3).as("s"),
+      count(when(size(col("v")) === 3, 1)).as("n"),
+      count(lit(1)).as("all")).collect()(0)
+    assert(r.getSeq[Double](0) == Seq(4.0, 6.0, 8.0))
+    assert(r.getLong(1) == 2L, "divisor must count only contributing rows")
+    assert(r.getLong(2) == 4L)
+    // the mean over (sum, n) equals the mean of the valid vectors alone —
+    // count(*) as divisor would bias it toward zero (2.0 vs 1.0 here)
+    val mean = r.getSeq[Double](0).map(_ / r.getLong(1))
+    assert(mean == Seq(2.0, 3.0, 4.0))
+  }
+
   test("registered SQL functions resolve and compute") {
     graft.plans.GraftExtensions.install(spark)
     val got = spark.sql(

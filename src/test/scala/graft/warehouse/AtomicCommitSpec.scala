@@ -81,6 +81,47 @@ class AtomicCommitSpec extends SparkSpec {
       Seq("[1,a]", "[2,b]", "[3,c]"))
   }
 
+  test("a crashed publish's history file is unreadable: snapshotAt/rollback reject uncommitted versions") {
+    val root = Files.createTempDirectory("graft-ac").toString
+    AtomicCommit.commitTables(spark, root, tables((1L, "a"))) // committed v1
+    // simulate the crash window inside publish: MANIFEST-v2 (history) is
+    // written, segments are staged, but the process dies BEFORE the atomic
+    // rename — v2 never committed
+    val staged = AtomicCommit.prepare(spark, root, tables((2L, "phantom")))
+    val hist = java.nio.file.Paths.get(root, "MANIFEST-v2")
+    Files.write(hist, staged.manifestBody.getBytes("UTF-8"))
+    assert(AtomicCommit.readManifest(spark, root)._1 == 1, "crash must not commit")
+
+    // the history APIs must not surface the phantom version's staged data
+    val e1 = intercept[IllegalArgumentException](
+      AtomicCommit.snapshotAt(spark, root, "alpha", 2))
+    assert(e1.getMessage.contains("not committed"))
+    val e2 = intercept[IllegalArgumentException](AtomicCommit.rollback(spark, root, 2))
+    assert(e2.getMessage.contains("not committed"))
+    // committed history stays readable
+    assert(rowSet(AtomicCommit.snapshotAt(spark, root, "alpha", 1).get) == Seq("[1,a]"))
+
+    // the retried commit overwrites the orphan and makes v2 real
+    AtomicCommit.commitTables(spark, root, tables((2L, "c")))
+    assert(rowSet(AtomicCommit.snapshotAt(spark, root, "alpha", 2).get) ==
+      Seq("[1,a]", "[2,c]"))
+  }
+
+  test("registerViews registers empty-schema views for tables with no committed rows") {
+    val root = Files.createTempDirectory("graft-ac").toString
+    AtomicCommit.registerViews(spark, root) // nothing committed at all
+    graft.model.Schemas.warehouseSchemas.foreach { case (t, schema) =>
+      val view = spark.table(t)
+      assert(view.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq, s"schema of empty view $t")
+      assert(view.count() == 0)
+    }
+    // a query over the empty views returns empty, not TABLE_OR_VIEW_NOT_FOUND
+    assert(spark.sql(
+      "SELECT v.video_title, count(*) c FROM video v JOIN comment m USING (video_id) GROUP BY 1")
+      .count() == 0)
+  }
+
   test("migrateAtomic: lake -> four warehouse tables in one commit, views resolve") {
     val root = Files.createTempDirectory("graft-ac").toString
     val lakePath = s"$root/lake"

@@ -23,66 +23,40 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.sources.Tables
+    import graft.operators.Dedup
     def t(n: String) = Tables(spark, sfDir, n)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    val docs = t("documents")
+    val (nh, bands) = (16, 4)
 
     // warmup
     noop(t("lineitem").groupBy("l_returnflag").count())
+    noop(Registry.byName("dd_lsh_pairs").fn(spark, sfDir))
 
-    time("q09 as-is") {
-      noop(Registry.byName("q09_group_avg").fn(spark, sfDir))
-    }
-    time("q09 fanout-first") {
-      noop(operators.Parallelism.fanOut(t("lineitem"))
-        .groupBy("l_returnflag")
-        .agg((sum(col("l_quantity").cast("decimal(20,4)")).cast("double") / count(lit(1))).as("avg_qty"),
-          count(lit(1)).as("n_rows"))
-        .orderBy(col("avg_qty").desc, col("l_returnflag")))
-    }
-    time("q09 double-sum (non-judged variant)") {
-      noop(t("lineitem").groupBy("l_returnflag")
-        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"), count(lit(1)).as("n_rows"))
-        .orderBy(col("avg_qty").desc, col("l_returnflag")))
-    }
-    time("j2 as-is") {
-      noop(Registry.byName("j2_fk_join").fn(spark, sfDir))
-    }
-    time("j2 broadcast-customer") {
-      noop(t("orders")
-        .join(broadcast(t("customer").select("c_custkey", "c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t("nation").select("n_nationkey", "n_name")),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("revenue")))
-    }
-    time("scan lineitem only") { noop(t("lineitem")) }
-    time("scan lineitem 2cols") { noop(t("lineitem").select("l_returnflag", "l_quantity")) }
-    time("dd_lsh_pairs as-is") {
+    time("lsh full (judged)") {
       noop(Registry.byName("dd_lsh_pairs").fn(spark, sfDir))
     }
-    time("tx_tfidf as-is") {
-      noop(Registry.byName("tx_tfidf").fn(spark, sfDir))
+    def sigs = graft.operators.Parallelism.fanOut(
+        docs.select(col("doc_id"), col("text").as("__text")))
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.MinHashSignature(
+          org.apache.spark.sql.GraftBridge.expression(col("__text")), 2, nh)).as("sig"))
+      .filter(col("sig").isNotNull)
+    time("signatures only") { noop(sigs) }
+    time("sig + digest + checkpoint") {
+      noop(sigs.withColumn("__sig_key", md5(concat_ws(":", col("sig"))))
+        .localCheckpoint(eager = false))
     }
-    time("lsh: bands only") {
-      noop(operators.Dedup.minhashBands(t("documents"), col("doc_id"), col("text"), 16, 4))
+    time("groups agg over fresh checkpoint") {
+      val sig = sigs.withColumn("__sig_key", md5(concat_ws(":", col("sig"))))
+        .localCheckpoint(eager = false)
+      noop(sig.groupBy("__sig_key").agg(
+        min(col("doc_id")).as("rep"), first(col("sig")).as("sig"),
+        count(lit(1)).as("cnt")))
     }
-    time("lsh: shingle explode only") {
-      noop(operators.Parallelism.fanOut(t("documents").select(col("doc_id"), col("text").as("__text")))
-        .select(col("doc_id"), explode(graft.functions.TextFunctions.shingles(col("__text"), 2)).as("shingle")))
-    }
-    time("lsh: sig agg only") {
-      val sh = operators.Parallelism.fanOut(t("documents").select(col("doc_id"), col("text").as("__text")))
-        .select(col("doc_id"), explode(graft.functions.TextFunctions.shingles(col("__text"), 2)).as("shingle"))
-      val sigAgg = org.apache.spark.sql.GraftBridge.column(
-        graft.expressions.MinHashSig(
-          org.apache.spark.sql.GraftBridge.expression(col("shingle")), 16).toAggregateExpression())
-      noop(sh.groupBy("doc_id").agg(sigAgg.as("sig")))
-    }
-    time("sim_bruteforce as-is") {
-      noop(Registry.byName("sim_bruteforce_topk").fn(spark, sfDir))
+    time("bands only (no collapse)") {
+      noop(Dedup.minhashBands(docs, col("doc_id"), col("text"), nh, bands))
     }
     spark.stop()
   }

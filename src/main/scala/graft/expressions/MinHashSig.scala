@@ -5,19 +5,23 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature as a single custom `TypedImperativeAggregate`:
   * `graft_minhash_sig(shingle, numHashes)` over a doc's exploded shingles
-  * returns the array of `numHashes` minima of md5("seed:" || shingle),
-  * hex-encoded — component-for-component identical to `numHashes` separate
-  * `min(md5(concat(...)))` aggregates (and to the DuckDB oracle), but in ONE
-  * buffer with a reused MessageDigest and raw 16-byte comparisons instead of
-  * 16 string-building aggregation paths.
+  * returns the array of `numHashes` component minima, hex-encoded —
+  * component-for-component identical to [[MinHashSignature]] (and to the
+  * DuckDB oracle), for callers that already hold shingle rows.
   *
-  * Scale: the buffer is numHashes × 16 bytes per group; partial aggregation
+  * Hash family (shared with [[MinHashSignature]] — see its scaladoc for the
+  * collision-probability argument): component `i` is the 8-hex-char chunk
+  * `i % 4` of md5 stream `i / 4` (stream 0 = `md5(shingle)`, stream t =
+  * `md5("t:" || shingle)`), so 4 components share one digest and a 16-hash
+  * signature costs 4 md5 calls per shingle, not 16.
+  *
+  * Scale: the buffer is numHashes × 4 bytes per group; partial aggregation
   * collapses shingles map-side, so only one small signature row per doc
   * crosses the shuffle.
   */
@@ -26,7 +30,7 @@ case class MinHashSig(
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Array[Byte]]] {
+    extends TypedImperativeAggregate[Array[Int]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
@@ -37,65 +41,69 @@ case class MinHashSig(
   @transient private lazy val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  private val seedPrefixes: Array[Array[Byte]] =
-    (0 until numHashes).map(i => s"$i:".getBytes("UTF-8")).toArray
+  private val numStreams: Int = (numHashes + 3) / 4
 
-  override def createAggregationBuffer(): Array[Array[Byte]] =
-    new Array[Array[Byte]](numHashes)
+  private val streamPrefixes: Array[Array[Byte]] =
+    (0 until numStreams).map(t =>
+      if (t == 0) Array.emptyByteArray else s"$t:".getBytes("UTF-8")).toArray
 
-  /** Unsigned lexicographic compare — the same order as comparing the
-    * lowercase-hex encodings as strings. */
-  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < 16) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
+  // buffer slot numHashes is a seen-any-shingle flag (0 / 1): all-0xff
+  // minima alone cannot distinguish "no input" from a pathological corpus
+  override def createAggregationBuffer(): Array[Int] = {
+    val b = new Array[Int](numHashes + 1)
+    java.util.Arrays.fill(b, 0, numHashes, -1) // 0xffffffff = unsigned max
+    b
   }
 
-  override def update(buf: Array[Array[Byte]], row: InternalRow): Array[Array[Byte]] = {
+  override def update(buf: Array[Int], row: InternalRow): Array[Int] = {
     val v = child.eval(row)
     if (v != null) {
+      buf(numHashes) = 1
       val shingle = v.asInstanceOf[UTF8String].getBytes
       val md = digests.get()
-      var i = 0
-      while (i < numHashes) {
+      var t = 0
+      while (t < numStreams) {
         md.reset()
-        md.update(seedPrefixes(i))
+        if (streamPrefixes(t).length > 0) md.update(streamPrefixes(t))
         md.update(shingle)
         val h = md.digest()
-        if (buf(i) == null || less(h, buf(i))) buf(i) = h
-        i += 1
+        var c = 0
+        val lim = math.min(4, numHashes - t * 4)
+        while (c < lim) {
+          val x = ((h(4 * c) & 0xff) << 24) | ((h(4 * c + 1) & 0xff) << 16) |
+            ((h(4 * c + 2) & 0xff) << 8) | (h(4 * c + 3) & 0xff)
+          val i = t * 4 + c
+          if (java.lang.Integer.compareUnsigned(x, buf(i)) < 0) buf(i) = x
+          c += 1
+        }
+        t += 1
       }
     }
     buf
   }
 
-  override def merge(a: Array[Array[Byte]], b: Array[Array[Byte]]): Array[Array[Byte]] = {
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
     var i = 0
     while (i < numHashes) {
-      if (a(i) == null || (b(i) != null && less(b(i), a(i)))) a(i) = b(i)
+      if (java.lang.Integer.compareUnsigned(b(i), a(i)) < 0) a(i) = b(i)
       i += 1
     }
+    a(numHashes) = a(numHashes) | b(numHashes)
     a
   }
 
-  override def eval(buf: Array[Array[Byte]]): Any =
-    if (buf(0) == null) null
+  override def eval(buf: Array[Int]): Any =
+    if (buf(numHashes) == 0) null
     else {
       val hex = "0123456789abcdef"
       val arr = new Array[Any](numHashes)
       var j = 0
       while (j < numHashes) {
-        val h = buf(j)
-        val out = new Array[Byte](32)
+        val v = buf(j)
+        val out = new Array[Byte](8)
         var i = 0
-        while (i < 16) {
-          out(2 * i) = hex.charAt((h(i) >> 4) & 0xf).toByte
-          out(2 * i + 1) = hex.charAt(h(i) & 0xf).toByte
+        while (i < 8) {
+          out(i) = hex.charAt((v >>> (28 - 4 * i)) & 0xf).toByte
           i += 1
         }
         arr(j) = UTF8String.fromBytes(out)
@@ -104,30 +112,18 @@ case class MinHashSig(
       new GenericArrayData(arr)
     }
 
-  override def serialize(buf: Array[Array[Byte]]): Array[Byte] = {
-    val out = new Array[Byte](numHashes * 17)
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate((numHashes + 1) * 4)
     var i = 0
-    while (i < numHashes) {
-      if (buf(i) != null) {
-        out(i * 17) = 1
-        System.arraycopy(buf(i), 0, out, i * 17 + 1, 16)
-      }
-      i += 1
-    }
-    out
+    while (i <= numHashes) { bb.putInt(buf(i)); i += 1 }
+    bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Array[Byte]] = {
-    val buf = new Array[Array[Byte]](numHashes)
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Int](numHashes + 1)
     var i = 0
-    while (i < numHashes) {
-      if (bytes(i * 17) == 1) {
-        val h = new Array[Byte](16)
-        System.arraycopy(bytes, i * 17 + 1, h, 0, 16)
-        buf(i) = h
-      }
-      i += 1
-    }
+    while (i <= numHashes) { buf(i) = bb.getInt(); i += 1 }
     buf
   }
 

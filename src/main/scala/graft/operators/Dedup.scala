@@ -155,7 +155,7 @@ object Dedup {
     * emits, emitted by distributed streaming joins instead of one task. */
   def lshCandidatePairs(docs: DataFrame, idCol: Column, textCol: Column,
       numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
-    // group key = md5 over the signature: one 32-char string shuffles ~10x
+    // group key = md5 over the signature: one 32-char string shuffles ~4x
     // cheaper than the 16-element array it summarizes (equal sigs ⇒ equal
     // digest; a digest collision is the same 2^-128 event the
     // fingerprint-equality contract already accepts).

@@ -41,15 +41,20 @@ object PipelineQueries {
       |      ELSE [] END AS sh
       |  FROM toks)""".stripMargin
 
-  /** DuckDB MinHash band-key CTE over [[ShinglesCte]]: seed s component is
-    * min over shingles of md5('s:'||shingle); band key concatenates its
-    * rows' components — identical to Dedup.minhashBands. */
+  /** DuckDB MinHash band-key CTE over [[ShinglesCte]]: component s is the
+    * min over shingles of 8-hex-char chunk `s % 4` of md5 stream `s / 4`
+    * (stream 0 = md5(x), stream t = md5('t:'||x) — the
+    * [[graft.expressions.MinHashSignature]] hash family: 4 independent
+    * 32-bit components per digest); band key concatenates its rows'
+    * components — identical to Dedup.minhashBands. */
   private val BandsCte =
     ShinglesCte + s""",
       |sig AS (
       |  SELECT doc_id,
       |    list_transform(generate_series(0, ${NumHashes - 1}),
-      |      s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || ':' || x)))) AS sig
+      |      s -> list_min(list_transform(sh, x -> substring(
+      |        CASE WHEN s < 4 THEN md5(x) ELSE md5((s // 4)::VARCHAR || ':' || x) END,
+      |        (s % 4) * 8 + 1, 8)))) AS sig
       |  FROM sh),
       |bands AS (
       |  SELECT doc_id, b.band,

@@ -29,7 +29,7 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(0)))
   }
 
-  test("MinHashSig aggregate equals 16 separate min(md5(seed:shingle)) aggregates") {
+  test("MinHashSig aggregate equals 16 separate min(md5-chunk) aggregates") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "pack my box with five dozen liquor jugs and more words here")
@@ -43,8 +43,14 @@ class ExpressionsSpec extends SparkSpec {
     val native = sh.groupBy("doc_id").agg(sigAgg.as("sig"))
       .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
 
-    val comps = (0 until 16).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    // the hash family's built-in reference form: component i = chunk i%4 of
+    // md5 stream i/4 (stream 0 unprefixed, stream t = 't:' || shingle)
+    val comps = (0 until 16).map { i =>
+      val digest =
+        if (i < 4) md5(col("shingle"))
+        else md5(concat(lit(s"${i / 4}:"), col("shingle")))
+      min(substring(digest, (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
     val reference = sh.groupBy("doc_id").agg(comps.head, comps.tail: _*)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), (1 to 16).map(r.getString))).toSeq
@@ -109,7 +115,7 @@ class ExpressionsSpec extends SparkSpec {
     val mh = spark.sql(
       """SELECT graft_minhash_sig(s, 4) AS sig FROM (SELECT explode(array('a b', 'b c')) AS s)""")
       .collect()(0).getSeq[String](0)
-    assert(mh.length == 4 && mh.forall(_.length == 32))
+    assert(mh.length == 4 && mh.forall(_.length == 8))
     val dur = spark.sql("SELECT graft_parse_duration('PT1H2M3S') AS s")
       .collect()(0).getLong(0)
     assert(dur == 3723L)

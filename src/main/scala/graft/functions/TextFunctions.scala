@@ -83,6 +83,17 @@ object TextFunctions {
     * whole-document digest — stable across engines.) */
   def fingerprint(c: Column): Column = md5(lower(trim(c)))
 
+  /** Misra–Gries heavy-hitter candidate sketch over a string column (see
+    * [[graft.expressions.MisraGries]] for the bounds): one mergeable
+    * aggregate with ≤ `capacity` counters per partial buffer — candidate
+    * discovery with NO keyed shuffle of the corpus. Returns
+    * `array<struct<token string, lb bigint>>` sorted by (lb desc, token). */
+  def misraGries(c: Column, capacity: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.MisraGries(
+        org.apache.spark.sql.GraftBridge.expression(c),
+        capacity).toAggregateExpression())
+
   /** Count of tokens that belong to a stopword list. */
   def stopwordCount(c: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(c), w => w.isin(stopwords.map(lit(_)): _*)))

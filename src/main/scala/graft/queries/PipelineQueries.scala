@@ -524,6 +524,35 @@ object PipelineQueries {
         |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
         |GROUP BY token""".stripMargin)),
 
+    // Exact heavy hitters, two-pass: pass 1 is ONE Misra-Gries sketch
+    // aggregate (no keyed shuffle — per-task partial buffers of ≤ 64
+    // counters merge into a single candidate list), pass 2 exact-counts
+    // ONLY the candidates (broadcast join prefilter) and takes the top 10.
+    // At 100 TB this replaces the full-corpus groupBy(token) shuffle of
+    // tx_vocab with two scans plus kilobytes of sketch state per task.
+    // Candidates provably contain every token with frequency > N/65
+    // (MisraGries scaladoc); the fixture vocabulary (31 tokens) fits inside
+    // capacity entirely, so the refined top-10 is unconditionally exact
+    // here — the adversarial bound (capacity ≪ vocabulary under skew) is
+    // spec'd in MisraGriesSpec.
+    Q("tx_heavy_hitters",
+      (s, d) => {
+        def toks = graft.operators.Parallelism.fanOut(
+          t(s, d, "documents").select("text"))
+          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        val cands = toks
+          .agg(TextFunctions.misraGries(col("token"), 64).as("cands"))
+          .select(explode(col("cands")).as("c"))
+          .select(col("c").getField("token").as("token"))
+        toks.join(broadcast(cands), "token")
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(10)
+      },
+      Some("""SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin)),
+
     // TF-IDF scores per (doc, token): tf and df are exact integer counts;
     // idf = ln(N/df) and the product are single double ops (rounded for the
     // cross-engine libm contract).

@@ -915,6 +915,40 @@ object PipelineQueries {
         |  GROUP BY 1, 2)
         |WHERE n_shared >= 3""".stripMargin)),
 
+    // Bloom-prefiltered decontamination delete-list: distinct TRAIN docs
+    // sharing >= 1 word trigram with the eval set, where the eval trigram
+    // set reaches the 100 TB train side as a BLOOM FILTER scalar subquery
+    // (BloomPrefilter scaladoc) instead of a broadcast hash relation — the
+    // regime where the eval set is too big to broadcast as a join table but
+    // its ~1.2 bits/key sketch still ships everywhere. might_contain is a
+    // row-local scan predicate (no false negatives), and the exact semi-join
+    // refine on the survivors makes the result IDENTICAL to the plain
+    // semi-join — fpp only tunes how many rows reach the refine. The DuckDB
+    // oracle is that plain semi-join.
+    Q("dq_bloom_decontam",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val ev = docs.filter(col("doc_id") < 50)
+          .select(explode(shingles(col("text"), 3)).as("g"))
+        val tr = graft.operators.Parallelism.fanOut(docs.filter(col("doc_id") >= 50))
+          .select(col("doc_id").as("train_id"), explode(shingles(col("text"), 3)).as("g"))
+        graft.operators.BloomPrefilter
+          .semiJoin(tr, "g", ev, "g", expectedItems = 20000L, fpp = 0.01)
+          .select("train_id").distinct()
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |g3 AS (SELECT doc_id,
+        |  CASE WHEN len(parts) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(parts) - 2),
+        |           i -> parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2]))
+        |    ELSE [] END AS g
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(g) AS g FROM g3)
+        |SELECT DISTINCT t.doc_id AS train_id
+        |FROM ex t
+        |WHERE t.doc_id >= 50
+        |  AND EXISTS (SELECT 1 FROM ex e WHERE e.doc_id < 50 AND e.g = t.g)""".stripMargin)),
+
     // ---- Embedding column ops --------------------------------------------
 
     // Vector norms + dimensionality audit (the sanity pass before any ANN

@@ -94,6 +94,20 @@ object TextFunctions {
         org.apache.spark.sql.GraftBridge.expression(c),
         capacity).toAggregateExpression())
 
+  /** Collapse consecutive repeated tokens ("the the fox" → "the fox"):
+    * row-local indexed-lambda filter. The previous-token probe
+    * `element_at(parts, i)` sits behind a CaseWhen arm so index 0 is never
+    * evaluated (ANSI mode throws on element_at index 0). */
+  def collapseRepeats(c: Column): Column = {
+    val parts = tokens(c)
+    concat_ws(" ", filter(parts, (x, i) =>
+      when(i === 0, lit(true)).otherwise(x =!= element_at(parts, i))))
+  }
+
+  /** Drop every later re-occurrence of a token, preserving first-seen order
+    * (array_distinct keeps the first occurrence). Row-local. */
+  def dedupTokens(c: Column): Column = concat_ws(" ", array_distinct(tokens(c)))
+
   /** Count of tokens that belong to a stopword list. */
   def stopwordCount(c: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(c), w => w.isin(stopwords.map(lit(_)): _*)))

@@ -715,6 +715,33 @@ object PipelineQueries {
         |FROM sh s JOIN toks t ON s.doc_id = t.doc_id
         |WHERE len(t.parts) >= 2""".stripMargin)),
 
+    // Intra-document repetition removal — the cleaning pass that rewrites
+    // each document in place: collapse consecutive repeated tokens (the
+    // "the the" crawl artifact) and drop every later re-occurrence of a
+    // token while preserving first-seen order. Both rewrites are row-local
+    // higher-order expressions (TextFunctions.collapseRepeats/dedupTokens),
+    // so the operator is a pure map over the corpus: zero shuffles at any
+    // scale.
+    Q("tx_intradoc_dedup",
+      (s, d) => {
+        val parts = tokens(col("text"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          TextFunctions.collapseRepeats(col("text")).as("collapsed"),
+          TextFunctions.dedupTokens(col("text")).as("deduped"),
+          size(parts).cast("long").as("n_tokens"),
+          size(array_distinct(parts)).cast("long").as("n_unique"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(parts, (x, i) -> i = 1 OR x <> parts[i - 1]), ' ') AS collapsed,
+        |  (SELECT string_agg(tok, ' ' ORDER BY first_ord)
+        |   FROM (SELECT parts[i] AS tok, min(i) AS first_ord
+        |         FROM unnest(generate_series(1, len(parts))) AS g(i) GROUP BY 1)) AS deduped,
+        |  CAST(len(parts) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(parts)) AS BIGINT) AS n_unique
+        |FROM toks""".stripMargin)),
+
     // Unigram log-probability score (the LM-scoring shape: corpus frequency
     // model joined back to tokens, per-doc sum). Each term's ln is rounded
     // to 6dp then summed as scaled longs — order-independent, so the score

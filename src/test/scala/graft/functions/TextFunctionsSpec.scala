@@ -55,6 +55,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
   }
 
+  test("collapseRepeats / dedupTokens: runs collapse, first occurrence wins, edge cases") {
+    val got = Seq(
+      "a a the b a the the c", // runs + re-occurrences
+      "x",                     // single token
+      "",                      // empty text: split -> [""], both rewrites identity
+      "y y y y"                // one long run
+    ).toDF("t")
+      .select(collapseRepeats(col("t")).as("c"), dedupTokens(col("t")).as("d"))
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(
+      ("a the b a the c", "a the b c"),
+      ("x", "x"),
+      ("", ""),
+      ("y", "y")))
+  }
+
   test("quality features: exact counts on a known sentence") {
     val feats = qualityFeatures(col("t"))
     val row = Seq("the quick brown fox, it jumps!")

@@ -138,6 +138,31 @@ class PlanQualitySpec extends SparkSpec {
       s"outlier filter must not shuffle the corpus on a key:\n$p")
   }
 
+  test("tx_intradoc_dedup: a pure map — zero exchanges of any kind") {
+    val p = planOf("tx_intradoc_dedup").split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"),
+      s"row-local rewrite must not shuffle anything:\n$p")
+  }
+
+  test("tx_heavy_hitters: sketch pass ships only partial buffers; refine broadcasts candidates") {
+    val p = planOf("tx_heavy_hitters").split("== Initial Plan ==").head
+    assert(p.contains("partial_misra_gries"),
+      s"sketch must aggregate map-side (partial buffers, not rows):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"candidates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the ONLY row-keyed exchange allowed is the exact-count of candidates
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHash <= 1, s"$nHash hash exchanges (want just the refine count):\n$p")
+  }
+
+  test("dq_bloom_decontam: might_contain prefilters scan-side, under every join") {
+    val p = planOf("dq_bloom_decontam").split("== Initial Plan ==").head
+    val filterIdx = p.indexOf("might_contain")
+    assert(filterIdx >= 0, s"no bloom prefilter in plan:\n$p")
+    assert(!p.substring(filterIdx).contains("Join"),
+      s"a join below the might_contain filter — prefilter is not scan-side:\n$p")
+  }
+
   test("q09: scaled-long exact aggregation keeps hash (map-side partial) aggregation") {
     val p = planOf("q09_group_avg")
     assert(p.contains("HashAggregate"), p)

@@ -212,6 +212,38 @@ object Dedup {
     intra.union(inter) // disjoint by construction: same-group vs cross-group
   }
 
+  /** Incremental ingest near-dup gate: the rows of `newBatch` that share NO
+    * MinHash LSH band with the already-ingested `history` corpus — the
+    * filter a continuously-fed training pipeline runs on every batch so
+    * near-duplicates of existing data never enter the lake.
+    *
+    * Scale shape: both sides reduce to their (doc_id, band, band_key)
+    * projections — tiny relative to the corpus (bands × ~40 chars per doc)
+    * — and the screen is a band-keyed LEFT SEMI join of those projections,
+    * then one id-keyed ANTI join attaches the verdict back to the
+    * full-width batch. The history text is scanned only to derive bands; in
+    * production the history band projection IS the persisted dedup index
+    * (append the accepted batch's bands after each ingest) so steady-state
+    * cost is one scan of the new batch plus a join against the index —
+    * [[minhashBands]] is public precisely so callers can persist it.
+    * Docs too short to shingle produce no bands and therefore always
+    * survive (they cannot near-dup with anything).
+    *
+    * Same screen semantics as [[lshCandidatePairs]] restricted to
+    * (new × history): a shared band makes a doc a near-dup suspect. The
+    * usual Jaccard refine can run on the rejected ids before discarding
+    * them; the gate itself stays join-only. */
+  def incrementalNearDupFilter(newBatch: DataFrame, history: DataFrame,
+      idCol: Column, textCol: Column, numHashes: Int, bands: Int,
+      shingleK: Int = 2): DataFrame = {
+    val nb = minhashBands(newBatch, idCol, textCol, numHashes, bands, shingleK)
+    val hb = minhashBands(history, idCol, textCol, numHashes, bands, shingleK)
+      .select("band", "band_key")
+    val hits = nb.join(hb, Seq("band", "band_key"), "left_semi")
+      .select(col("doc_id").as("__hit_id")).distinct()
+    newBatch.join(hits, idCol === col("__hit_id"), "left_anti")
+  }
+
   /** Exact k-gram Jaccard similarity for all pairs within `docs` — O(n²) in
     * candidate pairs; intended for verification subsets or as the refine
     * step after [[lshCandidatePairs]]. The join key is the shingle, so

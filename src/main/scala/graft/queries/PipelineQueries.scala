@@ -175,6 +175,29 @@ object PipelineQueries {
         |WHERE a.doc_id < b.doc_id""".stripMargin),
       headline = true),
 
+    // Incremental ingest near-dup gate: new-batch docs (doc_id >= 250)
+    // surviving the LSH screen against the already-ingested history
+    // (doc_id < 250). Both sides shrink to band projections before any
+    // join; the batch's full rows only see one id-keyed anti join — see
+    // Dedup.incrementalNearDupFilter for the persisted-index production
+    // shape. Shingle-less docs have no bands and always survive.
+    Q("dd_incremental_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalNearDupFilter(
+            docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+            col("doc_id"), col("text"), NumHashes, Bands)
+          .select("doc_id")
+      },
+      Some(BandsCte + """
+        |SELECT n.doc_id
+        |FROM documents n
+        |WHERE n.doc_id >= 250
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM bands nb
+        |    JOIN bands hb ON nb.band = hb.band AND nb.band_key = hb.band_key
+        |    WHERE nb.doc_id = n.doc_id AND hb.doc_id < 250)""".stripMargin)),
+
     // Near-dup clustering: exact connected components over the LSH
     // candidate-pair graph (min-label propagation to fixpoint; oracle is a
     // recursive-CTE transitive closure). Unlike every other entry, the

@@ -55,6 +55,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("Dedup.incrementalNearDupFilter: band-sharers rejected, fresh and shingle-less docs survive") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different historical content about spark plans here")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1: all bands shared
+      (11L, "an entirely novel document with fresh unique wording throughout"),
+      (12L, "x") // too short to shingle (k=2): no bands, must survive
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDupFilter(
+        newBatch, history, col("doc_id"), col("text"), 16, 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L, 12L))
+    // the gate agrees with the pair screen: a kept doc shares no band with history
+    val crossPairs = Dedup.lshCandidatePairs(
+        history.union(newBatch), col("doc_id"), col("text"), 16, 4)
+      .filter(col("doc_a") < 10 && col("doc_b") >= 10)
+      .select("doc_b").as[Long].collect().toSet
+    assert(kept.toSet.intersect(crossPairs).isEmpty)
+  }
+
   test("Dedup.simhashBandedPairs: identical rows to all-pairs Hamming, no BNLJ plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Byte-pair-encoding merge training — the tokenizer-building pass of a
+  * training-data pipeline, as iterative Spark aggregation.
+  *
+  * Classic BPE (Sennrich et al. 2016) trains on the WORD-FREQUENCY dict,
+  * not the corpus: the corpus collapses to (word, count) once — at 100 TB
+  * that is the only full scan — and every merge round then runs on the
+  * vocabulary-sized dict. Each round is: count adjacent symbol pairs
+  * (weighted by word count, overlaps included), pick the most frequent
+  * (count desc, then lexicographic pair — fully deterministic), rewrite the
+  * symbol arrays row-locally. The winning rule is a ONE-ROW DataFrame
+  * joined back by broadcast — nothing is collected to the driver, the same
+  * discipline as [[Similarity.kmeansCentroids]]; an exhausted dict (no
+  * pairs left) makes the rule row empty and the left-join rewrite a no-op
+  * rather than wiping the state. Per-round state is lazily
+  * localCheckpoint-ed so `nMerges` rounds keep bounded lineage.
+  *
+  * `nMerges` rounds = `nMerges` passes over the word dict — the standard
+  * distributed-BPE cost model (real trainers at 32k merges run exactly this
+  * loop, usually on a frequency-sampled dict; sampling composes here as a
+  * `filter(n >= minCount)` on the dict).
+  */
+object BpeTrainer {
+
+  /** One left-to-right, non-overlapping application of merge rule (a, b) to
+    * a symbols array: fold each symbol into the accumulator, fusing it with
+    * the previous element when (prev, cur) == (a, b). Row-local; null rule
+    * columns (empty-rule no-op join) compare to null ⇒ every row appends ⇒
+    * identity rewrite. try_element_at keeps the empty-accumulator probe
+    * null-valued instead of an ANSI index error. */
+  def applyMerge(symbols: Column, a: Column, b: Column): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, s) =>
+        when(try_element_at(acc, lit(-1)) === a && s === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Adjacent (a, b) symbol pairs of a symbols array, overlaps included —
+    * the objects BPE counts. Empty for arrays shorter than 2 (the
+    * `sequence` guard matters: sequence(1, 0) would count DOWN). */
+  private def adjacentPairs(symbols: Column): Column =
+    when(size(symbols) >= 2,
+      transform(sequence(lit(1), size(symbols) - 1),
+        i => struct(element_at(symbols, i).as("a"),
+          element_at(symbols, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** Train `nMerges` merge rules on the word dict of `docs(textCol)`.
+    * Returns (rank, a, b, cnt) — fewer than `nMerges` rows if the dict
+    * runs out of adjacent pairs first. */
+  def train(docs: DataFrame, textCol: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    var state = docs
+      .select(explode(split(textCol, " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"), split(col("word"), "").as("symbols"))
+      .localCheckpoint(eager = false)
+    val rules = (0 until nMerges).map { r =>
+      val best = state
+        .select(col("n"), explode(adjacentPairs(col("symbols"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint(eager = false) // reused by the rewrite AND the output
+      state = state
+        .join(broadcast(best), lit(true), "left") // empty rule row -> identity
+        .select(col("n"),
+          applyMerge(col("symbols"), col("a"), col("b")).as("symbols"))
+        .localCheckpoint(eager = false)
+      best.select(lit(r).as("rank"), col("a"), col("b"), col("cnt"))
+    }
+    rules.reduce(_ unionByName _)
+  }
+
+  /** Segment one word with driver-held rules, applied in rank order — the
+    * inference path once training exported its merge table. A chain of
+    * `rules.length` row-local folds; depth-bounded by expression nesting,
+    * so intended for modest rule counts (tests, fixtures) — a production
+    * segmenter compiles the full 32k-rule table into a scan-side
+    * dictionary, which is no longer an engine concern. */
+  def segmentWord(word: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(split(word, "")) { case (syms, (a, b)) =>
+      applyMerge(syms, lit(a), lit(b))
+    }
+
+  /** Segment whole text: per-word BPE symbols, flattened in word order. */
+  def segmentText(text: Column, rules: Seq[(String, String)]): Column =
+    flatten(transform(
+      filter(split(text, " "), w => length(w) > 0),
+      w => segmentWord(w, rules)))
+}

@@ -547,6 +547,18 @@ object PipelineQueries {
         |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
         |GROUP BY token""".stripMargin)),
 
+    // BPE merge training (8 rounds) on the corpus word dict — iterative
+    // aggregation like kmeans, so there is no single-SQL DuckDB analogue
+    // (driver records the rows-only check; exact merge semantics are pinned
+    // by BpeTrainerSpec's hand-computed sequences). Scale shape: the corpus
+    // is scanned ONCE into the (word, count) dict; every round then runs on
+    // the vocabulary-sized dict with the winning rule as a one-row
+    // broadcast — see operators/BpeTrainer.
+    Q("tx_bpe_train",
+      (s, d) => graft.operators.BpeTrainer.train(
+        t(s, d, "documents"), col("text"), nMerges = 8),
+      None),
+
     // Exact heavy hitters, two-pass: pass 1 is ONE Misra-Gries sketch
     // aggregate (no keyed shuffle — per-task partial buffers of ≤ 64
     // counters merge into a single candidate list), pass 2 exact-counts

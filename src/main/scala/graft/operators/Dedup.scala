@@ -366,6 +366,41 @@ object Dedup {
       .union(best)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the embedding space with k-means, search near-duplicates
+    * ONLY within each cluster, then keep the best-quality member of every
+    * connected near-dup group. Returns the kept ids.
+    *
+    * Scale shape, stage by stage: the k-means train + assignment is the
+    * [[Similarity.kmeansCentroids]] loop (row-local argmax against a
+    * broadcast centroid array, one vector-sum aggregate per round); the
+    * within-cluster pair search reuses [[bucketPairs]] keyed on the cluster
+    * id — ONE corpus shuffle, O(chunk) task memory, mega-cluster emission
+    * spread over tasks — which is the paper's core trick: clusters average
+    * corpus/k vectors, so all-pairs work that would be O(n²) globally
+    * becomes k × O((n/k)²), tunable by k; the exact cosine refine keeps
+    * only pairs ≥ threshold; [[connectedComponents]] + [[clusterKeepBest]]
+    * finish with the near-dup-bounded group selection. Near-dup pairs
+    * SPLIT by the k-means partition are invisible (the paper's documented
+    * recall trade — raise k for throughput, lower it for recall). */
+  def semanticKeep(emb: DataFrame, idCol: Column, vecCol: Column,
+      qualityCol: Column, k: Int, iters: Int, dim: Int,
+      threshold: Double): DataFrame = {
+    val corpus = emb.select(idCol.as("vec_id"), vecCol.as("embedding"))
+    val centroids = Similarity.kmeansCentroids(corpus, k, iters, dim)
+    val assigned = Similarity.assignClusters(corpus, centroids)
+    val pairs = bucketPairs(assigned, Seq("cluster"),
+        struct(col("vec_id"), col("embedding")))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        cosineRounded(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    clusterKeepBest(
+      emb.select(idCol.as("doc_id"), qualityCol.as("__q")),
+      col("doc_id"), col("__q"), labels)
+  }
+
   /** Near-dup candidate pairs by SimHash Hamming distance ≤ `maxDist` —
     * all-pairs XOR+popcount. O(n²) by construction: VERIFICATION-SCALE ONLY
     * (it plans a BroadcastNestedLoopJoin); every judged/production path goes

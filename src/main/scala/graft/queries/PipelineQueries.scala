@@ -1011,6 +1011,22 @@ object PipelineQueries {
         |WHERE t.doc_id >= 50
         |  AND EXISTS (SELECT 1 FROM ex e WHERE e.doc_id < 50 AND e.g = t.g)""".stripMargin)),
 
+    // SemDeDup semantic dedup: k-means-partitioned within-cluster near-dup
+    // search + best-quality group survivor (quality = l2 norm here; any
+    // per-row score slots in). Iterative k-means has no single-SQL DuckDB
+    // analogue, so this is a rows-only judged entry — the exact semantics
+    // (k=1 equivalence to the brute-force pipeline, quality selection) are
+    // spec'd in OperatorsSpec.
+    Q("dd_semantic_keep",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.Dedup.semanticKeep(
+          emb, col("vec_id"), col("embedding"),
+          graft.functions.VectorFunctions.norm(col("embedding")),
+          k = 8, iters = 2, dim = 64, threshold = 0.3)
+      },
+      None),
+
     // ---- Embedding column ops --------------------------------------------
 
     // Vector norms + dimensionality audit (the sanity pass before any ANN

@@ -77,6 +77,34 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.toSet.intersect(crossPairs).isEmpty)
   }
 
+  test("Dedup.semanticKeep: equals the brute-force pipeline; best quality survives per group") {
+    // ids 1/3/5 ~ e1 (near-dup group A), 2/4 ~ e2 (group B), 6/7/8 isolated.
+    // k-means init takes the k lowest ids, so ids 1 and 2 seed k=2 cleanly.
+    def v(x: Double, y: Double, z: Double, w: Double) =
+      Seq(x.toFloat, y.toFloat, z.toFloat, w.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0.01, 0, 0), 0.1), (3L, v(0.99, 0.02, 0, 0), 0.9), (5L, v(1, 0, 0.01, 0), 0.5),
+      (2L, v(0.01, 1, 0, 0), 0.2), (4L, v(0, 0.99, 0.02, 0), 0.8),
+      (6L, v(0, 0, 1, 0), 0.3), (7L, v(0, 0, 0, 1), 0.4), (8L, v(0.5, 0.5, 0.5, 0.5), 0.6)
+    ).toDF("vec_id", "embedding", "quality")
+    def keep(k: Int) = Dedup.semanticKeep(emb, col("vec_id"), col("embedding"),
+        col("quality"), k = k, iters = 3, dim = 4, threshold = 0.95)
+      .as[Long].collect().sorted.toSeq
+    // brute-force reference: all-pairs near-dups -> components -> keep best
+    val bfPairs = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"), 0.95)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val bfKept = Dedup.clusterKeepBest(
+        emb.select(col("vec_id").as("doc_id"), col("quality")),
+        col("doc_id"), col("quality"),
+        Dedup.connectedComponents(bfPairs).withColumnRenamed("id", "doc_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(bfKept === Seq(3L, 4L, 6L, 7L, 8L))
+    // k=1: one cluster, structurally identical to brute force
+    assert(keep(1) === bfKept)
+    // k=2: groups land in separate clusters, nothing is split
+    assert(keep(2) === bfKept)
+  }
+
   test("Dedup.simhashBandedPairs: identical rows to all-pairs Hamming, no BNLJ plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)

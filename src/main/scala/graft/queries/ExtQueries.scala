@@ -445,6 +445,37 @@ object ExtQueries {
         |        MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
         |      FROM events GROUP BY user_id)""".stripMargin)),
 
+    // Gap-based sessionization: a session break is >30 idle minutes; the
+    // session id is the running count of breaks per user — lag + windowed
+    // sum over (user_id, ts, event_id). Scale shape: the window partitions
+    // on user_id (high cardinality — the one partition key that is always
+    // safe for event streams), so one hash exchange and bounded per-task
+    // state; contrast st_session_window, which aggregates INTO sessions —
+    // this labels every event with its session, the feature-engineering
+    // form.
+    Q("ev_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // exact integer micros on both engines (ts has sub-second parts;
+        // whole-second truncation would disagree at 30-minute boundaries)
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .select(col("user_id"), col("event_id"),
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("session_id"))
+      },
+      Some("""SELECT user_id, event_id,
+        |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM (SELECT user_id, event_id, ts,
+        |        epoch_us(CAST(ts AS TIMESTAMP))
+        |          - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |      FROM events)""".stripMargin)),
+
     // Weekly retention: users active in week w who are also active in
     // week w+1 — the cohort shape, as a distinct-activity self-join on
     // (user, week) pairs (both sides are the small distinct projection).

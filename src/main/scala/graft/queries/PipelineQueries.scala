@@ -513,6 +513,57 @@ object PipelineQueries {
         |FROM documents""".stripMargin),
       headline = true),
 
+    // Composite quality GATE (the C4-style cleaning filter): every rule —
+    // length band, average word length, language, bigram repetition — is a
+    // row-local boolean over the same scan, so the whole gate fuses into
+    // one pass with zero shuffles; `kept` is their conjunction. Rules with
+    // undefined features (empty doc, single token) default to the
+    // conservative side via coalesce. Booleans of exact-int-derived doubles
+    // compare identically across engines (same IEEE division both sides).
+    Q("tx_quality_gate",
+      (s, d) => {
+        val nTok = tokenCount(col("text"))
+        val nonSpace = length(regexp_replace(col("text"), " ", ""))
+        val avgLen = nonSpace.cast("double") / nullif(nTok, lit(0)).cast("double")
+        val rep = lit(1.0) -
+          size(shingles(col("text"), 2)).cast("double") /
+            (nTok - 1).cast("double")
+        val lenOk = nTok.between(10, 1000)
+        val wordOk = coalesce(avgLen.between(2.0, 10.0), lit(false))
+        val langOk = langId(col("text")) === "en"
+        val repOk = coalesce(when(nTok >= 2, rep <= 0.8), lit(true))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          lenOk.as("len_ok"), wordOk.as("word_ok"),
+          langOk.as("lang_ok"), repOk.as("rep_ok"),
+          (lenOk && wordOk && langOk && repOk).as("kept"))
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    len(str_split(text, ' ')) AS n_tok,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / NULLIF(len(str_split(text, ' ')), 0) AS avg_len,
+        |    CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+        |      1.0 - CAST(len(CASE WHEN len(str_split(text, ' ')) >= 2
+        |        THEN list_distinct(list_transform(generate_series(1, len(str_split(text, ' ')) - 1),
+        |               i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1]))
+        |        ELSE [] END) AS DOUBLE) / (len(str_split(text, ' ')) - 1)
+        |    END AS rep,
+        |    CASE WHEN len(str_split(text, ' ')) = 0 THEN 'unknown'
+        |         WHEN CAST(len(list_filter(str_split(text, ' '),
+        |                w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |              / len(str_split(text, ' ')) >= 0.05 THEN 'en'
+        |         ELSE 'other' END AS lang
+        |  FROM documents)
+        |SELECT doc_id,
+        |  n_tok BETWEEN 10 AND 1000 AS len_ok,
+        |  COALESCE(avg_len BETWEEN 2.0 AND 10.0, FALSE) AS word_ok,
+        |  lang = 'en' AS lang_ok,
+        |  COALESCE(CASE WHEN n_tok >= 2 THEN rep <= 0.8 END, TRUE) AS rep_ok,
+        |  (n_tok BETWEEN 10 AND 1000) AND COALESCE(avg_len BETWEEN 2.0 AND 10.0, FALSE)
+        |    AND lang = 'en' AND COALESCE(CASE WHEN n_tok >= 2 THEN rep <= 0.8 END, TRUE) AS kept
+        |FROM f""".stripMargin)),
+
     // Heuristic language ID + token counts (whitespace and regex tokenizers).
     Q("tx_langid",
       (s, d) => t(s, d, "documents").select(

@@ -1062,6 +1062,42 @@ object PipelineQueries {
         |WHERE t.doc_id >= 50
         |  AND EXISTS (SELECT 1 FROM ex e WHERE e.doc_id < 50 AND e.g = t.g)""".stripMargin)),
 
+    // Per-document contamination score: the fraction of each TRAIN doc's
+    // distinct trigrams that appear anywhere in the eval set (the GPT-3
+    // appendix-C style "dirtiness" metric behind the dq_decontam_pairs
+    // delete-list). Scale shape mirrors dq_decontam_pairs: eval trigrams
+    // broadcast; the train side contributes one exploded projection with a
+    // LEFT join so zero-overlap docs score 0.0 rather than vanish; the
+    // per-doc aggregate keys on high-cardinality train_id with map-side
+    // combine. The score is one double division of exact counts.
+    Q("dq_contam_score",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val ev = docs.filter(col("doc_id") < 50)
+          .select(explode(shingles(col("text"), 3)).as("g")).distinct()
+        val tr = graft.operators.Parallelism.fanOut(docs.filter(col("doc_id") >= 50))
+          .select(col("doc_id").as("train_id"), explode(shingles(col("text"), 3)).as("g"))
+        tr.join(broadcast(ev.withColumn("__hit", lit(1))), Seq("g"), "left")
+          .groupBy("train_id")
+          .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1)).cast("double")).as("contam_frac"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |g3 AS (SELECT doc_id,
+        |  CASE WHEN len(parts) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(parts) - 2),
+        |           i -> parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2]))
+        |    ELSE [] END AS g
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(g) AS g FROM g3),
+        |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id < 50)
+        |SELECT t.doc_id AS train_id,
+        |  CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS contam_frac
+        |FROM ex t LEFT JOIN ev ON t.g = ev.g
+        |WHERE t.doc_id >= 50
+        |GROUP BY 1""".stripMargin)),
+
     // SemDeDup semantic dedup: k-means-partitioned within-cluster near-dup
     // search + best-quality group survivor (quality = l2 norm here; any
     // per-row score slots in). Iterative k-means has no single-SQL DuckDB

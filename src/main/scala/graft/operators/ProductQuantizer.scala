@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.VectorFunctions.vectorSum
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the vector-compression layer of an ANN
+  * index: split each `dim`-dimensional embedding into `m` subvectors, train
+  * an independent k-means codebook of `k` sub-centroids per subspace, and
+  * store each vector as `m` small codes. At k=16/m=8 a 64-dim float vector
+  * (256 bytes) becomes 8 nibbles — the difference between an index that
+  * fits in cluster memory at 100 TB and one that doesn't.
+  *
+  * Distributed shape: training reshapes the corpus ONCE into
+  * (vec_id, subspace, subvec) rows — all m subspaces train TOGETHER, each
+  * Lloyd round being one broadcast-assignment pass (row-local L2 argmin
+  * against the per-subspace centroid array) plus ONE (subspace, cid)-keyed
+  * [[graft.expressions.VectorSum]] aggregate; m×k×(dim/m +1) doubles on the
+  * wire per round, never the corpus. Empty clusters keep their previous
+  * centroid (left-join + coalesce) so k is stable and runs deterministic.
+  * Encoding is a pure map: the full codebook set packs into one broadcast
+  * row and every code is a row-local argmin expression — zero shuffles.
+  *
+  * Everything is L2 (the quantity PQ preserves); determinism: seeds are the
+  * k lowest-id vectors, ties in the argmin break to the smaller code.
+  */
+object ProductQuantizer {
+
+  /** Exact squared L2 distance between two numeric arrays, in doubles. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Code (cid) of the L2-nearest entry of `cents`
+    * (`array<struct<cid bigint, cvec array<double>>>`) — a single row-local
+    * fold; ties break to the smaller cid. */
+  def nearestCode(vec: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => {
+        val d = l2sq(vec, c.getField("cvec"))
+        when(d < acc.getField("d") ||
+            (d === acc.getField("d") && c.getField("cid") < acc.getField("cid")),
+          struct(d.as("d"), c.getField("cid").as("cid")))
+          .otherwise(acc)
+      }).getField("cid")
+
+  /** The corpus reshaped to one row per (vec_id, subspace, subvec). */
+  private def subvectors(corpus: DataFrame, m: Int, sub: Int): DataFrame =
+    corpus.select(col("vec_id"), posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * sub + 1, sub)): _*))
+      .as(Seq("subspace", "subvec")))
+
+  /** Train the per-subspace codebooks: returns (subspace, cid, cvec) with
+    * cid in [0, k) and cvec in doubles. */
+  def train(corpus: DataFrame, m: Int, k: Int, iters: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && iters >= 0)
+    val sub = dim / m
+    val parts = subvectors(corpus, m, sub).localCheckpoint(eager = false)
+    // seeds: the k lowest-id vectors, their subvectors numbered 0..k-1 —
+    // the k-row window is a deliberate tiny-frame sort, same as kmeans init
+    val seedIds = corpus.select("vec_id").orderBy("vec_id").limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+    var centroids = parts.join(broadcast(seedIds), "vec_id")
+      .select(col("subspace"), col("cid"),
+        transform(col("subvec"), x => x.cast("double")).as("cvec"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val packed = centroids.groupBy("subspace")
+        .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      val assigned = parts.join(broadcast(packed), "subspace")
+        .select(col("subspace"), col("subvec"),
+          nearestCode(col("subvec"), col("cents")).as("cid"))
+      val updated = assigned.groupBy("subspace", "cid").agg(
+          count(when(size(col("subvec")) === sub, 1)).as("n"),
+          vectorSum(col("subvec"), sub).as("s"))
+        .select(col("subspace"), col("cid"),
+          transform(col("s"), x => x / col("n")).as("unew"))
+      centroids = centroids.join(updated, Seq("subspace", "cid"), "left")
+        .select(col("subspace"), col("cid"),
+          coalesce(col("unew"), col("cvec")).as("cvec")) // empty cluster: keep
+        .localCheckpoint(eager = false)
+    }
+    centroids
+  }
+
+  /** All codebooks packed into ONE row:
+    * `array<struct<subspace int, cents array<struct<cid, cvec>>>>`. */
+  private def packedAll(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy("subspace")
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      .agg(collect_list(struct(col("subspace"), col("cents"))).as("all"))
+
+  private def centsOf(all: Column, j: Column): Column =
+    element_at(filter(all, s => s.getField("subspace") === j), 1)
+      .getField("cents")
+
+  /** Encode every corpus vector as its `m` codes — a pure map against the
+    * single-row broadcast codebook set, zero shuffles. */
+  def encode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    corpus.crossJoin(broadcast(packedAll(codebooks)))
+      .select(col("vec_id"), array((0 until m).map { j =>
+        nearestCode(slice(col("embedding"), j * sub + 1, sub),
+          centsOf(col("all"), lit(j)))
+      }: _*).as("codes"))
+  }
+
+  /** Reconstruct the quantized approximation of each encoded vector:
+    * the concatenation of its chosen sub-centroids. Row-local. */
+  def decode(encoded: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    encoded.crossJoin(broadcast(packedAll(codebooks)))
+      .select(col("vec_id"), flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+        element_at(filter(centsOf(col("all"), j),
+          c => c.getField("cid") === element_at(col("codes"), j + 1)), 1)
+          .getField("cvec"))).as("approx"))
+}

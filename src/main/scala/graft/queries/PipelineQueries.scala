@@ -1098,6 +1098,21 @@ object PipelineQueries {
         |WHERE t.doc_id >= 50
         |GROUP BY 1""".stripMargin)),
 
+    // Product-quantization codes: train per-subspace L2 codebooks (all m
+    // subspaces in one reshaped pass per Lloyd round) and encode every
+    // vector as m nibble codes — 256-byte floats become 8 nibbles, the ANN
+    // memory story at 100 TB. Iterative k-means ⇒ rows-only judged entry;
+    // exact codebook/encode/decode semantics are spec'd in
+    // ProductQuantizerSpec.
+    Q("sim_pq_codes",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+        val books = graft.operators.ProductQuantizer.train(
+          emb, m = 8, k = 16, iters = 2, dim = 64)
+        graft.operators.ProductQuantizer.encode(emb, books, m = 8, dim = 64)
+      },
+      None),
+
     // SemDeDup semantic dedup: k-means-partitioned within-cluster near-dup
     // search + best-quality group survivor (quality = l2 norm here; any
     // per-row score slots in). Iterative k-means has no single-SQL DuckDB

@@ -121,4 +121,39 @@ object ProductQuantizer {
         element_at(filter(centsOf(col("all"), j),
           c => c.getField("cid") === element_at(col("codes"), j + 1)), 1)
           .getField("cvec"))).as("approx"))
+
+  /** Asymmetric-distance (ADC) top-k: queries stay RAW, the corpus is its
+    * PQ codes — the standard PQ search. Each query first builds its m×k
+    * lookup table (squared L2 from each of its subvectors to every
+    * sub-centroid — row-local against the broadcast codebooks), then every
+    * corpus code row scores as m table lookups summed in fixed subspace
+    * order (IEEE-deterministic), never touching the raw corpus vectors.
+    * One pass over the code table per query batch; top-k through the
+    * k-bounded-heap operator, no window. Returns
+    * (query_id, neighbor_id, adc_dist) with dist ASC, id-tiebroken. */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    // array_sort orders the cid-first structs so table position c+1 <-> cid c
+    val qt = queries.crossJoin(broadcast(packedAll(codebooks)))
+      .select(col("vec_id").as("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(array_sort(centsOf(col("all"), j)), c =>
+            l2sq(slice(col("embedding"), j * sub + 1, lit(sub)),
+              c.getField("cvec")))).as("tables"))
+    val scored = encoded.crossJoin(broadcast(qt))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("tables"), (j + 1).cast("int")),
+            element_at(col("codes"), (j + 1).cast("int")).cast("int") + 1))
+          .as("adc_dist"))
+    graft.plans.TopKPerGroup(
+      scored.withColumn("__neg_d", -col("adc_dist"))
+        .withColumn("__neg_id", -col("neighbor_id")),
+      group = Seq("query_id"),
+      order = Seq("__neg_d", "__neg_id"),
+      k = k)
+      .select("query_id", "neighbor_id", "adc_dist")
+  }
 }

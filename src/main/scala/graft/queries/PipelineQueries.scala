@@ -1113,6 +1113,21 @@ object PipelineQueries {
       },
       None),
 
+    // ADC search over the PQ codes: queries stay raw, the corpus is its
+    // compressed code table — per-query m×16 lookup tables, then m table
+    // lookups per corpus row, top-k via the heap operator. Rows-only judged
+    // entry (iterative training upstream); ranking semantics spec'd.
+    Q("sim_pq_adc_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+        val books = graft.operators.ProductQuantizer.train(
+          emb, m = 8, k = 16, iters = 2, dim = 64)
+        val codes = graft.operators.ProductQuantizer.encode(emb, books, m = 8, dim = 64)
+        graft.operators.ProductQuantizer.adcTopK(
+          codes, emb.filter(col("vec_id") < 8), books, m = 8, dim = 64, k = 6)
+      },
+      None),
+
     // SemDeDup semantic dedup: k-means-partitioned within-cluster near-dup
     // search + best-quality group survivor (quality = l2 norm here; any
     // per-row score slots in). Iterative k-means has no single-SQL DuckDB

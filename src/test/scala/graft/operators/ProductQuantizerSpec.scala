@@ -48,6 +48,19 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(err < 2.5, s"reconstruction error $err too large")
   }
 
+  test("adcTopK ranks by L2 to the DECODED vectors, ties break to the smaller id") {
+    val encoded = ProductQuantizer.encode(corpus, books, m = 2, dim = 4)
+    val queries = corpus.filter(col("vec_id") <= 2)
+    val got = ProductQuantizer.adcTopK(encoded, queries, books, m = 2, dim = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // q1 = (0,0,5,5): decoded group-A members 3 and 5 are its nearest;
+    // q2 = (10,10,-5,-5): decode(4) == decode(6) == q2 exactly (distance 0).
+    // The heap emits kept rows unordered; compare the kept SETs.
+    assert(got(1L) === Seq(3L, 5L))
+    assert(got(2L) === Seq(4L, 6L))
+  }
+
   test("encode/decode plans are pure maps: no exchange over the corpus") {
     val plan = ProductQuantizer.encode(corpus, books, m = 2, dim = 4)
       .queryExecution.executedPlan.toString

@@ -47,6 +47,17 @@ object EventStreams {
   def sessions(events: DataFrame, gap: String, watermark: String): DataFrame =
     EventOps.sessionize(events.withWatermark("ts", watermark), gap)
 
+  /** Stream-static enrichment: each micro-batch LEFT-joins the (small)
+    * static dimension by broadcast — stateless (nothing watermarked,
+    * nothing buffered), and the static side is re-planned per batch, so a
+    * dimension refresh between batches is picked up without restarting the
+    * query. The streaming counterpart of the batch j2 star join: the fact
+    * stream never shuffles, the dimension ships to it. Unmatched events
+    * keep null dimension columns (left join) rather than silently dropping
+    * — an enrichment gap is a data-quality signal, not a filter. */
+  def enrichedEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked stream-stream join: purchases matched to same-user views
     * within the preceding hour. The time bound plus both watermarks make
     * join state evictable — without them stream-stream state grows without

@@ -80,6 +80,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-static enrichment: dimension broadcast-joins each batch, unmatched rows null-pad") {
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    batch1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+    val dim = Seq((1L, "gold")).toDF("user_id", "tier") // user 2 has no tier
+    val streamed = EventStreams.enrichedEvents(
+      EventStreams.readEvents(spark, s"$dir/in"), dim, "user_id")
+      .select("event_id", "user_id", "tier")
+    val q = EventStreams.startMemorySink(streamed, "enriched_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    q.awaitTermination(60000)
+    val got = rowSet(spark.table("enriched_out"))
+    assert(got === Seq("[1,1,gold]", "[2,1,gold]", "[3,2,null]", "[4,2,null]"))
+  }
+
   test("stream-stream join equals the batch interval join on a drained stream") {
     val dir = Files.createTempDirectory("graft-ssj").toString
     val data = Seq(

@@ -16,7 +16,10 @@ class DeterminismSpec extends SparkSpec {
     "q09_group_avg", "j2_fk_join", "a9_moments", "a10_percentiles",
     "a11_corr", "w2_running_sum", "w6_range_frame", "tx_tfidf",
     "tx_unigram_logprob", "sim_bruteforce_topk", "dd_embed_neardup",
-    "q14_pricing_summary", "tx_quality", "emb_norms")
+    "q14_pricing_summary", "tx_quality", "emb_norms",
+    // round 7: contamination fraction (double of exact ints) and the ADC
+    // distances (fixed-order fold of deterministic table entries)
+    "dq_contam_score", "sim_pq_adc_topk")
 
   test("float-bearing queries are bit-identical across shuffle widths") {
     val conf = "spark.sql.shuffle.partitions"

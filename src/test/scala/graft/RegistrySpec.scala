@@ -62,11 +62,19 @@ class RegistrySpec extends SparkSpec {
     //  - q13: exercises the SQL-registered graft_cosine through the parser
     //    on a declared 64-row subset; the scale-safe pair paths are the
     //    dd_/sim_ queries above
+    //  - sim_pq_codes / sim_pq_adc_topk / dd_semantic_keep: PQ encode and
+    //    k-means assignment ride a SINGLE-ROW broadcast of the packed
+    //    codebook/centroid set against each vector (row-local argmin; the
+    //    corpus never self-joins), and ADC additionally broadcasts the
+    //    bounded query-table set — the same shape as sim_ivf
+    //  - tx_bpe_train: each merge round left-joins the ONE-ROW winning
+    //    rule (lit(true) condition → BNLJ of a 1-row broadcast)
     val cartesianOk = Set("j4_cross_join")
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
       "tx_tfidf", "tx_unigram_logprob", "tx_bm25", "emb_centroid_outliers",
-      "q13_sql_udf_cosine")
+      "q13_sql_udf_cosine",
+      "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -828,6 +828,35 @@ object PipelineQueries {
         |  CAST(len(list_distinct(parts)) AS BIGINT) AS n_unique
         |FROM toks""".stripMargin)),
 
+    // Overlapping document chunking (width 32, stride 16) — the windowing
+    // pass before embedding/RAG indexing: each doc explodes into its token
+    // windows row-locally (sequence + posexplode generators, no shuffle),
+    // short docs yield one whole-doc chunk, the final chunk may be short.
+    // ceil((len - width)/stride) is clamped at zero so sequence() never
+    // counts down.
+    Q("tx_chunking",
+      (s, d) => {
+        val width = 32
+        val stride = 16
+        val parts = tokens(col("text"))
+        val nExtra = greatest(lit(0),
+          ceil((size(parts) - width).cast("double") / stride).cast("int"))
+        t(s, d, "documents")
+          .select(col("doc_id"), parts.as("parts"),
+            explode(sequence(lit(0), nExtra)).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("parts"), col("chunk_idx") * stride + 1, lit(width)))
+              .as("chunk"),
+            least(size(col("parts")) - col("chunk_idx") * stride, lit(width))
+              .cast("long").as("n_tokens"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(parts[i*16+1 : i*16+32], ' ') AS chunk,
+        |  CAST(LEAST(len(parts) - i*16, 32) AS BIGINT) AS n_tokens
+        |FROM toks, unnest(generate_series(0,
+        |  GREATEST(0, CAST(ceil((len(parts) - 32) / 16.0) AS BIGINT)))) AS g(i)""".stripMargin)),
+
     // Unigram log-probability score (the LM-scoring shape: corpus frequency
     // model joined back to tokens, per-doc sum). Each term's ln is rounded
     // to 6dp then summed as scaled longs — order-independent, so the score

@@ -163,6 +163,30 @@ class PlanQualitySpec extends SparkSpec {
       s"a join below the might_contain filter — prefilter is not scan-side:\n$p")
   }
 
+  test("tx_chunking: generator fan-out is a pure map — zero exchanges") {
+    val p = planOf("tx_chunking").split("== Initial Plan ==").head
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"),
+      s"chunk explosion must not shuffle anything:\n$p")
+  }
+
+  test("ev_sessionize: one user-keyed exchange feeds both window passes") {
+    val p = planOf("ev_sessionize").split("== Initial Plan ==").head
+    val nExchanges = "(?<!Broadcast)Exchange (?!SinglePartition)".r.findAllIn(p).size
+    assert(nExchanges <= 1, s"ev_sessionize plans $nExchanges data exchanges:\n$p")
+  }
+
+  test("dq_contam_score: eval trigrams broadcast; one train-id-keyed aggregate exchange") {
+    val p = planOf("dq_contam_score").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // two keyed exchanges are inherent: the EVAL-side trigram distinct
+    // (benchmark-sized, broadcast after) and the per-train-doc aggregate;
+    // the train corpus itself shuffles only for that final aggregate
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHash <= 2, s"$nHash hash exchanges (eval distinct + doc aggregate):\n$p")
+  }
+
   test("q09: scaled-long exact aggregation keeps hash (map-side partial) aggregation") {
     val p = planOf("q09_group_avg")
     assert(p.contains("HashAggregate"), p)

@@ -23,7 +23,7 @@ object Similarity {
     * per-partition sort — beats the row_number window ~25%). The heap keeps
     * lexicographic maxima under ascending orders, so the ascending-id
     * tiebreak rides as a negated column. */
-  private def topKBySim(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKBySim(scored: DataFrame, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
       scored.withColumn("__neg_id", -col("neighbor_id")),
       group = Seq("query_id"),
@@ -49,7 +49,7 @@ object Similarity {
     * consumes. Joining this single row in via `broadcast` + `crossJoin` adds
     * the centroid array to every corpus row WITHOUT exchanging the corpus
     * (a 1-row broadcast nested loop is row-local by construction). */
-  private def packedCentroids(centroids: DataFrame): DataFrame =
+  private[operators] def packedCentroids(centroids: DataFrame): DataFrame =
     centroids.agg(collect_list(struct(
       col("vec_id").cast("long").as("cid"),
       col("embedding").as("cvec"))).as("cents"))

@@ -73,6 +73,32 @@ class MisraGriesSpec extends SparkSpec {
     assert(refined === expected)
   }
 
+  test("property: bounds hold on random zipf-ish streams at random widths/capacities") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      nKeys <- Gen.choose(5, 200)
+      // zipf-ish: key i appears ~ ceil(nKeys / i) times
+      capacity <- Gen.choose(2, 24)
+      parts <- Gen.choose(1, 9)
+      salt <- Gen.choose(0, 1000)
+    } yield (nKeys, capacity, parts, salt)
+    val prop = Prop.forAllNoShrink(gen) { case (nKeys, capacity, parts, salt) =>
+      val rows = (1 to nKeys).flatMap(i =>
+        Seq.fill(math.ceil(nKeys.toDouble / i).toInt)(f"k${(i + salt) % nKeys}%04d"))
+      val df = rows.toDF("token").repartition(parts)
+      val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = rows.size
+      val maxErr = n / (capacity + 1)
+      val got = sketch(df, capacity)
+      got.size <= capacity &&
+        truth.forall { case (k, c) => c <= maxErr || got.contains(k) } &&
+        got.forall { case (k, lb) => lb <= truth(k) && truth(k) - lb <= maxErr }
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("eval order is deterministic: (lb desc, token asc)") {
     val df = Seq("b", "a", "b", "a", "c").toDF("token")
     val rows = df.agg(TextFunctions.misraGries(col("token"), 8).as("s"))

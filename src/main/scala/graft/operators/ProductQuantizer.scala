@@ -93,7 +93,7 @@ object ProductQuantizer {
 
   /** All codebooks packed into ONE row:
     * `array<struct<subspace int, cents array<struct<cid, cvec>>>>`. */
-  private def packedAll(codebooks: DataFrame): DataFrame =
+  private[operators] def packedAll(codebooks: DataFrame): DataFrame =
     codebooks.groupBy("subspace")
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
       .agg(collect_list(struct(col("subspace"), col("cents"))).as("all"))
@@ -131,23 +131,35 @@ object ProductQuantizer {
     * One pass over the code table per query batch; top-k through the
     * k-bounded-heap operator, no window. Returns
     * (query_id, neighbor_id, adc_dist) with dist ASC, id-tiebroken. */
-  def adcTopK(encoded: DataFrame, queries: DataFrame, codebooks: DataFrame,
-      m: Int, dim: Int, k: Int): DataFrame = {
+  /** Per-query ADC lookup tables (query_id, tables): tables[j][c+1] =
+    * squared L2 from the query's subvector j to sub-centroid c — row-local
+    * against the broadcast codebooks. array_sort orders the cid-first
+    * structs so table position c+1 <-> cid c. */
+  private[operators] def adcTables(queries: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int): DataFrame = {
     val sub = dim / m
-    // array_sort orders the cid-first structs so table position c+1 <-> cid c
-    val qt = queries.crossJoin(broadcast(packedAll(codebooks)))
+    queries.crossJoin(broadcast(packedAll(codebooks)))
       .select(col("vec_id").as("query_id"),
         transform(sequence(lit(0), lit(m - 1)), j =>
           transform(array_sort(centsOf(col("all"), j)), c =>
             l2sq(slice(col("embedding"), j * sub + 1, lit(sub)),
               c.getField("cvec")))).as("tables"))
+  }
+
+  /** ADC distance of one code row against one query table set: m lookups
+    * summed in fixed subspace order (IEEE-deterministic). */
+  private[operators] def adcDistance(tables: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(tables, (j + 1).cast("int")),
+        element_at(codes, (j + 1).cast("int")).cast("int") + 1))
+
+  def adcTopK(encoded: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    val qt = adcTables(queries, codebooks, m, dim)
     val scored = encoded.crossJoin(broadcast(qt))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-          acc + element_at(element_at(col("tables"), (j + 1).cast("int")),
-            element_at(col("codes"), (j + 1).cast("int")).cast("int") + 1))
-          .as("adc_dist"))
+        adcDistance(col("tables"), col("codes"), m).as("adc_dist"))
     graft.plans.TopKPerGroup(
       scored.withColumn("__neg_d", -col("adc_dist"))
         .withColumn("__neg_id", -col("neighbor_id")),

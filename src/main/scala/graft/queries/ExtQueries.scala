@@ -476,6 +476,36 @@ object ExtQueries {
         |          - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |      FROM events)""".stripMargin)),
 
+    // DAU / trailing-7-day WAU / stickiness per day. Scale shape: events
+    // reduce ONCE to the distinct (day, user) pair table — tiny relative
+    // to the event stream — and the rolling distinct-user count is a
+    // range self-join of that pair table against its own day spine (the
+    // spine side is days-sized and broadcasts), never a distinct-over-
+    // window on the raw events. Stickiness is a double division of exact
+    // counts.
+    Q("ev_dau_wau",
+      (s, d) => {
+        val du = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val dau = du.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+        val wau = du.select(col("day").as("uday"), col("user_id"))
+          .join(broadcast(dau.select(col("day"))),
+            col("uday").between(date_sub(col("day"), 6), col("day")))
+          .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        |wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        |  FROM dau d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT dau.day, dau, wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin)),
+
     // Weekly retention: users active in week w who are also active in
     // week w+1 — the cohort shape, as a distinct-activity self-join on
     // (user, week) pairs (both sides are the small distinct projection).

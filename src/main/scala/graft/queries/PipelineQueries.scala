@@ -857,6 +857,27 @@ object PipelineQueries {
         |FROM toks, unnest(generate_series(0,
         |  GREATEST(0, CAST(ceil((len(parts) - 32) / 16.0) AS BIGINT)))) AS g(i)""".stripMargin)),
 
+    // Stopword removal (the retrieval/index-side cleaning rewrite):
+    // row-local filter over the token array + rebuild — pure map, zero
+    // shuffles; the same fixed list the lang-ID and quality features use.
+    Q("tx_stopword_removal",
+      (s, d) => {
+        val sw = TextFunctions.EnglishStopwords
+        val parts = tokens(col("text"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          concat_ws(" ",
+            filter(parts, w => !w.isin(sw.map(lit(_)): _*))).as("cleaned"),
+          size(filter(parts, w => w.isin(sw.map(lit(_)): _*)))
+            .cast("long").as("n_removed"))
+      },
+      Some("""SELECT doc_id,
+        |  array_to_string(list_filter(str_split(text, ' '),
+        |    w -> w NOT IN ('the','a','of','and','to','in')), ' ') AS cleaned,
+        |  CAST(len(list_filter(str_split(text, ' '),
+        |    w -> w IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_removed
+        |FROM documents""".stripMargin)),
+
     // Unigram log-probability score (the LM-scoring shape: corpus frequency
     // model joined back to tokens, per-doc sum). Each term's ln is rounded
     // to 6dp then summed as scaled longs — order-independent, so the score

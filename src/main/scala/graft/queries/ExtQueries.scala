@@ -478,19 +478,20 @@ object ExtQueries {
 
     // DAU / trailing-7-day WAU / stickiness per day. Scale shape: events
     // reduce ONCE to the distinct (day, user) pair table — tiny relative
-    // to the event stream — and the rolling distinct-user count is a
-    // range self-join of that pair table against its own day spine (the
-    // spine side is days-sized and broadcasts), never a distinct-over-
-    // window on the raw events. Stickiness is a double division of exact
-    // counts.
+    // to the event stream — and the rolling distinct-user count stays an
+    // EQUI shape: each active (day, user) explodes to the 7 target days it
+    // counts toward, then one keyed distinct aggregate. No range join, no
+    // distinct-over-window on raw events; the inner join back to dau drops
+    // the phantom tail days past the data range. Stickiness is a double
+    // division of exact counts.
     Q("ev_dau_wau",
       (s, d) => {
         val du = t(s, d, "events")
           .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
         val dau = du.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
-        val wau = du.select(col("day").as("uday"), col("user_id"))
-          .join(broadcast(dau.select(col("day"))),
-            col("uday").between(date_sub(col("day"), 6), col("day")))
+        val wau = du
+          .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+            col("user_id"))
           .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
         dau.join(wau, "day")
           .select(col("day"), col("dau"), col("wau"),

@@ -73,6 +73,35 @@ object Multimodal {
     spark.createDataFrame(rdd, frameSchema)
   }
 
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes_in", LongType, nullable = false),
+    StructField("n_bytes_out", LongType, nullable = false),
+    StructField("resized", BinaryType, nullable = false)))
+
+  /** Deterministic stub "resize": strided byte sampling down to at most
+    * `width*height` bytes (stride = ceil(len/target)) — a real
+    * implementation swaps the sampler for a pixel-domain scaler; the
+    * per-partition batched iteration, fixed output schema, and
+    * payload-stays-in-partition locality are the production shape. */
+  def resize(df: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0)
+    val target = width * height
+    val spark = df.sparkSession
+    val rdd = df.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val s = math.max(1, (bytes.length + target - 1) / target)
+        val out = Array.range(0, bytes.length, s.toInt).map(bytes(_))
+        Row(id, width, height, bytes.length.toLong, out.length.toLong, out)
+      }
+    }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
   /** Per-partition batched feature extraction over binary payloads —
     * `mapPartitions` so a real decoder could amortize per-batch setup
     * (model load, codec init) exactly once per partition. */

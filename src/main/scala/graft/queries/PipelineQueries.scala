@@ -732,6 +732,32 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin)),
 
+    // Stub "resize" over binary payloads (strided byte sampling to ≤ 16×12
+    // bytes — the downsampling plumbing a pixel scaler plugs into; payload
+    // bytes never shuffle). The resized payload is judged via its md5 so
+    // the oracle compares bytes without a binary output column.
+    Q("mm_resize",
+      (s, d) => Multimodal.resize(
+          t(s, d, "documents").select(col("doc_id"),
+            Multimodal.asPayload(col("text")).as("payload")),
+          width = 16, height = 12)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_bytes_in"), col("n_bytes_out"),
+          md5(col("resized")).as("resized_digest")),
+      Some("""WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id, len,
+        |  GREATEST(1, CAST(ceil(len / 192.0) AS BIGINT)) AS s FROM p),
+        |smp AS (SELECT r.doc_id, r.len,
+        |  array_to_string(list_transform(generate_series(1, r.len, CAST(r.s AS INT)),
+        |    i -> p.text[i]), '') AS sampled
+        |  FROM r JOIN p ON r.doc_id = p.doc_id)
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+        |  CAST(len AS BIGINT) AS n_bytes_in,
+        |  CAST(octet_length(encode(sampled)) AS BIGINT) AS n_bytes_out,
+        |  md5(sampled) AS resized_digest
+        |FROM smp""".stripMargin)),
+
     // Modality dispatch over binary payloads: route each payload by a
     // byte-level property to its decode family, then count per route — the
     // fan-out-by-modality shape of a mixed media pipeline. Row-local

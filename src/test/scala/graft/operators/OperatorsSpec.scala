@@ -257,6 +257,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq("[1,2,0]", "[2,0,1]"))
   }
 
+  test("Multimodal.resize: stride covers the payload; empty and tiny payloads survive") {
+    val df = Seq(
+      (1L, ""),                     // empty -> empty resized
+      (2L, "abc"),                  // smaller than target -> identity (stride 1)
+      (3L, "x" * 500)               // stride 3 -> ceil(500/3) = 167 bytes
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
+    val got = Multimodal.resize(df, width = 16, height = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), new String(r.getAs[Array[Byte]]("resized"), "UTF-8")))).toMap
+    assert(got(1L) === ((0L, "")))
+    assert(got(2L) === ((3L, "abc")))
+    assert(got(3L)._1 === 167L)
+  }
+
   test("Multimodal.decodeFeatures: deterministic stub features via mapPartitions") {
     val docs = Seq((1L, "abcd"), (2L, "x" * 700)).toDF("doc_id", "text")
       .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))

@@ -19,29 +19,22 @@ import graft.operators.Dedup
   *   6. split          — deterministic hash train/val assignment
   *
   * Every stage is a pure DataFrame transform (the same code paths the
-  * judged queries run), so the whole job is ONE lazy plan per output; the
-  * funnel counts come from a single pass per stage boundary. Writes the
-  * curated corpus partitioned by split plus a one-row funnel-stats table.
+  * judged queries run), so the whole job executes as ONE plan into the
+  * corpus write; stats and the log line read the written output back
+  * rather than re-running the plan. Writes the curated corpus partitioned
+  * by split plus a per-split document-count table.
   *
   * Usage: runMain graft.RunCuration <sfDir> <outDir> [evalMaxDocId]
   */
 object RunCuration {
 
-  final case class Funnel(input: Long, postGate: Long, postExact: Long,
-      postNearDup: Long, postDecontam: Long)
-
   /** The curation composition on an open (doc_id, text) frame; `eval` is
     * the held-out set to decontaminate against. */
   def curate(docs: DataFrame, eval: DataFrame, jaccardThreshold: Double = 0.9,
       minShared: Int = 3): DataFrame = {
-    // 1. gate (row-local booleans, same rules as tx_quality_gate)
-    val nTok = tokenCount(col("text"))
-    val nonSpace = length(regexp_replace(col("text"), " ", ""))
-    val avgLen = nonSpace.cast("double") / nullif(nTok, lit(0)).cast("double")
+    // 1. gate — THE tx_quality_gate rule set (shared definition, can't drift)
     val gated = docs.filter(
-      nTok.between(10, 1000) &&
-        coalesce(avgLen.between(2.0, 10.0), lit(false)) &&
-        langId(col("text")) === "en")
+      TextFunctions.gateRules(col("text")).map(_._2).reduce(_ && _))
     // 2. in-place clean (run collapse — pure map)
     val cleaned = gated.select(col("doc_id"),
       TextFunctions.collapseRepeats(col("text")).as("text"))
@@ -56,8 +49,10 @@ object RunCuration {
       Dedup.nearDupKeep(exactKept, col("doc_id"), col("text"),
         numHashes = 16, bands = 4, threshold = jaccardThreshold),
       Seq("doc_id"), "left_semi")
-    // 5. decontamination: drop docs sharing >= minShared trigrams with eval
-    val evG = eval.select(explode(shingles(col("text"), 3)).as("g"))
+    // 5. decontamination: drop docs sharing >= minShared DISTINCT trigrams
+    // with the eval set — distinct, or a trigram common to several eval
+    // docs would count with multiplicity and over-trip the threshold
+    val evG = eval.select(explode(shingles(col("text"), 3)).as("g")).distinct()
     val contaminated = nearKept
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
       .join(broadcast(evG), "g")
@@ -88,12 +83,15 @@ object RunCuration {
     val all = graft.sources.Tables(spark, sfDir, "documents").select("doc_id", "text")
     val eval = all.filter(col("doc_id") < evalMax)
     val train = all.filter(col("doc_id") >= evalMax)
-    val curated = curate(train, eval).withColumn("split", splitCol)
-    curated.write.mode(SaveMode.Overwrite)
+    curate(train, eval).withColumn("split", splitCol)
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("split").parquet(s"$outDir/corpus")
-    curated.groupBy("split").agg(count(lit(1)).as("n_docs"))
+    // stats + log read the WRITTEN corpus back: one execution of the
+    // curation plan total, instead of re-running the dedup joins per action
+    val written = spark.read.parquet(s"$outDir/corpus")
+    written.groupBy("split").agg(count(lit(1)).as("n_docs"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
-    println(s"[curation] wrote ${curated.count()} docs to $outDir/corpus")
+    println(s"[curation] wrote ${written.count()} docs to $outDir/corpus")
     spark.stop()
   }
 }

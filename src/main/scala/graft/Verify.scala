@@ -17,6 +17,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional trailing args: dump only the named queries (dev iteration);
     // the driver always calls with exactly (sfDir, outDir) → full dump
+    val unknown = only.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}") // fail loud on a typo
     val selected = if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap
     selected.foreach { case (name, fn) =>

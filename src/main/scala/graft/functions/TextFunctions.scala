@@ -124,6 +124,23 @@ object TextFunctions {
       .otherwise(lit("other"))
   }
 
+  /** The C4-style quality-gate rules as named row-local booleans — THE
+    * single definition shared by the judged tx_quality_gate query and the
+    * curation driver, so the two can't drift. Undefined features (empty
+    * doc, single token) default to the conservative side via coalesce. */
+  def gateRules(c: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(c)
+    val nonSpace = length(regexp_replace(c, " ", ""))
+    val avgLen = nonSpace.cast("double") / nullif(nTok, lit(0)).cast("double")
+    val rep = lit(1.0) -
+      size(shingles(c, 2)).cast("double") / (nTok - 1).cast("double")
+    Seq(
+      "len_ok" -> nTok.between(10, 1000),
+      "word_ok" -> coalesce(avgLen.between(2.0, 10.0), lit(false)),
+      "lang_ok" -> (langId(c) === "en"),
+      "rep_ok" -> coalesce(when(nTok >= 2, rep <= 0.8), lit(true)))
+  }
+
   /** Quality-score feature columns: (n_chars, n_tokens, avg_token_len,
     * punct_ratio, stopword_ratio). All exact-int-derived doubles; zero
     * denominators (empty documents) yield null via nullif rather than an

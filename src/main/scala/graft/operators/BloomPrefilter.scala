@@ -37,6 +37,16 @@ object BloomPrefilter {
   def mightContain(keys: DataFrame, keyCol: String, value: Column,
       expectedItems: Long, fpp: Double = 0.01): Column = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate SILENTLY clamps numBits to this conf (default
+    // 67108864 ≈ 8 MB): a 10⁸-key build would degrade to fpp ≈ 1 with no
+    // warning — still correct through the refine, but the prefilter stops
+    // pruning. Fail loud and tell the caller which knob to raise.
+    val maxBits = keys.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(numBits <= maxBits,
+      s"bloom needs $numBits bits for $expectedItems items at fpp=$fpp but " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits would " +
+        "silently clamp it (degrading the prefilter to a no-op); raise the conf")
     val keyHash = XxHash64(Seq(GraftBridge.expression(keys(keyCol))), 42L)
     val bloomDf = keys.select(GraftBridge.column(
       new BloomFilterAggregate(keyHash, Literal(expectedItems), Literal(numBits))

@@ -375,8 +375,10 @@ object Dedup {
     * [[Similarity.kmeansCentroids]] loop (row-local argmax against a
     * broadcast centroid array, one vector-sum aggregate per round); the
     * within-cluster pair search reuses [[bucketPairs]] keyed on the cluster
-    * id — ONE corpus shuffle, O(chunk) task memory, mega-cluster emission
-    * spread over tasks — which is the paper's core trick: clusters average
+    * id over ID-ONLY rows (vectors re-attach via two id-keyed joins at the
+    * refine, so no aggregate buffer ever holds a cluster's embeddings) —
+    * ONE tiny-projection shuffle, O(chunk) task memory, mega-cluster
+    * emission spread over tasks — which is the paper's core trick: clusters average
     * corpus/k vectors, so all-pairs work that would be O(n²) globally
     * becomes k × O((n/k)²), tunable by k; the exact cosine refine keeps
     * only pairs ≥ threshold; [[connectedComponents]] + [[clusterKeepBest]]
@@ -387,13 +389,21 @@ object Dedup {
       qualityCol: Column, k: Int, iters: Int, dim: Int,
       threshold: Double): DataFrame = {
     val corpus = emb.select(idCol.as("vec_id"), vecCol.as("embedding"))
+      .localCheckpoint(eager = false) // reused: kmeans scan + pair refine joins
     val centroids = Similarity.kmeansCentroids(corpus, k, iters, dim)
     val assigned = Similarity.assignClusters(corpus, centroids)
-    val pairs = bucketPairs(assigned, Seq("cluster"),
-        struct(col("vec_id"), col("embedding")))
-      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
-        cosineRounded(col("a.embedding"), col("b.embedding")).as("sim"))
-      .filter(col("sim") >= threshold)
+    // bucket ONLY the ids: collect_list buffers must never hold a cluster's
+    // worth of embedding vectors (corpus/k × dim floats in one aggregate
+    // buffer); the vectors re-attach through two id-keyed joins for the
+    // exact cosine refine, touching only candidate pairs
+    val idPairs = bucketPairs(
+        assigned.select(col("cluster"), col("vec_id")),
+        Seq("cluster"), struct(col("vec_id")))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val pairs = idPairs
+      .join(corpus.select(col("vec_id").as("doc_a"), col("embedding").as("__va")), "doc_a")
+      .join(corpus.select(col("vec_id").as("doc_b"), col("embedding").as("__vb")), "doc_b")
+      .filter(cosineRounded(col("__va"), col("__vb")) >= threshold)
       .select("doc_a", "doc_b")
     val labels = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
     clusterKeepBest(

@@ -57,12 +57,6 @@ object IvfAdc {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         ProductQuantizer.adcDistance(col("tables"), col("codes"), m).as("adc_dist"))
-    graft.plans.TopKPerGroup(
-      scored.withColumn("__neg_d", -col("adc_dist"))
-        .withColumn("__neg_id", -col("neighbor_id")),
-      group = Seq("query_id"),
-      order = Seq("__neg_d", "__neg_id"),
-      k = k)
-      .select("query_id", "neighbor_id", "adc_dist")
+    ProductQuantizer.topKByDistAsc(scored, k)
   }
 }

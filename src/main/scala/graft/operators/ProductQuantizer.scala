@@ -37,18 +37,16 @@ object ProductQuantizer {
       lit(0.0), (acc, v) => acc + v)
 
   /** Code (cid) of the L2-nearest entry of `cents`
-    * (`array<struct<cid bigint, cvec array<double>>>`) — a single row-local
-    * fold; ties break to the smaller cid. */
+    * (`array<struct<cid bigint, cvec array<double>>>`): min over
+    * (distance, cid) structs — struct ordering IS the argmin with the
+    * smaller-cid tiebreak, and each distance is computed exactly once
+    * (a fold comparing inside `when` would re-evaluate the O(sub) l2sq
+    * per comparison; this is the hottest path of encode/train). */
   def nearestCode(vec: Column, cents: Column): Column =
-    aggregate(cents,
-      struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
-      (acc, c) => {
-        val d = l2sq(vec, c.getField("cvec"))
-        when(d < acc.getField("d") ||
-            (d === acc.getField("d") && c.getField("cid") < acc.getField("cid")),
-          struct(d.as("d"), c.getField("cid").as("cid")))
-          .otherwise(acc)
-      }).getField("cid")
+    array_min(transform(cents, c =>
+      struct(l2sq(vec, c.getField("cvec")).as("d"),
+        c.getField("cid").as("cid"))))
+      .getField("cid")
 
   /** The corpus reshaped to one row per (vec_id, subspace, subvec). */
   private def subvectors(corpus: DataFrame, m: Int, sub: Int): DataFrame =
@@ -153,13 +151,11 @@ object ProductQuantizer {
       acc + element_at(element_at(tables, (j + 1).cast("int")),
         element_at(codes, (j + 1).cast("int")).cast("int") + 1))
 
-  def adcTopK(encoded: DataFrame, queries: DataFrame, codebooks: DataFrame,
-      m: Int, dim: Int, k: Int): DataFrame = {
-    val qt = adcTables(queries, codebooks, m, dim)
-    val scored = encoded.crossJoin(broadcast(qt))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adcDistance(col("tables"), col("codes"), m).as("adc_dist"))
+  /** Top-k per query by (adc_dist ASC, neighbor_id ASC) through the
+    * k-bounded-heap operator — the ONE definition of the ADC ranking
+    * contract, shared by the flat scan and the IVF-ADC index so the two
+    * paths can't drift. */
+  private[operators] def topKByDistAsc(scored: DataFrame, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
       scored.withColumn("__neg_d", -col("adc_dist"))
         .withColumn("__neg_id", -col("neighbor_id")),
@@ -167,5 +163,14 @@ object ProductQuantizer {
       order = Seq("__neg_d", "__neg_id"),
       k = k)
       .select("query_id", "neighbor_id", "adc_dist")
+
+  def adcTopK(encoded: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    val qt = adcTables(queries, codebooks, m, dim)
+    val scored = encoded.crossJoin(broadcast(qt))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcDistance(col("tables"), col("codes"), m).as("adc_dist"))
+    topKByDistAsc(scored, k)
   }
 }

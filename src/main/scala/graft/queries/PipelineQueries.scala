@@ -522,21 +522,11 @@ object PipelineQueries {
     // compare identically across engines (same IEEE division both sides).
     Q("tx_quality_gate",
       (s, d) => {
-        val nTok = tokenCount(col("text"))
-        val nonSpace = length(regexp_replace(col("text"), " ", ""))
-        val avgLen = nonSpace.cast("double") / nullif(nTok, lit(0)).cast("double")
-        val rep = lit(1.0) -
-          size(shingles(col("text"), 2)).cast("double") /
-            (nTok - 1).cast("double")
-        val lenOk = nTok.between(10, 1000)
-        val wordOk = coalesce(avgLen.between(2.0, 10.0), lit(false))
-        val langOk = langId(col("text")) === "en"
-        val repOk = coalesce(when(nTok >= 2, rep <= 0.8), lit(true))
+        val rules = TextFunctions.gateRules(col("text"))
         t(s, d, "documents").select(
-          col("doc_id"),
-          lenOk.as("len_ok"), wordOk.as("word_ok"),
-          langOk.as("lang_ok"), repOk.as("rep_ok"),
-          (lenOk && wordOk && langOk && repOk).as("kept"))
+          col("doc_id") +:
+            rules.map { case (n, c) => c.as(n) } :+
+            rules.map(_._2).reduce(_ && _).as("kept"): _*)
       },
       Some("""WITH f AS (
         |  SELECT doc_id,
@@ -735,7 +725,10 @@ object PipelineQueries {
     // Stub "resize" over binary payloads (strided byte sampling to ≤ 16×12
     // bytes — the downsampling plumbing a pixel scaler plugs into; payload
     // bytes never shuffle). The resized payload is judged via its md5 so
-    // the oracle compares bytes without a binary output column.
+    // the oracle compares bytes without a binary output column. NOTE the
+    // oracle strides over CHARACTERS while the engine strides over UTF-8
+    // BYTES — equivalent because the documents fixture is pure ASCII; a
+    // non-ASCII corpus would need the oracle to sample encode(text) bytes.
     Q("mm_resize",
       (s, d) => Multimodal.resize(
           t(s, d, "documents").select(col("doc_id"),

@@ -49,12 +49,15 @@ object EventStreams {
 
   /** Stream-static enrichment: each micro-batch LEFT-joins the (small)
     * static dimension by broadcast — stateless (nothing watermarked,
-    * nothing buffered), and the static side is re-planned per batch, so a
-    * dimension refresh between batches is picked up without restarting the
-    * query. The streaming counterpart of the batch j2 star join: the fact
-    * stream never shuffles, the dimension ships to it. Unmatched events
-    * keep null dimension columns (left join) rather than silently dropping
-    * — an enrichment gap is a data-quality signal, not a filter. */
+    * nothing buffered). The static side is re-EXECUTED per batch, but a
+    * plain file-backed DataFrame snapshots its file listing at creation —
+    * picking up a dimension refresh between batches requires a source with
+    * refresh semantics (a table format with snapshot reads, e.g. the
+    * AtomicCommit manifest view, or re-resolving the frame per batch in
+    * foreachBatch). The streaming counterpart of the batch j2 star join:
+    * the fact stream never shuffles, the dimension ships to it. Unmatched
+    * events keep null dimension columns (left join) rather than silently
+    * dropping — an enrichment gap is a data-quality signal, not a filter. */
   def enrichedEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 

@@ -71,6 +71,35 @@ class FormatsSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/t__compacting").exists())
   }
 
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer stats, no row scan") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-aggpush").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    orders.select("o_orderkey", "o_totalprice").write.parquet(s"$root/t")
+    // pushdown lives in the DSv2 reader: drop parquet from the v1 list
+    val conf = "spark.sql.parquet.aggregatePushdown"
+    val v1 = "spark.sql.sources.useV1SourceList"
+    val (old, oldV1) = (spark.conf.get(conf, "false"), spark.conf.get(v1))
+    try {
+      spark.conf.set(conf, "true")
+      spark.conf.set(v1, oldV1.split(",").filterNot(_.trim == "parquet").mkString(","))
+      val agg = spark.read.parquet(s"$root/t").agg(
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"),
+        count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"expected MIN/MAX/COUNT pushed into the parquet scan:\n$plan")
+      // and the pushed answer must equal the row-scan answer
+      val want = orders.agg(min(col("o_totalprice")), max(col("o_totalprice")),
+        count(lit(1))).collect()(0)
+      assert(agg.collect()(0) === want)
+    } finally {
+      spark.conf.set(conf, old)
+      spark.conf.set(v1, oldV1)
+    }
+  }
+
   test("schema evolution: mergeSchema reads old files with the widened schema") {
     val root = Files.createTempDirectory("graft-evolve").toString
     val orders = Tables(spark, "/root/testdata/sf0.001", "orders")

@@ -27,6 +27,25 @@ object Formats {
       .schema(schema)
       .csv(path)
 
+  /** Malformed-tolerant CSV ingest: PERMISSIVE mode lands every row, with
+    * rows that fail the schema null-padded and their raw line captured in
+    * `_corrupt_record` — quarantine-and-continue, the ingest posture for
+    * external feeds at scale (a single bad line must not kill a 100 TB
+    * load; the corrupt column IS the dead-letter queue, filterable into a
+    * quarantine sink). Row-local parsing, no extra passes. Spark refuses
+    * queries that reference ONLY the corrupt column straight off the raw
+    * file — persist or write the parsed frame before routing the
+    * quarantine. */
+  def readCsvPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("header", true)
+      .option("timestampFormat", TsFormat)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("timestampFormat", TsFormat)

@@ -71,6 +71,33 @@ class FormatsSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/t__compacting").exists())
   }
 
+  test("permissive CSV ingest quarantines malformed rows instead of failing the load") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-badcsv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/in.csv"),
+      """id,price
+        |1,10.5
+        |2,not_a_number
+        |3,30.25
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType)))
+    // cache first: Spark disallows querying ONLY the corrupt column straight
+    // off the raw file (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — production
+    // writes the parsed result before routing the quarantine anyway
+    val got = Formats.readCsvPermissive(spark, s"$root/in.csv", schema).cache()
+    assert(got.count() == 3, "no row may be silently dropped")
+    val bad = got.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 1)
+    val badRow = bad.collect()(0)
+    assert(badRow.getAs[String]("_corrupt_record") == "2,not_a_number")
+    assert(badRow.isNullAt(badRow.fieldIndex("price")),
+      "the failed column must be null-padded")
+    // clean rows parse fully
+    assert(got.filter(col("_corrupt_record").isNull).count() == 2)
+  }
+
   test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer stats, no row scan") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft-aggpush").toString

@@ -36,6 +36,36 @@ class BloomPrefilterSpec extends SparkSpec {
     assert(nPref < big.count() / 5, s"prefilter pruned nothing: $nPref rows pass")
   }
 
+  test("Spark's automatic runtime filter plants the same predicate on selective shuffle joins") {
+    // the optimizer-injected counterpart of BloomPrefilter: when a shuffle
+    // join's build side carries a selective filter, InjectRuntimeFilter
+    // plants a bloom/semi filter on the probe side by itself — asserting it
+    // here pins that the conf path stays live for plans we DON'T hand-tune
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // file-backed scans: the rule targets scannable relations, and the
+      // probe-side scan is what the injected filter prunes
+      val dir = java.nio.file.Files.createTempDirectory("rtfilter").toString
+      big.write.parquet(s"$dir/big")
+      keys.write.parquet(s"$dir/keys")
+      val probe = spark.read.parquet(s"$dir/big")
+      val build = spark.read.parquet(s"$dir/keys").filter(col("fkey") > "k4")
+      val plan = probe.join(build, probe("key") === build("fkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloomFilter"),
+        s"expected an injected runtime filter on the probe side:\n$plan")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("the might_contain predicate sits scan-side, before any join") {
     val plan = BloomPrefilter.semiJoin(big, "key", keys, "fkey", 1000L, 0.01)
       .queryExecution.executedPlan.toString

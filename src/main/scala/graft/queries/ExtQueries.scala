@@ -573,6 +573,55 @@ object ExtQueries {
               FROM events GROUP BY 1, 2""".stripMargin),
       headline = true),
 
+    // Distinct users per tumbling window — the streaming-analytics card
+    // every dashboard needs; exact countDistinct keyed on the window (the
+    // mergeable-sketch variant is a8's HLL over the same shape).
+    Q("st_window_users",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").as("window_start"), col("n_users")),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // Per-session roll-up over the gap-sessionizer (ev_sessionize's labels
+    // aggregated): session length in events and exact-micros duration —
+    // the feature table a session-based model trains on. Same one
+    // user-keyed exchange as the labeling pass; the session aggregate
+    // clusters on (user_id, session_id), a refinement of the window
+    // partitioning, so no second corpus shuffle.
+    Q("ev_session_stats",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+              .as("duration_us"))
+      },
+      Some("""WITH lab AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, ts,
+        |          epoch_us(CAST(ts AS TIMESTAMP))
+        |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM events))
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MAX(epoch_us(CAST(ts AS TIMESTAMP))) - MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+        |    AS duration_us
+        |FROM lab GROUP BY 1, 2""".stripMargin)),
+
     Q("st_sliding_window",
       (s, d) => EventOps.sliding(t(s, d, "events"), "1 hour", "30 minutes"),
       Some("""WITH b AS (

@@ -187,6 +187,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(nHash <= 2, s"$nHash hash exchanges (eval distinct + doc aggregate):\n$p")
   }
 
+  test("ev_session_stats: the session aggregate reuses the window's user partitioning") {
+    // ClusteredDistribution(user_id, session_id) is satisfied by the
+    // window's HashPartitioning(user_id) — one corpus exchange total
+    val p = planOf("ev_session_stats").split("== Initial Plan ==").head
+    val nExchanges = "(?<!Broadcast)Exchange (?!SinglePartition)".r.findAllIn(p).size
+    assert(nExchanges <= 1, s"ev_session_stats plans $nExchanges data exchanges:\n$p")
+  }
+
   test("q09: scaled-long exact aggregation keeps hash (map-side partial) aggregation") {
     val p = planOf("q09_group_avg")
     assert(p.contains("HashAggregate"), p)

@@ -12,7 +12,7 @@ import graft.operators.Dedup
   * data team actually runs, stage by stage:
   *
   *   1. quality gate   — C4-style row-local filter (tx_quality_gate rules)
-  *   2. in-place clean — collapse token runs (tx_intradoc_dedup rewrite)
+  *   2. in-place clean — collapse token runs + redact PII placeholders
   *   3. exact dedup    — one fingerprint hash-agg keeps the smallest id
   *   4. near-dup keep  — MinHash LSH → Jaccard refine → greedy keep
   *   5. decontaminate  — drop docs sharing ≥ minShared trigrams with eval
@@ -35,9 +35,9 @@ object RunCuration {
     // 1. gate — THE tx_quality_gate rule set (shared definition, can't drift)
     val gated = docs.filter(
       TextFunctions.gateRules(col("text")).map(_._2).reduce(_ && _))
-    // 2. in-place clean (run collapse — pure map)
+    // 2. in-place clean (run collapse + PII redaction — pure map)
     val cleaned = gated.select(col("doc_id"),
-      TextFunctions.collapseRepeats(col("text")).as("text"))
+      TextFunctions.redact(TextFunctions.collapseRepeats(col("text"))).as("text"))
     // 3. exact dedup: keep the smallest id per fingerprint
     val exactKept = cleaned.join(
       Dedup.exact(cleaned,

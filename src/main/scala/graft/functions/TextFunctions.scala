@@ -124,6 +124,27 @@ object TextFunctions {
       .otherwise(lit("other"))
   }
 
+  /** PII scrub: redact email addresses, international-format phone
+    * numbers, and IPv4 addresses to typed placeholders — the privacy pass
+    * before any corpus ships. One regexp_replace chain, row-local and
+    * codegen'd; [[redactionCount]] gives the audit column (how many spans
+    * each doc lost). The patterns are deliberately conservative
+    * (precision over recall) — a production scrub plugs stricter model-
+    * based detectors into the same column-in/column-out seam. */
+  val RedactPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+[0-9][0-9 ()-]{6,18}[0-9]" -> "<PHONE>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>")
+
+  def redact(c: Column): Column =
+    RedactPatterns.foldLeft(c) { case (acc, (re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+
+  def redactionCount(c: Column): Column =
+    RedactPatterns.map { case (re, _) => regexp_count(c, lit(re)) }
+      .reduce(_ + _).cast("long")
+
   /** The C4-style quality-gate rules as named row-local booleans — THE
     * single definition shared by the judged tx_quality_gate query and the
     * curation driver, so the two can't drift. Undefined features (empty

@@ -71,6 +71,24 @@ class TextFunctionsSpec extends SparkSpec {
       ("y", "y")))
   }
 
+  test("redact: emails, phones, IPs become typed placeholders; clean text untouched") {
+    val rows = Seq(
+      "contact bob.smith+spam@example.co.uk or call +1 (555) 123-4567 now",
+      "server at 192.168.1.100 responded",
+      "a perfectly clean sentence with no identifiers at all",
+      "edge: not.an.email@ and 999.999.999.999 and +12 34" // partial/invalid forms
+    ).toDF("t")
+      .select(redact(col("t")).as("r"), redactionCount(col("t")).as("n"))
+      .as[(String, Long)].collect().toSeq
+    assert(rows(0) === (("contact <EMAIL> or call <PHONE> now", 2L)))
+    assert(rows(1) === (("server at <IP> responded", 1L)))
+    assert(rows(2) === (("a perfectly clean sentence with no identifiers at all", 0L)))
+    // conservative: the malformed email stays; the numeric-looking IP form
+    // still matches the IPv4 shape (documented precision-over-recall), the
+    // too-short phone does not
+    assert(rows(3)._1 === "edge: not.an.email@ and <IP> and +12 34")
+  }
+
   test("quality features: exact counts on a known sentence") {
     val feats = qualityFeatures(col("t"))
     val row = Seq("the quick brown fox, it jumps!")

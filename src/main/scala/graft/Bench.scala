@@ -73,8 +73,15 @@ object Bench {
     }.min
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    // failed queries stay visible as -1.0 per query but must NOT join the
+    // sum — a -1 sentinel would LOWER the total, making a broken round
+    // look faster than a working one
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedField =
+      if (failedQ.isEmpty) ""
+      else failedQ.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","failed_queries":[""", ",", "]")
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f$failedField,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

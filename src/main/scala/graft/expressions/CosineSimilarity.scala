@@ -41,11 +41,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       b.asInstanceOf[ArrayData], isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""java.lang.Double graftCosR = graft.expressions.CosineSimilarity.compute(
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT a fixed identifier: sibling cosine expressions fuse
+      // into ONE generated method scope (e.g. cosine in both SELECT and
+      // WHERE of a whole-stage), and a redeclared local is a Janino
+      // compile error -> silent interpreted fallback
+      val r = ctx.freshName("graftCosR")
+      s"""java.lang.Double $r = graft.expressions.CosineSimilarity.compute(
          |  $a, ${isFloat(left)}, $b, ${isFloat(right)});
-         |if (graftCosR == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = graftCosR.doubleValue(); }""".stripMargin)
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)

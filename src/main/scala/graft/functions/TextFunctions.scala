@@ -39,14 +39,25 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** One MinHash component: min over shingles of md5(seed:shingle), compared
-    * lexicographically on the hex string. Lowercase-hex ordering is identical
-    * in Spark and DuckDB, which makes MinHash signatures oracle-checkable —
-    * and md5 is a perfectly serviceable uniform hash for MinHash. */
-  def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+  /** One MinHash component of THE canonical hash family — identical to
+    * [[graft.expressions.MinHashSignature]], [[graft.expressions.MinHashSig]]
+    * and the DuckDB band CTE, so signatures built here band-match the
+    * Dedup operators and any persisted dedup index: component `i` is the
+    * min over shingles of the 8-hex-char chunk `i % 4` of md5 stream
+    * `i / 4` (stream 0 unprefixed, stream t = "t:"||x). Lowercase-hex
+    * ordering is identical in Spark and DuckDB, which keeps signatures
+    * oracle-checkable. (A previous free-standing formulation here hashed
+    * differently from the canonical family — a drift trap for callers.) */
+  def minhash(shingleArr: Column, component: Int): Column = {
+    val stream = component / 4
+    val chunk = component % 4
+    array_min(transform(shingleArr, x =>
+      substring(if (stream == 0) md5(x) else md5(concat(lit(s"$stream:"), x)),
+        chunk * 8 + 1, 8)))
+  }
 
-  /** Full signature as an array of `numHashes` hex minima. */
+  /** Full signature as an array of `numHashes` hex minima (canonical
+    * family; see [[minhash]]). */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i => minhash(shingleArr, i)): _*)
 

@@ -47,6 +47,16 @@ object BloomPrefilter {
       s"bloom needs $numBits bits for $expectedItems items at fpp=$fpp but " +
         s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits would " +
         "silently clamp it (degrading the prefilter to a no-op); raise the conf")
+    // the ITEM count is clamped by a second conf — and the hash-function
+    // count derives from the clamped value, so an over-limit build would
+    // saturate (~fpp 1) even after raising maxNumBits
+    val maxItems = keys.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    require(expectedItems <= maxItems,
+      s"expectedItems=$expectedItems exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems, which " +
+        "BloomFilterAggregate silently clamps (mis-sizing the hash count and " +
+        "saturating the filter); raise the conf")
     val keyHash = XxHash64(Seq(GraftBridge.expression(keys(keyCol))), 42L)
     val bloomDf = keys.select(GraftBridge.column(
       new BloomFilterAggregate(keyHash, Literal(expectedItems), Literal(numBits))

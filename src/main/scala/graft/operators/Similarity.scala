@@ -67,12 +67,17 @@ object Similarity {
     * (ties → lowest centroid id). Returns the input plus a `cluster`
     * column. Row-local: the centroid table rides in as a single-row
     * broadcast array and the argmax is one expression — the corpus never
-    * exchanges for assignment. */
+    * exchanges for assignment. A vector comparable to NO centroid
+    * (dimension mismatch, null element ⇒ NearestCentroids yields an empty
+    * array) gets a NULL cluster via try_element_at — under ANSI mode a
+    * plain element_at would kill the job on the first malformed row —
+    * and then drops out of every downstream cluster-keyed join/groupBy,
+    * which is what kmeansCentroids' count(valid-only) divisor expects. */
   def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame =
     Parallelism.fanOut(vectors)
       .crossJoin(broadcast(packedCentroids(centroids)))
       .withColumn("cluster",
-        element_at(nearestCentroids(col("embedding"), col("cents"), 1), 1))
+        try_element_at(nearestCentroids(col("embedding"), col("cents"), 1), lit(1)))
       .drop("cents")
 
   /** IVF-style ANN: both corpus and queries are assigned to coarse clusters;

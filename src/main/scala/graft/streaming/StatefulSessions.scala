@@ -49,9 +49,20 @@ object StatefulSessions {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                // merge only within one gap of the session INTERVAL — and a
+                // watermark-late event may precede the open session's start
+                // (cross-batch), so the merged start must take the min or
+                // the emitted session would exclude an event it counted
+                case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1,
                     total = s.total + e.value))
+                case Some(s) if t < s.start - gapMs =>
+                  // a straggler more than one gap BEFORE the open session
+                  // can never join it: emit as its own gap-closed session,
+                  // leaving the open session untouched
+                  closed ::= ClosedSession(user, new Timestamp(t),
+                    new Timestamp(t), 1, e.value)
                 case Some(s) =>
                   closed ::= ClosedSession(user, new Timestamp(s.start),
                     new Timestamp(s.end), s.n, s.total)

@@ -77,8 +77,13 @@ object Migration {
     // carries duplicate PKs that the anti-join against the (possibly empty)
     // existing table would not catch
     val batch = newRows.dropDuplicates(pk)
+    // Hadoop FS, not java.io.File: on HDFS/S3 a java.io check is ALWAYS
+    // false and would silently skip the anti-join guard, appending
+    // duplicate PKs on every re-run
+    val target = new org.apache.hadoop.fs.Path(existingPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      if (new java.io.File(existingPath).exists) {
+      if (fs.exists(target)) {
         val existing = spark.read.parquet(existingPath).select(pk.map(col): _*)
         batch.join(existing, pk, "left_anti")
       } else batch

@@ -20,6 +20,24 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("CosineSimilarity: two instances fuse into one codegen scope without collision") {
+    // fallback disabled: a redeclared local in the fused method would THROW
+    // here instead of silently degrading to interpreted evaluation
+    val conf = "spark.sql.codegen.fallback"
+    val old = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val df = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 1.0f), Seq(1.0f, 1.0f)))
+        .toDF("a", "b", "c")
+        .filter(VectorFunctions.cosine(col("a"), col("b")) > lit(0.0))
+        .select(
+          VectorFunctions.cosine(col("a"), col("b")).as("ab"),
+          VectorFunctions.cosine(col("a"), col("c")).as("ac"))
+      val row = df.collect()(0)
+      assert(row.getDouble(0) > 0.0 && row.getDouble(1) > 0.0)
+    } finally spark.conf.set(conf, old)
+  }
+
   test("CosineSimilarity: null element or length mismatch yields null, like zip_with") {
     val df = Seq(
       (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(1.0f))),

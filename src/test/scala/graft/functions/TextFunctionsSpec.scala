@@ -55,6 +55,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
   }
 
+  test("minhashSignature matches the canonical MinHashSignature expression exactly") {
+    val df = Seq("the quick brown fox jumps over the lazy dog today").toDF("t")
+    val rows = df.select(
+      minhashSignature(shingles(col("t"), 2), 16).as("hof"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.MinHashSignature(
+          org.apache.spark.sql.GraftBridge.expression(col("t")), 2, 16)).as("native"))
+      .as[(Seq[String], Seq[String])].collect()(0)
+    assert(rows._1 === rows._2,
+      "column-form and native signatures must be the SAME hash family")
+  }
+
   test("collapseRepeats / dedupTokens: runs collapse, first occurrence wins, edge cases") {
     val got = Seq(
       "a a the b a the the c", // runs + re-occurrences

@@ -25,6 +25,38 @@ class StatefulSessionsSpec extends SparkSpec {
       1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 3.0)))
   }
 
+  test("streaming: a late event within one gap of the open session extends its START") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours") // generous lateness so stragglers land
+    val sessions = StatefulSessions.sessionsFlatMap(events, gapMs = 15 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("late_sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2 (watermark-permitted stragglers, 2h lateness, 15min gap):
+      // 09:50 is within one gap of the open session's start — must merge
+      // and LOWER the start; 09:00 is more than one gap before the start —
+      // can't join, emits as its own session
+      input.addData((1L, ts("2024-01-01 09:50:00"), 2.0),
+        (1L, ts("2024-01-01 09:00:00"), 4.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to time the merged session out
+      input.addData((2L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("late_sessions_out")
+        .as[StatefulSessions.ClosedSession].collect().filter(_.user_id == 1L)
+        .sortBy(_.session_start.getTime).toSeq
+      assert(got.head === StatefulSessions.ClosedSession(
+        1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1L, 4.0))
+      assert(got(1) === StatefulSessions.ClosedSession(
+        1L, ts("2024-01-01 09:50:00"), ts("2024-01-01 10:00:00"), 2L, 3.0),
+        "the merged session must start at the late event it absorbed")
+    } finally q.stop()
+  }
+
   test("streaming: event-time timeout emits sessions as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]

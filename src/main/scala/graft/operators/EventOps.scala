@@ -75,4 +75,31 @@ object EventOps {
   def propsKey(events: DataFrame, key: String): DataFrame =
     events.select(col("event_id"),
       from_json(col("props"), lit("map<string,bigint>"))(key).as(key))
+
+  /** Incremental distinct-user LEDGER: one mergeable HLL sketch per day
+    * (DataSketches `hll_sketch_agg`). The ledger is the production WAU/MAU
+    * architecture at 100 TB: each day's events are aggregated ONCE into a
+    * kilobyte sketch row, and every rolling window thereafter merges
+    * sketches — history is never re-scanned (the exact-count counterpart,
+    * `ev_dau_wau`, re-reads the pair table per query). Appending a new day
+    * is one scan of that day only; merges keep every estimate within the
+    * sketch's error bound regardless of merge order (estimates are NOT
+    * merge-order-invariant bit for bit — only the bound is; spec-pinned). */
+  def dailyUserSketches(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+
+  /** Rolling `days`-window distinct-user estimates over the ledger: each
+    * day's sketch fans out to the windows it participates in (equi shape,
+    * like ev_dau_wau's explode), then ≤ `days` sketches merge per output
+    * row. Tail windows past the ledger's last day are emitted too — inner
+    * join back to the ledger's days to drop them if unwanted. */
+  def rollingDistinctUsers(sketches: DataFrame, days: Int): DataFrame = {
+    require(days >= 1)
+    sketches
+      .select(explode(sequence(col("day"), date_add(col("day"), days - 1))).as("day"),
+        col("sketch"))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+  }
 }

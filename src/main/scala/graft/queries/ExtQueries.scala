@@ -507,6 +507,20 @@ object ExtQueries {
         |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin)),
 
+    // The sketch-ledger counterpart of ev_dau_wau: per-day mergeable HLL
+    // user sketches rolled into trailing-7-day distinct estimates —
+    // history is never re-scanned (EventOps.dailyUserSketches scaladoc).
+    // Sketch estimates have no DuckDB analogue ⇒ rows-only judged entry;
+    // the 5% accuracy and incremental-append bounds are spec'd in
+    // OperatorsSpec.
+    Q("ev_wau_sketch",
+      (s, d) => {
+        val ledger = graft.operators.EventOps.dailyUserSketches(t(s, d, "events"))
+        graft.operators.EventOps.rollingDistinctUsers(ledger, days = 7)
+          .join(ledger.select("day"), "day") // drop tail windows past the data
+      },
+      None),
+
     // Weekly retention: users active in week w who are also active in
     // week w+1 — the cohort shape, as a distinct-activity self-join on
     // (user, week) pairs (both sides are the small distinct projection).

@@ -37,6 +37,49 @@ class OperatorsSpec extends SparkSpec {
       "[2,100,2024-01-01 12:00:00.0,2024-01-01 12:00:00.0]"))
   }
 
+  test("EventOps sketch ledger: rolling estimates near-exact, incrementally maintainable") {
+    def ev(day: Int, user: Long) =
+      (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), user)
+    // 10 days, day d has users [d*50, d*50 + 500) -> 7-day windows overlap
+    val events = (1 to 10).flatMap(d => (d * 50L until d * 50L + 500L).map(ev(d, _)))
+      .toDF("ts", "user_id").repartition(6)
+    val ledger = EventOps.dailyUserSketches(events).cache()
+    val rolled = EventOps.rollingDistinctUsers(ledger, days = 7)
+      .join(ledger.select("day"), "day") // drop tail windows past the data
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // exact rolling distinct for comparison
+    val exact = {
+      val du = events.select(to_date(col("ts")).as("uday"), col("user_id")).distinct()
+      du.select(explode(sequence(col("uday"), date_add(col("uday"), 6))).as("day"),
+          col("user_id"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("n"))
+        .join(ledger.select("day"), "day")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    }
+    rolled.foreach { case (day, approx) =>
+      val t = exact(day).toDouble
+      assert(math.abs(approx - t) / t < 0.05,
+        s"$day: approx $approx vs exact $t exceeds 5% HLL error")
+    }
+    // incrementality: ledger(days 1-9) + day-10 sketch == full ledger
+    val firstNine = EventOps.dailyUserSketches(
+      events.filter(to_date(col("ts")) < "2024-01-10"))
+    val dayTen = EventOps.dailyUserSketches(
+      events.filter(to_date(col("ts")) === "2024-01-10"))
+    val incremental = EventOps.rollingDistinctUsers(
+        firstNine.unionByName(dayTen), days = 7)
+      .join(ledger.select("day"), "day")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // HLL estimates are error-bounded, not merge-order-invariant bit for
+    // bit (partial-merge order perturbs the sketch state slightly): the
+    // incremental ledger must agree with exact within the SAME bound
+    incremental.foreach { case (day, approx) =>
+      val t = exact(day).toDouble
+      assert(math.abs(approx - t) / t < 0.05,
+        s"incremental $day: approx $approx vs exact $t exceeds 5% HLL error")
+    }
+  }
+
   test("Dedup.exact: keeps min id and collapse count per key") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
     val got = rowSet(Dedup.exact(df, Seq(col("k")), col("id")))

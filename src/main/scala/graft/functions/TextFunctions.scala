@@ -152,9 +152,14 @@ object TextFunctions {
       regexp_replace(acc, re, tag)
     }
 
+  /** How many spans [[redact]] replaces: each pattern is counted on the
+    * text AFTER the previous replacements (the same fold redact applies),
+    * so a span consumed by an earlier pattern can't be double-counted —
+    * "user+12345678@x.com" is one <EMAIL>, not email+phone. */
   def redactionCount(c: Column): Column =
-    RedactPatterns.map { case (re, _) => regexp_count(c, lit(re)) }
-      .reduce(_ + _).cast("long")
+    RedactPatterns.foldLeft((c, lit(0L))) { case ((txt, n), (re, tag)) =>
+      (regexp_replace(txt, re, tag), n + regexp_count(txt, lit(re)).cast("long"))
+    }._2
 
   /** The C4-style quality-gate rules as named row-local booleans — THE
     * single definition shared by the judged tx_quality_gate query and the

@@ -71,6 +71,17 @@ object BloomPrefilter {
     * "left_semi")` — the prefilter only thins what reaches the exact join. */
   def semiJoin(big: DataFrame, bigKey: String, keys: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // xxhash64 is TYPE-sensitive: int 7 and bigint 7 hash differently, so a
+    // type mismatch between the probe and build sides would yield bloom
+    // false NEGATIVES — silently dropping matching rows and breaking the
+    // "identical to plain left_semi" contract. Fail loud like the
+    // maxNumBits/maxNumItems guards rather than return wrong rows.
+    val bigType = big.schema(bigKey).dataType
+    val keyType = keys.schema(keyCol).dataType
+    require(bigType == keyType,
+      s"bloom prefilter key types must match exactly (xxhash64 is " +
+        s"type-sensitive): $bigKey is $bigType but $keyCol is $keyType — " +
+        "cast one side before calling semiJoin")
     val prefiltered = big.filter(
       mightContain(keys, keyCol, big(bigKey), expectedItems, fpp))
     prefiltered.join(keys.select(keys(keyCol).as(bigKey)).distinct(),

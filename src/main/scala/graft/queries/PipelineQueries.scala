@@ -1172,13 +1172,16 @@ object PipelineQueries {
     // vector as m nibble codes — 256-byte floats become 8 nibbles, the ANN
     // memory story at 100 TB. Iterative k-means ⇒ rows-only judged entry;
     // exact codebook/encode/decode semantics are spec'd in
-    // ProductQuantizerSpec.
+    // ProductQuantizerSpec. The judged projection posexplodes the code
+    // array to scalar (vec_id, subspace, code) longs — the harness
+    // canonicalizes by sorting column values, which an array column breaks.
     Q("sim_pq_codes",
       (s, d) => {
         val emb = t(s, d, "embeddings").select("vec_id", "embedding")
         val books = graft.operators.ProductQuantizer.train(
           emb, m = 8, k = 16, iters = 2, dim = 64)
         graft.operators.ProductQuantizer.encode(emb, books, m = 8, dim = 64)
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
       },
       None),
 

@@ -46,6 +46,21 @@ object StatefulSessions {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
+            // Stragglers more than one gap BEFORE the open session can never
+            // join it — but they CAN fall within one gap of EACH OTHER, so
+            // they gap-merge among themselves (same rule EventOps.sessionize
+            // applies) before emitting as closed sessions. Sorted input means
+            // consecutive stragglers fold into one running session; every
+            // straggler run still ends > gapMs before the open session's
+            // start, so a merged run can never reach the open session either.
+            var straggler: Option[SessionState] = None
+            def flushStraggler(): Unit = {
+              straggler.foreach { p =>
+                closed ::= ClosedSession(user, new Timestamp(p.start),
+                  new Timestamp(p.end), p.n, p.total)
+              }
+              straggler = None
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
@@ -58,11 +73,14 @@ object StatefulSessions {
                     end = math.max(s.end, t), n = s.n + 1,
                     total = s.total + e.value))
                 case Some(s) if t < s.start - gapMs =>
-                  // a straggler more than one gap BEFORE the open session
-                  // can never join it: emit as its own gap-closed session,
-                  // leaving the open session untouched
-                  closed ::= ClosedSession(user, new Timestamp(t),
-                    new Timestamp(t), 1, e.value)
+                  straggler match {
+                    case Some(p) if t - p.end <= gapMs =>
+                      straggler = Some(p.copy(end = math.max(p.end, t),
+                        n = p.n + 1, total = p.total + e.value))
+                    case _ =>
+                      flushStraggler()
+                      straggler = Some(SessionState(t, t, 1, e.value))
+                  }
                 case Some(s) =>
                   closed ::= ClosedSession(user, new Timestamp(s.start),
                     new Timestamp(s.end), s.n, s.total)
@@ -71,6 +89,7 @@ object StatefulSessions {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
+            flushStraggler()
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.end + gapMs)

@@ -101,6 +101,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(3)._1 === "edge: not.an.email@ and <IP> and +12 34")
   }
 
+  test("redactionCount: overlapping patterns count replaced spans, not pattern hits") {
+    // the phone pattern also matches the +12345678 INSIDE this email — but
+    // redact replaces the whole thing as one <EMAIL>, so the audit column
+    // must say 1, not 2 (counts run on the progressively-redacted text)
+    val row = Seq("mail user+12345678@x.com today").toDF("t")
+      .select(redact(col("t")).as("r"), redactionCount(col("t")).as("n"))
+      .as[(String, Long)].collect().head
+    assert(row === (("mail <EMAIL> today", 1L)))
+  }
+
   test("quality features: exact counts on a known sentence") {
     val feats = qualityFeatures(col("t"))
     val row = Seq("the quick brown fox, it jumps!")

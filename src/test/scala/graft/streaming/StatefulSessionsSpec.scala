@@ -57,6 +57,36 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: stragglers within one gap of EACH OTHER merge before emitting") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "6 hours") // generous lateness so stragglers land
+    val sessions = StatefulSessions.sessionsFlatMap(events, gapMs = 15 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("straggler_merge_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // three stragglers, all > 1 gap before the 12:00 open session:
+      // 09:00 and 09:05 are within one gap of each other → ONE session;
+      // 10:00 is > 1 gap after 09:05 → its own session
+      input.addData((1L, ts("2024-01-01 09:00:00"), 2.0),
+        (1L, ts("2024-01-01 09:05:00"), 3.0),
+        (1L, ts("2024-01-01 10:00:00"), 4.0))
+      q.processAllAvailable()
+      val got = spark.table("straggler_merge_out")
+        .as[StatefulSessions.ClosedSession].collect().filter(_.user_id == 1L)
+        .sortBy(_.session_start.getTime).toSeq
+      assert(got == Seq(
+        StatefulSessions.ClosedSession(
+          1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:05:00"), 2L, 5.0),
+        StatefulSessions.ClosedSession(
+          1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1L, 4.0)),
+        "same-batch stragglers must gap-merge like EventOps.sessionize would")
+    } finally q.stop()
+  }
+
   test("streaming: event-time timeout emits sessions as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]

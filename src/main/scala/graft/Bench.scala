@@ -34,11 +34,29 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
+    // AQE races its broadcast-exchange jobs against re-planning: when
+    // empty-relation propagation prunes a join subtree whose broadcast
+    // stage was already submitted (dd_lsh_pairs' re-attach joins on a
+    // dup-light corpus hit this every few runs), the orphaned single-task
+    // stage still completes — and its task's SQLMetrics belong to the
+    // DISCARDED subtree, so the DAGScheduler logs one harmless
+    // "attempted to access non-existent accumulator" ERROR per metric
+    // (verified at INFO level: the burst directly follows "Finished task
+    // 0.0 in stage N (1/1)" of a withThreadLocalCaptured broadcast job,
+    // after the query's final stage already finished). Results and rc are
+    // unaffected; real query failures reach us as EXCEPTIONS and are
+    // reported via failed_queries below — so drop this logger's noise from
+    // the one artifact a scale operator reads first.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
     val headline = Registry.all.filter(_.headline)
+    def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // one warm-up pass amortizes JVM/codegen warm-up out of the measurement
     headline.foreach { q =>
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try runNoop(q.fn(spark, sfDir))
       catch { case _: Throwable => () }
     }
     // min of 5 measured runs: the steady-state cost, robust to background
@@ -53,7 +71,7 @@ object Bench {
     val failedQ = collection.mutable.Set.empty[String]
     for (_ <- 1 to 5; q <- headline) {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try runNoop(q.fn(spark, sfDir))
       catch { case e: Throwable =>
         failedQ += q.name
         System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
@@ -65,10 +83,10 @@ object Bench {
     val results = headline.map(q =>
       q.name -> (if (failedQ(q.name)) -1.0 else samples(q.name).min))
     // calibration sentinel: same warm-up + min-of-5 protocol as the queries
-    calibration(spark).write.format("noop").mode("overwrite").save()
+    runNoop(calibration(spark))
     val calib = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
-      calibration(spark).write.format("noop").mode("overwrite").save()
+      runNoop(calibration(spark))
       (System.nanoTime() - t0) / 1e9
     }.min
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -235,11 +235,21 @@ object Dedup {
     * them; the gate itself stays join-only. */
   def incrementalNearDupFilter(newBatch: DataFrame, history: DataFrame,
       idCol: Column, textCol: Column, numHashes: Int, bands: Int,
-      shingleK: Int = 2): DataFrame = {
-    val nb = minhashBands(newBatch, idCol, textCol, numHashes, bands, shingleK)
-    val hb = minhashBands(history, idCol, textCol, numHashes, bands, shingleK)
-      .select("band", "band_key")
-    val hits = nb.join(hb, Seq("band", "band_key"), "left_semi")
+      shingleK: Int = 2): DataFrame =
+    screenAgainstBands(newBatch, idCol,
+      minhashBands(newBatch, idCol, textCol, numHashes, bands, shingleK),
+      minhashBands(history, idCol, textCol, numHashes, bands, shingleK))
+
+  /** THE single definition of the ingest-gate screen, shared by
+    * [[incrementalNearDupFilter]] (history bands recomputed per call) and
+    * [[BandIndex.gate]] (history bands read from the persisted index) so
+    * the two paths can't drift: a batch doc sharing ANY (band, band_key)
+    * with the history is a near-dup suspect and is dropped; the survivors
+    * come back full-width via one id-keyed anti join. */
+  private[operators] def screenAgainstBands(newBatch: DataFrame, idCol: Column,
+      newBands: DataFrame, historyBands: DataFrame): DataFrame = {
+    val hits = newBands
+      .join(historyBands.select("band", "band_key"), Seq("band", "band_key"), "left_semi")
       .select(col("doc_id").as("__hit_id")).distinct()
     newBatch.join(hits, idCol === col("__hit_id"), "left_anti")
   }

@@ -14,6 +14,37 @@ import org.apache.spark.sql.functions._
   * this number is machine/co-tenant load, not engine change — divide the
   * query times by (calibration_sec / its historical floor) to compare runs
   * across differently-loaded environments.
+  *
+  * Diagnostics in the JSON (round-9 drift bisect):
+  *   - `plan_sec`: per-query time to BUILD + fully plan the DataFrame
+  *     (fn call, analysis, optimization, physical planning — everything a
+  *     measured run pays before the first task), measured on a fresh frame
+  *     after the timed runs. Separates fixed planning overhead from
+  *     execution when a query's total drifts.
+  *   - `codegen_compiles`: per-query count of whole-stage/expression codegen
+  *     COMPILATIONS observed during the 5 measured (warm!) runs. A warm run
+  *     should hit the generated-class cache and report ~0; sustained
+  *     non-zero counts mean the suite's generated classes exceed
+  *     `spark.sql.codegen.cache.maxEntries` and every interleaved pass
+  *     recompiles (Janino) what the previous pass evicted — a fixed
+  *     per-query tax unrelated to the plan.
+  *
+  * ROOT CAUSE of the r6→r8 drift (+42% normalized vs the r5 best,
+  * st_tumbling_window 2.2× its r5 self with unchanged code): Spark's
+  * generated-class cache holds `spark.sql.codegen.cache.maxEntries` = 100
+  * classes by default. The headline suite compiles ~150 distinct generated
+  * classes per pass, and round 6 switched the 5 measured runs from
+  * back-to-back per query to INTERLEAVED round-robin passes (to decorrelate
+  * co-tenant load spikes) — so by the time a query runs again, the rest of
+  * the suite has evicted its classes and every "warm" run re-pays full
+  * Janino compilation. The tax is absolute (~50-200ms/query), which is why
+  * cheap queries drifted the most in relative terms and the drift grew as
+  * rounds added headline queries. Fix: size the cache to the suite
+  * (SPARK_GRAFT_CODEGEN_CACHE, default 4096 — a generated class is a few KB
+  * of bytecode, so the ceiling is a few tens of MB, the same trade a
+  * long-lived production session serving a large query registry makes).
+  * Measured at sf0.1: codegen_compiles drop to 0 for all queries after
+  * warm-up and st_tumbling_window returns to its r5-normalized cost.
   */
 object Bench {
 
@@ -25,6 +56,12 @@ object Bench {
       .select(xxhash64(col("id")).as("k"))
       .orderBy("k")
 
+  /** Cumulative codegen compilation count for this JVM (driver-side is the
+    * compiling side in local mode; the metric registers compilations from
+    * `CodeGenerator.compile` cache misses). */
+  private def codegenCompileCount: Long =
+    org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,6 +70,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf — must be set at session construction. See the scaladoc
+      // root-cause note: the default (100) is smaller than the suite's
+      // generated-class working set, so interleaved passes thrash the cache.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     // AQE races its broadcast-exchange jobs against re-planning: when
@@ -46,11 +88,22 @@ object Bench {
     // 0.0 in stage N (1/1)" of a withThreadLocalCaptured broadcast job,
     // after the query's final stage already finished). Results and rc are
     // unaffected; real query failures reach us as EXCEPTIONS and are
-    // reported via failed_queries below — so drop this logger's noise from
-    // the one artifact a scale operator reads first.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
+    // reported via failed_queries below. Drop ONLY that message (regex
+    // filter on the DAGScheduler logger) — any other scheduler ERROR stays
+    // visible in the artifact.
+    locally {
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val dag = "org.apache.spark.scheduler.DAGScheduler"
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        dag, org.apache.logging.log4j.Level.WARN)
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[LoggerContext]
+      ctx.getConfiguration.getLoggerConfig(dag).addFilter(
+        RegexFilter.createFilter(".*non-existent accumulator.*", null, false,
+          Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    }
     val headline = Registry.all.filter(_.headline)
     def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -66,10 +119,14 @@ object Bench {
     // poisons at most one pass of each query instead of every sample of
     // whichever query it lands on (BENCH_r06: q09_group_avg 1.49s driver
     // min-of-5 vs 0.33s on a machine with a WORSE calibration_sec, because
-    // all 5 consecutive runs sat inside one spike).
+    // all 5 consecutive runs sat inside one spike). Interleaving is also
+    // what exposed the codegen-cache thrash documented above — kept, with
+    // the cache sized to the suite instead.
     val samples = collection.mutable.Map.empty[String, List[Double]]
+    val compiles = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val failedQ = collection.mutable.Set.empty[String]
     for (_ <- 1 to 5; q <- headline) {
+      val c0 = codegenCompileCount
       val t0 = System.nanoTime()
       try runNoop(q.fn(spark, sfDir))
       catch { case e: Throwable =>
@@ -78,10 +135,20 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       samples.updateWith(q.name)(s => Some(dt :: s.getOrElse(Nil)))
+      compiles(q.name) += codegenCompileCount - c0
     }
     // a failed query must not report a flatteringly tiny time
     val results = headline.map(q =>
       q.name -> (if (failedQ(q.name)) -1.0 else samples(q.name).min))
+    // planning-vs-execution split: time to construct + fully plan a FRESH
+    // frame (what every measured run pays before its first task), after the
+    // timed runs so the split never perturbs them
+    val planSec = headline.map { q =>
+      val t0 = System.nanoTime()
+      try { q.fn(spark, sfDir).queryExecution.executedPlan; () }
+      catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }
     // calibration sentinel: same warm-up + min-of-5 protocol as the queries
     runNoop(calibration(spark))
     val calib = (1 to 5).map { _ =>
@@ -89,7 +156,11 @@ object Bench {
       runNoop(calibration(spark))
       (System.nanoTime() - t0) / 1e9
     }.min
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = jmap(results)
+    val plans = jmap(planSec)
+    val comps = headline.map(q => "\"" + q.name + s"""":${compiles(q.name)}""")
       .mkString("{", ",", "}")
     // failed queries stay visible as -1.0 per query but must NOT join the
     // sum — a -1 sentinel would LOWER the total, making a broken round
@@ -99,7 +170,7 @@ object Bench {
       if (failedQ.isEmpty) ""
       else failedQ.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(""","failed_queries":[""", ",", "]")
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f$failedField,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f$failedField,"queries":$qs,"plan_sec":$plans,"codegen_compiles":$comps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

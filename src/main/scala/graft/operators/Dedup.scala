@@ -421,6 +421,69 @@ object Dedup {
       col("doc_id"), col("__q"), labels)
   }
 
+  /** Violations of the [[semanticKeep]] contract, expected EMPTY — the
+    * oracle-checkable form of the iterative pipeline (k-means itself has no
+    * SQL analogue, but every property of the KEEP SET does). The near-dup
+    * edge set is re-derived INDEPENDENTLY of [[bucketPairs]] (a plain
+    * same-cluster self-join + the exact cosine refine), so a candidate-
+    * generation bug can't cancel out of its own verification. Kinds:
+    *   - `kept_pair_within_threshold`: two kept docs share a cluster and
+    *     sit within the near-dup threshold — a direct edge means one
+    *     component, which keeps exactly one member;
+    *   - `kept_worse_than_dropped`: a kept doc has a dropped direct
+    *     neighbor of strictly higher quality (or equal quality and smaller
+    *     id) — the kept doc is that neighbor's component winner, so it must
+    *     dominate under (quality DESC, id ASC);
+    *   - `dropped_without_neighbor`: a dropped doc with NO within-threshold
+    *     same-cluster neighbor at all — only near-dup-group members may be
+    *     dropped. */
+  def semanticKeepViolations(emb: DataFrame, idCol: Column, vecCol: Column,
+      qualityCol: Column, k: Int, iters: Int, dim: Int,
+      threshold: Double): DataFrame = {
+    val corpus = emb.select(idCol.as("vec_id"), vecCol.as("embedding"),
+        qualityCol.as("__q"))
+      .localCheckpoint(eager = false) // reused: keep run, assignment, edges
+    val kept = semanticKeep(corpus, col("vec_id"), col("embedding"),
+        col("__q"), k, iters, dim, threshold)
+      .localCheckpoint(eager = false)
+    val assigned = Similarity.assignClusters(
+      corpus.select("vec_id", "embedding"),
+      Similarity.kmeansCentroids(corpus.select("vec_id", "embedding"), k, iters, dim))
+      .select(col("cluster"), col("vec_id"))
+    def side(s: String) = assigned.join(corpus, "vec_id")
+      .select(col("cluster"), col("vec_id").as(s"id_$s"),
+        col("embedding").as(s"__v$s"), col("__q").as(s"__q$s"))
+    val edges = side("a").join(side("b"), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineRounded(col("__va"), col("__vb")) >= threshold)
+      .select("id_a", "id_b", "__qa", "__qb")
+      .localCheckpoint(eager = false)
+    val marked = edges
+      .join(kept.select(col("doc_id").as("id_a"), lit(1).as("__ka")), Seq("id_a"), "left")
+      .join(kept.select(col("doc_id").as("id_b"), lit(1).as("__kb")), Seq("id_b"), "left")
+    val bothKept = marked
+      .filter(col("__ka").isNotNull && col("__kb").isNotNull)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit("kept_pair_within_threshold").as("kind"))
+    def loses(qk: Column, idk: Column, qd: Column, idd: Column): Column =
+      qk < qd || (qk === qd && idk > idd)
+    val qViol = marked.filter(
+        (col("__ka").isNotNull && col("__kb").isNull &&
+          loses(col("__qa"), col("id_a"), col("__qb"), col("id_b"))) ||
+        (col("__kb").isNotNull && col("__ka").isNull &&
+          loses(col("__qb"), col("id_b"), col("__qa"), col("id_a"))))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit("kept_worse_than_dropped").as("kind"))
+    val touched = edges.select(col("id_a").as("doc_id"))
+      .union(edges.select(col("id_b").as("doc_id"))).distinct()
+    val orphanDropped = corpus.select(col("vec_id").as("doc_id"))
+      .join(kept, Seq("doc_id"), "left_anti")
+      .join(touched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("doc_a"), lit(null).cast("long").as("doc_b"),
+        lit("dropped_without_neighbor").as("kind"))
+    bothKept.unionByName(qViol).unionByName(orphanDropped)
+  }
+
   /** Near-dup candidate pairs by SimHash Hamming distance ≤ `maxDist` —
     * all-pairs XOR+popcount. O(n²) by construction: VERIFICATION-SCALE ONLY
     * (it plans a BroadcastNestedLoopJoin); every judged/production path goes

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** IVF-ADC — the two-level ANN index (Jégou et al. 2011; the FAISS
   * `IVFx,PQy` architecture) composed from the engine's pieces: a COARSE
@@ -14,24 +14,56 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * pruning bounds I/O to probes/k of the corpus, and the PQ codes bound
   * memory to a few bytes per vector.
   *
-  * Scale shape at serve time: the probe set and the per-query ADC tables
-  * are tiny and broadcast; the only corpus-side work is a scan of the
-  * probed cluster directories (dynamic partition pruning, spec-asserted)
-  * scoring m table lookups per code row, then the k-bounded-heap top-k.
+  * RESIDUAL encoding (the production IVFPQ form): the PQ codebooks are
+  * trained on, and each vector is encoded as, its residual
+  * `vec − coarseCentroid(cluster)` — not the raw vector. Residuals of all
+  * clusters concentrate around the origin, so one shared m×k codebook set
+  * spends its entire quantization budget on the WITHIN-cluster geometry
+  * instead of re-describing the coarse structure the IVF level already
+  * captured; recall at fixed bytes/vector is measurably higher (spec:
+  * recall@10 residual ≥ raw on the sf0.001 fixture). At serve time each
+  * query builds ONE ADC table per probed cluster from its own residual
+  * `query − coarseCentroid(cluster)`, so
+  * `adc_dist = ||(q − c) − decode(codes)||² = ||q − (c + decode(codes))||²`
+  * — the asymmetric distance to the reconstructed vector.
+  *
+  * Scale shape at serve time: the probe set and the per-(query, cluster)
+  * ADC tables are tiny (probes × m × k doubles per query) and broadcast;
+  * the only corpus-side work is a scan of the probed cluster directories
+  * (dynamic partition pruning, spec-asserted) scoring m table lookups per
+  * code row, then the k-bounded-heap top-k.
   */
 object IvfAdc {
 
-  /** Train the coarse quantizer + PQ codebooks, write centroids, codebooks,
-    * and the per-cluster CODE table (no raw vectors) under `path`. */
+  /** `a − b` element-wise in doubles — the residual expression. */
+  private def residual(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") - y.cast("double"))
+
+  /** Coarse-centroid lookup side: (cluster, __cvec). */
+  private def coarseCents(centroids: DataFrame): DataFrame =
+    centroids.select(col("vec_id").cast("long").as("cluster"),
+      col("embedding").as("__cvec"))
+
+  /** Train the coarse quantizer + residual PQ codebooks, write centroids,
+    * codebooks, and the per-cluster CODE table (no raw vectors) under
+    * `path`. */
   def build(corpus: DataFrame, kCoarse: Int, coarseIters: Int,
       m: Int, kSub: Int, pqIters: Int, dim: Int, path: String): Unit = {
     val centroids = Similarity.kmeansCentroids(corpus, kCoarse, coarseIters, dim)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    val books = ProductQuantizer.train(corpus, m, kSub, pqIters, dim)
+    // residuals: one row-local pass (assignment argmax + broadcast centroid
+    // join + subtraction) — reused by PQ train AND encode via checkpoint
+    val residuals = Similarity.assignClusters(corpus, centroids)
+      .join(broadcast(coarseCents(centroids)), "cluster")
+      .select(col("cluster"), col("vec_id"),
+        residual(col("embedding"), col("__cvec")).as("embedding"))
+      .localCheckpoint(eager = false)
+    val books = ProductQuantizer.train(
+      residuals.select("vec_id", "embedding"), m, kSub, pqIters, dim)
     books.write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
-    Similarity.assignClusters(corpus, centroids)
-      .select(col("cluster"), col("vec_id"))
-      .join(ProductQuantizer.encode(corpus, books, m, dim), "vec_id")
+    residuals.select("cluster", "vec_id")
+      .join(ProductQuantizer.encode(
+        residuals.select("vec_id", "embedding"), books, m, dim), "vec_id")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
       .parquet(s"$path/codes")
@@ -39,7 +71,9 @@ object IvfAdc {
 
   /** Multi-probe ADC top-k against the persisted index: each query probes
     * its `probes` nearest coarse clusters and scores ONLY those partitions'
-    * code rows. Returns (query_id, neighbor_id, adc_dist), dist ASC. */
+    * code rows, each against the ADC table of the query's residual vs that
+    * cluster's centroid. Returns (query_id, neighbor_id, adc_dist), dist
+    * ASC. */
   def searchTopK(spark: SparkSession, path: String, queries: DataFrame,
       m: Int, dim: Int, k: Int, probes: Int): DataFrame = {
     require(probes >= 1)
@@ -51,8 +85,13 @@ object IvfAdc {
       .select(
         explode(Similarity.nearestCentroids(col("embedding"), col("cents"), probes))
           .as("cluster"),
-        col("vec_id").as("query_id"))
-      .join(ProductQuantizer.adcTables(queries, books, m, dim), "query_id")
+        col("vec_id").as("query_id"), col("embedding"))
+      .join(broadcast(coarseCents(centroids)), "cluster")
+      .crossJoin(broadcast(ProductQuantizer.packedAll(books)))
+      .select(col("cluster"), col("query_id"),
+        ProductQuantizer.adcTablesCol(
+          residual(col("embedding"), col("__cvec")), col("all"), m, dim)
+          .as("tables"))
     val scored = codes.join(broadcast(probed), "cluster")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

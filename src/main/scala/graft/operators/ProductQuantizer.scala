@@ -129,20 +129,26 @@ object ProductQuantizer {
     * One pass over the code table per query batch; top-k through the
     * k-bounded-heap operator, no window. Returns
     * (query_id, neighbor_id, adc_dist) with dist ASC, id-tiebroken. */
-  /** Per-query ADC lookup tables (query_id, tables): tables[j][c+1] =
-    * squared L2 from the query's subvector j to sub-centroid c — row-local
-    * against the broadcast codebooks. array_sort orders the cid-first
-    * structs so table position c+1 <-> cid c. */
-  private[operators] def adcTables(queries: DataFrame, codebooks: DataFrame,
-      m: Int, dim: Int): DataFrame = {
+  /** The ADC lookup-table EXPRESSION: tables[j][c+1] = squared L2 from
+    * `emb`'s subvector j to sub-centroid c of the packed codebook column
+    * `all` — row-local. array_sort orders the cid-first structs so table
+    * position c+1 <-> cid c. Exposed as a Column so [[IvfAdc]] can build
+    * per-(query, cluster) tables from query RESIDUALS. */
+  private[operators] def adcTablesCol(emb: Column, all: Column,
+      m: Int, dim: Int): Column = {
     val sub = dim / m
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(array_sort(centsOf(all, j)), c =>
+        l2sq(slice(emb, j * sub + 1, lit(sub)), c.getField("cvec"))))
+  }
+
+  /** Per-query ADC lookup tables (query_id, tables) against the broadcast
+    * codebooks. */
+  private[operators] def adcTables(queries: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int): DataFrame =
     queries.crossJoin(broadcast(packedAll(codebooks)))
       .select(col("vec_id").as("query_id"),
-        transform(sequence(lit(0), lit(m - 1)), j =>
-          transform(array_sort(centsOf(col("all"), j)), c =>
-            l2sq(slice(col("embedding"), j * sub + 1, lit(sub)),
-              c.getField("cvec")))).as("tables"))
-  }
+        adcTablesCol(col("embedding"), col("all"), m, dim).as("tables"))
 
   /** ADC distance of one code row against one query table set: m lookups
     * summed in fixed subspace order (IEEE-deterministic). */
@@ -172,5 +178,89 @@ object ProductQuantizer {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adcDistance(col("tables"), col("codes"), m).as("adc_dist"))
     topKByDistAsc(scored, k)
+  }
+
+  /** Violations of the ENCODE contract over `corpus` + its `encoded` codes,
+    * expected EMPTY — the oracle-checkable form of "the codes are right"
+    * (iterative training itself has no SQL analogue, but every property of
+    * its OUTPUT does). Kinds:
+    *   - `cardinality`: a vector whose code array isn't exactly m long, or
+    *     a code row with no corpus vector / vector with no code row;
+    *   - `range`: a code outside [0, k);
+    *   - `argmin`: the chosen sub-centroid is not a true L2 minimizer of
+    *     the subvector, or a tie was broken away from the smallest cid.
+    * The argmin check re-derives the minimum with an INDEPENDENT reduction
+    * (array_min over plain distances + an explicit equality-tie filter)
+    * rather than the struct-min [[nearestCode]] uses, so an encoder bug
+    * can't cancel out of its own verification. */
+  def encodeViolations(corpus: DataFrame, encoded: DataFrame,
+      codebooks: DataFrame, m: Int, k: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val badLen = encoded.filter(size(col("codes")) =!= m)
+      .select(col("vec_id"), lit(null).cast("int").as("subspace"),
+        lit(null).cast("long").as("code"), lit("cardinality").as("kind"))
+    val rows = encoded.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("subspace", "code")))
+    val joined = rows.join(corpus.select("vec_id", "embedding"), Seq("vec_id"), "full")
+      .crossJoin(broadcast(packedAll(codebooks)))
+    val dists = transform(centsOf(col("all"), col("subspace")), c =>
+      struct(l2sq(slice(col("embedding"), col("subspace") * sub + 1, lit(sub)),
+        c.getField("cvec")).as("d"), c.getField("cid").as("cid")))
+    val dmin = array_min(transform(dists, s => s.getField("d")))
+    val chosenD = element_at(
+      filter(dists, s => s.getField("cid") === col("code")), 1).getField("d")
+    val bestCid = array_min(
+      filter(dists, s => s.getField("d") === dmin)).getField("cid")
+    val kind =
+      when(col("code").isNull || col("embedding").isNull, "cardinality")
+        .when(col("code") < 0 || col("code") >= k, "range")
+        .when(chosenD > dmin || col("code") =!= bestCid, "argmin")
+    joined.withColumn("kind", kind).filter(col("kind").isNotNull)
+      .select(col("vec_id"), col("subspace"), col("code"), col("kind"))
+      .unionByName(badLen)
+  }
+
+  /** Violations of the ADC top-k contract, expected EMPTY. Kinds:
+    *   - `adc_identity`: a returned row whose adc_dist differs from the
+    *     exact squared L2 between the raw query and the DECODED neighbor
+    *     (ADC over full codebook tables IS that distance, so the identity
+    *     is tolerance-tight at 1e-9 relative — fp summation order is the
+    *     only slack);
+    *   - `topk_completeness`: a corpus vector NOT returned for a query that
+    *     lexicographically beats (adc_dist, neighbor_id) the worst returned
+    *     row — i.e. the k-bounded heap dropped a better candidate. */
+  def adcTopKViolations(encoded: DataFrame, queries: DataFrame,
+      codebooks: DataFrame, m: Int, dim: Int, k: Int): DataFrame = {
+    val top = adcTopK(encoded, queries, codebooks, m, dim, k)
+      .localCheckpoint(eager = false)
+    val recon = decode(encoded, codebooks, m)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val idv = top
+      .join(recon, "neighbor_id")
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__q")), "query_id")
+      .withColumn("__exact",
+        aggregate(zip_with(col("__q"), col("approx"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v))
+      .filter(abs(col("adc_dist") - col("__exact")) >
+        lit(1e-9) * greatest(lit(1.0), col("__exact")))
+      .select(col("query_id"), col("neighbor_id"), lit("adc_identity").as("kind"))
+    val qt = adcTables(queries, codebooks, m, dim)
+    val scored = encoded.crossJoin(broadcast(qt))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcDistance(col("tables"), col("codes"), m).as("adc_dist"))
+    val worst = top.groupBy("query_id")
+      .agg(max(struct(col("adc_dist"), col("neighbor_id"))).as("__w"))
+    val cmpl = scored
+      .join(top.select("query_id", "neighbor_id").withColumn("__in", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .filter(col("__in").isNull)
+      .join(worst, "query_id")
+      .filter(struct(col("adc_dist"), col("neighbor_id")) < col("__w"))
+      .select(col("query_id"), col("neighbor_id"),
+        lit("topk_completeness").as("kind"))
+    idv.unionByName(cmpl)
   }
 }

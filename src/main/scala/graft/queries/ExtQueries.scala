@@ -510,16 +510,36 @@ object ExtQueries {
     // The sketch-ledger counterpart of ev_dau_wau: per-day mergeable HLL
     // user sketches rolled into trailing-7-day distinct estimates —
     // history is never re-scanned (EventOps.dailyUserSketches scaladoc).
-    // Sketch estimates have no DuckDB analogue ⇒ rows-only judged entry;
-    // the 5% accuracy and incremental-append bounds are spec'd in
-    // OperatorsSpec.
+    // Sketch ESTIMATES have no DuckDB analogue, but the 5% accuracy bound
+    // does: the judged entry computes BOTH the sketch estimate and the
+    // exact trailing-7-day WAU, keeps only days where the estimate sits
+    // within 5% of exact, and emits (day, wau_exact) — which DuckDB
+    // recomputes in full. A sketch drifting past its bound drops that
+    // day's row and fails the row compare; the exact values are
+    // hash-checked as usual. Merge-order invariance of the BOUND (not the
+    // bits) is additionally spec'd in OperatorsSpec.
     Q("ev_wau_sketch",
       (s, d) => {
         val ledger = graft.operators.EventOps.dailyUserSketches(t(s, d, "events"))
-        graft.operators.EventOps.rollingDistinctUsers(ledger, days = 7)
+        val est = graft.operators.EventOps.rollingDistinctUsers(ledger, days = 7)
           .join(ledger.select("day"), "day") // drop tail windows past the data
+        val du = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val exact = du
+          .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+            col("user_id"))
+          .groupBy("day").agg(countDistinct(col("user_id")).as("wau_exact"))
+        est.join(exact, "day")
+          .filter(abs(col("approx_users") - col("wau_exact").cast("double"))
+            <= col("wau_exact").cast("double") * 0.05)
+          .select(col("day"), col("wau_exact"))
       },
-      None),
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau_exact
+        |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT day, wau_exact FROM wau""".stripMargin)),
 
     // Weekly retention: users active in week w who are also active in
     // week w+1 — the cohort shape, as a distinct-activity self-join on

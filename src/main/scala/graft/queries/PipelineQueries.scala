@@ -1170,51 +1170,66 @@ object PipelineQueries {
     // Product-quantization codes: train per-subspace L2 codebooks (all m
     // subspaces in one reshaped pass per Lloyd round) and encode every
     // vector as m nibble codes — 256-byte floats become 8 nibbles, the ANN
-    // memory story at 100 TB. Iterative k-means ⇒ rows-only judged entry;
-    // exact codebook/encode/decode semantics are spec'd in
-    // ProductQuantizerSpec. The judged projection posexplodes the code
-    // array to scalar (vec_id, subspace, code) longs — the harness
-    // canonicalizes by sorting column values, which an array column breaks.
+    // memory story at 100 TB. Iterative k-means has no single-SQL DuckDB
+    // analogue, so the judged entry emits VIOLATIONS of the encode contract
+    // (range, cardinality, and independently-re-derived argmin — see
+    // ProductQuantizer.encodeViolations) and the oracle is the matching
+    // empty set: any encoder break materializes as rows and fails the
+    // row/hash compare. Exact codebook semantics remain spec'd in
+    // ProductQuantizerSpec.
     Q("sim_pq_codes",
       (s, d) => {
         val emb = t(s, d, "embeddings").select("vec_id", "embedding")
         val books = graft.operators.ProductQuantizer.train(
           emb, m = 8, k = 16, iters = 2, dim = 64)
-        graft.operators.ProductQuantizer.encode(emb, books, m = 8, dim = 64)
-          .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+        val codes = graft.operators.ProductQuantizer.encode(emb, books, m = 8, dim = 64)
+        graft.operators.ProductQuantizer.encodeViolations(
+          emb, codes, books, m = 8, k = 16, dim = 64)
       },
-      None),
+      Some("""SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS INT) AS subspace,
+        |  CAST(NULL AS BIGINT) AS code, CAST(NULL AS VARCHAR) AS kind
+        |WHERE FALSE""".stripMargin)),
 
     // ADC search over the PQ codes: queries stay raw, the corpus is its
     // compressed code table — per-query m×16 lookup tables, then m table
-    // lookups per corpus row, top-k via the heap operator. Rows-only judged
-    // entry (iterative training upstream); ranking semantics spec'd.
+    // lookups per corpus row, top-k via the heap operator. The judged entry
+    // emits VIOLATIONS of the two machine-checkable properties of the
+    // result (adc_dist == exact L2 to the decoded neighbor at 1e-9; no
+    // non-returned candidate beats the worst returned row — see
+    // ProductQuantizer.adcTopKViolations), oracle = the matching empty set.
     Q("sim_pq_adc_topk",
       (s, d) => {
         val emb = t(s, d, "embeddings").select("vec_id", "embedding")
         val books = graft.operators.ProductQuantizer.train(
           emb, m = 8, k = 16, iters = 2, dim = 64)
         val codes = graft.operators.ProductQuantizer.encode(emb, books, m = 8, dim = 64)
-        graft.operators.ProductQuantizer.adcTopK(
+        graft.operators.ProductQuantizer.adcTopKViolations(
           codes, emb.filter(col("vec_id") < 8), books, m = 8, dim = 64, k = 6)
       },
-      None),
+      Some("""SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor_id,
+        |  CAST(NULL AS VARCHAR) AS kind
+        |WHERE FALSE""".stripMargin)),
 
     // SemDeDup semantic dedup: k-means-partitioned within-cluster near-dup
     // search + best-quality group survivor (quality = l2 norm here; any
     // per-row score slots in). Iterative k-means has no single-SQL DuckDB
-    // analogue, so this is a rows-only judged entry — the exact semantics
-    // (k=1 equivalence to the brute-force pipeline, quality selection) are
-    // spec'd in OperatorsSpec.
+    // analogue, so the judged entry emits VIOLATIONS of the keep-set
+    // contract (no two kept near-dups, kept dominates dropped direct
+    // neighbors under (quality DESC, id ASC), only near-dup-group members
+    // dropped — the edge set re-derived independently of bucketPairs; see
+    // Dedup.semanticKeepViolations), oracle = the matching empty set. The
+    // k=1 brute-force equivalence remains spec'd in OperatorsSpec.
     Q("dd_semantic_keep",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        graft.operators.Dedup.semanticKeep(
+        graft.operators.Dedup.semanticKeepViolations(
           emb, col("vec_id"), col("embedding"),
           graft.functions.VectorFunctions.norm(col("embedding")),
           k = 8, iters = 2, dim = 64, threshold = 0.3)
       },
-      None),
+      Some("""SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+        |  CAST(NULL AS VARCHAR) AS kind
+        |WHERE FALSE""".stripMargin)),
 
     // ---- Embedding column ops --------------------------------------------
 

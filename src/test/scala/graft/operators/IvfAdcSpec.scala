@@ -20,13 +20,86 @@ class IvfAdcSpec extends SparkSpec {
     p
   }
 
-  test("probing ALL clusters equals the flat ADC scan over the same codebooks") {
+  /** Reconstructed corpus: coarse centroid + decoded residual — the vector
+    * the residual-ADC distance is (exactly) the distance TO. */
+  private lazy val reconstructed = {
+    val codes = spark.read.parquet(s"$path/codes")
     val books = spark.read.parquet(s"$path/codebooks")
-    val flat = ProductQuantizer.adcTopK(
-      ProductQuantizer.encode(corpus, books, m, dim), queries, books, m, dim, k = 5)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cvec"))
+    ProductQuantizer.decode(codes.select("vec_id", "codes"), books, m)
+      .join(codes.select("vec_id", "cluster"), "vec_id")
+      .join(cents, "cluster")
+      .select(col("vec_id"),
+        zip_with(col("cvec"), col("approx"),
+          (a, b) => a.cast("double") + b).as("recon"))
+  }
+
+  test("all-probe ADC equals the exact distance to centroid + decoded residual") {
+    // ||(q − c) − decode(codes)||² == ||q − (c + decode(codes))||² — the
+    // residual-ADC identity; all-probe search must return exactly the top-k
+    // under that reconstructed distance, dist ASC, id-tiebroken
+    val exact = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .crossJoin(reconstructed.withColumnRenamed("vec_id", "neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("q"), col("recon"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = exact.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(r => (r._3, r._2)).take(5).map(r => (r._2, r._3))
+    }
     val ivf = IvfAdc.searchTopK(spark, path, queries, m, dim, k = 5, probes = kCoarse)
-    assert(rowSet(ivf) === rowSet(flat))
-    assert(ivf.count() === 4 * 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.length === 4 * 5)
+    val got = ivf.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy(r => (r._3, r._2)).map(r => (r._2, r._3))
+    }
+    assert(got.keySet === truth.keySet)
+    for (q <- truth.keys) {
+      assert(got(q).map(_._1).toSeq === truth(q).map(_._1).toSeq,
+        s"query $q: neighbor ranking diverges from reconstructed-L2 ranking")
+      got(q).zip(truth(q)).foreach { case ((_, adc), (_, ex)) =>
+        assert(math.abs(adc - ex) <= 1e-9 * math.max(1.0, ex),
+          s"query $q: adc=$adc vs exact-reconstructed=$ex")
+      }
+    }
+  }
+
+  test("residual encoding beats raw encoding on recall@10 at fixed m") {
+    val qs = corpus.filter(col("vec_id") < 16)
+    val k = 10
+    // ground truth: exact squared-L2 top-10 over the RAW vectors
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val truth = vecs.keys.filter(_ < 16).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(k).toSet
+    }.toMap
+    def recall(rows: Array[(Long, Long)]): Int =
+      rows.count { case (q, n) => truth(q).contains(n) }
+    // residual path: all-probe, so ONLY encoding quality differs between
+    // the two paths (no IVF pruning loss on either side)
+    val res = IvfAdc.searchTopK(spark, path, qs, m, dim, k, probes = kCoarse)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // raw path: same m/kSub/iters PQ trained on raw vectors, flat ADC scan
+    val booksRaw = ProductQuantizer.train(corpus, m, kSub, iters = 2, dim)
+    val raw = ProductQuantizer.adcTopK(
+      ProductQuantizer.encode(corpus, booksRaw, m, dim), qs, booksRaw, m, dim, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (rRes, rRaw) = (recall(res), recall(raw))
+    info(s"recall@10 over 16 queries: residual=$rRes raw=$rRaw (of ${16 * k})")
+    assert(rRes >= rRaw,
+      s"residual encoding recall ($rRes) must be >= raw encoding recall ($rRaw)")
+    assert(rRes > 0)
   }
 
   test("single-probe recall is a subset of all-probe; both rank by ADC distance") {

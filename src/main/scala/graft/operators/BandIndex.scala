@@ -22,6 +22,29 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * stored index would silently screen against garbage. The stored index is
   * the ONLY parameter authority after build.
   *
+  * Torn-rebuild protection: `build` writes `meta/` (params + a fresh
+  * build_id) BEFORE the bands and a `commit/` marker (the same build_id)
+  * AFTER them. A rebuild that crashes anywhere between the two leaves the
+  * ids disagreeing, and every subsequent gate/append/ingest fails LOUDLY
+  * instead of screening new-parameter batch bands against old-parameter
+  * stored bands — the silent-garbage window the meta table exists to close.
+  *
+  * Maintenance: each `append` lands one small parquet file per batch, so a
+  * long-lived index degrades into a small-file storm (footer reads + task
+  * scheduling dominate the scan). `append` self-compacts through
+  * [[graft.sources.Compaction]] once `bands/` exceeds `maxFiles` fragments,
+  * rewriting to `maxFiles / 2` evenly-sized files.
+  *
+  * CONCURRENCY CONTRACT — single writer. `ingest` is gate-then-append with
+  * no cross-caller transaction: two concurrent ingests can BOTH gate the
+  * same near-dup pair before either appends, and each admits the other's
+  * duplicate. Likewise `append`'s compaction swaps the `bands/` directory
+  * (two renames), which a concurrent reader can observe mid-swap. Run one
+  * ingest writer at a time (the streaming form — one micro-batch at a time
+  * in [[graft.streaming.EventStreams]]-style foreachBatch — satisfies this
+  * by construction); concurrent `gate`-only readers are safe between, but
+  * not during, writes.
+  *
   * Screen semantics are [[Dedup.screenAgainstBands]] — the same single
   * definition the recompute path uses, so the two can't drift (spec-pinned
   * equal in BandIndexSpec).
@@ -29,30 +52,55 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 object BandIndex {
 
   /** Derive the history's band projection and persist it (plus the MinHash
-    * parameters) under `path` (`bands/` parquet, `meta/` one row). */
+    * parameters) under `path` (`bands/` parquet, `meta/` + `commit/` one
+    * row each — see the torn-rebuild note above). */
   def build(history: DataFrame, idCol: Column, textCol: Column,
       numHashes: Int, bands: Int, shingleK: Int, path: String): Unit = {
     val spark = history.sparkSession
+    import spark.implicits._
+    val buildId = java.util.UUID.randomUUID().toString
+    Seq((numHashes, bands, shingleK, buildId))
+      .toDF("num_hashes", "bands", "shingle_k", "build_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     Dedup.minhashBands(history, idCol, textCol, numHashes, bands, shingleK)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
-    import spark.implicits._
-    Seq((numHashes, bands, shingleK))
-      .toDF("num_hashes", "bands", "shingle_k")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    Seq(buildId).toDF("build_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/commit")
   }
 
   private def params(spark: SparkSession, path: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
+    val committed =
+      try spark.read.parquet(s"$path/commit").head().getAs[String]("build_id")
+      catch { case _: org.apache.spark.sql.AnalysisException => "<missing>" }
+    val declared = r.getAs[String]("build_id")
+    require(declared == committed,
+      s"band index at $path is TORN (meta build $declared vs committed " +
+        s"$committed): a rebuild crashed between writing meta/ and bands/ — " +
+        "re-run BandIndex.build before trusting the gate")
     (r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"), r.getAs[Int]("shingle_k"))
+  }
+
+  private def bandFileCount(spark: SparkSession, path: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
   /** Extend the index with an ACCEPTED batch's bands (call after its docs
     * actually enter the lake — indexing a rejected batch would poison the
-    * gate against data that isn't there). Parameters come from `meta/`. */
-  def append(path: String, accepted: DataFrame, idCol: Column, textCol: Column): Unit = {
-    val (nh, b, k) = params(accepted.sparkSession, path)
+    * gate against data that isn't there). Parameters come from `meta/`.
+    * Self-compacts `bands/` to `maxFiles / 2` files once the per-batch
+    * appends fragment it past `maxFiles`. Single-writer (see object doc). */
+  def append(path: String, accepted: DataFrame, idCol: Column, textCol: Column,
+      maxFiles: Int = 64): Unit = {
+    val spark = accepted.sparkSession
+    val (nh, b, k) = params(spark, path)
     Dedup.minhashBands(accepted, idCol, textCol, nh, b, k)
       .write.mode(SaveMode.Append).parquet(s"$path/bands")
+    if (bandFileCount(spark, path) > maxFiles)
+      graft.sources.Compaction.compactToFiles(
+        spark, s"$path/bands", math.max(1, maxFiles / 2))
   }
 
   /** The rows of `newBatch` that share NO band with the indexed history —
@@ -69,7 +117,8 @@ object BandIndex {
 
   /** The production ingest step: gate the batch, index the survivors'
     * bands, return the survivors (computed once — the returned frame reads
-    * back the materialized screen, not a second gate run). */
+    * back the materialized screen, not a second gate run). Single-writer
+    * (see object doc). */
   def ingest(path: String, newBatch: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val survivors = gate(path, newBatch, idCol, textCol)
       .localCheckpoint(eager = true) // one gate run feeds both uses below

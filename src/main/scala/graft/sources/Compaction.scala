@@ -17,7 +17,16 @@ object Compaction {
   def plan(rows: Long, targetRows: Long): Int =
     math.max(1, math.ceil(rows.toDouble / targetRows).toInt)
 
-  def compact(spark: SparkSession, path: String, targetRows: Long): Unit = {
+  /** Rewrite to a FIXED file count regardless of row count — the form index
+    * maintenance wants (e.g. [[graft.operators.BandIndex]] bounding its
+    * per-batch append fragments). Same staged-swap crash safety. */
+  def compactToFiles(spark: SparkSession, path: String, nFiles: Int): Unit =
+    rewrite(spark, path, _ => math.max(1, nFiles))
+
+  def compact(spark: SparkSession, path: String, targetRows: Long): Unit =
+    rewrite(spark, path, rows => plan(rows, targetRows))
+
+  private def rewrite(spark: SparkSession, path: String, nFilesOf: Long => Int): Unit = {
     val staging = path.stripSuffix("/") + "__compacting"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -38,7 +47,7 @@ object Compaction {
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(stg)) fs.delete(stg, true)
     val df = spark.read.parquet(path)
-    val nFiles = plan(df.count(), targetRows)
+    val nFiles = nFilesOf(df.count())
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
     // rename returns false instead of throwing on most FileSystems — check
     // each step so a failed swap surfaces instead of silently corrupting

@@ -11,6 +11,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * sessions carry running value totals and emit ONLY on session close, with
   * event-time timeout).
   *
+  * State tracks event time in MICROSECONDS (`Timestamp.getTime` keeps only
+  * ms, and the events fixture carries real sub-ms parts) so session
+  * boundaries agree exactly with the micros-exact batch sessionizer
+  * (`ev_sessionize`) at gap edges — judged against the same SQL oracle in
+  * `ev_late_sessions`.
+  *
   * Scale posture: state is one small record per active user, keyed by
   * user_id, dropped as soon as the watermark closes the session. Nothing
   * about the operator holds more than an active session per key.
@@ -18,9 +24,18 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 object StatefulSessions {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
+  /** start/end in event-time MICROS. */
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
   case class ClosedSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
+
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Fold events into per-user gap sessions; a session is emitted when the
     * event-time timeout (watermark past last event + gap) fires, or when a
@@ -30,6 +45,7 @@ object StatefulSessions {
     * use EventOps.sessionize for complete batch sessionization. */
   def sessionsFlatMap(events: DataFrame, gapMs: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .select(col("user_id"), col("ts"), col("value"))
       .as[Event]
@@ -40,41 +56,41 @@ object StatefulSessions {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(ClosedSession(user, new Timestamp(s.start), new Timestamp(s.end),
-              s.n, s.total))
+            Iterator(ClosedSession(user, toTs(s.start), toTs(s.end), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
-            // Stragglers more than one gap BEFORE the open session can never
-            // join it — but they CAN fall within one gap of EACH OTHER, so
-            // they gap-merge among themselves (same rule EventOps.sessionize
-            // applies) before emitting as closed sessions. Sorted input means
-            // consecutive stragglers fold into one running session; every
-            // straggler run still ends > gapMs before the open session's
-            // start, so a merged run can never reach the open session either.
+            // Stragglers more than one gap BEFORE the open session (as of
+            // their arrival) can fall within one gap of EACH OTHER, so they
+            // gap-merge among themselves (same rule EventOps.sessionize
+            // applies) before emitting as closed sessions. Sorted input
+            // means consecutive stragglers fold into one running session.
+            // NOTE: a LATER same-batch event can extend the open session
+            // backward (the min() below), so the pending straggler run may
+            // END within one gap of the final session start — that pair
+            // gap-merges after the fold, before anything flushes.
             var straggler: Option[SessionState] = None
             def flushStraggler(): Unit = {
               straggler.foreach { p =>
-                closed ::= ClosedSession(user, new Timestamp(p.start),
-                  new Timestamp(p.end), p.n, p.total)
+                closed ::= ClosedSession(user, toTs(p.start), toTs(p.end), p.n, p.total)
               }
               straggler = None
             }
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
                 // merge only within one gap of the session INTERVAL — and a
                 // watermark-late event may precede the open session's start
                 // (cross-batch), so the merged start must take the min or
                 // the emitted session would exclude an event it counted
-                case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
+                case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
                   cur = Some(s.copy(start = math.min(s.start, t),
                     end = math.max(s.end, t), n = s.n + 1,
                     total = s.total + e.value))
-                case Some(s) if t < s.start - gapMs =>
+                case Some(s) if t < s.start - gapUs =>
                   straggler match {
-                    case Some(p) if t - p.end <= gapMs =>
+                    case Some(p) if t - p.end <= gapUs =>
                       straggler = Some(p.copy(end = math.max(p.end, t),
                         n = p.n + 1, total = p.total + e.value))
                     case _ =>
@@ -82,17 +98,29 @@ object StatefulSessions {
                       straggler = Some(SessionState(t, t, 1, e.value))
                   }
                 case Some(s) =>
-                  closed ::= ClosedSession(user, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n, s.total)
+                  closed ::= ClosedSession(user, toTs(s.start), toTs(s.end),
+                    s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
+            // the backward-extension case from the NOTE above: if the open
+            // session's start has moved to within one gap of the pending
+            // straggler run, gap semantics say they are ONE session
+            (straggler, cur) match {
+              case (Some(p), Some(s)) if s.start - p.end <= gapUs =>
+                cur = Some(SessionState(math.min(p.start, s.start),
+                  math.max(p.end, s.end), s.n + p.n, s.total + p.total))
+                straggler = None
+              case _ => ()
+            }
             flushStraggler()
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // timeout API is ms: round UP so the timeout can never fire
+              // before watermark truly passes end + gap
+              state.setTimeoutTimestamp(Math.floorDiv(s.end, 1000L) + gapMs + 1)
             }
             closed.reverse.iterator
           }

@@ -70,6 +70,46 @@ class BandIndexSpec extends SparkSpec {
     assert(rowSet(regated) === rowSet(bandless))
   }
 
+  test("many-batch append keeps the file count bounded and the gate unchanged") {
+    val path = freshIndex()
+    val maxFiles = 8
+    // 25 tiny single-ish-doc batches — the streaming-ingest worst case for
+    // small-file accumulation
+    val ids = batchA.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).grouped(5).toSeq
+    ids.foreach { g =>
+      BandIndex.append(path, batchA.filter(col("doc_id").isin(g: _*)),
+        col("doc_id"), col("text"), maxFiles = maxFiles)
+    }
+    val bandFiles = new java.io.File(s"$path/bands").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(bandFiles <= maxFiles,
+      s"append must self-compact: $bandFiles files > maxFiles=$maxFiles")
+    // compaction must not change WHAT is indexed: gate equals the recompute
+    // over history ∪ everything appended
+    val persisted = BandIndex.gate(path, batchB, col("doc_id"), col("text"))
+    val recompute = Dedup.incrementalNearDupFilter(
+      batchB, history.unionByName(batchA), col("doc_id"), col("text"), nh, bands, k)
+    assert(rowSet(persisted) === rowSet(recompute))
+  }
+
+  test("a torn rebuild (meta written, bands/commit stale) fails loudly at the gate") {
+    val path = freshIndex()
+    import spark.implicits._
+    // simulate a rebuild that died after meta/ but before commit/: new
+    // build_id in meta, old one still in commit
+    Seq((nh, bands, k, "torn-rebuild-id"))
+      .toDF("num_hashes", "bands", "shingle_k", "build_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val e = intercept[IllegalArgumentException] {
+      BandIndex.gate(path, batchA, col("doc_id"), col("text")).collect()
+    }
+    assert(e.getMessage.contains("TORN"))
+    intercept[IllegalArgumentException] {
+      BandIndex.append(path, batchA, col("doc_id"), col("text"))
+    }
+  }
+
   test("the gate's history side reads ONLY the band columns from the index") {
     val path = freshIndex()
     val plan = BandIndex.gate(path, batchA, col("doc_id"), col("text"))

@@ -87,6 +87,41 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: a straggler run merges into the open session when a later " +
+      "late event extends the session start back to within one gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+    val sessions = StatefulSessions.sessionsFlatMap(events, gapMs = 15 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("backmerge_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // 11:36 arrives first in the sorted batch: > 1 gap before the open
+      // session's 12:00 start → classified a straggler. 11:50 then merges
+      // into the open session and LOWERS its start to 11:50 — now only 14
+      // minutes after the straggler run's end, so gap semantics
+      // (EventOps.sessionize) say all three events are ONE session. The
+      // operator must merge the pending straggler instead of emitting a
+      // split.
+      input.addData((1L, ts("2024-01-01 11:36:00"), 2.0),
+        (1L, ts("2024-01-01 11:50:00"), 4.0))
+      q.processAllAvailable()
+      assert(spark.table("backmerge_out").count() == 0,
+        "nothing may close: the straggler run joined the open session")
+      // advance the watermark past end + gap to flush the merged session
+      input.addData((2L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("backmerge_out")
+        .as[StatefulSessions.ClosedSession].collect().filter(_.user_id == 1L).toSeq
+      assert(got == Seq(StatefulSessions.ClosedSession(
+        1L, ts("2024-01-01 11:36:00"), ts("2024-01-01 12:00:00"), 3L, 7.0)),
+        "the straggler run and the backward-extended open session must gap-merge")
+    } finally q.stop()
+  }
+
   test("streaming: event-time timeout emits sessions as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]

@@ -145,6 +145,55 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** File-based stream over a directory of document parquet. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentSchema).parquet(dir)
+
+  /** Streaming near-dup-gated document ingest — the production shape of the
+    * [[graft.operators.BandIndex]] pipeline, composing the persisted index
+    * with the idempotent parquet sink. Every micro-batch is
+    * (1) GATED against the band index (near-dups of anything already
+    * ingested drop), (2) anti-joined against landed doc ids (sink-side
+    * replay idempotency, the K3 shape), (3) appended to the document lake,
+    * then (4) its gate-survivors' bands are appended to the index.
+    *
+    * The step ORDER closes the crash windows: docs land BEFORE their bands
+    * index, so a replay of a batch that crashed between (3) and (4) heals
+    * itself — the gate still passes those docs (their bands are absent
+    * from the index), the anti-join lands zero duplicate rows, and step
+    * (4) finally indexes their bands. Bands re-appended by such a replay
+    * are harmless duplicates to the gate's semi-join screen. The reverse
+    * order would be a poison pill: indexed-but-unlanded docs would be
+    * gated forever on replay and never reach the lake.
+    *
+    * Single WRITER per (index, lake) pair, per the BandIndex contract —
+    * AvailableNow micro-batches satisfy that by construction. */
+  def startGatedDocumentSink(docs: DataFrame, indexPath: String,
+      targetDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.BandIndex.gate(
+            indexPath, batch, col("doc_id"), col("text"))
+          .localCheckpoint(eager = true) // one gate run feeds land + index
+        val landed =
+          try spark.read.parquet(targetDir).select("doc_id")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            fresh.select("doc_id").limit(0)
+          }
+        fresh.join(landed, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(targetDir)
+        graft.operators.BandIndex.append(
+          indexPath, fresh, col("doc_id"), col("text"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Multi-table transactional streaming sink: each micro-batch commits the
     * event rows AND their per-type batch statistics through ONE
     * [[graft.warehouse.AtomicCommit]] manifest publish — a reader sees both

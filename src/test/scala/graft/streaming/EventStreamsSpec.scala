@@ -200,6 +200,61 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == batch1.length)
   }
 
+  test("gated document sink: near-dups vs prior batches are gated; replay ingests exactly-once") {
+    import graft.operators.{BandIndex, Dedup}
+    val dir = Files.createTempDirectory("graft-gated").toString
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val (nh, bands, k) = (16, 4, 2)
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    BandIndex.build(history, col("doc_id"), col("text"), nh, bands, k, s"$dir/idx")
+
+    // batch 1: odd ids < 100 — gate vs the built history index, then land
+    val b1 = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 100)
+    b1.write.parquet(s"$dir/in1")
+    EventStreams.startGatedDocumentSink(
+      EventStreams.readDocuments(spark, s"$dir/in1"), s"$dir/idx", s"$dir/lake")
+      .awaitTermination(60000)
+    val landed1 = spark.read.parquet(s"$dir/lake").localCheckpoint()
+    assert(rowSet(landed1) === rowSet(Dedup.incrementalNearDupFilter(
+      b1, history, col("doc_id"), col("text"), nh, bands, k)))
+    assert(landed1.count() > 0 && landed1.count() < b1.count(),
+      "fixture must land some docs and gate others")
+
+    // batch 2: fresh odd ids 100-200 PLUS re-texted copies of batch 1 under
+    // new ids — identical text means identical bands, so every copy whose
+    // original produced bands must be gated as a near-dup of a PRIOR batch
+    val fresh2 = docs.filter(col("doc_id") % 2 === 1 &&
+      col("doc_id") >= 100 && col("doc_id") < 200)
+    val b2 = fresh2.unionByName(
+      b1.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    b2.write.parquet(s"$dir/in2")
+    EventStreams.startGatedDocumentSink(
+      EventStreams.readDocuments(spark, s"$dir/in2"), s"$dir/idx", s"$dir/lake")
+      .awaitTermination(60000)
+    // the index after batch 1 holds history ∪ landed1 bands, so batch 2's
+    // expected survivors are exactly the recompute over that corpus
+    val expect2 = Dedup.incrementalNearDupFilter(
+      b2, history.unionByName(landed1), col("doc_id"), col("text"), nh, bands, k)
+    val lake2 = spark.read.parquet(s"$dir/lake")
+    assert(rowSet(lake2) === rowSet(landed1.unionByName(expect2)))
+    // every copied doc that landed must be bandless (nothing to gate on)
+    val bandlessCopies = b2.filter(col("doc_id") >= 100000).join(
+      Dedup.minhashBands(b2, col("doc_id"), col("text"), nh, bands, k)
+        .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val landedCopies = lake2.filter(col("doc_id") >= 100000)
+    assert(rowSet(landedCopies) === rowSet(bandlessCopies),
+      "copies with bands must be gated as near-dups of prior batches")
+
+    // replay batch 2 under a fresh checkpoint: exactly-once end to end
+    EventStreams.startGatedDocumentSink(
+      EventStreams.readDocuments(spark, s"$dir/in2"), s"$dir/idx", s"$dir/lake")
+      .awaitTermination(60000)
+    val lake3 = spark.read.parquet(s"$dir/lake")
+    assert(lake3.count() === lake2.count(), "replay must ingest nothing new")
+    assert(lake3.select("doc_id").distinct().count() === lake3.count())
+  }
+
   test("atomic two-table sink: events and stats commit together; replay commits nothing") {
     import graft.warehouse.AtomicCommit
     val dir = Files.createTempDirectory("graft-ac-stream").toString

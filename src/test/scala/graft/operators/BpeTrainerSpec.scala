@@ -47,6 +47,24 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got === Seq("aa", "b", "aa", "b", "b", "aa", "a"))
   }
 
+  test("contractViolations: empty on trained tables, flags each broken invariant") {
+    val docs = Seq("low low low lower lower", "aa ab aa").toDF("text")
+    val trained = BpeTrainer.train(docs, col("text"), 4)
+    assert(BpeTrainer.contractViolations(trained).count() === 0L)
+
+    // rank-1 count above rank-0 -> nonincreasing; rank-2 uses a multi-char
+    // left symbol no earlier rule built -> uncomposable_a (note "lo" IS
+    // composable: rule 0 built it; "xy" is not)
+    val bad = Seq(
+      (0, "l", "o", 5L),
+      (1, "o", "w", 9L),
+      (2, "xy", "z", 1L),
+      (3, "lo", "w", 1L)).toDF("rank", "a", "b", "cnt")
+    val kinds = BpeTrainer.contractViolations(bad)
+      .select("kind", "rank").as[(String, Int)].collect().toSet
+    assert(kinds === Set(("nonincreasing", 1), ("uncomposable_a", 2)))
+  }
+
   test("trained rules round-trip through the segmenter") {
     val docs = Seq("low low low lower lower").toDF("text")
     val trained = BpeTrainer.train(docs, col("text"), 3)

@@ -971,6 +971,51 @@ object PipelineQueries {
         |          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
         |        FROM documents))""".stripMargin)),
 
+    // ---- Corpus composition ----------------------------------------------
+
+    // Per-source quota (C4/RefinedWeb-style cap): keep the `quota` longest
+    // docs per source through the custom TopKPerGroup physical operator —
+    // ONE source-keyed exchange into k-bounded per-group heaps, no sort, no
+    // window; task memory is independent of the hottest domain's size,
+    // which is the property the row_number-window oracle formulation does
+    // NOT have at 100 TB (one hot crawl domain = one giant sort buffer).
+    Q("cp_domain_quota",
+      (s, d) => graft.operators.Composition.domainQuota(
+        t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        domain = "source", order = Seq("n_chars", "doc_id"), quota = 5),
+      Some("""SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin)),
+
+    // Deterministic mixture sampling (the data-mixing knob of an LLM data
+    // recipe): sample each source toward target proportions, as large as
+    // possible without upsampling any source. Membership is a pure function
+    // of doc_id (Knuth-hash uniform < per-source rate), so the mix is
+    // reproducible on any engine or cluster layout — DuckDB re-derives the
+    // SAME sampled ids from the same rate arithmetic. Scale shape: one
+    // map-combined per-source count, rate math on the sources-sized frame
+    // (one-row min broadcast), one broadcast join onto the corpus scan —
+    // the corpus never shuffles (see Composition.mixtureSample).
+    Q("cp_mixture_sample",
+      (s, d) => graft.operators.Composition.mixtureSample(
+          t(s, d, "documents").select("doc_id", "source"),
+          source = col("source"), id = col("doc_id"),
+          targets = Seq("src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.2,
+            "src7" -> 0.1))
+        .select("doc_id", "source"),
+      Some("""WITH w(wsource, wn) AS (
+        |  VALUES ('src1', CAST(0.4 AS DOUBLE)), ('src3', CAST(0.3 AS DOUBLE)),
+        |         ('src5', CAST(0.2 AS DOUBLE)), ('src7', CAST(0.1 AS DOUBLE))),
+        |counts AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source),
+        |j AS (SELECT wsource, wn, n FROM w JOIN counts ON source = wsource),
+        |c AS (SELECT MIN(n / wn) AS c FROM j),
+        |rates AS (SELECT wsource, least(1.0, c.c * wn / n) AS rate FROM j, c)
+        |SELECT doc_id, source FROM documents d JOIN rates r ON d.source = r.wsource
+        |WHERE CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
+        |      < r.rate""".stripMargin)),
+
     // ---- Data-quality / profiling ----------------------------------------
 
     // Column profile (the pre-training data audit): counts, distincts,
@@ -991,6 +1036,52 @@ object PipelineQueries {
         |  MAX(o_totalprice) AS max_price,
         |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) / COUNT(*) AS mean_price
         |FROM orders""".stripMargin)),
+
+    // Population-overlap audit via the mergeable KMV theta sketch — the set
+    // operation HLL cannot do. Which customer populations do order statuses
+    // share? The sketch path never runs `distinct`: ONE bounded aggregate
+    // over the raw scan builds a ≤k-long sketch per status (duplicates
+    // collapse inside the buffer), and pairwise Jaccard is pure array
+    // arithmetic on the tiny sketch rows. The judged gate mirrors
+    // ev_wau_sketch: the entry ALSO computes the exact Jaccard (distinct +
+    // self-join — verification-scale constructs; at 100 TB you run only the
+    // sketch), keeps pairs where the estimate sits within 0.05 of exact
+    // (k=256 ⇒ expected error ~1/sqrt(k) ≈ 0.06 at J≈0.5, far less at the
+    // fixture's J≈0.92), and emits the exact values for DuckDB to recompute
+    // — a drifting estimator drops rows and fails the compare.
+    Q("dq_overlap_sketch",
+      (s, d) => {
+        val k = 256
+        val ev = t(s, d, "orders")
+          .select(col("o_orderstatus").as("st"), col("o_custkey"))
+        val sk = ev.groupBy("st")
+          .agg(graft.functions.SketchFunctions.kmvSketch(col("o_custkey"), k).as("sk"))
+        val u = ev.distinct()
+        val n = u.groupBy("st").agg(count(lit(1)).as("n"))
+        val inter = u.select(col("st").as("st_a"), col("o_custkey"))
+          .join(u.select(col("st").as("st_b"), col("o_custkey")), "o_custkey")
+          .filter(col("st_a") < col("st_b"))
+          .groupBy("st_a", "st_b").agg(count(lit(1)).as("n_ab"))
+        val withSk = inter
+          .join(n.select(col("st").as("st_a"), col("n").as("n_a")), "st_a")
+          .join(n.select(col("st").as("st_b"), col("n").as("n_b")), "st_b")
+          .join(sk.select(col("st").as("st_a"), col("sk").as("sk_a")), "st_a")
+          .join(sk.select(col("st").as("st_b"), col("sk").as("sk_b")), "st_b")
+        val jEst = graft.functions.SketchFunctions.kmvJaccard(
+          col("sk_a"), col("sk_b"), k)
+        val jExact = col("n_ab").cast("double") /
+          (col("n_a") + col("n_b") - col("n_ab")).cast("double")
+        withSk.filter(abs(jEst - jExact) <= lit(0.05))
+          .select(col("st_a"), col("st_b"), round(jExact, 6).as("jaccard_exact"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS c FROM orders),
+        |n AS (SELECT st, COUNT(*) AS n FROM u GROUP BY st)
+        |SELECT a.st AS st_a, b.st AS st_b,
+        |  round(CAST(COUNT(*) AS DOUBLE) / CAST(na.n + nb.n - COUNT(*) AS DOUBLE), 6)
+        |    AS jaccard_exact
+        |FROM u a JOIN u b ON a.c = b.c AND a.st < b.st
+        |JOIN n na ON na.st = a.st JOIN n nb ON nb.st = b.st
+        |GROUP BY a.st, b.st, na.n, nb.n""".stripMargin)),
 
     // Value histogram (distribution profiling): fixed-width buckets via
     // floor division — one map-combined aggregate, scale-independent.

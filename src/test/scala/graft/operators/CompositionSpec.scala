@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CompositionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // (doc_id, source, n_chars) — sourceA: 4 docs, sourceB: 2, sourceC: 3
+    (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
+    (5L, "b", 50L), (6L, "b", 60L),
+    (7L, "c", 10L), (8L, "c", 20L), (9L, "c", 30L)
+  ).toDF("doc_id", "source", "n_chars")
+
+  test("domainQuota keeps the quota best per domain, ties to larger id") {
+    val kept = Composition.domainQuota(docs, "source", Seq("n_chars", "doc_id"), 2)
+      .select("doc_id").as[Long].collect().toSet
+    // a: 300s win, tie between ids 2 and 4 is irrelevant (both kept)
+    // b: both kept (under quota); c: 30 and 20
+    assert(kept === Set(2L, 4L, 5L, 6L, 8L, 9L))
+  }
+
+  test("domainQuota at quota 1 keeps exactly one row per domain") {
+    val kept = Composition.domainQuota(docs, "source", Seq("n_chars", "doc_id"), 1)
+      .select("source", "doc_id").as[(String, Long)].collect().toMap
+    assert(kept === Map("a" -> 4L, "b" -> 6L, "c" -> 9L))
+  }
+
+  test("mixtureSample: tightest source kept whole, rates proportional, deterministic") {
+    // weights: a=0.5, c=0.5 -> C = min(4/0.5, 3/0.5) = 6
+    //   a: rate = 6*0.5/4 = 0.75; c: rate = 6*0.5/3 = 1.0 (kept whole)
+    //   b: absent from targets -> dropped
+    val out = Composition.mixtureSample(docs, col("source"), col("doc_id"),
+      Seq("a" -> 0.5, "c" -> 0.5))
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(!kept.exists(Set(5L, 6L)), "non-target source must be dropped")
+    assert(Set(7L, 8L, 9L).subsetOf(kept.toSet), "rate-1.0 source keeps every row")
+    // determinism: same inputs -> identical membership, any partitioning
+    val again = Composition.mixtureSample(docs.repartition(7), col("source"),
+      col("doc_id"), Seq("a" -> 0.5, "c" -> 0.5))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === again)
+  }
+
+  test("mixtureSample approaches target proportions on a large corpus") {
+    val big = spark.range(0, 30000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 6, "web").when(col("id") % 10 < 9, "wiki")
+        .otherwise("books").as("source"))
+    // availability: web 60%, wiki 30%, books 10%; target 50/25/25
+    // books is tightest: C = 3000/0.25 = 12000 -> expect ~6000/3000/3000
+    val out = Composition.mixtureSample(big, col("source"), col("doc_id"),
+      Seq("web" -> 0.5, "wiki" -> 0.25, "books" -> 0.25))
+    val counts = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("books") === 3000L, "tightest source is kept whole")
+    assert(math.abs(counts("web") - 6000L) < 300, counts.toString)
+    assert(math.abs(counts("wiki") - 3000L) < 200, counts.toString)
+  }
+
+  test("mixtureSample rejects malformed targets") {
+    intercept[IllegalArgumentException] {
+      Composition.mixtureSample(docs, col("source"), col("doc_id"),
+        Seq("a" -> 0.5, "c" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Composition.mixtureSample(docs, col("source"), col("doc_id"), Seq())
+    }
+  }
+}

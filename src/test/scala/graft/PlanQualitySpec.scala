@@ -230,4 +230,37 @@ class PlanQualitySpec extends SparkSpec {
       assert(got.length === want.length)
     }
   }
+
+  test("static plan fingerprints of EVERY judged query match the golden file") {
+    // breadth companion to the post-AQE headline golden above: the STATIC
+    // (pre-execution) physical plan of all ~150 judged queries, censused
+    // without running anything — catches a lost broadcast or a new exchange
+    // in any judged entry at planning cost only. Static plans carry no
+    // runtime stats, so the census is fully deterministic; what AQE alone
+    // can change at runtime (SMJ->BHJ upgrades, empty-relation pruning) is
+    // exactly what the executed headline golden covers.
+    val golden = new java.io.File("src/test/resources/all_plan_fingerprints_static.txt")
+    val got = Registry.all.map { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      s"${q.name}: ${graft.plans.PlanFingerprint.of(plan)}"
+    }
+    if (sys.props.get("graft.regenPlanFingerprints").contains("true")) {
+      java.nio.file.Files.write(golden.toPath,
+        got.mkString("", "\n", "\n").getBytes("UTF-8"))
+      info(s"regenerated ${golden.getPath}")
+    } else {
+      assert(golden.isFile,
+        "golden file missing — regenerate deliberately with " +
+          """sbt 'set Test/javaOptions += "-Dgraft.regenPlanFingerprints=true"' """ +
+          "'testOnly graft.PlanQualitySpec'")
+      val want = scala.io.Source.fromFile(golden, "UTF-8").getLines().toSeq
+        .filter(_.nonEmpty)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g === w,
+          "a judged query's static plan shape changed — if intentional, " +
+            "regenerate the golden file with the command in the scaladoc above")
+      }
+      assert(got.length === want.length)
+    }
+  }
 }

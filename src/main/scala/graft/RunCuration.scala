@@ -62,6 +62,21 @@ object RunCuration {
     nearKept.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Corpus-composition stage (after curation, before the split): cap any
+    * one source's share of the corpus — longest-first, the
+    * `cp_domain_quota` operator — then optionally sample every source
+    * toward a target mixture (`cp_mixture_sample`). `corpus` must carry
+    * `source` alongside (doc_id, text). */
+  def compose(corpus: DataFrame, quotaPerSource: Int,
+      mixture: Option[Seq[(String, Double)]] = None): DataFrame = {
+    val sized = corpus.withColumn("__n_chars", length(col("text")))
+    val capped = graft.operators.Composition
+      .domainQuota(sized, "source", Seq("__n_chars", "doc_id"), quotaPerSource)
+      .drop("__n_chars")
+    mixture.fold(capped)(t => graft.operators.Composition
+      .mixtureSample(capped, col("source"), col("doc_id"), t))
+  }
+
   /** Deterministic hash split column (train/val ~80/20), same contract as
     * the judged tx_train_split. */
   def splitCol: org.apache.spark.sql.Column =
@@ -83,7 +98,13 @@ object RunCuration {
     val all = graft.sources.Tables(spark, sfDir, "documents").select("doc_id", "text")
     val eval = all.filter(col("doc_id") < evalMax)
     val train = all.filter(col("doc_id") >= evalMax)
-    curate(train, eval).withColumn("split", splitCol)
+    // composition runs on the curated survivors with their source attached
+    // (curation works on the (doc_id, text) projection; one id-keyed join
+    // re-attaches the source column for the quota)
+    val sources = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "source")
+    compose(curate(train, eval).join(sources, "doc_id"), quotaPerSource = 200)
+      .withColumn("split", splitCol)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("split").parquet(s"$outDir/corpus")
     // stats + log read the WRITTEN corpus back: one execution of the

@@ -11,6 +11,17 @@ import org.apache.spark.sql.DataFrame
   * partition count below cluster width.
   */
 object Parallelism {
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
+  /** Repartition `df` to shuffle width — ONLY when its scan is actually
+    * narrower. A 100 TB corpus scan already carries thousands of splits;
+    * shuffling its full rows (for MinHash, the document TEXT) before a
+    * per-row projection would be the most expensive no-op in the pipeline.
+    * The width probe plans the child (no exchange below it by contract of
+    * the call sites — raw scans/projections), runs nothing, and skips the
+    * exchange whenever the scan is already at or above cluster width. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val width =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions >= width) df else df.repartition(width)
+  }
 }

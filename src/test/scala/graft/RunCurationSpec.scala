@@ -27,6 +27,22 @@ class RunCurationSpec extends SparkSpec {
     assert(kept === Seq(100L, 105L))
   }
 
+  test("compose caps each source longest-first and mixture-samples the cap's output") {
+    val corpus = Seq(
+      (1L, "a " * 50, "web"), (2L, "b " * 40, "web"), (3L, "c " * 30, "web"),
+      (4L, "d " * 20, "wiki"), (5L, "e " * 10, "wiki")
+    ).toDF("doc_id", "text", "source")
+    // quota 2: web keeps its two longest (1, 2); wiki keeps both
+    val capped = RunCuration.compose(corpus, quotaPerSource = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(capped === Seq(1L, 2L, 4L, 5L))
+    // with a mixture, non-target sources are dropped and target ones sampled
+    val mixed = RunCuration.compose(corpus, quotaPerSource = 2,
+      mixture = Some(Seq("web" -> 1.0)))
+      .select("source").distinct().as[String].collect().toSeq
+    assert(mixed === Seq("web"))
+  }
+
   test("run collapse rewrites text in place before dedup") {
     val eval = Seq((1L, "zzz yyy xxx")).toDF("doc_id", "text")
     // identical AFTER collapsing the doubled token: exact dedup must fire

@@ -45,6 +45,34 @@ object Composition {
     * source), rates derived ON the tiny counts frame (a one-row global min
     * broadcast-joined back), then one broadcast hash join of the rates onto
     * the corpus scan — the corpus itself never shuffles. */
+  /** The engine's deterministic per-row uniform: Knuth multiplicative hash
+    * of the id, reduced into 31-bit space BEFORE the multiply so the
+    * product can never overflow signed 64-bit under ANSI mode (same
+    * construction as `sm_weighted_sample`; DuckDB reproduces it with plain
+    * integer arithmetic). Range [0, 2^32). */
+  private def knuthHash(id: Column): Column =
+    pmod(id, lit(2147483648L)) * 2654435761L % 4294967296L
+
+  /** Deterministic training-shard assignment + within-shard pseudo-random
+    * order — the final-mile export step before training: shard =
+    * hash(id) mod `nShards`, position = rank of (hash, id) inside the
+    * shard. The order is exactly the "global shuffle" a training run wants
+    * (hash order ≈ random, but reproducible on any engine or cluster
+    * layout), without ever building a global ordering: ONE exchange on the
+    * shard key, then each shard sorts locally — a single corpus-wide
+    * `orderBy(rand())` would range-partition the world and be
+    * unreproducible to boot. Emits the input columns plus (shard, pos). */
+  def shardOrder(docs: DataFrame, id: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__shard").orderBy(col("__h"), id)
+    docs.withColumn("__h", knuthHash(id))
+      .withColumn("__shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__h", "__shard")
+  }
+
   def mixtureSample(docs: DataFrame, source: Column, id: Column,
       targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty, "targets must be non-empty")
@@ -61,8 +89,7 @@ object Composition {
     val rates = joined.crossJoin(broadcast(c))
       .select(col("__source"),
         least(lit(1.0), col("__c") * col("__w") / col("__n")).as("__rate"))
-    val uniform = (pmod(id, lit(2147483648L)) * 2654435761L % 4294967296L)
-      .cast("double") / 4294967296.0
+    val uniform = knuthHash(id).cast("double") / 4294967296.0
     docs.join(broadcast(rates), source === col("__source"))
       .filter(uniform < col("__rate"))
       .drop("__source", "__rate")

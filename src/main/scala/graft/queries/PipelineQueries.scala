@@ -1016,6 +1016,22 @@ object PipelineQueries {
         |WHERE CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
         |      < r.rate""".stripMargin)),
 
+    // Deterministic training-shard export order: shard = Knuth-hash(id) mod
+    // 8, position = rank of (hash, id) within the shard — the reproducible
+    // "global shuffle" a training run reads, built from ONE shard-keyed
+    // exchange + per-shard local sort instead of a corpus-wide orderBy
+    // (which would range-partition the world and, with rand(), be
+    // unreproducible). See Composition.shardOrder.
+    Q("cp_shard_order",
+      (s, d) => graft.operators.Composition.shardOrder(
+        t(s, d, "documents").select("doc_id"), col("doc_id"), nShards = 8),
+      Some("""SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id,
+        |        doc_id % 2147483648 * 2654435761 % 4294967296 AS h,
+        |        doc_id % 2147483648 * 2654435761 % 4294967296 % 8 AS shard
+        |      FROM documents)""".stripMargin)),
+
     // ---- Data-quality / profiling ----------------------------------------
 
     // Column profile (the pre-training data audit): counts, distincts,

@@ -60,6 +60,25 @@ class CompositionSpec extends SparkSpec {
     assert(math.abs(counts("wiki") - 3000L) < 200, counts.toString)
   }
 
+  test("shardOrder: contiguous positions per shard, deterministic, near-balanced") {
+    val n = 8000L
+    val ids = spark.range(0, n).select(col("id").as("doc_id"))
+    val out = Composition.shardOrder(ids, col("doc_id"), nShards = 8)
+      .select("doc_id", "shard", "pos")
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("maxPos"), min("pos").as("minPos"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(byShard.length === 8)
+    byShard.foreach { case (sh, cnt, maxPos, minPos) =>
+      assert(minPos === 1L && maxPos === cnt, s"shard $sh positions not contiguous")
+      assert(math.abs(cnt - n / 8) < 200, s"shard $sh unbalanced: $cnt")
+    }
+    // deterministic across partitionings
+    val again = Composition.shardOrder(ids.repartition(13), col("doc_id"), 8)
+      .select("doc_id", "shard", "pos")
+    assert(rowSet(out) === rowSet(again))
+  }
+
   test("mixtureSample rejects malformed targets") {
     intercept[IllegalArgumentException] {
       Composition.mixtureSample(docs, col("source"), col("doc_id"),

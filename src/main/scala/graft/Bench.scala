@@ -83,7 +83,10 @@ object Bench {
     // dup-light corpus hit this every few runs), the orphaned single-task
     // stage still completes — and its task's SQLMetrics belong to the
     // DISCARDED subtree, so the DAGScheduler logs one harmless
-    // "attempted to access non-existent accumulator" ERROR per metric
+    // "Failed to update accumulator" ERROR per metric (the "non-existent
+    // accumulator" text lives in the ATTACHED SparkException, which log4j's
+    // RegexFilter never sees — it matches only the formatted message, so
+    // the filter regex must target the DAGScheduler's own message text)
     // (verified at INFO level: the burst directly follows "Finished task
     // 0.0 in stage N (1/1)" of a withThreadLocalCaptured broadcast job,
     // after the query's final stage already finished). Results and rc are
@@ -100,7 +103,7 @@ object Bench {
       val ctx = org.apache.logging.log4j.LogManager.getContext(false)
         .asInstanceOf[LoggerContext]
       ctx.getConfiguration.getLoggerConfig(dag).addFilter(
-        RegexFilter.createFilter(".*non-existent accumulator.*", null, false,
+        RegexFilter.createFilter(".*Failed to update accumulator.*", null, false,
           Filter.Result.DENY, Filter.Result.NEUTRAL))
       ctx.updateLoggers()
     }

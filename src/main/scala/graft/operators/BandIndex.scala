@@ -96,6 +96,11 @@ object BandIndex {
       maxFiles: Int = 64): Unit = {
     val spark = accepted.sparkSession
     val (nh, b, k) = params(spark, path)
+    // a compaction that died mid-swap leaves bands/ missing with the only
+    // copy parked at bands__old — an Append here would RECREATE bands/ with
+    // just this batch and strand the parked history for a later compaction
+    // to delete. Restore first (two exists probes when healthy).
+    graft.sources.Compaction.recover(spark, s"$path/bands")
     Dedup.minhashBands(accepted, idCol, textCol, nh, b, k)
       .write.mode(SaveMode.Append).parquet(s"$path/bands")
     if (bandFileCount(spark, path) > maxFiles)
@@ -110,6 +115,7 @@ object BandIndex {
   def gate(path: String, newBatch: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val spark = newBatch.sparkSession
     val (nh, b, k) = params(spark, path)
+    graft.sources.Compaction.recover(spark, s"$path/bands") // see append
     Dedup.screenAgainstBands(newBatch, idCol,
       Dedup.minhashBands(newBatch, idCol, textCol, nh, b, k),
       spark.read.parquet(s"$path/bands"))

@@ -32,7 +32,12 @@ object Composition {
     * achievable without upsampling any source — scale C = min over sources
     * of n_s / w_s — and hash-sample each source to C·w_s rows in
     * expectation. Sources absent from `targets` are dropped; the
-    * tightest-supplied source is kept whole (rate 1).
+    * tightest-supplied source is kept whole (rate 1). A TARGET source with
+    * ZERO corpus rows (typo'd name, empty source) makes C = 0 and the
+    * output EMPTY — the contract taken literally (the largest corpus that
+    * doesn't upsample an empty source has no rows), and the loud outcome: a
+    * silently re-weighted mixture missing one ingredient would look healthy
+    * while violating every declared proportion.
     *
     * Per-row survival is a pure function of the id (the engine's Knuth
     * multiplicative-hash uniform, same construction as `sm_weighted_sample`
@@ -84,14 +89,112 @@ object Composition {
     val weights = targets.toDF("__source", "__w")
     val counts = docs.groupBy(source.as("__source"))
       .agg(count(lit(1)).cast("double").as("__n"))
-    val joined = counts.join(weights, "__source") // inner: non-target sources drop
+    // left join FROM the targets: non-target sources drop, but a target
+    // source with no corpus rows survives as n = 0 (an inner join would
+    // silently delete it from the mixture — see scaladoc)
+    val joined = weights.join(counts, Seq("__source"), "left")
+      .select(col("__source"), col("__w"),
+        coalesce(col("__n"), lit(0.0)).as("__n"))
     val c = joined.agg(min(col("__n") / col("__w")).as("__c"))
     val rates = joined.crossJoin(broadcast(c))
       .select(col("__source"),
-        least(lit(1.0), col("__c") * col("__w") / col("__n")).as("__rate"))
+        // ANSI mode raises on ANY division by zero (doubles included), so
+        // the n = 0 row guards its rate explicitly; 0.0 is also the right
+        // value (an empty source contributes nothing at any scale)
+        when(col("__n") > 0,
+          least(lit(1.0), col("__c") * col("__w") / col("__n")))
+          .otherwise(lit(0.0)).as("__rate"))
     val uniform = knuthHash(id).cast("double") / 4294967296.0
     docs.join(broadcast(rates), source === col("__source"))
       .filter(uniform < col("__rate"))
       .drop("__source", "__rate")
+  }
+
+  /** Temperature-scaled source rebalancing (the multilingual/data-recipe
+    * knob: sample sources toward weights ∝ n_s^alpha, flattening the
+    * natural distribution — alpha 1 keeps it, alpha 0 equalizes). As with
+    * [[mixtureSample]], the output is the LARGEST corpus achievable without
+    * upsampling, which makes the normalization cancel algebraically:
+    * rate_s = (n_min / n_s)^(1−alpha), the smallest source kept whole.
+    *
+    * DETERMINISM across engines: `pow` is not correctly rounded and
+    * differs between libms, so instead of comparing
+    * `u < (n_min/n_s)^(1−alpha)` the filter raises the uniform to
+    * `e = 1/(1−alpha)` and compares `u^e · n_s < n_min` (monotone-
+    * equivalent for u ≥ 0). Whenever `e` is a small integer — the natural
+    * alpha family 0, 1/2, 2/3, 3/4… — `u^e` is repeated IEEE
+    * multiplication, each step correctly rounded, so membership is
+    * bit-identical on any engine, partitioning, or cluster layout (the same
+    * contract every other sampler here carries). Non-integer `e` falls back
+    * to `pow` and loses only that cross-engine bit-guarantee.
+    *
+    * Scale shape: one map-side-combined count per source, a one-row global
+    * min broadcast onto the tiny counts frame, one broadcast join onto the
+    * corpus scan — the corpus never shuffles. */
+  def temperatureSample(docs: DataFrame, source: Column, id: Column,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha < 1.0, "alpha must be in [0, 1)")
+    val e = 1.0 / (1.0 - alpha)
+    val counts = docs.groupBy(source.as("__source"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+    val u = knuthHash(id).cast("double") / 4294967296.0
+    val uPow =
+      if (e == math.rint(e) && e <= 16)
+        (1 to e.toInt).map(_ => u).reduce(_ * _)
+      else pow(u, lit(e))
+    docs.join(broadcast(rates), source === col("__source"))
+      .filter(uPow * col("__n") < col("__nmin"))
+      .drop("__source", "__n", "__nmin")
+  }
+
+  /** Deterministic mixture with UPSAMPLING — the epoch/repeat form of
+    * [[mixtureSample]] for when the recipe needs more of a source than it
+    * has (every production run that repeats Wikipedia while reading the
+    * web once). Each source is scaled to `totalRows · w_s` rows in
+    * expectation via a per-doc repeat count: `r_s = totalRows·w_s / n_s`
+    * epochs per doc — `floor(r_s)` full replications, plus one more for the
+    * docs whose id-hash uniform falls below the fractional part. Emits the
+    * input columns plus `epoch` (0-based); a doc's epochs are
+    * `0 .. its repeat count − 1`, so downstream shuffles/shards see distinct
+    * (id, epoch) keys and dedup-by-id still recovers the unique corpus.
+    *
+    * Everything is single-operation IEEE arithmetic on exact integer
+    * counts (no transcendentals), so the emitted multiset is bit-identical
+    * across engines and layouts. Replication is `explode(sequence(...))`
+    * against the broadcast per-source rate — row-local, no shuffle; the
+    * sequence is guarded so a zero-epoch doc drops instead of emitting a
+    * descending [0, −1] range (Spark's sequence() counts DOWN when
+    * start > stop). */
+  def mixtureEpochs(docs: DataFrame, source: Column, id: Column,
+      targets: Seq[(String, Double)], totalRows: Long): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      "target proportions must sum to 1")
+    require(targets.forall(_._2 > 0), "target proportions must be > 0")
+    require(totalRows > 0, "totalRows must be > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = targets.toDF("__source", "__w")
+    val counts = docs.groupBy(source.as("__source"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    // inner join: a target source with zero corpus rows cannot be
+    // replicated into existence, and (unlike mixtureSample's global scale
+    // C) no cross-source constraint couples the others — they still hit
+    // their budgets and the output lands w_missing short of totalRows,
+    // which IS the observable signal here; there is no row-level way to
+    // encode the violation
+    val rates = weights.join(counts, "__source")
+      .select(col("__source"),
+        (lit(totalRows.toDouble) * col("__w") / col("__n")).as("__r"))
+    val u = knuthHash(id).cast("double") / 4294967296.0
+    val nEpochs = floor(col("__r")).cast("long") +
+      when(u < col("__r") - floor(col("__r")), 1L).otherwise(0L)
+    docs.join(broadcast(rates), source === col("__source"))
+      .withColumn("__ne", nEpochs)
+      .filter(col("__ne") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__ne") - 1)))
+      .drop("__source", "__r", "__ne")
   }
 }

@@ -636,6 +636,53 @@ object Dedup {
     * candidate annulus spans ~2·acos(threshold) of angle, so pruning power
     * is threshold-dependent — thin (strong) at real near-dup thresholds
     * (0.9+ ⇒ a few bands), honest-but-wide at verification thresholds. */
+  /** Cross-document boilerplate-span removal (the C4/RefinedWeb cleaning
+    * step doc-level near-dup CANNOT express): any token k-gram occurring in
+    * at least `minDocs` DISTINCT documents is boilerplate — navigation
+    * chrome, license footers, cookie banners — and every position it covers
+    * is cut from every document carrying it, keeping the surviving tokens
+    * in order. Returns (doc_id, clean_text, n_removed). Documents shorter
+    * than k tokens carry no grams and pass through whole; a k-gram repeated
+    * only WITHIN one document is not boilerplate (that is
+    * [[graft.functions.TextFunctions]] intra-doc territory).
+    *
+    * Scale shape: gram derivation is row-local (slice over the token
+    * array — no per-gram string explosion until the single gram-keyed
+    * exchange); the duplicated-gram set is found with one map-side-combined
+    * distinct-count per gram; flagged occurrences join back on the SAME
+    * gram key (exchange reuse); covered positions aggregate per doc (one
+    * doc-keyed exchange) and the final cut is a row-local higher-order
+    * filter against the collected position set. No all-pairs step anywhere:
+    * cost is bounded by occurrences of duplicated grams, not corpus². */
+  def boilerplateSpans(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "need k >= 1 and minDocs >= 2")
+    val toks = docs.select(idCol.as("doc_id"), split(textCol, " ").as("__toks"))
+    val grams = toks.select(col("doc_id"),
+        explode(when(size(col("__toks")) >= k,
+          expr(s"transform(sequence(0, size(__toks) - $k), " +
+            s"i -> struct(i AS start, concat_ws(' ', slice(__toks, i + 1, $k)) AS gram))"))
+          .otherwise(array())).as("__g"))
+      .select(col("doc_id"), col("__g.start").as("start"), col("__g.gram").as("gram"))
+    val flagged = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("gram")
+    val covered = grams.join(flagged, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("__covered"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", expr("transform(" +
+          "filter(transform(__toks, (t, i) -> struct(t AS t, i AS i)), " +
+          "s -> NOT array_contains(coalesce(__covered, array()), s.i)), " +
+          "s -> s.t)")).as("clean_text"),
+        coalesce(size(col("__covered")), lit(0)).cast("long").as("n_removed"))
+  }
+
   def embeddingNearDupsAnnulus(emb: DataFrame, idCol: Column, vecCol: Column,
       threshold: Double, bandDeg: Double = 5.0): DataFrame = {
     val bandRad = math.toRadians(bandDeg)

@@ -18,6 +18,78 @@ object ExtQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  // ev_late_sessions is the one entry whose BUILD is an execution: late
+  // stragglers exist only ACROSS micro-batches, so the query must actually
+  // run a MemoryStream pipeline to have anything to report. Memoized per
+  // (session, events-table content) with the fingerprint inside the value
+  // (same replace-on-rewrite contract as [[graft.sources.Tables]]): plan-only
+  // harnesses (static fingerprints, Bench plan_sec, registry scans) pay the
+  // stream once per session instead of two micro-batches + collects per
+  // call, and the memory-sink temp view is dropped as soon as its rows are
+  // captured — repeated builds leak nothing into the session catalog.
+  private val lateSessionsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  private def lateSessions(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/events.parquet")
+    lateSessionsMemo.get((s, d)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = runLateSessions(s, d)
+        lateSessionsMemo.put((s, d), (fp, df))
+        df
+    }
+  }
+
+  private def runLateSessions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    val labeled = t(s, d, "events")
+      .withColumn("brk",
+        when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("last_id",
+        max(col("session_id")).over(Window.partitionBy("user_id")))
+    def evs(df: DataFrame) =
+      df.select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.StatefulSessions.Event].collect().toSeq
+    val lastSession = evs(labeled.filter(col("session_id") === col("last_id")))
+    val earlier = evs(labeled.filter(col("session_id") < col("last_id")))
+    implicit val sqlCtx = s.sqlContext
+    val stream = MemoryStream[graft.streaming.StatefulSessions.Event]
+    val sessions = graft.streaming.StatefulSessions.sessionsFlatMap(
+      stream.toDF().withWatermark("ts", "3650 days"), gapMs = 30 * 60 * 1000L)
+    val sink = "ev_late_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val captured = try {
+      stream.addData(lastSession)
+      q.processAllAvailable()
+      stream.addData(earlier)
+      q.processAllAvailable()
+      s.table(sink).select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    } finally q.stop()
+    s.catalog.dropTempView(sink)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(captured.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq( // nullability mirrors the
+        // ClosedSession encoder schema the memory sink carried
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("session_start",
+          org.apache.spark.sql.types.TimestampType, nullable = true),
+        org.apache.spark.sql.types.StructField("session_end",
+          org.apache.spark.sql.types.TimestampType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
   val all: Seq[Q] = Seq(
@@ -553,40 +625,7 @@ object ExtQueries {
     // exist only ACROSS micro-batches); the operator under judgment is the
     // distributed flatMapGroupsWithState fold itself.
     Q("ev_late_sessions",
-      (s, d) => {
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        import s.implicits._
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
-        val labeled = t(s, d, "events")
-          .withColumn("brk",
-            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
-          .withColumn("session_id",
-            sum(col("brk")).over(
-              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("last_id",
-            max(col("session_id")).over(Window.partitionBy("user_id")))
-        def evs(df: org.apache.spark.sql.DataFrame) =
-          df.select(col("user_id"), col("ts"), col("value"))
-            .as[graft.streaming.StatefulSessions.Event].collect().toSeq
-        val lastSession = evs(labeled.filter(col("session_id") === col("last_id")))
-        val earlier = evs(labeled.filter(col("session_id") < col("last_id")))
-        implicit val sqlCtx = s.sqlContext
-        val stream = MemoryStream[graft.streaming.StatefulSessions.Event]
-        val sessions = graft.streaming.StatefulSessions.sessionsFlatMap(
-          stream.toDF().withWatermark("ts", "3650 days"), gapMs = 30 * 60 * 1000L)
-        val sink = "ev_late_sessions_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = sessions.toDF().writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try {
-          stream.addData(lastSession)
-          q.processAllAvailable()
-          stream.addData(earlier)
-          q.processAllAvailable()
-        } finally q.stop()
-        s.table(sink).select("user_id", "session_start", "session_end", "n_events")
-      },
+      (s, d) => lateSessions(s, d),
       Some("""WITH g AS (SELECT user_id, event_id, ts,
         |    epoch_us(CAST(ts AS TIMESTAMP))
         |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))

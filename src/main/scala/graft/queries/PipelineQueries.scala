@@ -863,6 +863,37 @@ object PipelineQueries {
         |  CAST(len(list_distinct(parts)) AS BIGINT) AS n_unique
         |FROM toks""".stripMargin)),
 
+    // Cross-document boilerplate-span removal (the C4/RefinedWeb step
+    // doc-level near-dup can't express): any token 8-gram occurring in ≥2
+    // DISTINCT docs is boilerplate, and every position it covers is cut
+    // from every carrier, survivors kept in order. Row-local gram slicing,
+    // one gram-keyed distinct-count + same-key join-back, one doc-keyed
+    // covered-position aggregation, then a row-local higher-order cut — no
+    // all-pairs step; cost bounded by duplicated-gram occurrences (see
+    // Dedup.boilerplateSpans).
+    Q("tx_boilerplate",
+      (s, d) => graft.operators.Dedup.boilerplateSpans(
+        t(s, d, "documents"), col("doc_id"), col("text"), k = 8, minDocs = 2),
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |grams AS (SELECT doc_id, i AS start,
+        |    array_to_string(parts[i+1 : i+8], ' ') AS gram
+        |  FROM toks, unnest(generate_series(0, len(parts) - 8)) AS g(i)
+        |  WHERE len(parts) >= 8),
+        |flagged AS (SELECT gram FROM grams
+        |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, p
+        |  FROM grams g JOIN flagged f USING (gram),
+        |       unnest(generate_series(g.start, g.start + 7)) AS s(p)),
+        |covagg AS (SELECT doc_id, list_sort(list(p)) AS covered
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  -- a fully-scrubbed doc is the EMPTY string (Spark concat_ws), but
+        |  -- DuckDB's array_to_string([]) is NULL — coalesce to match
+        |  COALESCE(array_to_string(list_filter(parts,
+        |    (x, i) -> NOT list_contains(COALESCE(c.covered, []), i - 1)), ' '), '') AS clean_text,
+        |  CAST(COALESCE(len(c.covered), 0) AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN covagg c ON t.doc_id = c.doc_id""".stripMargin)),
+
     // Overlapping document chunking (width 32, stride 16) — the windowing
     // pass before embedding/RAG indexing: each doc explodes into its token
     // windows row-locally (sequence + posexplode generators, no shuffle),
@@ -1009,9 +1040,12 @@ object PipelineQueries {
         |         ('src5', CAST(0.2 AS DOUBLE)), ('src7', CAST(0.1 AS DOUBLE))),
         |counts AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
         |  FROM documents GROUP BY source),
-        |j AS (SELECT wsource, wn, n FROM w JOIN counts ON source = wsource),
+        |j AS (SELECT wsource, wn, COALESCE(n, 0) AS n
+        |  FROM w LEFT JOIN counts ON source = wsource),
         |c AS (SELECT MIN(n / wn) AS c FROM j),
-        |rates AS (SELECT wsource, least(1.0, c.c * wn / n) AS rate FROM j, c)
+        |rates AS (SELECT wsource,
+        |  CASE WHEN n > 0 THEN least(1.0, c.c * wn / n) ELSE 0.0 END AS rate
+        |  FROM j, c)
         |SELECT doc_id, source FROM documents d JOIN rates r ON d.source = r.wsource
         |WHERE CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
         |      < r.rate""".stripMargin)),
@@ -1031,6 +1065,70 @@ object PipelineQueries {
         |        doc_id % 2147483648 * 2654435761 % 4294967296 AS h,
         |        doc_id % 2147483648 * 2654435761 % 4294967296 % 8 AS shard
         |      FROM documents)""".stripMargin)),
+
+    // Temperature-scaled source rebalancing (the multilingual data-recipe
+    // knob: weights ∝ n^alpha): since the output is the largest corpus
+    // achievable without upsampling, the normalization cancels and each
+    // source's survival rate is (n_min/n)^(1-alpha) — and at alpha = 1/2
+    // the membership test squares into u²·n < n_min, pure single-operation
+    // IEEE arithmetic both engines execute bit-identically (no pow, whose
+    // libm rounding differs across engines — see
+    // Composition.temperatureSample). Sources here are doc_id-derived
+    // buckets (50/30/20%) because the fixture's natural sources are
+    // uniform, which would make every rate 1.
+    Q("cp_temperature_sample",
+      (s, d) => {
+        val bucket = when(pmod(col("doc_id"), lit(10L)) < 5, "heavy")
+          .when(pmod(col("doc_id"), lit(10L)) < 8, "mid")
+          .otherwise("light")
+        graft.operators.Composition.temperatureSample(
+          t(s, d, "documents").select(col("doc_id"), bucket.as("bucket")),
+          source = col("bucket"), id = col("doc_id"), alpha = 0.5)
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 5 THEN 'heavy'
+        |         WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'light' END AS bucket,
+        |    CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |counts AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM b GROUP BY bucket),
+        |m AS (SELECT MIN(n) AS nmin FROM counts)
+        |SELECT doc_id, bucket FROM b JOIN counts USING (bucket), m
+        |WHERE (u * u) * n < nmin""".stripMargin)),
+
+    // Mixture with UPSAMPLING (epoch replication — the recipe that repeats
+    // Wikipedia while reading the web once): each source scaled to
+    // totalRows·w rows in expectation via floor(r) full replications per
+    // doc plus a fractional-part hash draw; emits (doc, epoch) with epochs
+    // 0..n-1. Exact integer-count arithmetic only (no transcendentals), so
+    // the multiset is engine/layout bit-identical; replication is row-local
+    // explode(sequence) against a broadcast rate — no corpus shuffle. 1010
+    // total rows over sources of 25 docs gives fractional rates (16.16,
+    // 12.12, 8.08, 4.04) so both the replication and the fractional draw
+    // are exercised.
+    Q("cp_epoch_mixture",
+      (s, d) => graft.operators.Composition.mixtureEpochs(
+        t(s, d, "documents").select("doc_id", "source"),
+        source = col("source"), id = col("doc_id"),
+        targets = Seq("src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.2,
+          "src7" -> 0.1),
+        totalRows = 1010L),
+      Some("""WITH w(wsource, wn) AS (
+        |  VALUES ('src1', CAST(0.4 AS DOUBLE)), ('src3', CAST(0.3 AS DOUBLE)),
+        |         ('src5', CAST(0.2 AS DOUBLE)), ('src7', CAST(0.1 AS DOUBLE))),
+        |counts AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source),
+        |rates AS (SELECT wsource, 1010.0 * wn / n AS r
+        |  FROM w JOIN counts ON source = wsource),
+        |docs AS (SELECT doc_id, source, r,
+        |    CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents JOIN rates ON source = wsource)
+        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        |FROM docs, unnest(generate_series(0,
+        |  CAST(floor(r) AS BIGINT) - 1
+        |    + CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END)) AS g(e)""".stripMargin)),
 
     // ---- Data-quality / profiling ----------------------------------------
 

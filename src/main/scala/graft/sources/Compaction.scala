@@ -19,14 +19,34 @@ object Compaction {
 
   /** Rewrite to a FIXED file count regardless of row count — the form index
     * maintenance wants (e.g. [[graft.operators.BandIndex]] bounding its
-    * per-batch append fragments). Same staged-swap crash safety. */
+    * per-batch append fragments). Same staged-swap crash safety. The row
+    * count is never computed on this path (the thunk goes unused), so no
+    * counting job runs. */
   def compactToFiles(spark: SparkSession, path: String, nFiles: Int): Unit =
     rewrite(spark, path, _ => math.max(1, nFiles))
 
   def compact(spark: SparkSession, path: String, targetRows: Long): Unit =
-    rewrite(spark, path, rows => plan(rows, targetRows))
+    rewrite(spark, path, rows => plan(rows(), targetRows))
 
-  private def rewrite(spark: SparkSession, path: String, nFilesOf: Long => Int): Unit = {
+  /** Restore `path` if a prior compaction died between its two swap renames
+    * (live dir missing, the ONLY copy parked at `path__old`). Safe and cheap
+    * (two `exists` probes) when nothing is wrong. EVERY writer or reader
+    * that touches a compaction-managed directory outside `rewrite` must call
+    * this first: an append that recreates a missing live dir would strand
+    * the parked history as a "superseded copy" that a later compaction
+    * deletes — silent loss of everything but the newest batch. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(
+        s"compaction recovery failed: cannot restore $old -> $dst")
+  }
+
+  private def rewrite(spark: SparkSession, path: String,
+      nFilesOf: (() => Long) => Int): Unit = {
     val staging = path.stripSuffix("/") + "__compacting"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -37,9 +57,7 @@ object Compaction {
     // prior run that died between the two swap renames leaves the live dir
     // missing and the ONLY copy parked at __old — restore it before
     // anything else (deleting __old in that state would destroy the data)
-    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
-      throw new java.io.IOException(
-        s"compaction recovery failed: cannot restore $old -> $dst")
+    recover(spark, path)
     // a leftover __old/staging from a crashed prior run would make the
     // renames below no-op or nest directories; clear them before starting
     // (the live data is verified present at `path` above, so both are
@@ -47,7 +65,7 @@ object Compaction {
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(stg)) fs.delete(stg, true)
     val df = spark.read.parquet(path)
-    val nFiles = nFilesOf(df.count())
+    val nFiles = nFilesOf(() => df.count())
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
     // rename returns false instead of throwing on most FileSystems — check
     // each step so a failed swap surfaces instead of silently corrupting

@@ -27,16 +27,23 @@ object Tables {
   // the cache and re-resolves: the cache only short-circuits
   // provably-identical re-reads, never staleness (the same no-stale
   // contract PipelineSpec pins for the dd_components memo). Entries are
-  // plan objects (no data); distinct (session, path, content) keys bound
-  // the map.
+  // plan objects (no data), keyed by (session, path) with the fingerprint
+  // INSIDE the value: a rewritten table REPLACES its stale entry instead of
+  // accumulating one dead plan per rewrite, so a long-lived session holds
+  // at most one entry per table it reads.
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String), (String, DataFrame)]
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    cache.getOrElseUpdate(
-      (spark, path, FileFingerprint.of(spark, path)),
-      read(spark, dir, name))
+    val fp = FileFingerprint.of(spark, path)
+    cache.get((spark, path)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = read(spark, dir, name)
+        cache.put((spark, path), (fp, df))
+        df
+    }
   }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -68,8 +68,9 @@ object StatefulSessions {
             // means consecutive stragglers fold into one running session.
             // NOTE: a LATER same-batch event can extend the open session
             // backward (the min() below), so the pending straggler run may
-            // END within one gap of the final session start — that pair
-            // gap-merges after the fold, before anything flushes.
+            // END within one gap of the session start — that pair gap-merges
+            // wherever the session would otherwise emit: at a mid-fold close
+            // AND at the end of the fold, before anything flushes.
             var straggler: Option[SessionState] = None
             def flushStraggler(): Unit = {
               straggler.foreach { p =>
@@ -98,8 +99,22 @@ object StatefulSessions {
                       straggler = Some(SessionState(t, t, 1, e.value))
                   }
                 case Some(s) =>
-                  closed ::= ClosedSession(user, toTs(s.start), toTs(s.end),
-                    s.n, s.total)
+                  // closing mid-fold: the open session may have been extended
+                  // backward (the min() above) to within one gap of the
+                  // pending straggler run — gap semantics say that pair is
+                  // ONE session, so merge before emitting (same rule as the
+                  // end-of-fold check below). Sorted input means nothing
+                  // after t can be a straggler again (t' >= t = new start).
+                  val toEmit = straggler match {
+                    case Some(p) if s.start - p.end <= gapUs =>
+                      straggler = None
+                      SessionState(math.min(p.start, s.start),
+                        math.max(p.end, s.end), s.n + p.n, s.total + p.total)
+                    case _ => s
+                  }
+                  flushStraggler()
+                  closed ::= ClosedSession(user, toTs(toEmit.start),
+                    toTs(toEmit.end), toEmit.n, toEmit.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -17,9 +17,12 @@ class DeterminismSpec extends SparkSpec {
     "a11_corr", "w2_running_sum", "w6_range_frame", "tx_tfidf",
     "tx_unigram_logprob", "sim_bruteforce_topk", "dd_embed_neardup",
     "q14_pricing_summary", "tx_quality", "emb_norms",
-    // round 7: contamination fraction (double of exact ints) and the ADC
-    // distances (fixed-order fold of deterministic table entries)
-    "dq_contam_score", "sim_pq_adc_topk")
+    // round 7: contamination fraction (double of exact ints). The judged
+    // ADC entry (sim_pq_adc_topk) became a violations query in round 9 —
+    // its CORRECT output is empty, so it would only ever check
+    // empty == empty here; the distance-EMITTING ADC form gets its own
+    // dedicated test below instead.
+    "dq_contam_score")
 
   test("float-bearing queries are bit-identical across shuffle widths") {
     val conf = "spark.sql.shuffle.partitions"
@@ -36,9 +39,36 @@ class DeterminismSpec extends SparkSpec {
         // its oracle); sim_pq_adc_topk is a violations query since round 9
         // (ProductQuantizer.adcTopKViolations) whose CORRECT output is empty
         // — empty-but-equal across widths is the right answer for both
-        if (name != "dd_embed_neardup" && name != "sim_pq_adc_topk")
+        if (name != "dd_embed_neardup")
           assert(narrow.nonEmpty, s"$name returned no rows")
       }
+    } finally spark.conf.set(conf, original)
+  }
+
+  test("ADC distances are bit-identical across shuffle widths") {
+    // the raw distance-emitting ADC path (train -> encode -> adcTopK):
+    // k-means partial sums, the packed codebook fold, and the per-code
+    // table lookups must all be partition-order-independent — the judged
+    // entry can't cover this since its correct output is empty
+    import org.apache.spark.sql.functions.col
+    val conf = "spark.sql.shuffle.partitions"
+    val original = spark.conf.get(conf)
+    try {
+      def run(): Seq[String] = {
+        val emb = graft.sources.Tables(spark, sf, "embeddings")
+          .select("vec_id", "embedding")
+        val books = graft.operators.ProductQuantizer.train(
+          emb, m = 4, k = 8, iters = 2, dim = 64)
+        rowSet(graft.operators.ProductQuantizer.adcTopK(
+          graft.operators.ProductQuantizer.encode(emb, books, m = 4, dim = 64),
+          emb.filter(col("vec_id") < 4), books, m = 4, dim = 64, k = 5))
+      }
+      spark.conf.set(conf, "3")
+      val narrow = run()
+      spark.conf.set(conf, "13")
+      val wide = run()
+      assert(narrow == wide, "adcTopK differs between 3 and 13 shuffle partitions")
+      assert(narrow.nonEmpty, "adcTopK returned no rows")
     } finally spark.conf.set(conf, original)
   }
 }

@@ -69,16 +69,17 @@ class RegistrySpec extends SparkSpec {
     //    bounded query-table set — the same shape as sim_ivf
     //  - tx_bpe_train: each merge round left-joins the ONE-ROW winning
     //    rule (lit(true) condition → BNLJ of a 1-row broadcast)
-    //  - cp_mixture_sample: the global scale factor C is a SINGLE-ROW
-    //    aggregate cross-joined onto the sources-sized rates frame (the
-    //    scalar-subquery shape; the corpus side joins rates equi-keyed)
+    //  - cp_mixture_sample / cp_temperature_sample: the global scale
+    //    factor (C resp. n_min) is a SINGLE-ROW aggregate cross-joined
+    //    onto the sources-sized rates frame (the scalar-subquery shape;
+    //    the corpus side joins rates equi-keyed)
     val cartesianOk = Set("j4_cross_join")
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
       "tx_tfidf", "tx_unigram_logprob", "tx_bm25", "emb_centroid_outliers",
       "q13_sql_udf_cosine",
       "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train",
-      "cp_mixture_sample")
+      "cp_mixture_sample", "cp_temperature_sample")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -60,6 +60,83 @@ class CompositionSpec extends SparkSpec {
     assert(math.abs(counts("wiki") - 3000L) < 200, counts.toString)
   }
 
+  test("mixtureSample: a target source with zero corpus rows empties the " +
+      "output instead of silently re-weighting the mixture") {
+    // 'wiki' is in the targets but not the corpus: C = min(..., 0/0.5) = 0,
+    // so NO source can contribute rows without violating the proportions —
+    // an inner counts⋈targets join would instead drop wiki and emit a
+    // 100%-'a' corpus that looks healthy while missing an ingredient
+    val out = Composition.mixtureSample(docs, col("source"), col("doc_id"),
+      Seq("a" -> 0.5, "wiki" -> 0.5))
+    assert(out.isEmpty, "unachievable mixture must be loudly empty")
+  }
+
+  test("temperatureSample: smallest source kept whole, larger flattened " +
+      "toward it, deterministic across partitionings") {
+    // sizes a=4, b=2, c=3; alpha=0.5 -> rate_s = sqrt(2/n_s): b kept whole,
+    // a at sqrt(1/2)≈0.707, c at sqrt(2/3)≈0.816 — the filter form is
+    // u²·n < n_min (exact IEEE ops, no pow)
+    val out = Composition.temperatureSample(docs, col("source"), col("doc_id"),
+      alpha = 0.5)
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(Set(5L, 6L).subsetOf(kept.toSet), "the smallest source is kept whole")
+    val again = Composition.temperatureSample(docs.repartition(7), col("source"),
+      col("doc_id"), alpha = 0.5).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === again, "membership must be a pure function of the id")
+  }
+
+  test("temperatureSample at alpha 0 equalizes expected source sizes") {
+    // alpha=0 -> rate_s = n_min/n_s: every source targets n_min rows in
+    // expectation; on a large skewed corpus the realized sizes concentrate
+    val big = spark.range(0, 30000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 6, "web").when(col("id") % 10 < 9, "wiki")
+        .otherwise("books").as("source"))
+    val counts = Composition.temperatureSample(big, col("source"), col("doc_id"),
+      alpha = 0.0).groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("books") === 3000L, "the smallest source is kept whole")
+    assert(math.abs(counts("web") - 3000L) < 300, counts.toString)
+    assert(math.abs(counts("wiki") - 3000L) < 300, counts.toString)
+  }
+
+  test("mixtureEpochs replicates each source to its target share with " +
+      "contiguous per-doc epochs") {
+    // targets 50/50 over a(n=4)/b(n=2), totalRows=12:
+    //   r_a = 6/4 = 1.5 (1-2 epochs per doc), r_b = 6/2 = 3.0 (exactly 3)
+    val out = Composition.mixtureEpochs(docs.select("doc_id", "source"),
+      col("source"), col("doc_id"), Seq("a" -> 0.5, "b" -> 0.5), totalRows = 12L)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Long)].collect().toSeq
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    assert(byDoc.keySet.intersect(Set(7L, 8L, 9L)).isEmpty,
+      "non-target sources are dropped")
+    Seq(5L, 6L).foreach(id => assert(byDoc(id) === Seq(0L, 1L, 2L),
+      s"integer rate 3.0 must replicate doc $id exactly 3 times"))
+    byDoc.foreach { case (id, epochs) =>
+      assert(epochs === (0L until epochs.length).toSeq,
+        s"doc $id epochs must be contiguous from 0")
+    }
+    val aRows = out.count(_._2 == "a")
+    assert(aRows >= 4 && aRows <= 8, s"rate 1.5 over 4 docs emits 4..8, got $aRows")
+    val again = Composition.mixtureEpochs(
+      docs.repartition(5).select("doc_id", "source"),
+      col("source"), col("doc_id"), Seq("a" -> 0.5, "b" -> 0.5), totalRows = 12L)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.sorted === again.sorted, "the emitted multiset is deterministic")
+  }
+
+  test("mixtureEpochs rejects malformed inputs") {
+    intercept[IllegalArgumentException] {
+      Composition.mixtureEpochs(docs, col("source"), col("doc_id"),
+        Seq("a" -> 0.7, "b" -> 0.7), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Composition.mixtureEpochs(docs, col("source"), col("doc_id"),
+        Seq("a" -> 1.0), 0L)
+    }
+  }
+
   test("shardOrder: contiguous positions per shard, deterministic, near-balanced") {
     val n = 8000L
     val ids = spark.range(0, n).select(col("id").as("doc_id"))

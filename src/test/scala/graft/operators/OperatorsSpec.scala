@@ -98,6 +98,37 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("Dedup.boilerplateSpans: cross-doc repeated grams cut from every " +
+      "carrier, intra-doc repeats and short docs untouched") {
+    val footer = "all rights reserved by the example site inc" // 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $footer gamma"),
+      (2L, s"delta $footer"),
+      // doc 3: an 8-gram repeated WITHIN one doc only — df = 1, not boilerplate
+      (3L, "one two three four five six seven eight one two three four five six seven eight"),
+      (4L, "short doc under eight"), // < k tokens: no grams, passes whole
+      (5L, "totally unique text with no repeated spans anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateSpans(docs, col("doc_id"), col("text"),
+      k = 8, minDocs = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("alpha beta gamma", 8L)),
+      "the shared footer must be cut, surviving tokens keep their order")
+    assert(got(2L) === (("delta", 8L)))
+    assert(got(3L)._2 === 0L, "a gram repeated only within one doc is not boilerplate")
+    assert(got(4L) === (("short doc under eight", 0L)))
+    assert(got(5L)._2 === 0L)
+    // overlapping coverage: two docs sharing a 9-token run carry TWO
+    // duplicated 8-grams whose covered positions overlap — each position
+    // must be cut once, not twice
+    val run = "a b c d e f g h i" // 9 tokens -> grams [0..7] and [1..8]
+    val docs2 = Seq((1L, s"x $run y"), (2L, s"$run z")).toDF("doc_id", "text")
+    val got2 = Dedup.boilerplateSpans(docs2, col("doc_id"), col("text"), 8, 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2(1L) === (("x y", 9L)))
+    assert(got2(2L) === (("z", 9L)))
+  }
+
   test("Dedup.incrementalNearDupFilter: band-sharers rejected, fresh and shingle-less docs survive") {
     val history = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

@@ -122,6 +122,36 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: a mid-batch session close still gap-merges the pending " +
+      "straggler run the session was extended backward toward") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+    val sessions = StatefulSessions.sessionsFlatMap(events, gapMs = 15 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("midclose_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // same shape as the back-merge test, but a THIRD event (13:00, more
+      // than one gap after 12:00) closes the session inside the fold: the
+      // close must emit [11:36, 12:00] as ONE merged session — not the
+      // split ([11:50,12:00] now, [11:36] later) a straggler-blind close
+      // would produce
+      input.addData((1L, ts("2024-01-01 11:36:00"), 2.0),
+        (1L, ts("2024-01-01 11:50:00"), 4.0),
+        (1L, ts("2024-01-01 13:00:00"), 8.0))
+      q.processAllAvailable()
+      val got = spark.table("midclose_out")
+        .as[StatefulSessions.ClosedSession].collect().filter(_.user_id == 1L).toSeq
+      assert(got == Seq(StatefulSessions.ClosedSession(
+        1L, ts("2024-01-01 11:36:00"), ts("2024-01-01 12:00:00"), 3L, 7.0)),
+        "a mid-fold close must apply the same straggler gap-merge as the " +
+          "end-of-fold flush")
+    } finally q.stop()
+  }
+
   test("streaming: event-time timeout emits sessions as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]

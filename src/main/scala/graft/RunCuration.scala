@@ -29,15 +29,24 @@ import graft.operators.Dedup
 object RunCuration {
 
   /** The curation composition on an open (doc_id, text) frame; `eval` is
-    * the held-out set to decontaminate against. */
+    * the held-out set to decontaminate against. `boilerplate = Some((k,
+    * minDocs))` enables cross-document boilerplate-span removal (the
+    * tx_boilerplate operator) between cleaning and dedup — BEFORE dedup on
+    * purpose: two docs differing only in shared chrome become exact/near
+    * duplicates once the chrome is cut, which is when dedup can see them. */
   def curate(docs: DataFrame, eval: DataFrame, jaccardThreshold: Double = 0.9,
-      minShared: Int = 3): DataFrame = {
+      minShared: Int = 3, boilerplate: Option[(Int, Int)] = None): DataFrame = {
     // 1. gate — THE tx_quality_gate rule set (shared definition, can't drift)
     val gated = docs.filter(
       TextFunctions.gateRules(col("text")).map(_._2).reduce(_ && _))
     // 2. in-place clean (run collapse + PII redaction — pure map)
-    val cleaned = gated.select(col("doc_id"),
+    val mapped = gated.select(col("doc_id"),
       TextFunctions.redact(TextFunctions.collapseRepeats(col("text"))).as("text"))
+    // 2b. cross-doc boilerplate-span removal (opt-in)
+    val cleaned = boilerplate.fold(mapped) { case (k, minDocs) =>
+      Dedup.boilerplateSpans(mapped, col("doc_id"), col("text"), k, minDocs)
+        .select(col("doc_id"), col("clean_text").as("text"))
+    }
     // 3. exact dedup: keep the smallest id per fingerprint
     val exactKept = cleaned.join(
       Dedup.exact(cleaned,
@@ -64,17 +73,21 @@ object RunCuration {
 
   /** Corpus-composition stage (after curation, before the split): cap any
     * one source's share of the corpus — longest-first, the
-    * `cp_domain_quota` operator — then optionally sample every source
-    * toward a target mixture (`cp_mixture_sample`). `corpus` must carry
-    * `source` alongside (doc_id, text). */
+    * `cp_domain_quota` operator — then optionally rebalance sources with a
+    * temperature exponent (`cp_temperature_sample`, weights ∝ n^alpha) and
+    * sample every source toward a target mixture (`cp_mixture_sample`).
+    * `corpus` must carry `source` alongside (doc_id, text). */
   def compose(corpus: DataFrame, quotaPerSource: Int,
-      mixture: Option[Seq[(String, Double)]] = None): DataFrame = {
+      mixture: Option[Seq[(String, Double)]] = None,
+      temperature: Option[Double] = None): DataFrame = {
     val sized = corpus.withColumn("__n_chars", length(col("text")))
     val capped = graft.operators.Composition
       .domainQuota(sized, "source", Seq("__n_chars", "doc_id"), quotaPerSource)
       .drop("__n_chars")
-    mixture.fold(capped)(t => graft.operators.Composition
-      .mixtureSample(capped, col("source"), col("doc_id"), t))
+    val tempered = temperature.fold(capped)(a => graft.operators.Composition
+      .temperatureSample(capped, col("source"), col("doc_id"), a))
+    mixture.fold(tempered)(t => graft.operators.Composition
+      .mixtureSample(tempered, col("source"), col("doc_id"), t))
   }
 
   /** Deterministic hash split column (train/val ~80/20), same contract as
@@ -103,7 +116,9 @@ object RunCuration {
     // re-attaches the source column for the quota)
     val sources = graft.sources.Tables(spark, sfDir, "documents")
       .select("doc_id", "source")
-    compose(curate(train, eval).join(sources, "doc_id"), quotaPerSource = 200)
+    compose(
+      curate(train, eval, boilerplate = Some((8, 2))).join(sources, "doc_id"),
+      quotaPerSource = 200)
       .withColumn("split", splitCol)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("split").parquet(s"$outDir/corpus")

@@ -46,9 +46,18 @@ object IvfAdc {
 
   /** Train the coarse quantizer + residual PQ codebooks, write centroids,
     * codebooks, and the per-cluster CODE table (no raw vectors) under
-    * `path`. */
+    * `path`. The PQ parameters (m, dim) are pinned in a one-row `meta/`
+    * table: codes are only comparable when encoded under identical
+    * parameters, so `append` takes no m/dim (it reads the stored authority)
+    * and `searchTopK` fails loudly when a caller's parameters drift from
+    * the index's — the same parameter-authority contract as
+    * [[BandIndex]]. */
   def build(corpus: DataFrame, kCoarse: Int, coarseIters: Int,
       m: Int, kSub: Int, pqIters: Int, dim: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((m, dim)).toDF("m", "dim")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     val centroids = Similarity.kmeansCentroids(corpus, kCoarse, coarseIters, dim)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     // residuals: one row-local pass (assignment argmax + broadcast centroid
@@ -69,14 +78,53 @@ object IvfAdc {
       .parquet(s"$path/codes")
   }
 
+  private def meta(spark: SparkSession, path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getAs[Int]("m"), r.getAs[Int]("dim"))
+  }
+
+  /** Append new vectors WITHOUT retraining — the ingest-maintenance path
+    * every persisted index here carries ([[IvfIndex.append]],
+    * [[BandIndex.append]]): assign the batch against the PERSISTED coarse
+    * centroids, encode its residuals with the STORED codebooks (parameters
+    * from `meta/`, never the caller), and append the codes to the cluster
+    * partitions. Steady-state ingest cost is independent of index size —
+    * the existing codes are never read, let alone re-encoded. Codebooks
+    * drift from the true corpus distribution as appends accumulate
+    * (quantization error grows for batches unlike the training corpus);
+    * periodic `build` is the re-train, exactly like any inverted index. */
+  def append(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val (m, dim) = meta(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val residuals = Similarity.assignClusters(batch, centroids)
+      .join(broadcast(coarseCents(centroids)), "cluster")
+      .select(col("cluster"), col("vec_id"),
+        residual(col("embedding"), col("__cvec")).as("embedding"))
+      .localCheckpoint(eager = false)
+    residuals.select("cluster", "vec_id")
+      .join(ProductQuantizer.encode(
+        residuals.select("vec_id", "embedding"), books, m, dim), "vec_id")
+      .write.mode(SaveMode.Append)
+      .partitionBy("cluster")
+      .parquet(s"$path/codes")
+  }
+
   /** Multi-probe ADC top-k against the persisted index: each query probes
     * its `probes` nearest coarse clusters and scores ONLY those partitions'
     * code rows, each against the ADC table of the query's residual vs that
     * cluster's centroid. Returns (query_id, neighbor_id, adc_dist), dist
-    * ASC. */
+    * ASC. The caller's (m, dim) are validated against the stored `meta/`
+    * authority — scoring codes under drifted parameters would be silent
+    * garbage. */
   def searchTopK(spark: SparkSession, path: String, queries: DataFrame,
       m: Int, dim: Int, k: Int, probes: Int): DataFrame = {
     require(probes >= 1)
+    val (m0, dim0) = meta(spark, path)
+    require(m == m0 && dim == dim0,
+      s"index at $path was built with (m=$m0, dim=$dim0) but the caller " +
+        s"passed (m=$m, dim=$dim) — ADC lookups under drifted parameters " +
+        "are silent garbage; pass the stored parameters or rebuild")
     val centroids = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
     val codes = spark.read.parquet(s"$path/codes")

@@ -43,6 +43,47 @@ class RunCurationSpec extends SparkSpec {
     assert(mixed === Seq("web"))
   }
 
+  test("boilerplate stage cuts shared chrome BEFORE dedup: dup pairs " +
+      "collapse, unique bodies survive with the chrome removed") {
+    val eval = Seq((1L, "zzz yyy xxx")).toDF("doc_id", "text")
+    val footer = "copyright example site all rights reserved contact us today"
+    val bodyB = "the independent article discusses the storage engine and the " +
+      "compaction strategy used across all of the workloads with careful measurement of results"
+    // 300/301 share their whole text (body `good` + footer, either order):
+    // every 8-gram of both body and footer is cross-doc duplicated, both
+    // docs scrub to empty, and exact dedup collapses them to 300. 302 has
+    // a UNIQUE body + the shared footer: only the footer is cut.
+    val docs = Seq(
+      300L -> s"$good $footer",
+      301L -> s"$footer $good",
+      302L -> s"$bodyB $footer"
+    ).toDF("doc_id", "text")
+    val without = RunCuration.curate(docs, eval, jaccardThreshold = 0.99)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(without === Seq(300L, 301L, 302L),
+      "sanity: chrome placement defeats both fingerprint and 0.99-Jaccard dedup")
+    val withStage = RunCuration.curate(docs, eval, jaccardThreshold = 0.99,
+      boilerplate = Some((8, 2)))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(withStage.map(_._1) === Seq(300L, 302L),
+      "cutting shared chrome must let exact dedup collapse the 300/301 pair")
+    assert(withStage.find(_._1 == 302L).get._2 === bodyB,
+      "the unique body must survive with exactly the footer removed")
+  }
+
+  test("compose temperature stage flattens skewed sources toward the smallest") {
+    val corpus = (0L until 40L).map(i =>
+        (i, s"doc number $i with text", if (i < 32) "web" else "wiki"))
+      .toDF("doc_id", "text", "source")
+    // alpha=0.5 over sizes web=32, wiki=8: wiki kept whole (8), web sampled
+    // at sqrt(8/32) = 0.5 in expectation
+    val out = RunCuration.compose(corpus, quotaPerSource = 100,
+      temperature = Some(0.5))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(out("wiki") === 8L, "smallest source is kept whole")
+    assert(out("web") < 32L, "the dominant source must be downsampled")
+  }
+
   test("run collapse rewrites text in place before dedup") {
     val eval = Seq((1L, "zzz yyy xxx")).toDF("doc_id", "text")
     // identical AFTER collapsing the doubled token: exact dedup must fire

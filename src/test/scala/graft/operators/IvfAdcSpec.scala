@@ -119,6 +119,58 @@ class IvfAdcSpec extends SparkSpec {
     assert(oneSet.intersect(all).nonEmpty)
   }
 
+  test("append encodes a batch under the STORED parameters; appended vectors " +
+      "are served identically to build-time encoding") {
+    val p = java.nio.file.Files.createTempDirectory("ivfadc_append").toString
+    val base = corpus.filter(col("vec_id") < 400)
+    val batch = corpus.filter(col("vec_id") >= 400)
+    IvfAdc.build(base, kCoarse, coarseIters = 2, m, kSub, pqIters = 2, dim, p)
+    val nBefore = spark.read.parquet(s"$p/codes").count()
+    IvfAdc.append(spark, p, batch)
+    val codes = spark.read.parquet(s"$p/codes")
+    assert(codes.count() === nBefore + batch.count(),
+      "append must add exactly the batch's rows")
+    // the appended codes must equal encoding the batch directly with the
+    // index's stored centroids + codebooks — parameter authority is the
+    // meta table, not the caller
+    val cents = spark.read.parquet(s"$p/centroids")
+    val books = spark.read.parquet(s"$p/codebooks")
+    val cvecs = cents.select(col("vec_id").cast("long").as("cluster"),
+      col("embedding").as("cv"))
+    val expected = Similarity.assignClusters(batch, cents)
+      .join(broadcast(cvecs), "cluster")
+      .select(col("cluster"), col("vec_id"),
+        zip_with(col("embedding"), col("cv"),
+          (a, b) => a.cast("double") - b.cast("double")).as("embedding"))
+    val expCodes = ProductQuantizer.encode(
+      expected.select("vec_id", "embedding"), books, m, dim)
+      .join(expected.select("vec_id", "cluster"), "vec_id")
+    // partition-column read-back infers cluster as int — cast both sides
+    val got = codes.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("cluster").cast("long"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    val want = expCodes
+      .select(col("vec_id"), col("cluster").cast("long"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(got === want, "appended codes must match direct stored-parameter encoding")
+    // an appended vector is findable: querying WITH itself present must
+    // return it as its own nearest reconstructed neighbor is not guaranteed
+    // under PQ, but it must at least be scoreable — all-probe search over
+    // the appended index returns k rows per query including batch ids
+    val res = IvfAdc.searchTopK(spark, p,
+      corpus.filter(col("vec_id") < 2), m, dim, k = 5, probes = kCoarse)
+      .collect()
+    assert(res.length === 2 * 5)
+    assert(spark.read.parquet(s"$p/codes").filter(col("vec_id") >= 400).count() > 0)
+  }
+
+  test("searchTopK rejects parameters that drift from the stored meta") {
+    val err = intercept[IllegalArgumentException] {
+      IvfAdc.searchTopK(spark, path, queries, m + 1, dim, k = 5, probes = 1)
+    }
+    assert(err.getMessage.contains("drifted parameters"))
+  }
+
   test("the code scan is partition-pruned to the probed clusters; no raw vectors stored") {
     val plan = IvfAdc.searchTopK(spark, path, queries, m, dim, k = 5, probes = 2)
       .queryExecution.executedPlan.toString

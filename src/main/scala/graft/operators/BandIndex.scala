@@ -115,7 +115,11 @@ object BandIndex {
   def gate(path: String, newBatch: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val spark = newBatch.sparkSession
     val (nh, b, k) = params(spark, path)
-    graft.sources.Compaction.recover(spark, s"$path/bands") // see append
+    // deliberately NO crash recovery here: gate is a READ, and repairing
+    // (a rename) from a reader would race a concurrent writer's compaction
+    // swap and corrupt the very directory it tried to save. A torn index
+    // makes this read fail loudly (missing bands/); the single WRITER
+    // repairs it on its next append.
     Dedup.screenAgainstBands(newBatch, idCol,
       Dedup.minhashBands(newBatch, idCol, textCol, nh, b, k),
       spark.read.parquet(s"$path/bands"))

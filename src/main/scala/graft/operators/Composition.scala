@@ -54,9 +54,32 @@ object Composition {
     * of the id, reduced into 31-bit space BEFORE the multiply so the
     * product can never overflow signed 64-bit under ANSI mode (same
     * construction as `sm_weighted_sample`; DuckDB reproduces it with plain
-    * integer arithmetic). Range [0, 2^32). */
-  private def knuthHash(id: Column): Column =
-    pmod(id, lit(2147483648L)) * 2654435761L % 4294967296L
+    * integer arithmetic). Range [0, 2^32).
+    *
+    * `salt` decorrelates the uniforms of DIFFERENT sampling stages: each
+    * operator here draws from its own salt, so chaining them (quota →
+    * temperature → mixture in [[graft.RunCuration.compose]]) filters on
+    * independent-looking uniforms. With a SHARED uniform the stages would
+    * nest instead of compose — every doc surviving stage one at rate r1
+    * already has u < r1, so stage two at rate r2 would keep
+    * min(r1, r2)/r1 of them rather than r2, silently violating its declared
+    * proportions. Salt 0 is the unsalted one-round form (`sm_weighted_sample`
+    * and `cp_mixture_sample` oracles pin it).
+    *
+    * The salt enters through a SECOND multiplicative round, never an
+    * additive tweak of the input: the Knuth map is linear, so
+    * hash(id + salt) is hash(id) shifted by a constant — a pure rotation of
+    * the uniform, 100% correlated with the unsalted draw (an interval of
+    * survivors maps to an interval). Reducing the first round's output and
+    * multiplying again wraps any survivor interval hundreds of millions of
+    * times around 2^32, which is what actually decorrelates the stages.
+    * Still pure integer ops: (2^31 + salt) · K < 2^63, ANSI-safe, and
+    * DuckDB reproduces it with plain arithmetic. */
+  private def knuthHash(id: Column, salt: Long = 0L): Column = {
+    val h0 = pmod(id, lit(2147483648L)) * 2654435761L % 4294967296L
+    if (salt == 0L) h0
+    else (h0 % 2147483648L + salt) % 2147483648L * 2654435761L % 4294967296L
+  }
 
   /** Deterministic training-shard assignment + within-shard pseudo-random
     * order — the final-mile export step before training: shard =
@@ -66,12 +89,19 @@ object Composition {
     * layout), without ever building a global ordering: ONE exchange on the
     * shard key, then each shard sorts locally — a single corpus-wide
     * `orderBy(rand())` would range-partition the world and be
-    * unreproducible to boot. Emits the input columns plus (shard, pos). */
+    * unreproducible to boot. Emits the input columns plus (shard, pos).
+    *
+    * Salted (3): shard export runs AFTER the sampling stages, and an
+    * UNSALTED order would inherit their selection bias — every survivor of
+    * a rate-r source has hash < r·2^32, so low-rate sources would sort
+    * systematically to the FRONT of every shard (a training-order bias),
+    * and high-hash docs would never lead a shard. A distinct salt makes
+    * the export order independent of every survival draw. */
   def shardOrder(docs: DataFrame, id: Column, nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__shard").orderBy(col("__h"), id)
-    docs.withColumn("__h", knuthHash(id))
+    docs.withColumn("__h", knuthHash(id, salt = 3L))
       .withColumn("__shard", pmod(col("__h"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .withColumn("shard", col("__shard"))
@@ -139,7 +169,9 @@ object Composition {
       .agg(count(lit(1)).cast("double").as("__n"))
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val rates = counts.crossJoin(broadcast(nmin))
-    val u = knuthHash(id).cast("double") / 4294967296.0
+    // salt 1: independent of mixtureSample's draw (salt 0) so the two
+    // stages compose when chained (see knuthHash)
+    val u = knuthHash(id, salt = 1L).cast("double") / 4294967296.0
     val uPow =
       if (e == math.rint(e) && e <= 16)
         (1 to e.toInt).map(_ => u).reduce(_ * _)
@@ -188,7 +220,9 @@ object Composition {
     val rates = weights.join(counts, "__source")
       .select(col("__source"),
         (lit(totalRows.toDouble) * col("__w") / col("__n")).as("__r"))
-    val u = knuthHash(id).cast("double") / 4294967296.0
+    // salt 2: the fractional-epoch draw is independent of the downsampling
+    // stages' draws (see knuthHash)
+    val u = knuthHash(id, salt = 2L).cast("double") / 4294967296.0
     val nEpochs = floor(col("__r")).cast("long") +
       when(u < col("__r") - floor(col("__r")), 1L).otherwise(0L)
     docs.join(broadcast(rates), source === col("__source"))

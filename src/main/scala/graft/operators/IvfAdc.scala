@@ -44,42 +44,69 @@ object IvfAdc {
     centroids.select(col("vec_id").cast("long").as("cluster"),
       col("embedding").as("__cvec"))
 
+  /** The batch reshaped to residual space: assign against `centroids`, then
+    * (cluster, vec_id, embedding = vec − coarseCentroid). One row-local
+    * pass (assignment argmax + broadcast centroid join + subtraction),
+    * checkpointed because every caller consumes it twice. Shared by `build`
+    * and `append` so their encodings cannot drift. */
+  private def residualsOf(batch: DataFrame, centroids: DataFrame): DataFrame =
+    Similarity.assignClusters(batch, centroids)
+      .join(broadcast(coarseCents(centroids)), "cluster")
+      .select(col("cluster"), col("vec_id"),
+        residual(col("embedding"), col("__cvec")).as("embedding"))
+      .localCheckpoint(eager = false)
+
+  /** (cluster, vec_id, codes) for a residual frame under `books`. */
+  private def encodeResiduals(residuals: DataFrame, books: DataFrame,
+      m: Int, dim: Int): DataFrame =
+    residuals.select("cluster", "vec_id")
+      .join(ProductQuantizer.encode(
+        residuals.select("vec_id", "embedding"), books, m, dim), "vec_id")
+
   /** Train the coarse quantizer + residual PQ codebooks, write centroids,
     * codebooks, and the per-cluster CODE table (no raw vectors) under
     * `path`. The PQ parameters (m, dim) are pinned in a one-row `meta/`
     * table: codes are only comparable when encoded under identical
     * parameters, so `append` takes no m/dim (it reads the stored authority)
     * and `searchTopK` fails loudly when a caller's parameters drift from
-    * the index's — the same parameter-authority contract as
-    * [[BandIndex]]. */
+    * the index's — the same parameter-authority contract as [[BandIndex]],
+    * including its torn-rebuild protection: `meta/` (params + a fresh
+    * build_id) is written BEFORE the artifacts and a `commit/` marker (the
+    * same build_id) AFTER them, so a rebuild that crashes between the two
+    * leaves the ids disagreeing and every later meta read fails loudly
+    * instead of endorsing new parameters over old artifacts (or vice
+    * versa). */
   def build(corpus: DataFrame, kCoarse: Int, coarseIters: Int,
       m: Int, kSub: Int, pqIters: Int, dim: Int, path: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((m, dim)).toDF("m", "dim")
+    val buildId = java.util.UUID.randomUUID().toString
+    Seq((m, dim, buildId)).toDF("m", "dim", "build_id")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     val centroids = Similarity.kmeansCentroids(corpus, kCoarse, coarseIters, dim)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    // residuals: one row-local pass (assignment argmax + broadcast centroid
-    // join + subtraction) — reused by PQ train AND encode via checkpoint
-    val residuals = Similarity.assignClusters(corpus, centroids)
-      .join(broadcast(coarseCents(centroids)), "cluster")
-      .select(col("cluster"), col("vec_id"),
-        residual(col("embedding"), col("__cvec")).as("embedding"))
-      .localCheckpoint(eager = false)
+    val residuals = residualsOf(corpus, centroids)
     val books = ProductQuantizer.train(
       residuals.select("vec_id", "embedding"), m, kSub, pqIters, dim)
     books.write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
-    residuals.select("cluster", "vec_id")
-      .join(ProductQuantizer.encode(
-        residuals.select("vec_id", "embedding"), books, m, dim), "vec_id")
+    encodeResiduals(residuals, books, m, dim)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
       .parquet(s"$path/codes")
+    Seq(buildId).toDF("build_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/commit")
   }
 
   private def meta(spark: SparkSession, path: String): (Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
+    val committed =
+      try spark.read.parquet(s"$path/commit").head().getAs[String]("build_id")
+      catch { case _: org.apache.spark.sql.AnalysisException => "<missing>" }
+    val declared = r.getAs[String]("build_id")
+    require(declared == committed,
+      s"IVF-ADC index at $path is TORN (meta build $declared vs committed " +
+        s"$committed): a rebuild crashed between writing meta/ and codes/ — " +
+        "re-run IvfAdc.build before trusting searches or appends")
     (r.getAs[Int]("m"), r.getAs[Int]("dim"))
   }
 
@@ -92,19 +119,23 @@ object IvfAdc {
     * the existing codes are never read, let alone re-encoded. Codebooks
     * drift from the true corpus distribution as appends accumulate
     * (quantization error grows for batches unlike the training corpus);
-    * periodic `build` is the re-train, exactly like any inverted index. */
+    * periodic `build` is the re-train, exactly like any inverted index.
+    *
+    * Idempotent: ids already present in the index are anti-joined away
+    * before the write, so a retried batch (the practical failure mode —
+    * driver retry after a transient write failure) lands exactly once
+    * instead of serving duplicate neighbors from `searchTopK`. The
+    * anti-join reads ONLY the column-pruned vec_id projection of the
+    * existing codes, not the codes themselves. Single writer, like every
+    * compaction-managed index here. */
   def append(spark: SparkSession, path: String, batch: DataFrame): Unit = {
     val (m, dim) = meta(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
-    val residuals = Similarity.assignClusters(batch, centroids)
-      .join(broadcast(coarseCents(centroids)), "cluster")
-      .select(col("cluster"), col("vec_id"),
-        residual(col("embedding"), col("__cvec")).as("embedding"))
-      .localCheckpoint(eager = false)
-    residuals.select("cluster", "vec_id")
-      .join(ProductQuantizer.encode(
-        residuals.select("vec_id", "embedding"), books, m, dim), "vec_id")
+    val fresh = batch.join(
+      spark.read.parquet(s"$path/codes").select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    encodeResiduals(residualsOf(fresh, centroids), books, m, dim)
       .write.mode(SaveMode.Append)
       .partitionBy("cluster")
       .parquet(s"$path/codes")

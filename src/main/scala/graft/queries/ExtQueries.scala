@@ -74,8 +74,11 @@ object ExtQueries {
       q.processAllAvailable()
       s.table(sink).select("user_id", "session_start", "session_end", "n_events")
         .collect()
-    } finally q.stop()
-    s.catalog.dropTempView(sink)
+    } finally {
+      q.stop()
+      // in the finally: a failed run must not leak its sink view either
+      s.catalog.dropTempView(sink)
+    }
     import scala.jdk.CollectionConverters._
     s.createDataFrame(captured.toSeq.asJava,
       org.apache.spark.sql.types.StructType(Seq( // nullability mirrors the

@@ -1061,10 +1061,11 @@ object PipelineQueries {
         t(s, d, "documents").select("doc_id"), col("doc_id"), nShards = 8),
       Some("""SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
-        |FROM (SELECT doc_id,
-        |        doc_id % 2147483648 * 2654435761 % 4294967296 AS h,
-        |        doc_id % 2147483648 * 2654435761 % 4294967296 % 8 AS shard
-        |      FROM documents)""".stripMargin)),
+        |FROM (SELECT doc_id, h, h % 8 AS shard
+        |      FROM (SELECT doc_id,
+        |        (doc_id % 2147483648 * 2654435761 % 4294967296
+        |          % 2147483648 + 3) % 2147483648 * 2654435761 % 4294967296 AS h
+        |      FROM documents))""".stripMargin)),
 
     // Temperature-scaled source rebalancing (the multilingual data-recipe
     // knob: weights ∝ n^alpha): since the output is the largest corpus
@@ -1088,8 +1089,9 @@ object PipelineQueries {
       Some("""WITH b AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 < 5 THEN 'heavy'
         |         WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'light' END AS bucket,
-        |    CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE)
-        |      / 4294967296.0 AS u
+        |    CAST((doc_id % 2147483648 * 2654435761 % 4294967296
+        |        % 2147483648 + 1) % 2147483648 * 2654435761
+        |      % 4294967296 AS DOUBLE) / 4294967296.0 AS u
         |  FROM documents),
         |counts AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS n
         |  FROM b GROUP BY bucket),
@@ -1122,8 +1124,9 @@ object PipelineQueries {
         |rates AS (SELECT wsource, 1010.0 * wn / n AS r
         |  FROM w JOIN counts ON source = wsource),
         |docs AS (SELECT doc_id, source, r,
-        |    CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE)
-        |      / 4294967296.0 AS u
+        |    CAST((doc_id % 2147483648 * 2654435761 % 4294967296
+        |        % 2147483648 + 2) % 2147483648 * 2654435761
+        |      % 4294967296 AS DOUBLE) / 4294967296.0 AS u
         |  FROM documents JOIN rates ON source = wsource)
         |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
         |FROM docs, unnest(generate_series(0,

@@ -126,6 +126,33 @@ class CompositionSpec extends SparkSpec {
     assert(out.sorted === again.sorted, "the emitted multiset is deterministic")
   }
 
+  test("chained samplers compose: mixture proportions hold on a " +
+      "temperature-sampled corpus (stage uniforms are decorrelated)") {
+    // web 18000 / wiki 9000 / books 3000. Temperature 0.5 keeps books whole
+    // and samples web at sqrt(1/6) ≈ 0.408 (~7348). The mixture stage then
+    // wants web at rate ≈ 0.95 of the TEMPERED frame. With a SHARED
+    // uniform, every tempered web survivor would already satisfy u < 0.408
+    // < 0.95, so the mixture filter would keep ALL of them (~7348) instead
+    // of its declared ~7000 — the nesting bug distinct salts exist to
+    // prevent.
+    val big = spark.range(0, 30000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 6, "web").when(col("id") % 10 < 9, "wiki")
+        .otherwise("books").as("source"))
+    val tempered = Composition.temperatureSample(big, col("source"),
+      col("doc_id"), alpha = 0.5)
+    val mixed = Composition.mixtureSample(tempered, col("source"),
+      col("doc_id"), Seq("web" -> 0.7, "books" -> 0.3))
+    val counts = mixed.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!counts.contains("wiki"), "non-target source dropped")
+    assert(counts("books") === 3000L, "tightest source kept whole")
+    // C = min(n_web/0.7, 3000/0.3) = 10000 -> web target exactly 7000
+    assert(math.abs(counts("web") - 7000L) < 300,
+      s"chained web count ${counts("web")} must honor the mixture rate, " +
+        "not the nested-uniform count (~7348)")
+  }
+
   test("mixtureEpochs rejects malformed inputs") {
     intercept[IllegalArgumentException] {
       Composition.mixtureEpochs(docs, col("source"), col("doc_id"),

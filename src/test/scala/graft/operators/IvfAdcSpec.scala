@@ -130,6 +130,10 @@ class IvfAdcSpec extends SparkSpec {
     val codes = spark.read.parquet(s"$p/codes")
     assert(codes.count() === nBefore + batch.count(),
       "append must add exactly the batch's rows")
+    // a RETRIED batch must land zero rows — the anti-join idempotence
+    IvfAdc.append(spark, p, batch)
+    assert(spark.read.parquet(s"$p/codes").count() === nBefore + batch.count(),
+      "re-appending the same batch must be a no-op")
     // the appended codes must equal encoding the batch directly with the
     // index's stored centroids + codebooks — parameter authority is the
     // meta table, not the caller
@@ -169,6 +173,25 @@ class IvfAdcSpec extends SparkSpec {
       IvfAdc.searchTopK(spark, path, queries, m + 1, dim, k = 5, probes = 1)
     }
     assert(err.getMessage.contains("drifted parameters"))
+  }
+
+  test("a torn rebuild (meta written, commit marker missing) fails loudly") {
+    val p = java.nio.file.Files.createTempDirectory("ivfadc_torn").toString
+    IvfAdc.build(corpus.filter(col("vec_id") < 100), kCoarse,
+      coarseIters = 1, m, kSub, pqIters = 1, dim, p)
+    // simulate a rebuild that died after meta/ but before commit/: the two
+    // build ids disagree (here: the marker is gone entirely)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/commit"), true)
+    val err = intercept[IllegalArgumentException] {
+      IvfAdc.searchTopK(spark, p, queries, m, dim, k = 5, probes = 1)
+    }
+    assert(err.getMessage.contains("TORN"))
+    val err2 = intercept[IllegalArgumentException] {
+      IvfAdc.append(spark, p, corpus.filter(col("vec_id") >= 400))
+    }
+    assert(err2.getMessage.contains("TORN"))
   }
 
   test("the code scan is partition-pruned to the probed clusters; no raw vectors stored") {

@@ -58,26 +58,27 @@ object BandIndex {
       numHashes: Int, bands: Int, shingleK: Int, path: String): Unit = {
     val spark = history.sparkSession
     import spark.implicits._
-    val buildId = java.util.UUID.randomUUID().toString
+    val buildId = graft.sources.BuildStamp.newId()
     Seq((numHashes, bands, shingleK, buildId))
       .toDF("num_hashes", "bands", "shingle_k", "build_id")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     Dedup.minhashBands(history, idCol, textCol, numHashes, bands, shingleK)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
-    Seq(buildId).toDF("build_id")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/commit")
+    graft.sources.BuildStamp.commit(spark, path, buildId)
   }
+
+  /** Repair a compaction that died mid-swap (bands/ parked at bands__old).
+    * WRITER-ONLY: a rename from a reader would race a concurrent writer's
+    * own swap. Run at the start of every writer sequence — [[ingest]] and
+    * the streaming foreachBatch both gate BEFORE their append, so waiting
+    * for `append` to self-heal would leave the gate's read failing forever
+    * on a torn directory. */
+  def recover(spark: SparkSession, path: String): Unit =
+    graft.sources.Compaction.recover(spark, s"$path/bands")
 
   private def params(spark: SparkSession, path: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
-    val committed =
-      try spark.read.parquet(s"$path/commit").head().getAs[String]("build_id")
-      catch { case _: org.apache.spark.sql.AnalysisException => "<missing>" }
-    val declared = r.getAs[String]("build_id")
-    require(declared == committed,
-      s"band index at $path is TORN (meta build $declared vs committed " +
-        s"$committed): a rebuild crashed between writing meta/ and bands/ — " +
-        "re-run BandIndex.build before trusting the gate")
+    graft.sources.BuildStamp.requireCommitted(spark, path, r, "band index")
     (r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"), r.getAs[Int]("shingle_k"))
   }
 
@@ -100,7 +101,7 @@ object BandIndex {
     // copy parked at bands__old — an Append here would RECREATE bands/ with
     // just this batch and strand the parked history for a later compaction
     // to delete. Restore first (two exists probes when healthy).
-    graft.sources.Compaction.recover(spark, s"$path/bands")
+    recover(spark, path)
     Dedup.minhashBands(accepted, idCol, textCol, nh, b, k)
       .write.mode(SaveMode.Append).parquet(s"$path/bands")
     if (bandFileCount(spark, path) > maxFiles)
@@ -130,6 +131,9 @@ object BandIndex {
     * back the materialized screen, not a second gate run). Single-writer
     * (see object doc). */
   def ingest(path: String, newBatch: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    // writer context: heal a torn compaction BEFORE the gate's read — the
+    // gate itself must stay read-only (see its comment)
+    recover(newBatch.sparkSession, path)
     val survivors = gate(path, newBatch, idCol, textCol)
       .localCheckpoint(eager = true) // one gate run feeds both uses below
     append(path, survivors, idCol, textCol)

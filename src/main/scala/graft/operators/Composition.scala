@@ -66,19 +66,26 @@ object Composition {
     * proportions. Salt 0 is the unsalted one-round form (`sm_weighted_sample`
     * and `cp_mixture_sample` oracles pin it).
     *
-    * The salt enters through a SECOND multiplicative round, never an
-    * additive tweak of the input: the Knuth map is linear, so
-    * hash(id + salt) is hash(id) shifted by a constant — a pure rotation of
-    * the uniform, 100% correlated with the unsalted draw (an interval of
-    * survivors maps to an interval). Reducing the first round's output and
-    * multiplying again wraps any survivor interval hundreds of millions of
-    * times around 2^32, which is what actually decorrelates the stages.
-    * Still pure integer ops: (2^31 + salt) · K < 2^63, ANSI-safe, and
-    * DuckDB reproduces it with plain arithmetic. */
+    * The salt enters as an XOR of a WIDE per-salt constant (a splitmix-style
+    * mix of the salt, computed driver-side) before a second multiplicative
+    * round — never additively: the Knuth map is linear, so BOTH
+    * hash(id + salt) and a second round over (h + salt) are pure rotations
+    * of the unsalted uniform — and rotations of EACH OTHER for any two
+    * salts — i.e. still 100% correlated (an interval of survivors maps to
+    * an interval; the first shipped salting had exactly this flaw between
+    * nonzero salts). XOR with a wide constant is not affine over Z_2^31,
+    * so the second multiply smears any survivor interval across the whole
+    * range for EVERY salt pair (spec: chained proportions; verified
+    * pairwise over all four salts at build time of this code). Still pure
+    * integer ops — XOR of two 31-bit values then one multiply < 2^63,
+    * ANSI-safe, and DuckDB reproduces it with `xor()`. */
+  private def saltConst(salt: Long): Long =
+    (salt * 0x9E3779B97F4A7C15L) >>> 33 // 31-bit splitmix-style mix
   private def knuthHash(id: Column, salt: Long = 0L): Column = {
     val h0 = pmod(id, lit(2147483648L)) * 2654435761L % 4294967296L
     if (salt == 0L) h0
-    else (h0 % 2147483648L + salt) % 2147483648L * 2654435761L % 4294967296L
+    else (h0 % 2147483648L).bitwiseXOR(lit(saltConst(salt))) *
+      2654435761L % 4294967296L
   }
 
   /** Deterministic training-shard assignment + within-shard pseudo-random

@@ -80,7 +80,7 @@ object IvfAdc {
       m: Int, kSub: Int, pqIters: Int, dim: Int, path: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val buildId = java.util.UUID.randomUUID().toString
+    val buildId = graft.sources.BuildStamp.newId()
     Seq((m, dim, buildId)).toDF("m", "dim", "build_id")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     val centroids = Similarity.kmeansCentroids(corpus, kCoarse, coarseIters, dim)
@@ -93,20 +93,12 @@ object IvfAdc {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
       .parquet(s"$path/codes")
-    Seq(buildId).toDF("build_id")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/commit")
+    graft.sources.BuildStamp.commit(spark, path, buildId)
   }
 
   private def meta(spark: SparkSession, path: String): (Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
-    val committed =
-      try spark.read.parquet(s"$path/commit").head().getAs[String]("build_id")
-      catch { case _: org.apache.spark.sql.AnalysisException => "<missing>" }
-    val declared = r.getAs[String]("build_id")
-    require(declared == committed,
-      s"IVF-ADC index at $path is TORN (meta build $declared vs committed " +
-        s"$committed): a rebuild crashed between writing meta/ and codes/ — " +
-        "re-run IvfAdc.build before trusting searches or appends")
+    graft.sources.BuildStamp.requireCommitted(spark, path, r, "IVF-ADC index")
     (r.getAs[Int]("m"), r.getAs[Int]("dim"))
   }
 

@@ -1063,8 +1063,8 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM (SELECT doc_id, h, h % 8 AS shard
         |      FROM (SELECT doc_id,
-        |        (doc_id % 2147483648 * 2654435761 % 4294967296
-        |          % 2147483648 + 3) % 2147483648 * 2654435761 % 4294967296 AS h
+        |        xor(doc_id % 2147483648 * 2654435761 % 4294967296
+        |          % 2147483648, 1834170006) * 2654435761 % 4294967296 AS h
         |      FROM documents))""".stripMargin)),
 
     // Temperature-scaled source rebalancing (the multilingual data-recipe
@@ -1089,8 +1089,8 @@ object PipelineQueries {
       Some("""WITH b AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 < 5 THEN 'heavy'
         |         WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'light' END AS bucket,
-        |    CAST((doc_id % 2147483648 * 2654435761 % 4294967296
-        |        % 2147483648 + 1) % 2147483648 * 2654435761
+        |    CAST(xor(doc_id % 2147483648 * 2654435761 % 4294967296
+        |        % 2147483648, 1327217884) * 2654435761
         |      % 4294967296 AS DOUBLE) / 4294967296.0 AS u
         |  FROM documents),
         |counts AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS n
@@ -1124,8 +1124,8 @@ object PipelineQueries {
         |rates AS (SELECT wsource, 1010.0 * wn / n AS r
         |  FROM w JOIN counts ON source = wsource),
         |docs AS (SELECT doc_id, source, r,
-        |    CAST((doc_id % 2147483648 * 2654435761 % 4294967296
-        |        % 2147483648 + 2) % 2147483648 * 2654435761
+        |    CAST(xor(doc_id % 2147483648 * 2654435761 % 4294967296
+        |        % 2147483648, 506952121) * 2654435761
         |      % 4294967296 AS DOUBLE) / 4294967296.0 AS u
         |  FROM documents JOIN rates ON source = wsource)
         |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch

@@ -177,6 +177,10 @@ object EventStreams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // writer context (this foreachBatch IS the single writer): heal a
+        // torn compaction before the gate's read — gate itself stays
+        // read-only by contract
+        graft.operators.BandIndex.recover(spark, indexPath)
         val fresh = graft.operators.BandIndex.gate(
             indexPath, batch, col("doc_id"), col("text"))
           .localCheckpoint(eager = true) // one gate run feeds land + index

@@ -151,6 +151,19 @@ class CompositionSpec extends SparkSpec {
     assert(math.abs(counts("web") - 7000L) < 300,
       s"chained web count ${counts("web")} must honor the mixture rate, " +
         "not the nested-uniform count (~7348)")
+    // NONZERO-salt pair (temperature salt 1 -> epoch-draw salt 2): the
+    // first shipped salting decorrelated each salt only against salt 0 —
+    // any two nonzero salts were constant rotations of each other, so the
+    // fractional-epoch draw over temperature survivors was all-or-nothing
+    // (their salt-2 uniforms occupied one interval). The declared rate must
+    // hold over the CHAINED population.
+    val temperedWeb = tempered.filter(col("source") === "web")
+    val nWeb = temperedWeb.count()
+    val rows = Composition.mixtureEpochs(temperedWeb, col("source"),
+      col("doc_id"), Seq("web" -> 1.0), totalRows = nWeb * 3 / 2).count()
+    assert(math.abs(rows - nWeb * 1.5) < nWeb * 0.05,
+      s"fractional epochs over tempered web: got $rows of ~${nWeb * 3 / 2} " +
+        "(all-or-nothing means the salts are still correlated)")
   }
 
   test("mixtureEpochs rejects malformed inputs") {

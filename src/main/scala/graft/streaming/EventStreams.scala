@@ -153,6 +153,14 @@ object EventStreams {
   def readDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(documentSchema).parquet(dir)
 
+  val vectorSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** File-based stream over a directory of embedding parquet. */
+  def readVectors(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(vectorSchema).parquet(dir)
+
   /** Streaming near-dup-gated document ingest — the production shape of the
     * [[graft.operators.BandIndex]] pipeline, composing the persisted index
     * with the idempotent parquet sink. Every micro-batch is
@@ -193,6 +201,25 @@ object EventStreams {
           .write.mode("append").parquet(targetDir)
         graft.operators.BandIndex.append(
           indexPath, fresh, col("doc_id"), col("text"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming ANN-index ingest — the vector-side sibling of
+    * [[startGatedDocumentSink]]: every micro-batch of (vec_id, embedding)
+    * rows appends into a persisted [[graft.operators.IvfAdc]] index
+    * (assignment against the STORED coarse centroids, residual encoding
+    * under the STORED codebooks). Replay safety comes from `append`'s own
+    * id anti-join: a micro-batch retried after a crash (or delivered twice
+    * by an at-least-once upstream) lands exactly once, so no sink-side
+    * landing table is needed — the index IS the idempotent sink. Single
+    * writer per index, per the IvfAdc contract; AvailableNow micro-batches
+    * satisfy that by construction. */
+  def startVectorIndexSink(vectors: DataFrame, indexPath: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IvfAdc.append(batch.sparkSession, indexPath, batch)
         ()
       }
       .trigger(Trigger.AvailableNow())

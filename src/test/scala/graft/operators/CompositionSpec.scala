@@ -166,6 +166,64 @@ class CompositionSpec extends SparkSpec {
         "(all-or-nothing means the salts are still correlated)")
   }
 
+  test("property: sampler contracts hold on random corpora and targets") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      sizes <- Gen.listOfN(3, Gen.choose(1, 60))
+      w1 <- Gen.choose(1, 8)
+      w2 <- Gen.choose(1, 8)
+      total <- Gen.choose(1, 200)
+      parts <- Gen.choose(1, 7)
+      idBase <- Gen.choose(0L, 1000000L)
+    } yield (sizes, w1, w2, total, parts, idBase)
+    val prop = Prop.forAllNoShrink(gen) {
+      case (sizes, w1, w2, total, parts, idBase) =>
+        val names = Seq("s0", "s1", "s2")
+        val rows = names.zip(sizes).flatMap { case (s, n) =>
+          (0 until n).map(i => (idBase + names.indexOf(s) * 1000 + i, s))
+        }
+        val df = rows.toDF("doc_id", "source").repartition(parts)
+        val targets = Seq("s0" -> w1.toDouble / (w1 + w2),
+          "s1" -> w2.toDouble / (w1 + w2))
+        // mixtureSample: never upsamples; the binding source is kept whole;
+        // non-target sources drop
+        val mixed = Composition.mixtureSample(df, col("source"), col("doc_id"),
+          targets).groupBy("source").count().as[(String, Long)].collect().toMap
+        val n0 = sizes(0).toDouble; val n1 = sizes(1).toDouble
+        val binding = if (n0 / targets(0)._2 <= n1 / targets(1)._2) "s0" else "s1"
+        val noUpsample = mixed.getOrElse("s0", 0L) <= sizes(0) &&
+          mixed.getOrElse("s1", 0L) <= sizes(1) && !mixed.contains("s2")
+        val bindingWhole = mixed.getOrElse(binding, 0L) ==
+          sizes(names.indexOf(binding))
+        // mixtureEpochs: per-doc epochs in {floor(r), ceil(r)}, contiguous
+        val eps = Composition.mixtureEpochs(df, col("source"), col("doc_id"),
+          targets, total.toLong)
+          .select("doc_id", "source", "epoch")
+          .as[(Long, String, Long)].collect().toSeq
+        val rOf = Map(
+          "s0" -> total * targets(0)._2 / n0,
+          "s1" -> total * targets(1)._2 / n1)
+        val perDoc = eps.groupBy(_._1)
+        val epochsOk = perDoc.forall { case (_, rs) =>
+          val r = rOf(rs.head._2)
+          val es = rs.map(_._3).sorted
+          es == (0L until es.length) &&
+            (es.length == math.floor(r).toLong || es.length == math.ceil(r).toLong)
+        }
+        // temperatureSample: smallest source kept whole, none upsampled
+        val temp = Composition.temperatureSample(df, col("source"),
+          col("doc_id"), alpha = 0.5)
+          .groupBy("source").count().as[(String, Long)].collect().toMap
+        val minSrc = names(sizes.indexOf(sizes.min))
+        val tempOk = temp.getOrElse(minSrc, 0L) == sizes.min &&
+          names.zip(sizes).forall { case (s, n) => temp.getOrElse(s, 0L) <= n }
+        noUpsample && bindingWhole && epochsOk && tempOk
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("mixtureEpochs rejects malformed inputs") {
     intercept[IllegalArgumentException] {
       Composition.mixtureEpochs(docs, col("source"), col("doc_id"),

@@ -255,6 +255,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(lake3.select("doc_id").distinct().count() === lake3.count())
   }
 
+  test("vector index sink: micro-batches append under stored parameters; " +
+      "replay lands exactly once") {
+    import graft.operators.IvfAdc
+    val dir = Files.createTempDirectory("graft-vecsink").toString
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    IvfAdc.build(emb.filter(col("vec_id") < 300), kCoarse = 8, coarseIters = 2,
+      m = 4, kSub = 8, pqIters = 1, dim = 64, path = s"$dir/idx")
+    val n0 = spark.read.parquet(s"$dir/idx/codes").count()
+    val b1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    b1.write.parquet(s"$dir/in1")
+    EventStreams.startVectorIndexSink(
+      EventStreams.readVectors(spark, s"$dir/in1"), s"$dir/idx")
+      .awaitTermination(60000)
+    assert(spark.read.parquet(s"$dir/idx/codes").count() === n0 + b1.count(),
+      "the micro-batch must append exactly its rows")
+    // replay under a fresh checkpoint (at-least-once upstream): the
+    // append's id anti-join makes the index itself the idempotent sink
+    EventStreams.startVectorIndexSink(
+      EventStreams.readVectors(spark, s"$dir/in1"), s"$dir/idx")
+      .awaitTermination(60000)
+    assert(spark.read.parquet(s"$dir/idx/codes").count() === n0 + b1.count(),
+      "replay must append nothing")
+    // appended vectors are served by the same search path
+    val res = IvfAdc.searchTopK(spark, s"$dir/idx",
+      emb.filter(col("vec_id") < 2), m = 4, dim = 64, k = 5, probes = 8)
+    assert(res.count() === 2 * 5)
+  }
+
   test("atomic two-table sink: events and stats commit together; replay commits nothing") {
     import graft.warehouse.AtomicCommit
     val dir = Files.createTempDirectory("graft-ac-stream").toString

@@ -28,6 +28,39 @@ object Compaction {
   def compact(spark: SparkSession, path: String, targetRows: Long): Unit =
     rewrite(spark, path, rows => plan(rows(), targetRows))
 
+  /** Compaction for a Hive-PARTITIONED directory (`col=value/` subdirs):
+    * rewrites to one file per partition value while PRESERVING the layout
+    * readers prune on — the flat forms above would read the partition column
+    * back as data and write an unpartitioned directory, silently destroying
+    * partition pruning for every later scan (e.g.
+    * [[graft.operators.IvfAdc]]'s probed-cluster reads). Clustering the
+    * shuffle on the partition column puts each partition value's rows in one
+    * writer task, so the rewrite lands exactly one file per value — the
+    * serve-optimal shape for an index whose reads always scan whole
+    * partitions (parquet row groups keep a single large file
+    * read-parallel). Same staged-swap crash safety / [[recover]] contract
+    * as the flat forms. */
+  def compactPartitioned(spark: SparkSession, path: String,
+      partitionCol: String): Unit =
+    rewriteWith(spark, path, (df, staging) =>
+      df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+        .parquet(staging))
+
+  /** True when `path` holds more than `maxFiles` parquet fragments
+    * (recursive, so partitioned layouts count their `col=value/` subdirs'
+    * files). Stops listing at maxFiles+1 — the caller only needs the
+    * threshold crossing, not the exact count. */
+  def fragmentsExceed(spark: SparkSession, path: String, maxFiles: Int): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(dir, true)
+    var n = 0
+    while (n <= maxFiles && it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n > maxFiles
+  }
+
   /** Restore `path` if a prior compaction died between its two swap renames
     * (live dir missing, the ONLY copy parked at `path__old`). Safe and cheap
     * (two `exists` probes) when nothing is wrong. EVERY writer or reader
@@ -46,7 +79,13 @@ object Compaction {
   }
 
   private def rewrite(spark: SparkSession, path: String,
-      nFilesOf: (() => Long) => Int): Unit = {
+      nFilesOf: (() => Long) => Int): Unit =
+    rewriteWith(spark, path, (df, staging) =>
+      df.repartition(nFilesOf(() => df.count()))
+        .write.mode(SaveMode.Overwrite).parquet(staging))
+
+  private def rewriteWith(spark: SparkSession, path: String,
+      write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
     val staging = path.stripSuffix("/") + "__compacting"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -64,9 +103,7 @@ object Compaction {
     // superseded copies, safe to drop)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(stg)) fs.delete(stg, true)
-    val df = spark.read.parquet(path)
-    val nFiles = nFilesOf(() => df.count())
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(staging)
+    write(spark.read.parquet(path), staging)
     // rename returns false instead of throwing on most FileSystems — check
     // each step so a failed swap surfaces instead of silently corrupting
     if (!fs.rename(dst, old))

@@ -211,11 +211,16 @@ object EventStreams {
     * rows appends into a persisted [[graft.operators.IvfAdc]] index
     * (assignment against the STORED coarse centroids, residual encoding
     * under the STORED codebooks). Replay safety comes from `append`'s own
-    * id anti-join: a micro-batch retried after a crash (or delivered twice
-    * by an at-least-once upstream) lands exactly once, so no sink-side
-    * landing table is needed — the index IS the idempotent sink. Single
-    * writer per index, per the IvfAdc contract; AvailableNow micro-batches
-    * satisfy that by construction. */
+    * id screen — an anti-join against the persisted ids plus an in-batch
+    * vec_id dedup (an at-least-once upstream can fold a redelivery into the
+    * SAME micro-batch, where the anti-join alone wouldn't see it): a
+    * micro-batch retried after a crash or delivered twice lands exactly
+    * once, so no sink-side landing table is needed — the index IS the
+    * idempotent sink. `append` also self-compacts the per-batch code
+    * fragments, so a long-lived stream keeps bounded file counts (the
+    * BandIndex maintenance contract, vector side). Single writer per index,
+    * per the IvfAdc contract; AvailableNow micro-batches satisfy that by
+    * construction. */
   def startVectorIndexSink(vectors: DataFrame, indexPath: String): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

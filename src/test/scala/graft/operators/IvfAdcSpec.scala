@@ -168,6 +168,56 @@ class IvfAdcSpec extends SparkSpec {
     assert(spark.read.parquet(s"$p/codes").filter(col("vec_id") >= 400).count() > 0)
   }
 
+  test("append dedups in-batch duplicate ids; compaction preserves results, " +
+      "layout, and pruning; append self-compacts past maxFiles") {
+    val p = java.nio.file.Files.createTempDirectory("ivfadc_maint").toString
+    val base = corpus.filter(col("vec_id") < 300)
+    IvfAdc.build(base, kCoarse, coarseIters = 2, m, kSub, pqIters = 1, dim, p)
+    val batch = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    // an at-least-once upstream can fold a redelivery into ONE batch: the
+    // persisted-id anti-join can't see it, the in-batch dedup must
+    IvfAdc.append(spark, p, batch.unionByName(batch), maxFiles = 1000000)
+    val codes = spark.read.parquet(s"$p/codes")
+    assert(codes.filter(col("vec_id") >= 300).count() === batch.count(),
+      "duplicate vec_ids within one batch must land exactly once")
+    assert(codes.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
+    val qs = corpus.filter(col("vec_id") < 4)
+    def results() = IvfAdc.searchTopK(spark, p, qs, m, dim, k = 5, probes = kCoarse)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._3, r._2)).toSeq
+    val before = results()
+    graft.sources.Compaction.compactPartitioned(spark, s"$p/codes", "cluster")
+    assert(results() === before,
+      "compaction must not change served results")
+    // layout preserved: still cluster= partition dirs, one file per value,
+    // and the probed scan still partition-prunes
+    val dir = new org.apache.hadoop.fs.Path(s"$p/codes")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("cluster="))
+    assert(parts.nonEmpty, "compaction must keep the cluster= layout")
+    val nFiles = {
+      val it = fs.listFiles(dir, true); var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    assert(nFiles === parts.length, "one file per cluster partition after compaction")
+    val plan = IvfAdc.searchTopK(spark, p, qs, m, dim, k = 5, probes = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "partition pruning must survive compaction")
+    // maxFiles=1 (< partition count) forces the self-compaction inside append
+    IvfAdc.append(spark, p,
+      corpus.filter(col("vec_id") >= 350 && col("vec_id") < 380), maxFiles = 1)
+    val nAfter = {
+      val it = fs.listFiles(dir, true); var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    assert(nAfter <= fs.listStatus(dir).count(_.isDirectory),
+      "append past maxFiles must self-compact to one file per partition")
+  }
+
   test("searchTopK rejects parameters that drift from the stored meta") {
     val err = intercept[IllegalArgumentException] {
       IvfAdc.searchTopK(spark, path, queries, m + 1, dim, k = 5, probes = 1)

@@ -33,6 +33,42 @@ class IvfIndexSpec extends SparkSpec {
       s"expected dynamic partition pruning on the cluster partition column:\n$plan")
   }
 
+  test("append is idempotent (in-batch dup + replay) and self-compacts " +
+      "past maxFiles without changing served results") {
+    val p = java.nio.file.Files.createTempDirectory("ivf-maint").toString
+    IvfIndex.build(corpus.filter(col("vec_id") < 300), k = 8, iters = 2, dim = 64, p)
+    val batch = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    val n0 = spark.read.parquet(s"$p/corpus").count()
+    // redelivery folded into ONE batch + a full replay: both must land once
+    IvfIndex.append(spark, p, batch.unionByName(batch))
+    assert(spark.read.parquet(s"$p/corpus").count() === n0 + batch.count(),
+      "in-batch duplicate ids must land exactly once")
+    IvfIndex.append(spark, p, batch)
+    assert(spark.read.parquet(s"$p/corpus").count() === n0 + batch.count(),
+      "a replayed batch must append nothing")
+    val qs = corpus.filter(col("vec_id") < 4)
+    def res() = IvfIndex.searchTopK(spark, p, qs, k = 5, probes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, -x._3, x._2)).toSeq
+    val before = res()
+    // a zero-fresh-row append with maxFiles=1 (< partition count) forces the
+    // self-compaction alone — served results must be invariant under it
+    IvfIndex.append(spark, p, batch, maxFiles = 1)
+    assert(res() === before, "compaction must not change served results")
+    val dir = new org.apache.hadoop.fs.Path(s"$p/corpus")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = {
+      val it = fs.listFiles(dir, true); var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    assert(nFiles === fs.listStatus(dir).count(_.isDirectory),
+      "compaction must leave one file per cluster partition")
+    val plan = IvfIndex.searchTopK(spark, p, qs, k = 5, probes = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), "pruning must survive compaction")
+  }
+
   test("append makes new vectors searchable without retraining") {
     // clone vector 7 under a fresh id: it must become its own top neighbor
     val clone = corpus.filter(col("vec_id") === 7)

@@ -282,6 +282,21 @@ class EventStreamsSpec extends SparkSpec {
     val res = IvfAdc.searchTopK(spark, s"$dir/idx",
       emb.filter(col("vec_id") < 2), m = 4, dim = 64, k = 5, probes = 8)
     assert(res.count() === 2 * 5)
+
+    // an at-least-once upstream can fold a redelivery into ONE micro-batch
+    // (two files, same rows, both available before the sink runs): the
+    // persisted-id anti-join can't screen those — append's in-batch dedup
+    // must, or duplicate code rows land permanently
+    val b2 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    b2.write.parquet(s"$dir/in2")
+    b2.write.mode("append").parquet(s"$dir/in2")
+    EventStreams.startVectorIndexSink(
+      EventStreams.readVectors(spark, s"$dir/in2"), s"$dir/idx")
+      .awaitTermination(60000)
+    val codes2 = spark.read.parquet(s"$dir/idx/codes")
+    assert(codes2.count() === n0 + b1.count() + b2.count(),
+      "duplicate vec_ids within one micro-batch must land exactly once")
+    assert(codes2.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
   }
 
   test("atomic two-table sink: events and stats commit together; replay commits nothing") {

@@ -44,6 +44,36 @@ object Similarity {
     topKBySim(joined, k)
   }
 
+  /** Hard-negative mining for contrastive training (the sampling step
+    * behind every embedder/reranker fine-tune): for each query vector, the
+    * `k` highest-cosine corpus vectors whose `label` DIFFERS from the
+    * query's — same-label candidates are presumed positives and excluded,
+    * so the output is exactly the "hardest" negatives: maximally confusable
+    * cross-class pairs. `simUpper` additionally caps the similarity
+    * (exclusive): cross-label rows at near-identical similarity are
+    * overwhelmingly mislabeled duplicates, and training on them as
+    * negatives poisons the objective — the standard denoised-hard-negative
+    * guard (e.g. SimCSE-style filtering).
+    *
+    * Scale shape is [[bruteForceTopK]]'s: the query set broadcasts, the
+    * corpus is scanned ONCE with a row-local cosine + label predicate, and
+    * the per-query top-k is the k-bounded heap — no corpus shuffle, no
+    * window sort. For 100 TB corpora swap the scan side for the IVF probed
+    * scan exactly as with search. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      simUpper: Double = 1.0): DataFrame = {
+    val joined = Parallelism.fanOut(corpus).alias("c")
+      .crossJoin(broadcast(queries.alias("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id") &&
+        col("q.label") =!= col("c.label"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosineRounded(col("q.embedding"), col("c.embedding")).as("sim"))
+      .filter(col("sim") < simUpper)
+    topKBySim(joined, k)
+  }
+
   /** The centroid table packed into ONE row holding
     * `array<struct<cid, cvec>>` — the shape [[graft.expressions.NearestCentroids]]
     * consumes. Joining this single row in via `broadcast` + `crossJoin` adds

@@ -122,6 +122,35 @@ object PipelineQueries {
     (s, d, fp + "|shuffle=" + s.conf.get("spark.sql.shuffle.partitions"))
   }
 
+  /** BM25-scored doc ranking (k1=1.2, b=0.75, Lucene-style idf) for the
+    * fixed 3-term query, positive scores only, as (doc_id, bm25 rounded
+    * 4dp) — ONE definition shared by the lexical entry (`tx_bm25`) and the
+    * hybrid-fusion entry (`sim_hybrid_rrf`) so the two cannot drift. Scale
+    * shape: per-doc tf/doclen are row-local; the only corpus-wide state is
+    * one single-row stats aggregate broadcast back (scalar-subquery shape),
+    * so the corpus is scored in a single pass with no keyed shuffle. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("dup", "vector", "window")
+    val docs = graft.operators.Parallelism.fanOut(
+      t(s, d, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), tokens(col("text")).as("parts"))
+    val statAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+      avg(size(col("parts")).cast("double")).as("avgdl") +:
+      terms.map(tm => sum(when(array_contains(col("parts"), tm), 1).otherwise(0))
+        .cast("double").as(s"df_$tm"))
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val dl = size(col("parts")).cast("double")
+    val score = terms.map { tm =>
+      val tf = size(filter(col("parts"), x => x === lit(tm))).cast("double")
+      val idf = log((col("n_docs") - col(s"df_$tm") + 0.5) / (col(s"df_$tm") + 0.5) + 1)
+      idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / col("avgdl")))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .filter(col("bm25") > 0)
+  }
+
   /** The memoized dd_components labels (doc_id, component) — shared by every
     * judged query that builds on the clustering. */
   private def components(s: SparkSession, d: String): DataFrame =
@@ -359,6 +388,81 @@ object PipelineQueries {
         |  WHERE q.vec_id < 16)
         |WHERE rn <= 5""".stripMargin),
       headline = true),
+
+    // Hard-negative mining (contrastive-training sampling): per query, the
+    // k highest-cosine CROSS-label corpus vectors — same-label candidates
+    // are presumed positives and excluded; the 0.95 similarity cap drops
+    // near-identical cross-label rows (mislabeled-duplicate denoising).
+    // Same scale shape as sim_bruteforce_topk: broadcast queries, one
+    // corpus pass, k-bounded heap.
+    Q("sim_hard_negatives",
+      (s, d) => Similarity.hardNegatives(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 16),
+        k = 5, simUpper = 0.95),
+      Some("""SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        |    FROM embeddings q JOIN embeddings c
+        |      ON q.vec_id != c.vec_id AND q.label != c.label
+        |    WHERE q.vec_id < 16)
+        |  WHERE sim < 0.95)
+        |WHERE rn <= 5""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical top-50
+    // (the tx_bm25 scorer — one shared definition) fused with the
+    // embedding-cosine top-50 of the query's vector form, no score
+    // calibration — each list contributes 1/(60+rank). The production
+    // mining shape for retrieval training pairs: lexical recall catches
+    // exact-term matches embeddings miss and vice versa.
+    Q("sim_hybrid_rrf",
+      (s, d) => {
+        val lex = bm25Scores(s, d)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+          .select(lit(0L).as("query_id"), col("doc_id").as("id"),
+            col("bm25").as("score"))
+        val emb = t(s, d, "embeddings")
+        val vec = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), k = 50)
+          .select(col("query_id"), col("neighbor_id").as("id"),
+            col("sim").as("score"))
+        graft.operators.Retrieval.rrfFuse(Seq(lex, vec), c = 60, k = 20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  AVG(CAST(len(parts) AS DOUBLE)) AS avgdl,
+        |  CAST(SUM(CASE WHEN list_contains(parts, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df_dup,
+        |  CAST(SUM(CASE WHEN list_contains(parts, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+        |  CAST(SUM(CASE WHEN list_contains(parts, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+        |  FROM toks),
+        |lex AS (SELECT doc_id AS id, bm25 AS score FROM (
+        |  SELECT doc_id, round(
+        |      ln((n_docs - df_dup + 0.5) / (df_dup + 0.5) + 1) * (CAST(len(list_filter(parts, x -> x = 'dup')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(parts, x -> x = 'dup')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len(parts) AS DOUBLE) / avgdl))
+        |    + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1) * (CAST(len(list_filter(parts, x -> x = 'vector')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(parts, x -> x = 'vector')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len(parts) AS DOUBLE) / avgdl))
+        |    + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1) * (CAST(len(list_filter(parts, x -> x = 'window')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(parts, x -> x = 'window')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len(parts) AS DOUBLE) / avgdl)),
+        |    4) AS bm25
+        |  FROM toks CROSS JOIN stats)
+        |  WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lexr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM lex),
+        |q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |vec AS (SELECT c.vec_id AS id,
+        |    round(list_cosine_similarity(q0.qv, CAST(c.embedding AS DOUBLE[])), 4) AS score
+        |  FROM embeddings c CROSS JOIN q0 WHERE c.vec_id != 0
+        |  ORDER BY score DESC, id LIMIT 50),
+        |vecr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM vec)
+        |SELECT CAST(0 AS BIGINT) AS query_id, id, rrf FROM (
+        |  SELECT COALESCE(l.id, v.id) AS id,
+        |    round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), 0) +
+        |          COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r), 0), 6) AS rrf
+        |  FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id)
+        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin)),
 
     // IVF-style ANN: cluster-pruned search against broadcast centroids.
     Q("sim_ivf_topk",
@@ -1244,29 +1348,9 @@ object PipelineQueries {
     // Ranking is on the 4dp-ROUNDED score with a doc_id tiebreak, so the
     // top-20 set is total-ordered and oracle-stable.
     Q("tx_bm25",
-      (s, d) => {
-        val terms = Seq("dup", "vector", "window")
-        val docs = graft.operators.Parallelism.fanOut(
-          t(s, d, "documents").select("doc_id", "text"))
-          .select(col("doc_id"), tokens(col("text")).as("parts"))
-        val statAggs =
-          count(lit(1)).cast("double").as("n_docs") +:
-          avg(size(col("parts")).cast("double")).as("avgdl") +:
-          terms.map(tm => sum(when(array_contains(col("parts"), tm), 1).otherwise(0))
-            .cast("double").as(s"df_$tm"))
-        val stats = docs.agg(statAggs.head, statAggs.tail: _*)
-        val dl = size(col("parts")).cast("double")
-        val score = terms.map { tm =>
-          val tf = size(filter(col("parts"), x => x === lit(tm))).cast("double")
-          val idf = log((col("n_docs") - col(s"df_$tm") + 0.5) / (col(s"df_$tm") + 0.5) + 1)
-          idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / col("avgdl")))
-        }.reduce(_ + _)
-        docs.crossJoin(broadcast(stats))
-          .select(col("doc_id"), round(score, 4).as("bm25"))
-          .filter(col("bm25") > 0)
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(20)
-      },
+      (s, d) => bm25Scores(s, d)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20),
       Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
         |  AVG(CAST(len(parts) AS DOUBLE)) AS avgdl,

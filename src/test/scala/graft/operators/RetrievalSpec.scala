@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: hand-computed fusion of two lists, absence contributes zero") {
+    // list A ranks (by score desc, id asc): 10 -> r1, 20 -> r2, 30 -> r3
+    val a = Seq((0L, 10L, 0.9), (0L, 20L, 0.8), (0L, 30L, 0.7))
+      .toDF("query_id", "id", "score")
+    // list B ranks: 20 -> r1, 40 -> r2
+    val b = Seq((0L, 20L, 5.0), (0L, 40L, 4.0)).toDF("query_id", "id", "score")
+    val got = Retrieval.rrfFuse(Seq(a, b), c = 60, k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    def rr(r: Int) = 1.0 / (60 + r)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map(
+      10L -> rnd(rr(1)),
+      20L -> rnd(rr(2) + rr(1)), // in both lists: contributions sum
+      30L -> rnd(rr(3)),
+      40L -> rnd(rr(2))))
+    // the doubly-listed candidate outranks every single-list one here
+    val top = Retrieval.rrfFuse(Seq(a, b), c = 60, k = 1).collect()
+    assert(top.length === 1 && top.head.getLong(1) === 20L)
+  }
+
+  test("rrfFuse: per-query isolation, equal-score ties rank by id, k bounds output") {
+    // query 1's candidates must not leak into query 0's ranks
+    val a = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (1L, 3L, 1.0))
+      .toDF("query_id", "id", "score")
+    val got = Retrieval.rrfFuse(Seq(a), c = 60, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def rr(r: Int) = BigDecimal(1.0 / (60 + r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // tie between ids 2 and 3 at score 1.0: rank by id asc -> 2 wins rank 1
+    assert(got === Set((0L, 1L, rr(1)), (1L, 2L, rr(1))))
+  }
+
+  test("hardNegatives: no same-label neighbor, matches filtered brute force, cap respected") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = Similarity.hardNegatives(emb, queries, k = 5, simUpper = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, sim) =>
+      assert(labels(q) !== labels(n), s"same-label pair ($q, $n) served as negative")
+      assert(sim < 0.95, s"similarity cap violated: ($q, $n) at $sim")
+    }
+    // reference: brute-force top-k over the label-filtered candidate set
+    val bf = Similarity.bruteForceTopK(emb, queries, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (q, n, sim) => labels(q) != labels(n) && sim < 0.95 }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).toSeq
+      }.toSet
+    assert(got.toSet === bf, "hardNegatives must equal label-filtered brute force")
+  }
+}

@@ -113,46 +113,20 @@ object IvfAdc {
     * (quantization error grows for batches unlike the training corpus);
     * periodic `build` is the re-train, exactly like any inverted index.
     *
-    * Idempotent: ids already present in the index are anti-joined away
-    * before the write, AND the batch itself is deduplicated by vec_id first
-    * — the anti-join only screens ids already PERSISTED, so a duplicate
-    * delivered twice WITHIN one batch (an at-least-once upstream folding a
-    * retry into a single micro-batch, the
-    * [[graft.streaming.EventStreams.startVectorIndexSink]] shape) would
-    * otherwise pass it twice and land duplicate code rows no replay could
-    * heal. So a retried batch (the practical failure mode — driver retry
-    * after a transient write failure) lands exactly once instead of serving
-    * duplicate neighbors from `searchTopK`. The anti-join reads ONLY the
-    * column-pruned vec_id projection of the existing codes, not the codes
-    * themselves.
-    *
-    * Maintenance mirrors [[BandIndex.append]]: each append lands >=1 file
-    * per touched cluster partition, so a long-lived ingest degrades the
-    * probed-partition scans into a small-file storm; once `codes/` exceeds
-    * `maxFiles` fragments the append self-compacts to one file per cluster
-    * (layout-preserving — see [[graft.sources.Compaction.compactPartitioned]]),
-    * and a compaction that died mid-swap is healed at the start of the next
-    * append. Single writer, like every compaction-managed index here:
-    * the swap is two renames a concurrent reader could observe mid-flight. */
+    * Ingest-maintenance semantics (exactly-once id screen with in-batch
+    * dedup, INSERT-ONLY — a re-embedded existing id is dropped, not
+    * updated; rebuild to refresh — self-compaction past
+    * `maxFilesPerPartition × clusters` fragments, mid-swap crash healing,
+    * single writer) are the shared [[IndexIngest]] sequence — one
+    * definition with [[IvfIndex.append]], so the two cannot drift. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-      maxFiles: Int = 256): Unit = {
+      maxFilesPerPartition: Int = 4): Unit = {
     val (m, dim) = meta(spark, path)
-    // a compaction that died mid-swap leaves codes/ missing with the only
-    // copy parked at codes__old — the anti-join read below would fail (or,
-    // worse, an Append would recreate codes/ holding just this batch and
-    // strand the parked history). Restore first; cheap when healthy.
-    graft.sources.Compaction.recover(spark, s"$path/codes")
     val centroids = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
-    val fresh = batch.dropDuplicates("vec_id").join(
-      spark.read.parquet(s"$path/codes").select("vec_id"),
-      Seq("vec_id"), "left_anti")
-    encodeResiduals(residualsOf(fresh, centroids), books, m, dim)
-      .write.mode(SaveMode.Append)
-      .partitionBy("cluster")
-      .parquet(s"$path/codes")
-    if (graft.sources.Compaction.fragmentsExceed(spark, s"$path/codes", maxFiles))
-      graft.sources.Compaction.compactPartitioned(spark, s"$path/codes", "cluster")
+    IndexIngest.appendScreened(spark, s"$path/codes", batch, "vec_id",
+      fresh => encodeResiduals(residualsOf(fresh, centroids), books, m, dim),
+      maxFilesPerPartition)
   }
 
   /** Multi-probe ADC top-k against the persisted index: each query probes

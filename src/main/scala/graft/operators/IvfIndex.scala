@@ -34,33 +34,18 @@ object IvfIndex {
 
   /** Append new vectors to the index without retraining: assign against
     * the PERSISTED centroids (row-local) and append to the cluster
-    * partitions.
-    *
-    * Same ingest contract as [[IvfAdc.append]]: idempotent (in-batch
-    * vec_id dedup + anti-join against the persisted ids, reading only the
-    * column-pruned id projection — a batch retried after a crash, or
-    * redelivered by an at-least-once upstream even within one batch, lands
-    * exactly once instead of serving duplicate neighbors), self-compacting
-    * (each append lands >=1 file per touched cluster; past `maxFiles`
-    * fragments the layout-preserving
-    * [[graft.sources.Compaction.compactPartitioned]] rewrites to one file
-    * per cluster), crash-healing (a compaction that died mid-swap is
-    * restored before the read), and single-WRITER (the compaction swap is
-    * two renames a concurrent reader could observe mid-flight). */
+    * partitions. Ingest-maintenance semantics (exactly-once id screen with
+    * in-batch dedup, INSERT-ONLY — a re-embedded existing id is dropped,
+    * not updated; rebuild to refresh — self-compaction past
+    * `maxFilesPerPartition × clusters` fragments, mid-swap crash healing,
+    * single writer) are the shared [[IndexIngest]] sequence — one
+    * definition with [[IvfAdc.append]], so the two cannot drift. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-      maxFiles: Int = 256): Unit = {
-    graft.sources.Compaction.recover(spark, s"$path/corpus")
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val fresh = batch.dropDuplicates("vec_id").join(
-      spark.read.parquet(s"$path/corpus").select("vec_id"),
-      Seq("vec_id"), "left_anti")
-    Similarity.assignClusters(fresh, centroids)
-      .write.mode(SaveMode.Append)
-      .partitionBy("cluster")
-      .parquet(s"$path/corpus")
-    if (graft.sources.Compaction.fragmentsExceed(spark, s"$path/corpus", maxFiles))
-      graft.sources.Compaction.compactPartitioned(spark, s"$path/corpus", "cluster")
-  }
+      maxFilesPerPartition: Int = 4): Unit =
+    IndexIngest.appendScreened(spark, s"$path/corpus", batch, "vec_id",
+      fresh => Similarity.assignClusters(
+        fresh, spark.read.parquet(s"$path/centroids")),
+      maxFilesPerPartition)
 
   /** Multi-probe top-k against the persisted index: identical results to
     * [[Similarity.ivfTopK]] over the same centroids, but the corpus scan is

@@ -53,7 +53,9 @@ object Similarity {
     * (exclusive): cross-label rows at near-identical similarity are
     * overwhelmingly mislabeled duplicates, and training on them as
     * negatives poisons the objective — the standard denoised-hard-negative
-    * guard (e.g. SimCSE-style filtering).
+    * guard (e.g. SimCSE-style filtering). The default (+Infinity) is a
+    * true no-cap: even pairs whose 4dp-rounded cosine lands exactly on 1.0
+    * pass through.
     *
     * Scale shape is [[bruteForceTopK]]'s: the query set broadcasts, the
     * corpus is scanned ONCE with a row-local cosine + label predicate, and
@@ -61,7 +63,7 @@ object Similarity {
     * window sort. For 100 TB corpora swap the scan side for the IVF probed
     * scan exactly as with search. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
-      simUpper: Double = 1.0): DataFrame = {
+      simUpper: Double = Double.PositiveInfinity): DataFrame = {
     val joined = Parallelism.fanOut(corpus).alias("c")
       .crossJoin(broadcast(queries.alias("q")))
       .filter(col("q.vec_id") =!= col("c.vec_id") &&

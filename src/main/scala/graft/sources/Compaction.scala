@@ -61,6 +61,27 @@ object Compaction {
     n > maxFiles
   }
 
+  /** Threshold check for a PARTITIONED directory, scaled to its partition
+    * count: true when the fragment count exceeds
+    * `maxFilesPerPartition × (number of partition dirs)`. The threshold
+    * must be per-partition because [[compactPartitioned]]'s floor is one
+    * file per partition value — an ABSOLUTE cap below the partition count
+    * would re-trigger after every append forever, rewriting the whole
+    * table per batch. With a ratio >= 2 the post-compaction count (= the
+    * partition count) sits at or below half the threshold, so compaction
+    * always buys headroom proportional to the table's own layout. */
+  def partitionedFragmentsExceed(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int): Boolean = {
+    require(maxFilesPerPartition >= 2,
+      "a per-partition ratio < 2 cannot guarantee compaction progress " +
+        s"(the floor is 1 file/partition), got $maxFilesPerPartition")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nParts = fs.listStatus(dir)
+      .count(s => s.isDirectory && s.getPath.getName.contains("="))
+    nParts > 0 && fragmentsExceed(spark, path, maxFilesPerPartition * nParts)
+  }
+
   /** Restore `path` if a prior compaction died between its two swap renames
     * (live dir missing, the ONLY copy parked at `path__old`). Safe and cheap
     * (two `exists` probes) when nothing is wrong. EVERY writer or reader

@@ -169,14 +169,15 @@ class IvfAdcSpec extends SparkSpec {
   }
 
   test("append dedups in-batch duplicate ids; compaction preserves results, " +
-      "layout, and pruning; append self-compacts past maxFiles") {
+      "layout, and pruning; append self-compacts past the per-partition threshold") {
     val p = java.nio.file.Files.createTempDirectory("ivfadc_maint").toString
     val base = corpus.filter(col("vec_id") < 300)
     IvfAdc.build(base, kCoarse, coarseIters = 2, m, kSub, pqIters = 1, dim, p)
     val batch = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 350)
     // an at-least-once upstream can fold a redelivery into ONE batch: the
     // persisted-id anti-join can't see it, the in-batch dedup must
-    IvfAdc.append(spark, p, batch.unionByName(batch), maxFiles = 1000000)
+    IvfAdc.append(spark, p, batch.unionByName(batch),
+      maxFilesPerPartition = 1000000)
     val codes = spark.read.parquet(s"$p/codes")
     assert(codes.filter(col("vec_id") >= 300).count() === batch.count(),
       "duplicate vec_ids within one batch must land exactly once")
@@ -206,16 +207,26 @@ class IvfAdcSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       "partition pruning must survive compaction")
-    // maxFiles=1 (< partition count) forces the self-compaction inside append
-    IvfAdc.append(spark, p,
-      corpus.filter(col("vec_id") >= 350 && col("vec_id") < 380), maxFiles = 1)
-    val nAfter = {
+    // self-compaction forcing: fragment past the ratio-2 threshold with
+    // compaction disabled, then a zero-fresh-row append at ratio 2 (the
+    // minimum) must compact back to one file per partition
+    def countFiles() = {
       val it = fs.listFiles(dir, true); var n = 0
       while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
       n
     }
-    assert(nAfter <= fs.listStatus(dir).count(_.isDirectory),
-      "append past maxFiles must self-compact to one file per partition")
+    def nParts() = fs.listStatus(dir).count(_.isDirectory)
+    var next = 350L
+    while (countFiles() <= 2 * nParts() && next < 450) {
+      IvfAdc.append(spark, p,
+        corpus.filter(col("vec_id") >= next && col("vec_id") < next + 2),
+        maxFilesPerPartition = 1000000)
+      next += 2
+    }
+    assert(countFiles() > 2 * nParts(), "fixture failed to fragment the index")
+    IvfAdc.append(spark, p, batch, maxFilesPerPartition = 2) // zero fresh rows
+    assert(countFiles() === nParts(),
+      "append past the per-partition threshold must compact to one file per partition")
   }
 
   test("searchTopK rejects parameters that drift from the stored meta") {

@@ -34,7 +34,7 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("append is idempotent (in-batch dup + replay) and self-compacts " +
-      "past maxFiles without changing served results") {
+      "past the per-partition threshold without changing served results") {
     val p = java.nio.file.Files.createTempDirectory("ivf-maint").toString
     IvfIndex.build(corpus.filter(col("vec_id") < 300), k = 8, iters = 2, dim = 64, p)
     val batch = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 350)
@@ -50,20 +50,30 @@ class IvfIndexSpec extends SparkSpec {
     def res() = IvfIndex.searchTopK(spark, p, qs, k = 5, probes = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(x => (x._1, -x._3, x._2)).toSeq
-    val before = res()
-    // a zero-fresh-row append with maxFiles=1 (< partition count) forces the
-    // self-compaction alone — served results must be invariant under it
-    IvfIndex.append(spark, p, batch, maxFiles = 1)
-    assert(res() === before, "compaction must not change served results")
     val dir = new org.apache.hadoop.fs.Path(s"$p/corpus")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nFiles = {
+    def countFiles() = {
       val it = fs.listFiles(dir, true); var n = 0
       while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
       n
     }
-    assert(nFiles === fs.listStatus(dir).count(_.isDirectory),
+    def nParts() = fs.listStatus(dir).count(_.isDirectory)
+    // fragment past the ratio-2 threshold with compaction disabled, then a
+    // zero-fresh-row append at ratio 2 (the minimum) must self-compact to
+    // one file per partition without changing served results
+    var next = 350L
+    while (countFiles() <= 2 * nParts() && next < 450) {
+      IvfIndex.append(spark, p,
+        corpus.filter(col("vec_id") >= next && col("vec_id") < next + 2),
+        maxFilesPerPartition = 1000000)
+      next += 2
+    }
+    assert(countFiles() > 2 * nParts(), "fixture failed to fragment the index")
+    val beforeCompact = res()
+    IvfIndex.append(spark, p, batch, maxFilesPerPartition = 2) // zero fresh rows
+    assert(countFiles() === nParts(),
       "compaction must leave one file per cluster partition")
+    assert(res() === beforeCompact, "compaction must not change served results")
     val plan = IvfIndex.searchTopK(spark, p, qs, k = 5, probes = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), "pruning must survive compaction")

@@ -76,6 +76,45 @@ object Similarity {
     topKBySim(joined, k)
   }
 
+  /** Contrastive-triplet assembly — the training-pair export downstream of
+    * [[hardNegatives]]: per query, the single best same-label neighbor (the
+    * positive) paired with each of the `kNeg` hardest cross-label neighbors
+    * (the negatives), plus the similarity `margin = pos_sim − neg_sim` that
+    * a triplet loss trains on (small/negative margin = the informative
+    * triplets). Queries with NO same-label candidate drop out (no positive
+    * exists to anchor a triplet). `simUpper` is [[hardNegatives]]'
+    * mislabeled-duplicate cap on the negative side.
+    *
+    * Scale shape: ONE scored definition feeds both branches, each of which
+    * collapses through the k-bounded heap BEFORE the tiny pos × neg join —
+    * the corpus is scanned twice (once per branch) rather than
+    * materializing the |Q|×|C| scored frame, which at 100 TB is the right
+    * trade (the scan is cheap, the scored frame is not storable). */
+  def contrastiveTriplets(corpus: DataFrame, queries: DataFrame, kNeg: Int,
+      simUpper: Double = Double.PositiveInfinity): DataFrame = {
+    val scored = Parallelism.fanOut(corpus).alias("c")
+      .crossJoin(broadcast(queries.alias("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        (col("q.label") === col("c.label")).as("same"),
+        cosineRounded(col("q.embedding"), col("c.embedding")).as("sim"))
+    val pos = topKBySim(scored.filter(col("same")).drop("same"), 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("sim").as("pos_sim"))
+    val neg = topKBySim(
+      scored.filter(!col("same") && col("sim") < simUpper).drop("same"), kNeg)
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("sim").as("neg_sim"))
+    // both sides are query-set-sized after the heaps, but the heap operator
+    // carries no stats so Spark would sort-merge; the 1-row-per-query pos
+    // side is the natural broadcast
+    broadcast(pos).join(neg, "query_id")
+      .select(col("query_id"), col("pos_id"), col("neg_id"),
+        round(col("pos_sim") - col("neg_sim"), 4).as("margin"))
+  }
+
   /** The centroid table packed into ONE row holding
     * `array<struct<cid, cvec>>` — the shape [[graft.expressions.NearestCentroids]]
     * consumes. Joining this single row in via `broadcast` + `crossJoin` adds

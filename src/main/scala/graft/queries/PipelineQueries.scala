@@ -413,6 +413,33 @@ object PipelineQueries {
         |  WHERE sim < 0.95)
         |WHERE rn <= 5""".stripMargin)),
 
+    // Contrastive-triplet assembly: per query, the best same-label neighbor
+    // (positive) paired with each of the 5 hardest cross-label neighbors
+    // (negatives, 0.95-capped) and the pos−neg similarity margin a triplet
+    // loss trains on. Queries with no same-label candidate drop (no anchor).
+    Q("sim_triplet_mine",
+      (s, d) => Similarity.contrastiveTriplets(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 16),
+        kNeg = 5, simUpper = 0.95),
+      Some("""WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+        |    q.label = c.label AS same,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 16),
+        |pos AS (SELECT query_id, cid AS pos_id, sim AS pos_sim FROM (
+        |  SELECT query_id, cid, sim, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, cid) AS rn FROM scored WHERE same)
+        |  WHERE rn = 1),
+        |neg AS (SELECT query_id, cid AS neg_id, sim AS neg_sim FROM (
+        |  SELECT query_id, cid, sim, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, cid) AS rn FROM scored
+        |  WHERE NOT same AND sim < 0.95)
+        |  WHERE rn <= 5)
+        |SELECT query_id, pos_id, neg_id, round(pos_sim - neg_sim, 4) AS margin
+        |FROM pos JOIN neg USING (query_id)""".stripMargin)),
+
     // Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical top-50
     // (the tx_bm25 scorer — one shared definition) fused with the
     // embedding-cosine top-50 of the query's vector form, no score

@@ -39,6 +39,39 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Set((0L, 1L, rr(1)), (1L, 2L, rr(1))))
   }
 
+  test("contrastiveTriplets: positive is the best same-label neighbor, " +
+      "negatives are the hard-negative set, margin is their sim difference") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = Similarity.contrastiveTriplets(emb, queries, kNeg = 5, simUpper = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val sims = Similarity.bruteForceTopK(emb, queries, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (q, p, n, margin) =>
+      assert(labels(q) == labels(p), s"positive ($q, $p) must share the label")
+      assert(labels(q) != labels(n), s"negative ($q, $n) must not share the label")
+      val want = BigDecimal(sims((q, p)) - sims((q, n)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(margin === want, s"margin for ($q, $p, $n)")
+    }
+    // per query: exactly one positive (the argmax same-label sim), and the
+    // negative set equals hardNegatives
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).distinct.length === 1, s"query $q has >1 positive")
+      val bestPos = sims.collect { case ((`q`, n), s) if labels(q) == labels(n) => (n, s) }
+        .toSeq.sortBy(r => (-r._2, r._1)).head._1
+      assert(rows.head._2 === bestPos, s"query $q positive is not the argmax")
+    }
+    val hn = Similarity.hardNegatives(emb, queries, k = 5, simUpper = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tripletNegs = got.map(r => (r._1, r._3)).toSet
+    assert(tripletNegs.subsetOf(hn),
+      "triplet negatives must come from the hard-negative set")
+  }
+
   test("hardNegatives: no same-label neighbor, matches filtered brute force, cap respected") {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 8)

@@ -22,7 +22,13 @@ import graft.sources.Compaction
   *  3. encode + append to the `cluster=` partitions;
   *  4. self-compact once fragments exceed `maxFilesPerPartition ×
   *     partitions` — per-partition because the compacted floor IS one file
-  *     per partition (see [[Compaction.partitionedFragmentsExceed]]).
+  *     per partition (see [[Compaction.partitionedFragmentsExceed]]). The
+  *     ratio is the rewrite-amortization knob: each compaction rewrites the
+  *     whole table, and the threshold admits ~(ratio − 1) fragments per
+  *     partition between rewrites, so a streaming sink appending every few
+  *     seconds wants a ratio well above 2 (the appends' default is 16:
+  *     ≤16 footer reads per probed partition, one full rewrite per ~15
+  *     all-partition batches).
   *
   * Single WRITER per index: the compaction swap is two renames a
   * concurrent reader could observe mid-flight.

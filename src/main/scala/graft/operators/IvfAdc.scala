@@ -120,7 +120,7 @@ object IvfAdc {
     * single writer) are the shared [[IndexIngest]] sequence — one
     * definition with [[IvfIndex.append]], so the two cannot drift. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-      maxFilesPerPartition: Int = 4): Unit = {
+      maxFilesPerPartition: Int = 16): Unit = {
     val (m, dim) = meta(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")

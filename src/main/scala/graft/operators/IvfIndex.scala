@@ -41,7 +41,7 @@ object IvfIndex {
     * single writer) are the shared [[IndexIngest]] sequence — one
     * definition with [[IvfAdc.append]], so the two cannot drift. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-      maxFilesPerPartition: Int = 4): Unit =
+      maxFilesPerPartition: Int = 16): Unit =
     IndexIngest.appendScreened(spark, s"$path/corpus", batch, "vec_id",
       fresh => Similarity.assignClusters(
         fresh, spark.read.parquet(s"$path/centroids")),

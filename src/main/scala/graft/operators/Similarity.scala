@@ -55,7 +55,10 @@ object Similarity {
     * negatives poisons the objective — the standard denoised-hard-negative
     * guard (e.g. SimCSE-style filtering). The default (+Infinity) is a
     * true no-cap: even pairs whose 4dp-rounded cosine lands exactly on 1.0
-    * pass through.
+    * pass through — a default must not silently filter. Callers mining
+    * from corpora with ANY label noise should pass a cap (the judged
+    * entries use 0.95); with the default, exact cross-label duplicates
+    * surface as the top "negatives".
     *
     * Scale shape is [[bruteForceTopK]]'s: the query set broadcasts, the
     * corpus is scanned ONCE with a row-local cosine + label predicate, and

@@ -79,7 +79,13 @@ object Compaction {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nParts = fs.listStatus(dir)
       .count(s => s.isDirectory && s.getPath.getName.contains("="))
-    nParts > 0 && fragmentsExceed(spark, path, maxFilesPerPartition * nParts)
+    // threshold in Long, capped at Int.MaxValue: a disable-sentinel ratio
+    // (e.g. 1e6) times thousands of partitions overflows Int to a NEGATIVE
+    // threshold — which would flip "never compact" into "rewrite the whole
+    // table on every append", the exact pathology this check prevents
+    val threshold =
+      math.min(Int.MaxValue.toLong, maxFilesPerPartition.toLong * nParts).toInt
+    nParts > 0 && fragmentsExceed(spark, path, threshold)
   }
 
   /** Restore `path` if a prior compaction died between its two swap renames

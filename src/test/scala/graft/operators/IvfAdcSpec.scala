@@ -194,15 +194,17 @@ class IvfAdcSpec extends SparkSpec {
     // and the probed scan still partition-prunes
     val dir = new org.apache.hadoop.fs.Path(s"$p/codes")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(dir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("cluster="))
-    assert(parts.nonEmpty, "compaction must keep the cluster= layout")
-    val nFiles = {
+    def countFiles() = {
       val it = fs.listFiles(dir, true); var n = 0
       while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
       n
     }
-    assert(nFiles === parts.length, "one file per cluster partition after compaction")
+    def nParts() = fs.listStatus(dir).count(_.isDirectory)
+    val parts = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("cluster="))
+    assert(parts.nonEmpty, "compaction must keep the cluster= layout")
+    assert(countFiles() === parts.length,
+      "one file per cluster partition after compaction")
     val plan = IvfAdc.searchTopK(spark, p, qs, m, dim, k = 5, probes = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
@@ -210,12 +212,6 @@ class IvfAdcSpec extends SparkSpec {
     // self-compaction forcing: fragment past the ratio-2 threshold with
     // compaction disabled, then a zero-fresh-row append at ratio 2 (the
     // minimum) must compact back to one file per partition
-    def countFiles() = {
-      val it = fs.listFiles(dir, true); var n = 0
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    def nParts() = fs.listStatus(dir).count(_.isDirectory)
     var next = 350L
     while (countFiles() <= 2 * nParts() && next < 450) {
       IvfAdc.append(spark, p,

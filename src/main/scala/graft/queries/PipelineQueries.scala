@@ -551,6 +551,57 @@ object PipelineQueries {
         |  WHERE query_id != neighbor_id)
         |WHERE rn <= 3""".stripMargin)),
 
+    // ANN recall evaluation — the measure-don't-guess step every ANN
+    // deployment needs: per query, how many of the true (brute-force)
+    // top-3 the 2-probe IVF search recovered. Truth side left-joins the
+    // approx side on (query, neighbor), so misses count as 0 and every
+    // query reports. Both legs are the already-judged search shapes; the
+    // eval join touches only their k-bounded outputs.
+    Q("sim_ann_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 32)
+        val qs = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        val cents = emb.filter(col("vec_id") < 8)
+        val truth = Similarity.bruteForceTopK(corpus, qs, k = 3)
+          .select("query_id", "neighbor_id")
+        val approx = Similarity.ivfTopK(corpus, qs, cents, k = 3, probes = 2)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        // both sides are k-bounded heap outputs (no stats → Spark would
+        // sort-merge); the approx side is |Q|×k rows, the natural broadcast
+        truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"))
+      },
+      Some("""WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid FROM embeddings WHERE vec_id < 8),
+        |ranked AS (
+        |  SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS embedding, c.centroid_id AS cluster,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.centroid) DESC, c.centroid_id) AS rn
+        |  FROM embeddings v CROSS JOIN cent c),
+        |corpus AS (SELECT cluster, vec_id AS neighbor_id, embedding AS n_vec FROM ranked WHERE rn = 1 AND vec_id >= 32),
+        |queries AS (SELECT cluster, vec_id AS query_id, embedding AS q_vec FROM ranked
+        |            WHERE rn <= 2 AND vec_id >= 16 AND vec_id < 32),
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(q_vec, n_vec), 4) DESC, neighbor_id) AS rn
+        |  FROM queries JOIN corpus USING (cluster)
+        |  WHERE query_id != neighbor_id)
+        |  WHERE rn <= 3),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 32),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT qv.query_id, cv.neighbor_id,
+        |    row_number() OVER (PARTITION BY qv.query_id
+        |      ORDER BY round(list_cosine_similarity(qv.q, cv.v), 4) DESC, cv.neighbor_id) AS rn
+        |  FROM qv CROSS JOIN cv)
+        |  WHERE rn <= 3)
+        |SELECT t.query_id, COUNT(i.neighbor_id) AS n_hits
+        |FROM truth t LEFT JOIN ivf i
+        |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+        |GROUP BY t.query_id""".stripMargin)),
+
     // LSH-bucketed ANN (sign-of-component hyperplanes): the non-trained
     // alternative scale path to IVF — deterministic bucket key, one
     // bucket-keyed equi-join.

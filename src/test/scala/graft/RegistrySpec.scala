@@ -73,10 +73,11 @@ class RegistrySpec extends SparkSpec {
     //    factor (C resp. n_min) is a SINGLE-ROW aggregate cross-joined
     //    onto the sources-sized rates frame (the scalar-subquery shape;
     //    the corpus side joins rates equi-keyed)
-    //  - sim_hard_negatives / sim_triplet_mine: the sim_bruteforce shape —
-    //    bounded broadcast query set against one corpus scan (an IVF-probed
-    //    scan is the drop-in 100 TB path, same as search); triplets join
-    //    the two branches only AFTER each collapses through the k-heap
+    //  - sim_hard_negatives / sim_triplet_mine / sim_ann_recall: the
+    //    sim_bruteforce shape — bounded broadcast query set against one
+    //    corpus scan (an IVF-probed scan is the drop-in 100 TB path, same
+    //    as search); triplets/recall join branches only AFTER each
+    //    collapses through the k-heap
     //  - sim_hybrid_rrf: composes the tx_bm25 single-row-stats broadcast
     //    and the sim_bruteforce query-set broadcast; the fusion itself is
     //    keyed joins over bounded top-50 retrieval outputs
@@ -87,7 +88,8 @@ class RegistrySpec extends SparkSpec {
       "q13_sql_udf_cosine",
       "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train",
       "cp_mixture_sample", "cp_temperature_sample",
-      "sim_hard_negatives", "sim_hybrid_rrf", "sim_triplet_mine")
+      "sim_hard_negatives", "sim_hybrid_rrf", "sim_triplet_mine",
+      "sim_ann_recall")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

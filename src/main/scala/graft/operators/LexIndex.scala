@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.functions.TextFunctions.tokens
+
+/** Persisted inverted index — the LEXICAL sibling of [[IvfIndex]]: the
+  * build-then-serve form of the `tx_bm25` full-scan scorer. The recompute
+  * form tokenizes and scores the ENTIRE corpus per query; here the posting
+  * lists are the index — `build` tokenizes once and writes
+  * (term, doc_id, tf, dl) rows partitioned by a hash bucket of the term, so
+  * serving a query reads ONLY the partitions its terms hash into (dynamic
+  * file pruning on `term_bucket`, spec-asserted) instead of the corpus: at
+  * 100 TB the non-queried vocabulary is never scanned, not merely filtered.
+  *
+  * Layout choices, each load-bearing at scale:
+  *  - `term_bucket = pmod(xxhash64(term), buckets)` partitions: a raw
+  *    `partitionBy(term)` would create one directory per vocabulary entry
+  *    (millions of tiny dirs — a listing storm); hash-sharding bounds the
+  *    directory count while keeping per-term reads pruned to one bucket.
+  *  - `dl` (the document's token count) is DENORMALIZED onto every posting
+  *    row: BM25 needs each candidate's length, and a separate doclen table
+  *    would force a corpus-sized join against the pruned posting read —
+  *    8 bytes/row buys a join-free serve.
+  *  - df(term) is NOT stored: it is exactly the posting-list length, and
+  *    the serve recomputes it from the rows it already read — a stored df
+  *    table would be a second artifact that could drift from the postings.
+  *  - corpus-level stats (n_docs, avgdl) ARE stored (one row at build):
+  *    they aggregate the WHOLE corpus, which the pruned serve deliberately
+  *    never reads.
+  *
+  * `meta/` pins (buckets, a build id) BEFORE the artifacts and `commit/`
+  * seals the same id AFTER them — the [[graft.sources.BuildStamp]] torn-
+  * rebuild protocol shared by every persisted index here: bucket keys are
+  * only comparable when derived under the stored bucket count, so a torn
+  * rebuild fails every later serve loudly instead of probing wrong buckets.
+  *
+  * Maintenance is REBUILD, like re-training the IVF quantizers: an
+  * incremental posting append would also have to transact the stats row
+  * (two artifacts, one logical update) — that composition belongs to
+  * [[graft.warehouse.AtomicCommit]], not to a bolted-on append here.
+  */
+object LexIndex {
+
+  private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(xxhash64(term), lit(buckets.toLong))
+
+  /** Tokenize `docs` (doc_id, text) once; write `postings/` partitioned by
+    * term_bucket, a one-row `stats/`, and the meta/commit stamp pair. */
+  def build(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buildId = graft.sources.BuildStamp.newId()
+    Seq((buckets, buildId)).toDF("buckets", "build_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    val parts = Parallelism.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("parts"))
+    parts.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("parts")).cast("double")).as("avgdl"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    parts
+      .select(col("doc_id"), size(col("parts")).as("dl"),
+        explode(col("parts")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("term_bucket", bucketOf(col("term"), buckets))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    graft.sources.BuildStamp.commit(spark, path, buildId)
+  }
+
+  /** BM25 top-k (k1=1.2, b=0.75, Lucene-style idf — the `tx_bm25`
+    * constants) for a bag of query `terms` against the persisted index.
+    * Returns (doc_id, bm25 rounded 4dp), score DESC with doc_id tiebreak —
+    * bit-equal to the full-scan `bm25Scores` ranking over the same corpus
+    * (spec-pinned): per-doc contributions are folded in sorted-term order,
+    * which matches the scorer's alphabetical-term fold because a zero-tf
+    * term contributes exactly +0.0.
+    *
+    * Scan shape: ONE read of the query terms' bucket partitions, filtered
+    * to the terms (both predicates pushed); df per term is a tiny aggregate
+    * of that read broadcast back; the per-doc score is one keyed aggregate
+    * over posting rows (candidate docs only — never the corpus) and the
+    * top-k compiles to TakeOrderedAndProject. */
+  def searchTopK(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty)
+    val metaRow = spark.read.parquet(s"$path/meta").head()
+    graft.sources.BuildStamp.requireCommitted(spark, path, metaRow, "lexical index")
+    val buckets = metaRow.getAs[Int]("buckets")
+    val stats = spark.read.parquet(s"$path/stats")
+    val wanted = terms.distinct
+    import spark.implicits._
+    // evaluate the terms' bucket keys up front (a |terms|-row local job):
+    // LITERAL bucket values make the partition filter foldable, so the
+    // pruning is static file listing, not a runtime filter over all buckets
+    val wantedBuckets = wanted.toDF("term")
+      .select(bucketOf(col("term"), buckets).as("b"))
+      .distinct().as[Long].collect().toSeq
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(col("term_bucket").isin(wantedBuckets: _*)
+        && col("term").isin(wanted: _*))
+    val df = posts.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = posts
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        struct(col("term"), (
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) *
+                col("dl").cast("double") / col("avgdl")))
+          ).as("c")).as("tc"))
+    contrib.groupBy("doc_id")
+      .agg(round(aggregate(array_sort(collect_list(col("tc"))),
+        lit(0.0), (acc, x) => acc + x.getField("c")), 4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LexIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = graft.sources.Tables(spark, sf, "documents")
+    .select("doc_id", "text")
+  private val terms = Seq("dup", "vector", "window")
+
+  private lazy val path: String = {
+    val p = java.nio.file.Files.createTempDirectory("lexindex").toString
+    LexIndex.build(docs, p, buckets = 16)
+    p
+  }
+
+  test("serving from the posting lists equals the full-scan tx_bm25 ranking") {
+    val served = LexIndex.searchTopK(spark, path, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = graft.Registry.byName("tx_bm25").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === full,
+      "pruned posting-list serve must rank bit-equal to the full-scan scorer")
+    assert(served.nonEmpty)
+  }
+
+  test("the posting scan is pruned to the query terms' buckets") {
+    val df = LexIndex.searchTopK(spark, path, terms, k = 20)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // static partition pruning: the scan must carry a term_bucket filter
+    // (foldable literals, not a runtime subquery) and the term pushdown
+    assert(plan.contains("term_bucket"), s"no bucket pruning in plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"term filter must reach the posting scan:\n$plan")
+    // the pruned read must touch at most |distinct buckets of terms| of the
+    // 16 partition dirs — count the files the scan actually planned
+    val scanned = "PartitionCount: (\\d+)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+    scanned.foreach(n => assert(n <= terms.length,
+      s"scan read $n bucket partitions for ${terms.length} terms:\n$plan"))
+  }
+
+  test("a query term absent from the corpus contributes nothing and breaks nothing") {
+    val served = LexIndex.searchTopK(spark, path, terms :+ "zzz_nonexistent", k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val base = LexIndex.searchTopK(spark, path, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === base)
+  }
+
+  test("a torn rebuild (meta written, commit marker missing) fails loudly") {
+    val p = java.nio.file.Files.createTempDirectory("lexindex_torn").toString
+    LexIndex.build(docs.limit(50), p, buckets = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/commit"), true)
+    val err = intercept[IllegalArgumentException] {
+      LexIndex.searchTopK(spark, p, terms, k = 5)
+    }
+    assert(err.getMessage.contains("TORN"))
+  }
+}

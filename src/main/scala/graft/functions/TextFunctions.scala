@@ -19,6 +19,19 @@ object TextFunctions {
     * `str_split` contract in DuckDB — keep both sides identical. */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** One term's BM25 contribution (k1 = 1.2, b = 0.75, Lucene-style idf)
+    * from per-row tf/dl and corpus-level df/n_docs/avgdl — THE single
+    * definition of the scoring tree, shared by the full-scan scorer
+    * (`tx_bm25` / `sim_hybrid_rrf`) and the posting-list serve
+    * ([[graft.operators.LexIndex]]) so the formula cannot drift between
+    * them. All inputs must already be DoubleType: the expression SHAPE
+    * (operator order) is part of the cross-engine determinism contract —
+    * the DuckDB oracles spell out the identical tree. */
+  def bm25Contribution(tf: Column, dl: Column, df: Column,
+      nDocs: Column, avgdl: Column): Column =
+    log((nDocs - df + 0.5) / (df + 0.5) + 1) * (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish regex token count: lowercase word runs. */

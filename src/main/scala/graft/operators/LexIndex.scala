@@ -8,7 +8,7 @@ import graft.functions.TextFunctions.tokens
 /** Persisted inverted index — the LEXICAL sibling of [[IvfIndex]]: the
   * build-then-serve form of the `tx_bm25` full-scan scorer. The recompute
   * form tokenizes and scores the ENTIRE corpus per query; here the posting
-  * lists are the index — `build` tokenizes once and writes
+  * lists are the index — `build` writes
   * (term, doc_id, tf, dl) rows partitioned by a hash bucket of the term, so
   * serving a query reads ONLY the partitions its terms hash into (dynamic
   * file pruning on `term_bucket`, spec-asserted) instead of the corpus: at
@@ -46,12 +46,23 @@ object LexIndex {
   private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(term), lit(buckets.toLong))
 
-  /** Tokenize `docs` (doc_id, text) once; write `postings/` partitioned by
-    * term_bucket, a one-row `stats/`, and the meta/commit stamp pair. */
+  /** Write `postings/` partitioned by term_bucket, a one-row `stats/`, and
+    * the meta/commit stamp pair. `doc_id` must be UNIQUE — duplicate ids
+    * would silently merge into one posting row (tf summed across copies,
+    * df undercounted), drifting from the full-scan scorer the serve is
+    * spec-pinned to, so build fails loudly instead. The corpus is scanned
+    * twice (stats aggregate, postings write): at index scale that is the
+    * right trade against materializing the tokenized corpus between the
+    * two jobs, and it assumes the input is immutable for the duration of
+    * the build (the same single-writer posture as every index here). */
   def build(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
     require(buckets >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
+    require(docs.groupBy("doc_id").count()
+        .filter(col("count") > 1).limit(1).count() == 0L,
+      "LexIndex.build requires unique doc_ids — duplicates would merge " +
+        "into one posting and silently drift from the full-scan scorer")
     val buildId = graft.sources.BuildStamp.newId()
     Seq((buckets, buildId)).toDF("buckets", "build_id")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
@@ -81,10 +92,17 @@ object LexIndex {
     * term contributes exactly +0.0.
     *
     * Scan shape: ONE read of the query terms' bucket partitions, filtered
-    * to the terms (both predicates pushed); df per term is a tiny aggregate
-    * of that read broadcast back; the per-doc score is one keyed aggregate
-    * over posting rows (candidate docs only — never the corpus) and the
-    * top-k compiles to TakeOrderedAndProject. */
+    * to the terms (both predicates pushed); df per term is derived from
+    * that same read by an unbounded count window over `term` (one keyed
+    * exchange of the candidate postings — never a second scan); the
+    * per-doc score is one keyed aggregate over posting rows (candidate
+    * docs only, never the corpus) and the top-k compiles to
+    * TakeOrderedAndProject.
+    *
+    * Consistency is checked at CONSTRUCTION (meta read + stamp
+    * validation); execution of the returned lazy frame races a concurrent
+    * rebuild like every Spark read of mutable storage — running a rebuild
+    * while serves are in flight is outside the single-writer contract. */
   def searchTopK(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
     require(terms.nonEmpty)
@@ -103,18 +121,16 @@ object LexIndex {
     val posts = spark.read.parquet(s"$path/postings")
       .filter(col("term_bucket").isin(wantedBuckets: _*)
         && col("term").isin(wanted: _*))
-    val df = posts.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val contrib = posts
-      .join(broadcast(df), "term")
+    val withDf = posts.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("term")).cast("double"))
+    val contrib = withDf
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        struct(col("term"), (
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
-            (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") +
-              lit(1.2) * (lit(0.25) + lit(0.75) *
-                col("dl").cast("double") / col("avgdl")))
-          ).as("c")).as("tc"))
+        struct(col("term"),
+          graft.functions.TextFunctions.bm25Contribution(
+            col("tf").cast("double"), col("dl").cast("double"),
+            col("df"), col("n_docs"), col("avgdl")).as("c")).as("tc"))
     contrib.groupBy("doc_id")
       .agg(round(aggregate(array_sort(collect_list(col("tc"))),
         lit(0.0), (acc, x) => acc + x.getField("c")), 4).as("bm25"))

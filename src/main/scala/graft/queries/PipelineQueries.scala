@@ -142,9 +142,9 @@ object PipelineQueries {
     val stats = docs.agg(statAggs.head, statAggs.tail: _*)
     val dl = size(col("parts")).cast("double")
     val score = terms.map { tm =>
-      val tf = size(filter(col("parts"), x => x === lit(tm))).cast("double")
-      val idf = log((col("n_docs") - col(s"df_$tm") + 0.5) / (col(s"df_$tm") + 0.5) + 1)
-      idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / col("avgdl")))
+      TextFunctions.bm25Contribution(
+        size(filter(col("parts"), x => x === lit(tm))).cast("double"),
+        dl, col(s"df_$tm"), col("n_docs"), col("avgdl"))
     }.reduce(_ + _)
     docs.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 4).as("bm25"))

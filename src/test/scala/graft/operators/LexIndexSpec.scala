@@ -37,10 +37,32 @@ class LexIndexSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("term"),
       s"term filter must reach the posting scan:\n$plan")
     // the pruned read must touch at most |distinct buckets of terms| of the
-    // 16 partition dirs — count the files the scan actually planned
-    val scanned = "PartitionCount: (\\d+)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
-    scanned.foreach(n => assert(n <= terms.length,
-      s"scan read $n bucket partitions for ${terms.length} terms:\n$plan"))
+    // 16 partition dirs — inspect the scan node's selected partitions
+    // directly (the AQE plan string doesn't render PartitionCount)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    val postingScans = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+    assert(postingScans.nonEmpty, s"no postings scan found in plan:\n$plan")
+    postingScans.foreach(s =>
+      assert(s.selectedPartitions.partitionCount <= terms.length,
+        s"scan read ${s.selectedPartitions.partitionCount} bucket partitions for " +
+          s"${terms.length} terms:\n$plan"))
+  }
+
+  test("build rejects duplicate doc_ids instead of silently merging them") {
+    val p = java.nio.file.Files.createTempDirectory("lexindex_dup").toString
+    val dup = docs.limit(20).unionByName(docs.limit(1))
+    val err = intercept[IllegalArgumentException] {
+      LexIndex.build(dup, p, buckets = 4)
+    }
+    assert(err.getMessage.contains("unique doc_ids"))
   }
 
   test("a query term absent from the corpus contributes nothing and breaks nothing") {

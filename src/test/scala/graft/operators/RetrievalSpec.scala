@@ -72,6 +72,42 @@ class RetrievalSpec extends SparkSpec {
       "triplet negatives must come from the hard-negative set")
   }
 
+  test("end-to-end hybrid serving: LexIndex + IvfIndex lists fuse through rrfFuse") {
+    // the production hybrid-retrieval stack, entirely from PERSISTED
+    // indexes: the lexical leg serves BM25 from pruned posting lists, the
+    // vector leg serves cosine from pruned cluster partitions, and fusion
+    // needs only their (query_id, id, score) outputs
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("hybrid").toString
+    val docs = graft.sources.Tables(spark, sf, "documents").select("doc_id", "text")
+    val emb = graft.sources.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    LexIndex.build(docs, s"$dir/lex", buckets = 16)
+    IvfIndex.build(emb, k = 8, iters = 2, dim = 64, s"$dir/ivf")
+    val lex = LexIndex.searchTopK(spark, s"$dir/lex",
+        Seq("dup", "vector", "window"), k = 20)
+      .select(lit(0L).as("query_id"), col("doc_id").as("id"), col("bm25").as("score"))
+    val vec = IvfIndex.searchTopK(spark, s"$dir/ivf",
+        emb.filter(col("vec_id") === 0), k = 20, probes = 2)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("sim").as("score"))
+    val fused = Retrieval.rrfFuse(Seq(lex, vec), c = 60, k = 10).collect()
+    assert(fused.length === 10)
+    // every fused id came from one of the two lists, and scores are the
+    // rank-reciprocal sums the lists imply
+    val lexIds = lex.select("id").collect().map(_.getLong(0)).toSet
+    val vecIds = vec.select("id").collect().map(_.getLong(0)).toSet
+    fused.foreach { r =>
+      assert(lexIds.contains(r.getLong(1)) || vecIds.contains(r.getLong(1)))
+      assert(r.getDouble(2) > 0)
+    }
+    // a doc ranked in BOTH lists must outrank the same-rank single-list doc
+    val both = fused.filter(r =>
+      lexIds.contains(r.getLong(1)) && vecIds.contains(r.getLong(1)))
+    if (both.nonEmpty) {
+      val bestBoth = both.map(_.getDouble(2)).max
+      assert(bestBoth > 1.0 / 61 || fused.forall(_.getDouble(2) <= bestBoth))
+    }
+  }
+
   test("hardNegatives: no same-label neighbor, matches filtered brute force, cap respected") {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 8)

@@ -72,6 +72,57 @@ class RetrievalSpec extends SparkSpec {
       "triplet negatives must come from the hard-negative set")
   }
 
+  test("property: rrfFuse equals a reference model on random lists") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // reference model: per list rank by (score DESC, id ASC), contribute
+    // 1/(c+rank), sum per (query, id) in LIST-INDEX order (the operator's
+    // documented fold order), round 6dp, top-k by (rrf DESC, id ASC)
+    def ref(lists: Seq[Seq[(Long, Long, Double)]], c: Int, k: Int) = {
+      val contribs = scala.collection.mutable
+        .Map.empty[(Long, Long), List[(Int, Double)]]
+      lists.zipWithIndex.foreach { case (rows, li) =>
+        rows.groupBy(_._1).foreach { case (q, qRows) =>
+          qRows.sortBy(r => (-r._3, r._2)).zipWithIndex.foreach {
+            case ((_, id, _), i) =>
+              contribs((q, id)) =
+                contribs.getOrElse((q, id), Nil) :+ (li, 1.0 / (c + i + 1))
+          }
+        }
+      }
+      contribs.toSeq.map { case ((q, id), cs) =>
+        val s = cs.sortBy(_._1).foldLeft(0.0)((a, x) => a + x._2)
+        (q, id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(k)
+      }.toSet
+    }
+    val listGen = for {
+      nC <- Gen.choose(0, 8)
+      ids <- Gen.pick(nC, 0L until 20L)
+      scores <- Gen.listOfN(nC, Gen.choose(1, 40))
+    } yield ids.toSeq.zip(scores).map { case (id, s) => (id, s.toDouble / 4) }
+    val gen = for {
+      nLists <- Gen.choose(1, 3)
+      k <- Gen.choose(1, 6)
+      perQ <- Gen.listOfN(nLists, Gen.listOfN(2, listGen))
+    } yield (perQ.map(qs => qs.zipWithIndex.flatMap { case (rows, q) =>
+      rows.map { case (id, s) => (q.toLong, id, s) }
+    }), k)
+    val prop = Prop.forAllNoShrink(gen) { case (lists, k) =>
+      val dfs = lists.map(rows => rows.toDF("query_id", "id", "score"))
+      val got = Retrieval.rrfFuse(dfs, c = 60, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = ref(lists, 60, k)
+      if (got != want) {
+        info(s"lists=$lists k=$k\n got=$got\nwant=$want")
+      }
+      got == want
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("end-to-end hybrid serving: LexIndex + IvfIndex lists fuse through rrfFuse") {
     // the production hybrid-retrieval stack, entirely from PERSISTED
     // indexes: the lexical leg serves BM25 from pruned posting lists, the

@@ -50,26 +50,35 @@ object LexIndex {
     * the meta/commit stamp pair. `doc_id` must be UNIQUE — duplicate ids
     * would silently merge into one posting row (tf summed across copies,
     * df undercounted), drifting from the full-scan scorer the serve is
-    * spec-pinned to, so build fails loudly instead. The corpus is scanned
-    * twice (stats aggregate, postings write): at index scale that is the
-    * right trade against materializing the tokenized corpus between the
-    * two jobs, and it assumes the input is immutable for the duration of
-    * the build (the same single-writer posture as every index here). */
+    * spec-pinned to, so build fails loudly instead; the uniqueness check
+    * rides the stats aggregate (count vs count-distinct in the SAME job)
+    * rather than a dedicated pass. The corpus is scanned twice total
+    * (stats aggregate, postings write): at index scale that is the right
+    * trade against materializing the tokenized corpus between the two
+    * jobs, and it assumes the input is immutable for the duration of the
+    * build (the same single-writer posture as every index here). */
   def build(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
     require(buckets >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    require(docs.groupBy("doc_id").count()
-        .filter(col("count") > 1).limit(1).count() == 0L,
+    val parts = Parallelism.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("parts"))
+    val statsRow = parts.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("parts")).cast("double")).as("avgdl"),
+      countDistinct(col("doc_id")).cast("double").as("n_distinct")).head()
+    require(statsRow.getDouble(0) == statsRow.getDouble(2),
       "LexIndex.build requires unique doc_ids — duplicates would merge " +
         "into one posting and silently drift from the full-scan scorer")
     val buildId = graft.sources.BuildStamp.newId()
     Seq((buckets, buildId)).toDF("buckets", "build_id")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
-    val parts = Parallelism.fanOut(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), tokens(col("text")).as("parts"))
-    parts.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(size(col("parts")).cast("double")).as("avgdl"))
+    // avgdl is null on an all-null-text corpus — keep it nullable (boxed)
+    // so the degenerate build still writes a well-formed stats row
+    val avgdl: java.lang.Double =
+      if (statsRow.isNullAt(1)) null else statsRow.getDouble(1)
+    Seq((statsRow.getDouble(0), avgdl))
+      .toDF("n_docs", "avgdl")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
     parts
       .select(col("doc_id"), size(col("parts")).as("dl"),
@@ -91,13 +100,16 @@ object LexIndex {
     * which matches the scorer's alphabetical-term fold because a zero-tf
     * term contributes exactly +0.0.
     *
-    * Scan shape: ONE read of the query terms' bucket partitions, filtered
-    * to the terms (both predicates pushed); df per term is derived from
-    * that same read by an unbounded count window over `term` (one keyed
-    * exchange of the candidate postings — never a second scan); the
-    * per-doc score is one keyed aggregate over posting rows (candidate
-    * docs only, never the corpus) and the top-k compiles to
-    * TakeOrderedAndProject.
+    * Scan shape: the query terms' bucket partitions are read TWICE — once
+    * for the per-term df aggregate (map-side partial counts, a
+    * |terms|-row shuffle, broadcast back) and once for scoring. The
+    * deliberate alternative, deriving df with a count window partitioned
+    * by term over one read, would funnel each term's ENTIRE posting list
+    * through a single window task — a common term at corpus scale is a
+    * straight OOM hotspot, far worse than re-reading the pruned buckets
+    * (both reads touch only the query's candidate partitions, never the
+    * corpus). The per-doc score is one keyed aggregate over posting rows
+    * and the top-k compiles to TakeOrderedAndProject.
     *
     * Consistency is checked at CONSTRUCTION (meta read + stamp
     * validation); execution of the returned lazy frame races a concurrent
@@ -121,10 +133,9 @@ object LexIndex {
     val posts = spark.read.parquet(s"$path/postings")
       .filter(col("term_bucket").isin(wantedBuckets: _*)
         && col("term").isin(wanted: _*))
-    val withDf = posts.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("term")).cast("double"))
-    val contrib = withDf
+    val df = posts.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = posts
+      .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         struct(col("term"),

@@ -58,7 +58,10 @@ class LexIndexSpec extends SparkSpec {
 
   test("build rejects duplicate doc_ids instead of silently merging them") {
     val p = java.nio.file.Files.createTempDirectory("lexindex_dup").toString
-    val dup = docs.limit(20).unionByName(docs.limit(1))
+    // deterministic duplicate: id 0 appears twice (two independent
+    // unordered limit()s are NOT guaranteed to overlap)
+    val dup = docs.filter(col("doc_id") < 20)
+      .unionByName(docs.filter(col("doc_id") === 0))
     val err = intercept[IllegalArgumentException] {
       LexIndex.build(dup, p, buckets = 4)
     }

@@ -218,13 +218,18 @@ object EventStreams {
     * once, so no sink-side landing table is needed — the index IS the
     * idempotent sink. `append` also self-compacts the per-batch code
     * fragments, so a long-lived stream keeps bounded file counts (the
-    * BandIndex maintenance contract, vector side). Single writer per index,
-    * per the IvfAdc contract; AvailableNow micro-batches satisfy that by
-    * construction. */
-  def startVectorIndexSink(vectors: DataFrame, indexPath: String): StreamingQuery =
+    * BandIndex maintenance contract, vector side); `maxFilesPerPartition`
+    * is the rewrite-amortization knob — each compaction rewrites the whole
+    * code table, admitting ~(ratio − 1) fragments per cluster between
+    * rewrites (see [[graft.operators.IndexIngest]]). Single writer per
+    * index, per the IvfAdc contract; AvailableNow micro-batches satisfy
+    * that by construction. */
+  def startVectorIndexSink(vectors: DataFrame, indexPath: String,
+      maxFilesPerPartition: Int = 16): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.IvfAdc.append(batch.sparkSession, indexPath, batch)
+        graft.operators.IvfAdc.append(batch.sparkSession, indexPath, batch,
+          maxFilesPerPartition)
         ()
       }
       .trigger(Trigger.AvailableNow())

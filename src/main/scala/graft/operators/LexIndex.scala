@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -8,11 +9,11 @@ import graft.functions.TextFunctions.tokens
 /** Persisted inverted index — the LEXICAL sibling of [[IvfIndex]]: the
   * build-then-serve form of the `tx_bm25` full-scan scorer. The recompute
   * form tokenizes and scores the ENTIRE corpus per query; here the posting
-  * lists are the index — `build` writes
-  * (term, doc_id, tf, dl) rows partitioned by a hash bucket of the term, so
-  * serving a query reads ONLY the partitions its terms hash into (dynamic
-  * file pruning on `term_bucket`, spec-asserted) instead of the corpus: at
-  * 100 TB the non-queried vocabulary is never scanned, not merely filtered.
+  * lists are the index — (term, doc_id, tf, dl) rows partitioned by a hash
+  * bucket of the term, so serving a query reads ONLY the partitions its
+  * terms hash into (partition pruning on `term_bucket`, spec-asserted)
+  * instead of the corpus: at 100 TB the non-queried vocabulary is never
+  * scanned, not merely filtered.
   *
   * Layout choices, each load-bearing at scale:
   *  - `term_bucket = pmod(xxhash64(term), buckets)` partitions: a raw
@@ -24,104 +25,236 @@ import graft.functions.TextFunctions.tokens
   *    would force a corpus-sized join against the pruned posting read —
   *    8 bytes/row buys a join-free serve.
   *  - df(term) is NOT stored: it is exactly the posting-list length, and
-  *    the serve recomputes it from the rows it already read — a stored df
+  *    the serve recomputes it from rows it reads anyway — a stored df
   *    table would be a second artifact that could drift from the postings.
-  *  - corpus-level stats (n_docs, avgdl) ARE stored (one row at build):
-  *    they aggregate the WHOLE corpus, which the pruned serve deliberately
-  *    never reads.
+  *
+  * INCREMENTAL MAINTENANCE — the version manifest. The index is a set of
+  * versioned segment dirs (`postings-v<N>/` + the matching `ids-v<N>/`
+  * doc-id ledger) named by ONE `manifest` text file that also carries the
+  * corpus stats as EXACT integers (n_docs, dl_sum, dl_count — integer
+  * sums of integer values are bit-exact in any order, so avgdl =
+  * dl_sum / dl_count is identical whether the corpus arrived in one build
+  * or a thousand appends). `append` writes the new segment dirs INVISIBLY,
+  * then publishes segments + merged stats with one atomic manifest rename
+  * — postings and stats can never be observed out of step, the failure a
+  * two-artifact update would otherwise race (the
+  * [[graft.warehouse.AtomicCommit]] manifest idea, specialized to the
+  * index). A crash before the rename leaves orphan dirs the retry
+  * overwrites; the doc-id ledger (which includes docs whose null text
+  * yields no postings) makes the retry's anti-join screen exactly-once.
+  * Compaction is just another manifest flip: rewrite the live segments
+  * into one, publish, best-effort delete the superseded dirs (a crash
+  * leaves inert orphans, never a torn table — strictly safer than a
+  * rename-swap of a live directory).
   *
   * `meta/` pins (buckets, a build id) BEFORE the artifacts and `commit/`
-  * seals the same id AFTER them — the [[graft.sources.BuildStamp]] torn-
-  * rebuild protocol shared by every persisted index here: bucket keys are
-  * only comparable when derived under the stored bucket count, so a torn
-  * rebuild fails every later serve loudly instead of probing wrong buckets.
-  *
-  * Maintenance is REBUILD, like re-training the IVF quantizers: an
-  * incremental posting append would also have to transact the stats row
-  * (two artifacts, one logical update) — that composition belongs to
-  * [[graft.warehouse.AtomicCommit]], not to a bolted-on append here.
+  * seals the same id AFTER them — the [[graft.sources.BuildStamp]]
+  * torn-REBUILD protocol shared by every persisted index here: bucket keys
+  * are only comparable under the stored bucket count, so a torn rebuild
+  * fails every later serve loudly instead of probing wrong buckets.
+  * Single WRITER per index (append/compact race nothing but themselves);
+  * serves are safe against a concurrent append (old manifest = old
+  * complete snapshot) but not against a concurrent REBUILD.
   */
 object LexIndex {
 
   private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(term), lit(buckets.toLong))
 
-  /** Write `postings/` partitioned by term_bucket, a one-row `stats/`, and
-    * the meta/commit stamp pair. `doc_id` must be UNIQUE — duplicate ids
-    * would silently merge into one posting row (tf summed across copies,
-    * df undercounted), drifting from the full-scan scorer the serve is
-    * spec-pinned to, so build fails loudly instead; the uniqueness check
-    * rides the stats aggregate (count vs count-distinct in the SAME job)
-    * rather than a dedicated pass. The corpus is scanned twice total
-    * (stats aggregate, postings write): at index scale that is the right
-    * trade against materializing the tokenized corpus between the two
-    * jobs, and it assumes the input is immutable for the duration of the
-    * build (the same single-writer posture as every index here). */
-  def build(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
-    require(buckets >= 1)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val parts = Parallelism.fanOut(docs.select(col("doc_id"), col("text")))
+  /** Cumulative exact-integer corpus stats + the live segment versions. */
+  private case class Manifest(version: Long, nDocs: Long, dlSum: Long,
+      dlCount: Long, segments: Seq[Long])
+
+  private def manifestPath(path: String) = new Path(s"$path/manifest")
+
+  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/manifest.tmp")
+    val out = fs.create(tmp, true)
+    out.write(
+      (s"version=${m.version}\nn_docs=${m.nDocs}\ndl_sum=${m.dlSum}\n" +
+        s"dl_count=${m.dlCount}\nsegments=${m.segments.mkString(",")}\n")
+        .getBytes("UTF-8"))
+    out.close()
+    // FileContext rename with OVERWRITE is the atomic publish (the same
+    // primitive AtomicCommit uses): readers see the old or the new
+    // manifest, never a partial one
+    FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, manifestPath(path), Options.Rename.OVERWRITE)
+  }
+
+  private def readManifest(spark: SparkSession, path: String): Manifest = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(manifestPath(path))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = body.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    Manifest(kv("version").toLong, kv("n_docs").toLong, kv("dl_sum").toLong,
+      kv("dl_count").toLong,
+      kv("segments").split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+  }
+
+  /** Union of the live postings segments. Each partitioned segment root is
+    * read SEPARATELY (one scan per segment — partition discovery rejects
+    * sibling `…-vN` roots in one read) and unioned; Catalyst pushes the
+    * caller's bucket/term filters through the Union into every scan, so
+    * pruning still applies per segment. */
+  private def livePostings(spark: SparkSession, path: String, m: Manifest): DataFrame =
+    m.segments.map(v => spark.read.parquet(s"$path/postings-v$v"))
+      .reduce(_ unionByName _)
+
+  private def idDirs(path: String, m: Manifest): Seq[String] =
+    m.segments.map(v => s"$path/ids-v$v")
+
+  /** (doc_id, dl, term, tf, term_bucket) posting rows for a (doc_id, text)
+    * frame — THE one tokenize+count definition build and append share. */
+  private def postingsOf(docs: DataFrame, buckets: Int): DataFrame =
+    Parallelism.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("parts"))
-    val statsRow = parts.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(size(col("parts")).cast("double")).as("avgdl"),
-      countDistinct(col("doc_id")).cast("double").as("n_distinct")).head()
-    require(statsRow.getDouble(0) == statsRow.getDouble(2),
-      "LexIndex.build requires unique doc_ids — duplicates would merge " +
-        "into one posting and silently drift from the full-scan scorer")
-    val buildId = graft.sources.BuildStamp.newId()
-    Seq((buckets, buildId)).toDF("buckets", "build_id")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
-    // avgdl is null on an all-null-text corpus — keep it nullable (boxed)
-    // so the degenerate build still writes a well-formed stats row
-    val avgdl: java.lang.Double =
-      if (statsRow.isNullAt(1)) null else statsRow.getDouble(1)
-    Seq((statsRow.getDouble(0), avgdl))
-      .toDF("n_docs", "avgdl")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
-    parts
       .select(col("doc_id"), size(col("parts")).as("dl"),
         explode(col("parts")).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("int").as("tf"))
       .withColumn("term_bucket", bucketOf(col("term"), buckets))
+
+  /** Exact-integer stats delta of a batch: (rows, dl_sum, dl_count). */
+  private def statsOf(docs: DataFrame): (Long, Long, Long) = {
+    val r = docs.agg(count(lit(1)),
+      sum(size(tokens(col("text"))).cast("long")),
+      count(tokens(col("text")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
+  }
+
+  /** Write one segment's postings + id-ledger dirs (invisible until the
+    * manifest names them). */
+  private def writeSegment(docs: DataFrame, path: String, buckets: Int,
+      version: Long): Unit = {
+    postingsOf(docs, buckets)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("term_bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$path/postings-v$version")
+    docs.select("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/ids-v$version")
+  }
+
+  /** Build segment v0 + manifest + the meta/commit stamp pair. `doc_id`
+    * must be UNIQUE — duplicate ids would score once here but twice in the
+    * full-scan scorer the serve is spec-pinned to, so build fails loudly
+    * (the check rides the stats aggregate, not a dedicated pass). */
+  def build(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val input = docs.select(col("doc_id"), col("text"))
+    val r = input.agg(count(lit(1)),
+      sum(size(tokens(col("text"))).cast("long")),
+      count(tokens(col("text"))), countDistinct(col("doc_id"))).head()
+    require(r.getLong(0) == r.getLong(3),
+      "LexIndex.build requires unique doc_ids — duplicates would merge " +
+        "into one posting and silently drift from the full-scan scorer")
+    val buildId = graft.sources.BuildStamp.newId()
+    Seq((buckets, buildId)).toDF("buckets", "build_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    writeSegment(input, path, buckets, 0L)
+    writeManifest(spark, path, Manifest(0L, r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2), Seq(0L)))
     graft.sources.BuildStamp.commit(spark, path, buildId)
+  }
+
+  private def params(spark: SparkSession, path: String): Int = {
+    val metaRow = spark.read.parquet(s"$path/meta").head()
+    graft.sources.BuildStamp.requireCommitted(spark, path, metaRow, "lexical index")
+    metaRow.getAs[Int]("buckets")
+  }
+
+  /** Append new documents WITHOUT rebuilding: screen ids against the
+    * ledger (in-batch dedup + anti-join — a batch retried after a crash,
+    * or redelivered even within one batch, lands exactly once; INSERT-ONLY
+    * like every index append here, an edited doc needs a rebuild), write
+    * the segment dirs invisibly, then publish segments + merged stats with
+    * the one atomic manifest rename. Steady-state cost: tokenize the
+    * BATCH + one column-pruned ledger read — never a history re-scan.
+    * Self-compacts once the live segment count exceeds `maxSegments`
+    * (each serve reads every live segment's pruned buckets, so unbounded
+    * appends would degrade the serve into a many-dir listing storm). */
+  def append(spark: SparkSession, path: String, docs: DataFrame,
+      maxSegments: Int = 16): Unit = {
+    require(maxSegments >= 2)
+    val buckets = params(spark, path)
+    val m = readManifest(spark, path)
+    val fresh = docs.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+      .join(spark.read.parquet(idDirs(path, m): _*), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true) // one screen feeds stats + both writes
+    val (n, dlSum, dlCount) = statsOf(fresh)
+    if (n > 0) {
+      val v = m.version + 1
+      writeSegment(fresh, path, buckets, v)
+      writeManifest(spark, path, Manifest(v, m.nDocs + n, m.dlSum + dlSum,
+        m.dlCount + dlCount, m.segments :+ v))
+    }
+    val after = readManifest(spark, path)
+    if (after.segments.length > maxSegments) compact(spark, path)
+  }
+
+  /** Rewrite the live segments into ONE and publish it with a manifest
+    * flip — no live-directory rename swap, so there is no torn-swap crash
+    * window at all; superseded dirs are deleted best-effort AFTER the
+    * flip (a crash strands inert orphans, never corrupts the table). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val buckets = params(spark, path)
+    val m = readManifest(spark, path)
+    val v = m.version + 1
+    livePostings(spark, path, m)
+      .repartition(col("term_bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("term_bucket")
+      .parquet(s"$path/postings-v$v")
+    spark.read.parquet(idDirs(path, m): _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/ids-v$v")
+    writeManifest(spark, path,
+      Manifest(v, m.nDocs, m.dlSum, m.dlCount, Seq(v)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    m.segments.foreach { old =>
+      fs.delete(new Path(s"$path/postings-v$old"), true)
+      fs.delete(new Path(s"$path/ids-v$old"), true)
+    }
   }
 
   /** BM25 top-k (k1=1.2, b=0.75, Lucene-style idf — the `tx_bm25`
     * constants) for a bag of query `terms` against the persisted index.
     * Returns (doc_id, bm25 rounded 4dp), score DESC with doc_id tiebreak —
     * bit-equal to the full-scan `bm25Scores` ranking over the same corpus
-    * (spec-pinned): per-doc contributions are folded in sorted-term order,
-    * which matches the scorer's alphabetical-term fold because a zero-tf
-    * term contributes exactly +0.0.
+    * REGARDLESS of how it arrived (one build or many appends: the stats
+    * are exact integers, posting rows are identical either way):
+    * per-doc contributions fold in sorted-term order, which matches the
+    * scorer's alphabetical-term fold because a zero-tf term contributes
+    * exactly +0.0.
     *
-    * Scan shape: the query terms' bucket partitions are read TWICE — once
-    * for the per-term df aggregate (map-side partial counts, a
-    * |terms|-row shuffle, broadcast back) and once for scoring. The
-    * deliberate alternative, deriving df with a count window partitioned
-    * by term over one read, would funnel each term's ENTIRE posting list
-    * through a single window task — a common term at corpus scale is a
-    * straight OOM hotspot, far worse than re-reading the pruned buckets
-    * (both reads touch only the query's candidate partitions, never the
-    * corpus). The per-doc score is one keyed aggregate over posting rows
+    * Scan shape: the query terms' bucket partitions (across the live
+    * segments) are read TWICE — once for the per-term df aggregate
+    * (map-side partial counts, a |terms|-row shuffle, broadcast back) and
+    * once for scoring. The deliberate alternative, deriving df with a
+    * count window partitioned by term over one read, would funnel each
+    * term's ENTIRE posting list through a single window task — a common
+    * term at corpus scale is a straight OOM hotspot, far worse than
+    * re-reading the pruned buckets. The per-doc score is one keyed
+    * aggregate over posting rows (candidate docs only — never the corpus)
     * and the top-k compiles to TakeOrderedAndProject.
     *
-    * Consistency is checked at CONSTRUCTION (meta read + stamp
-    * validation); execution of the returned lazy frame races a concurrent
-    * rebuild like every Spark read of mutable storage — running a rebuild
-    * while serves are in flight is outside the single-writer contract. */
+    * Consistency is checked at CONSTRUCTION (meta + manifest read);
+    * execution of the returned lazy frame races a concurrent REBUILD like
+    * any Spark read of mutable storage (a concurrent append is safe — the
+    * captured manifest names a complete immutable snapshot). */
   def searchTopK(spark: SparkSession, path: String, terms: Seq[String],
       k: Int): DataFrame = {
     require(terms.nonEmpty)
-    val metaRow = spark.read.parquet(s"$path/meta").head()
-    graft.sources.BuildStamp.requireCommitted(spark, path, metaRow, "lexical index")
-    val buckets = metaRow.getAs[Int]("buckets")
-    val stats = spark.read.parquet(s"$path/stats")
+    val buckets = params(spark, path)
+    val m = readManifest(spark, path)
     val wanted = terms.distinct
     import spark.implicits._
     // evaluate the terms' bucket keys up front (a |terms|-row local job):
@@ -130,18 +263,21 @@ object LexIndex {
     val wantedBuckets = wanted.toDF("term")
       .select(bucketOf(col("term"), buckets).as("b"))
       .distinct().as[Long].collect().toSeq
-    val posts = spark.read.parquet(s"$path/postings")
+    def posts = livePostings(spark, path, m)
       .filter(col("term_bucket").isin(wantedBuckets: _*)
         && col("term").isin(wanted: _*))
     val df = posts.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = lit(m.nDocs.toDouble)
+    val avgdl =
+      if (m.dlCount == 0L) lit(null).cast("double")
+      else lit(m.dlSum.toDouble / m.dlCount.toDouble)
     val contrib = posts
       .join(broadcast(df), "term")
-      .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         struct(col("term"),
           graft.functions.TextFunctions.bm25Contribution(
             col("tf").cast("double"), col("dl").cast("double"),
-            col("df"), col("n_docs"), col("avgdl")).as("c")).as("tc"))
+            col("df"), nDocs, avgdl).as("c")).as("tc"))
     contrib.groupBy("doc_id")
       .agg(round(aggregate(array_sort(collect_list(col("tc"))),
         lit(0.0), (acc, x) => acc + x.getField("c")), 4).as("bm25"))

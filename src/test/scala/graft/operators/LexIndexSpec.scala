@@ -56,6 +56,60 @@ class LexIndexSpec extends SparkSpec {
           s"${terms.length} terms:\n$plan"))
   }
 
+  test("append: build(A) + append(B) serves BIT-EQUAL to build(A∪B); " +
+      "replay and in-batch dups land exactly once; compaction is invariant") {
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300)
+    val incr = java.nio.file.Files.createTempDirectory("lex_incr").toString
+    val full = java.nio.file.Files.createTempDirectory("lex_full").toString
+    LexIndex.build(a, incr, buckets = 16)
+    LexIndex.append(spark, incr, b.unionByName(b)) // in-batch dup folded in
+    LexIndex.build(docs, full, buckets = 16)
+    def top(p: String) = LexIndex.searchTopK(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(incr) === top(full),
+      "incrementally-built index must serve bit-equal to the one-shot build")
+    // replay: a redelivered batch publishes nothing new
+    LexIndex.append(spark, incr, b)
+    assert(top(incr) === top(full), "a replayed append must change nothing")
+    // compaction: one segment afterwards, served results unchanged
+    LexIndex.compact(spark, incr)
+    assert(top(incr) === top(full), "compaction must not change results")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(incr), spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(incr))
+      .map(_.getPath.getName).filter(_.startsWith("postings-v"))
+    assert(segs.length === 1, s"compaction must leave one live segment, got ${segs.toSeq}")
+    // an orphan segment dir (crash between segment write and manifest
+    // publish) is invisible to the serve
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$incr/postings-v999"))
+    assert(top(incr) === top(full), "unpublished segments must be invisible")
+  }
+
+  test("append past maxSegments self-compacts to bounded live segments") {
+    val p = java.nio.file.Files.createTempDirectory("lex_selfc").toString
+    LexIndex.build(docs.filter(col("doc_id") < 100), p, buckets = 8)
+    (0 until 4).foreach { i =>
+      LexIndex.append(spark, p,
+        docs.filter(col("doc_id") >= 100 + i * 50 && col("doc_id") < 150 + i * 50),
+        maxSegments = 2)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("postings-v"))
+    assert(segs.length <= 2,
+      s"self-compaction must bound live segments, got ${segs.toSeq}")
+    // and the maintained index still matches the one-shot build
+    val full = java.nio.file.Files.createTempDirectory("lex_selfc_full").toString
+    LexIndex.build(docs.filter(col("doc_id") < 300), full, buckets = 8)
+    val got = LexIndex.searchTopK(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = LexIndex.searchTopK(spark, full, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
+
   test("build rejects duplicate doc_ids instead of silently merging them") {
     val p = java.nio.file.Files.createTempDirectory("lexindex_dup").toString
     // deterministic duplicate: id 0 appears twice (two independent

@@ -43,9 +43,11 @@ import graft.functions.TextFunctions.tokens
   * overwrites; the doc-id ledger (which includes docs whose null text
   * yields no postings) makes the retry's anti-join screen exactly-once.
   * Compaction is just another manifest flip: rewrite the live segments
-  * into one, publish, best-effort delete the superseded dirs (a crash
-  * leaves inert orphans, never a torn table — strictly safer than a
-  * rename-swap of a live directory).
+  * into one and publish; superseded dirs are RETAINED so serves holding
+  * the previous manifest keep reading a complete snapshot, and an
+  * explicit [[vacuum]] reclaims unreferenced dirs after the deployment's
+  * retention window (a crash anywhere leaves inert orphans, never a torn
+  * table — strictly safer than a rename-swap of a live directory).
   *
   * `meta/` pins (buckets, a build id) BEFORE the artifacts and `commit/`
   * seals the same id AFTER them — the [[graft.sources.BuildStamp]]
@@ -67,16 +69,18 @@ object LexIndex {
 
   private def manifestPath(path: String) = new Path(s"$path/manifest")
 
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
     val tmp = new Path(s"$path/manifest.tmp")
     val out = fs.create(tmp, true)
-    out.write(
+    try out.write(
       (s"version=${m.version}\nn_docs=${m.nDocs}\ndl_sum=${m.dlSum}\n" +
         s"dl_count=${m.dlCount}\nsegments=${m.segments.mkString(",")}\n")
         .getBytes("UTF-8"))
-    out.close()
+    finally out.close()
     // FileContext rename with OVERWRITE is the atomic publish (the same
     // primitive AtomicCommit uses): readers see the old or the new
     // manifest, never a partial one
@@ -85,8 +89,10 @@ object LexIndex {
   }
 
   private def readManifest(spark: SparkSession, path: String): Manifest = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
+    require(fs.exists(manifestPath(path)),
+      s"lexical index at $path predates the manifest format (no manifest " +
+        "file) — re-run build to migrate it")
     val in = fs.open(manifestPath(path))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -120,14 +126,6 @@ object LexIndex {
       .agg(count(lit(1)).cast("int").as("tf"))
       .withColumn("term_bucket", bucketOf(col("term"), buckets))
 
-  /** Exact-integer stats delta of a batch: (rows, dl_sum, dl_count). */
-  private def statsOf(docs: DataFrame): (Long, Long, Long) = {
-    val r = docs.agg(count(lit(1)),
-      sum(size(tokens(col("text"))).cast("long")),
-      count(tokens(col("text")))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
-  }
-
   /** Write one segment's postings + id-ledger dirs (invisible until the
     * manifest names them). */
   private def writeSegment(docs: DataFrame, path: String, buckets: Int,
@@ -143,7 +141,11 @@ object LexIndex {
   /** Build segment v0 + manifest + the meta/commit stamp pair. `doc_id`
     * must be UNIQUE — duplicate ids would score once here but twice in the
     * full-scan scorer the serve is spec-pinned to, so build fails loudly
-    * (the check rides the stats aggregate, not a dedicated pass). */
+    * (the check rides the stats aggregate, not a dedicated pass). The
+    * input must be DETERMINISTIC under re-scan (a table read, not an
+    * unordered limit/sample): stats, postings, and the id ledger are three
+    * scans of the same plan, and checkpointing a 100 TB corpus between
+    * them would cost more than the build itself. */
   def build(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
     require(buckets >= 1)
     val spark = docs.sparkSession
@@ -185,25 +187,44 @@ object LexIndex {
     require(maxSegments >= 2)
     val buckets = params(spark, path)
     val m = readManifest(spark, path)
+    // persist (not localCheckpoint): one screen computation feeds the
+    // stats job and both segment writes, and the blocks are RELEASED after
+    // the publish — a long-lived writer looping over micro-batches must
+    // not accumulate executor storage per append
     val fresh = docs.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
       .join(spark.read.parquet(idDirs(path, m): _*), Seq("doc_id"), "left_anti")
-      .localCheckpoint(eager = true) // one screen feeds stats + both writes
-    val (n, dlSum, dlCount) = statsOf(fresh)
-    if (n > 0) {
-      val v = m.version + 1
-      writeSegment(fresh, path, buckets, v)
-      writeManifest(spark, path, Manifest(v, m.nDocs + n, m.dlSum + dlSum,
-        m.dlCount + dlCount, m.segments :+ v))
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r = fresh.agg(count(lit(1)),
+        sum(size(tokens(col("text"))).cast("long")),
+        count(tokens(col("text"))), count(col("doc_id"))).head()
+      val n = r.getLong(0)
+      // a NULL doc_id never matches the ledger's anti-join (null = null is
+      // null), so it would be re-ingested on EVERY append — the one id the
+      // exactly-once screen cannot screen. Fail before anything is written.
+      require(n == r.getLong(3),
+        "LexIndex.append requires non-null doc_ids — a null id escapes " +
+          "the ledger screen and would re-ingest on every replay")
+      if (n > 0) {
+        val v = m.version + 1
+        writeSegment(fresh, path, buckets, v)
+        writeManifest(spark, path, Manifest(v, m.nDocs + n,
+          m.dlSum + (if (r.isNullAt(1)) 0L else r.getLong(1)),
+          m.dlCount + r.getLong(2), m.segments :+ v))
+      }
+    } finally fresh.unpersist(false)
     val after = readManifest(spark, path)
     if (after.segments.length > maxSegments) compact(spark, path)
   }
 
   /** Rewrite the live segments into ONE and publish it with a manifest
     * flip — no live-directory rename swap, so there is no torn-swap crash
-    * window at all; superseded dirs are deleted best-effort AFTER the
-    * flip (a crash strands inert orphans, never corrupts the table). */
+    * window at all. Superseded segment dirs are RETAINED: an in-flight
+    * serve constructed from the previous manifest still reads a complete
+    * immutable snapshot (the property the class doc promises). Reclaim
+    * them with [[vacuum]] once no reader can hold a pre-compaction
+    * manifest. */
   def compact(spark: SparkSession, path: String): Unit = {
     val buckets = params(spark, path)
     val m = readManifest(spark, path)
@@ -217,11 +238,24 @@ object LexIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/ids-v$v")
     writeManifest(spark, path,
       Manifest(v, m.nDocs, m.dlSum, m.dlCount, Seq(v)))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    m.segments.foreach { old =>
-      fs.delete(new Path(s"$path/postings-v$old"), true)
-      fs.delete(new Path(s"$path/ids-v$old"), true)
+  }
+
+  /** Delete every segment dir the current manifest does NOT name —
+    * compaction leftovers and crash orphans. Run only once in-flight
+    * readers of older manifests are done (the retention window is the
+    * deployment's choice, exactly like any snapshot store's vacuum). */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val m = readManifest(spark, path)
+    val live = m.segments.toSet
+    val fs = fsOf(spark, path)
+    fs.listStatus(new Path(path)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val versioned = n.startsWith("postings-v") || n.startsWith("ids-v")
+      if (versioned) {
+        val v = n.dropWhile(!_.isDigit)
+        if (v.nonEmpty && v.forall(_.isDigit) && !live.contains(v.toLong))
+          fs.delete(p, true)
+      }
     }
   }
 

@@ -72,18 +72,38 @@ class LexIndexSpec extends SparkSpec {
     // replay: a redelivered batch publishes nothing new
     LexIndex.append(spark, incr, b)
     assert(top(incr) === top(full), "a replayed append must change nothing")
-    // compaction: one segment afterwards, served results unchanged
+    // compaction: results unchanged, and a serve CONSTRUCTED BEFORE the
+    // compaction (old manifest) must still execute — superseded segments
+    // are retained for in-flight readers until an explicit vacuum
+    val inFlight = LexIndex.searchTopK(spark, incr, terms, k = 20)
     LexIndex.compact(spark, incr)
     assert(top(incr) === top(full), "compaction must not change results")
+    assert(inFlight.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === top(full), "an in-flight pre-compaction serve must still read")
+    // vacuum reclaims everything the current manifest does not name
+    LexIndex.vacuum(spark, incr)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(incr), spark.sparkContext.hadoopConfiguration)
     val segs = fs.listStatus(new org.apache.hadoop.fs.Path(incr))
       .map(_.getPath.getName).filter(_.startsWith("postings-v"))
-    assert(segs.length === 1, s"compaction must leave one live segment, got ${segs.toSeq}")
+    assert(segs.length === 1,
+      s"vacuum must leave only the live segment, got ${segs.toSeq}")
+    assert(top(incr) === top(full), "vacuum must not change results")
     // an orphan segment dir (crash between segment write and manifest
     // publish) is invisible to the serve
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$incr/postings-v999"))
     assert(top(incr) === top(full), "unpublished segments must be invisible")
+    // a null doc_id cannot be screened by the ledger anti-join — append
+    // must refuse it before writing anything
+    import spark.implicits._
+    val err = intercept[IllegalArgumentException] {
+      LexIndex.append(spark, incr,
+        Seq((java.lang.Long.valueOf(9999L), "fresh doc"),
+          (null.asInstanceOf[java.lang.Long], "null id doc"))
+          .toDF("doc_id", "text"))
+    }
+    assert(err.getMessage.contains("non-null doc_ids"))
+    assert(top(incr) === top(full), "a refused append must write nothing")
   }
 
   test("append past maxSegments self-compacts to bounded live segments") {
@@ -94,6 +114,7 @@ class LexIndexSpec extends SparkSpec {
         docs.filter(col("doc_id") >= 100 + i * 50 && col("doc_id") < 150 + i * 50),
         maxSegments = 2)
     }
+    LexIndex.vacuum(spark, p) // reclaim superseded (retained) segments
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
     val segs = fs.listStatus(new org.apache.hadoop.fs.Path(p))
@@ -132,7 +153,7 @@ class LexIndexSpec extends SparkSpec {
 
   test("a torn rebuild (meta written, commit marker missing) fails loudly") {
     val p = java.nio.file.Files.createTempDirectory("lexindex_torn").toString
-    LexIndex.build(docs.limit(50), p, buckets = 4)
+    LexIndex.build(docs.filter(col("doc_id") < 50), p, buckets = 4)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$p/commit"), true)

@@ -235,6 +235,28 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming lexical-index ingest — the third persisted-index sink
+    * (documents → [[graft.operators.LexIndex]]), completing the set with
+    * [[startGatedDocumentSink]] (near-dup gate) and
+    * [[startVectorIndexSink]] (ANN codes): every micro-batch of
+    * (doc_id, text) rows appends into the posting lists under the stored
+    * bucket authority. Exactly-once comes from `append`'s ledger screen
+    * (in-batch dedup + anti-join, null ids refused loudly), atomicity from
+    * its manifest publish (postings and corpus stats flip together), and
+    * bounded segment counts from its self-compaction — the index IS the
+    * idempotent sink, no landing table. Single writer per index;
+    * AvailableNow micro-batches satisfy that by construction. */
+  def startLexIndexSink(docs: DataFrame, indexPath: String,
+      maxSegments: Int = 16): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.LexIndex.append(batch.sparkSession, indexPath, batch,
+          maxSegments)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Multi-table transactional streaming sink: each micro-batch commits the
     * event rows AND their per-type batch statistics through ONE
     * [[graft.warehouse.AtomicCommit]] manifest publish — a reader sees both

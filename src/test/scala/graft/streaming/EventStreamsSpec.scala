@@ -299,6 +299,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(codes2.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("lexical index sink: micro-batches append postings; serve equals " +
+      "one-shot build; replay lands exactly once") {
+    import graft.operators.LexIndex
+    val dir = Files.createTempDirectory("graft-lexsink").toString
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val terms = Seq("dup", "vector", "window")
+    LexIndex.build(docs.filter(col("doc_id") < 300), s"$dir/idx", buckets = 8)
+    val b1 = docs.filter(col("doc_id") >= 300)
+    // two files, same rows: an at-least-once upstream folding a redelivery
+    // into ONE micro-batch — the ledger screen's in-batch dedup must hold
+    b1.write.parquet(s"$dir/in1")
+    b1.write.mode("append").parquet(s"$dir/in1")
+    EventStreams.startLexIndexSink(
+      EventStreams.readDocuments(spark, s"$dir/in1"), s"$dir/idx")
+      .awaitTermination(60000)
+    val full = Files.createTempDirectory("graft-lexsink-full").toString
+    LexIndex.build(docs, full, buckets = 8)
+    def top(p: String) = LexIndex.searchTopK(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(s"$dir/idx") === top(full),
+      "streamed index must serve bit-equal to the one-shot build")
+    // fresh-checkpoint replay of the same input: nothing new lands
+    EventStreams.startLexIndexSink(
+      EventStreams.readDocuments(spark, s"$dir/in1"), s"$dir/idx")
+      .awaitTermination(60000)
+    assert(top(s"$dir/idx") === top(full), "replay must append nothing")
+  }
+
   test("atomic two-table sink: events and stats commit together; replay commits nothing") {
     import graft.warehouse.AtomicCommit
     val dir = Files.createTempDirectory("graft-ac-stream").toString

@@ -190,9 +190,13 @@ object LexIndex {
     // persist (not localCheckpoint): one screen computation feeds the
     // stats job and both segment writes, and the blocks are RELEASED after
     // the publish — a long-lived writer looping over micro-batches must
-    // not accumulate executor storage per append
+    // not accumulate executor storage per append. The in-batch dedup is
+    // min(text) per id, NOT dropDuplicates: persist can recompute lost
+    // blocks through lineage, and an arbitrary-row dedup recomputed
+    // differently would silently write postings disagreeing with the stats
+    // already counted — the deterministic pick makes recompute harmless.
     val fresh = docs.select(col("doc_id"), col("text"))
-      .dropDuplicates("doc_id")
+      .groupBy("doc_id").agg(min(col("text")).as("text"))
       .join(spark.read.parquet(idDirs(path, m): _*), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -213,9 +217,11 @@ object LexIndex {
           m.dlSum + (if (r.isNullAt(1)) 0L else r.getLong(1)),
           m.dlCount + r.getLong(2), m.segments :+ v))
       }
+      // the post-publish segment list is already in hand — no manifest
+      // re-read (2-3 metadata RPCs per micro-batch on an object store)
+      val liveSegments = m.segments.length + (if (n > 0) 1 else 0)
+      if (liveSegments > maxSegments) compact(spark, path)
     } finally fresh.unpersist(false)
-    val after = readManifest(spark, path)
-    if (after.segments.length > maxSegments) compact(spark, path)
   }
 
   /** Rewrite the live segments into ONE and publish it with a manifest
@@ -241,9 +247,14 @@ object LexIndex {
   }
 
   /** Delete every segment dir the current manifest does NOT name —
-    * compaction leftovers and crash orphans. Run only once in-flight
-    * readers of older manifests are done (the retention window is the
-    * deployment's choice, exactly like any snapshot store's vacuum). */
+    * compaction leftovers and crash orphans. WRITER-ONLY, serialized with
+    * append/compact (the [[BandIndex.recover]] posture): a vacuum racing a
+    * writer would delete the segment the writer has staged but not yet
+    * published — committed-manifest corruption nothing self-heals. Run it
+    * from the single writer's own context between appends (the streaming
+    * sink does exactly this), and only once in-flight readers of older
+    * manifests are done (the retention window is the deployment's choice,
+    * exactly like any snapshot store's vacuum). */
   def vacuum(spark: SparkSession, path: String): Unit = {
     val m = readManifest(spark, path)
     val live = m.segments.toSet

@@ -241,17 +241,34 @@ object EventStreams {
     * [[startVectorIndexSink]] (ANN codes): every micro-batch of
     * (doc_id, text) rows appends into the posting lists under the stored
     * bucket authority. Exactly-once comes from `append`'s ledger screen
-    * (in-batch dedup + anti-join, null ids refused loudly), atomicity from
-    * its manifest publish (postings and corpus stats flip together), and
-    * bounded segment counts from its self-compaction — the index IS the
-    * idempotent sink, no landing table. Single writer per index;
-    * AvailableNow micro-batches satisfy that by construction. */
+    * (in-batch dedup + anti-join), atomicity from its manifest publish
+    * (postings and corpus stats flip together), and bounded segment counts
+    * from its self-compaction. Superseded segments are vacuumed INSIDE the
+    * batch callback — the sink is the single writer, so the vacuum is
+    * serialized with appends by construction (the only safe place for it)
+    * and a long-lived stream keeps bounded DISK, not just bounded
+    * segments; external readers during live ingest see compaction
+    * boundaries as the usual mutable-storage race (serve from a quiesced
+    * index, or tolerate a retry). Null doc_ids are FILTERED (logged count)
+    * rather than refused: `append`'s loud null contract at the operator is
+    * right, but at the sink boundary one bad record would otherwise
+    * poison-pill the stream — every restart replays the same file and
+    * dies again. The index IS the idempotent sink, no landing table.
+    * Single writer per index; AvailableNow micro-batches satisfy that by
+    * construction. */
   def startLexIndexSink(docs: DataFrame, indexPath: String,
       maxSegments: Int = 16): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.LexIndex.append(batch.sparkSession, indexPath, batch,
-          maxSegments)
+        val r = batch.agg(count(lit(1)), count(col("doc_id"))).head()
+        val dropped = r.getLong(0) - r.getLong(1)
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"lex-index sink: dropping $dropped null-doc_id row(s) " +
+              s"this micro-batch — a null id cannot be screened exactly-once")
+        graft.operators.LexIndex.append(batch.sparkSession, indexPath,
+          batch.filter(col("doc_id").isNotNull), maxSegments)
+        graft.operators.LexIndex.vacuum(batch.sparkSession, indexPath)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -326,6 +326,22 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.readDocuments(spark, s"$dir/in1"), s"$dir/idx")
       .awaitTermination(60000)
     assert(top(s"$dir/idx") === top(full), "replay must append nothing")
+    // a null doc_id must NOT poison-pill the stream: the sink filters it
+    // (logged) and ingests the rest of the batch
+    import spark.implicits._
+    Seq((null.asInstanceOf[java.lang.Long], "null id row"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in2")
+    EventStreams.startLexIndexSink(
+      EventStreams.readDocuments(spark, s"$dir/in2"), s"$dir/idx")
+      .awaitTermination(60000)
+    assert(top(s"$dir/idx") === top(full),
+      "a null-id-only batch must be dropped, not kill the stream")
+    // the in-sink vacuum keeps disk bounded: only live segment dirs remain
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$dir/idx"), spark.sparkContext.hadoopConfiguration)
+    val segDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx"))
+      .map(_.getPath.getName).count(_.startsWith("postings-v"))
+    assert(segDirs <= 2, s"sink must vacuum superseded segments, got $segDirs dirs")
   }
 
   test("atomic two-table sink: events and stats commit together; replay commits nothing") {

@@ -56,7 +56,11 @@ import graft.functions.TextFunctions.tokens
   * fails every later serve loudly instead of probing wrong buckets.
   * Single WRITER per index (append/compact race nothing but themselves);
   * serves are safe against a concurrent append (old manifest = old
-  * complete snapshot) but not against a concurrent REBUILD.
+  * complete snapshot) for as long as the superseded segments are retained
+  * — i.e. until the writer [[vacuum]]s — and never against a concurrent
+  * REBUILD. A writer that also vacuums (the streaming sink does, at
+  * micro-batch starts) shrinks the retention window to its batch cadence;
+  * serve from a quiesced index when that window is too small.
   */
 object LexIndex {
 
@@ -199,29 +203,34 @@ object LexIndex {
       .groupBy("doc_id").agg(min(col("text")).as("text"))
       .join(spark.read.parquet(idDirs(path, m): _*), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val r = fresh.agg(count(lit(1)),
-        sum(size(tokens(col("text"))).cast("long")),
-        count(tokens(col("text"))), count(col("doc_id"))).head()
-      val n = r.getLong(0)
-      // a NULL doc_id never matches the ledger's anti-join (null = null is
-      // null), so it would be re-ingested on EVERY append — the one id the
-      // exactly-once screen cannot screen. Fail before anything is written.
-      require(n == r.getLong(3),
-        "LexIndex.append requires non-null doc_ids — a null id escapes " +
-          "the ledger screen and would re-ingest on every replay")
-      if (n > 0) {
-        val v = m.version + 1
-        writeSegment(fresh, path, buckets, v)
-        writeManifest(spark, path, Manifest(v, m.nDocs + n,
-          m.dlSum + (if (r.isNullAt(1)) 0L else r.getLong(1)),
-          m.dlCount + r.getLong(2), m.segments :+ v))
-      }
-      // the post-publish segment list is already in hand — no manifest
-      // re-read (2-3 metadata RPCs per micro-batch on an object store)
-      val liveSegments = m.segments.length + (if (n > 0) 1 else 0)
-      if (liveSegments > maxSegments) compact(spark, path)
-    } finally fresh.unpersist(false)
+    val liveSegments =
+      try {
+        val r = fresh.agg(count(lit(1)),
+          sum(size(tokens(col("text"))).cast("long")),
+          count(tokens(col("text"))), count(col("doc_id"))).head()
+        val n = r.getLong(0)
+        // a NULL doc_id never matches the ledger's anti-join (null = null
+        // is null), so it would be re-ingested on EVERY append — the one
+        // id the exactly-once screen cannot screen. Fail before anything
+        // is written.
+        require(n == r.getLong(3),
+          "LexIndex.append requires non-null doc_ids — a null id escapes " +
+            "the ledger screen and would re-ingest on every replay")
+        if (n > 0) {
+          val v = m.version + 1
+          writeSegment(fresh, path, buckets, v)
+          writeManifest(spark, path, Manifest(v, m.nDocs + n,
+            m.dlSum + (if (r.isNullAt(1)) 0L else r.getLong(1)),
+            m.dlCount + r.getLong(2), m.segments :+ v))
+        }
+        // the post-publish segment list is already in hand — no manifest
+        // re-read (2-3 metadata RPCs per micro-batch on an object store)
+        m.segments.length + (if (n > 0) 1 else 0)
+      } finally fresh.unpersist(false)
+    // compact AFTER the batch blocks are released — the whole-index
+    // rewrite is the most memory-hungry moment of the append loop and
+    // must not run with the batch still pinned in executor storage
+    if (liveSegments > maxSegments) compact(spark, path)
   }
 
   /** Rewrite the live segments into ONE and publish it with a manifest

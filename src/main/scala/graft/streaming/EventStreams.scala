@@ -243,23 +243,28 @@ object EventStreams {
     * bucket authority. Exactly-once comes from `append`'s ledger screen
     * (in-batch dedup + anti-join), atomicity from its manifest publish
     * (postings and corpus stats flip together), and bounded segment counts
-    * from its self-compaction. Superseded segments are vacuumed INSIDE the
-    * batch callback — the sink is the single writer, so the vacuum is
-    * serialized with appends by construction (the only safe place for it)
-    * and a long-lived stream keeps bounded DISK, not just bounded
-    * segments; external readers during live ingest see compaction
-    * boundaries as the usual mutable-storage race (serve from a quiesced
-    * index, or tolerate a retry). Null doc_ids are FILTERED (logged count)
-    * rather than refused: `append`'s loud null contract at the operator is
-    * right, but at the sink boundary one bad record would otherwise
-    * poison-pill the stream — every restart replays the same file and
-    * dies again. The index IS the idempotent sink, no landing table.
-    * Single writer per index; AvailableNow micro-batches satisfy that by
-    * construction. */
+    * from its self-compaction. Superseded segments are vacuumed at the
+    * START of each batch callback — the sink is the single writer, so the
+    * vacuum is serialized with appends by construction (the only safe
+    * place for it), a long-lived stream keeps bounded DISK (at most one
+    * stale generation), and segments superseded by a batch's compaction
+    * survive at least until the NEXT batch starts, giving concurrent
+    * serves a retention window of the batch cadence (serve from a
+    * quiesced index if that is too small; see the LexIndex concurrency
+    * note). Null doc_ids are FILTERED (logged count) rather than refused:
+    * `append`'s loud null contract at the operator is right, but at the
+    * sink boundary one bad record would otherwise poison-pill the stream —
+    * every restart replays the same file and dies again. (The null count
+    * is one tiny aggregate job per batch — threading the sink's liveness
+    * policy into the operator's exactly-once API to save it would couple
+    * the two contracts.) The index IS the idempotent sink, no landing
+    * table. Single writer per index; AvailableNow micro-batches satisfy
+    * that by construction. */
   def startLexIndexSink(docs: DataFrame, indexPath: String,
       maxSegments: Int = 16): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.LexIndex.vacuum(batch.sparkSession, indexPath)
         val r = batch.agg(count(lit(1)), count(col("doc_id"))).head()
         val dropped = r.getLong(0) - r.getLong(1)
         if (dropped > 0)
@@ -268,7 +273,6 @@ object EventStreams {
               s"this micro-batch — a null id cannot be screened exactly-once")
         graft.operators.LexIndex.append(batch.sparkSession, indexPath,
           batch.filter(col("doc_id").isNotNull), maxSegments)
-        graft.operators.LexIndex.vacuum(batch.sparkSession, indexPath)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -300,48 +300,62 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("lexical index sink: micro-batches append postings; serve equals " +
-      "one-shot build; replay lands exactly once") {
+      "one-shot build; replay lands exactly once; compaction + start-of-batch " +
+      "vacuum bound disk; null ids dropped not fatal") {
     import graft.operators.LexIndex
     val dir = Files.createTempDirectory("graft-lexsink").toString
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
     val terms = Seq("dup", "vector", "window")
-    LexIndex.build(docs.filter(col("doc_id") < 300), s"$dir/idx", buckets = 8)
-    val b1 = docs.filter(col("doc_id") >= 300)
-    // two files, same rows: an at-least-once upstream folding a redelivery
-    // into ONE micro-batch — the ledger screen's in-batch dedup must hold
-    b1.write.parquet(s"$dir/in1")
-    b1.write.mode("append").parquet(s"$dir/in1")
-    EventStreams.startLexIndexSink(
-      EventStreams.readDocuments(spark, s"$dir/in1"), s"$dir/idx")
+    def sink(in: String) = EventStreams.startLexIndexSink(
+      EventStreams.readDocuments(spark, in), s"$dir/idx", maxSegments = 2)
       .awaitTermination(60000)
-    val full = Files.createTempDirectory("graft-lexsink-full").toString
-    LexIndex.build(docs, full, buckets = 8)
     def top(p: String) = LexIndex.searchTopK(spark, p, terms, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(top(s"$dir/idx") === top(full),
+    def build(upTo: Long) = {
+      val p = Files.createTempDirectory("graft-lexsink-full").toString
+      LexIndex.build(docs.filter(col("doc_id") < upTo), p, buckets = 8)
+      p
+    }
+    def segDirCount() = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(s"$dir/idx"), spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx"))
+        .map(_.getPath.getName).count(_.startsWith("postings-v"))
+    }
+    LexIndex.build(docs.filter(col("doc_id") < 300), s"$dir/idx", buckets = 8)
+    // two files, same rows: an at-least-once upstream folding a redelivery
+    // into ONE micro-batch — the ledger screen's in-batch dedup must hold
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    b1.write.parquet(s"$dir/in1")
+    b1.write.mode("append").parquet(s"$dir/in1")
+    sink(s"$dir/in1") // -> segments [v0, v1], at the maxSegments=2 bound
+    assert(top(s"$dir/idx") === top(build(400)),
       "streamed index must serve bit-equal to the one-shot build")
     // fresh-checkpoint replay of the same input: nothing new lands
-    EventStreams.startLexIndexSink(
-      EventStreams.readDocuments(spark, s"$dir/in1"), s"$dir/idx")
-      .awaitTermination(60000)
-    assert(top(s"$dir/idx") === top(full), "replay must append nothing")
+    sink(s"$dir/in1")
+    assert(top(s"$dir/idx") === top(build(400)), "replay must append nothing")
+    // third segment crosses maxSegments=2: the sink's append compacts, and
+    // the superseded dirs SURVIVE this batch (retention for in-flight
+    // readers — vacuum only runs at the START of the next batch)
+    docs.filter(col("doc_id") >= 400).write.parquet(s"$dir/in3")
+    sink(s"$dir/in3")
+    val fullAll = build(Long.MaxValue)
+    assert(top(s"$dir/idx") === top(fullAll),
+      "compacted streamed index must serve bit-equal to the one-shot build")
+    assert(segDirCount() > 1,
+      "segments superseded by this batch's compaction must be retained")
     // a null doc_id must NOT poison-pill the stream: the sink filters it
-    // (logged) and ingests the rest of the batch
+    // (logged) and the batch's START-of-callback vacuum reclaims the
+    // segments superseded by the PREVIOUS batch's compaction
     import spark.implicits._
     Seq((null.asInstanceOf[java.lang.Long], "null id row"))
       .toDF("doc_id", "text").write.parquet(s"$dir/in2")
-    EventStreams.startLexIndexSink(
-      EventStreams.readDocuments(spark, s"$dir/in2"), s"$dir/idx")
-      .awaitTermination(60000)
-    assert(top(s"$dir/idx") === top(full),
+    sink(s"$dir/in2")
+    assert(top(s"$dir/idx") === top(fullAll),
       "a null-id-only batch must be dropped, not kill the stream")
-    // the in-sink vacuum keeps disk bounded: only live segment dirs remain
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(s"$dir/idx"), spark.sparkContext.hadoopConfiguration)
-    val segDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx"))
-      .map(_.getPath.getName).count(_.startsWith("postings-v"))
-    assert(segDirs <= 2, s"sink must vacuum superseded segments, got $segDirs dirs")
+    assert(segDirCount() === 1,
+      "the next batch's vacuum must reclaim superseded segments")
   }
 
   test("atomic two-table sink: events and stats commit together; replay commits nothing") {

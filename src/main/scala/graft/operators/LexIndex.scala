@@ -226,10 +226,11 @@ object LexIndex {
         // the post-publish segment list is already in hand — no manifest
         // re-read (2-3 metadata RPCs per micro-batch on an object store)
         m.segments.length + (if (n > 0) 1 else 0)
-      } finally fresh.unpersist(false)
-    // compact AFTER the batch blocks are released — the whole-index
-    // rewrite is the most memory-hungry moment of the append loop and
-    // must not run with the batch still pinned in executor storage
+      } finally fresh.unpersist(blocking = true)
+    // compact AFTER the batch blocks are released (the unpersist BLOCKS —
+    // async removal would let the rewrite overlap the still-pinned batch):
+    // the whole-index rewrite is the most memory-hungry moment of the
+    // append loop
     if (liveSegments > maxSegments) compact(spark, path)
   }
 

@@ -307,9 +307,11 @@ class EventStreamsSpec extends SparkSpec {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
     val terms = Seq("dup", "vector", "window")
-    def sink(in: String) = EventStreams.startLexIndexSink(
-      EventStreams.readDocuments(spark, in), s"$dir/idx", maxSegments = 2)
-      .awaitTermination(60000)
+    def sink(in: String) = assert(
+      EventStreams.startLexIndexSink(
+        EventStreams.readDocuments(spark, in), s"$dir/idx", maxSegments = 2)
+        .awaitTermination(60000),
+      "sink timed out — a still-running query would be a second writer")
     def top(p: String) = LexIndex.searchTopK(spark, p, terms, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     def build(upTo: Long) = {
@@ -330,11 +332,12 @@ class EventStreamsSpec extends SparkSpec {
     b1.write.parquet(s"$dir/in1")
     b1.write.mode("append").parquet(s"$dir/in1")
     sink(s"$dir/in1") // -> segments [v0, v1], at the maxSegments=2 bound
-    assert(top(s"$dir/idx") === top(build(400)),
+    val top400 = top(build(400))
+    assert(top(s"$dir/idx") === top400,
       "streamed index must serve bit-equal to the one-shot build")
     // fresh-checkpoint replay of the same input: nothing new lands
     sink(s"$dir/in1")
-    assert(top(s"$dir/idx") === top(build(400)), "replay must append nothing")
+    assert(top(s"$dir/idx") === top400, "replay must append nothing")
     // third segment crosses maxSegments=2: the sink's append compacts, and
     // the superseded dirs SURVIVE this batch (retention for in-flight
     // readers — vacuum only runs at the START of the next batch)

@@ -131,6 +131,34 @@ class LexIndexSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("property: any random split into sequential appends serves bit-equal " +
+      "to the one-shot build") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val corpus = docs.filter(col("doc_id") < 200)
+    val oneShot = java.nio.file.Files.createTempDirectory("lex_prop_full").toString
+    LexIndex.build(corpus, oneShot, buckets = 8)
+    val want = LexIndex.searchTopK(spark, oneShot, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gen = for {
+      nCuts <- Gen.choose(1, 4)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(1L, 199L))
+    } yield (0L +: cuts.distinct.sorted :+ 200L).distinct
+    val prop = Prop.forAllNoShrink(gen) { bounds =>
+      val p = java.nio.file.Files.createTempDirectory("lex_prop").toString
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        val slice = corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        if (i == 0) LexIndex.build(slice, p, buckets = 8)
+        else LexIndex.append(spark, p, slice)
+      }
+      val got = LexIndex.searchTopK(spark, p, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      got == want
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(3), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("build rejects duplicate doc_ids instead of silently merging them") {
     val p = java.nio.file.Files.createTempDirectory("lexindex_dup").toString
     // deterministic duplicate: id 0 appears twice (two independent

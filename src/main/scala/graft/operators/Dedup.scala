@@ -651,8 +651,9 @@ object Dedup {
     * exchange); the duplicated-gram set is found with one map-side-combined
     * distinct-count per gram; flagged occurrences join back on the SAME
     * gram key (exchange reuse); covered positions aggregate per doc (one
-    * doc-keyed exchange) and the final cut is a row-local higher-order
-    * filter against the collected position set. No all-pairs step anywhere:
+    * doc-keyed exchange) and the final cut is a row-local hash-based set
+    * difference over the position range (linear in tokens + covered, not
+    * tokens × covered). No all-pairs step anywhere:
     * cost is bounded by occurrences of duplicated grams, not corpus². */
   def boilerplateSpans(docs: DataFrame, idCol: Column, textCol: Column,
       k: Int, minDocs: Int): DataFrame = {
@@ -674,12 +675,20 @@ object Dedup {
       .distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("__covered"))
+    // the cut is hash-based set difference over the position range, NOT a
+    // per-token array_contains probe: array_except builds one hash set of
+    // the covered positions, so a long heavily-boilerplated doc pays
+    // O(|tokens| + |covered|) row-local work instead of the quadratic
+    // O(|tokens| x |covered|) a membership scan per token would cost.
+    // array_except keeps the first array's order, so surviving tokens stay
+    // in document order; every kept position indexes inside __toks by
+    // construction (covered ⊆ [0, size)), so the subscript is ANSI-safe.
     toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         concat_ws(" ", expr("transform(" +
-          "filter(transform(__toks, (t, i) -> struct(t AS t, i AS i)), " +
-          "s -> NOT array_contains(coalesce(__covered, array()), s.i)), " +
-          "s -> s.t)")).as("clean_text"),
+          "array_except(sequence(0, size(__toks) - 1), " +
+          "coalesce(__covered, array())), " +
+          "i -> __toks[i])")).as("clean_text"),
         coalesce(size(col("__covered")), lit(0)).cast("long").as("n_removed"))
   }
 

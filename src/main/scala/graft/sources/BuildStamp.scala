@@ -33,9 +33,14 @@ object BuildStamp {
       s"$what at $path predates the build-stamp format (meta has no " +
         "build_id) — re-run build to migrate it")
     val declared = metaRow.getAs[String]("build_id")
+    // any unreadable OR empty marker maps to "<missing>" so the caller gets
+    // the TORN diagnostic: a marker directory that exists but holds zero
+    // rows (a partial marker write) must not crash the lookup itself
     val committed =
-      try spark.read.parquet(s"$path/commit").head().getAs[String]("build_id")
-      catch { case _: org.apache.spark.sql.AnalysisException => "<missing>" }
+      try spark.read.parquet(s"$path/commit")
+        .select("build_id").take(1).headOption
+        .map(_.getAs[String]("build_id")).getOrElse("<missing>")
+      catch { case scala.util.control.NonFatal(_) => "<missing>" }
     require(declared == committed,
       s"$what at $path is TORN (meta build $declared vs committed " +
         s"$committed): a rebuild crashed between writing meta/ and its " +

@@ -48,12 +48,23 @@ object Tables {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
-      // reader rejects; read nanos as long and truncate to micros (matching
-      // DuckDB's CAST(ts AS TIMESTAMP) truncation).
+      // Fixture generations have stored `ts` differently: TIMESTAMP(NANOS)
+      // (which Spark's parquet reader rejects — read the nanos as long via
+      // nanosAsLong and truncate to micros) or plain TIMESTAMP(MICROS)
+      // without a UTC flag (which reads as TIMESTAMP_NTZ). Normalize both
+      // to the session-tz TimestampType with identical micros-since-epoch
+      // values — the session time zone is pinned UTC by every entrypoint,
+      // so the NTZ cast is value-preserving — matching DuckDB's
+      // CAST(ts AS TIMESTAMP) view of the same file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ =>
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      }
+      raw.withColumn("ts", ts)
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
 

@@ -199,8 +199,19 @@ object EventStreams {
           }
         fresh.join(landed, Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(targetDir)
+        // screen the band append against ids ALREADY indexed (the same id
+        // screen IndexIngest uses): a fresh-checkpoint replay re-presents
+        // docs whose landing the anti-join above drops as already-landed,
+        // and without this screen their bands would re-append on every
+        // replay — gate results would survive (semi-join semantics absorb
+        // duplicate band rows) but the index would grow per replay. Docs
+        // whose landing committed but whose bands crashed before appending
+        // are NOT screened (their ids are absent from the index), so the
+        // docs-before-bands crash-heal ordering still closes that window.
+        val indexed = spark.read.parquet(s"$indexPath/bands").select("doc_id")
         graft.operators.BandIndex.append(
-          indexPath, fresh, col("doc_id"), col("text"))
+          indexPath, fresh.join(indexed, Seq("doc_id"), "left_anti"),
+          col("doc_id"), col("text"))
         ()
       }
       .trigger(Trigger.AvailableNow())

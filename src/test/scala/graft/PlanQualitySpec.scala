@@ -233,12 +233,15 @@ class PlanQualitySpec extends SparkSpec {
 
   test("static plan fingerprints of EVERY judged query match the golden file") {
     // breadth companion to the post-AQE headline golden above: the STATIC
-    // (pre-execution) physical plan of all ~150 judged queries, censused
-    // without running anything — catches a lost broadcast or a new exchange
-    // in any judged entry at planning cost only. Static plans carry no
-    // runtime stats, so the census is fully deterministic; what AQE alone
-    // can change at runtime (SMJ->BHJ upgrades, empty-relation pruning) is
-    // exactly what the executed headline golden covers.
+    // (pre-execution) physical plan of all ~150 judged queries — catches a
+    // lost broadcast or a new exchange in any judged entry. For declarative
+    // entries this costs planning only; entries with an iterative build
+    // step (PQ/k-means/BPE training, the ev_late_sessions MemoryStream
+    // memo) execute those driver-side training jobs once at DataFrame
+    // construction time, so the census is cheap but NOT free. Static plans
+    // carry no runtime stats, so the census is fully deterministic; what
+    // AQE alone can change at runtime (SMJ->BHJ upgrades, empty-relation
+    // pruning) is exactly what the executed headline golden covers.
     val golden = new java.io.File("src/test/resources/all_plan_fingerprints_static.txt")
     val got = Registry.all.map { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -59,6 +59,25 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(j - 1.0 / 3.0) <= 3.0 / math.sqrt(k), s"jaccard $j")
   }
 
+  test("intersection estimate: exact for small sets, bounded error for large") {
+    val k = 256
+    def inter(a: Seq[Long], b: Seq[Long]): Double = {
+      val skA = sketchOf(a, k)
+      val skB = sketchOf(b, k)
+      Seq((skA, skB)).toDF("a", "b")
+        .select(kmvIntersect(col("a"), col("b"), k).as("i"))
+        .as[Double].head()
+    }
+    // small: the union fits inside k -> jaccard and union size are both
+    // exact, so the product is the true intersection (up to fp rounding)
+    assert(math.abs(inter(1L to 100L, 51L to 150L) - 50.0) < 1e-9)
+    // large: |A|=|B|=10k, |A∩B|=5k; both factors carry ~3/sqrt(k) error,
+    // so the product is held to the combined relative bound
+    val est = inter(1L to 10000L, 5001L to 15000L)
+    val relTol = 3.0 / math.sqrt(k) * (1.0 / (1.0 / 3.0)) + 3.0 / math.sqrt(k)
+    assert(math.abs(est - 5000.0) / 5000.0 <= relTol, s"intersect $est")
+  }
+
   test("string keys hash and sketch identically across partitionings") {
     val values = (1 to 3000).map(i => s"user-${i % 997}")
     def sk(parts: Int) = values.toDF("v").repartition(parts)

@@ -160,6 +160,38 @@ object PipelineQueries {
           NumHashes, Bands))
         .select(col("id").as("doc_id"), col("component")))
 
+  /** DuckDB CTE mirroring operators/Dsir: hashed-token buckets (first 3
+    * md5 hex chars, folded positionally = the base-16 parse), add-one
+    * smoothed target(src1+src2)/raw bucket models, per-bucket scaled-long
+    * log ratios (double factors multiplied in the SAME order as the Spark
+    * side so IEEE results match bit-for-bit), per-doc exact long sums. */
+  private val DsirScoreCte =
+    """WITH tb AS (
+      |  SELECT doc_id,
+      |    (strpos('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substring(md5(token), 2, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substring(md5(token), 3, 1)) - 1) AS bucket
+      |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)),
+      |tc AS (SELECT bucket, COUNT(*) AS ct FROM tb JOIN documents USING (doc_id)
+      |  WHERE source IN ('src1', 'src2') GROUP BY bucket),
+      |rc AS (SELECT bucket, COUNT(*) AS cr FROM tb GROUP BY bucket),
+      |tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS nt,
+      |               (SELECT COALESCE(SUM(cr), 0) FROM rc) AS nr),
+      |lr AS (SELECT bucket,
+      |    CAST(round(round(ln(
+      |      (CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) * CAST(tot.nr + 4096 AS DOUBLE)) /
+      |      (CAST(rc.cr + 1 AS DOUBLE) * CAST(tot.nt + 4096 AS DOUBLE))), 6)
+      |      * 1000000, 0) AS BIGINT) AS lr_scaled
+      |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, CAST(SUM(lr_scaled) AS DOUBLE) / 1000000.0 AS score,
+      |    COUNT(*) AS n_tokens
+      |  FROM tb JOIN lr USING (bucket) GROUP BY doc_id)
+      |""".stripMargin
+
+  private val DsirScoreSql =
+    DsirScoreCte + "SELECT doc_id, score, n_tokens FROM scored"
+
   val all: Seq[Q] = Seq(
 
     // ---- Deduplication ----------------------------------------------------
@@ -1314,6 +1346,42 @@ object PipelineQueries {
         |FROM docs, unnest(generate_series(0,
         |  CAST(floor(r) AS BIGINT) - 1
         |    + CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END)) AS g(e)""".stripMargin)),
+
+    // DSIR importance scoring (Xie et al. 2023): per-doc log likelihood
+    // ratio of a hashed-token bucket model trained on a curated TARGET
+    // slice (src1+src2) vs the raw pool. The only transcendental (ln) is
+    // evaluated per bucket, pre-rounded and scaled to a long, so the
+    // per-doc sum is exact integer arithmetic — engine/layout
+    // bit-identical. Scale shape: two ≤4096-row map-combined bucket
+    // counts, a broadcast ratio join onto the row-local token explode, one
+    // map-combined doc-keyed sum — the corpus never shuffles (see
+    // operators/Dsir).
+    Q("cp_dsir_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ratios = graft.operators.Dsir.bucketLogRatios(
+          docs.filter(col("source").isin("src1", "src2")), col("text"),
+          docs, col("text"))
+        graft.operators.Dsir.importanceScores(docs, col("doc_id"), col("text"), ratios)
+      },
+      Some(DsirScoreSql)),
+
+    // DSIR importance selection: the k = 100 highest-scoring docs (ties by
+    // doc_id) — top-k through per-partition heaps (TakeOrderedAndProject),
+    // never a global sort.
+    Q("cp_dsir_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ratios = graft.operators.Dsir.bucketLogRatios(
+          docs.filter(col("source").isin("src1", "src2")), col("text"),
+          docs, col("text"))
+        graft.operators.Dsir.select(
+          graft.operators.Dsir.importanceScores(docs, col("doc_id"), col("text"), ratios)
+            .select("doc_id", "score"), k = 100)
+      },
+      Some(DsirScoreCte +
+        """SELECT doc_id, score FROM scored
+          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
 
     // ---- Data-quality / profiling ----------------------------------------
 

@@ -80,21 +80,28 @@ object Dsir {
         round(round(log(num / den), 6) * 1000000, 0).cast("long").as("lr_scaled"))
   }
 
-  /** (doc_id, score, n_tokens) importance scores for every raw document
-    * with non-null text: score = Σ over tokens of the token's bucket
-    * log-ratio (exact long sum of the pre-rounded per-bucket values,
-    * surfaced as a double at the end). `ratios` is broadcast — it is
-    * ≤ [[Buckets]] rows by construction. */
+  /** (doc_id, score, n_tokens) importance scores for EVERY raw document
+    * with non-null text — guaranteed one row per such doc: score = Σ over
+    * tokens of the token's bucket log-ratio (exact long sum of the
+    * pre-rounded per-bucket values, surfaced as a double at the end).
+    * Null-text docs are excluded; a doc with no in-ratio tokens still gets
+    * a row with score 0. Tokens whose bucket is absent from `ratios`
+    * contribute 0 to the score but do count in n_tokens — such tokens can
+    * only occur when scoring docs OUTSIDE the pool `ratios` was trained on
+    * (in the DSIR setup raw ⊆ training, so every bucket is present).
+    * `ratios` is broadcast — it is ≤ [[Buckets]] rows by construction. */
   def importanceScores(raw: DataFrame, idCol: Column, textCol: Column,
       ratios: DataFrame): DataFrame =
-    Parallelism.fanOut(raw.select(idCol.as("doc_id"), textCol.as("__text")))
+    Parallelism.fanOut(raw.select(idCol.as("doc_id"), textCol.as("__text"))
+        .filter(col("__text").isNotNull))
       .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(col("__text"))).as("__tok"))
+        explode_outer(graft.functions.TextFunctions.tokens(col("__text"))).as("__tok"))
       .select(col("doc_id"), bucket(col("__tok")).as("bucket"))
-      .join(broadcast(ratios), "bucket")
+      .join(broadcast(ratios), Seq("bucket"), "left")
       .groupBy("doc_id")
-      .agg((sum(col("lr_scaled")).cast("double") / 1000000.0).as("score"),
-        count(lit(1)).as("n_tokens"))
+      .agg((coalesce(sum(col("lr_scaled")), lit(0L)).cast("double") / 1000000.0)
+          .as("score"),
+        count(col("bucket")).as("n_tokens"))
 
   /** Importance selection: the k highest-scoring documents, ties broken by
     * doc_id ascending — deterministic on any engine or layout. Top-k, not

@@ -184,9 +184,10 @@ object PipelineQueries {
       |      * 1000000, 0) AS BIGINT) AS lr_scaled
       |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
       |scored AS (
-      |  SELECT doc_id, CAST(SUM(lr_scaled) AS DOUBLE) / 1000000.0 AS score,
-      |    COUNT(*) AS n_tokens
-      |  FROM tb JOIN lr USING (bucket) GROUP BY doc_id)
+      |  SELECT doc_id,
+      |    CAST(COALESCE(SUM(lr_scaled), 0) AS DOUBLE) / 1000000.0 AS score,
+      |    COUNT(bucket) AS n_tokens
+      |  FROM tb LEFT JOIN lr USING (bucket) GROUP BY doc_id)
       |""".stripMargin
 
   private val DsirScoreSql =

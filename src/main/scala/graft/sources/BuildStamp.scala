@@ -33,14 +33,21 @@ object BuildStamp {
       s"$what at $path predates the build-stamp format (meta has no " +
         "build_id) — re-run build to migrate it")
     val declared = metaRow.getAs[String]("build_id")
-    // any unreadable OR empty marker maps to "<missing>" so the caller gets
-    // the TORN diagnostic: a marker directory that exists but holds zero
-    // rows (a partial marker write) must not crash the lookup itself
+    // an absent/unanalyzable OR empty marker maps to "<missing: why>" so
+    // the caller gets the TORN diagnostic WITH the underlying cause: a
+    // marker directory that is missing, schema-less, or holds zero rows (a
+    // partial marker write) must not crash the lookup itself. Only
+    // AnalysisException is absorbed — a genuine IO failure (permissions,
+    // corrupt footer mid-read) propagates with its own cause instead of
+    // being misreported as a torn build.
     val committed =
       try spark.read.parquet(s"$path/commit")
         .select("build_id").take(1).headOption
-        .map(_.getAs[String]("build_id")).getOrElse("<missing>")
-      catch { case scala.util.control.NonFatal(_) => "<missing>" }
+        .map(_.getAs[String]("build_id")).getOrElse("<missing: commit marker empty>")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          s"<missing: ${e.getSimpleMessage.linesIterator.next()}>"
+      }
     require(declared == committed,
       s"$what at $path is TORN (meta build $declared vs committed " +
         s"$committed): a rebuild crashed between writing meta/ and its " +

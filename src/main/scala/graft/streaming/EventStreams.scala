@@ -199,18 +199,16 @@ object EventStreams {
           }
         fresh.join(landed, Seq("doc_id"), "left_anti")
           .write.mode("append").parquet(targetDir)
-        // screen the band append against ids ALREADY indexed (the same id
-        // screen IndexIngest uses): a fresh-checkpoint replay re-presents
-        // docs whose landing the anti-join above drops as already-landed,
-        // and without this screen their bands would re-append on every
-        // replay — gate results would survive (semi-join semantics absorb
-        // duplicate band rows) but the index would grow per replay. Docs
-        // whose landing committed but whose bands crashed before appending
-        // are NOT screened (their ids are absent from the index), so the
-        // docs-before-bands crash-heal ordering still closes that window.
-        val indexed = spark.read.parquet(s"$indexPath/bands").select("doc_id")
-        graft.operators.BandIndex.append(
-          indexPath, fresh.join(indexed, Seq("doc_id"), "left_anti"),
+        // no indexed-ids screen is needed before this append: a replay
+        // cannot grow the index, because any replayed doc whose bands ARE
+        // already indexed matches its own band rows in the gate's semi-join
+        // and never reaches `fresh` (gate and append derive band parameters
+        // from the same meta/ authority, so the bands it emits are the
+        // bands it screens on), and a zero-band doc re-passing the gate
+        // appends zero band rows. The one replay case that does reach here
+        // — landing committed, band append crashed — is exactly the heal
+        // the docs-before-bands ordering exists for.
+        graft.operators.BandIndex.append(indexPath, fresh,
           col("doc_id"), col("text"))
         ()
       }

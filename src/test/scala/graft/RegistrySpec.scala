@@ -81,6 +81,10 @@ class RegistrySpec extends SparkSpec {
     //  - sim_hybrid_rrf: composes the tx_bm25 single-row-stats broadcast
     //    and the sim_bruteforce query-set broadcast; the fusion itself is
     //    keyed joins over bounded top-50 retrieval outputs
+    //  - cp_dsir_score / cp_dsir_select: the per-side token totals are
+    //    SINGLE-ROW aggregates cross-joined onto the ≤4096-row bucket
+    //    frames (the tx_bm25 single-row-stats shape); the corpus joins
+    //    the finished ratio table equi-keyed on bucket
     val cartesianOk = Set("j4_cross_join")
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
@@ -89,7 +93,8 @@ class RegistrySpec extends SparkSpec {
       "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train",
       "cp_mixture_sample", "cp_temperature_sample",
       "sim_hard_negatives", "sim_hybrid_rrf", "sim_triplet_mine",
-      "sim_ann_recall")
+      "sim_ann_recall",
+      "cp_dsir_score", "cp_dsir_select")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -246,13 +246,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(rowSet(landedCopies) === rowSet(bandlessCopies),
       "copies with bands must be gated as near-dups of prior batches")
 
-    // replay batch 2 under a fresh checkpoint: exactly-once end to end
+    // replay batch 2 under a fresh checkpoint: exactly-once end to end —
+    // for BOTH tables. The index must not grow either: replayed docs with
+    // indexed bands self-screen at the gate (they match their own band
+    // rows), and bandless replays append zero band rows — no per-batch
+    // indexed-ids read is needed for this invariant
+    val bands2 = spark.read.parquet(s"$dir/idx/bands").count()
     EventStreams.startGatedDocumentSink(
       EventStreams.readDocuments(spark, s"$dir/in2"), s"$dir/idx", s"$dir/lake")
       .awaitTermination(60000)
     val lake3 = spark.read.parquet(s"$dir/lake")
     assert(lake3.count() === lake2.count(), "replay must ingest nothing new")
     assert(lake3.select("doc_id").distinct().count() === lake3.count())
+    assert(spark.read.parquet(s"$dir/idx/bands").count() === bands2,
+      "replay must append nothing to the band index")
   }
 
   test("vector index sink: micro-batches append under stored parameters; " +

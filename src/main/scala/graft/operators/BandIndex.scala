@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
+import graft.sources.SegmentedTable
+
 /** Persisted MinHash-band index — the build-then-serve form of
   * [[Dedup.incrementalNearDupFilter]], mirroring what [[IvfIndex]] gives the
   * ANN side. The recompute form re-derives the history's band projection on
@@ -29,21 +31,26 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * instead of screening new-parameter batch bands against old-parameter
   * stored bands — the silent-garbage window the meta table exists to close.
   *
-  * Maintenance: each `append` lands one small parquet file per batch, so a
-  * long-lived index degrades into a small-file storm (footer reads + task
-  * scheduling dominate the scan). `append` self-compacts through
-  * [[graft.sources.Compaction]] once `bands/` exceeds `maxFiles` fragments,
-  * rewriting to `maxFiles / 2` evenly-sized files.
+  * MAINTENANCE is the [[graft.sources.SegmentedTable]] manifest protocol
+  * (the same one [[LexIndex]] carries): each append stages its bands as an
+  * invisible `bands/seg=<v>/` directory and publishes it with one atomic
+  * manifest flip, so a crash anywhere leaves an inert orphan — never a
+  * torn directory — and `gate` always reads a complete manifest-pinned
+  * snapshot. `append` self-compacts (rewrite the live segments into one,
+  * flip) once the live segment count exceeds `maxSegments`, bounding both
+  * the per-gate listing cost and the small-file accumulation of a
+  * long-lived streaming ingest; superseded segments are RETAINED for
+  * in-flight readers until the writer [[vacuum]]s.
   *
   * CONCURRENCY CONTRACT — single writer. `ingest` is gate-then-append with
   * no cross-caller transaction: two concurrent ingests can BOTH gate the
   * same near-dup pair before either appends, and each admits the other's
-  * duplicate. Likewise `append`'s compaction swaps the `bands/` directory
-  * (two renames), which a concurrent reader can observe mid-swap. Run one
-  * ingest writer at a time (the streaming form — one micro-batch at a time
-  * in [[graft.streaming.EventStreams]]-style foreachBatch — satisfies this
-  * by construction); concurrent `gate`-only readers are safe between, but
-  * not during, writes.
+  * duplicate. Run one ingest writer at a time (the streaming form — one
+  * micro-batch at a time in [[graft.streaming.EventStreams]]-style
+  * foreachBatch — satisfies this by construction); concurrent `gate`-only
+  * readers are safe against appends/compactions (their manifest pins a
+  * complete retained snapshot) until the writer vacuums, and never against
+  * a concurrent rebuild.
   *
   * Screen semantics are [[Dedup.screenAgainstBands]] — the same single
   * definition the recompute path uses, so the two can't drift (spec-pinned
@@ -52,8 +59,8 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 object BandIndex {
 
   /** Derive the history's band projection and persist it (plus the MinHash
-    * parameters) under `path` (`bands/` parquet, `meta/` + `commit/` one
-    * row each — see the torn-rebuild note above). */
+    * parameters) under `path` (`bands/seg=0/` + manifest, `meta/` +
+    * `commit/` one row each — see the torn-rebuild note above). */
   def build(history: DataFrame, idCol: Column, textCol: Column,
       numHashes: Int, bands: Int, shingleK: Int, path: String): Unit = {
     val spark = history.sparkSession
@@ -62,19 +69,19 @@ object BandIndex {
     Seq((numHashes, bands, shingleK, buildId))
       .toDF("num_hashes", "bands", "shingle_k", "build_id")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // version past any directory an earlier generation of this index left
+    // behind: a rebuild's segment must never collide with a retained one
+    val v =
+      if (SegmentedTable.manifestExists(spark, path))
+        SegmentedTable.readManifest(spark, path).version + 1
+      else 0L
     Dedup.minhashBands(history, idCol, textCol, numHashes, bands, shingleK)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(SegmentedTable.segDir(s"$path/bands", v))
+    SegmentedTable.writeManifest(spark, path,
+      SegmentedTable.Manifest(v, Seq(v)))
     graft.sources.BuildStamp.commit(spark, path, buildId)
   }
-
-  /** Repair a compaction that died mid-swap (bands/ parked at bands__old).
-    * WRITER-ONLY: a rename from a reader would race a concurrent writer's
-    * own swap. Run at the start of every writer sequence — [[ingest]] and
-    * the streaming foreachBatch both gate BEFORE their append, so waiting
-    * for `append` to self-heal would leave the gate's read failing forever
-    * on a torn directory. */
-  def recover(spark: SparkSession, path: String): Unit =
-    graft.sources.Compaction.recover(spark, s"$path/bands")
 
   private def params(spark: SparkSession, path: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
@@ -82,48 +89,67 @@ object BandIndex {
     (r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"), r.getAs[Int]("shingle_k"))
   }
 
-  private def bandFileCount(spark: SparkSession, path: String): Int = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(dir).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-  }
+  /** The live indexed band rows (doc_id, band, band_key) — one
+    * manifest-pinned scan; orphan/superseded segments are invisible. */
+  def bands(spark: SparkSession, path: String): DataFrame =
+    SegmentedTable.read(spark, s"$path/bands",
+      SegmentedTable.readManifest(spark, path))
 
   /** Extend the index with an ACCEPTED batch's bands (call after its docs
     * actually enter the lake — indexing a rejected batch would poison the
     * gate against data that isn't there). Parameters come from `meta/`.
-    * Self-compacts `bands/` to `maxFiles / 2` files once the per-batch
-    * appends fragment it past `maxFiles`. Single-writer (see object doc). */
+    * Stage-then-flip: a crash before the manifest publish leaves an orphan
+    * the next append overwrites (same version allocation), so a retried
+    * batch lands exactly once. Self-compacts once the live segment count
+    * exceeds `maxSegments`. Single-writer (see object doc). */
   def append(path: String, accepted: DataFrame, idCol: Column, textCol: Column,
-      maxFiles: Int = 64): Unit = {
+      maxSegments: Int = 16): Unit = {
+    require(maxSegments >= 2, s"maxSegments must be >= 2, got $maxSegments")
     val spark = accepted.sparkSession
     val (nh, b, k) = params(spark, path)
-    // a compaction that died mid-swap leaves bands/ missing with the only
-    // copy parked at bands__old — an Append here would RECREATE bands/ with
-    // just this batch and strand the parked history for a later compaction
-    // to delete. Restore first (two exists probes when healthy).
-    recover(spark, path)
+    val m = SegmentedTable.readManifest(spark, path)
+    val v = m.version + 1
     Dedup.minhashBands(accepted, idCol, textCol, nh, b, k)
-      .write.mode(SaveMode.Append).parquet(s"$path/bands")
-    if (bandFileCount(spark, path) > maxFiles)
-      graft.sources.Compaction.compactToFiles(
-        spark, s"$path/bands", math.max(1, maxFiles / 2))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(SegmentedTable.segDir(s"$path/bands", v))
+    SegmentedTable.writeManifest(spark, path,
+      SegmentedTable.Manifest(v, m.segments :+ v))
+    if (m.segments.length + 1 > maxSegments) compact(spark, path)
   }
+
+  /** Rewrite the live segments into ONE and publish it with a manifest
+    * flip. Superseded segment dirs are RETAINED for in-flight readers;
+    * reclaim with [[vacuum]]. The rewrite repartitions to a bounded file
+    * count — the band projection is tiny relative to its corpus, so the
+    * compacted segment stays few-files even for a large index. */
+  def compact(spark: SparkSession, path: String, nFiles: Int = 32): Unit = {
+    val m = SegmentedTable.readManifest(spark, path)
+    val v = m.version + 1
+    SegmentedTable.read(spark, s"$path/bands", m)
+      .repartition(math.max(1, nFiles))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(SegmentedTable.segDir(s"$path/bands", v))
+    SegmentedTable.writeManifest(spark, path,
+      SegmentedTable.Manifest(v, Seq(v)))
+  }
+
+  /** Reclaim segment dirs the current manifest does not name. WRITER-ONLY,
+    * serialized with append/compact; see [[SegmentedTable.vacuum]]. */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    SegmentedTable.vacuum(spark, path, s"$path/bands")
 
   /** The rows of `newBatch` that share NO band with the indexed history —
     * identical to [[Dedup.incrementalNearDupFilter]] over the corpus the
     * index was built+appended from, but the history side is one read of the
-    * stored band projection instead of a re-scan of the history text. */
+    * stored band projection instead of a re-scan of the history text.
+    * Read-only: the manifest pins a complete snapshot even mid-append, so
+    * the gate needs no writer-side healing — there is nothing to heal. */
   def gate(path: String, newBatch: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val spark = newBatch.sparkSession
     val (nh, b, k) = params(spark, path)
-    // deliberately NO crash recovery here: gate is a READ, and repairing
-    // (a rename) from a reader would race a concurrent writer's compaction
-    // swap and corrupt the very directory it tried to save. A torn index
-    // makes this read fail loudly (missing bands/); the single WRITER
-    // repairs it on its next append.
     Dedup.screenAgainstBands(newBatch, idCol,
       Dedup.minhashBands(newBatch, idCol, textCol, nh, b, k),
-      spark.read.parquet(s"$path/bands"))
+      bands(spark, path))
   }
 
   /** The production ingest step: gate the batch, index the survivors'
@@ -131,9 +157,6 @@ object BandIndex {
     * back the materialized screen, not a second gate run). Single-writer
     * (see object doc). */
   def ingest(path: String, newBatch: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    // writer context: heal a torn compaction BEFORE the gate's read — the
-    // gate itself must stay read-only (see its comment)
-    recover(newBatch.sparkSession, path)
     val survivors = gate(path, newBatch, idCol, textCol)
       .localCheckpoint(eager = true) // one gate run feeds both uses below
     append(path, survivors, idCol, textCol)

@@ -2,52 +2,85 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-import graft.sources.Compaction
+import graft.sources.SegmentedTable
 
 /** The ONE ingest-maintenance sequence every cluster-partitioned vector
   * index uses ([[IvfIndex.append]], [[IvfAdc.append]]), factored so the
-  * contract cannot drift between them:
+  * contract cannot drift between them — the
+  * [[graft.sources.SegmentedTable]] manifest protocol specialized to
+  * `seg=<v>/cluster=<c>/` data:
   *
-  *  1. heal a compaction that died mid-swap (the live dir may be parked at
-  *     `__old` — an Append would otherwise recreate it holding just this
-  *     batch and strand the history);
-  *  2. screen ids — in-batch dedup (an at-least-once upstream can fold a
+  *  1. screen ids — in-batch dedup (an at-least-once upstream can fold a
   *     redelivery into ONE micro-batch, invisible to the anti-join) plus a
-  *     left-anti join against the PERSISTED ids, reading only the
+  *     left-anti join against the PERSISTED live ids, reading only the
   *     column-pruned id projection — so any retry/redelivery lands exactly
   *     once. INSERT-ONLY by construction: a row whose id already exists is
   *     dropped, NOT updated — re-embedding an existing id requires a
-  *     rebuild (partition files are immutable; there is no in-place
-  *     delete), and callers that need refresh semantics must version ids;
-  *  3. encode + append to the `cluster=` partitions;
-  *  4. self-compact once fragments exceed `maxFilesPerPartition ×
-  *     partitions` — per-partition because the compacted floor IS one file
-  *     per partition (see [[Compaction.partitionedFragmentsExceed]]). The
-  *     ratio is the rewrite-amortization knob: each compaction rewrites the
-  *     whole table, and the threshold admits ~(ratio − 1) fragments per
-  *     partition between rewrites, so a streaming sink appending every few
-  *     seconds wants a ratio well above 2 (the appends' default is 16:
-  *     ≤16 footer reads per probed partition, one full rewrite per ~15
-  *     all-partition batches).
+  *     rebuild (segments are immutable; there is no in-place delete), and
+  *     callers that need refresh semantics must version ids;
+  *  2. encode + stage the batch as an INVISIBLE `seg=<v>/` segment (its
+  *     own `cluster=` partitions inside) — a crash before the publish
+  *     leaves an inert orphan that the retry overwrites (same version
+  *     allocation), never a torn table;
+  *  3. publish with one atomic manifest flip;
+  *  4. self-compact once the live segment count exceeds `maxSegments`:
+  *     rewrite the live segments into one (one file per cluster) and flip.
+  *     `maxSegments` is the rewrite-amortization knob — each compaction
+  *     rewrites the whole table, and the threshold admits ~maxSegments
+  *     batches between rewrites, during which a probed cluster pays at
+  *     most one small-file read per live segment (the appends' default is
+  *     16). Superseded segments are RETAINED for in-flight readers until
+  *     the writer vacuums ([[SegmentedTable.vacuum]]).
   *
-  * Single WRITER per index: the compaction swap is two renames a
-  * concurrent reader could observe mid-flight.
+  * Single WRITER per index (appends/compactions/vacuums serialize); a
+  * reader's manifest pins a complete immutable snapshot, so serves are
+  * safe against concurrent appends until the writer vacuums.
   */
 private[operators] object IndexIngest {
 
-  def appendScreened(spark: SparkSession, dataDir: String, batch: DataFrame,
-      idCol: String, encode: DataFrame => DataFrame,
-      maxFilesPerPartition: Int): Unit = {
-    require(maxFilesPerPartition >= 2,
-      s"maxFilesPerPartition must be >= 2, got $maxFilesPerPartition")
-    Compaction.recover(spark, dataDir)
+  /** Live rows of the index's data table — one manifest-pinned scan;
+    * static `seg IN` pruning composes with the caller's own partition
+    * filters and dynamic pruning on `cluster`. */
+  def readLive(spark: SparkSession, root: String, dataName: String): DataFrame =
+    SegmentedTable.read(spark, s"$root/$dataName",
+      SegmentedTable.readManifest(spark, root))
+
+  def appendScreened(spark: SparkSession, root: String, dataName: String,
+      batch: DataFrame, idCol: String, encode: DataFrame => DataFrame,
+      maxSegments: Int): Unit = {
+    require(maxSegments >= 2, s"maxSegments must be >= 2, got $maxSegments")
+    val dataDir = s"$root/$dataName"
+    val m = SegmentedTable.readManifest(spark, root)
     val fresh = batch.dropDuplicates(idCol).join(
-      spark.read.parquet(dataDir).select(idCol), Seq(idCol), "left_anti")
+      SegmentedTable.read(spark, dataDir, m).select(idCol),
+      Seq(idCol), "left_anti")
+    val v = m.version + 1
     encode(fresh)
-      .write.mode(SaveMode.Append)
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
-      .parquet(dataDir)
-    if (Compaction.partitionedFragmentsExceed(spark, dataDir, maxFilesPerPartition))
-      Compaction.compactPartitioned(spark, dataDir, "cluster")
+      .parquet(SegmentedTable.segDir(dataDir, v))
+    SegmentedTable.writeManifest(spark, root,
+      SegmentedTable.Manifest(v, m.segments :+ v))
+    if (m.segments.length + 1 > maxSegments) compact(spark, root, dataName)
+  }
+
+  /** Rewrite the live segments into ONE — clustering the shuffle on the
+    * partition column puts each cluster's rows in one writer task, so the
+    * compacted segment lands exactly one file per cluster (the
+    * serve-optimal shape for an index whose reads always scan whole
+    * probed clusters; parquet row groups keep a single large file
+    * read-parallel) — and publish it with a manifest flip. Superseded
+    * segments are retained for in-flight readers; vacuum reclaims them. */
+  def compact(spark: SparkSession, root: String, dataName: String): Unit = {
+    val dataDir = s"$root/$dataName"
+    val m = SegmentedTable.readManifest(spark, root)
+    val v = m.version + 1
+    SegmentedTable.read(spark, dataDir, m)
+      .repartition(org.apache.spark.sql.functions.col("cluster"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster")
+      .parquet(SegmentedTable.segDir(dataDir, v))
+    SegmentedTable.writeManifest(spark, root,
+      SegmentedTable.Manifest(v, Seq(v)))
   }
 }

@@ -65,14 +65,16 @@ object IvfAdc {
 
   /** Train the coarse quantizer + residual PQ codebooks, write centroids,
     * codebooks, and the per-cluster CODE table (no raw vectors) under
-    * `path`. The PQ parameters (m, dim) are pinned in a one-row `meta/`
-    * table: codes are only comparable when encoded under identical
-    * parameters, so `append` takes no m/dim (it reads the stored authority)
-    * and `searchTopK` fails loudly when a caller's parameters drift from
-    * the index's — the same parameter-authority contract as [[BandIndex]],
-    * including its torn-rebuild protection: `meta/` (params + a fresh
-    * build_id) is written BEFORE the artifacts and a `commit/` marker (the
-    * same build_id) AFTER them, so a rebuild that crashes between the two
+    * `path` (`codes/seg=0/` + manifest — the
+    * [[graft.sources.SegmentedTable]] protocol). The PQ parameters (m,
+    * dim) are pinned in a one-row `meta/` table: codes are only comparable
+    * when encoded under identical parameters, so `append` takes no m/dim
+    * (it reads the stored authority) and `searchTopK` fails loudly when a
+    * caller's parameters drift from the index's — the same
+    * parameter-authority contract as [[BandIndex]], including its
+    * torn-rebuild protection: `meta/` (params + a fresh build_id) is
+    * written BEFORE the artifacts and a `commit/` marker (the same
+    * build_id) AFTER them, so a rebuild that crashes between the two
     * leaves the ids disagreeing and every later meta read fails loudly
     * instead of endorsing new parameters over old artifacts (or vice
     * versa). */
@@ -89,12 +91,37 @@ object IvfAdc {
     val books = ProductQuantizer.train(
       residuals.select("vec_id", "embedding"), m, kSub, pqIters, dim)
     books.write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    // version past any directory an earlier generation left behind
+    val v =
+      if (graft.sources.SegmentedTable.manifestExists(spark, path))
+        graft.sources.SegmentedTable.readManifest(spark, path).version + 1
+      else 0L
     encodeResiduals(residuals, books, m, dim)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
-      .parquet(s"$path/codes")
+      .parquet(graft.sources.SegmentedTable.segDir(s"$path/codes", v))
+    graft.sources.SegmentedTable.writeManifest(spark, path,
+      graft.sources.SegmentedTable.Manifest(v, Seq(v)))
     graft.sources.BuildStamp.commit(spark, path, buildId)
   }
+
+  /** The live (cluster, vec_id, codes) serving rows — one manifest-pinned
+    * scan; orphan/superseded segments are invisible. */
+  def codes(spark: SparkSession, path: String): DataFrame = {
+    meta(spark, path)
+    IndexIngest.readLive(spark, path, "codes")
+  }
+
+  /** Rewrite the live code segments into one (one file per cluster) and
+    * publish with a manifest flip; see [[IndexIngest.compact]]. */
+  def compact(spark: SparkSession, path: String): Unit =
+    IndexIngest.compact(spark, path, "codes")
+
+  /** Reclaim segment dirs the current manifest does not name. WRITER-ONLY,
+    * serialized with append/compact; see
+    * [[graft.sources.SegmentedTable.vacuum]]. */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    graft.sources.SegmentedTable.vacuum(spark, path, s"$path/codes")
 
   private def meta(spark: SparkSession, path: String): (Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
@@ -115,18 +142,18 @@ object IvfAdc {
     *
     * Ingest-maintenance semantics (exactly-once id screen with in-batch
     * dedup, INSERT-ONLY — a re-embedded existing id is dropped, not
-    * updated; rebuild to refresh — self-compaction past
-    * `maxFilesPerPartition × clusters` fragments, mid-swap crash healing,
+    * updated; rebuild to refresh — invisible segment staging + atomic
+    * manifest flip, self-compaction past `maxSegments` live segments,
     * single writer) are the shared [[IndexIngest]] sequence — one
     * definition with [[IvfIndex.append]], so the two cannot drift. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-      maxFilesPerPartition: Int = 16): Unit = {
+      maxSegments: Int = 16): Unit = {
     val (m, dim) = meta(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
-    IndexIngest.appendScreened(spark, s"$path/codes", batch, "vec_id",
+    IndexIngest.appendScreened(spark, path, "codes", batch, "vec_id",
       fresh => encodeResiduals(residualsOf(fresh, centroids), books, m, dim),
-      maxFilesPerPartition)
+      maxSegments)
   }
 
   /** Multi-probe ADC top-k against the persisted index: each query probes
@@ -146,7 +173,7 @@ object IvfAdc {
         "are silent garbage; pass the stored parameters or rebuild")
     val centroids = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
-    val codes = spark.read.parquet(s"$path/codes")
+    val codesLive = IndexIngest.readLive(spark, path, "codes")
     val probed = queries
       .crossJoin(broadcast(Similarity.packedCentroids(centroids)))
       .select(
@@ -159,7 +186,7 @@ object IvfAdc {
         ProductQuantizer.adcTablesCol(
           residual(col("embedding"), col("__cvec")), col("all"), m, dim)
           .as("tables"))
-    val scored = codes.join(broadcast(probed), "cluster")
+    val scored = codesLive.join(broadcast(probed), "cluster")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         ProductQuantizer.adcDistance(col("tables"), col("codes"), m).as("adc_dist"))

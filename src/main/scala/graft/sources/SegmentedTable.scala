@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Manifest-versioned segmented parquet table — the ONE maintenance
+  * protocol every persisted index's mutable artifact uses
+  * ([[graft.operators.BandIndex]] bands, [[graft.operators.IvfIndex]]
+  * corpus, [[graft.operators.IvfAdc]] codes; [[graft.operators.LexIndex]]
+  * carries the same protocol with sibling-root segment dirs because each of
+  * its segments spans TWO artifact families — see its class doc).
+  *
+  * Layout: every segment is a `seg=<version>/` partition directory under
+  * the single data root, so the whole table — however many appends and
+  * compactions produced it — is ONE scan relation: the live-segment filter
+  * is a foldable `seg IN (…)` partition predicate (static file pruning, no
+  * per-segment union), and any further partition columns inside a segment
+  * (e.g. `cluster=`) keep their own static and DYNAMIC partition pruning
+  * exactly as in an unsegmented table. (The union-of-sibling-roots
+  * alternative is rejected for partitioned data: Spark's partition
+  * discovery refuses sibling `…-vN` roots in one multi-path read, and a
+  * per-segment union would put every probe join above a Union node.)
+  *
+  * Publication: a writer stages a new segment INVISIBLY (the manifest does
+  * not name its version — readers' seg filter excludes it even though it
+  * lives under the data root), then publishes it with one atomic manifest
+  * rename. Readers see the old or the new manifest, never a partial state,
+  * so there is NO torn-swap crash window anywhere in the protocol: a crash
+  * before the flip leaves an inert orphan directory that the next writer
+  * OVERWRITES (version allocation is `manifest.version + 1`, so any
+  * directory already at that version is by definition uncommitted garbage)
+  * and [[vacuum]] reclaims. Compaction is just another flip: rewrite the
+  * live segments into one new segment and publish it as the sole live
+  * segment; superseded directories are RETAINED so an in-flight reader
+  * holding the previous manifest keeps reading a complete immutable
+  * snapshot, until the writer [[vacuum]]s after the deployment's retention
+  * window.
+  *
+  * Single WRITER per table (appends/compactions/vacuums serialize with
+  * each other — they race nothing but themselves); readers are safe
+  * against a concurrent append or compaction (their manifest pins a
+  * complete snapshot) for as long as superseded segments are retained,
+  * and never against a concurrent REBUILD (the
+  * [[graft.sources.BuildStamp]] meta/commit pair makes a torn rebuild
+  * fail loudly instead of silently).
+  */
+object SegmentedTable {
+
+  /** The live state: `segments` are the versions a reader may scan;
+    * `version` is the newest ever published (the allocator for the next
+    * staged segment); `extras` carries index-specific exact-integer stats
+    * (e.g. LexIndex-style corpus counters) that must flip atomically WITH
+    * the segment list. */
+  case class Manifest(version: Long, segments: Seq[Long],
+      extras: Map[String, String] = Map.empty)
+
+  private val Reserved = Set("version", "segments")
+
+  private def manifestPath(root: String) = new Path(s"$root/manifest")
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def manifestExists(spark: SparkSession, root: String): Boolean =
+    fsOf(spark, root).exists(manifestPath(root))
+
+  /** Atomic publish: write to `manifest.tmp`, then FileContext-rename with
+    * OVERWRITE onto `manifest` — the same primitive
+    * [[graft.warehouse.AtomicCommit]] uses; readers see the old or the new
+    * file, never a partial one. */
+  def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+    require(m.extras.keySet.intersect(Reserved).isEmpty,
+      s"extras may not shadow the reserved manifest keys $Reserved")
+    val fs = fsOf(spark, root)
+    val tmp = new Path(s"$root/manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"version=${m.version}\nsegments=${m.segments.mkString(",")}\n" +
+        m.extras.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v\n" }.mkString)
+        .getBytes("UTF-8"))
+    finally out.close()
+    FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, manifestPath(root), Options.Rename.OVERWRITE)
+  }
+
+  def readManifest(spark: SparkSession, root: String): Manifest = {
+    val fs = fsOf(spark, root)
+    require(fs.exists(manifestPath(root)),
+      s"segmented table at $root has no manifest — either the path is not " +
+        "an index root or the index predates the manifest format; re-run " +
+        "build to (re)create it")
+    val in = fs.open(manifestPath(root))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = body.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    Manifest(kv("version").toLong,
+      kv("segments").split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
+      kv.view.filterKeys(!Reserved(_)).toMap)
+  }
+
+  /** The directory a segment's writer targets directly (`Overwrite` mode,
+    * so a retry wipes a crashed predecessor's leftovers at the same
+    * version). */
+  def segDir(dataDir: String, version: Long): String =
+    s"$dataDir/seg=$version"
+
+  /** Live rows of the table under `m`: one scan of the data root with the
+    * foldable `seg IN (live)` partition filter, `seg` dropped. Orphan
+    * (staged-but-unpublished, or superseded-but-not-yet-vacuumed) segment
+    * directories are pruned at file listing, never read. */
+  def read(spark: SparkSession, dataDir: String, m: Manifest): DataFrame = {
+    require(m.segments.nonEmpty,
+      s"segmented table at $dataDir has no live segments")
+    // Int literals match the inferred partition type (seg values are dir
+    // names; inference yields int), keeping the predicate a plain
+    // partition-attribute IN — statically prunable at listing time
+    spark.read.parquet(dataDir)
+      .filter(col("seg").isin(m.segments.map(_.toInt): _*))
+      .drop("seg")
+  }
+
+  /** Delete every `seg=` directory the current manifest does NOT name —
+    * compaction leftovers and crash orphans. WRITER-ONLY, serialized with
+    * append/compact: a vacuum racing a writer would delete the segment the
+    * writer has staged but not yet published. Call it from the single
+    * writer's own context between appends, and only once in-flight readers
+    * of older manifests are done (the retention window is the
+    * deployment's choice, exactly like any snapshot store's vacuum). */
+  def vacuum(spark: SparkSession, root: String, dataDir: String): Unit = {
+    val live = readManifest(spark, root).segments.toSet
+    val fs = fsOf(spark, dataDir)
+    val dir = new Path(dataDir)
+    if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("seg=")) {
+        val v = n.drop("seg=".length)
+        if (v.nonEmpty && v.forall(_.isDigit) && !live.contains(v.toLong))
+          fs.delete(p, true)
+      }
+    }
+  }
+}

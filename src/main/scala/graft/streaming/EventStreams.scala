@@ -185,10 +185,14 @@ object EventStreams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // writer context (this foreachBatch IS the single writer): heal a
-        // torn compaction before the gate's read — gate itself stays
-        // read-only by contract
-        graft.operators.BandIndex.recover(spark, indexPath)
+        // writer context (this foreachBatch IS the single writer): reclaim
+        // segments superseded by earlier batches' compactions — the only
+        // safe place for a vacuum is serialized with the appends, and
+        // running it at batch START gives concurrent gate-only readers a
+        // retention window of the batch cadence (the LexIndex sink's
+        // posture). Nothing needs HEALING: the manifest protocol has no
+        // torn-directory window.
+        graft.operators.BandIndex.vacuum(spark, indexPath)
         val fresh = graft.operators.BandIndex.gate(
             indexPath, batch, col("doc_id"), col("text"))
           .localCheckpoint(eager = true) // one gate run feeds land + index
@@ -225,20 +229,24 @@ object EventStreams {
     * SAME micro-batch, where the anti-join alone wouldn't see it): a
     * micro-batch retried after a crash or delivered twice lands exactly
     * once, so no sink-side landing table is needed — the index IS the
-    * idempotent sink. `append` also self-compacts the per-batch code
-    * fragments, so a long-lived stream keeps bounded file counts (the
-    * BandIndex maintenance contract, vector side); `maxFilesPerPartition`
-    * is the rewrite-amortization knob — each compaction rewrites the whole
-    * code table, admitting ~(ratio − 1) fragments per cluster between
-    * rewrites (see [[graft.operators.IndexIngest]]). Single writer per
+    * idempotent sink. `append` also self-compacts once the live segment
+    * count exceeds `maxSegments`, so a long-lived stream keeps bounded
+    * segment and file counts; `maxSegments` is the rewrite-amortization
+    * knob — each compaction rewrites the whole code table, admitting
+    * ~maxSegments batches between rewrites (see
+    * [[graft.operators.IndexIngest]]). Superseded segments are vacuumed at
+    * the START of each batch callback (the single writer's context, the
+    * only safe place — see the LexIndex sink below), giving concurrent
+    * serves a retention window of the batch cadence. Single writer per
     * index, per the IvfAdc contract; AvailableNow micro-batches satisfy
     * that by construction. */
   def startVectorIndexSink(vectors: DataFrame, indexPath: String,
-      maxFilesPerPartition: Int = 16): StreamingQuery =
+      maxSegments: Int = 16): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IvfAdc.vacuum(batch.sparkSession, indexPath)
         graft.operators.IvfAdc.append(batch.sparkSession, indexPath, batch,
-          maxFilesPerPartition)
+          maxSegments)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -70,27 +70,63 @@ class BandIndexSpec extends SparkSpec {
     assert(rowSet(regated) === rowSet(bandless))
   }
 
-  test("many-batch append keeps the file count bounded and the gate unchanged") {
+  private def segDirs(path: String): Seq[String] =
+    new java.io.File(s"$path/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("seg=")).toSeq
+
+  test("many-batch append keeps the live segment count bounded and the gate unchanged") {
     val path = freshIndex()
-    val maxFiles = 8
+    val maxSegments = 8
     // 25 tiny single-ish-doc batches — the streaming-ingest worst case for
-    // small-file accumulation
+    // small-file/segment accumulation
     val ids = batchA.select("doc_id").orderBy("doc_id")
       .collect().map(_.getLong(0)).grouped(5).toSeq
     ids.foreach { g =>
       BandIndex.append(path, batchA.filter(col("doc_id").isin(g: _*)),
-        col("doc_id"), col("text"), maxFiles = maxFiles)
+        col("doc_id"), col("text"), maxSegments = maxSegments)
     }
-    val bandFiles = new java.io.File(s"$path/bands").listFiles()
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    assert(bandFiles <= maxFiles,
-      s"append must self-compact: $bandFiles files > maxFiles=$maxFiles")
-    // compaction must not change WHAT is indexed: gate equals the recompute
-    // over history ∪ everything appended
+    val live = graft.sources.SegmentedTable.readManifest(spark, path).segments
+    assert(live.length <= maxSegments,
+      s"append must self-compact: ${live.length} live segments > maxSegments=$maxSegments")
+    // compaction retains superseded segments for in-flight readers; vacuum
+    // (writer-only) reclaims them and must not touch what is served
+    assert(segDirs(path).length > live.length,
+      "superseded segments must be retained until vacuum")
+    BandIndex.vacuum(spark, path)
+    assert(segDirs(path).map(_.drop("seg=".length).toLong).sorted === live.sorted,
+      "vacuum must leave exactly the manifest-named segments")
+    // neither compaction nor vacuum changes WHAT is indexed: gate equals
+    // the recompute over history ∪ everything appended
     val persisted = BandIndex.gate(path, batchB, col("doc_id"), col("text"))
     val recompute = Dedup.incrementalNearDupFilter(
       batchB, history.unionByName(batchA), col("doc_id"), col("text"), nh, bands, k)
     assert(rowSet(persisted) === rowSet(recompute))
+  }
+
+  test("a crashed append (segment staged, manifest not flipped) is invisible " +
+      "and the retried batch lands exactly once") {
+    val path = freshIndex()
+    val before = rowSet(BandIndex.bands(spark, path))
+    // simulate the crash window: the batch's segment directory exists under
+    // bands/ but the manifest never named it — stage it EXACTLY as append
+    // would (same version allocation), then "crash" before the flip by
+    // never writing the manifest
+    val m = graft.sources.SegmentedTable.readManifest(spark, path)
+    Dedup.minhashBands(batchA, col("doc_id"), col("text"), nh, bands, k)
+      .write.mode("overwrite")
+      .parquet(graft.sources.SegmentedTable.segDir(s"$path/bands", m.version + 1))
+    assert(rowSet(BandIndex.bands(spark, path)) === before,
+      "an orphan (unpublished) segment must be invisible to readers")
+    // the retry overwrites the orphan at the same version and publishes it
+    BandIndex.append(path, batchA, col("doc_id"), col("text"))
+    val after = rowSet(BandIndex.bands(spark, path))
+    assert(after === rowSet(Dedup.minhashBands(
+      history.unionByName(batchA), col("doc_id"), col("text"), nh, bands, k)),
+      "the retried append must land the batch exactly once")
+    // and the orphan never becomes visible later: vacuum reclaims nothing
+    // that is live, gate keeps serving the published snapshot
+    BandIndex.vacuum(spark, path)
+    assert(rowSet(BandIndex.bands(spark, path)) === after)
   }
 
   test("a torn rebuild (meta written, bands/commit stale) fails loudly at the gate") {

@@ -23,7 +23,7 @@ class IvfAdcSpec extends SparkSpec {
   /** Reconstructed corpus: coarse centroid + decoded residual — the vector
     * the residual-ADC distance is (exactly) the distance TO. */
   private lazy val reconstructed = {
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = IvfAdc.codes(spark, path)
     val books = spark.read.parquet(s"$path/codebooks")
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cvec"))
@@ -125,14 +125,14 @@ class IvfAdcSpec extends SparkSpec {
     val base = corpus.filter(col("vec_id") < 400)
     val batch = corpus.filter(col("vec_id") >= 400)
     IvfAdc.build(base, kCoarse, coarseIters = 2, m, kSub, pqIters = 2, dim, p)
-    val nBefore = spark.read.parquet(s"$p/codes").count()
+    val nBefore = IvfAdc.codes(spark, p).count()
     IvfAdc.append(spark, p, batch)
-    val codes = spark.read.parquet(s"$p/codes")
+    val codes = IvfAdc.codes(spark, p)
     assert(codes.count() === nBefore + batch.count(),
       "append must add exactly the batch's rows")
     // a RETRIED batch must land zero rows — the anti-join idempotence
     IvfAdc.append(spark, p, batch)
-    assert(spark.read.parquet(s"$p/codes").count() === nBefore + batch.count(),
+    assert(IvfAdc.codes(spark, p).count() === nBefore + batch.count(),
       "re-appending the same batch must be a no-op")
     // the appended codes must equal encoding the batch directly with the
     // index's stored centroids + codebooks — parameter authority is the
@@ -165,20 +165,19 @@ class IvfAdcSpec extends SparkSpec {
       corpus.filter(col("vec_id") < 2), m, dim, k = 5, probes = kCoarse)
       .collect()
     assert(res.length === 2 * 5)
-    assert(spark.read.parquet(s"$p/codes").filter(col("vec_id") >= 400).count() > 0)
+    assert(IvfAdc.codes(spark, p).filter(col("vec_id") >= 400).count() > 0)
   }
 
   test("append dedups in-batch duplicate ids; compaction preserves results, " +
-      "layout, and pruning; append self-compacts past the per-partition threshold") {
+      "layout, and pruning; append self-compacts past the segment threshold") {
     val p = java.nio.file.Files.createTempDirectory("ivfadc_maint").toString
     val base = corpus.filter(col("vec_id") < 300)
     IvfAdc.build(base, kCoarse, coarseIters = 2, m, kSub, pqIters = 1, dim, p)
     val batch = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 350)
     // an at-least-once upstream can fold a redelivery into ONE batch: the
     // persisted-id anti-join can't see it, the in-batch dedup must
-    IvfAdc.append(spark, p, batch.unionByName(batch),
-      maxFilesPerPartition = 1000000)
-    val codes = spark.read.parquet(s"$p/codes")
+    IvfAdc.append(spark, p, batch.unionByName(batch), maxSegments = 1000000)
+    val codes = IvfAdc.codes(spark, p)
     assert(codes.filter(col("vec_id") >= 300).count() === batch.count(),
       "duplicate vec_ids within one batch must land exactly once")
     assert(codes.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
@@ -187,42 +186,47 @@ class IvfAdcSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(r => (r._1, r._3, r._2)).toSeq
     val before = results()
-    graft.sources.Compaction.compactPartitioned(spark, s"$p/codes", "cluster")
+    IvfAdc.compact(spark, p)
     assert(results() === before,
       "compaction must not change served results")
-    // layout preserved: still cluster= partition dirs, one file per value,
-    // and the probed scan still partition-prunes
-    val dir = new org.apache.hadoop.fs.Path(s"$p/codes")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def countFiles() = {
-      val it = fs.listFiles(dir, true); var n = 0
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    def nParts() = fs.listStatus(dir).count(_.isDirectory)
-    val parts = fs.listStatus(dir).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("cluster="))
+    def liveSegs() = graft.sources.SegmentedTable.readManifest(spark, p).segments
+    def segDirs() = new java.io.File(s"$p/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("seg=")).toSeq
+    // layout: ONE live segment holding cluster= partition dirs, one file
+    // per value, and the probed scan still partition-prunes
+    assert(liveSegs().length === 1)
+    val liveDir = new java.io.File(
+      graft.sources.SegmentedTable.segDir(s"$p/codes", liveSegs().head))
+    val parts = liveDir.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cluster="))
     assert(parts.nonEmpty, "compaction must keep the cluster= layout")
-    assert(countFiles() === parts.length,
+    assert(liveDir.listFiles().filter(_.isDirectory).forall(d =>
+        d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")) == 1),
       "one file per cluster partition after compaction")
     val plan = IvfAdc.searchTopK(spark, p, qs, m, dim, k = 5, probes = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       "partition pruning must survive compaction")
-    // self-compaction forcing: fragment past the ratio-2 threshold with
-    // compaction disabled, then a zero-fresh-row append at ratio 2 (the
-    // minimum) must compact back to one file per partition
+    // self-compaction forcing: accumulate live segments with compaction
+    // disabled, then a zero-fresh-row append at maxSegments = 2 (the
+    // minimum) must compact back to one live segment; vacuum then reclaims
+    // exactly the superseded directories
     var next = 350L
-    while (countFiles() <= 2 * nParts() && next < 450) {
+    while (next < 360) {
       IvfAdc.append(spark, p,
         corpus.filter(col("vec_id") >= next && col("vec_id") < next + 2),
-        maxFilesPerPartition = 1000000)
+        maxSegments = 1000000)
       next += 2
     }
-    assert(countFiles() > 2 * nParts(), "fixture failed to fragment the index")
-    IvfAdc.append(spark, p, batch, maxFilesPerPartition = 2) // zero fresh rows
-    assert(countFiles() === nParts(),
-      "append past the per-partition threshold must compact to one file per partition")
+    assert(liveSegs().length > 2, "fixture failed to fragment the index")
+    IvfAdc.append(spark, p, batch, maxSegments = 2) // zero fresh rows
+    assert(liveSegs().length === 1,
+      "append past the segment threshold must compact to one live segment")
+    assert(segDirs().length > 1,
+      "superseded segments must be retained until vacuum")
+    IvfAdc.vacuum(spark, p)
+    assert(segDirs().map(_.drop("seg=".length).toLong).sorted === liveSegs().sorted,
+      "vacuum must leave exactly the manifest-named segments")
   }
 
   test("searchTopK rejects parameters that drift from the stored meta") {
@@ -256,7 +260,7 @@ class IvfAdcSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the cluster column:\n$plan")
-    val codeSchema = spark.read.parquet(s"$path/codes").schema.fieldNames.toSet
+    val codeSchema = IvfAdc.codes(spark, path).schema.fieldNames.toSet
     assert(codeSchema === Set("vec_id", "codes", "cluster"),
       s"serving table must hold only ids + codes, got $codeSchema")
   }

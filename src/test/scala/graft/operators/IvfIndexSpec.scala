@@ -34,49 +34,63 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("append is idempotent (in-batch dup + replay) and self-compacts " +
-      "past the per-partition threshold without changing served results") {
+      "past the segment threshold without changing served results") {
     val p = java.nio.file.Files.createTempDirectory("ivf-maint").toString
     IvfIndex.build(corpus.filter(col("vec_id") < 300), k = 8, iters = 2, dim = 64, p)
     val batch = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 350)
-    val n0 = spark.read.parquet(s"$p/corpus").count()
+    val n0 = IvfIndex.corpus(spark, p).count()
     // redelivery folded into ONE batch + a full replay: both must land once
     IvfIndex.append(spark, p, batch.unionByName(batch))
-    assert(spark.read.parquet(s"$p/corpus").count() === n0 + batch.count(),
+    assert(IvfIndex.corpus(spark, p).count() === n0 + batch.count(),
       "in-batch duplicate ids must land exactly once")
     IvfIndex.append(spark, p, batch)
-    assert(spark.read.parquet(s"$p/corpus").count() === n0 + batch.count(),
+    assert(IvfIndex.corpus(spark, p).count() === n0 + batch.count(),
       "a replayed batch must append nothing")
     val qs = corpus.filter(col("vec_id") < 4)
     def res() = IvfIndex.searchTopK(spark, p, qs, k = 5, probes = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(x => (x._1, -x._3, x._2)).toSeq
-    val dir = new org.apache.hadoop.fs.Path(s"$p/corpus")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def countFiles() = {
-      val it = fs.listFiles(dir, true); var n = 0
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    def nParts() = fs.listStatus(dir).count(_.isDirectory)
-    // fragment past the ratio-2 threshold with compaction disabled, then a
-    // zero-fresh-row append at ratio 2 (the minimum) must self-compact to
-    // one file per partition without changing served results
+    def liveSegs() = graft.sources.SegmentedTable.readManifest(spark, p).segments
+    def segDirs() = new java.io.File(s"$p/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("seg=")).toSeq
+    // accumulate live segments with compaction disabled, then a
+    // zero-fresh-row append at maxSegments = 2 (the minimum) must
+    // self-compact to ONE live segment without changing served results
     var next = 350L
-    while (countFiles() <= 2 * nParts() && next < 450) {
+    while (next < 360) {
       IvfIndex.append(spark, p,
         corpus.filter(col("vec_id") >= next && col("vec_id") < next + 2),
-        maxFilesPerPartition = 1000000)
+        maxSegments = 1000000)
       next += 2
     }
-    assert(countFiles() > 2 * nParts(), "fixture failed to fragment the index")
+    assert(liveSegs().length > 2, "fixture failed to fragment the index")
     val beforeCompact = res()
-    IvfIndex.append(spark, p, batch, maxFilesPerPartition = 2) // zero fresh rows
-    assert(countFiles() === nParts(),
-      "compaction must leave one file per cluster partition")
+    IvfIndex.append(spark, p, batch, maxSegments = 2) // zero fresh rows
+    assert(liveSegs().length === 1,
+      "compaction must collapse the live set to one segment")
+    // within the compacted segment: one file per cluster partition (the
+    // serve-optimal floor)
+    val liveDir = new java.io.File(
+      graft.sources.SegmentedTable.segDir(s"$p/corpus", liveSegs().head))
+    val clusterDirs = liveDir.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("cluster="))
+    assert(clusterDirs.nonEmpty, "compacted segment must keep the cluster= layout")
+    assert(clusterDirs.forall(d =>
+        d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")) == 1),
+      "one file per cluster partition after compaction")
     assert(res() === beforeCompact, "compaction must not change served results")
+    // superseded segments are retained for in-flight readers; vacuum
+    // (writer-only) reclaims exactly the unreferenced ones
+    assert(segDirs().length > 1,
+      "superseded segments must be retained until vacuum")
+    IvfIndex.vacuum(spark, p)
+    assert(segDirs().map(_.drop("seg=".length).toLong).sorted === liveSegs().sorted,
+      "vacuum must leave exactly the manifest-named segments")
+    assert(res() === beforeCompact, "vacuum must not change served results")
     val plan = IvfIndex.searchTopK(spark, p, qs, k = 5, probes = 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"), "pruning must survive compaction")
+    assert(plan.contains("dynamicpruning"),
+      "pruning must survive compaction and vacuum")
   }
 
   test("append makes new vectors searchable without retraining") {

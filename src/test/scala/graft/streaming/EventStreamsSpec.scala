@@ -251,14 +251,14 @@ class EventStreamsSpec extends SparkSpec {
     // indexed bands self-screen at the gate (they match their own band
     // rows), and bandless replays append zero band rows — no per-batch
     // indexed-ids read is needed for this invariant
-    val bands2 = spark.read.parquet(s"$dir/idx/bands").count()
+    val bands2 = BandIndex.bands(spark, s"$dir/idx").count()
     EventStreams.startGatedDocumentSink(
       EventStreams.readDocuments(spark, s"$dir/in2"), s"$dir/idx", s"$dir/lake")
       .awaitTermination(60000)
     val lake3 = spark.read.parquet(s"$dir/lake")
     assert(lake3.count() === lake2.count(), "replay must ingest nothing new")
     assert(lake3.select("doc_id").distinct().count() === lake3.count())
-    assert(spark.read.parquet(s"$dir/idx/bands").count() === bands2,
+    assert(BandIndex.bands(spark, s"$dir/idx").count() === bands2,
       "replay must append nothing to the band index")
   }
 
@@ -270,20 +270,20 @@ class EventStreamsSpec extends SparkSpec {
       .select("vec_id", "embedding")
     IvfAdc.build(emb.filter(col("vec_id") < 300), kCoarse = 8, coarseIters = 2,
       m = 4, kSub = 8, pqIters = 1, dim = 64, path = s"$dir/idx")
-    val n0 = spark.read.parquet(s"$dir/idx/codes").count()
+    val n0 = IvfAdc.codes(spark, s"$dir/idx").count()
     val b1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
     b1.write.parquet(s"$dir/in1")
     EventStreams.startVectorIndexSink(
       EventStreams.readVectors(spark, s"$dir/in1"), s"$dir/idx")
       .awaitTermination(60000)
-    assert(spark.read.parquet(s"$dir/idx/codes").count() === n0 + b1.count(),
+    assert(IvfAdc.codes(spark, s"$dir/idx").count() === n0 + b1.count(),
       "the micro-batch must append exactly its rows")
     // replay under a fresh checkpoint (at-least-once upstream): the
     // append's id anti-join makes the index itself the idempotent sink
     EventStreams.startVectorIndexSink(
       EventStreams.readVectors(spark, s"$dir/in1"), s"$dir/idx")
       .awaitTermination(60000)
-    assert(spark.read.parquet(s"$dir/idx/codes").count() === n0 + b1.count(),
+    assert(IvfAdc.codes(spark, s"$dir/idx").count() === n0 + b1.count(),
       "replay must append nothing")
     // appended vectors are served by the same search path
     val res = IvfAdc.searchTopK(spark, s"$dir/idx",
@@ -300,7 +300,7 @@ class EventStreamsSpec extends SparkSpec {
     EventStreams.startVectorIndexSink(
       EventStreams.readVectors(spark, s"$dir/in2"), s"$dir/idx")
       .awaitTermination(60000)
-    val codes2 = spark.read.parquet(s"$dir/idx/codes")
+    val codes2 = IvfAdc.codes(spark, s"$dir/idx")
     assert(codes2.count() === n0 + b1.count() + b2.count(),
       "duplicate vec_ids within one micro-batch must land exactly once")
     assert(codes2.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)

@@ -71,16 +71,34 @@ object RunCuration {
     nearKept.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
-  /** Corpus-composition stage (after curation, before the split): cap any
-    * one source's share of the corpus — longest-first, the
-    * `cp_domain_quota` operator — then optionally rebalance sources with a
-    * temperature exponent (`cp_temperature_sample`, weights ∝ n^alpha) and
-    * sample every source toward a target mixture (`cp_mixture_sample`).
+  /** Corpus-composition stage (after curation, before the split):
+    * optionally select the `dsir = Some((target, topK))` most-target-like
+    * docs first (`cp_dsir_score`/`cp_dsir_select` — importance ratios
+    * trained on the curated `target` slice vs this corpus, id-tiebroken
+    * top-k; selection BEFORE the quota so the cap applies to what survives
+    * selection, not the raw pool), then cap any one source's share of the
+    * corpus — longest-first, the `cp_domain_quota` operator — then
+    * optionally rebalance sources with a temperature exponent
+    * (`cp_temperature_sample`, weights ∝ n^alpha) and sample every source
+    * toward a target mixture (`cp_mixture_sample`). The composed
+    * DSIR-then-mixture shape is the judged `cp_dsir_mixture` entry.
     * `corpus` must carry `source` alongside (doc_id, text). */
   def compose(corpus: DataFrame, quotaPerSource: Int,
       mixture: Option[Seq[(String, Double)]] = None,
-      temperature: Option[Double] = None): DataFrame = {
-    val sized = corpus.withColumn("__n_chars", length(col("text")))
+      temperature: Option[Double] = None,
+      dsir: Option[(DataFrame, Int)] = None): DataFrame = {
+    val selected = dsir.fold(corpus) { case (target, topK) =>
+      val ratios = graft.operators.Dsir.bucketLogRatios(
+        target, col("text"), corpus, col("text"))
+      corpus.join(
+        graft.operators.Dsir.select(
+          graft.operators.Dsir.importanceScores(
+            corpus, col("doc_id"), col("text"), ratios)
+            .select("doc_id", "score"), topK)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    val sized = selected.withColumn("__n_chars", length(col("text")))
     val capped = graft.operators.Composition
       .domainQuota(sized, "source", Seq("__n_chars", "doc_id"), quotaPerSource)
       .drop("__n_chars")

@@ -35,6 +35,19 @@ object VectorFunctions {
   def cosineRounded(a: Column, b: Column, scale: Int = 4): Column =
     round(cosine(a, b), scale)
 
+  /** Euclidean distance: sqrt of the in-order sum of squared double
+    * differences — the same accumulation contract as [[dot]] (sqrt is
+    * exactly rounded per IEEE-754, so cross-engine parity reduces to the
+    * sum, which both engines fold forward over the same doubles). */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Euclidean distance rounded for oracle comparison. */
+  def l2Rounded(a: Column, b: Column, scale: Int = 4): Column =
+    round(l2(a, b), scale)
+
   /** Elementwise vector-sum AGGREGATE over an `array<float|double>` column
     * ([[graft.expressions.VectorSum]]): one map-side-combining aggregate
     * whose buffer is a fixed `dim`-length double array — the building block

@@ -44,6 +44,30 @@ object Similarity {
     topKBySim(joined, k)
   }
 
+  /** Top-k neighbors per query by exact Euclidean distance (rounded 4dp,
+    * ascending, id-tiebroken) — the ground-truth leg of ADC recall
+    * evaluation, where cosine truth would mis-rank unnormalized vectors
+    * (ADC approximates squared L2, not the angle). Same scale shape as
+    * [[bruteForceTopK]]: broadcast query set against one corpus scan,
+    * k-bounded heap. */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = Parallelism.fanOut(corpus).alias("c")
+      .crossJoin(broadcast(queries.alias("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions
+          .l2Rounded(col("q.embedding"), col("c.embedding")).as("dist"))
+    graft.plans.TopKPerGroup(
+      joined.withColumn("__neg_d", -col("dist"))
+        .withColumn("__neg_id", -col("neighbor_id")),
+      group = Seq("query_id"),
+      order = Seq("__neg_d", "__neg_id"),
+      k = k)
+      .select("query_id", "neighbor_id", "dist")
+  }
+
   /** Hard-negative mining for contrastive training (the sampling step
     * behind every embedder/reranker fine-tune): for each query vector, the
     * `k` highest-cosine corpus vectors whose `label` DIFFERS from the

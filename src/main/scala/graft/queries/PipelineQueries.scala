@@ -635,6 +635,56 @@ object PipelineQueries {
         |  ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
         |GROUP BY t.query_id""".stripMargin)),
 
+    // ANN recall for the sign-LSH serving path (the sim_ann_recall measure
+    // applied to the second scale path): per query, how many of the
+    // brute-force cosine top-3 the 5-probe sign-LSH search recovered.
+    // Truth left-joins approx, so misses count 0 and every query reports.
+    Q("sim_lsh_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 32)
+        val qs = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        val truth = Similarity.bruteForceTopK(corpus, qs, k = 3)
+          .select("query_id", "neighbor_id")
+        val approx = Similarity.lshBucketTopK(corpus, qs,
+            planes = Seq(0, 1, 2, 3), k = 3, probes = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"))
+      },
+      Some("""WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |corpus AS (SELECT bucket, vec_id AS neighbor_id, v AS n_vec FROM b WHERE vec_id >= 32),
+        |queries AS (
+        |  SELECT unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket,
+        |         vec_id AS query_id, v AS q_vec
+        |  FROM b WHERE vec_id >= 16 AND vec_id < 32),
+        |lsh AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(list_cosine_similarity(q_vec, n_vec), 4) DESC, neighbor_id) AS rn
+        |  FROM queries JOIN corpus USING (bucket)
+        |  WHERE query_id != neighbor_id)
+        |  WHERE rn <= 3),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 32),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT qv.query_id, cv.neighbor_id,
+        |    row_number() OVER (PARTITION BY qv.query_id
+        |      ORDER BY round(list_cosine_similarity(qv.q, cv.v), 4) DESC, cv.neighbor_id) AS rn
+        |  FROM qv CROSS JOIN cv)
+        |  WHERE rn <= 3)
+        |SELECT t.query_id, COUNT(l.neighbor_id) AS n_hits
+        |FROM truth t LEFT JOIN lsh l
+        |  ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+        |GROUP BY t.query_id""".stripMargin)),
+
     // LSH-bucketed ANN (sign-of-component hyperplanes): the non-trained
     // alternative scale path to IVF — deterministic bucket key, one
     // bucket-keyed equi-join.
@@ -1384,6 +1434,54 @@ object PipelineQueries {
         """SELECT doc_id, score FROM scored
           |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // DSIR composed into the curation recipe (the production shape: scores
+    // FEED the composition stage rather than standing alone): select the
+    // 250 most-target-like docs (id-tiebroken top-k — a fixed threshold
+    // would be vacuous, every fixture score is negative because the target
+    // is a small slice of raw), then mixture-sample the survivors toward
+    // target source proportions with the cp_mixture_sample arithmetic
+    // (largest corpus achievable without upsampling, Knuth-hash membership
+    // — a pure function of doc_id, so DuckDB re-derives the same sampled
+    // ids). Scale shape: the DSIR stages never shuffle the corpus (see
+    // cp_dsir_score); the selection is TakeOrderedAndProject; the mixture
+    // adds one map-combined per-source count + a broadcast rates join.
+    // Mirrored by RunCuration.compose(dsir = ...).
+    Q("cp_dsir_mixture",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ratios = graft.operators.Dsir.bucketLogRatios(
+          docs.filter(col("source").isin("src1", "src2")), col("text"),
+          docs, col("text"))
+        val selected = docs.select("doc_id", "source").join(
+          graft.operators.Dsir.select(
+            graft.operators.Dsir.importanceScores(
+              docs, col("doc_id"), col("text"), ratios)
+              .select("doc_id", "score"), k = 250)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        graft.operators.Composition.mixtureSample(selected,
+            source = col("source"), id = col("doc_id"),
+            targets = Seq("src1" -> 0.4, "src4" -> 0.3, "src8" -> 0.3))
+          .select("doc_id", "source")
+      },
+      Some(DsirScoreCte +
+        """,sel AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 250),
+          |docs AS (SELECT d.doc_id, d.source FROM documents d JOIN sel USING (doc_id)),
+          |w(wsource, wn) AS (
+          |  VALUES ('src1', CAST(0.4 AS DOUBLE)), ('src4', CAST(0.3 AS DOUBLE)),
+          |         ('src8', CAST(0.3 AS DOUBLE))),
+          |counts AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+          |  FROM docs GROUP BY source),
+          |j AS (SELECT wsource, wn, COALESCE(n, 0) AS n
+          |  FROM w LEFT JOIN counts ON source = wsource),
+          |c AS (SELECT MIN(n / wn) AS c FROM j),
+          |rates AS (SELECT wsource,
+          |  CASE WHEN n > 0 THEN least(1.0, c.c * wn / n) ELSE 0.0 END AS rate
+          |  FROM j, c)
+          |SELECT doc_id, source FROM docs d JOIN rates r ON d.source = r.wsource
+          |WHERE CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
+          |      < r.rate""".stripMargin)),
+
     // ---- Data-quality / profiling ----------------------------------------
 
     // Column profile (the pre-training data audit): counts, distincts,
@@ -1664,6 +1762,52 @@ object PipelineQueries {
       Some("""SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor_id,
         |  CAST(NULL AS VARCHAR) AS kind
         |WHERE FALSE""".stripMargin)),
+
+    // ANN recall for the PQ/ADC serving path. The PQ codebooks come from
+    // iterative training (no single-SQL DuckDB analogue), so the judged
+    // gate follows the ev_wau_sketch/dq_overlap_sketch pattern: the entry
+    // computes the measured quantity (per-query hits of all-probe ADC
+    // top-5 against the exact L2 top-5 — truth left-joins approx) and
+    // emits the DuckDB-recomputable truth pairs ONLY when the corpus-wide
+    // hit total clears a floor (6 of 40; the deterministic pipeline
+    // measures 12 at sf0.01 — see BruteForceL2 — while a broken encoder or
+    // distance would land near 0 of 492 candidates): a drifting ADC path
+    // drops every row and fails the row/hash compare. Truth ranking is
+    // L2, not cosine — ADC approximates squared Euclidean distance, so a
+    // cosine truth would mis-rank unnormalized vectors.
+    Q("sim_adc_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+        val corpus = emb.filter(col("vec_id") >= 8)
+        val qs = emb.filter(col("vec_id") < 8)
+        val books = graft.operators.ProductQuantizer.train(
+          emb, m = 8, k = 16, iters = 2, dim = 64)
+        val codes = graft.operators.ProductQuantizer.encode(
+          corpus, books, m = 8, dim = 64)
+        val approx = graft.operators.ProductQuantizer.adcTopK(
+            codes, qs, books, m = 8, dim = 64, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        val truth = Similarity.bruteForceTopKL2(corpus, qs, k = 5)
+          .select("query_id", "neighbor_id")
+          .localCheckpoint(eager = false) // feeds the gate AND the output
+        val total = truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+          .agg(count(col("hit")).as("__total_hits"))
+        truth.crossJoin(broadcast(total))
+          .filter(col("__total_hits") >= 6)
+          .select("query_id", "neighbor_id")
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+        |  FROM embeddings WHERE vec_id < 8),
+        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 8)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT qv.query_id, cv.neighbor_id,
+        |    row_number() OVER (PARTITION BY qv.query_id
+        |      ORDER BY round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> (qv.q[i] - cv.v[i]) * (qv.q[i] - cv.v[i])))), 4) ASC,
+        |        cv.neighbor_id) AS rn
+        |  FROM qv CROSS JOIN cv)
+        |WHERE rn <= 5""".stripMargin)),
 
     // SemDeDup semantic dedup: k-means-partitioned within-cluster near-dup
     // search + best-quality group survivor (quality = l2 norm here; any

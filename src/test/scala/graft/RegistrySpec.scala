@@ -81,10 +81,17 @@ class RegistrySpec extends SparkSpec {
     //  - sim_hybrid_rrf: composes the tx_bm25 single-row-stats broadcast
     //    and the sim_bruteforce query-set broadcast; the fusion itself is
     //    keyed joins over bounded top-50 retrieval outputs
-    //  - cp_dsir_score / cp_dsir_select: the per-side token totals are
-    //    SINGLE-ROW aggregates cross-joined onto the ≤4096-row bucket
-    //    frames (the tx_bm25 single-row-stats shape); the corpus joins
-    //    the finished ratio table equi-keyed on bucket
+    //  - cp_dsir_score / cp_dsir_select / cp_dsir_mixture: the per-side
+    //    token totals are SINGLE-ROW aggregates cross-joined onto the
+    //    ≤4096-row bucket frames (the tx_bm25 single-row-stats shape); the
+    //    corpus joins the finished ratio table equi-keyed on bucket (the
+    //    mixture additionally cross-joins the one-row scale factor, the
+    //    cp_mixture_sample shape)
+    //  - sim_lsh_recall / sim_adc_recall: the sim_ann_recall shape — the
+    //    truth leg is the DECLARED brute-force baseline (bounded broadcast
+    //    query set against one corpus scan), the ADC leg broadcasts the
+    //    packed codebooks + per-query tables, and the recall gate
+    //    cross-joins a SINGLE-ROW hit total
     val cartesianOk = Set("j4_cross_join")
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
@@ -93,8 +100,8 @@ class RegistrySpec extends SparkSpec {
       "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train",
       "cp_mixture_sample", "cp_temperature_sample",
       "sim_hard_negatives", "sim_hybrid_rrf", "sim_triplet_mine",
-      "sim_ann_recall",
-      "cp_dsir_score", "cp_dsir_select")
+      "sim_ann_recall", "sim_lsh_recall", "sim_adc_recall",
+      "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -71,6 +71,35 @@ class RunCurationSpec extends SparkSpec {
       "the unique body must survive with exactly the footer removed")
   }
 
+  test("compose DSIR stage selects target-like docs before the quota; " +
+      "equals the standalone score-and-select composition") {
+    // two token dialects: "wiki-ish" docs share the target's vocabulary,
+    // "web-ish" docs use a disjoint one — DSIR must rank every wiki-ish doc
+    // above every web-ish doc regardless of source labels
+    val wikiText = "astronomy describes orbital mechanics and stellar physics"
+    val webText = "click here buy now limited offer discount deal subscribe"
+    val target = Seq((900L, wikiText)).toDF("doc_id", "text")
+    val corpus = (0L until 12L).map(i =>
+        (i, if (i % 2 == 0) s"$wikiText item $i" else s"$webText item $i",
+          if (i < 6) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val out = RunCuration.compose(corpus, quotaPerSource = 100,
+      dsir = Some((target, 6)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(0L, 2L, 4L, 6L, 8L, 10L),
+      "the top-6 DSIR selection must be exactly the target-dialect docs")
+    // the composed stage is the SAME computation as the standalone judged
+    // operators (cp_dsir_score -> select): no drift between the two paths
+    val ratios = graft.operators.Dsir.bucketLogRatios(
+      target, col("text"), corpus, col("text"))
+    val direct = graft.operators.Dsir.select(
+      graft.operators.Dsir.importanceScores(
+        corpus, col("doc_id"), col("text"), ratios)
+        .select("doc_id", "score"), 6)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out === direct)
+  }
+
   test("compose temperature stage flattens skewed sources toward the smallest") {
     val corpus = (0L until 40L).map(i =>
         (i, s"doc number $i with text", if (i < 32) "web" else "wiki"))

@@ -45,6 +45,26 @@ import org.apache.spark.sql.functions._
   * long-lived production session serving a large query registry makes).
   * Measured at sf0.1: codegen_compiles drop to 0 for all queries after
   * warm-up and st_tumbling_window returns to its r5-normalized cost.
+  *
+  * ROOT CAUSE of dd_lsh_pairs' residual warm-run compiles (~6-14/round
+  * with the cache already sized): AQE numbers `codegenStageId` in
+  * stage-MATERIALIZATION order, and dd_lsh_pairs has independent racing
+  * stages (the empty re-attach broadcast branches vs the pair pipeline),
+  * so run-to-run the same physical plan gets permuted stage numbers —
+  * verified by diffing exprid-normalized final plans across passes: byte
+  * -identical except `*(12)`/`*(13)` span ids. The stage id is embedded
+  * in the generated CLASS NAME (`GeneratedIteratorForCodegenStage<N>`),
+  * which is part of the source text Janino's cache keys on, so an
+  * already-compiled span re-compiles under its new number. Fix:
+  * `spark.sql.codegen.useIdInClassName=false` (SPARK-23032's escape
+  * hatch) — the id stays in the comment for debugging, leaves the cache
+  * key, and warm passes compile 0 under EITHER stage ordering (verified
+  * over 6 passes hitting both orderings). The remaining fixed per-run
+  * cost of dd_lsh_pairs is ~0.5s of Catalyst planning: the operator's
+  * three branches over the checkpointed signature projection are planned
+  * fresh per construction (Spark has no cross-construction plan cache) —
+  * irrelevant to a long-lived session that builds once, inherent to a
+  * benchmark that rebuilds per pass.
   */
 object Bench {
 
@@ -75,6 +95,10 @@ object Bench {
       // generated-class working set, so interleaved passes thrash the cache.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // keep AQE's nondeterministic stage numbering out of generated class
+      // names so the codegen cache hits across runs — see the dd_lsh_pairs
+      // root-cause note in the scaladoc
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     // AQE races its broadcast-exchange jobs against re-planning: when

@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import graft.functions.TextFunctions.tokens
+import graft.sources.SegmentedTable
 
 /** Persisted inverted index — the LEXICAL sibling of [[IvfIndex]]: the
   * build-then-serve form of the `tx_bm25` full-scan scorer. The recompute
@@ -28,16 +28,18 @@ import graft.functions.TextFunctions.tokens
   *    the serve recomputes it from rows it reads anyway — a stored df
   *    table would be a second artifact that could drift from the postings.
   *
-  * INCREMENTAL MAINTENANCE — the version manifest. The index is a set of
-  * versioned segment dirs (`postings-v<N>/` + the matching `ids-v<N>/`
-  * doc-id ledger) named by ONE `manifest` text file that also carries the
-  * corpus stats as EXACT integers (n_docs, dl_sum, dl_count — integer
-  * sums of integer values are bit-exact in any order, so avgdl =
-  * dl_sum / dl_count is identical whether the corpus arrived in one build
-  * or a thousand appends). `append` writes the new segment dirs INVISIBLY,
-  * then publishes segments + merged stats with one atomic manifest rename
-  * — postings and stats can never be observed out of step, the failure a
-  * two-artifact update would otherwise race (the
+  * INCREMENTAL MAINTENANCE — the [[graft.sources.SegmentedTable]]
+  * manifest protocol shared by every persisted index here. Each segment
+  * spans TWO artifact families under one version (`postings/seg=<N>/`
+  * partitioned by `term_bucket` inside, plus the matching `ids/seg=<N>/`
+  * doc-id ledger), both named by ONE `manifest` file that also carries
+  * the corpus stats as EXACT integers in its extras (n_docs, dl_sum,
+  * dl_count — integer sums of integer values are bit-exact in any order,
+  * so avgdl = dl_sum / dl_count is identical whether the corpus arrived
+  * in one build or a thousand appends). `append` stages the new segment
+  * dirs INVISIBLY, then publishes segments + merged stats with one
+  * atomic manifest rename — postings and stats can never be observed out
+  * of step, the failure a two-artifact update would otherwise race (the
   * [[graft.warehouse.AtomicCommit]] manifest idea, specialized to the
   * index). A crash before the rename leaves orphan dirs the retry
   * overwrites; the doc-id ledger (which includes docs whose null text
@@ -47,7 +49,11 @@ import graft.functions.TextFunctions.tokens
   * the previous manifest keep reading a complete snapshot, and an
   * explicit [[vacuum]] reclaims unreferenced dirs after the deployment's
   * retention window (a crash anywhere leaves inert orphans, never a torn
-  * table — strictly safer than a rename-swap of a live directory).
+  * table — strictly safer than a rename-swap of a live directory). With
+  * `seg` as a partition column the live postings are ONE scan relation:
+  * the `seg IN (live)` filter and the query terms' `term_bucket IN (…)`
+  * filter are both foldable partition predicates, pruned together at
+  * file listing.
   *
   * `meta/` pins (buckets, a build id) BEFORE the artifacts and `commit/`
   * seals the same id AFTER them — the [[graft.sources.BuildStamp]]
@@ -67,57 +73,30 @@ object LexIndex {
   private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(term), lit(buckets.toLong))
 
-  /** Cumulative exact-integer corpus stats + the live segment versions. */
-  private case class Manifest(version: Long, nDocs: Long, dlSum: Long,
-      dlCount: Long, segments: Seq[Long])
+  private def readManifest(spark: SparkSession, path: String): SegmentedTable.Manifest =
+    SegmentedTable.readManifest(spark, path)
 
-  private def manifestPath(path: String) = new Path(s"$path/manifest")
+  /** Exact-integer corpus stats carried in the manifest extras. */
+  private def stats(m: SegmentedTable.Manifest): (Long, Long, Long) =
+    (m.extras("n_docs").toLong, m.extras("dl_sum").toLong,
+      m.extras("dl_count").toLong)
 
-  private def fsOf(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manifestOf(version: Long, segments: Seq[Long],
+      nDocs: Long, dlSum: Long, dlCount: Long): SegmentedTable.Manifest =
+    SegmentedTable.Manifest(version, segments, Map(
+      "n_docs" -> nDocs.toString, "dl_sum" -> dlSum.toString,
+      "dl_count" -> dlCount.toString))
 
-  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
-    val fs = fsOf(spark, path)
-    val tmp = new Path(s"$path/manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
-      (s"version=${m.version}\nn_docs=${m.nDocs}\ndl_sum=${m.dlSum}\n" +
-        s"dl_count=${m.dlCount}\nsegments=${m.segments.mkString(",")}\n")
-        .getBytes("UTF-8"))
-    finally out.close()
-    // FileContext rename with OVERWRITE is the atomic publish (the same
-    // primitive AtomicCommit uses): readers see the old or the new
-    // manifest, never a partial one
-    FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, manifestPath(path), Options.Rename.OVERWRITE)
-  }
+  /** The live postings — ONE scan of `postings/` with the foldable
+    * `seg IN (live)` partition filter; the caller's bucket/term filters
+    * compose with it on the same relation. */
+  private def livePostings(spark: SparkSession, path: String,
+      m: SegmentedTable.Manifest): DataFrame =
+    SegmentedTable.read(spark, s"$path/postings", m)
 
-  private def readManifest(spark: SparkSession, path: String): Manifest = {
-    val fs = fsOf(spark, path)
-    require(fs.exists(manifestPath(path)),
-      s"lexical index at $path predates the manifest format (no manifest " +
-        "file) — re-run build to migrate it")
-    val in = fs.open(manifestPath(path))
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val kv = body.linesIterator.filter(_.contains("="))
-      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
-    Manifest(kv("version").toLong, kv("n_docs").toLong, kv("dl_sum").toLong,
-      kv("dl_count").toLong,
-      kv("segments").split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
-  }
-
-  /** Union of the live postings segments. Each partitioned segment root is
-    * read SEPARATELY (one scan per segment — partition discovery rejects
-    * sibling `…-vN` roots in one read) and unioned; Catalyst pushes the
-    * caller's bucket/term filters through the Union into every scan, so
-    * pruning still applies per segment. */
-  private def livePostings(spark: SparkSession, path: String, m: Manifest): DataFrame =
-    m.segments.map(v => spark.read.parquet(s"$path/postings-v$v"))
-      .reduce(_ unionByName _)
-
-  private def idDirs(path: String, m: Manifest): Seq[String] =
-    m.segments.map(v => s"$path/ids-v$v")
+  private def liveIds(spark: SparkSession, path: String,
+      m: SegmentedTable.Manifest): DataFrame =
+    SegmentedTable.read(spark, s"$path/ids", m)
 
   /** (doc_id, dl, term, tf, term_bucket) posting rows for a (doc_id, text)
     * frame — THE one tokenize+count definition build and append share. */
@@ -130,16 +109,18 @@ object LexIndex {
       .agg(count(lit(1)).cast("int").as("tf"))
       .withColumn("term_bucket", bucketOf(col("term"), buckets))
 
-  /** Write one segment's postings + id-ledger dirs (invisible until the
-    * manifest names them). */
+  /** Stage one segment's postings + id-ledger dirs (invisible until the
+    * manifest names them; `Overwrite` so a retry wipes a crashed
+    * predecessor's leftovers at the same version). */
   private def writeSegment(docs: DataFrame, path: String, buckets: Int,
       version: Long): Unit = {
     postingsOf(docs, buckets)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("term_bucket")
-      .parquet(s"$path/postings-v$version")
+      .parquet(SegmentedTable.segDir(s"$path/postings", version))
     docs.select("doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/ids-v$version")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(SegmentedTable.segDir(s"$path/ids", version))
   }
 
   /** Build segment v0 + manifest + the meta/commit stamp pair. `doc_id`
@@ -164,9 +145,15 @@ object LexIndex {
     val buildId = graft.sources.BuildStamp.newId()
     Seq((buckets, buildId)).toDF("buckets", "build_id")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
-    writeSegment(input, path, buckets, 0L)
-    writeManifest(spark, path, Manifest(0L, r.getLong(0),
-      if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2), Seq(0L)))
+    // version past any directory an earlier generation of this index left
+    // behind: a rebuild's segment must never collide with a retained one
+    val v =
+      if (SegmentedTable.manifestExists(spark, path))
+        SegmentedTable.readManifest(spark, path).version + 1
+      else 0L
+    writeSegment(input, path, buckets, v)
+    SegmentedTable.writeManifest(spark, path, manifestOf(v, Seq(v),
+      r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
     graft.sources.BuildStamp.commit(spark, path, buildId)
   }
 
@@ -191,6 +178,7 @@ object LexIndex {
     require(maxSegments >= 2)
     val buckets = params(spark, path)
     val m = readManifest(spark, path)
+    val (nDocs, dlSum, dlCount) = stats(m)
     // persist (not localCheckpoint): one screen computation feeds the
     // stats job and both segment writes, and the blocks are RELEASED after
     // the publish — a long-lived writer looping over micro-batches must
@@ -201,7 +189,7 @@ object LexIndex {
     // already counted — the deterministic pick makes recompute harmless.
     val fresh = docs.select(col("doc_id"), col("text"))
       .groupBy("doc_id").agg(min(col("text")).as("text"))
-      .join(spark.read.parquet(idDirs(path, m): _*), Seq("doc_id"), "left_anti")
+      .join(liveIds(spark, path, m), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val liveSegments =
       try {
@@ -219,9 +207,10 @@ object LexIndex {
         if (n > 0) {
           val v = m.version + 1
           writeSegment(fresh, path, buckets, v)
-          writeManifest(spark, path, Manifest(v, m.nDocs + n,
-            m.dlSum + (if (r.isNullAt(1)) 0L else r.getLong(1)),
-            m.dlCount + r.getLong(2), m.segments :+ v))
+          SegmentedTable.writeManifest(spark, path,
+            manifestOf(v, m.segments :+ v, nDocs + n,
+              dlSum + (if (r.isNullAt(1)) 0L else r.getLong(1)),
+              dlCount + r.getLong(2)))
         }
         // the post-publish segment list is already in hand — no manifest
         // re-read (2-3 metadata RPCs per micro-batch on an object store)
@@ -242,42 +231,33 @@ object LexIndex {
     * them with [[vacuum]] once no reader can hold a pre-compaction
     * manifest. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val buckets = params(spark, path)
+    params(spark, path) // validates the build stamp before touching artifacts
     val m = readManifest(spark, path)
+    val (nDocs, dlSum, dlCount) = stats(m)
     val v = m.version + 1
     livePostings(spark, path, m)
       .repartition(col("term_bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("term_bucket")
-      .parquet(s"$path/postings-v$v")
-    spark.read.parquet(idDirs(path, m): _*)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/ids-v$v")
-    writeManifest(spark, path,
-      Manifest(v, m.nDocs, m.dlSum, m.dlCount, Seq(v)))
+      .parquet(SegmentedTable.segDir(s"$path/postings", v))
+    liveIds(spark, path, m)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(SegmentedTable.segDir(s"$path/ids", v))
+    SegmentedTable.writeManifest(spark, path,
+      manifestOf(v, Seq(v), nDocs, dlSum, dlCount))
   }
 
   /** Delete every segment dir the current manifest does NOT name —
-    * compaction leftovers and crash orphans. WRITER-ONLY, serialized with
-    * append/compact (the [[BandIndex.recover]] posture): a vacuum racing a
-    * writer would delete the segment the writer has staged but not yet
-    * published — committed-manifest corruption nothing self-heals. Run it
-    * from the single writer's own context between appends (the streaming
-    * sink does exactly this), and only once in-flight readers of older
-    * manifests are done (the retention window is the deployment's choice,
-    * exactly like any snapshot store's vacuum). */
+    * compaction leftovers and crash orphans — in BOTH artifact families.
+    * WRITER-ONLY, serialized with append/compact; see
+    * [[SegmentedTable.vacuum]]. Run it from the single writer's own
+    * context between appends (the streaming sink does exactly this), and
+    * only once in-flight readers of older manifests are done (the
+    * retention window is the deployment's choice, exactly like any
+    * snapshot store's vacuum). */
   def vacuum(spark: SparkSession, path: String): Unit = {
-    val m = readManifest(spark, path)
-    val live = m.segments.toSet
-    val fs = fsOf(spark, path)
-    fs.listStatus(new Path(path)).map(_.getPath).foreach { p =>
-      val n = p.getName
-      val versioned = n.startsWith("postings-v") || n.startsWith("ids-v")
-      if (versioned) {
-        val v = n.dropWhile(!_.isDigit)
-        if (v.nonEmpty && v.forall(_.isDigit) && !live.contains(v.toLong))
-          fs.delete(p, true)
-      }
-    }
+    SegmentedTable.vacuum(spark, path, s"$path/postings")
+    SegmentedTable.vacuum(spark, path, s"$path/ids")
   }
 
   /** BM25 top-k (k1=1.2, b=0.75, Lucene-style idf — the `tx_bm25`
@@ -322,10 +302,11 @@ object LexIndex {
       .filter(col("term_bucket").isin(wantedBuckets: _*)
         && col("term").isin(wanted: _*))
     val df = posts.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val nDocs = lit(m.nDocs.toDouble)
+    val (mDocs, mDlSum, mDlCount) = stats(m)
+    val nDocs = lit(mDocs.toDouble)
     val avgdl =
-      if (m.dlCount == 0L) lit(null).cast("double")
-      else lit(m.dlSum.toDouble / m.dlCount.toDouble)
+      if (mDlCount == 0L) lit(null).cast("double")
+      else lit(mDlSum.toDouble / mDlCount.toDouble)
     val contrib = posts
       .join(broadcast(df), "term")
       .select(col("doc_id"),

@@ -84,14 +84,14 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.vacuum(spark, incr)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(incr), spark.sparkContext.hadoopConfiguration)
-    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(incr))
-      .map(_.getPath.getName).filter(_.startsWith("postings-v"))
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$incr/postings"))
+      .map(_.getPath.getName).filter(_.startsWith("seg="))
     assert(segs.length === 1,
       s"vacuum must leave only the live segment, got ${segs.toSeq}")
     assert(top(incr) === top(full), "vacuum must not change results")
     // an orphan segment dir (crash between segment write and manifest
     // publish) is invisible to the serve
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$incr/postings-v999"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$incr/postings/seg=999"))
     assert(top(incr) === top(full), "unpublished segments must be invisible")
     // a null doc_id cannot be screened by the ledger anti-join — append
     // must refuse it before writing anything
@@ -117,8 +117,8 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.vacuum(spark, p) // reclaim superseded (retained) segments
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
-    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(p))
-      .map(_.getPath.getName).filter(_.startsWith("postings-v"))
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/postings"))
+      .map(_.getPath.getName).filter(_.startsWith("seg="))
     assert(segs.length <= 2,
       s"self-compaction must bound live segments, got ${segs.toSeq}")
     // and the maintained index still matches the one-shot build

@@ -329,8 +329,8 @@ class EventStreamsSpec extends SparkSpec {
     def segDirCount() = {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(s"$dir/idx"), spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx"))
-        .map(_.getPath.getName).count(_.startsWith("postings-v"))
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx/postings"))
+        .map(_.getPath.getName).count(_.startsWith("seg="))
     }
     LexIndex.build(docs.filter(col("doc_id") < 300), s"$dir/idx", buckets = 8)
     // two files, same rows: an at-least-once upstream folding a redelivery

@@ -1332,6 +1332,53 @@ object PipelineQueries {
         |          % 2147483648, 1834170006) * 2654435761 % 4294967296 AS h
         |      FROM documents))""".stripMargin)),
 
+    // The final-mile composite a multi-epoch training run actually reads:
+    // epoch-replicated mixture (cp_epoch_mixture) fed into the
+    // deterministic shard export (cp_shard_order). The shard key must be
+    // the (doc, epoch) PAIR — hashing doc_id alone would give every epoch
+    // of a doc the same hash, making the within-shard rank tie and the
+    // export order undefined; the composite key doc_id·1000 + epoch is
+    // exact integer arithmetic both engines reproduce (epochs are bounded
+    // by the per-source rate, far below 1000). Same scale shape as the two
+    // stages it composes: row-local replication against broadcast rates,
+    // then ONE shard-keyed exchange + per-shard local sort.
+    Q("cp_epoch_shards",
+      (s, d) => {
+        val epochs = graft.operators.Composition.mixtureEpochs(
+          t(s, d, "documents").select("doc_id", "source"),
+          source = col("source"), id = col("doc_id"),
+          targets = Seq("src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.2,
+            "src7" -> 0.1),
+          totalRows = 1010L)
+        graft.operators.Composition.shardOrder(
+            epochs, col("doc_id") * 1000 + col("epoch"), nShards = 8)
+          .select("doc_id", "epoch", "shard", "pos")
+      },
+      Some("""WITH w(wsource, wn) AS (
+        |  VALUES ('src1', CAST(0.4 AS DOUBLE)), ('src3', CAST(0.3 AS DOUBLE)),
+        |         ('src5', CAST(0.2 AS DOUBLE)), ('src7', CAST(0.1 AS DOUBLE))),
+        |counts AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source),
+        |rates AS (SELECT wsource, 1010.0 * wn / n AS r
+        |  FROM w JOIN counts ON source = wsource),
+        |docs AS (SELECT doc_id, source, r,
+        |    CAST(xor(doc_id % 2147483648 * 2654435761 % 4294967296
+        |        % 2147483648, 506952121) * 2654435761
+        |      % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents JOIN rates ON source = wsource),
+        |ep AS (SELECT doc_id, CAST(e AS BIGINT) AS epoch
+        |  FROM docs, unnest(generate_series(0,
+        |    CAST(floor(r) AS BIGINT) - 1
+        |      + CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END)) AS g(e)),
+        |h AS (SELECT doc_id, epoch,
+        |    xor((doc_id * 1000 + epoch) % 2147483648 * 2654435761 % 4294967296
+        |      % 2147483648, 1834170006) * 2654435761 % 4294967296 AS h
+        |  FROM ep)
+        |SELECT doc_id, epoch, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8
+        |    ORDER BY h, doc_id * 1000 + epoch) AS BIGINT) AS pos
+        |FROM h""".stripMargin)),
+
     // Temperature-scaled source rebalancing (the multilingual data-recipe
     // knob: weights ∝ n^alpha): since the output is the largest corpus
     // achievable without upsampling, the normalization cancels and each

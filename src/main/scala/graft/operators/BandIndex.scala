@@ -109,12 +109,25 @@ object BandIndex {
     val (nh, b, k) = params(spark, path)
     val m = SegmentedTable.readManifest(spark, path)
     val v = m.version + 1
+    val segDir = SegmentedTable.segDir(s"$path/bands", v)
     Dedup.minhashBands(accepted, idCol, textCol, nh, b, k)
       .write.mode(SaveMode.Overwrite)
-      .parquet(SegmentedTable.segDir(s"$path/bands", v))
-    SegmentedTable.writeManifest(spark, path,
-      SegmentedTable.Manifest(v, m.segments :+ v))
-    if (m.segments.length + 1 > maxSegments) compact(spark, path)
+      .parquet(segDir)
+    // a band-less batch (empty, or nothing shingleable — the streaming
+    // sink's replay case) stages an empty segment; publishing it would
+    // grow the live list per replay and tick the compaction threshold
+    // toward a pointless whole-index rewrite. One footer probe of the
+    // just-written (flat, single-digit-file) segment decides; the
+    // unpublished dir is inert and the next append overwrites it.
+    val published = !spark.read.parquet(segDir).isEmpty
+    if (published)
+      SegmentedTable.writeManifest(spark, path,
+        SegmentedTable.Manifest(v, m.segments :+ v))
+    // the bound is enforced even on a skipped (empty) publish — a caller
+    // tightening maxSegments must see the index compacted by its next
+    // append, whatever that batch contains
+    if (m.segments.length + (if (published) 1 else 0) > maxSegments)
+      compact(spark, path)
   }
 
   /** Rewrite the live segments into ONE and publish it with a manifest

@@ -55,13 +55,32 @@ private[operators] object IndexIngest {
       SegmentedTable.read(spark, dataDir, m).select(idCol),
       Seq(idCol), "left_anti")
     val v = m.version + 1
+    val segDir = SegmentedTable.segDir(dataDir, v)
     encode(fresh)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
-      .parquet(SegmentedTable.segDir(dataDir, v))
-    SegmentedTable.writeManifest(spark, root,
-      SegmentedTable.Manifest(v, m.segments :+ v))
-    if (m.segments.length + 1 > maxSegments) compact(spark, root, dataName)
+      .parquet(segDir)
+    // a fully-screened batch (replay, in-batch dups only) stages an EMPTY
+    // segment — a partitioned write of zero rows lands no data files.
+    // Publishing it would grow the live list per replay and, worse, tick
+    // the compaction threshold: a stream of replays would trigger a
+    // pointless whole-table rewrite every maxSegments batches. Skip the
+    // flip (the dir is inert either way — unpublished, and the next
+    // append's Overwrite at the same version wipes it).
+    val fs = new org.apache.hadoop.fs.Path(segDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.listFiles(new org.apache.hadoop.fs.Path(segDir), true)
+    var hasRows = false
+    while (!hasRows && staged.hasNext)
+      hasRows = staged.next().getPath.getName.endsWith(".parquet")
+    if (hasRows)
+      SegmentedTable.writeManifest(spark, root,
+        SegmentedTable.Manifest(v, m.segments :+ v))
+    // the bound is enforced even on a skipped (empty) publish: a caller
+    // tightening maxSegments must see the index compacted by its next
+    // append, whatever that batch contains
+    if (m.segments.length + (if (hasRows) 1 else 0) > maxSegments)
+      compact(spark, root, dataName)
   }
 
   /** Rewrite the live segments into ONE — clustering the shuffle on the

@@ -43,9 +43,15 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.append(spark, p, batch.unionByName(batch))
     assert(IvfIndex.corpus(spark, p).count() === n0 + batch.count(),
       "in-batch duplicate ids must land exactly once")
+    val segsBeforeReplay =
+      graft.sources.SegmentedTable.readManifest(spark, p).segments
     IvfIndex.append(spark, p, batch)
     assert(IvfIndex.corpus(spark, p).count() === n0 + batch.count(),
       "a replayed batch must append nothing")
+    assert(graft.sources.SegmentedTable.readManifest(spark, p).segments
+        === segsBeforeReplay,
+      "a fully-screened replay must publish no segment (an empty segment " +
+        "per replay would tick the compaction threshold for nothing)")
     val qs = corpus.filter(col("vec_id") < 4)
     def res() = IvfIndex.searchTopK(spark, p, qs, k = 5, probes = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

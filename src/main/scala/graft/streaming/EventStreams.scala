@@ -219,6 +219,37 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming DSIR-selected document ingest — the SELECTION sibling of
+    * [[startGatedDocumentSink]]: every micro-batch is scored against the
+    * persisted [[graft.operators.DsirModel]] (the STORED bucket log-ratio
+    * authority — the pool the model was trained on is never re-read), docs
+    * at or above `minScore` are anti-joined against landed ids (the K3
+    * replay-idempotency shape) and appended to the target lake. The gate
+    * is a pure function of the stored model and the doc's text, so a
+    * replayed batch gates identically and the anti-join lands zero rows —
+    * no sink-side state beyond the landed table itself. The model is
+    * read-only here (no vacuum/maintenance step: nothing is ever appended
+    * to a DSIR model; retraining is a rebuild). Single writer per
+    * targetDir; AvailableNow micro-batches satisfy that by construction. */
+  def startDsirFilteredSink(docs: DataFrame, modelPath: String,
+      targetDir: String, minScore: Double): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val kept = graft.operators.DsirModel.gate(
+          modelPath, batch, col("doc_id"), col("text"), minScore)
+        val landed =
+          try spark.read.parquet(targetDir).select("doc_id")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            kept.select("doc_id").limit(0)
+          }
+        kept.join(landed, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming ANN-index ingest — the vector-side sibling of
     * [[startGatedDocumentSink]]: every micro-batch of (vec_id, embedding)
     * rows appends into a persisted [[graft.operators.IvfAdc]] index

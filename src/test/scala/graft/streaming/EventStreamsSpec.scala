@@ -200,6 +200,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == batch1.length)
   }
 
+  test("DSIR-filtered sink: batches are gated by the STORED model; replay lands exactly once") {
+    import graft.operators.DsirModel
+    val dir = Files.createTempDirectory("graft-dsirsink").toString
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "text")
+    // model trained on the src1/src2 slice vs the full pool, BEFORE any
+    // streaming — the sink scores against this stored authority only
+    DsirModel.build(docs.filter(col("source").isin("src1", "src2")),
+      col("text"), docs, col("text"), s"$dir/model")
+    val batch = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+    // threshold at the batch's median-ish score so both sides are exercised
+    val scores = DsirModel.score(s"$dir/model", batch, col("doc_id"), col("text"))
+    val cut = scores.orderBy(org.apache.spark.sql.functions.desc("score"), col("doc_id"))
+      .limit(100).orderBy(col("score")).limit(1).collect().head.getDouble(1)
+    batch.write.parquet(s"$dir/in1")
+    def sink() = EventStreams.startDsirFilteredSink(
+      EventStreams.readDocuments(spark, s"$dir/in1"),
+      s"$dir/model", s"$dir/lake", cut).awaitTermination(60000)
+    sink()
+    val lake = spark.read.parquet(s"$dir/lake")
+    val expect = batch.join(scores.filter(col("score") >= cut).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(rowSet(lake.select("doc_id", "text")) === rowSet(expect),
+      "the sink must land exactly the at-or-above-threshold docs")
+    assert(lake.count() > 0 && lake.count() < batch.count(),
+      "fixture must land some docs and gate others")
+    // fresh-checkpoint replay: the gate is a pure function of the stored
+    // model, so the anti-join sees every survivor already landed
+    sink()
+    assert(spark.read.parquet(s"$dir/lake").count() === lake.count(),
+      "replay must land nothing")
+  }
+
   test("gated document sink: near-dups vs prior batches are gated; replay ingests exactly-once") {
     import graft.operators.{BandIndex, Dedup}
     val dir = Files.createTempDirectory("graft-gated").toString

@@ -68,6 +68,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "dist")
   }
 
+  /** Radius (threshold) similarity search — the FAISS `range_search`
+    * analogue: ALL corpus neighbors of each query at cosine ≥ `minSim`
+    * (4dp-rounded, so the boundary is the same value both engines
+    * compare), not a fixed k. This is the retrieval shape dedup audits and
+    * recall-oriented RAG use — "everything at least this similar" — where
+    * a top-k would silently truncate dense neighborhoods and pad sparse
+    * ones.
+    *
+    * Scale shape: the bounded query set broadcasts, the corpus is scanned
+    * ONCE with a row-local cosine + threshold predicate — no corpus
+    * shuffle, no window, no heap; the output is bounded by the threshold,
+    * not by |Q|×|C|. For 100 TB corpora the scan side swaps for the IVF
+    * probed scan exactly as with [[bruteForceTopK]] (range search probes
+    * the same nearest clusters; the threshold predicate is unchanged). */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+      minSim: Double): DataFrame =
+    Parallelism.fanOut(corpus).alias("c")
+      .crossJoin(broadcast(queries.alias("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosineRounded(col("q.embedding"), col("c.embedding")).as("sim"))
+      .filter(col("sim") >= minSim)
+
   /** Hard-negative mining for contrastive training (the sampling step
     * behind every embedder/reranker fine-tune): for each query vector, the
     * `k` highest-cosine corpus vectors whose `label` DIFFERS from the

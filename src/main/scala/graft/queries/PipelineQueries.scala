@@ -422,6 +422,24 @@ object PipelineQueries {
         |WHERE rn <= 5""".stripMargin),
       headline = true),
 
+    // Radius (threshold) similarity search — the FAISS range_search
+    // analogue the top-k family can't express: ALL corpus neighbors at
+    // cosine ≥ 0.25 per query, however many there are (top-k would
+    // truncate dense neighborhoods and pad sparse ones). One row-local
+    // predicate over the broadcast-queries corpus scan — no shuffle, no
+    // window, no heap; the IVF probed scan is the drop-in 100 TB scan
+    // side (see Similarity.rangeSearch).
+    Q("sim_range_search",
+      (s, d) => Similarity.rangeSearch(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 16), minSim = 0.25),
+      Some("""SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 16)
+        |WHERE sim >= 0.25""".stripMargin)),
+
     // Hard-negative mining (contrastive-training sampling): per query, the
     // k highest-cosine CROSS-label corpus vectors — same-label candidates
     // are presumed positives and excluded; the 0.95 similarity cap drops
@@ -1209,6 +1227,57 @@ object PipelineQueries {
         |    w -> w IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_removed
         |FROM documents""".stripMargin)),
 
+    // PII redaction (the compliance cleaning pass every released corpus
+    // runs): emails, NANP phone numbers, and dotted-quad IPs are rewritten
+    // to typed placeholder tokens, with per-class match counts kept for
+    // the removal audit. The synthetic fixture contains no organic PII, so
+    // the query first INJECTS it deterministically from doc_id (¼ of docs
+    // get an email, ¼ a phone, ¼ an IP, ¼ nothing — the nothing quarter
+    // pins the no-match path); both engines derive the same augmented text
+    // and redact with the same regexes. Row-local regexp map over one
+    // corpus scan — zero shuffles at any scale, and the patterns use only
+    // the regex subset Java and RE2 interpret identically (character
+    // classes, bounded repeats, ASCII \b).
+    Q("tx_pii_redact",
+      (s, d) => {
+        val m = col("doc_id") % 4
+        val aug = concat(col("text"),
+          when(m === 1, concat(lit(" contact doc"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .when(m === 2, concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .when(m === 3, concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 97).cast("string")))
+          .otherwise(lit("")))
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        t(s, d, "documents").select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(aug,
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("redacted"),
+          regexp_count(aug, lit(email)).cast("long").as("n_email"),
+          regexp_count(aug, lit(phone)).cast("long").as("n_phone"),
+          regexp_count(aug, lit(ip)).cast("long").as("n_ip"))
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, text || CASE doc_id % 4
+        |    WHEN 1 THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    WHEN 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR)
+        |    ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(aug, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip
+        |FROM aug""".stripMargin)),
+
     // Unigram log-probability score (the LM-scoring shape: corpus frequency
     // model joined back to tokens, per-doc sum). Each term's ln is rounded
     // to 6dp then summed as scaled longs — order-independent, so the score
@@ -1237,6 +1306,61 @@ object PipelineQueries {
         |    / 1000000.0 AS logprob
         |FROM toks JOIN vocab USING (token) CROSS JOIN total
         |GROUP BY doc_id""".stripMargin)),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    // language's corpus into head/middle/tail terciles by per-token LM
+    // score — the standard quality triage before mixing (train mostly on
+    // head, sample middle, drop tail). The LM is tx_unigram_logprob's
+    // corpus unigram model with the same pre-rounded scaled-long ln sums
+    // (exact integer per-doc totals), so the mean-per-token score and its
+    // 6dp rounding are bit-identical cross-engine; ntile over the total
+    // order (score DESC, doc_id) is then engine-independent. The judged
+    // form is the EXACT per-language ntile — one window keyed by lang; at
+    // 100 TB a per-lang partition is a single-reducer sort, and the
+    // production form replaces the window with sampled score CUTPOINTS
+    // broadcast-joined back (what CCNet itself does) — same buckets up to
+    // sampling error, zero wide sort.
+    Q("tx_ppl_buckets",
+      (s, d) => {
+        val toks = graft.operators.Parallelism.fanOut(
+          t(s, d, "documents").select("doc_id", "lang", "text"))
+          .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+        val total = vocab.agg(sum(col("freq")).as("n"))
+        val perDoc = toks.join(broadcast(vocab), "token")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id", "lang")
+          .agg(
+            sum(round(round(log(col("freq").cast("double") / col("n")), 6) * 1000000, 0)
+              .cast("long")).as("lp"),
+            count(lit(1)).as("n_tokens"))
+          .select(col("doc_id"), col("lang"),
+            round(col("lp").cast("double") / 1000000.0 / col("n_tokens"), 6)
+              .as("mean_logprob"),
+            col("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("mean_logprob").desc, col("doc_id"))
+        perDoc.withColumn("bucket",
+          when(ntile(3).over(w) === 1, "head")
+            .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+        |total AS (SELECT COUNT(*) AS n FROM toks),
+        |perdoc AS (
+        |  SELECT doc_id, lang,
+        |    SUM(CAST(round(round(ln(CAST(freq AS DOUBLE) / n), 6) * 1000000, 0) AS BIGINT)) AS lp,
+        |    COUNT(*) AS n_tokens
+        |  FROM toks JOIN vocab USING (token) CROSS JOIN total
+        |  GROUP BY doc_id, lang)
+        |SELECT doc_id, lang,
+        |  round(CAST(lp AS DOUBLE) / 1000000.0 / n_tokens, 6) AS mean_logprob,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CASE ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY round(CAST(lp AS DOUBLE) / 1000000.0 / n_tokens, 6) DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM perdoc""".stripMargin)),
 
     // Sequence packing (training-batch assembly): assign documents to
     // fixed-token-budget bins by cumulative token count, packed per source

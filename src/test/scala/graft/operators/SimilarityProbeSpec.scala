@@ -51,4 +51,24 @@ class SimilarityProbeSpec extends SparkSpec {
     // probing every cluster searches the whole corpus — exact by construction
     assert(recalls.last == 1.0, s"nprobe = k-clusters should be exact: $recalls")
   }
+
+  test("range search: exactly the scored pairs at or above the threshold") {
+    val corpus = emb.filter(col("vec_id") >= 32)
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+
+    // every returned row clears the threshold, and the result is exactly
+    // the ≥-τ slice of the brute-force scored set: a generous top-k per
+    // query bounds the same scored pairs from above, so filtering IT at τ
+    // must reproduce range search (k exceeds any neighborhood size here)
+    val got = Similarity.rangeSearch(corpus, queries, minSim = 0.25)
+    assert(got.filter(col("sim") < 0.25).isEmpty)
+    val viaTopK = Similarity.bruteForceTopK(corpus, queries, k = 1000)
+      .filter(col("sim") >= 0.25)
+    assert(pairs(got) == pairs(viaTopK))
+    assert(pairs(got).nonEmpty)
+
+    // tightening the threshold only removes rows (monotone contraction)
+    val tighter = pairs(Similarity.rangeSearch(corpus, queries, minSim = 0.3))
+    assert(tighter.subsetOf(pairs(got)))
+  }
 }

@@ -823,6 +823,67 @@ object PipelineQueries {
         |    AND lang = 'en' AND COALESCE(CASE WHEN n_tok >= 2 THEN rep <= 0.8 END, TRUE) AS kept
         |FROM f""".stripMargin)),
 
+    // Model-based quality filtering (the GPT-3/LLaMA classifier stage):
+    // logistic regression distilled from the rule gate, trained in-engine
+    // by iterative aggregation with exact integer-summed gradients (see
+    // QualityClassifier). GD has no single-SQL DuckDB analogue, so the
+    // judged entry follows the sim_adc_recall gate pattern: emit the
+    // SQL-re-derivable rule LABELS only when the trained model's accuracy,
+    // recall, and specificity against them clear floors (0.95/0.97/0.90;
+    // the deterministic pipeline measures 0.98+/1.0/0.93+ at every SF,
+    // a broken trainer predicts the majority class and lands specificity
+    // 0 → zero rows → red), unioned with the weight-contract violations
+    // (expected empty). Integer cross-multiplied floors — no double
+    // thresholds on the gate itself.
+    Q("tx_quality_classifier",
+      (s, d) => {
+        val qc = graft.operators.QualityClassifier
+        val docs = t(s, d, "documents")
+        val label = TextFunctions.gateRules(col("text")).map(_._2).reduce(_ && _)
+        val w = qc.train(docs, qc.marginFeatures(col("text")), label)
+          .localCheckpoint(eager = false) // feeds classify AND violations
+        val scored = qc.classify(
+            docs.select(col("doc_id"), col("text"), label.as("y")), w,
+            qc.marginFeatures(col("text")))
+          .select(col("doc_id"), col("y"), col("kept"))
+          .localCheckpoint(eager = false) // feeds the metric gate AND emission
+        val m = scored.agg(
+          sum(when(col("kept") === col("y"), 1L).otherwise(0L)).as("ok"),
+          sum(when(col("y") && col("kept"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+          sum(when(!col("y") && !col("kept"), 1L).otherwise(0L)).as("tn"),
+          sum(when(!col("y"), 1L).otherwise(0L)).as("neg"),
+          count(lit(1)).as("n"))
+        scored.crossJoin(broadcast(m))
+          .filter(col("ok") * 100 >= col("n") * 95 &&
+            col("tp") * 100 >= col("pos") * 97 &&
+            col("tn") * 10 >= col("neg") * 9)
+          .select(lit("label").as("kind"), col("doc_id"),
+            col("y").cast("long").as("y"))
+          .unionByName(qc.contractViolations(w))
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    len(str_split(text, ' ')) AS n_tok,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / NULLIF(len(str_split(text, ' ')), 0) AS avg_len,
+        |    CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+        |      1.0 - CAST(len(CASE WHEN len(str_split(text, ' ')) >= 2
+        |        THEN list_distinct(list_transform(generate_series(1, len(str_split(text, ' ')) - 1),
+        |               i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1]))
+        |        ELSE [] END) AS DOUBLE) / (len(str_split(text, ' ')) - 1)
+        |    END AS rep,
+        |    CASE WHEN len(str_split(text, ' ')) = 0 THEN 'unknown'
+        |         WHEN CAST(len(list_filter(str_split(text, ' '),
+        |                w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |              / len(str_split(text, ' ')) >= 0.05 THEN 'en'
+        |         ELSE 'other' END AS lang
+        |  FROM documents)
+        |SELECT 'label' AS kind, doc_id,
+        |  CAST((n_tok BETWEEN 10 AND 1000) AND COALESCE(avg_len BETWEEN 2.0 AND 10.0, FALSE)
+        |    AND lang = 'en' AND COALESCE(CASE WHEN n_tok >= 2 THEN rep <= 0.8 END, TRUE) AS BIGINT) AS y
+        |FROM f""".stripMargin)),
+
     // Heuristic language ID + token counts (whitespace and regex tokenizers).
     Q("tx_langid",
       (s, d) => t(s, d, "documents").select(

@@ -22,7 +22,10 @@ class DeterminismSpec extends SparkSpec {
     // its CORRECT output is empty, so it would only ever check
     // empty == empty here; the distance-EMITTING ADC form gets its own
     // dedicated test below instead.
-    "dq_contam_score")
+    "dq_contam_score",
+    // round 11: threshold search (rounded cosines) and perplexity terciles
+    // (scaled-long LM sums -> 6dp mean -> ntile over a total order)
+    "sim_range_search", "tx_ppl_buckets")
 
   test("float-bearing queries are bit-identical across shuffle widths") {
     val conf = "spark.sql.shuffle.partitions"

@@ -96,9 +96,12 @@ class RegistrySpec extends SparkSpec {
     //  - sim_range_search: the sim_bruteforce shape minus even the heap —
     //    bounded broadcast query set, one corpus scan, row-local
     //    threshold predicate (IVF probed scan is the 100 TB scan side)
+    //  - tx_quality_classifier: each GD round and the metric gate
+    //    broadcast a ONE-ROW frame (weights resp. corpus metrics) — the
+    //    tx_bpe_train / sim_adc_recall single-row-broadcast shape
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
-      "sim_range_search",
+      "sim_range_search", "tx_quality_classifier",
       "tx_tfidf", "tx_unigram_logprob", "tx_ppl_buckets", "tx_bm25",
       "emb_centroid_outliers",
       "q13_sql_udf_cosine",

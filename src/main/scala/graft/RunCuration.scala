@@ -72,8 +72,12 @@ object RunCuration {
   }
 
   /** Corpus-composition stage (after curation, before the split):
+    * optionally triage quality FIRST with `ccnet = Some(midRate)` — CCNet
+    * perplexity terciles per SOURCE (the recipe's grouping key here;
+    * CCNet's own is language), head kept, middle hash-sampled at
+    * `midRate`, tail dropped (`cp_ccnet_mixture`, salt-4 draw) — then
     * optionally select the `dsir = Some((target, topK))` most-target-like
-    * docs first (`cp_dsir_score`/`cp_dsir_select` — importance ratios
+    * docs (`cp_dsir_score`/`cp_dsir_select` — importance ratios
     * trained on the curated `target` slice vs this corpus, id-tiebroken
     * top-k; selection BEFORE the quota so the cap applies to what survives
     * selection, not the raw pool), then cap any one source's share of the
@@ -86,14 +90,24 @@ object RunCuration {
   def compose(corpus: DataFrame, quotaPerSource: Int,
       mixture: Option[Seq[(String, Double)]] = None,
       temperature: Option[Double] = None,
-      dsir: Option[(DataFrame, Int)] = None): DataFrame = {
-    val selected = dsir.fold(corpus) { case (target, topK) =>
-      val ratios = graft.operators.Dsir.bucketLogRatios(
-        target, col("text"), corpus, col("text"))
+      dsir: Option[(DataFrame, Int)] = None,
+      ccnet: Option[Double] = None): DataFrame = {
+    val triaged = ccnet.fold(corpus) { midRate =>
       corpus.join(
+        graft.operators.CcnetBuckets.sample(
+          graft.operators.CcnetBuckets.bucketed(
+            corpus, col("doc_id"), col("source"), col("text")),
+          col("id"), midRate)
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
+    val selected = dsir.fold(triaged) { case (target, topK) =>
+      val ratios = graft.operators.Dsir.bucketLogRatios(
+        target, col("text"), triaged, col("text"))
+      triaged.join(
         graft.operators.Dsir.select(
           graft.operators.Dsir.importanceScores(
-            corpus, col("doc_id"), col("text"), ratios)
+            triaged, col("doc_id"), col("text"), ratios)
             .select("doc_id", "score"), topK)
           .select("doc_id"),
         Seq("doc_id"), "left_semi")

@@ -88,6 +88,15 @@ object Composition {
       2654435761L % 4294967296L
   }
 
+  /** The engine's deterministic uniform-[0,1) draw for `id` — the
+    * [[knuthHash]] scaled to a double, the exact expression every sampling
+    * operator here gates on (`draw < rate`). Public so composed samplers
+    * (e.g. the CCNet middle-bucket rate in [[CcnetBuckets]]) share ONE
+    * draw definition with [[mixtureSample]]/[[temperatureSample]] — and
+    * one DuckDB re-derivation. */
+  def uniformDraw(id: Column, salt: Long = 0L): Column =
+    knuthHash(id, salt).cast("double") / 4294967296.0
+
   /** Deterministic training-shard assignment + within-shard pseudo-random
     * order — the final-mile export step before training: shard =
     * hash(id) mod `nShards`, position = rank of (hash, id) inside the
@@ -141,7 +150,7 @@ object Composition {
         when(col("__n") > 0,
           least(lit(1.0), col("__c") * col("__w") / col("__n")))
           .otherwise(lit(0.0)).as("__rate"))
-    val uniform = knuthHash(id).cast("double") / 4294967296.0
+    val uniform = uniformDraw(id)
     docs.join(broadcast(rates), source === col("__source"))
       .filter(uniform < col("__rate"))
       .drop("__source", "__rate")
@@ -178,7 +187,7 @@ object Composition {
     val rates = counts.crossJoin(broadcast(nmin))
     // salt 1: independent of mixtureSample's draw (salt 0) so the two
     // stages compose when chained (see knuthHash)
-    val u = knuthHash(id, salt = 1L).cast("double") / 4294967296.0
+    val u = uniformDraw(id, salt = 1L)
     val uPow =
       if (e == math.rint(e) && e <= 16)
         (1 to e.toInt).map(_ => u).reduce(_ * _)
@@ -229,7 +238,7 @@ object Composition {
         (lit(totalRows.toDouble) * col("__w") / col("__n")).as("__r"))
     // salt 2: the fractional-epoch draw is independent of the downsampling
     // stages' draws (see knuthHash)
-    val u = knuthHash(id, salt = 2L).cast("double") / 4294967296.0
+    val u = uniformDraw(id, salt = 2L)
     val nEpochs = floor(col("__r")).cast("long") +
       when(u < col("__r") - floor(col("__r")), 1L).otherwise(0L)
     docs.join(broadcast(rates), source === col("__source"))

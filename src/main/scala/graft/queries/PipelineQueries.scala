@@ -1382,29 +1382,10 @@ object PipelineQueries {
     // broadcast-joined back (what CCNet itself does) — same buckets up to
     // sampling error, zero wide sort.
     Q("tx_ppl_buckets",
-      (s, d) => {
-        val toks = graft.operators.Parallelism.fanOut(
-          t(s, d, "documents").select("doc_id", "lang", "text"))
-          .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
-        val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-        val total = vocab.agg(sum(col("freq")).as("n"))
-        val perDoc = toks.join(broadcast(vocab), "token")
-          .crossJoin(broadcast(total))
-          .groupBy("doc_id", "lang")
-          .agg(
-            sum(round(round(log(col("freq").cast("double") / col("n")), 6) * 1000000, 0)
-              .cast("long")).as("lp"),
-            count(lit(1)).as("n_tokens"))
-          .select(col("doc_id"), col("lang"),
-            round(col("lp").cast("double") / 1000000.0 / col("n_tokens"), 6)
-              .as("mean_logprob"),
-            col("n_tokens"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy(col("mean_logprob").desc, col("doc_id"))
-        perDoc.withColumn("bucket",
-          when(ntile(3).over(w) === 1, "head")
-            .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
-      },
+      (s, d) => graft.operators.CcnetBuckets.bucketed(
+          t(s, d, "documents"), col("doc_id"), col("lang"), col("text"))
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("mean_logprob"), col("n_tokens"), col("bucket")),
       Some("""WITH toks AS (
         |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token FROM documents),
         |vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
@@ -1499,6 +1480,43 @@ object PipelineQueries {
         |SELECT doc_id, source FROM documents d JOIN rates r ON d.source = r.wsource
         |WHERE CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
         |      < r.rate""".stripMargin)),
+
+    // The CCNet quality-triage composite (Wenzek et al. 2020): perplexity
+    // terciles per language (tx_ppl_buckets) fed into the bucket-rate
+    // keep gate — head kept whole, middle hash-sampled at 0.5, tail
+    // dropped. The draw is the engine's salted Knuth uniform (salt 4:
+    // sampling stages compose by salt — an unsalted draw would nest with
+    // the mixture stages' selections instead of composing), a pure
+    // function of doc_id that DuckDB re-derives exactly. Scale shape:
+    // the bucketing's one broadcast-vocab pass + per-doc aggregate, then
+    // a row-local filter — the gate adds zero exchanges.
+    Q("cp_ccnet_mixture",
+      (s, d) => graft.operators.CcnetBuckets.sample(
+          graft.operators.CcnetBuckets.bucketed(
+            t(s, d, "documents"), col("doc_id"), col("lang"), col("text")),
+          col("id"), midRate = 0.5)
+        .select(col("id").as("doc_id"), col("grp").as("lang"), col("bucket")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+        |total AS (SELECT COUNT(*) AS n FROM toks),
+        |perdoc AS (
+        |  SELECT doc_id, lang,
+        |    SUM(CAST(round(round(ln(CAST(freq AS DOUBLE) / n), 6) * 1000000, 0) AS BIGINT)) AS lp,
+        |    COUNT(*) AS n_tokens
+        |  FROM toks JOIN vocab USING (token) CROSS JOIN total
+        |  GROUP BY doc_id, lang),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CASE ntile(3) OVER (PARTITION BY lang
+        |        ORDER BY round(CAST(lp AS DOUBLE) / 1000000.0 / n_tokens, 6) DESC, doc_id)
+        |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM perdoc)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket = 'head' OR (bucket = 'middle'
+        |  AND CAST(xor(doc_id % 2147483648 * 2654435761 % 4294967296
+        |        % 2147483648, 1013904242) * 2654435761
+        |      % 4294967296 AS DOUBLE) / 4294967296.0 < 0.5)""".stripMargin)),
 
     // Deterministic training-shard export order: shard = Knuth-hash(id) mod
     // 8, position = rank of (hash, id) within the shard — the reproducible

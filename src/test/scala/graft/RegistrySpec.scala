@@ -56,9 +56,9 @@ class RegistrySpec extends SparkSpec {
     //  - sim_ivf (single- and multi-probe): cluster assignment rides a
     //    SINGLE-ROW broadcast of the packed centroid array against each
     //    vector (row-local argmax expression; the corpus never self-joins)
-    //  - tx_tfidf / tx_unigram_logprob / tx_ppl_buckets / tx_bm25 /
-    //    emb_centroid_outliers: build side is a broadcast SINGLE-ROW
-    //    corpus-stats aggregate (the scalar-subquery shape)
+    //  - tx_tfidf / tx_unigram_logprob / tx_ppl_buckets / cp_ccnet_mixture
+    //    / tx_bm25 / emb_centroid_outliers: build side is a broadcast
+    //    SINGLE-ROW corpus-stats aggregate (the scalar-subquery shape)
     //  - q13: exercises the SQL-registered graft_cosine through the parser
     //    on a declared 64-row subset; the scale-safe pair paths are the
     //    dd_/sim_ queries above
@@ -102,8 +102,8 @@ class RegistrySpec extends SparkSpec {
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
       "sim_range_search", "tx_quality_classifier",
-      "tx_tfidf", "tx_unigram_logprob", "tx_ppl_buckets", "tx_bm25",
-      "emb_centroid_outliers",
+      "tx_tfidf", "tx_unigram_logprob", "tx_ppl_buckets", "cp_ccnet_mixture",
+      "tx_bm25", "emb_centroid_outliers",
       "q13_sql_udf_cosine",
       "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train",
       "cp_mixture_sample", "cp_temperature_sample",

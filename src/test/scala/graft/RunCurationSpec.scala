@@ -100,6 +100,37 @@ class RunCurationSpec extends SparkSpec {
     assert(out === direct)
   }
 
+  test("compose ccnet stage drops each source's tail tercile and equals " +
+      "the standalone bucket-and-sample composition") {
+    // 9 docs per source, LM-separable: low-index docs repeat the corpus's
+    // common vocabulary (high mean logprob -> head), high-index docs are
+    // made of rare one-off tokens (low mean logprob -> tail)
+    val common = "the system reads the data and the data flows"
+    val corpus = (0L until 18L).map { i =>
+      val rare = s"zq$i xv$i wk$i jj$i qq$i vv$i ww$i kk$i yy$i"
+      val text = if (i % 9 < 3) common
+        else if (i % 9 < 6) s"the system item$i runs zq$i xv$i"
+        else rare
+      (i, text, if (i < 9) "a" else "b")
+    }.toDF("doc_id", "text", "source")
+    // midRate 1.0: keep head AND middle whole, drop exactly the tail — the
+    // deterministic slice of the gate (no draw involved)
+    val out = RunCuration.compose(corpus, quotaPerSource = 100,
+      ccnet = Some(1.0))
+    assert(out.count() === 12L, "each source keeps its 6 head+middle docs")
+    // the composed stage is the SAME computation as the standalone judged
+    // operator path (cp_ccnet_mixture): no drift between the two
+    val direct = graft.operators.CcnetBuckets.sample(
+      graft.operators.CcnetBuckets.bucketed(
+        corpus, col("doc_id"), col("source"), col("text")),
+      col("id"), midRate = 1.0)
+      .select(col("id")).as[Long].collect().sorted.toSeq
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === direct)
+    // midRate 0 keeps ONLY the head tercile
+    assert(RunCuration.compose(corpus, quotaPerSource = 100,
+      ccnet = Some(0.0)).count() === 6L)
+  }
+
   test("compose temperature stage flattens skewed sources toward the smallest") {
     val corpus = (0L until 40L).map(i =>
         (i, s"doc number $i with text", if (i < 32) "web" else "wiki"))

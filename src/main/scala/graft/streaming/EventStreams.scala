@@ -250,6 +250,38 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming learned-quality-filtered document ingest — the
+    * MODEL-QUALITY sibling of [[startDsirFilteredSink]]: every
+    * micro-batch is scored against the persisted
+    * [[graft.operators.QualityModel]] (the STORED logistic weights — the
+    * labeled training snapshot is never re-read), docs the model keeps at
+    * `threshold` are anti-joined against landed ids (the K3
+    * replay-idempotency shape) and appended to the target lake. The gate
+    * is a pure row-local function of the stored weights and the doc's
+    * text (one broadcast of a one-row frame — nothing shuffles at any
+    * batch size), so a replayed batch gates identically and the
+    * anti-join lands zero rows. The model is read-only here (retraining
+    * is a rebuild). Single writer per targetDir; AvailableNow
+    * micro-batches satisfy that by construction. */
+  def startQualityFilteredSink(docs: DataFrame, modelPath: String,
+      targetDir: String, threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val kept = graft.operators.QualityModel.gate(
+          modelPath, batch, col("text"), threshold)
+        val landed =
+          try spark.read.parquet(targetDir).select("doc_id")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            kept.select("doc_id").limit(0)
+          }
+        kept.join(landed, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(targetDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming ANN-index ingest — the vector-side sibling of
     * [[startGatedDocumentSink]]: every micro-batch of (vec_id, embedding)
     * rows appends into a persisted [[graft.operators.IvfAdc]] index

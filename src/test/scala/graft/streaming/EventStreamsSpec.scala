@@ -233,6 +233,33 @@ class EventStreamsSpec extends SparkSpec {
       "replay must land nothing")
   }
 
+  test("quality-filtered sink: batches are gated by the STORED weights; replay lands exactly once") {
+    import graft.operators.QualityModel
+    val dir = Files.createTempDirectory("graft-qualsink").toString
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // weights trained on the full fixture BEFORE any streaming — the sink
+    // scores against this stored authority only
+    QualityModel.build(docs, col("text"), s"$dir/model")
+    val batch = docs.filter(col("doc_id") < 200)
+    batch.write.parquet(s"$dir/in1")
+    def sink() = EventStreams.startQualityFilteredSink(
+      EventStreams.readDocuments(spark, s"$dir/in1"),
+      s"$dir/model", s"$dir/lake").awaitTermination(60000)
+    sink()
+    val lake = spark.read.parquet(s"$dir/lake")
+    val expect = QualityModel.gate(s"$dir/model", batch, col("text"))
+    assert(rowSet(lake.select("doc_id", "text")) === rowSet(expect),
+      "the sink must land exactly the model-kept docs")
+    assert(lake.count() > 0 && lake.count() < batch.count(),
+      "fixture must land some docs and gate others")
+    // fresh-checkpoint replay: the gate is a pure function of the stored
+    // weights, so the anti-join sees every survivor already landed
+    sink()
+    assert(spark.read.parquet(s"$dir/lake").count() === lake.count(),
+      "replay must land nothing")
+  }
+
   test("gated document sink: near-dups vs prior batches are gated; replay ingests exactly-once") {
     import graft.operators.{BandIndex, Dedup}
     val dir = Files.createTempDirectory("graft-gated").toString

@@ -1734,6 +1734,59 @@ object PipelineQueries {
 
     // ---- Data-quality / profiling ----------------------------------------
 
+    // Per-source PII incidence audit (the compliance report downstream of
+    // tx_pii_redact — which sources leak how much, the number a release
+    // review actually reads): same deterministic doc_id-derived injection
+    // and Java∩RE2 regexes as the redaction pass, rolled up per source.
+    // One row-local regexp map + one map-side-combined groupBy on the
+    // low-cardinality source key — no other exchange at any scale.
+    Q("dq_pii_rate",
+      (s, d) => {
+        val m = col("doc_id") % 4
+        val aug = concat(col("text"),
+          when(m === 1, concat(lit(" contact doc"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .when(m === 2, concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .when(m === 3, concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 97).cast("string")))
+          .otherwise(lit("")))
+        val email = regexp_count(aug, lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"))
+        val phone = regexp_count(aug, lit("\\+1-[0-9]{3}-[0-9]{4}"))
+        val ip = regexp_count(aug,
+          lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"))
+        t(s, d, "documents")
+          .select(col("source"), email.as("e"), phone.as("p"), ip.as("i"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+              .as("n_pii_docs"),
+            sum(col("e").cast("long")).as("n_email"),
+            sum(col("p").cast("long")).as("n_phone"),
+            sum(col("i").cast("long")).as("n_ip"))
+      },
+      Some("""WITH aug AS (
+        |  SELECT source, text || CASE doc_id % 4
+        |    WHEN 1 THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    WHEN 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR)
+        |    ELSE '' END AS aug
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS e,
+        |    len(regexp_extract_all(aug, '\+1-[0-9]{3}-[0-9]{4}')) AS p,
+        |    len(regexp_extract_all(aug, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS i
+        |  FROM aug)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+        |  CAST(SUM(e) AS BIGINT) AS n_email,
+        |  CAST(SUM(p) AS BIGINT) AS n_phone,
+        |  CAST(SUM(i) AS BIGINT) AS n_ip
+        |FROM cnt GROUP BY source""".stripMargin)),
+
     // Column profile (the pre-training data audit): counts, distincts,
     // range, exact mean — one pass, one tiny aggregate row.
     Q("dq_profile",

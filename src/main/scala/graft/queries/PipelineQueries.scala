@@ -29,6 +29,36 @@ object PipelineQueries {
   private val NumHashes = 16
   private val Bands = 4
 
+  /** PII patterns + deterministic injection SHARED by the tx_pii_redact
+    * cleaning pass and the dq_pii_rate audit rollup — one definition, so
+    * the compliance report can never drift from the redaction it audits.
+    * The synthetic fixture carries no organic PII, so [[piiAug]] injects
+    * it from doc_id (¼ email / ¼ phone / ¼ IP / ¼ none); [[PiiAugSql]] is
+    * the DuckDB re-derivation, and the pattern constants interpolate into
+    * both oracles verbatim (Java∩RE2-identical regex subset only). */
+  private val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhone = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private def piiAug: org.apache.spark.sql.Column = {
+    val m = col("doc_id") % 4
+    concat(col("text"),
+      when(m === 1, concat(lit(" contact doc"),
+        col("doc_id").cast("string"), lit("@example.com")))
+      .when(m === 2, concat(lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .when(m === 3, concat(lit(" from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 97).cast("string")))
+      .otherwise(lit("")))
+  }
+  private val PiiAugSql =
+    """SELECT doc_id, source, text || CASE doc_id % 4
+      |    WHEN 1 THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |    WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    WHEN 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR)
+      |    ELSE '' END AS aug
+      |  FROM documents""".stripMargin
+
   /** DuckDB word-bigram shingle CTE, mirroring TextFunctions.shingles(k=2). */
   private val ShinglesCte =
     """WITH toks AS (
@@ -1295,48 +1325,33 @@ object PipelineQueries {
     // the query first INJECTS it deterministically from doc_id (¼ of docs
     // get an email, ¼ a phone, ¼ an IP, ¼ nothing — the nothing quarter
     // pins the no-match path); both engines derive the same augmented text
-    // and redact with the same regexes. Row-local regexp map over one
-    // corpus scan — zero shuffles at any scale, and the patterns use only
-    // the regex subset Java and RE2 interpret identically (character
-    // classes, bounded repeats, ASCII \b).
+    // and redact with the same regexes. Injection and patterns are the
+    // [[piiAug]]/[[Pii*]] definitions SHARED with the dq_pii_rate audit —
+    // the rollup can never drift from the redaction it audits. Row-local
+    // regexp map over one corpus scan — zero shuffles at any scale, and
+    // the patterns use only the regex subset Java and RE2 interpret
+    // identically (character classes, bounded repeats, ASCII \b).
     Q("tx_pii_redact",
       (s, d) => {
-        val m = col("doc_id") % 4
-        val aug = concat(col("text"),
-          when(m === 1, concat(lit(" contact doc"),
-            col("doc_id").cast("string"), lit("@example.com")))
-          .when(m === 2, concat(lit(" call +1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .when(m === 3, concat(lit(" from 10.0."),
-            (col("doc_id") % 256).cast("string"), lit("."),
-            (col("doc_id") % 97).cast("string")))
-          .otherwise(lit("")))
-        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-        val phone = "\\+1-[0-9]{3}-[0-9]{4}"
-        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val aug = piiAug
         t(s, d, "documents").select(
           col("doc_id"),
           regexp_replace(regexp_replace(regexp_replace(aug,
-            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("redacted"),
-          regexp_count(aug, lit(email)).cast("long").as("n_email"),
-          regexp_count(aug, lit(phone)).cast("long").as("n_phone"),
-          regexp_count(aug, lit(ip)).cast("long").as("n_ip"))
+            PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIp, "<IP>")
+            .as("redacted"),
+          regexp_count(aug, lit(PiiEmail)).cast("long").as("n_email"),
+          regexp_count(aug, lit(PiiPhone)).cast("long").as("n_phone"),
+          regexp_count(aug, lit(PiiIp)).cast("long").as("n_ip"))
       },
-      Some("""WITH aug AS (
-        |  SELECT doc_id, text || CASE doc_id % 4
-        |    WHEN 1 THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'
-        |    WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |    WHEN 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR)
-        |    ELSE '' END AS aug
-        |  FROM documents)
+      Some(s"""WITH aug AS ($PiiAugSql)
         |SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(aug,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
-        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(aug, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(aug, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip
+        |    '$PiiEmail', '<EMAIL>', 'g'),
+        |    '$PiiPhone', '<PHONE>', 'g'),
+        |    '$PiiIp', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(aug, '$PiiEmail')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug, '$PiiPhone')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(aug, '$PiiIp')) AS BIGINT) AS n_ip
         |FROM aug""".stripMargin)),
 
     // Unigram log-probability score (the LM-scoring shape: corpus frequency
@@ -1742,20 +1757,10 @@ object PipelineQueries {
     // low-cardinality source key — no other exchange at any scale.
     Q("dq_pii_rate",
       (s, d) => {
-        val m = col("doc_id") % 4
-        val aug = concat(col("text"),
-          when(m === 1, concat(lit(" contact doc"),
-            col("doc_id").cast("string"), lit("@example.com")))
-          .when(m === 2, concat(lit(" call +1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .when(m === 3, concat(lit(" from 10.0."),
-            (col("doc_id") % 256).cast("string"), lit("."),
-            (col("doc_id") % 97).cast("string")))
-          .otherwise(lit("")))
-        val email = regexp_count(aug, lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"))
-        val phone = regexp_count(aug, lit("\\+1-[0-9]{3}-[0-9]{4}"))
-        val ip = regexp_count(aug,
-          lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"))
+        val aug = piiAug
+        val email = regexp_count(aug, lit(PiiEmail))
+        val phone = regexp_count(aug, lit(PiiPhone))
+        val ip = regexp_count(aug, lit(PiiIp))
         t(s, d, "documents")
           .select(col("source"), email.as("e"), phone.as("p"), ip.as("i"))
           .groupBy("source").agg(
@@ -1766,18 +1771,12 @@ object PipelineQueries {
             sum(col("p").cast("long")).as("n_phone"),
             sum(col("i").cast("long")).as("n_ip"))
       },
-      Some("""WITH aug AS (
-        |  SELECT source, text || CASE doc_id % 4
-        |    WHEN 1 THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'
-        |    WHEN 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |    WHEN 3 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR)
-        |    ELSE '' END AS aug
-        |  FROM documents),
+      Some(s"""WITH aug AS ($PiiAugSql),
         |cnt AS (
         |  SELECT source,
-        |    len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS e,
-        |    len(regexp_extract_all(aug, '\+1-[0-9]{3}-[0-9]{4}')) AS p,
-        |    len(regexp_extract_all(aug, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS i
+        |    len(regexp_extract_all(aug, '$PiiEmail')) AS e,
+        |    len(regexp_extract_all(aug, '$PiiPhone')) AS p,
+        |    len(regexp_extract_all(aug, '$PiiIp')) AS i
         |  FROM aug)
         |SELECT source,
         |  COUNT(*) AS n_docs,

@@ -115,7 +115,13 @@ object SegmentedTable {
       s"segmented table at $dataDir has no live segments")
     // Int literals match the inferred partition type (seg values are dir
     // names; inference yields int), keeping the predicate a plain
-    // partition-attribute IN — statically prunable at listing time
+    // partition-attribute IN — statically prunable at listing time.
+    // Versions are Long in the manifest; past Int.MaxValue the inference
+    // itself would flip to LongType and the toInt literals would silently
+    // match nothing — fail loudly instead (2^31 appends away, but silent
+    // partial reads are never an acceptable failure mode)
+    require(m.segments.forall(v => v >= 0 && v <= Int.MaxValue),
+      s"segment version exceeds Int range at $dataDir: ${m.segments}")
     spark.read.parquet(dataDir)
       .filter(col("seg").isin(m.segments.map(_.toInt): _*))
       .drop("seg")

@@ -211,7 +211,15 @@ object EventStreams {
         // bands it screens on), and a zero-band doc re-passing the gate
         // appends zero band rows. The one replay case that does reach here
         // — landing committed, band append crashed — is exactly the heal
-        // the docs-before-bands ordering exists for.
+        // the docs-before-bands ordering exists for. CONTRACT: doc_id is
+        // payload-immutable (an at-least-once source redelivers identical
+        // bytes — the same premise every K3 anti-join landing here rests
+        // on, which silently ignores a changed-text redelivery too). An
+        // upstream that MUTATES text under a reused id would index the new
+        // text's bands while the lake keeps the old text; screening that
+        // would require comparing text against the whole lake per batch —
+        // an update-capable lake (MERGE, see warehouse/Merge) is the right
+        // tool for mutable ids, not this append-only sink.
         graft.operators.BandIndex.append(indexPath, fresh,
           col("doc_id"), col("text"))
         ()
@@ -219,33 +227,46 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The shared landing protocol of the model-gated document sinks
+    * ([[startDsirFilteredSink]], [[startQualityFilteredSink]]): in-batch
+    * dedup FIRST (an at-least-once upstream can fold a redelivery into
+    * the SAME micro-batch, where the landed anti-join alone wouldn't see
+    * it — min(text) is the deterministic survivor pick, the LexIndex
+    * ledger-screen discipline), then the model gate, then the K3
+    * anti-join append against landed ids. One body so a landing-protocol
+    * fix can never drift between the sinks. */
+  private def landModelGated(batch: DataFrame, targetDir: String)(
+      gate: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val once = batch.groupBy("doc_id").agg(min("text").as("text"))
+    val kept = gate(once)
+    val landed =
+      try spark.read.parquet(targetDir).select("doc_id")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        kept.select("doc_id").limit(0)
+      }
+    kept.join(landed, Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(targetDir)
+  }
+
   /** Streaming DSIR-selected document ingest — the SELECTION sibling of
     * [[startGatedDocumentSink]]: every micro-batch is scored against the
     * persisted [[graft.operators.DsirModel]] (the STORED bucket log-ratio
     * authority — the pool the model was trained on is never re-read), docs
-    * at or above `minScore` are anti-joined against landed ids (the K3
-    * replay-idempotency shape) and appended to the target lake. The gate
-    * is a pure function of the stored model and the doc's text, so a
-    * replayed batch gates identically and the anti-join lands zero rows —
-    * no sink-side state beyond the landed table itself. The model is
-    * read-only here (no vacuum/maintenance step: nothing is ever appended
-    * to a DSIR model; retraining is a rebuild). Single writer per
-    * targetDir; AvailableNow micro-batches satisfy that by construction. */
+    * at or above `minScore` land through [[landModelGated]] (in-batch
+    * dedup + the K3 anti-join append). The gate is a pure function of the
+    * stored model and the doc's text, so a replayed batch gates
+    * identically and the anti-join lands zero rows — no sink-side state
+    * beyond the landed table itself. The model is read-only here (no
+    * vacuum/maintenance step: nothing is ever appended to a DSIR model;
+    * retraining is a rebuild). Single writer per targetDir; AvailableNow
+    * micro-batches satisfy that by construction. */
   def startDsirFilteredSink(docs: DataFrame, modelPath: String,
       targetDir: String, minScore: Double): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val kept = graft.operators.DsirModel.gate(
-          modelPath, batch, col("doc_id"), col("text"), minScore)
-        val landed =
-          try spark.read.parquet(targetDir).select("doc_id")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            kept.select("doc_id").limit(0)
-          }
-        kept.join(landed, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(targetDir)
-        ()
+        landModelGated(batch, targetDir)(b => graft.operators.DsirModel.gate(
+          modelPath, b, col("doc_id"), col("text"), minScore))
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -255,29 +276,19 @@ object EventStreams {
     * micro-batch is scored against the persisted
     * [[graft.operators.QualityModel]] (the STORED logistic weights — the
     * labeled training snapshot is never re-read), docs the model keeps at
-    * `threshold` are anti-joined against landed ids (the K3
-    * replay-idempotency shape) and appended to the target lake. The gate
-    * is a pure row-local function of the stored weights and the doc's
-    * text (one broadcast of a one-row frame — nothing shuffles at any
-    * batch size), so a replayed batch gates identically and the
-    * anti-join lands zero rows. The model is read-only here (retraining
-    * is a rebuild). Single writer per targetDir; AvailableNow
-    * micro-batches satisfy that by construction. */
+    * `threshold` land through [[landModelGated]] (in-batch dedup + the
+    * K3 anti-join append). The gate is a pure row-local function of the
+    * stored weights and the doc's text (one broadcast of a one-row frame
+    * — nothing shuffles at any batch size), so a replayed batch gates
+    * identically and the anti-join lands zero rows. The model is
+    * read-only here (retraining is a rebuild). Single writer per
+    * targetDir; AvailableNow micro-batches satisfy that by construction. */
   def startQualityFilteredSink(docs: DataFrame, modelPath: String,
       targetDir: String, threshold: Double = 0.5): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val kept = graft.operators.QualityModel.gate(
-          modelPath, batch, col("text"), threshold)
-        val landed =
-          try spark.read.parquet(targetDir).select("doc_id")
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            kept.select("doc_id").limit(0)
-          }
-        kept.join(landed, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(targetDir)
-        ()
+        landModelGated(batch, targetDir)(b => graft.operators.QualityModel
+          .gate(modelPath, b, col("text"), threshold))
       }
       .trigger(Trigger.AvailableNow())
       .start()

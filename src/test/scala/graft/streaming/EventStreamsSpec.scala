@@ -242,7 +242,10 @@ class EventStreamsSpec extends SparkSpec {
     // scores against this stored authority only
     QualityModel.build(docs, col("text"), s"$dir/model")
     val batch = docs.filter(col("doc_id") < 200)
-    batch.write.parquet(s"$dir/in1")
+    // every doc delivered TWICE in the same input: an at-least-once
+    // upstream can fold a redelivery into one micro-batch, where the
+    // landed anti-join alone can't see it — the sink's in-batch dedup must
+    batch.union(batch).write.parquet(s"$dir/in1")
     def sink() = EventStreams.startQualityFilteredSink(
       EventStreams.readDocuments(spark, s"$dir/in1"),
       s"$dir/model", s"$dir/lake").awaitTermination(60000)

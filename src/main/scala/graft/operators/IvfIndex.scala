@@ -116,4 +116,32 @@ object IvfIndex {
         graft.functions.VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
     Similarity.topKBySim(joined, k)
   }
+
+  /** Radius (threshold) search against the persisted index — the
+    * [[Similarity.rangeSearch]] semantics served from the stored cluster
+    * layout: every indexed neighbor at cosine ≥ `minSim` among the
+    * `probes` nearest clusters of each query. Same probed, partition-
+    * pruned scan as [[searchTopK]] with the heap replaced by a row-local
+    * threshold predicate — no window, no heap, output bounded by the
+    * threshold. As with any IVF serve, recall < 1 when a true neighbor
+    * lives outside the probed clusters; probes = k-clusters is exact. */
+  def searchRange(spark: SparkSession, path: String, queries: DataFrame,
+      minSim: Double, probes: Int): DataFrame = {
+    require(probes >= 1)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val corpusLive = corpus(spark, path)
+      .select(col("cluster"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_vec"))
+    val queriesC = queries
+      .crossJoin(broadcast(Similarity.packedCentroids(centroids)))
+      .select(
+        explode(Similarity.nearestCentroids(col("embedding"), col("cents"), probes))
+          .as("cluster"),
+        col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    queriesC.join(corpusLive, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 }

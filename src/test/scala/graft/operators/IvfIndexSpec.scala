@@ -26,6 +26,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("range serve: all-probes equals brute-force range search; fewer " +
+      "probes only lose neighbors, never invent them") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probes = k-clusters searches every partition — exact by construction
+    val exact = IvfIndex.searchRange(spark, path, queries,
+      minSim = 0.25, probes = 8)
+    val truth = Similarity.rangeSearch(corpus, queries, minSim = 0.25)
+    assert(pairs(exact) === pairs(truth))
+    assert(pairs(exact).nonEmpty)
+    val probed = IvfIndex.searchRange(spark, path, queries,
+      minSim = 0.25, probes = 2)
+    assert(pairs(probed).subsetOf(pairs(exact)))
+    assert(probed.filter(col("sim") < 0.25).isEmpty)
+  }
+
   test("the corpus scan is partition-pruned to the probed clusters") {
     val plan = IvfIndex.searchTopK(spark, path, queries, k = 5, probes = 2)
       .queryExecution.executedPlan.toString

@@ -124,6 +124,29 @@ object Composition {
       .drop("__h", "__shard")
   }
 
+  /** Curriculum-ordered shard export — [[shardOrder]] with a leading
+    * PHASE key: within each shard, docs sort by (phase ASC, hash, id), so
+    * a training run reading shards front-to-back consumes phase 0 first
+    * (e.g. the CCNet head tercile), then phase 1, then 2 — the
+    * quality-annealed schedule curriculum training reads, still
+    * pseudo-randomly shuffled WITHIN each phase by the salted hash.
+    * Same scale shape and salt as [[shardOrder]] (ONE shard-keyed
+    * exchange + per-shard local sort; salt 3 keeps the order independent
+    * of every survival draw); `phase` must be a deterministic per-row
+    * column or the export stops being reproducible. */
+  def curriculumOrder(docs: DataFrame, id: Column, phase: Column,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__shard").orderBy(col("__phase"), col("__h"), id)
+    docs.withColumn("__h", knuthHash(id, salt = 3L))
+      .withColumn("__shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("__phase", phase)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__h", "__shard", "__phase")
+  }
+
   def mixtureSample(docs: DataFrame, source: Column, id: Column,
       targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty, "targets must be non-empty")

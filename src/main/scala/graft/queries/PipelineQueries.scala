@@ -1597,6 +1597,52 @@ object PipelineQueries {
         |    ORDER BY h, doc_id * 1000 + epoch) AS BIGINT) AS pos
         |FROM h""".stripMargin)),
 
+    // Curriculum-ordered shard export: the quality-annealed schedule a
+    // curriculum training run reads — CCNet perplexity terciles
+    // (tx_ppl_buckets) mapped to phases (head=0, middle=1, tail=2), then
+    // the shard export sorted by (phase, hash, id) within each shard, so
+    // shards stream highest-quality docs first while staying
+    // pseudo-randomly shuffled WITHIN each phase (Composition
+    // .curriculumOrder — shardOrder's salt-3 hash, so the order stays
+    // independent of every survival draw). Scale shape: the bucketing's
+    // broadcast-vocab pass + per-doc aggregate, then ONE shard-keyed
+    // exchange with a per-shard local sort.
+    Q("cp_curriculum_shards",
+      (s, d) => graft.operators.Composition.curriculumOrder(
+          graft.operators.CcnetBuckets.bucketed(
+            t(s, d, "documents"), col("doc_id"), col("lang"), col("text")),
+          col("id"),
+          when(col("bucket") === "head", 0)
+            .when(col("bucket") === "middle", 1).otherwise(2),
+          nShards = 8)
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("bucket"), col("shard"), col("pos")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+        |total AS (SELECT COUNT(*) AS n FROM toks),
+        |perdoc AS (
+        |  SELECT doc_id, lang,
+        |    SUM(CAST(round(round(ln(CAST(freq AS DOUBLE) / n), 6) * 1000000, 0) AS BIGINT)) AS lp,
+        |    COUNT(*) AS n_tokens
+        |  FROM toks JOIN vocab USING (token) CROSS JOIN total
+        |  GROUP BY doc_id, lang),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CASE ntile(3) OVER (PARTITION BY lang
+        |        ORDER BY round(CAST(lp AS DOUBLE) / 1000000.0 / n_tokens, 6) DESC, doc_id)
+        |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM perdoc),
+        |h AS (SELECT doc_id, lang, bucket,
+        |    CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END AS phase,
+        |    xor(doc_id % 2147483648 * 2654435761 % 4294967296
+        |      % 2147483648, 1834170006) * 2654435761 % 4294967296 AS h
+        |  FROM b)
+        |SELECT doc_id, lang, bucket, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8
+        |    ORDER BY phase, h, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin)),
+
     // Temperature-scaled source rebalancing (the multilingual data-recipe
     // knob: weights ∝ n^alpha): since the output is the largest corpus
     // achievable without upsampling, the normalization cancels and each

@@ -57,8 +57,9 @@ class RegistrySpec extends SparkSpec {
     //    SINGLE-ROW broadcast of the packed centroid array against each
     //    vector (row-local argmax expression; the corpus never self-joins)
     //  - tx_tfidf / tx_unigram_logprob / tx_ppl_buckets / cp_ccnet_mixture
-    //    / tx_bm25 / emb_centroid_outliers: build side is a broadcast
-    //    SINGLE-ROW corpus-stats aggregate (the scalar-subquery shape)
+    //    / cp_curriculum_shards / tx_bm25 / emb_centroid_outliers: build
+    //    side is a broadcast SINGLE-ROW corpus-stats aggregate (the
+    //    scalar-subquery shape)
     //  - q13: exercises the SQL-registered graft_cosine through the parser
     //    on a declared 64-row subset; the scale-safe pair paths are the
     //    dd_/sim_ queries above
@@ -103,7 +104,7 @@ class RegistrySpec extends SparkSpec {
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
       "sim_range_search", "tx_quality_classifier",
       "tx_tfidf", "tx_unigram_logprob", "tx_ppl_buckets", "cp_ccnet_mixture",
-      "tx_bm25", "emb_centroid_outliers",
+      "cp_curriculum_shards", "tx_bm25", "emb_centroid_outliers",
       "q13_sql_udf_cosine",
       "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train",
       "cp_mixture_sample", "cp_temperature_sample",

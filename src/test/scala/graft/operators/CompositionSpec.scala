@@ -254,6 +254,46 @@ class CompositionSpec extends SparkSpec {
     assert(rowSet(out) === rowSet(again))
   }
 
+  test("curriculumOrder: phases never interleave within a shard, same " +
+      "shard assignment as shardOrder, hash-shuffled within each phase") {
+    val n = 4000L
+    val ids = spark.range(0, n).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("int").as("phase"))
+    val out = Composition.curriculumOrder(ids, col("doc_id"),
+      col("phase"), nShards = 8)
+      .select("doc_id", "phase", "shard", "pos")
+      .localCheckpoint()
+    // within every shard, every phase-p position precedes every phase-p+1
+    // position: max(pos) of each phase < min(pos) of the next
+    val ranges = out.groupBy("shard", "phase")
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("n"))
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    ranges.foreach { shardPhases =>
+      val sorted = shardPhases.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((sh, _, _, hi, _), (_, _, lo, _, _)) =>
+          assert(hi < lo, s"phases interleave in shard $sh")
+        case _ => ()
+      }
+      // contiguous positions across the whole shard
+      val total = sorted.map(_._5).sum
+      assert(sorted.map(_._3).min === 1L && sorted.map(_._4).max === total)
+    }
+    // the shard key is shardOrder's (salt 3): curriculum reorders WITHIN
+    // shards, it never moves a doc between them
+    val plain = Composition.shardOrder(ids.select("doc_id"),
+      col("doc_id"), nShards = 8).select("doc_id", "shard")
+    assert(rowSet(out.select("doc_id", "shard")) === rowSet(plain))
+    // within a phase the order is the salted hash, not doc_id: positions
+    // of consecutive ids must not be globally monotone
+    val phase0 = out.filter(col("phase") === 0 && col("shard") === 0)
+      .orderBy("pos").select("doc_id").as[Long].collect()
+    assert(phase0.length > 10)
+    assert(!phase0.sameElements(phase0.sorted),
+      "within-phase order must be hash-shuffled, not id order")
+  }
+
   test("mixtureSample rejects malformed targets") {
     intercept[IllegalArgumentException] {
       Composition.mixtureSample(docs, col("source"), col("doc_id"),

@@ -91,7 +91,8 @@ object RunCuration {
       mixture: Option[Seq[(String, Double)]] = None,
       temperature: Option[Double] = None,
       dsir: Option[(DataFrame, Int)] = None,
-      ccnet: Option[Double] = None): DataFrame = {
+      ccnet: Option[Double] = None,
+      tokenMixture: Option[Seq[(String, Double)]] = None): DataFrame = {
     val triaged = ccnet.fold(corpus) { midRate =>
       corpus.join(
         graft.operators.CcnetBuckets.sample(
@@ -118,8 +119,17 @@ object RunCuration {
       .drop("__n_chars")
     val tempered = temperature.fold(capped)(a => graft.operators.Composition
       .temperatureSample(capped, col("source"), col("doc_id"), a))
-    mixture.fold(tempered)(t => graft.operators.Composition
+    val mixed = mixture.fold(tempered)(t => graft.operators.Composition
       .mixtureSample(tempered, col("source"), col("doc_id"), t))
+    // token-budget mixture LAST: it rebalances whatever survives the doc
+    // stages toward token-share targets (the form recipes are written in);
+    // its salt-5 draw composes with every upstream stage's
+    tokenMixture.fold(mixed)(t => graft.operators.Composition
+      .tokenMixtureSample(
+        mixed.withColumn("__n_tokens",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long")),
+        col("source"), col("doc_id"), col("__n_tokens"), t)
+      .drop("__n_tokens"))
   }
 
   /** Deterministic hash split column (train/val ~80/20), same contract as

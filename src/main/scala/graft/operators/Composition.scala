@@ -179,6 +179,55 @@ object Composition {
       .drop("__source", "__rate")
   }
 
+  /** Token-budget-weighted mixture sampling — [[mixtureSample]] with the
+    * proportions measured in a per-doc SIZE column (token counts) instead
+    * of document counts: production data recipes declare "30% code, 20%
+    * web" in TOKENS, and a doc-count mixture silently skews toward
+    * whichever source writes shorter documents. Given target token
+    * proportions `targets` (sum 1), find the largest corpus achievable
+    * without upsampling — scale C = min over sources of tok_s / w_s where
+    * tok_s is the source's total of `size` — and keep each source's docs
+    * at rate min(1, C·w_s / tok_s). Docs are sampled uniformly WITHIN a
+    * source (the expected token total is rate·tok_s = C·w_s regardless of
+    * the source's length distribution), so the kept token shares converge
+    * to the targets at corpus scale while every verdict stays a pure
+    * function of the id. A target source with zero tokens empties the
+    * output, for exactly [[mixtureSample]]'s loud-contract reason.
+    *
+    * Salted (5): composes with every other sampling stage (see
+    * [[knuthHash]] — an unsalted draw would nest with the doc-count
+    * mixture's selection instead of composing).
+    *
+    * Scale shape: identical to [[mixtureSample]] — one map-side-combined
+    * SUM per source (one row per source), rate math on the tiny frame
+    * with a one-row global min cross-joined, one broadcast join onto the
+    * corpus scan; the corpus never shuffles. */
+  def tokenMixtureSample(docs: DataFrame, source: Column, id: Column,
+      size: Column, targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      "target proportions must sum to 1")
+    require(targets.forall(_._2 > 0), "target proportions must be > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = targets.toDF("__source", "__w")
+    val counts = docs.groupBy(source.as("__source"))
+      .agg(sum(size).cast("double").as("__tok"))
+    val joined = weights.join(counts, Seq("__source"), "left")
+      .select(col("__source"), col("__w"),
+        coalesce(col("__tok"), lit(0.0)).as("__tok"))
+    val c = joined.agg(min(col("__tok") / col("__w")).as("__c"))
+    val rates = joined.crossJoin(broadcast(c))
+      .select(col("__source"),
+        when(col("__tok") > 0,
+          least(lit(1.0), col("__c") * col("__w") / col("__tok")))
+          .otherwise(lit(0.0)).as("__rate"))
+    val uniform = uniformDraw(id, salt = 5L)
+    docs.join(broadcast(rates), source === col("__source"))
+      .filter(uniform < col("__rate"))
+      .drop("__source", "__rate")
+  }
+
   /** Temperature-scaled source rebalancing (the multilingual/data-recipe
     * knob: sample sources toward weights ∝ n_s^alpha, flattening the
     * natural distribution — alpha 1 keeps it, alpha 0 equalizes). As with

@@ -192,4 +192,24 @@ object IvfAdc {
         ProductQuantizer.adcDistance(col("tables"), col("codes"), m).as("adc_dist"))
     ProductQuantizer.topKByDistAsc(scored, k)
   }
+
+  /** Two-stage serving from the persisted index — [[searchTopK]]'s probed,
+    * code-only scan shortlists `shortlist` candidates per query, then ONLY
+    * those fetch raw vectors from `raw` (vec_id, embedding — e.g.
+    * [[IvfIndex.corpus]] over a raw-vector index sharing the corpus, or
+    * the source table itself) and rerank by exact L2. This is the full
+    * production IVFADC+R pipeline: coarse pruning bounds I/O, PQ codes
+    * bound memory, and the rerank confines the expensive exact distance to
+    * a heap-bounded set — the rerank stage is the ONE shared
+    * [[ProductQuantizer.rerankExact]] definition, so the flat and indexed
+    * paths rank identically. With probes = all clusters and shortlist ≥
+    * corpus size the result is exactly brute-force L2 (spec-asserted). */
+  def searchTopKRerank(spark: SparkSession, path: String, queries: DataFrame,
+      m: Int, dim: Int, k: Int, probes: Int, shortlist: Int,
+      raw: DataFrame): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    ProductQuantizer.rerankExact(
+      searchTopK(spark, path, queries, m, dim, shortlist, probes), queries,
+      raw.select("vec_id", "embedding"), k)
+  }
 }

@@ -263,4 +263,59 @@ object ProductQuantizer {
         lit("topk_completeness").as("kind"))
     idv.unionByName(cmpl)
   }
+
+  /** Two-stage ADC serving with exact reranking — the standard production
+    * ANN shape (Jégou et al.'s IVFADC + R): the compressed code table
+    * produces a `shortlist`-sized candidate set per query (cheap, m table
+    * lookups per code row, raw vectors untouched), then ONLY those
+    * candidates fetch their raw vectors and rerank by exact L2
+    * ([[graft.operators.Similarity.bruteForceTopKL2]]'s rounding + ordering
+    * contract, so rerank output is directly comparable to the brute-force
+    * truth — with `shortlist` = corpus size the two are identical by
+    * construction). Recall@k can only improve over plain [[adcTopK]] at the
+    * same k: the exact ordering inside the shortlist never demotes a true
+    * neighbor the ADC ordering had promoted.
+    *
+    * Scale shape: the ADC stage is [[adcTopK]] (one code-table pass,
+    * k-bounded heaps); the rerank stage joins the |Q|·shortlist-row
+    * candidate list (BROADCAST — it is heap-bounded by construction)
+    * against one scan of the raw corpus, scores row-locally, and collapses
+    * through the same k-heap. The raw corpus is touched exactly once, never
+    * shuffled, and only shortlisted rows carry vectors past the scan. */
+  def adcRerankTopK(encoded: DataFrame, queries: DataFrame,
+      codebooks: DataFrame, corpus: DataFrame, m: Int, dim: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    rerankExact(
+      adcTopK(encoded, queries, codebooks, m, dim, shortlist), queries,
+      corpus, k)
+  }
+
+  /** The exact-rerank stage shared by the flat scan ([[adcRerankTopK]]) and
+    * the persisted index ([[IvfAdc.searchTopKRerank]]) — ONE definition so
+    * the two serving paths cannot drift: the heap-bounded `cand`idate list
+    * (query_id, neighbor_id, …) is BROADCAST against one scan of the raw
+    * `corpus` (vec_id, embedding), each surviving pair scores exact L2
+    * row-locally under [[Similarity.bruteForceTopKL2]]'s rounding/ordering
+    * contract, and the k-heap keeps the top k. The raw corpus is touched
+    * once and never shuffled; only shortlisted rows carry vectors past the
+    * scan. */
+  private[operators] def rerankExact(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("__nv"))
+      .join(broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions
+          .l2Rounded(col("__qv"), col("__nv")).as("dist"))
+    graft.plans.TopKPerGroup(
+      scored.withColumn("__neg_d", -col("dist"))
+        .withColumn("__neg_id", -col("neighbor_id")),
+      group = Seq("query_id"),
+      order = Seq("__neg_d", "__neg_id"),
+      k = k)
+      .select("query_id", "neighbor_id", "dist")
+  }
 }

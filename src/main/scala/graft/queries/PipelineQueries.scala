@@ -1383,6 +1383,79 @@ object PipelineQueries {
         |FROM toks JOIN vocab USING (token) CROSS JOIN total
         |GROUP BY doc_id""".stripMargin)),
 
+    // Interpolated bigram LM scoring — the next LM order above
+    // tx_unigram_logprob, the classic Jelinek–Mercer smoothed form every
+    // n-gram quality filter (CCNet's KenLM ancestor) reduces to:
+    // P(cur|prev) = 0.7·count(prev cur)/count(prev) + 0.3·P_uni(cur).
+    // Bigram occurrences are sliced ROW-LOCALLY from the token array (no
+    // window, no self-join); the model is one map-combined count per
+    // distinct bigram joined to the broadcast unigram vocab; each bigram
+    // type's ln is a chain of individually-rounded IEEE ops rounded to 6dp
+    // and pre-scaled to a long, so per-doc scores are exact integer sums —
+    // order/layout/engine bit-identical (the tx_unigram_logprob contract).
+    // Docs with fewer than two tokens score 0.0 with a guaranteed row (the
+    // cp_dsir row contract). Scale shape: the corpus shuffles once on the
+    // bigram key (the tx_tfidf shape) and once map-combined on doc_id.
+    Q("tx_bigram_lm",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val parts = tokens(col("text"))
+        val bi = graft.operators.Parallelism.fanOut(docs)
+          .select(col("doc_id"), explode(
+            when(size(parts) >= 2,
+              transform(sequence(lit(1), size(parts) - 1), i =>
+                concat(element_at(parts, i), lit(" "), element_at(parts, i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+        val toks = docs.select(explode(parts).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+        val total = vocab.agg(sum(col("freq")).as("n"))
+        val ratio = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+          .withColumn("prev", split(col("bg"), " ").getItem(0))
+          .withColumn("cur", split(col("bg"), " ").getItem(1))
+          .join(broadcast(vocab.select(col("token").as("prev"),
+            col("freq").as("fp"))), "prev")
+          .join(broadcast(vocab.select(col("token").as("cur"),
+            col("freq").as("fc"))), "cur")
+          .crossJoin(broadcast(total))
+          .select(col("bg"),
+            round(round(log(
+              lit(0.7) * (col("cb").cast("double") / col("fp").cast("double")) +
+              lit(0.3) * (col("fc").cast("double") / col("n").cast("double"))), 6)
+              * 1000000, 0).cast("long").as("lp"))
+        val scored = bi.join(ratio, "bg")
+          .groupBy("doc_id")
+          .agg((sum(col("lp")).cast("double") / 1000000.0).as("logprob"),
+            count(lit(1)).as("n_bigrams"))
+        docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("logprob"), lit(0.0)).as("logprob"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      },
+      Some("""WITH toksl AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |tok AS (SELECT doc_id, unnest(parts) AS token FROM toksl),
+        |vocab AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        |total AS (SELECT COUNT(*) AS n FROM tok),
+        |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(parts) - 1),
+        |         i -> parts[i] || ' ' || parts[i + 1])) AS bg
+        |       FROM toksl WHERE len(parts) >= 2),
+        |bc AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY bg),
+        |ratio AS (
+        |  SELECT bg, CAST(round(round(ln(
+        |      CAST(0.7 AS DOUBLE) * (CAST(cb AS DOUBLE) / CAST(fp.freq AS DOUBLE))
+        |      + CAST(0.3 AS DOUBLE) * (CAST(fc.freq AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |      * 1000000, 0) AS BIGINT) AS lp
+        |  FROM bc
+        |  JOIN vocab fp ON fp.token = str_split(bg, ' ')[1]
+        |  JOIN vocab fc ON fc.token = str_split(bg, ' ')[2]
+        |  CROSS JOIN total),
+        |scored AS (
+        |  SELECT doc_id, SUM(lp) AS lp_sum, COUNT(*) AS nb
+        |  FROM bi JOIN ratio USING (bg) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(CAST(s.lp_sum AS DOUBLE) / 1000000.0, 0.0) AS logprob,
+        |  COALESCE(s.nb, CAST(0 AS BIGINT)) AS n_bigrams
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
     // language's corpus into head/middle/tail terciles by per-token LM
     // score — the standard quality triage before mixing (train mostly on
@@ -1495,6 +1568,43 @@ object PipelineQueries {
         |SELECT doc_id, source FROM documents d JOIN rates r ON d.source = r.wsource
         |WHERE CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
         |      < r.rate""".stripMargin)),
+
+    // Token-budget-weighted mixture (the form production recipes are
+    // actually written in — "30% code, 20% web" means TOKENS, and a
+    // doc-count mixture silently over-weights short-doc sources): rates
+    // derived from per-source token SUMS instead of doc counts, kept as
+    // large as possible without upsampling any source's token budget.
+    // Survival stays a pure function of doc_id (salt 5 — composes with
+    // every other sampling stage instead of nesting), so DuckDB re-derives
+    // the same kept set from the same exact-integer token sums. Scale
+    // shape identical to cp_mixture_sample: one map-combined sum per
+    // source, rate math on the tiny frame, one broadcast join onto the
+    // corpus scan — the corpus never shuffles.
+    Q("cp_token_mixture",
+      (s, d) => graft.operators.Composition.tokenMixtureSample(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            tokenCount(col("text")).cast("long").as("n_tokens")),
+          source = col("source"), id = col("doc_id"), size = col("n_tokens"),
+          targets = Seq("src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.2,
+            "src7" -> 0.1))
+        .select("doc_id", "source", "n_tokens"),
+      Some("""WITH docs AS (SELECT doc_id, source,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |w(wsource, wn) AS (
+        |  VALUES ('src1', CAST(0.4 AS DOUBLE)), ('src3', CAST(0.3 AS DOUBLE)),
+        |         ('src5', CAST(0.2 AS DOUBLE)), ('src7', CAST(0.1 AS DOUBLE))),
+        |counts AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS tok
+        |  FROM docs GROUP BY source),
+        |j AS (SELECT wsource, wn, COALESCE(tok, 0) AS tok
+        |  FROM w LEFT JOIN counts ON source = wsource),
+        |c AS (SELECT MIN(tok / wn) AS c FROM j),
+        |rates AS (SELECT wsource,
+        |  CASE WHEN tok > 0 THEN least(1.0, c.c * wn / tok) ELSE 0.0 END AS rate
+        |  FROM j, c)
+        |SELECT doc_id, source, n_tokens FROM docs d JOIN rates r ON d.source = r.wsource
+        |WHERE CAST(xor(doc_id % 2147483648 * 2654435761 % 4294967296
+        |        % 2147483648, 193638479) * 2654435761
+        |      % 4294967296 AS DOUBLE) / 4294967296.0 < r.rate""".stripMargin)),
 
     // The CCNet quality-triage composite (Wenzek et al. 2020): perplexity
     // terciles per language (tx_ppl_buckets) fed into the bucket-rate
@@ -2142,6 +2252,52 @@ object PipelineQueries {
           .agg(count(col("hit")).as("__total_hits"))
         truth.crossJoin(broadcast(total))
           .filter(col("__total_hits") >= 6)
+          .select("query_id", "neighbor_id")
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+        |  FROM embeddings WHERE vec_id < 8),
+        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 8)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT qv.query_id, cv.neighbor_id,
+        |    row_number() OVER (PARTITION BY qv.query_id
+        |      ORDER BY round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> (qv.q[i] - cv.v[i]) * (qv.q[i] - cv.v[i])))), 4) ASC,
+        |        cv.neighbor_id) AS rn
+        |  FROM qv CROSS JOIN cv)
+        |WHERE rn <= 5""".stripMargin)),
+
+    // Two-stage ADC serving with exact reranking (the production IVFADC+R
+    // shape): the code table shortlists 20 candidates per query, then ONLY
+    // those fetch raw vectors and rerank by exact L2 — the cheap
+    // compressed scan does the winnowing, the expensive exact distance
+    // touches a k-bounded set. Judged via the sim_adc_recall gate pattern
+    // (PQ training is iterative, no SQL analogue): the entry measures the
+    // reranked top-5's hits against the exact-L2 top-5 truth and emits the
+    // DuckDB-recomputable truth pairs only when the corpus-wide hit total
+    // clears a floor HIGHER than plain ADC's (14 vs 6 — reranking a
+    // 4×k-deep shortlist must beat the unreranked path; the deterministic
+    // pipeline measures 12/40 unreranked at sf0.01 and more with rerank,
+    // while a broken rerank join or distance lands near 0).
+    Q("sim_adc_rerank",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+        val corpus = emb.filter(col("vec_id") >= 8)
+        val qs = emb.filter(col("vec_id") < 8)
+        val books = graft.operators.ProductQuantizer.train(
+          emb, m = 8, k = 16, iters = 2, dim = 64)
+        val codes = graft.operators.ProductQuantizer.encode(
+          corpus, books, m = 8, dim = 64)
+        val rr = graft.operators.ProductQuantizer.adcRerankTopK(
+            codes, qs, books, corpus, m = 8, dim = 64, shortlist = 20, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        val truth = Similarity.bruteForceTopKL2(corpus, qs, k = 5)
+          .select("query_id", "neighbor_id")
+          .localCheckpoint(eager = false) // feeds the gate AND the output
+        val total = truth.join(broadcast(rr), Seq("query_id", "neighbor_id"), "left")
+          .agg(count(col("hit")).as("__total_hits"))
+        truth.crossJoin(broadcast(total))
+          .filter(col("__total_hits") >= 14)
           .select("query_id", "neighbor_id")
       },
       Some("""WITH qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q

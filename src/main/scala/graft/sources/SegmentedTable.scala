@@ -59,6 +59,9 @@ object SegmentedTable {
 
   private def manifestPath(root: String) = new Path(s"$root/manifest")
 
+  private def snapshotPath(root: String, version: Long) =
+    new Path(s"$root/manifest.v$version")
+
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -68,29 +71,37 @@ object SegmentedTable {
   /** Atomic publish: write to `manifest.tmp`, then FileContext-rename with
     * OVERWRITE onto `manifest` — the same primitive
     * [[graft.warehouse.AtomicCommit]] uses; readers see the old or the new
-    * file, never a partial one. */
+    * file, never a partial one. Additionally retains an IMMUTABLE
+    * per-version snapshot copy (`manifest.v<version>`, written BEFORE the
+    * live flip so a published version always has its snapshot) — the
+    * time-travel ledger [[readAt]] resolves: since superseded segments are
+    * retained until [[vacuum]], any snapshot whose segments still exist is
+    * a complete, immutable historical view of the table. A crash between
+    * snapshot and flip leaves an inert `manifest.v` for a version the live
+    * manifest never named; the retrying writer overwrites it at the same
+    * version, and [[vacuum]] reclaims it otherwise (unpublished versions
+    * are by definition > the live manifest's). */
   def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
     require(m.extras.keySet.intersect(Reserved).isEmpty,
       s"extras may not shadow the reserved manifest keys $Reserved")
     val fs = fsOf(spark, root)
-    val tmp = new Path(s"$root/manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
+    val body =
       (s"version=${m.version}\nsegments=${m.segments.mkString(",")}\n" +
         m.extras.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v\n" }.mkString)
-        .getBytes("UTF-8"))
+        .getBytes("UTF-8")
+    val snap = fs.create(snapshotPath(root, m.version), true)
+    try snap.write(body) finally snap.close()
+    val tmp = new Path(s"$root/manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body)
     finally out.close()
     FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, manifestPath(root), Options.Rename.OVERWRITE)
   }
 
-  def readManifest(spark: SparkSession, root: String): Manifest = {
-    val fs = fsOf(spark, root)
-    require(fs.exists(manifestPath(root)),
-      s"segmented table at $root has no manifest — either the path is not " +
-        "an index root or the index predates the manifest format; re-run " +
-        "build to (re)create it")
-    val in = fs.open(manifestPath(root))
+  private def parseManifest(spark: SparkSession, p: Path): Manifest = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val kv = body.linesIterator.filter(_.contains("="))
@@ -98,6 +109,46 @@ object SegmentedTable {
     Manifest(kv("version").toLong,
       kv("segments").split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
       kv.view.filterKeys(!Reserved(_)).toMap)
+  }
+
+  def readManifest(spark: SparkSession, root: String): Manifest = {
+    require(fsOf(spark, root).exists(manifestPath(root)),
+      s"segmented table at $root has no manifest — either the path is not " +
+        "an index root or the index predates the manifest format; re-run " +
+        "build to (re)create it")
+    parseManifest(spark, manifestPath(root))
+  }
+
+  /** The manifest AS OF a historical published `version` — the time-travel
+    * read of the snapshot ledger [[writeManifest]] retains. Fails loudly
+    * when the snapshot file is gone (vacuumed past the retention window,
+    * or a version that was never published). */
+  def readManifestAt(spark: SparkSession, root: String, version: Long): Manifest = {
+    require(fsOf(spark, root).exists(snapshotPath(root, version)),
+      s"segmented table at $root has no snapshot for version $version — " +
+        "either the version was never published or its manifest was " +
+        "vacuumed past the retention window")
+    val m = parseManifest(spark, snapshotPath(root, version))
+    require(m.version == version,
+      s"snapshot manifest.v$version at $root declares version ${m.version}")
+    m
+  }
+
+  /** Time-travel read: the table's live rows AS OF published `version`.
+    * Readable for as long as that version's segments are retained — i.e.
+    * until the single writer [[vacuum]]s past it; a vacuumed snapshot
+    * fails loudly here (every segment's existence is checked before the
+    * scan) instead of silently returning the partial rows whose
+    * directories happen to survive. */
+  def readAt(spark: SparkSession, root: String, dataDir: String,
+      version: Long): DataFrame = {
+    val m = readManifestAt(spark, root, version)
+    val fs = fsOf(spark, dataDir)
+    val gone = m.segments.filterNot(v => fs.exists(new Path(segDir(dataDir, v))))
+    require(gone.isEmpty,
+      s"snapshot $version of $dataDir is no longer readable: segment(s) " +
+        s"${gone.mkString(", ")} were vacuumed past the retention window")
+    read(spark, dataDir, m)
   }
 
   /** The directory a segment's writer targets directly (`Overwrite` mode,
@@ -135,7 +186,8 @@ object SegmentedTable {
     * of older manifests are done (the retention window is the
     * deployment's choice, exactly like any snapshot store's vacuum). */
   def vacuum(spark: SparkSession, root: String, dataDir: String): Unit = {
-    val live = readManifest(spark, root).segments.toSet
+    val current = readManifest(spark, root)
+    val live = current.segments.toSet
     val fs = fsOf(spark, dataDir)
     val dir = new Path(dataDir)
     if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath).foreach { p =>
@@ -146,5 +198,25 @@ object SegmentedTable {
           fs.delete(p, true)
       }
     }
+    // Prune manifest snapshots the segment deletion just made unreadable
+    // (any snapshot naming a non-live segment), plus unpublished orphans
+    // (version > live — a crash between snapshot and flip). Snapshots whose
+    // segments are all still live (append-only history) stay time-travel
+    // readable; the current version's snapshot is always kept.
+    val rootFs = fsOf(spark, root)
+    val rootDir = new Path(root)
+    if (rootFs.exists(rootDir))
+      rootFs.listStatus(rootDir).map(_.getPath).foreach { p =>
+        val n = p.getName
+        if (n.startsWith("manifest.v")) {
+          val v = n.drop("manifest.v".length)
+          if (v.nonEmpty && v.forall(_.isDigit) && v.toLong != current.version) {
+            val snap = parseManifest(spark, p)
+            if (snap.version > current.version ||
+                !snap.segments.forall(live.contains))
+              rootFs.delete(p, false)
+          }
+        }
+      }
   }
 }

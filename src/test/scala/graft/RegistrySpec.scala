@@ -100,6 +100,16 @@ class RegistrySpec extends SparkSpec {
     //  - tx_quality_classifier: each GD round and the metric gate
     //    broadcast a ONE-ROW frame (weights resp. corpus metrics) — the
     //    tx_bpe_train / sim_adc_recall single-row-broadcast shape
+    //  - cp_token_mixture: the cp_mixture_sample shape — the global token
+    //    scale factor is a SINGLE-ROW aggregate cross-joined onto the
+    //    sources-sized rates frame; the corpus joins rates equi-keyed
+    //  - tx_bigram_lm: the tx_unigram_logprob shape — corpus token total
+    //    is a SINGLE-ROW broadcast onto the bigram-model frame; the corpus
+    //    side joins the finished model equi-keyed on the bigram
+    //  - sim_adc_rerank: the sim_adc_recall shape — brute-force truth leg
+    //    (bounded broadcast query set), broadcast codebooks/query tables,
+    //    and a SINGLE-ROW hit-total gate cross-join; the rerank join
+    //    itself is equi-keyed on the heap-bounded candidate list
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
       "sim_range_search", "tx_quality_classifier",
@@ -110,7 +120,8 @@ class RegistrySpec extends SparkSpec {
       "cp_mixture_sample", "cp_temperature_sample",
       "sim_hard_negatives", "sim_hybrid_rrf", "sim_triplet_mine",
       "sim_ann_recall", "sim_lsh_recall", "sim_adc_recall",
-      "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture")
+      "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
+      "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

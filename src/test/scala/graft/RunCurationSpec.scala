@@ -43,6 +43,28 @@ class RunCurationSpec extends SparkSpec {
     assert(mixed === Seq("web"))
   }
 
+  test("compose token-mixture stage rebalances by token budget and equals " +
+      "the standalone operator over the capped corpus") {
+    val corpus = Seq(
+      (1L, "a " * 50, "web"), (2L, "b " * 40, "web"), (3L, "c " * 30, "web"),
+      (4L, "d " * 20, "wiki"), (5L, "e " * 10, "wiki")
+    ).toDF("doc_id", "text", "source")
+    val out = RunCuration.compose(corpus, quotaPerSource = 100,
+      tokenMixture = Some(Seq("web" -> 0.5, "wiki" -> 0.5)))
+    // wiki is the token-tightest target (32 vs 123 whitespace-split tokens
+    // of the trailing-space texts) → kept whole; web sampled toward parity
+    assert(out.filter($"source" === "wiki").count() === 2L)
+    assert(out.columns.toSeq === corpus.columns.toSeq,
+      "the stage's working column must not leak into the composed output")
+    // the composed stage is the SAME computation as the standalone operator
+    val standalone = graft.operators.Composition.tokenMixtureSample(
+      corpus.withColumn("__n_tokens",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long")),
+      $"source", $"doc_id", $"__n_tokens",
+      Seq("web" -> 0.5, "wiki" -> 0.5)).drop("__n_tokens")
+    assert(rowSet(out) === rowSet(standalone))
+  }
+
   test("boilerplate stage cuts shared chrome BEFORE dedup: dup pairs " +
       "collapse, unique bodies survive with the chrome removed") {
     val eval = Seq((1L, "zzz yyy xxx")).toDF("doc_id", "text")

@@ -303,4 +303,82 @@ class CompositionSpec extends SparkSpec {
       Composition.mixtureSample(docs, col("source"), col("doc_id"), Seq())
     }
   }
+
+  test("tokenMixtureSample: token-binding source kept whole, non-target " +
+      "dropped, deterministic across partitionings") {
+    // token sums: a = 4×100 = 400, c = 10+20+30 = 60 (n_chars stands in for
+    // tokens). Targets 0.5/0.5 → C = min(400/0.5, 60/0.5) = 120 → rate_a =
+    // 120·0.5/400 = 0.15, rate_c = 1.0 (the TOKEN-tightest source is kept
+    // whole even though it has MORE docs than budget-equivalent a-share)
+    val toks = docs.withColumn("n_tokens",
+      when(col("source") === "a", lit(100L)).otherwise(col("n_chars")))
+    val out = Composition.tokenMixtureSample(toks, col("source"),
+      col("doc_id"), col("n_tokens"), Seq("a" -> 0.5, "c" -> 0.5))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.exists(Set(5L, 6L)), "non-target source must be dropped")
+    assert(Set(7L, 8L, 9L).subsetOf(kept), "rate-1.0 source keeps every row")
+    val again = Composition.tokenMixtureSample(toks.repartition(7),
+      col("source"), col("doc_id"), col("n_tokens"),
+      Seq("a" -> 0.5, "c" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === again)
+  }
+
+  test("tokenMixtureSample approaches target TOKEN shares where a doc-count " +
+      "mixture would skew toward the short-doc source") {
+    // web: 6000 docs × 100 tokens = 600k; wiki: 3000 × 200 = 600k;
+    // books: 1000 × 50 = 50k. Targets 0.5/0.25/0.25 → C =
+    // min(1.2M, 2.4M, 200k) = 200k → kept token budgets 100k/50k/50k —
+    // books (token-tightest) kept whole. A doc-count mixture at the same
+    // targets would key C off doc counts (books 1000/0.25 = 4000) and keep
+    // 2000 web DOCS = 200k web tokens: double the declared token share.
+    val big = spark.range(0, 10000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 6, "web").when(col("id") % 10 < 9, "wiki")
+        .otherwise("books").as("source"))
+      .withColumn("n_tokens",
+        when(col("source") === "web", 100L)
+          .when(col("source") === "wiki", 200L).otherwise(50L))
+    val out = Composition.tokenMixtureSample(big, col("source"),
+      col("doc_id"), col("n_tokens"),
+      Seq("web" -> 0.5, "wiki" -> 0.25, "books" -> 0.25))
+    val tok = out.groupBy("source").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(tok("books") === 50000L, "token-tightest source kept whole")
+    assert(math.abs(tok("web") - 100000L) < 10000, tok.toString)
+    assert(math.abs(tok("wiki") - 50000L) < 7000, tok.toString)
+  }
+
+  test("tokenMixtureSample: salt-5 draw composes with the doc-count " +
+      "mixture instead of nesting") {
+    // Chain mixtureSample (salt 0, web rate C·w/n < 1) then
+    // tokenMixtureSample over the SURVIVORS: with a shared uniform every
+    // survivor would already satisfy u < r1, so a second-stage rate r2 > r1
+    // would keep ALL of them; with decorrelated draws it keeps ~r2.
+    val big = spark.range(0, 30000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 6, "web").otherwise("books").as("source"))
+      .withColumn("n_tokens", lit(100L))
+    val first = Composition.mixtureSample(big, col("source"), col("doc_id"),
+      Seq("web" -> 0.5, "books" -> 0.5))
+    val nWeb = first.filter(col("source") === "web").count().toDouble
+    val nBooks = first.filter(col("source") === "books").count().toDouble
+    // uniform token lengths → the token mixture's rates mirror doc rates:
+    // binding side books (kept whole), web at (nBooks/0.6)·0.4/nWeb ≈ 0.67
+    val second = Composition.tokenMixtureSample(first, col("source"),
+      col("doc_id"), col("n_tokens"), Seq("web" -> 0.4, "books" -> 0.6))
+    val webKept = second.filter(col("source") === "web").count().toDouble
+    val expect = math.min(1.0, (nBooks / 0.6) * 0.4 / nWeb) * nWeb
+    assert(math.abs(webKept - expect) < nWeb * 0.05,
+      s"chained web kept $webKept, expected ~$expect (all-or-nothing means " +
+        "the salt-5 draw is correlated with salt 0)")
+  }
+
+  test("tokenMixtureSample: a target source with zero tokens empties the " +
+      "output instead of silently re-weighting") {
+    val toks = docs.withColumn("n_tokens", col("n_chars"))
+    val out = Composition.tokenMixtureSample(toks, col("source"),
+      col("doc_id"), col("n_tokens"), Seq("a" -> 0.5, "wiki" -> 0.5))
+    assert(out.isEmpty, "unachievable token mixture must be loudly empty")
+  }
 }

@@ -264,4 +264,38 @@ class IvfAdcSpec extends SparkSpec {
     assert(codeSchema === Set("vec_id", "codes", "cluster"),
       s"serving table must hold only ids + codes, got $codeSchema")
   }
+
+  test("searchTopKRerank at full probes + corpus-wide shortlist equals " +
+      "exact brute-force L2; fewer probes stay a subset of the shortlist") {
+    val n = corpus.count().toInt
+    val rerank = IvfAdc.searchTopKRerank(spark, path, queries, m, dim,
+        k = 5, probes = kCoarse, shortlist = n, raw = corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.bruteForceTopKL2(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rerank === exact,
+      "all-probe + corpus-wide shortlist must reproduce exact brute force")
+    // probed rerank results only ever come from the ADC shortlist
+    val shortlist = IvfAdc.searchTopK(spark, path, queries, m, dim,
+        k = 10, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = IvfAdc.searchTopKRerank(spark, path, queries, m, dim,
+        k = 5, probes = 2, shortlist = 10, raw = corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.subsetOf(shortlist),
+      "rerank may only reorder the probed shortlist, never add candidates")
+  }
+
+  test("searchTopKRerank serves from a persisted raw-vector index " +
+      "(IvfIndex.corpus) identically to the source table") {
+    val rawPath = java.nio.file.Files.createTempDirectory("ivfadc_raw").toString
+    IvfIndex.build(corpus, k = kCoarse, iters = 2, dim = dim, path = rawPath)
+    val viaIndex = IvfAdc.searchTopKRerank(spark, path, queries, m, dim,
+      k = 5, probes = 2, shortlist = 10,
+      raw = IvfIndex.corpus(spark, rawPath))
+    val viaTable = IvfAdc.searchTopKRerank(spark, path, queries, m, dim,
+      k = 5, probes = 2, shortlist = 10, raw = corpus)
+    assert(rowSet(viaIndex) === rowSet(viaTable),
+      "the raw side is interchangeable: persisted index or source table")
+  }
 }

@@ -67,4 +67,60 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(!plan.split("BroadcastExchange").head.contains("Exchange "),
       s"corpus side of encode must not shuffle:\n$plan")
   }
+
+  test("adcRerankTopK with a corpus-wide shortlist equals exact " +
+      "brute-force L2 (ordering + rounding contract)") {
+    val encoded = ProductQuantizer.encode(corpus, books, m = 2, dim = 4)
+    val queries = corpus.filter(col("vec_id") <= 2)
+    val rerank = ProductQuantizer.adcRerankTopK(encoded, queries, books,
+        corpus, m = 2, dim = 4, shortlist = 6, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.bruteForceTopKL2(corpus, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rerank === exact,
+      "a shortlist covering the whole corpus must reproduce the exact top-k")
+  }
+
+  test("adcRerankTopK results are a subset of the ADC shortlist and " +
+      "exact within it") {
+    val encoded = ProductQuantizer.encode(corpus, books, m = 2, dim = 4)
+    val queries = corpus.filter(col("vec_id") <= 2)
+    val shortlist = ProductQuantizer.adcTopK(encoded, queries, books,
+        m = 2, dim = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerank = ProductQuantizer.adcRerankTopK(encoded, queries, books,
+        corpus, m = 2, dim = 4, shortlist = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rerank.forall { case (q, n, _) => shortlist((q, n)) },
+      "rerank may only reorder the shortlist, never add candidates")
+    // within the shortlist the ordering is the exact L2 contract: every
+    // returned distance equals the direct rounded L2 of the raw pair
+    val raw = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    rerank.foreach { case (q, n, d) =>
+      val exact = math.sqrt(raw(q).zip(raw(n))
+        .map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(math.abs(d - BigDecimal(exact)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        s"($q,$n): dist $d != exact rounded $exact")
+    }
+  }
+
+  test("adcRerankTopK never lowers recall vs plain adcTopK at the same k") {
+    // recall measured against exact L2 truth on the spec corpus — rerank
+    // reorders a superset of what adcTopK returns, by the truth's own
+    // metric, so per-query hits can only stay or improve
+    val encoded = ProductQuantizer.encode(corpus, books, m = 2, dim = 4)
+    val queries = corpus.filter(col("vec_id") <= 2)
+    val truth = Similarity.bruteForceTopKL2(corpus, queries, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = ProductQuantizer.adcTopK(encoded, queries, books,
+        m = 2, dim = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerank = ProductQuantizer.adcRerankTopK(encoded, queries, books,
+        corpus, m = 2, dim = 4, shortlist = 4, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((truth & rerank).size >= (truth & adc).size,
+      s"rerank hits ${(truth & rerank).size} < adc hits ${(truth & adc).size}")
+  }
 }

@@ -582,6 +582,27 @@ object ExtQueries {
         |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin)),
 
+    // Trending items per day (the windowed top-k every analytics dashboard
+    // serves): top-3 event types by count within each calendar day, ties
+    // to the lexicographically last type (the TopKPerGroup descending
+    // contract, mirrored in the oracle's ORDER BY ... DESC). Scale shape:
+    // one (day, type)-keyed map-combined count — the partial agg collapses
+    // the event stream to the tiny day×type frame — then the custom
+    // k-bounded-heap operator keyed by day; no window, no per-day sort
+    // buffer however hot a day is.
+    Q("ev_trending",
+      (s, d) => graft.plans.TopKPerGroup(
+        t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("n")),
+        group = Seq("day"), order = Seq("n", "event_type"), k = 3),
+      Some("""SELECT day, event_type, n FROM (
+        |  SELECT day, event_type, n, row_number() OVER (
+        |    PARTITION BY day ORDER BY n DESC, event_type DESC) AS rn
+        |  FROM (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rn <= 3""".stripMargin)),
+
     // The sketch-ledger counterpart of ev_dau_wau: per-day mergeable HLL
     // user sketches rolled into trailing-7-day distinct estimates —
     // history is never re-scanned (EventOps.dailyUserSketches scaladoc).

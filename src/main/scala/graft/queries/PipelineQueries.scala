@@ -1354,6 +1354,36 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(aug, '$PiiIp')) AS BIGINT) AS n_ip
         |FROM aug""".stripMargin)),
 
+    // Feature-hashed document embeddings (the hashing trick, Weinberger et
+    // al. 2009): a model-free dense representation for clustering/near-dup
+    // work when no learned embedder is available — dim = first md5 hex
+    // char mod 8, sign = second-char parity, v[dim] = Σ sign over token
+    // OCCURRENCES (sparse rows; absent dims are zero). Exact integer sums
+    // over the engine-portable md5 buckets (the cp_dsir hash idiom), so
+    // the vectors are bit-identical cross-engine. Scale shape: row-local
+    // token explode + ONE doc-keyed map-combined aggregate — the
+    // tx_unigram_logprob shape minus the vocab join.
+    Q("tx_hash_embedding",
+      (s, d) => {
+        val toks = graft.operators.Parallelism.fanOut(
+          t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val dim = conv(substring(md5(col("token")), 1, 1), 16, 10)
+          .cast("long") % 8
+        val sign = when(
+          conv(substring(md5(col("token")), 2, 1), 16, 10).cast("long") % 2 === 0,
+          1L).otherwise(-1L)
+        toks.select(col("doc_id"), dim.as("dim"), sign.as("__s"))
+          .groupBy("doc_id", "dim").agg(sum(col("__s")).as("val"))
+      },
+      Some("""SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef', substring(md5(token), 1, 1)) - 1) % 8
+        |    AS BIGINT) AS dim,
+        |  CAST(SUM(CASE WHEN (strpos('0123456789abcdef', substring(md5(token), 2, 1)) - 1) % 2 = 0
+        |    THEN 1 ELSE -1 END) AS BIGINT) AS val
+        |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+        |GROUP BY doc_id, dim""".stripMargin)),
+
     // Unigram log-probability score (the LM-scoring shape: corpus frequency
     // model joined back to tokens, per-doc sum). Each term's ln is rounded
     // to 6dp then summed as scaled longs — order-independent, so the score

@@ -347,6 +347,50 @@ object PipelineQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_b FROM scored WHERE jaccard >= 0.4)""".stripMargin)),
 
+    // Per-source near-dup incidence audit (the release-review counterpart
+    // of dq_pii_rate for DUPLICATION): how much of each source the
+    // end-to-end near-dup decision keeps — the number a data card reports
+    // and a crawler regression watches. Reuses the judged dd_neardup_keep
+    // decision (LSH-bounded candidates, Jaccard refine, drop-vs-smaller-id)
+    // and adds one left join on doc_id plus ONE map-combined rollup on the
+    // low-cardinality source key; kept_frac is a double division of exact
+    // counts.
+    Q("dq_dedup_rate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val kept = Dedup.nearDupKeep(docs, col("doc_id"), col("text"),
+            NumHashes, Bands, threshold = 0.4)
+          .withColumn("__kept", lit(1))
+        docs.select("doc_id", "source")
+          .join(kept, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("__kept"), lit(0))).as("n_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            (col("n_kept").cast("double") / col("n_docs").cast("double"))
+              .as("kept_frac"))
+      },
+      Some(BandsCte + """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b),
+        |kept AS (SELECT doc_id FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_b FROM scored WHERE jaccard >= 0.4))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS kept_frac
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY source""".stripMargin)),
+
     // SimHash fingerprints (row-local, zero shuffle); null-text docs have
     // no fingerprint on either side.
     Q("dd_simhash",
@@ -1782,6 +1826,42 @@ object PipelineQueries {
         |  CAST(row_number() OVER (PARTITION BY h % 8
         |    ORDER BY phase, h, doc_id) AS BIGINT) AS pos
         |FROM h""".stripMargin)),
+
+    // Packed shard export — the byte layout a training run actually reads:
+    // the deterministic shard order (cp_shard_order) with each shard's
+    // stream cut into fixed-token-budget bins (tx_seq_packing's exact
+    // integer cumsum contract, but keyed on the EXPORT order instead of the
+    // source — sequences pack in the order the trainer consumes them). One
+    // shard-keyed exchange serves both the ordering and the packing window
+    // (same partition key, exchange reused); a doc lands in the bin its
+    // preceding tokens fill.
+    Q("cp_packed_shards",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        graft.operators.Composition.shardOrder(
+            t(s, d, "documents").select(col("doc_id"),
+              tokenCount(col("text")).cast("long").as("n_tokens")),
+            col("doc_id"), nShards = 8)
+          .withColumn("__cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+            floor((col("__cum") - col("n_tokens")) / 2048).cast("long").as("bin"))
+      },
+      Some("""WITH sharded AS (
+        |  SELECT doc_id, n_tokens, h % 8 AS shard,
+        |    CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |  FROM (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |          xor(doc_id % 2147483648 * 2654435761 % 4294967296
+        |            % 2147483648, 1834170006) * 2654435761 % 4294967296 AS h
+        |        FROM documents))
+        |SELECT doc_id, shard, pos, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin
+        |FROM (SELECT doc_id, shard, pos, n_tokens,
+        |        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM sharded)""".stripMargin)),
 
     // Temperature-scaled source rebalancing (the multilingual data-recipe
     // knob: weights ∝ n^alpha): since the output is the largest corpus

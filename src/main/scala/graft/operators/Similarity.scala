@@ -68,6 +68,73 @@ object Similarity {
       .select("query_id", "neighbor_id", "dist")
   }
 
+  /** Scalar-quantized (SQ8) similarity search — the FAISS `SQ8` memory
+    * story: the corpus is stored as int8 codes (`floor(x·127)`, the
+    * `emb_quantize` accounting contract — 4× smaller than float32, 8×
+    * smaller than float64) and scored ASYMMETRICALLY: the query stays raw,
+    * each corpus code dequantizes row-locally (`c/127`) inside the scan and
+    * ranks by cosine against the raw query. Unlike PQ/ADC there is no
+    * trained codebook, so the whole path is closed-form and the oracle
+    * re-derives it EXACTLY (no gated-floor pattern needed). Same scale
+    * shape as [[bruteForceTopK]]: broadcast query set, one corpus scan,
+    * k-bounded heap; the IVF probed scan is the drop-in 100 TB scan side.
+    * Cosine is composed dot/(norm·norm) over the dequantized doubles
+    * (forward-order accumulation, 4dp-rounded — the engine's float
+    * determinism contract). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def deq(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * 127).cast("double") / 127.0)
+    def cos(q: Column, c: Column): Column =
+      round(dot(q, c) / (norm(q) * norm(c)), 4)
+    val joined = Parallelism.fanOut(corpus).alias("c")
+      .crossJoin(broadcast(queries.alias("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cos(col("q.embedding"), deq(col("c.embedding"))).as("sim"))
+    topKBySim(joined, k)
+  }
+
+  /** Binary-quantized similarity search — 1 bit per dimension (the extreme
+    * end of the quantization ladder after [[sq8TopK]] and
+    * [[graft.operators.IvfAdc]]): each vector packs to its sign bits (two
+    * 32-dim halves in two longs, so a 64-dim float vector becomes 8 bytes)
+    * and neighbors rank by HAMMING distance — XOR + popcount, the cheapest
+    * similarity primitive there is and the standard first-pass filter for
+    * billion-scale retrieval. Exact integer arithmetic end to end, so the
+    * oracle re-derives it bit-for-bit. Ties break to the smaller neighbor
+    * id; same broadcast-queries/one-scan/k-heap shape as the other
+    * brute-force paths. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // MSB-first fold: bit for dimension `from` lands highest (acc·2 + b
+    // per step — pure integer ops; the oracle mirrors the same weights as
+    // explicit 1 << (len − offset) shift sums)
+    def bits(emb: Column, from: Int, len: Int): Column =
+      aggregate(sequence(lit(from), lit(from + len - 1)), lit(0L), (acc, i) =>
+        acc * 2 + when(element_at(emb, i.cast("int")) > 0, 1L).otherwise(0L))
+    def packed(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        bits(col("embedding"), 1, 32).as("__hi"),
+        bits(col("embedding"), 33, 32).as("__lo"))
+    val joined = Parallelism.fanOut(packed(corpus)).alias("c")
+      .crossJoin(broadcast(packed(queries).alias("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        (bit_count(col("q.__hi").bitwiseXOR(col("c.__hi"))) +
+          bit_count(col("q.__lo").bitwiseXOR(col("c.__lo"))))
+          .cast("long").as("hamming"))
+    graft.plans.TopKPerGroup(
+      joined.withColumn("__neg_h", -col("hamming"))
+        .withColumn("__neg_id", -col("neighbor_id")),
+      group = Seq("query_id"),
+      order = Seq("__neg_h", "__neg_id"),
+      k = k)
+      .select("query_id", "neighbor_id", "hamming")
+  }
+
   /** Radius (threshold) similarity search — the FAISS `range_search`
     * analogue: ALL corpus neighbors of each query at cosine ≥ `minSim`
     * (4dp-rounded, so the boundary is the same value both engines

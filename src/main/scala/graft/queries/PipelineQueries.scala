@@ -496,6 +496,62 @@ object PipelineQueries {
         |WHERE rn <= 5""".stripMargin),
       headline = true),
 
+    // Scalar-quantized (SQ8) ANN: the corpus stored as int8 codes
+    // (floor(x·127), the emb_quantize contract — 4× smaller than float32)
+    // and scored asymmetrically: raw query vs row-locally dequantized
+    // codes. No trained codebook ⇒ the whole path is closed-form and the
+    // oracle re-derives the ranking EXACTLY — no gated floor needed,
+    // unlike the PQ paths. One corpus scan, broadcast queries, k-heap.
+    Q("sim_sq8_topk",
+      (s, d) => Similarity.sq8TopK(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 8), k = 5),
+      Some("""SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(q.embedding[i] AS DOUBLE)
+        |            * (floor(CAST(c.embedding[i] AS DOUBLE) * 127) / 127.0)))
+        |        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             i -> (floor(CAST(c.embedding[i] AS DOUBLE) * 127) / 127.0)
+        |               * (floor(CAST(c.embedding[i] AS DOUBLE) * 127) / 127.0))))), 4) AS sim
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 8))
+        |WHERE rn <= 5""".stripMargin)),
+
+    // Binary-quantized ANN: 1 bit per dimension (64-dim float → 8 bytes),
+    // neighbors ranked by Hamming distance over the sign bits — XOR +
+    // popcount, the cheapest similarity primitive and the standard
+    // first-pass filter at billion scale. Exact integer arithmetic end to
+    // end; ties to the smaller neighbor id.
+    Q("sim_binary_topk",
+      (s, d) => Similarity.binaryTopK(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 8), k = 5),
+      Some("""WITH b AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT) AS hi,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN CAST(1 AS BIGINT) << (64 - i) ELSE 0 END)) AS BIGINT) AS lo
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id, hamming FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo)) AS BIGINT) AS hamming,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo)) ASC,
+        |        c.vec_id) AS rn
+        |  FROM b q JOIN b c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 8)
+        |WHERE rn <= 5""".stripMargin)),
+
     // Radius (threshold) similarity search — the FAISS range_search
     // analogue the top-k family can't express: ALL corpus neighbors at
     // cosine ≥ 0.25 per query, however many there are (top-k would

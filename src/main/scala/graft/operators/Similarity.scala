@@ -135,6 +135,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "hamming")
   }
 
+  /** Two-stage binary-then-exact retrieval: [[binaryTopK]]'s Hamming scan
+    * shortlists `shortlist` candidates per query (XOR+popcount over 8-byte
+    * packed vectors — the cheap first pass), then ONLY those fetch raw
+    * vectors and rerank by exact cosine through the engine's k-heap — the
+    * standard binary-quantization serving pipeline. Both stages are
+    * closed-form, so unlike the PQ rerank the ENTIRE two-stage result is
+    * exactly re-derivable by the oracle. Scale shape: one packed-corpus
+    * scan + heap, then the heap-bounded candidate list broadcast against
+    * one raw-corpus scan + second heap; raw vectors move only for
+    * shortlisted rows. */
+  def binaryRerankTopK(corpus: DataFrame, queries: DataFrame,
+      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val cand = binaryTopK(corpus, queries, shortlist)
+      .select("query_id", "neighbor_id")
+    val scored = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("__nv"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("__qv"), col("__nv")).as("sim"))
+    topKBySim(scored, k)
+  }
+
   /** Radius (threshold) similarity search — the FAISS `range_search`
     * analogue: ALL corpus neighbors of each query at cosine ≥ `minSim`
     * (4dp-rounded, so the boundary is the same value both engines

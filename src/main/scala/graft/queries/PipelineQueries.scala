@@ -552,6 +552,47 @@ object PipelineQueries {
         |  WHERE q.vec_id < 8)
         |WHERE rn <= 5""".stripMargin)),
 
+    // Two-stage binary-then-exact retrieval: the Hamming scan shortlists
+    // 20 candidates per query, ONLY those fetch raw vectors and rerank by
+    // exact cosine — the standard binary-quantization serving pipeline.
+    // Both stages are closed-form, so the ENTIRE two-stage result is
+    // exactly oracle-checked (the PQ rerank can only gate on a recall
+    // floor; this one cannot drift an ulp without failing the hash).
+    Q("sim_binary_rerank",
+      (s, d) => Similarity.binaryRerankTopK(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 8),
+        shortlist = 20, k = 5),
+      Some("""WITH b AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT) AS hi,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN CAST(1 AS BIGINT) << (64 - i) ELSE 0 END)) AS BIGINT) AS lo
+        |  FROM embeddings),
+        |sl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo)) ASC,
+        |          c.vec_id) AS rn
+        |    FROM b q JOIN b c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 8)
+        |  WHERE rn <= 20)
+        |SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 4) AS sim,
+        |    row_number() OVER (PARTITION BY s.query_id
+        |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 4) DESC, s.neighbor_id) AS rn
+        |  FROM sl s
+        |  JOIN embeddings q ON q.vec_id = s.query_id
+        |  JOIN embeddings c ON c.vec_id = s.neighbor_id)
+        |WHERE rn <= 5""".stripMargin)),
+
     // Radius (threshold) similarity search — the FAISS range_search
     // analogue the top-k family can't express: ALL corpus neighbors at
     // cosine ≥ 0.25 per query, however many there are (top-k would
@@ -1585,6 +1626,70 @@ object PipelineQueries {
         |  COALESCE(CAST(s.lp_sum AS DOUBLE) / 1000000.0, 0.0) AS logprob,
         |  COALESCE(s.nb, CAST(0 AS BIGINT)) AS n_bigrams
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)),
+
+    // PMI-ranked collocations (pointwise mutual information phrase mining
+    // — the classic corpus-analysis pass behind phrase vocabularies and
+    // tokenizer merge seeding): PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over
+    // the corpus bigram/unigram distributions, support-floored (n_pair ≥
+    // 5) so rare-pair noise doesn't dominate, top-50 by (6dp-rounded PMI,
+    // bigram). All inputs are exact integer counts and the ln chain
+    // mirrors the oracle op-for-op; the final top-k is a bounded
+    // TakeOrderedAndProject, never a global sort. Scale shape: one
+    // map-combined count per distinct bigram + the broadcast vocab joins —
+    // the tx_bigram_lm model stage without the corpus re-join.
+    Q("tx_collocations",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val parts = tokens(col("text"))
+        val bi = graft.operators.Parallelism.fanOut(docs)
+          .select(explode(
+            when(size(parts) >= 2,
+              transform(sequence(lit(1), size(parts) - 1), i =>
+                concat(element_at(parts, i), lit(" "), element_at(parts, i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+        val toks = docs.select(explode(parts).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+        val totals = vocab.agg(sum(col("freq")).as("n"))
+          .crossJoin(bi.groupBy().agg(count(lit(1)).as("nb")))
+        bi.groupBy("bg").agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 5)
+          .withColumn("prev", split(col("bg"), " ").getItem(0))
+          .withColumn("cur", split(col("bg"), " ").getItem(1))
+          .join(broadcast(vocab.select(col("token").as("prev"),
+            col("freq").as("fa"))), "prev")
+          .join(broadcast(vocab.select(col("token").as("cur"),
+            col("freq").as("fb"))), "cur")
+          .crossJoin(broadcast(totals))
+          .select(col("bg").as("bigram"), col("n_pair"),
+            round(log(
+              (col("n_pair").cast("double") / col("nb").cast("double")) /
+              ((col("fa").cast("double") / col("n").cast("double")) *
+               (col("fb").cast("double") / col("n").cast("double")))), 6)
+              .as("pmi"))
+          .orderBy(desc("pmi"), col("bigram"))
+          .limit(50)
+      },
+      Some("""WITH toksl AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |tok AS (SELECT unnest(parts) AS token FROM toksl),
+        |vocab AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        |bi AS (SELECT unnest(list_transform(generate_series(1, len(parts) - 1),
+        |         i -> parts[i] || ' ' || parts[i + 1])) AS bg
+        |       FROM toksl WHERE len(parts) >= 2),
+        |tot AS (SELECT (SELECT COUNT(*) FROM tok) AS n,
+        |               (SELECT COUNT(*) FROM bi) AS nb)
+        |SELECT bg AS bigram, n_pair, pmi FROM (
+        |  SELECT bg, n_pair,
+        |    round(ln(
+        |      (CAST(n_pair AS DOUBLE) / CAST(nb AS DOUBLE)) /
+        |      ((CAST(fa.freq AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |       (CAST(fb.freq AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS pmi
+        |  FROM (SELECT bg, COUNT(*) AS n_pair FROM bi GROUP BY bg) bc
+        |  JOIN vocab fa ON fa.token = str_split(bg, ' ')[1]
+        |  JOIN vocab fb ON fb.token = str_split(bg, ' ')[2]
+        |  CROSS JOIN tot
+        |  WHERE n_pair >= 5)
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 50""".stripMargin)),
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
     // language's corpus into head/middle/tail terciles by per-token LM

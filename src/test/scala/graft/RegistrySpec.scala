@@ -106,9 +106,13 @@ class RegistrySpec extends SparkSpec {
     //  - tx_bigram_lm: the tx_unigram_logprob shape — corpus token total
     //    is a SINGLE-ROW broadcast onto the bigram-model frame; the corpus
     //    side joins the finished model equi-keyed on the bigram
-    //  - sim_sq8_topk / sim_binary_topk: the sim_bruteforce shape —
-    //    bounded broadcast query set against one corpus scan of the
-    //    quantized codes (IVF probed scan is the 100 TB scan side)
+    //  - sim_sq8_topk / sim_binary_topk / sim_binary_rerank: the
+    //    sim_bruteforce shape — bounded broadcast query set against one
+    //    corpus scan of the quantized codes (IVF probed scan is the
+    //    100 TB scan side); the rerank stage joins equi-keyed on the
+    //    heap-bounded candidate list
+    //  - tx_collocations: the tx_bigram_lm model stage — corpus totals
+    //    are a SINGLE-ROW aggregate cross-joined onto the bigram frame
     //  - sim_adc_rerank: the sim_adc_recall shape — brute-force truth leg
     //    (bounded broadcast query set), broadcast codebooks/query tables,
     //    and a SINGLE-ROW hit-total gate cross-join; the rerank join
@@ -125,7 +129,8 @@ class RegistrySpec extends SparkSpec {
       "sim_ann_recall", "sim_lsh_recall", "sim_adc_recall",
       "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
-      "sim_sq8_topk", "sim_binary_topk")
+      "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",
+      "tx_collocations")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

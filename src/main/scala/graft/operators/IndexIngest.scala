@@ -38,12 +38,85 @@ import graft.sources.SegmentedTable
   */
 private[operators] object IndexIngest {
 
-  /** Live rows of the index's data table — one manifest-pinned scan;
-    * static `seg IN` pruning composes with the caller's own partition
-    * filters and dynamic pruning on `cluster`. */
+  /** Manifest-extras key naming the live TOMBSTONE segment versions (under
+    * `$root/deletes/seg=<v>/`, each a parquet of (vec_id, del_v) rows —
+    * `del_v` is the manifest version AT deletion, so a tombstone masks
+    * exactly the data rows published in segments ≤ del_v and a later
+    * RE-append of the same id (a data segment > del_v) is visible without
+    * touching the ledger; a plain id-set ledger would resurrect the OLD
+    * physical row the moment the id was cleared for the new one). Carried
+    * on every publish so appends cannot silently drop deletions; cleared
+    * by [[compact]], which physically removes the masked rows. */
+  private val TombstoneKey = "tombstone_segs"
+
+  private def tombstoneSegs(m: SegmentedTable.Manifest): Seq[Long] =
+    m.extras.get(TombstoneKey).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).map(_.toLong)
+
+  private def deletesDir(root: String) = s"$root/deletes"
+
+  /** The live tombstone ledger (vec_id, del_v) under `m`, if any. */
+  private def tombstones(spark: SparkSession, root: String,
+      m: SegmentedTable.Manifest): Option[DataFrame] = {
+    val segs = tombstoneSegs(m)
+    if (segs.isEmpty) None
+    else Some(SegmentedTable.read(spark, deletesDir(root),
+      m.copy(segments = segs)).select("vec_id", "del_v"))
+  }
+
+  /** Live rows of the index's data table under an already-read manifest —
+    * one manifest-pinned scan with the tombstone ledger anti-joined
+    * (broadcast, id-equi-keyed with the `seg ≤ del_v` masking condition;
+    * the ledger is bounded by deletes-since-last-compaction); static
+    * `seg IN` pruning composes with the caller's own partition filters
+    * and dynamic pruning on `cluster`. */
+  private def readLiveUnder(spark: SparkSession, root: String,
+      dataName: String, m: SegmentedTable.Manifest): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val data = SegmentedTable.readKeepSeg(spark, s"$root/$dataName", m)
+    tombstones(spark, root, m).fold(data)(t =>
+      data.join(broadcast(t.withColumnRenamed("vec_id", "__tomb_id")),
+        col("vec_id") === col("__tomb_id") &&
+          col("seg").cast("long") <= col("del_v"), "left_anti"))
+      .drop("seg")
+  }
+
   def readLive(spark: SparkSession, root: String, dataName: String): DataFrame =
-    SegmentedTable.read(spark, s"$root/$dataName",
+    readLiveUnder(spark, root, dataName,
       SegmentedTable.readManifest(spark, root))
+
+  /** Logical delete — the right-to-be-forgotten maintenance path: stage
+    * the ids as a tombstone segment (each stamped with the current
+    * manifest version, see [[TombstoneKey]]) and publish ATOMICALLY with
+    * the unchanged data-segment list (one manifest flip — a reader sees
+    * the deletion entirely or not at all). Serving and the append id
+    * screen exclude masked rows immediately; the bytes are physically
+    * removed at the next [[compact]] (which also clears the ledger), so
+    * "deleted" becomes "erased" on the compaction cadence — run one after
+    * a deletion deadline, then [[vacuum]] to reclaim the superseded
+    * segments that still hold the bytes. Deleting an absent id is a
+    * no-op; a deleted id may be RE-appended afterwards (the screen no
+    * longer sees it, and the new row's segment version exceeds the
+    * tombstone's del_v, so only the OLD row stays masked). WRITER-ONLY,
+    * serialized with append/compact/vacuum. Note: raw
+    * [[graft.sources.SegmentedTable.readAt]] time travel is
+    * data-segment-level and does NOT apply the ledger — current-state
+    * reads must go through [[readLive]] (all index serve paths do). */
+  def delete(spark: SparkSession, root: String, dataName: String,
+      ids: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = SegmentedTable.readManifest(spark, root)
+    val v = m.version + 1
+    ids.select(col(idCol).as("vec_id"))
+      .dropDuplicates("vec_id")
+      .withColumn("del_v", lit(m.version))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(SegmentedTable.segDir(deletesDir(root), v))
+    val segs = (tombstoneSegs(m) :+ v).mkString(",")
+    SegmentedTable.writeManifest(spark, root,
+      SegmentedTable.Manifest(v, m.segments,
+        m.extras + (TombstoneKey -> segs)))
+  }
 
   def appendScreened(spark: SparkSession, root: String, dataName: String,
       batch: DataFrame, idCol: String, encode: DataFrame => DataFrame,
@@ -51,8 +124,11 @@ private[operators] object IndexIngest {
     require(maxSegments >= 2, s"maxSegments must be >= 2, got $maxSegments")
     val dataDir = s"$root/$dataName"
     val m = SegmentedTable.readManifest(spark, root)
+    // screen against the TOMBSTONE-FILTERED live ids: a deleted id must be
+    // re-insertable (the whole point of erasure is that the index forgets
+    // it — including in the dedup screen)
     val fresh = batch.dropDuplicates(idCol).join(
-      SegmentedTable.read(spark, dataDir, m).select(idCol),
+      readLiveUnder(spark, root, dataName, m).select(idCol),
       Seq(idCol), "left_anti")
     val v = m.version + 1
     val segDir = SegmentedTable.segDir(dataDir, v)
@@ -74,8 +150,11 @@ private[operators] object IndexIngest {
     while (!hasRows && staged.hasNext)
       hasRows = staged.next().getPath.getName.endsWith(".parquet")
     if (hasRows)
+      // extras carried verbatim: the tombstone ledger survives appends (a
+      // re-added id's NEW row is visible anyway — its segment version
+      // exceeds every tombstone's del_v)
       SegmentedTable.writeManifest(spark, root,
-        SegmentedTable.Manifest(v, m.segments :+ v))
+        SegmentedTable.Manifest(v, m.segments :+ v, m.extras))
     // the bound is enforced even on a skipped (empty) publish: a caller
     // tightening maxSegments must see the index compacted by its next
     // append, whatever that batch contains
@@ -88,18 +167,41 @@ private[operators] object IndexIngest {
     * compacted segment lands exactly one file per cluster (the
     * serve-optimal shape for an index whose reads always scan whole
     * probed clusters; parquet row groups keep a single large file
-    * read-parallel) — and publish it with a manifest flip. Superseded
-    * segments are retained for in-flight readers; vacuum reclaims them. */
+    * read-parallel) — and publish it with a manifest flip. The rewrite
+    * materializes the TOMBSTONE-FILTERED view and clears the ledger:
+    * logically-deleted rows are physically erased here (the GDPR "erase"
+    * step — superseded segments still hold the bytes until the writer
+    * vacuums, which completes the erasure). */
   def compact(spark: SparkSession, root: String, dataName: String): Unit = {
     val dataDir = s"$root/$dataName"
     val m = SegmentedTable.readManifest(spark, root)
     val v = m.version + 1
-    SegmentedTable.read(spark, dataDir, m)
+    readLiveUnder(spark, root, dataName, m)
       .repartition(org.apache.spark.sql.functions.col("cluster"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
       .parquet(SegmentedTable.segDir(dataDir, v))
     SegmentedTable.writeManifest(spark, root,
-      SegmentedTable.Manifest(v, Seq(v)))
+      SegmentedTable.Manifest(v, Seq(v), m.extras - TombstoneKey))
+  }
+
+  /** Reclaim segment dirs the current manifest does not name — the data
+    * table's via [[SegmentedTable.vacuum]], plus tombstone-ledger segments
+    * the live `tombstone_segs` list no longer references (superseded by an
+    * append's ledger rewrite, cleared by a compaction, or orphaned by a
+    * crash). WRITER-ONLY, serialized with append/compact/delete. */
+  def vacuum(spark: SparkSession, root: String, dataName: String): Unit = {
+    SegmentedTable.vacuum(spark, root, s"$root/$dataName")
+    val live = tombstoneSegs(SegmentedTable.readManifest(spark, root)).toSet
+    val dir = new org.apache.hadoop.fs.Path(deletesDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("seg=")) {
+        val s = n.drop("seg=".length)
+        if (s.nonEmpty && s.forall(_.isDigit) && !live.contains(s.toLong))
+          fs.delete(p, true)
+      }
+    }
   }
 }

@@ -117,11 +117,18 @@ object IvfAdc {
   def compact(spark: SparkSession, path: String): Unit =
     IndexIngest.compact(spark, path, "codes")
 
-  /** Reclaim segment dirs the current manifest does not name. WRITER-ONLY,
-    * serialized with append/compact; see
-    * [[graft.sources.SegmentedTable.vacuum]]. */
+  /** Logical delete of vectors by id (tombstone ledger; erased physically
+    * at the next [[compact]]) — see [[IndexIngest.delete]]. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    meta(spark, path)
+    IndexIngest.delete(spark, path, "codes", ids, "vec_id")
+  }
+
+  /** Reclaim segment dirs the current manifest does not name (codes AND
+    * superseded tombstone-ledger segments). WRITER-ONLY, serialized with
+    * append/compact/delete; see [[IndexIngest.vacuum]]. */
   def vacuum(spark: SparkSession, path: String): Unit =
-    graft.sources.SegmentedTable.vacuum(spark, path, s"$path/codes")
+    IndexIngest.vacuum(spark, path, "codes")
 
   private def meta(spark: SparkSession, path: String): (Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()

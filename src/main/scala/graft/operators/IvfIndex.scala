@@ -88,10 +88,18 @@ object IvfIndex {
   def compact(spark: SparkSession, path: String): Unit =
     IndexIngest.compact(spark, path, "corpus")
 
-  /** Reclaim segment dirs the current manifest does not name. WRITER-ONLY,
-    * serialized with append/compact; see [[SegmentedTable.vacuum]]. */
+  /** Logical delete of vectors by id (tombstone ledger; erased physically
+    * at the next [[compact]]) — see [[IndexIngest.delete]]. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    requireCommitted(spark, path)
+    IndexIngest.delete(spark, path, "corpus", ids, "vec_id")
+  }
+
+  /** Reclaim segment dirs the current manifest does not name (corpus AND
+    * superseded tombstone-ledger segments). WRITER-ONLY, serialized with
+    * append/compact/delete; see [[IndexIngest.vacuum]]. */
   def vacuum(spark: SparkSession, path: String): Unit =
-    SegmentedTable.vacuum(spark, path, s"$path/corpus")
+    IndexIngest.vacuum(spark, path, "corpus")
 
   /** Multi-probe top-k against the persisted index: identical results to
     * [[Similarity.ivfTopK]] over the same centroids, but the corpus scan is

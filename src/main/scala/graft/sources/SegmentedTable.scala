@@ -160,8 +160,11 @@ object SegmentedTable {
   /** Live rows of the table under `m`: one scan of the data root with the
     * foldable `seg IN (live)` partition filter, `seg` dropped. Orphan
     * (staged-but-unpublished, or superseded-but-not-yet-vacuumed) segment
-    * directories are pruned at file listing, never read. */
-  def read(spark: SparkSession, dataDir: String, m: Manifest): DataFrame = {
+    * directories are pruned at file listing, never read.
+    * [[readKeepSeg]] retains the `seg` column for readers that need each
+    * row's publication version (the tombstone masking in
+    * [[graft.operators.IndexIngest]]). */
+  def readKeepSeg(spark: SparkSession, dataDir: String, m: Manifest): DataFrame = {
     require(m.segments.nonEmpty,
       s"segmented table at $dataDir has no live segments")
     // Int literals match the inferred partition type (seg values are dir
@@ -175,8 +178,10 @@ object SegmentedTable {
       s"segment version exceeds Int range at $dataDir: ${m.segments}")
     spark.read.parquet(dataDir)
       .filter(col("seg").isin(m.segments.map(_.toInt): _*))
-      .drop("seg")
   }
+
+  def read(spark: SparkSession, dataDir: String, m: Manifest): DataFrame =
+    readKeepSeg(spark, dataDir, m).drop("seg")
 
   /** Delete every `seg=` directory the current manifest does NOT name —
     * compaction leftovers and crash orphans. WRITER-ONLY, serialized with

@@ -286,6 +286,25 @@ class IvfAdcSpec extends SparkSpec {
       "rerank may only reorder the probed shortlist, never add candidates")
   }
 
+  test("delete masks code rows in ADC serving until compaction erases them") {
+    val p = java.nio.file.Files.createTempDirectory("ivfadc_delete").toString
+    val base = corpus.filter(col("vec_id") < 120)
+    IvfAdc.build(base, kCoarse, coarseIters = 1, m, kSub, pqIters = 1, dim, p)
+    def served() = IvfAdc.searchTopK(spark, p,
+        corpus.filter(col("vec_id") === 0), m, dim, k = 119, probes = kCoarse)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(served().contains(42L))
+    IvfAdc.delete(spark, p, Seq(42L).toDF("vec_id"))
+    assert(!served().contains(42L), "tombstoned id must not serve")
+    assert(!IvfAdc.codes(spark, p).select("vec_id").as[Long]
+      .collect().contains(42L), "tombstoned id must not read")
+    IvfAdc.compact(spark, p)
+    IvfAdc.vacuum(spark, p)
+    assert(!spark.read.parquet(s"$p/codes").select("vec_id").as[Long]
+      .collect().contains(42L), "compaction + vacuum must erase the bytes")
+    assert(served().size === 118)
+  }
+
   test("searchTopKRerank serves from a persisted raw-vector index " +
       "(IvfIndex.corpus) identically to the source table") {
     val rawPath = java.nio.file.Files.createTempDirectory("ivfadc_raw").toString

@@ -127,4 +127,45 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.length === 1 && got.head.getLong(1) === 100007L,
       s"the appended exact clone must be the top-1 neighbor, got ${got.toSeq}")
   }
+
+  test("delete hides vectors immediately, re-append restores them, and " +
+      "compaction + vacuum physically erase the tombstoned bytes") {
+    val p = java.nio.file.Files.createTempDirectory("ivf-delete").toString
+    val base = corpus.filter(col("vec_id") < 200)
+    IvfIndex.build(base, k = 4, iters = 2, dim = 64, p)
+    def servedIds() = IvfIndex.searchTopK(spark, p,
+        corpus.filter(col("vec_id") === 0), k = 200, probes = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    def liveIds() = IvfIndex.corpus(spark, p)
+      .select("vec_id").as[Long].collect().toSet
+    assert(liveIds().contains(50L) && liveIds().contains(60L))
+    // logical delete: gone from serve and corpus reads at once
+    IvfIndex.delete(spark, p, Seq(50L, 60L).toDF("vec_id"))
+    assert(!liveIds().contains(50L) && !liveIds().contains(60L))
+    assert(!servedIds().contains(50L) && !servedIds().contains(60L))
+    // deleting an absent id is a harmless no-op
+    IvfIndex.delete(spark, p, Seq(999999L).toDF("vec_id"))
+    assert(liveIds().size === 198)
+    // a deleted id is RE-insertable: the append screen must not see the
+    // tombstone, and the read side must not hide the fresh row
+    IvfIndex.append(spark, p,
+      corpus.filter(col("vec_id") === 50).select("vec_id", "embedding"))
+    assert(liveIds().contains(50L), "re-appended id must be live again")
+    assert(!liveIds().contains(60L), "other tombstones survive the rewrite")
+    // compaction materializes the filtered view and clears the ledger;
+    // after vacuum the deleted id's bytes exist in NO remaining file
+    IvfIndex.compact(spark, p)
+    IvfIndex.vacuum(spark, p)
+    assert(liveIds().contains(50L) && !liveIds().contains(60L))
+    val remaining = spark.read.parquet(s"$p/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!remaining.contains(60L),
+      "compaction + vacuum must physically erase the tombstoned row")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deletesDir = new org.apache.hadoop.fs.Path(s"$p/deletes")
+    val ledgerSegs =
+      if (fs.exists(deletesDir)) fs.listStatus(deletesDir).length else 0
+    assert(ledgerSegs === 0, "vacuum must reclaim every superseded ledger segment")
+  }
 }

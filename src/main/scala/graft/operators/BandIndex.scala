@@ -90,10 +90,14 @@ object BandIndex {
   }
 
   /** The live indexed band rows (doc_id, band, band_key) — one
-    * manifest-pinned scan; orphan/superseded segments are invisible. */
-  def bands(spark: SparkSession, path: String): DataFrame =
-    SegmentedTable.read(spark, s"$path/bands",
-      SegmentedTable.readManifest(spark, path))
+    * manifest-pinned scan with the tombstone ledger applied
+    * ([[IndexIngest.maskTombstones]]); orphan/superseded segments are
+    * invisible. */
+  def bands(spark: SparkSession, path: String): DataFrame = {
+    val m = SegmentedTable.readManifest(spark, path)
+    IndexIngest.maskTombstones(spark, path, m,
+      SegmentedTable.readKeepSeg(spark, s"$path/bands", m), "doc_id")
+  }
 
   /** Extend the index with an ACCEPTED batch's bands (call after its docs
     * actually enter the lake — indexing a rejected batch would poison the
@@ -121,8 +125,11 @@ object BandIndex {
     // unpublished dir is inert and the next append overwrites it.
     val published = !spark.read.parquet(segDir).isEmpty
     if (published)
+      // extras carried verbatim: the tombstone ledger survives appends (a
+      // re-indexed doc's new bands are visible anyway — their segment
+      // version exceeds every tombstone's del_v)
       SegmentedTable.writeManifest(spark, path,
-        SegmentedTable.Manifest(v, m.segments :+ v))
+        SegmentedTable.Manifest(v, m.segments :+ v, m.extras))
     // the bound is enforced even on a skipped (empty) publish — a caller
     // tightening maxSegments must see the index compacted by its next
     // append, whatever that batch contains
@@ -138,18 +145,35 @@ object BandIndex {
   def compact(spark: SparkSession, path: String, nFiles: Int = 32): Unit = {
     val m = SegmentedTable.readManifest(spark, path)
     val v = m.version + 1
-    SegmentedTable.read(spark, s"$path/bands", m)
+    // the rewrite materializes the TOMBSTONE-FILTERED view and clears the
+    // ledger — logically-deleted docs' bands are physically erased here
+    IndexIngest.maskTombstones(spark, path, m,
+        SegmentedTable.readKeepSeg(spark, s"$path/bands", m), "doc_id")
       .repartition(math.max(1, nFiles))
       .write.mode(SaveMode.Overwrite)
       .parquet(SegmentedTable.segDir(s"$path/bands", v))
     SegmentedTable.writeManifest(spark, path,
-      SegmentedTable.Manifest(v, Seq(v)))
+      SegmentedTable.Manifest(v, Seq(v),
+        m.extras - IndexIngest.TombstoneKey))
   }
 
-  /** Reclaim segment dirs the current manifest does not name. WRITER-ONLY,
-    * serialized with append/compact; see [[SegmentedTable.vacuum]]. */
+  /** Logical delete of documents by id — a deleted doc's bands stop
+    * gating immediately (a later near-duplicate of it is ADMITTED: once
+    * the corpus forgets a document, its fingerprint must not keep
+    * rejecting lookalikes), and the bytes are physically erased at the
+    * next [[compact]]. See [[IndexIngest.delete]] for the
+    * versioned-tombstone semantics (a re-ingested doc's new bands stay
+    * visible). WRITER-ONLY. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    params(spark, path) // torn-rebuild check before mutating
+    IndexIngest.delete(spark, path, "bands", ids, "doc_id")
+  }
+
+  /** Reclaim segment dirs the current manifest does not name (bands AND
+    * superseded tombstone-ledger segments). WRITER-ONLY, serialized with
+    * append/compact/delete; see [[IndexIngest.vacuum]]. */
   def vacuum(spark: SparkSession, path: String): Unit =
-    SegmentedTable.vacuum(spark, path, s"$path/bands")
+    IndexIngest.vacuum(spark, path, "bands")
 
   /** The rows of `newBatch` that share NO band with the indexed history —
     * identical to [[Dedup.incrementalNearDupFilter]] over the corpus the

@@ -47,7 +47,7 @@ private[operators] object IndexIngest {
     * physical row the moment the id was cleared for the new one). Carried
     * on every publish so appends cannot silently drop deletions; cleared
     * by [[compact]], which physically removes the masked rows. */
-  private val TombstoneKey = "tombstone_segs"
+  private[operators] val TombstoneKey = "tombstone_segs"
 
   private def tombstoneSegs(m: SegmentedTable.Manifest): Seq[Long] =
     m.extras.get(TombstoneKey).toSeq
@@ -55,31 +55,39 @@ private[operators] object IndexIngest {
 
   private def deletesDir(root: String) = s"$root/deletes"
 
-  /** The live tombstone ledger (vec_id, del_v) under `m`, if any. */
+  /** The live tombstone ledger (id, del_v) under `m`, if any. */
   private def tombstones(spark: SparkSession, root: String,
       m: SegmentedTable.Manifest): Option[DataFrame] = {
     val segs = tombstoneSegs(m)
     if (segs.isEmpty) None
     else Some(SegmentedTable.read(spark, deletesDir(root),
-      m.copy(segments = segs)).select("vec_id", "del_v"))
+      m.copy(segments = segs)).select("id", "del_v"))
   }
 
-  /** Live rows of the index's data table under an already-read manifest —
-    * one manifest-pinned scan with the tombstone ledger anti-joined
-    * (broadcast, id-equi-keyed with the `seg ≤ del_v` masking condition;
-    * the ledger is bounded by deletes-since-last-compaction); static
-    * `seg IN` pruning composes with the caller's own partition filters
-    * and dynamic pruning on `cluster`. */
-  private def readLiveUnder(spark: SparkSession, root: String,
-      dataName: String, m: SegmentedTable.Manifest): DataFrame = {
+  /** Apply `m`'s tombstone ledger to a seg-carrying read of the index's
+    * data (broadcast anti-join, id-equi-keyed with the `seg ≤ del_v`
+    * masking condition; the ledger is bounded by deletes-since-last-
+    * compaction) and drop `seg`. Shared by the cluster-partitioned
+    * indexes' [[readLive]] and [[BandIndex]]'s flat band table, so the
+    * masking semantics cannot drift between them. */
+  def maskTombstones(spark: SparkSession, root: String,
+      m: SegmentedTable.Manifest, data: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val data = SegmentedTable.readKeepSeg(spark, s"$root/$dataName", m)
     tombstones(spark, root, m).fold(data)(t =>
-      data.join(broadcast(t.withColumnRenamed("vec_id", "__tomb_id")),
-        col("vec_id") === col("__tomb_id") &&
+      data.join(broadcast(t.withColumnRenamed("id", "__tomb_id")),
+        col(idCol) === col("__tomb_id") &&
           col("seg").cast("long") <= col("del_v"), "left_anti"))
       .drop("seg")
   }
+
+  /** Live rows of the index's data table under an already-read manifest —
+    * one manifest-pinned scan with the tombstone ledger applied; static
+    * `seg IN` pruning composes with the caller's own partition filters
+    * and dynamic pruning on `cluster`. */
+  private def readLiveUnder(spark: SparkSession, root: String,
+      dataName: String, m: SegmentedTable.Manifest): DataFrame =
+    maskTombstones(spark, root, m,
+      SegmentedTable.readKeepSeg(spark, s"$root/$dataName", m), "vec_id")
 
   def readLive(spark: SparkSession, root: String, dataName: String): DataFrame =
     readLiveUnder(spark, root, dataName,
@@ -107,8 +115,8 @@ private[operators] object IndexIngest {
     import org.apache.spark.sql.functions.{col, lit}
     val m = SegmentedTable.readManifest(spark, root)
     val v = m.version + 1
-    ids.select(col(idCol).as("vec_id"))
-      .dropDuplicates("vec_id")
+    ids.select(col(idCol).as("id"))
+      .dropDuplicates("id")
       .withColumn("del_v", lit(m.version))
       .write.mode(SaveMode.Overwrite)
       .parquet(SegmentedTable.segDir(deletesDir(root), v))

@@ -156,4 +156,44 @@ class BandIndexSpec extends SparkSpec {
     assert(indexScans.forall(l => !l.contains("doc_id")),
       s"index scan must prune doc_id (screen needs only band, band_key):\n$indexScans")
   }
+
+  test("delete makes the gate forget a doc: its near-duplicate is admitted " +
+      "again, and compaction + vacuum erase the bands") {
+    import spark.implicits._
+    // controlled corpus: two docs with fully disjoint vocabularies, so doc
+    // 0's bands are the ONLY thing that can gate its lookalike
+    val tiny = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("band-index-del").toString
+    BandIndex.build(tiny, col("doc_id"), col("text"), nh, bands, k, path)
+    // a doc sharing every shingle with indexed doc 0 gates out...
+    val dup = tiny.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    assert(BandIndex.gate(path, dup, col("doc_id"), col("text")).isEmpty,
+      "an exact near-dup of an indexed doc must be rejected before the delete")
+    // ...until the corpus forgets doc 0
+    BandIndex.delete(spark, path, Seq(0L).toDF("doc_id"))
+    assert(!BandIndex.gate(path, dup, col("doc_id"), col("text")).isEmpty,
+      "after deleting the indexed doc its lookalike must be admitted")
+    assert(BandIndex.bands(spark, path)
+      .filter(col("doc_id") === 0).isEmpty, "tombstoned bands must not read")
+    // re-ingesting the deleted doc re-indexes it (new segment > del_v)
+    BandIndex.append(path, tiny.filter(col("doc_id") === 0),
+      col("doc_id"), col("text"))
+    assert(!BandIndex.bands(spark, path)
+      .filter(col("doc_id") === 0).isEmpty, "re-ingested doc must be live")
+    assert(BandIndex.gate(path, dup, col("doc_id"), col("text")).isEmpty,
+      "the re-ingested doc gates its lookalike again")
+    // erase a second doc for the physical-removal leg
+    BandIndex.delete(spark, path, Seq(2L).toDF("doc_id"))
+    BandIndex.compact(spark, path)
+    BandIndex.vacuum(spark, path)
+    val remaining = spark.read.parquet(s"$path/bands")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!remaining.contains(2L),
+      "compaction + vacuum must physically erase the tombstoned bands")
+    assert(remaining.contains(0L), "the re-ingested doc survives the rewrite")
+  }
 }

@@ -82,21 +82,33 @@ object LexIndex {
       m.extras("dl_count").toLong)
 
   private def manifestOf(version: Long, segments: Seq[Long],
-      nDocs: Long, dlSum: Long, dlCount: Long): SegmentedTable.Manifest =
-    SegmentedTable.Manifest(version, segments, Map(
+      nDocs: Long, dlSum: Long, dlCount: Long,
+      carry: Map[String, String] = Map.empty): SegmentedTable.Manifest =
+    SegmentedTable.Manifest(version, segments, carry ++ Map(
       "n_docs" -> nDocs.toString, "dl_sum" -> dlSum.toString,
       "dl_count" -> dlCount.toString))
 
+  /** The non-stats extras a publish must carry forward (today: the
+    * tombstone-ledger list — dropping it would resurrect deleted docs). */
+  private def carried(m: SegmentedTable.Manifest): Map[String, String] =
+    m.extras.view.filterKeys(
+      !Set("n_docs", "dl_sum", "dl_count").contains(_)).toMap
+
   /** The live postings — ONE scan of `postings/` with the foldable
-    * `seg IN (live)` partition filter; the caller's bucket/term filters
-    * compose with it on the same relation. */
+    * `seg IN (live)` partition filter and the tombstone ledger applied
+    * ([[IndexIngest.maskTombstones]]); the caller's bucket/term filters
+    * compose with it on the same relation. df recomputes from this masked
+    * read, so deletion corrects df automatically — only the corpus-level
+    * stats need the explicit adjustment [[delete]] performs. */
   private def livePostings(spark: SparkSession, path: String,
       m: SegmentedTable.Manifest): DataFrame =
-    SegmentedTable.read(spark, s"$path/postings", m)
+    IndexIngest.maskTombstones(spark, path, m,
+      SegmentedTable.readKeepSeg(spark, s"$path/postings", m), "doc_id")
 
   private def liveIds(spark: SparkSession, path: String,
       m: SegmentedTable.Manifest): DataFrame =
-    SegmentedTable.read(spark, s"$path/ids", m)
+    IndexIngest.maskTombstones(spark, path, m,
+      SegmentedTable.readKeepSeg(spark, s"$path/ids", m), "doc_id")
 
   /** (doc_id, dl, term, tf, term_bucket) posting rows for a (doc_id, text)
     * frame — THE one tokenize+count definition build and append share. */
@@ -111,14 +123,18 @@ object LexIndex {
 
   /** Stage one segment's postings + id-ledger dirs (invisible until the
     * manifest names them; `Overwrite` so a retry wipes a crashed
-    * predecessor's leftovers at the same version). */
+    * predecessor's leftovers at the same version). The ledger carries each
+    * doc's token count (`dl`, null for null text) so [[delete]] can
+    * subtract the doc's exact stats contribution without scanning
+    * postings. */
   private def writeSegment(docs: DataFrame, path: String, buckets: Int,
       version: Long): Unit = {
     postingsOf(docs, buckets)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("term_bucket")
       .parquet(SegmentedTable.segDir(s"$path/postings", version))
-    docs.select("doc_id")
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"))
       .write.mode(SaveMode.Overwrite)
       .parquet(SegmentedTable.segDir(s"$path/ids", version))
   }
@@ -210,7 +226,7 @@ object LexIndex {
           SegmentedTable.writeManifest(spark, path,
             manifestOf(v, m.segments :+ v, nDocs + n,
               dlSum + (if (r.isNullAt(1)) 0L else r.getLong(1)),
-              dlCount + r.getLong(2)))
+              dlCount + r.getLong(2), carried(m)))
         }
         // the post-publish segment list is already in hand — no manifest
         // re-read (2-3 metadata RPCs per micro-batch on an object store)
@@ -243,8 +259,52 @@ object LexIndex {
     liveIds(spark, path, m)
       .write.mode(SaveMode.Overwrite)
       .parquet(SegmentedTable.segDir(s"$path/ids", v))
+    // the rewrite materialized the tombstone-filtered views above (the
+    // GDPR "erase" step — deleted docs' postings are physically gone from
+    // the new segment), so the ledger is cleared with the same flip
     SegmentedTable.writeManifest(spark, path,
-      manifestOf(v, Seq(v), nDocs, dlSum, dlCount))
+      manifestOf(v, Seq(v), nDocs, dlSum, dlCount,
+        carried(m) - IndexIngest.TombstoneKey))
+  }
+
+  /** Logical delete of documents by id — the BM25 serve forgets them
+    * IMMEDIATELY and EXACTLY: the masked posting read corrects df (df is
+    * recomputed from rows read, the no-drift property the class doc pins),
+    * and this method subtracts the deleted docs' exact-integer stats
+    * contributions (each doc's `dl` comes from the ledger, no postings
+    * scan), so the served ranking is bit-equal to an index built from the
+    * surviving corpus alone. One atomic manifest flip publishes tombstones
+    * + adjusted stats together. Bytes are physically erased at the next
+    * [[compact]]; a deleted id may be re-appended (versioned tombstones —
+    * see [[IndexIngest.delete]]). Deleting an absent or already-deleted id
+    * is a no-op. WRITER-ONLY. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    params(spark, path) // torn-rebuild check before mutating
+    val m = readManifest(spark, path)
+    val (nDocs, dlSum, dlCount) = stats(m)
+    // only currently-live docs affect the stats (absent / already-deleted
+    // ids must be no-ops); the join also fetches each doc's ledger dl
+    val hit = ids.select(col("doc_id")).dropDuplicates("doc_id")
+      .join(liveIds(spark, path, m), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r = hit.agg(count(lit(1)), sum(col("dl")), count(col("dl"))).head()
+      val n = r.getLong(0)
+      if (n > 0) {
+        val v = m.version + 1
+        hit.select(col("doc_id").as("id"))
+          .withColumn("del_v", lit(m.version))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(SegmentedTable.segDir(s"$path/deletes", v))
+        val tombSegs = (m.extras.get(IndexIngest.TombstoneKey).toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty) :+ v.toString).mkString(",")
+        SegmentedTable.writeManifest(spark, path,
+          manifestOf(v, m.segments, nDocs - n,
+            dlSum - (if (r.isNullAt(1)) 0L else r.getLong(1)),
+            dlCount - r.getLong(2),
+            carried(m) + (IndexIngest.TombstoneKey -> tombSegs)))
+      }
+    } finally hit.unpersist(blocking = true)
   }
 
   /** Delete every segment dir the current manifest does NOT name —
@@ -256,7 +316,9 @@ object LexIndex {
     * retention window is the deployment's choice, exactly like any
     * snapshot store's vacuum). */
   def vacuum(spark: SparkSession, path: String): Unit = {
-    SegmentedTable.vacuum(spark, path, s"$path/postings")
+    // postings + tombstone ledger via the shared index vacuum, then the
+    // second artifact family (the id ledger) by the same manifest
+    IndexIngest.vacuum(spark, path, "postings")
     SegmentedTable.vacuum(spark, path, s"$path/ids")
   }
 

@@ -190,4 +190,49 @@ class LexIndexSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("TORN"))
   }
+
+  test("delete(B) serves BIT-EQUAL to an index never containing B (df and " +
+      "avgdl both corrected); re-append restores; compaction erases") {
+    import spark.implicits._
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300)
+    def top(p: String) = LexIndex.searchTopK(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // full index, then forget B
+    val full = java.nio.file.Files.createTempDirectory("lex-del").toString
+    LexIndex.build(docs, full, buckets = 16)
+    LexIndex.delete(spark, full,
+      b.select("doc_id"))
+    // reference: an index that never saw B
+    val onlyA = java.nio.file.Files.createTempDirectory("lex-a").toString
+    LexIndex.build(a, onlyA, buckets = 16)
+    assert(top(full) === top(onlyA),
+      "post-delete serve must be bit-equal to an index built without the " +
+        "deleted docs — masked postings fix df, adjusted stats fix avgdl")
+    // deleting absent / already-deleted ids is a no-op (stats untouched)
+    LexIndex.delete(spark, full,
+      Seq(999999L).toDF("doc_id").unionByName(b.select("doc_id").limit(5)))
+    assert(top(full) === top(onlyA))
+    // a deleted doc is re-appendable and scores again
+    LexIndex.append(spark, full, b)
+    val rebuilt = java.nio.file.Files.createTempDirectory("lex-ab").toString
+    LexIndex.build(docs, rebuilt, buckets = 16)
+    assert(top(full) === top(rebuilt),
+      "re-appending the deleted docs must restore the full-corpus ranking")
+    // physical erasure: forget B again, compact, vacuum — B's postings
+    // exist in no remaining file and the serve is still the A ranking
+    LexIndex.delete(spark, full, b.select("doc_id"))
+    LexIndex.compact(spark, full)
+    LexIndex.vacuum(spark, full)
+    assert(top(full) === top(onlyA))
+    val remaining = spark.read.parquet(s"$full/postings")
+      .select("doc_id").as[Long].collect().toSet
+    assert(remaining.forall(_ < 300),
+      "compaction + vacuum must physically erase the deleted docs' postings")
+    val fs = new org.apache.hadoop.fs.Path(full)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deletesDir = new org.apache.hadoop.fs.Path(s"$full/deletes")
+    assert(!fs.exists(deletesDir) || fs.listStatus(deletesDir).isEmpty,
+      "vacuum must reclaim every superseded tombstone segment")
+  }
 }

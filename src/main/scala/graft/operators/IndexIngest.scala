@@ -114,16 +114,26 @@ private[operators] object IndexIngest {
       ids: DataFrame, idCol: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val m = SegmentedTable.readManifest(spark, root)
-    val v = m.version + 1
-    ids.select(col(idCol).as("id"))
-      .dropDuplicates("id")
-      .withColumn("del_v", lit(m.version))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(SegmentedTable.segDir(deletesDir(root), v))
-    val segs = (tombstoneSegs(m) :+ v).mkString(",")
-    SegmentedTable.writeManifest(spark, root,
-      SegmentedTable.Manifest(v, m.segments,
-        m.extras + (TombstoneKey -> segs)))
+    // screen against the LIVE (already-masked) rows: absent and
+    // already-deleted ids are no-ops, so a retried/replayed deletion batch
+    // publishes nothing instead of growing the ledger per replay — the
+    // same idempotency-by-screen contract as appendScreened (the
+    // column-pruned id scan is the cost of a rare maintenance op)
+    val hit = ids.select(col(idCol).as("id")).dropDuplicates("id")
+      .join(maskTombstones(spark, root, m,
+          SegmentedTable.readKeepSeg(spark, s"$root/$dataName", m), idCol)
+        .select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .localCheckpoint(eager = true) // one screen feeds the probe + write
+    if (!hit.isEmpty) {
+      val v = m.version + 1
+      hit.withColumn("del_v", lit(m.version))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(SegmentedTable.segDir(deletesDir(root), v))
+      val segs = (tombstoneSegs(m) :+ v).mkString(",")
+      SegmentedTable.writeManifest(spark, root,
+        SegmentedTable.Manifest(v, m.segments,
+          m.extras + (TombstoneKey -> segs)))
+    }
   }
 
   def appendScreened(spark: SparkSession, root: String, dataName: String,

@@ -369,6 +369,41 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming right-to-be-forgotten queue — the deletion complement of
+    * the three index-ingest sinks: each micro-batch of deletion requests
+    * (rows carrying `idCol`) is applied to every configured persisted
+    * index via its tombstone `delete` ([[graft.operators.LexIndex.delete]]
+    * additionally adjusts the exact BM25 corpus stats). Idempotency needs
+    * NO landing table or screen of its own: every `delete` is a no-op for
+    * absent and already-deleted ids (the IndexIngest/LexIndex liveness
+    * screen), so a replayed or redelivered batch publishes nothing — the
+    * ledger cannot grow per replay. Erasure (physical byte removal)
+    * remains the compaction's job, on the deployment's deadline cadence.
+    * Null ids are filtered (a null can never match a live row, but the
+    * scan predicate cost is not worth carrying). Single writer per index;
+    * AvailableNow micro-batches satisfy that by construction. */
+  def startDeletionSink(requests: DataFrame, idCol: String,
+      lexIndexPath: Option[String] = None,
+      bandIndexPath: Option[String] = None,
+      ivfIndexPath: Option[String] = None,
+      ivfAdcPath: Option[String] = None): StreamingQuery =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val ids = batch.select(col(idCol)).filter(col(idCol).isNotNull)
+        lexIndexPath.foreach(p => graft.operators.LexIndex.delete(
+          spark, p, ids.select(col(idCol).as("doc_id"))))
+        bandIndexPath.foreach(p => graft.operators.BandIndex.delete(
+          spark, p, ids.select(col(idCol).as("doc_id"))))
+        ivfIndexPath.foreach(p => graft.operators.IvfIndex.delete(
+          spark, p, ids.select(col(idCol).as("vec_id"))))
+        ivfAdcPath.foreach(p => graft.operators.IvfAdc.delete(
+          spark, p, ids.select(col(idCol).as("vec_id"))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Multi-table transactional streaming sink: each micro-batch commits the
     * event rows AND their per-type batch statistics through ONE
     * [[graft.warehouse.AtomicCommit]] manifest publish — a reader sees both

@@ -510,4 +510,51 @@ class EventStreamsSpec extends SparkSpec {
       .select("n_events").as[Long].collect().toSeq
     assert(got == Seq(2L, 1L))
   }
+
+  test("deletion sink: a streamed forget-request batch deletes from the " +
+      "lexical and band indexes; replay is a no-op and the ledgers do " +
+      "not grow") {
+    import graft.operators.{BandIndex, LexIndex}
+    val dir = Files.createTempDirectory("graft-delsink").toString
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val terms = Seq("dup", "vector", "window")
+    LexIndex.build(docs, s"$dir/lex", buckets = 8)
+    BandIndex.build(docs, col("doc_id"), col("text"),
+      numHashes = 16, bands = 4, shingleK = 2, path = s"$dir/band")
+    // the forget queue: ids >= 300 (text column just satisfies the reader
+    // schema; the sink only consumes idCol)
+    docs.filter(col("doc_id") >= 300).write.parquet(s"$dir/requests")
+    def sink() = assert(
+      EventStreams.startDeletionSink(
+        EventStreams.readDocuments(spark, s"$dir/requests"), "doc_id",
+        lexIndexPath = Some(s"$dir/lex"),
+        bandIndexPath = Some(s"$dir/band"))
+        .awaitTermination(60000),
+      "deletion sink timed out")
+    def top(p: String) = LexIndex.searchTopK(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def ledgerSegs(idx: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$idx/deletes")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p).length else 0
+    }
+    sink()
+    // lexical serve forgets exactly like an index never containing them
+    val onlyA = Files.createTempDirectory("graft-delsink-a").toString
+    LexIndex.build(docs.filter(col("doc_id") < 300), onlyA, buckets = 8)
+    assert(top(s"$dir/lex") === top(onlyA),
+      "streamed deletion must serve bit-equal to a never-had-them index")
+    // band gate forgets: no bands remain for the deleted ids
+    assert(BandIndex.bands(spark, s"$dir/band")
+      .filter(col("doc_id") >= 300).isEmpty)
+    val (lexSegs, bandSegs) = (ledgerSegs("lex"), ledgerSegs("band"))
+    assert(lexSegs > 0 && bandSegs > 0)
+    // fresh-checkpoint replay of the same requests: every id is already
+    // tombstoned, so the deletes are no-ops and no ledger segment lands
+    sink()
+    assert(top(s"$dir/lex") === top(onlyA), "replayed deletion changes nothing")
+    assert(ledgerSegs("lex") === lexSegs && ledgerSegs("band") === bandSegs,
+      "a replayed forget batch must not grow the tombstone ledgers")
+  }
 }

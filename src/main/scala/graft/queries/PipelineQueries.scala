@@ -1627,6 +1627,52 @@ object PipelineQueries {
         |  COALESCE(s.nb, CAST(0 AS BIGINT)) AS n_bigrams
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)),
 
+    // Per-document Shannon token entropy — the information-density signal
+    // behind Gopher/RedPajama-style quality rules (near-zero entropy =
+    // repeated-token spam, high entropy = diverse vocabulary):
+    // H = −Σ_t (c_t/n)·ln(c_t/n) over the doc's token distribution. Each
+    // term's IEEE chain is mirrored op-for-op and rounded to a 6dp scaled
+    // long, so doc entropies are exact integer sums (the engine's ln
+    // contract); guaranteed row per doc (0.0 when empty). Scale shape:
+    // the doc length rides the row-local explode, so the corpus shuffles
+    // once map-combined on (doc_id, token) and once on doc_id.
+    Q("tx_entropy",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val parts = tokens(col("text"))
+        val toks = graft.operators.Parallelism.fanOut(docs)
+          .select(col("doc_id"), size(parts).as("n"),
+            explode(parts).as("token"))
+        val ratio = col("c").cast("double") / col("n").cast("double")
+        val scored = toks.groupBy("doc_id", "n", "token")
+          .agg(count(lit(1)).as("c"))
+          .select(col("doc_id"), col("n"),
+            round(round(ratio * log(ratio), 6) * 1000000, 0)
+              .cast("long").as("term"))
+          .groupBy("doc_id")
+          .agg((-sum(col("term")).cast("double") / 1000000.0).as("entropy"),
+            min(col("n")).cast("long").as("n_tokens"))
+        docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("entropy"), lit(0.0)).as("entropy"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      },
+      Some("""WITH toksl AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |tok AS (SELECT doc_id, len(parts) AS n, unnest(parts) AS token FROM toksl),
+        |tc AS (SELECT doc_id, n, token, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT doc_id,
+        |    SUM(CAST(round(round(
+        |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      * 1000000, 0) AS BIGINT)) AS s,
+        |    CAST(MIN(n) AS BIGINT) AS n_tokens
+        |  FROM tc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(-CAST(s AS DOUBLE) / 1000000.0, 0.0) AS entropy,
+        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
+
     // PMI-ranked collocations (pointwise mutual information phrase mining
     // — the classic corpus-analysis pass behind phrase vocabularies and
     // tokenizer merge seeding): PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over

@@ -1673,6 +1673,59 @@ object PipelineQueries {
         |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
 
+    // Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    // the ROBUST local fingerprinting guarantee the whole-doc hash lacks —
+    // any shared run of ≥ w+k−1 tokens between two documents shares at
+    // least one selected fingerprint, so matches survive insertions and
+    // reordering around them. Word-3-gram hashes (16-bit md5 prefix, the
+    // engine-portable hex-fold idiom), window w = 4, fingerprint set =
+    // the distinct per-window minima (the standard set-form
+    // simplification). Entirely ROW-LOCAL — gram slicing, hashing, window
+    // minima and dedup are array lambdas inside one scan, zero exchanges;
+    // docs too short for a gram legitimately have no fingerprints.
+    Q("tx_winnowing",
+      (s, d) => {
+        val parts = tokens(col("text"))
+        val grams = when(size(parts) >= 3,
+          transform(sequence(lit(1), size(parts) - 2), i =>
+            concat_ws(" ", element_at(parts, i), element_at(parts, i + 1),
+              element_at(parts, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        val hashes = transform(grams, g =>
+          conv(substring(md5(g), 1, 4), 16, 10).cast("long"))
+        val fps = when(size(hashes) >= 1,
+          array_distinct(transform(
+            sequence(lit(1), greatest(lit(1), size(hashes) - 3)), j =>
+              array_min(slice(hashes, j, lit(4))))))
+          .otherwise(array().cast("array<long>"))
+        graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), explode(fps).as("fingerprint"))
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(parts) >= 3
+        |      THEN list_transform(generate_series(1, len(parts) - 2),
+        |             i -> parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2])
+        |      ELSE [] END AS grams
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS parts FROM documents)),
+        |h AS (
+        |  SELECT doc_id, list_transform(grams, x ->
+        |      (strpos('0123456789abcdef', substring(md5(x), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substring(md5(x), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substring(md5(x), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(md5(x), 4, 1)) - 1)) AS hs
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 1
+        |      THEN list_distinct(list_transform(
+        |             generate_series(1, greatest(1, len(hs) - 3)),
+        |             j -> list_min(hs[j:least(j + 3, len(hs))])))
+        |      ELSE [] END AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM f""".stripMargin)),
+
     // PMI-ranked collocations (pointwise mutual information phrase mining
     // — the classic corpus-analysis pass behind phrase vocabularies and
     // tokenizer merge seeding): PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over

@@ -571,6 +571,36 @@ object Dedup {
     intra.union(inter)
   }
 
+  /** Near-dup candidate pairs from shared WINNOWING fingerprints
+    * ([[graft.functions.TextFunctions.winnowFingerprints]]): pairs of
+    * documents sharing at least `minShared` selected fingerprints, with
+    * the shared count — the dedup use of winnowing's locality guarantee
+    * (two docs sharing any ≥ window+gramK−1-token run share a
+    * fingerprint, so copied PASSAGES surface even when whole-doc
+    * similarity is low — the case MinHash-over-the-whole-doc dilutes
+    * away). `minShared` > 1 screens single-fingerprint coincidences of
+    * the 16-bit hash space.
+    *
+    * Scale shape: the corpus reduces row-locally to its (doc_id,
+    * fingerprint) projection (zero exchanges in the derivation); pairs
+    * come from ONE fingerprint-keyed exchange through the capped
+    * [[bucketPairs]] splitter — no task materializes O(bucket²) — and the
+    * shared-count aggregate keys on the pair. No all-pairs step anywhere. */
+  def winnowCandidatePairs(docs: DataFrame, idCol: Column, textCol: Column,
+      minShared: Int = 2, gramK: Int = 3, window: Int = 4): DataFrame = {
+    require(minShared >= 1)
+    val fps = Parallelism.fanOut(
+        docs.select(idCol.as("doc_id"), textCol.as("__text")))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .winnowFingerprints(col("__text"), gramK, window)).as("fp"))
+    bucketPairs(fps, Seq("fp"), struct(col("doc_id")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold` (rounded to 4dp for
     * the oracle contract). Brute-force pairwise — O(n²), plans a
     * BroadcastNestedLoopJoin: VERIFICATION-SCALE ONLY, kept as the recall

@@ -347,6 +347,46 @@ object PipelineQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_b FROM scored WHERE jaccard >= 0.4)""".stripMargin)),
 
+    // Winnowing-based near-dup candidates: pairs sharing >= 2 selected
+    // fingerprints — the dedup USE of tx_winnowing's locality guarantee
+    // (copied PASSAGES surface even when whole-doc similarity is low, the
+    // case whole-doc MinHash dilutes away). The corpus reduces row-locally
+    // to (doc_id, fingerprint); pairs come from ONE fingerprint-keyed
+    // exchange through the capped bucketPairs splitter (no O(bucket²)
+    // task); the oracle re-derives via the all-pairs self-join, so the
+    // banding's completeness is judged too.
+    Q("dd_winnow_pairs",
+      (s, d) => Dedup.winnowCandidatePairs(
+        t(s, d, "documents"), col("doc_id"), col("text"), minShared = 2),
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(parts) >= 3
+        |      THEN list_transform(generate_series(1, len(parts) - 2),
+        |             i -> parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2])
+        |      ELSE [] END AS grams
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS parts FROM documents)),
+        |h AS (
+        |  SELECT doc_id, list_transform(grams, x ->
+        |      (strpos('0123456789abcdef', substring(md5(x), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substring(md5(x), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substring(md5(x), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(md5(x), 4, 1)) - 1)) AS hs
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 1
+        |      THEN list_distinct(list_transform(
+        |             generate_series(1, greatest(1, len(hs) - 3)),
+        |             j -> list_min(hs[j:least(j + 3, len(hs))])))
+        |      ELSE [] END AS fps
+        |  FROM h),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2""".stripMargin)),
+
     // Per-source near-dup incidence audit (the release-review counterpart
     // of dq_pii_rate for DUPLICATION): how much of each source the
     // end-to-end near-dup decision keeps — the number a data card reports
@@ -1684,24 +1724,11 @@ object PipelineQueries {
     // minima and dedup are array lambdas inside one scan, zero exchanges;
     // docs too short for a gram legitimately have no fingerprints.
     Q("tx_winnowing",
-      (s, d) => {
-        val parts = tokens(col("text"))
-        val grams = when(size(parts) >= 3,
-          transform(sequence(lit(1), size(parts) - 2), i =>
-            concat_ws(" ", element_at(parts, i), element_at(parts, i + 1),
-              element_at(parts, i + 2))))
-          .otherwise(array().cast("array<string>"))
-        val hashes = transform(grams, g =>
-          conv(substring(md5(g), 1, 4), 16, 10).cast("long"))
-        val fps = when(size(hashes) >= 1,
-          array_distinct(transform(
-            sequence(lit(1), greatest(lit(1), size(hashes) - 3)), j =>
-              array_min(slice(hashes, j, lit(4))))))
-          .otherwise(array().cast("array<long>"))
-        graft.operators.Parallelism.fanOut(
-            t(s, d, "documents").select("doc_id", "text"))
-          .select(col("doc_id"), explode(fps).as("fingerprint"))
-      },
+      (s, d) => graft.operators.Parallelism.fanOut(
+          t(s, d, "documents").select("doc_id", "text"))
+        .select(col("doc_id"),
+          explode(TextFunctions.winnowFingerprints(col("text")))
+            .as("fingerprint")),
       Some("""WITH g AS (
         |  SELECT doc_id,
         |    CASE WHEN len(parts) >= 3

@@ -25,7 +25,14 @@ class DeterminismSpec extends SparkSpec {
     "dq_contam_score",
     // round 11: threshold search (rounded cosines) and perplexity terciles
     // (scaled-long LM sums -> 6dp mean -> ntile over a total order)
-    "sim_range_search", "tx_ppl_buckets")
+    "sim_range_search", "tx_ppl_buckets",
+    // round 11 batch 2: interpolated-bigram LM + entropy (scaled-long ln
+    // sums), PMI ranking (rounded ln ordering a bounded top-k), SQ8
+    // dequant cosine, binary-rerank exact cosine, exact-L2 ADC rerank,
+    // dedup-rate fraction (double of exact ints)
+    "tx_bigram_lm", "tx_entropy", "tx_collocations",
+    "sim_sq8_topk", "sim_binary_rerank", "sim_adc_rerank",
+    "dq_dedup_rate")
 
   test("float-bearing queries are bit-identical across shuffle widths") {
     val conf = "spark.sql.shuffle.partitions"

@@ -122,4 +122,47 @@ class TextFunctionsSpec extends SparkSpec {
     assert(row.getAs[Double]("punct_ratio") == 2.0 / 30.0)
     assert(row.getAs[Double]("stopword_ratio") == 1.0 / 6.0)
   }
+
+  test("property: winnowing's locality guarantee — any shared run of " +
+      "window+gramK-1 tokens forces a shared fingerprint; short docs empty") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    def fps(texts: Seq[String]): Seq[Set[Long]] = {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.winnowFingerprints(col("text")).as("f"))
+      df.orderBy("doc_id").collect()
+        .map(_.getSeq[Long](1).toSet).toSeq
+    }
+    // the Schleimer et al. theorem instance for (gramK=3, window=4): a
+    // shared run of >= 4+3-1 = 6 tokens yields >= 4 shared gram hashes in
+    // a row, so at least one full window lies inside the run on BOTH
+    // sides — its minimum is selected in both docs
+    val gen = for {
+      sharedLen <- Gen.choose(6, 12)
+      p1 <- Gen.choose(0, 8); s1 <- Gen.choose(0, 8)
+      p2 <- Gen.choose(0, 8); s2 <- Gen.choose(0, 8)
+    } yield (sharedLen, p1, s1, p2, s2)
+    val prop = Prop.forAllNoShrink(gen) { case (sharedLen, p1, s1, p2, s2) =>
+      // disjoint per-doc vocabularies around the shared run, so any
+      // fingerprint overlap must come from the run itself
+      val shared = (0 until sharedLen).map(i => s"sh$i")
+      val d1 = ((0 until p1).map(i => s"a$i") ++ shared ++
+        (0 until s1).map(i => s"x$i")).mkString(" ")
+      val d2 = ((0 until p2).map(i => s"b$i") ++ shared ++
+        (0 until s2).map(i => s"y$i")).mkString(" ")
+      val Seq(f1, f2) = fps(Seq(d1, d2))
+      (f1 & f2).nonEmpty
+    }
+    val result = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+    // below one gram, no fingerprints at all
+    assert(fps(Seq("one two")) === Seq(Set.empty[Long]))
+    // a 5-token shared run (one below the guarantee) may or may not share
+    // — but identical docs always share everything
+    val Seq(g1, g2) = fps(Seq("p q r s t u v w", "p q r s t u v w"))
+    assert(g1 === g2 && g1.nonEmpty)
+  }
 }

@@ -172,8 +172,8 @@ object BandIndex {
   /** Reclaim segment dirs the current manifest does not name (bands AND
     * superseded tombstone-ledger segments). WRITER-ONLY, serialized with
     * append/compact/delete; see [[IndexIngest.vacuum]]. */
-  def vacuum(spark: SparkSession, path: String): Unit =
-    IndexIngest.vacuum(spark, path, "bands")
+  def vacuum(spark: SparkSession, path: String, retainSnapshots: Int = 1): Unit =
+    IndexIngest.vacuum(spark, path, "bands", retainSnapshots)
 
   /** The rows of `newBatch` that share NO band with the indexed history —
     * identical to [[Dedup.incrementalNearDupFilter]] over the corpus the

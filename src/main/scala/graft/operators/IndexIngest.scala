@@ -208,9 +208,13 @@ private[operators] object IndexIngest {
     * the live `tombstone_segs` list no longer references (superseded by an
     * append's ledger rewrite, cleared by a compaction, or orphaned by a
     * crash). WRITER-ONLY, serialized with append/compact/delete. */
-  def vacuum(spark: SparkSession, root: String, dataName: String): Unit = {
-    SegmentedTable.vacuum(spark, root, s"$root/$dataName")
-    val live = tombstoneSegs(SegmentedTable.readManifest(spark, root)).toSet
+  def vacuum(spark: SparkSession, root: String, dataName: String,
+      retainSnapshots: Int = 1): Unit = {
+    val retained =
+      SegmentedTable.vacuum(spark, root, s"$root/$dataName", retainSnapshots)
+    // ledger segments referenced by ANY retained snapshot stay (a
+    // time-travel-retained version's masking must keep working)
+    val live = retained.flatMap(tombstoneSegs).toSet
     val dir = new org.apache.hadoop.fs.Path(deletesDir(root))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath).foreach { p =>

@@ -127,8 +127,8 @@ object IvfAdc {
   /** Reclaim segment dirs the current manifest does not name (codes AND
     * superseded tombstone-ledger segments). WRITER-ONLY, serialized with
     * append/compact/delete; see [[IndexIngest.vacuum]]. */
-  def vacuum(spark: SparkSession, path: String): Unit =
-    IndexIngest.vacuum(spark, path, "codes")
+  def vacuum(spark: SparkSession, path: String, retainSnapshots: Int = 1): Unit =
+    IndexIngest.vacuum(spark, path, "codes", retainSnapshots)
 
   private def meta(spark: SparkSession, path: String): (Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()

@@ -98,8 +98,8 @@ object IvfIndex {
   /** Reclaim segment dirs the current manifest does not name (corpus AND
     * superseded tombstone-ledger segments). WRITER-ONLY, serialized with
     * append/compact/delete; see [[IndexIngest.vacuum]]. */
-  def vacuum(spark: SparkSession, path: String): Unit =
-    IndexIngest.vacuum(spark, path, "corpus")
+  def vacuum(spark: SparkSession, path: String, retainSnapshots: Int = 1): Unit =
+    IndexIngest.vacuum(spark, path, "corpus", retainSnapshots)
 
   /** Multi-probe top-k against the persisted index: identical results to
     * [[Similarity.ivfTopK]] over the same centroids, but the corpus scan is

@@ -315,11 +315,12 @@ object LexIndex {
     * only once in-flight readers of older manifests are done (the
     * retention window is the deployment's choice, exactly like any
     * snapshot store's vacuum). */
-  def vacuum(spark: SparkSession, path: String): Unit = {
+  def vacuum(spark: SparkSession, path: String, retainSnapshots: Int = 1): Unit = {
     // postings + tombstone ledger via the shared index vacuum, then the
     // second artifact family (the id ledger) by the same manifest
-    IndexIngest.vacuum(spark, path, "postings")
-    SegmentedTable.vacuum(spark, path, s"$path/ids")
+    IndexIngest.vacuum(spark, path, "postings", retainSnapshots)
+    SegmentedTable.vacuum(spark, path, s"$path/ids", retainSnapshots)
+    ()
   }
 
   /** BM25 top-k (k1=1.2, b=0.75, Lucene-style idf — the `tx_bm25`

@@ -190,38 +190,61 @@ object SegmentedTable {
     * writer's own context between appends, and only once in-flight readers
     * of older manifests are done (the retention window is the
     * deployment's choice, exactly like any snapshot store's vacuum). */
-  def vacuum(spark: SparkSession, root: String, dataDir: String): Unit = {
+  /** Reclaim storage while keeping the newest `retainSnapshots` published
+    * versions time-travel-readable (a Delta-style retention policy;
+    * default 1 = the live version only, the minimal footprint). The keep
+    * set is the UNION of the retained snapshots' segments — segment dirs
+    * outside it are deleted, and every snapshot file that is not retained,
+    * is an unpublished orphan (version > live: a crash between snapshot
+    * and flip), or references a segment the deletion pass removed (it
+    * would be silently partial) is pruned. Returns the retained snapshot
+    * manifests, newest first (callers with SIDE ledgers keyed off manifest
+    * extras — [[graft.operators.IndexIngest]]'s tombstones — prune those
+    * against the same retained set). WRITER-ONLY, serialized with
+    * append/compact/delete. */
+  def vacuum(spark: SparkSession, root: String, dataDir: String,
+      retainSnapshots: Int = 1): Seq[Manifest] = {
+    require(retainSnapshots >= 1, "retainSnapshots must be >= 1")
     val current = readManifest(spark, root)
-    val live = current.segments.toSet
+    val rootFs = fsOf(spark, root)
+    val rootDir = new Path(root)
+    val snapFiles =
+      if (!rootFs.exists(rootDir)) Seq.empty
+      else rootFs.listStatus(rootDir).map(_.getPath).toSeq.filter { p =>
+        val n = p.getName
+        n.startsWith("manifest.v") &&
+          n.drop("manifest.v".length).nonEmpty &&
+          n.drop("manifest.v".length).forall(_.isDigit)
+      }
+    val published = snapFiles.map(p => parseManifest(spark, p))
+      .filter(_.version <= current.version)
+      .sortBy(-_.version)
+    // the live manifest is always retained even if its snapshot file is
+    // somehow gone (pre-snapshot-format tables)
+    val retained = (current +: published.filter(_.version != current.version))
+      .take(retainSnapshots)
+    val keep = retained.flatMap(_.segments).toSet
     val fs = fsOf(spark, dataDir)
     val dir = new Path(dataDir)
     if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith("seg=")) {
         val v = n.drop("seg=".length)
-        if (v.nonEmpty && v.forall(_.isDigit) && !live.contains(v.toLong))
+        if (v.nonEmpty && v.forall(_.isDigit) && !keep.contains(v.toLong))
           fs.delete(p, true)
       }
     }
-    // Prune manifest snapshots the segment deletion just made unreadable
-    // (any snapshot naming a non-live segment), plus unpublished orphans
-    // (version > live — a crash between snapshot and flip). Snapshots whose
-    // segments are all still live (append-only history) stay time-travel
-    // readable; the current version's snapshot is always kept.
-    val rootFs = fsOf(spark, root)
-    val rootDir = new Path(root)
-    if (rootFs.exists(rootDir))
-      rootFs.listStatus(rootDir).map(_.getPath).foreach { p =>
-        val n = p.getName
-        if (n.startsWith("manifest.v")) {
-          val v = n.drop("manifest.v".length)
-          if (v.nonEmpty && v.forall(_.isDigit) && v.toLong != current.version) {
-            val snap = parseManifest(spark, p)
-            if (snap.version > current.version ||
-                !snap.segments.forall(live.contains))
-              rootFs.delete(p, false)
-          }
-        }
+    val retainedVersions = retained.map(_.version).toSet
+    snapFiles.foreach { p =>
+      val v = p.getName.drop("manifest.v".length).toLong
+      if (v != current.version) {
+        val snap = parseManifest(spark, p)
+        if (!retainedVersions.contains(v) ||
+            snap.version > current.version ||
+            !snap.segments.forall(keep.contains))
+          rootFs.delete(p, false)
       }
+    }
+    retained
   }
 }

@@ -59,28 +59,35 @@ class SegmentedTableSpec extends SparkSpec {
       e.getMessage.contains("vacuumed"))
   }
 
-  test("vacuum prunes exactly the snapshots it breaks: pre-compaction " +
-      "versions fail loudly, append-only history stays readable") {
+  test("vacuum retention: the newest retainSnapshots versions stay " +
+      "time-travel readable, everything older fails loudly and is pruned") {
     val (root, data) = freshTable()
     publish(root, data, 1L, Seq(1L), Seq(1L -> "a"))
     publish(root, data, 2L, Seq(1L, 2L), Seq(2L -> "b"))
-    // compact into segment 3 and vacuum: segments 1, 2 deleted
+    // compact into segment 3, then append segment 4
     publish(root, data, 3L, Seq(3L), Seq(1L -> "a", 2L -> "b"))
     publish(root, data, 4L, Seq(3L, 4L), Seq(3L -> "c"))
-    SegmentedTable.vacuum(spark, root, data)
-    // snapshots 1 and 2 reference vacuumed segments → loud failure, and
-    // their snapshot files are gone (pruned, not just unreadable)
+    // retain the two newest published versions: 4 (live) and 3
+    SegmentedTable.vacuum(spark, root, data, retainSnapshots = 2)
     Seq(1L, 2L).foreach { v =>
       val e = intercept[IllegalArgumentException] {
         SegmentedTable.readAt(spark, root, data, v)
       }
       assert(e.getMessage.contains("vacuumed"), s"v$v: ${e.getMessage}")
     }
-    // snapshot 3 (the compacted state) names only live segment 3 → still
-    // time-travel readable after the vacuum; 4 is the live state
     assert(SegmentedTable.readAt(spark, root, data, 3L)
       .select("id").as[Long].collect().toSet === Set(1L, 2L))
     assert(SegmentedTable.readAt(spark, root, data, 4L)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // the default (retain 1) then shrinks to the live version only
+    SegmentedTable.vacuum(spark, root, data)
+    intercept[IllegalArgumentException] {
+      SegmentedTable.readAt(spark, root, data, 3L)
+    }
+    assert(SegmentedTable.readAt(spark, root, data, 4L)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(SegmentedTable.read(spark, data,
+      SegmentedTable.readManifest(spark, root))
       .select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
   }
 

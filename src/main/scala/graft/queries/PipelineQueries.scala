@@ -2765,6 +2765,54 @@ object PipelineQueries {
         |    x -> CASE WHEN abs(x * 127) > 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped
         |FROM embeddings""".stripMargin)),
 
+    // Per-DIMENSION embedding statistics — the embedding-space health
+    // audit an ANN/index build runs first: a dead dimension (zero
+    // variance) wastes index budget, an exploding one dominates every
+    // distance. Components pre-rounded to 6dp scaled longs (floats are
+    // exact in double, the round is the one lossy step, mirrored
+    // op-for-op), so per-dim sum and sum-of-squares are exact integer
+    // sums — order/layout/engine identical — and mean/std are closed-form
+    // doubles over them (the a9_moments discipline). Scale shape: the
+    // row-local posexplode's scaled projections map-side-combine into 64
+    // dim groups — the shuffle carries 64 rows per task, never vectors.
+    Q("emb_dim_stats",
+      (s, d) => {
+        val x = col("c").cast("double")
+        val sx = round(x * 1000000, 0).cast("long")
+        val sq = round(x * x * 1000000, 0).cast("long")
+        t(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "c")))
+          .select((col("dim") + 1).cast("long").as("dim"),
+            sx.as("sx"), sq.as("sq"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            sum(col("sx")).as("ssum"), sum(col("sq")).as("sqsum"))
+          .select(col("dim"),
+            round(col("ssum").cast("double") / 1000000.0 /
+              col("n").cast("double"), 6).as("mean"),
+            round(sqrt(
+              col("sqsum").cast("double") / 1000000.0 / col("n").cast("double")
+              - (col("ssum").cast("double") / 1000000.0 / col("n").cast("double"))
+                * (col("ssum").cast("double") / 1000000.0 / col("n").cast("double"))),
+              6).as("std"))
+      },
+      Some("""WITH e AS (
+        |  SELECT CAST(u.i AS BIGINT) AS dim,
+        |    CAST(round(CAST(emb[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS sx,
+        |    CAST(round(CAST(emb[u.i] AS DOUBLE) * CAST(emb[u.i] AS DOUBLE)
+        |      * 1000000, 0) AS BIGINT) AS sq
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) u),
+        |a AS (SELECT dim, COUNT(*) AS n, SUM(sx) AS ssum, SUM(sq) AS sqsum
+        |  FROM e GROUP BY dim)
+        |SELECT dim,
+        |  round(CAST(ssum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS mean,
+        |  round(sqrt(
+        |    CAST(sqsum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+        |    - (CAST(ssum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+        |      * (CAST(ssum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))), 6) AS std
+        |FROM a""".stripMargin)),
+
     // Embedding-space outlier filter (the quality gate that drops vectors
     // far from the corpus centroid — mis-embedded or off-distribution
     // rows). The mean embedding is ONE VectorSum aggregate divided by the

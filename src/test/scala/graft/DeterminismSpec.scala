@@ -32,7 +32,7 @@ class DeterminismSpec extends SparkSpec {
     // dedup-rate fraction (double of exact ints)
     "tx_bigram_lm", "tx_entropy", "tx_collocations",
     "sim_sq8_topk", "sim_binary_rerank", "sim_adc_rerank",
-    "dq_dedup_rate")
+    "dq_dedup_rate", "emb_dim_stats")
 
   test("float-bearing queries are bit-identical across shuffle widths") {
     val conf = "spark.sql.shuffle.partitions"

@@ -1261,6 +1261,20 @@ object PipelineQueries {
         |  substring(text, 1, 4) AS magic
         |FROM documents""".stripMargin)),
 
+    // Content-hash dedup over BINARY payloads — the multimodal sibling of
+    // dd_exact_dedup (images/audio dedup by byte digest, no text
+    // normalization: bytes either match or don't): one digest projection
+    // + one map-combined groupBy, the cheapest dedup there is and the
+    // first pass every multimodal corpus runs before perceptual hashing.
+    Q("mm_payload_dedup",
+      (s, d) => Dedup.exact(
+        t(s, d, "documents").select(col("doc_id"),
+          sha2(Multimodal.asPayload(col("text")), 256).as("digest")),
+        Seq(col("digest")), col("doc_id")),
+      Some("""SELECT sha256(text) AS digest, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_rows
+        |FROM documents GROUP BY 1""".stripMargin)),
+
     // Frame sampling over binary payloads: every 2nd 64-byte frame. The
     // operator's output is binary; the judged projection hex-encodes it
     // (scalar-only judged-output contract — list/blob cells don't hash).

@@ -582,6 +582,38 @@ object ExtQueries {
         |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin)),
 
+    // Gaps-and-islands: longest consecutive-day activity streak per user
+    // (the engagement metric behind every "N-day streak" feature) via the
+    // classic day-minus-rank island key — consecutive days share
+    // date_sub(day, rank), so islands fall out of ONE user-keyed window +
+    // two keyed aggregates; no self-join, no iteration. The event stream
+    // first collapses to the distinct (user, day) pair table (tiny), so
+    // the window never sees raw events.
+    Q("ev_streaks",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+        t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max(col("len")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS grp
+        |  FROM du),
+        |runs AS (SELECT user_id, grp, COUNT(*) AS len
+        |  FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, MAX(len) AS longest_streak,
+        |  COUNT(*) AS n_streaks
+        |FROM runs GROUP BY user_id""".stripMargin)),
+
     // Trending items per day (the windowed top-k every analytics dashboard
     // serves): top-3 event types by count within each calendar day, ties
     // to the lexicographically last type (the TopKPerGroup descending

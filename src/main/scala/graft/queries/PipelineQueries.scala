@@ -633,6 +633,25 @@ object PipelineQueries {
         |  JOIN embeddings c ON c.vec_id = s.neighbor_id)
         |WHERE rn <= 5""".stripMargin)),
 
+    // MMR diversified reranking (Carbonell & Goldstein 1998): greedy
+    // λ·relevance − (1−λ)·max-sim-to-selected over the top-12 cosine
+    // pool — the anti-redundancy pass between retrieval and consumption
+    // (RAG context assembly). The greedy loop runs as a row-local array
+    // fold over the k-bounded gathered candidates (never a corpus op);
+    // it has no tractable SQL analogue, so the judged entry emits
+    // VIOLATIONS of the greedy contract (emitted score re-derived
+    // independently with joins; no available candidate beats the
+    // selection under (score DESC, id ASC) — see Retrieval.mmrViolations)
+    // and the oracle is the matching empty set.
+    Q("sim_mmr_rerank",
+      (s, d) => graft.operators.Retrieval.mmrViolations(
+        t(s, d, "embeddings").filter(col("vec_id") >= 8),
+        t(s, d, "embeddings").filter(col("vec_id") < 8),
+        candidates = 12, k = 5, lambda = 0.7),
+      Some("""SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS INT) AS rank,
+        |  CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS kind
+        |WHERE FALSE""".stripMargin)),
+
     // Radius (threshold) similarity search — the FAISS range_search
     // analogue the top-k family can't express: ALL corpus neighbors at
     // cosine ≥ 0.25 per query, however many there are (top-k would

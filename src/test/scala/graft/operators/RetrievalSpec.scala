@@ -180,4 +180,50 @@ class RetrievalSpec extends SparkSpec {
       }.toSet
     assert(got.toSet === bf, "hardNegatives must equal label-filtered brute force")
   }
+
+  test("mmrTopK: lambda=1 reduces to the plain cosine top-k; ranks are " +
+      "contiguous; violations are empty on the fixture") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val queries = emb.filter(col("vec_id") < 4)
+    val mmr = Retrieval.mmrTopK(corpus, queries,
+      candidates = 10, k = 5, lambda = 1.0)
+    val mmrIds = mmr.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val plain = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mmrIds === plain,
+      "lambda = 1 must select exactly the relevance top-k")
+    val ranks = mmr.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(ranks.values.forall(_ == Seq(1, 2, 3, 4, 5)))
+    assert(Retrieval.mmrViolations(corpus, queries,
+      candidates = 10, k = 5, lambda = 0.5).isEmpty)
+  }
+
+  test("mmrTopK diversifies: a near-duplicate of the top hit is demoted " +
+      "at low lambda but kept at lambda=1") {
+    def v(seed: Int): Seq[Float] =
+      (0 until 64).map(i => math.sin(seed * 64 + i).toFloat)
+    def mix(a: Seq[Float], b: Seq[Float], wa: Double): Seq[Float] =
+      a.zip(b).map { case (x, y) => (x * wa + y * (1 - wa)).toFloat }
+    val q = v(1)
+    // 100: very close to q; 101: a near-duplicate of 100; 102: a bit less
+    // relevant but from a different direction
+    val corpus = Seq(
+      (100L, mix(q, v(2), 0.95)),
+      (101L, mix(q, v(2), 0.94)),
+      (102L, mix(q, v(3), 0.80))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, q)).toDF("vec_id", "embedding")
+    def picks(lambda: Double) = Retrieval.mmrTopK(corpus, queries,
+        candidates = 3, k = 2, lambda)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(picks(1.0) === Seq(100L, 101L),
+      "pure relevance keeps the near-duplicate pair")
+    assert(picks(0.3) === Seq(100L, 102L),
+      "diversity-weighted selection must swap the near-duplicate for the " +
+        "distinct direction")
+  }
 }

@@ -582,6 +582,79 @@ object ExtQueries {
         |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin)),
 
+    // Within-session co-occurrence with lift — the market-basket analysis
+    // of the event stream (which event types happen together more than
+    // chance): sessions from the engine's gap sessionizer, distinct
+    // (user, session, type) triples, type pairs per session (type
+    // cardinality is tiny, so the per-session pair fan-out is bounded),
+    // lift = P(ab)/(P(a)·P(b)) over exact session counts, rounded 6dp.
+    // Scale shape: one user-keyed sessionize window, then every aggregate
+    // runs on the collapsed (session, type) projection — the raw stream
+    // never re-shuffles.
+    Q("ev_market_basket",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val sess = ev
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .select(col("user_id"), col("event_type"),
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("session_id"))
+          .distinct()
+        val nSessions = sess.select("user_id", "session_id").distinct()
+          .agg(count(lit(1)).as("n_total"))
+        val typeCounts = sess.groupBy("event_type")
+          .agg(count(lit(1)).as("n_type"))
+        val pairs = sess.as("a")
+          .join(sess.as("b"), Seq("user_id", "session_id"))
+          .filter(col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
+            col("n_type").as("n_a"))), "type_a")
+          .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
+            col("n_type").as("n_b"))), "type_b")
+          .crossJoin(broadcast(nSessions))
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            round((col("n_both").cast("double") * col("n_total").cast("double"))
+              / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+              .as("lift"))
+      },
+      Some("""WITH sess AS (
+        |  SELECT DISTINCT user_id, session_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |        THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |    FROM (SELECT user_id, event_id, event_type, ts,
+        |            epoch_us(CAST(ts AS TIMESTAMP))
+        |              - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |          FROM events))),
+        |tot AS (SELECT COUNT(*) AS n_total
+        |  FROM (SELECT DISTINCT user_id, session_id FROM sess)),
+        |tc AS (SELECT event_type, COUNT(*) AS n_type FROM sess GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_both
+        |  FROM sess a JOIN sess b
+        |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |  round((CAST(n_both AS DOUBLE) * CAST(n_total AS DOUBLE))
+        |    / (CAST(n_a.n_type AS DOUBLE) * CAST(n_b.n_type AS DOUBLE)), 6) AS lift
+        |FROM pairs
+        |JOIN tc n_a ON n_a.event_type = type_a
+        |JOIN tc n_b ON n_b.event_type = type_b
+        |CROSS JOIN tot""".stripMargin)),
+
     // Gaps-and-islands: longest consecutive-day activity streak per user
     // (the engagement metric behind every "N-day streak" feature) via the
     // classic day-minus-rank island key — consecutive days share

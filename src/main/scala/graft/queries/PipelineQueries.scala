@@ -387,6 +387,57 @@ object PipelineQueries {
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 2""".stripMargin)),
 
+    // Per-source KL divergence from the corpus token distribution — the
+    // domain-shift audit behind mixture decisions (which sources are
+    // vocabulary outliers; a source whose KL explodes after a crawl
+    // refresh changed, whatever its row counts say). KL(source ‖ corpus)
+    // = Σ_t p_s(t)·ln(p_s(t)/p(t)) with every input an exact integer
+    // count, each term's IEEE chain mirrored op-for-op and pre-rounded to
+    // a 6dp scaled long — per-source sums are exact integers, engine and
+    // layout identical. Scale shape: one (source, token)-keyed
+    // map-combined count, the broadcast token-total join, one map-combined
+    // per-source sum.
+    Q("dq_source_kl",
+      (s, d) => {
+        val toks = graft.operators.Parallelism.fanOut(
+          t(s, d, "documents").select("source", "text"))
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+        val st = toks.groupBy("source", "token").agg(count(lit(1)).as("n_st"))
+        val tTot = toks.groupBy("token").agg(count(lit(1)).as("n_t"))
+        val sTot = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+        val gTot = tTot.agg(sum(col("n_t")).as("n"))
+        val ps = col("n_st").cast("double") / col("n_s").cast("double")
+        val p = col("n_t").cast("double") / col("n").cast("double")
+        st.join(broadcast(tTot), "token")
+          .join(broadcast(sTot), "source")
+          .crossJoin(broadcast(gTot))
+          .select(col("source"),
+            round(round(ps * log(ps / p), 6) * 1000000, 0)
+              .cast("long").as("term"),
+            col("n_s"))
+          .groupBy("source")
+          .agg((sum(col("term")).cast("double") / 1000000.0).as("kl"),
+            min(col("n_s")).cast("long").as("n_tokens"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT source, unnest(str_split(text, ' ')) AS token FROM documents),
+        |st AS (SELECT source, token, COUNT(*) AS n_st FROM toks GROUP BY 1, 2),
+        |tt AS (SELECT token, COUNT(*) AS n_t FROM toks GROUP BY 1),
+        |stot AS (SELECT source, SUM(n_st) AS n_s FROM st GROUP BY 1),
+        |gtot AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT source,
+        |  CAST(SUM(CAST(round(round(
+        |    (CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |      * ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |          / (CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |    * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS kl,
+        |  CAST(MIN(n_s) AS BIGINT) AS n_tokens
+        |FROM st
+        |JOIN tt USING (token)
+        |JOIN stot USING (source)
+        |CROSS JOIN gtot
+        |GROUP BY source""".stripMargin)),
+
     // Per-source near-dup incidence audit (the release-review counterpart
     // of dq_pii_rate for DUPLICATION): how much of each source the
     // end-to-end near-dup decision keeps — the number a data card reports

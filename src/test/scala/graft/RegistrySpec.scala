@@ -116,6 +116,9 @@ class RegistrySpec extends SparkSpec {
     //  - ev_market_basket: the session total is a SINGLE-ROW aggregate
     //    cross-joined onto the (type_a, type_b) pair frame (tiny — type
     //    cardinality squared); the session self-join is equi-keyed
+    //  - dq_source_kl: the corpus token total is a SINGLE-ROW aggregate
+    //    cross-joined onto the (source, token) frame; all other joins are
+    //    broadcast equi-keyed
     //  - sim_adc_rerank: the sim_adc_recall shape — brute-force truth leg
     //    (bounded broadcast query set), broadcast codebooks/query tables,
     //    and a SINGLE-ROW hit-total gate cross-join; the rerank join
@@ -133,7 +136,7 @@ class RegistrySpec extends SparkSpec {
       "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",
-      "tx_collocations", "ev_market_basket")
+      "tx_collocations", "ev_market_basket", "dq_source_kl")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -601,6 +601,18 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The keep decision over [[winnowCandidatePairs]]: drop every doc that
+    * shares ≥ `minShared` fingerprints with a SMALLER-id doc (the greedy
+    * drop-vs-smaller-id rule [[nearDupKeep]] uses, applied to the
+    * passage-copy candidates winnowing surfaces). Returns kept ids — one
+    * id-keyed anti-join over the pair frame beyond the pair generation. */
+  def winnowKeep(docs: DataFrame, idCol: Column, textCol: Column,
+      minShared: Int = 2, gramK: Int = 3, window: Int = 4): DataFrame =
+    docs.select(idCol.as("doc_id")).join(
+      winnowCandidatePairs(docs, idCol, textCol, minShared, gramK, window)
+        .select(col("doc_b").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Embedding-cosine near-dup pairs above `threshold` (rounded to 4dp for
     * the oracle contract). Brute-force pairwise — O(n²), plans a
     * BroadcastNestedLoopJoin: VERIFICATION-SCALE ONLY, kept as the recall

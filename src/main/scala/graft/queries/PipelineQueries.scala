@@ -387,6 +387,44 @@ object PipelineQueries {
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 2""".stripMargin)),
 
+    // The keep decision over the winnowing candidates: drop every doc
+    // sharing >= 2 fingerprints with a smaller-id doc (the greedy
+    // drop-vs-smaller-id rule of dd_neardup_keep applied to passage-copy
+    // candidates) — the end-to-end winnowing dedup the pair query feeds.
+    Q("dd_winnow_keep",
+      (s, d) => Dedup.winnowKeep(
+        t(s, d, "documents"), col("doc_id"), col("text"), minShared = 2),
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(parts) >= 3
+        |      THEN list_transform(generate_series(1, len(parts) - 2),
+        |             i -> parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2])
+        |      ELSE [] END AS grams
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS parts FROM documents)),
+        |h AS (
+        |  SELECT doc_id, list_transform(grams, x ->
+        |      (strpos('0123456789abcdef', substring(md5(x), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substring(md5(x), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substring(md5(x), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(md5(x), 4, 1)) - 1)) AS hs
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 1
+        |      THEN list_distinct(list_transform(
+        |             generate_series(1, greatest(1, len(hs) - 3)),
+        |             j -> list_min(hs[j:least(j + 3, len(hs))])))
+        |      ELSE [] END AS fps
+        |  FROM h),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |dropped AS (
+        |  SELECT b.doc_id FROM fp a JOIN fp b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING COUNT(*) >= 2)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin)),
+
     // Per-source KL divergence from the corpus token distribution — the
     // domain-shift audit behind mixture decisions (which sources are
     // vocabulary outliers; a source whose KL explodes after a crawl

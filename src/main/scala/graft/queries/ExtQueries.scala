@@ -95,6 +95,59 @@ object ExtQueries {
 
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
+  /** DuckDB oracle for ev_pagerank: the same sessionized edge frame as the
+    * ev_markov oracle, then the ten damped fixed-point power iterations
+    * UNROLLED as chained CTEs pr0..pr10 (recursive-CTE terms restrict
+    * aggregates; unrolling sidesteps the whole question). Every rank is
+    * CAST back to BIGINT per iteration so DuckDB's HUGEINT SUM widening
+    * cannot diverge from the engine's long arithmetic.
+    */
+  private val PagerankSql: String = {
+    val prs = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.node, CAST((150000000000 // nn.n_nodes)
+         |    + COALESCE(SUM((((p.r * e.n) // e.out_n) * 17) // 20), 0)
+         |    AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (edges e JOIN pr${i - 1} p ON p.node = e.src)
+         |    ON e.dst = nd.node
+         |  GROUP BY nd.node, nn.n_nodes)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lab AS (
+       |  SELECT user_id, event_id, event_type, ts,
+       |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+       |      THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM (SELECT user_id, event_id, event_type, ts,
+       |          epoch_us(CAST(ts AS TIMESTAMP))
+       |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+       |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+       |        FROM events)),
+       |tr AS (
+       |  SELECT event_type AS src, session_id,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS dst,
+       |    lead(session_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS next_sess
+       |  FROM lab),
+       |e0 AS (SELECT src, dst, COUNT(*) AS n FROM tr
+       |       WHERE dst IS NOT NULL AND next_sess = session_id GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT src, dst, n, CAST(ot.out_n AS BIGINT) AS out_n
+       |  FROM e0 JOIN (SELECT src, SUM(n) AS out_n FROM e0 GROUP BY 1) ot
+       |    USING (src)),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst AS node FROM edges),
+       |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+       |pr0 AS (SELECT node, CAST(1000000000000 // n_nodes AS BIGINT) AS r
+       |        FROM nodes CROSS JOIN nn),
+       |$prs
+       |SELECT node, r AS rank_scaled,
+       |  round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
+       |FROM pr10""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Window: rank per group (top-3 orders per customer)
@@ -404,6 +457,52 @@ object ExtQueries {
         |  ON a.user_id = b.user_id
         | AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR""".stripMargin)),
 
+    // 2-D skyline (Pareto frontier): the parts no other part beats on BOTH
+    // price (lower better) and size (higher better) — the multi-objective
+    // shortlist behind any price/feature trade-off screen. The naive
+    // semantics is a quadratic NOT EXISTS over dominance (exactly what the
+    // oracle runs); the engine plans the published banded prefix-max
+    // shape instead: collapse to per-price max size (map-combined),
+    // band prices into fixed-width buckets, take per-band maxima
+    // (bounded by the VALUE RANGE, not the data — the rj literal-band
+    // argument), prefix-max across the tiny band frame, and resolve
+    // within-band dominance with a band-KEYED running-max window. No
+    // self-join, no global window over data-sized frames; the fact table
+    // is touched twice (collapse + final frontier semi-join against the
+    // broadcast frontier-price frame).
+    Q("sk_skyline",
+      (s, d) => {
+        val p = t(s, d, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+            col("p_size"))
+        val g = p.groupBy("p_retailprice")
+          .agg(max(col("p_size")).as("gmax"))
+          .withColumn("band", floor(col("p_retailprice") / 10).cast("long"))
+        val wb = Window.orderBy("band")
+        val pre = g.groupBy("band").agg(max(col("gmax")).as("bmax"))
+          .withColumn("brun", max(col("bmax")).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prefix", lag(col("brun"), 1).over(wb))
+        val wq = Window.partitionBy("band").orderBy("p_retailprice")
+        val frontier = g
+          .withColumn("run", max(col("gmax")).over(
+            wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("inprev", lag(col("run"), 1).over(wq))
+          .join(broadcast(pre.select(col("band"), col("prefix"))), "band")
+          .filter(col("gmax") > greatest(coalesce(col("inprev"), lit(-1)),
+            coalesce(col("prefix"), lit(-1))))
+          .select(col("p_retailprice"), col("gmax"))
+        p.join(broadcast(frontier), "p_retailprice")
+          .filter(col("p_size") === col("gmax"))
+          .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+        |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))""".stripMargin)),
+
     // Pivot over a fixed type list
     Q("pv_pivot",
       (s, d) => EventOps.pivotCounts(t(s, d, "events"), EventTypes),
@@ -686,6 +785,116 @@ object ExtQueries {
         |SELECT user_id, MAX(len) AS longest_streak,
         |  COUNT(*) AS n_streaks
         |FROM runs GROUP BY user_id""".stripMargin)),
+
+    // First-order Markov transition matrix over within-session event
+    // sequences (the model behind next-action prediction and funnel-drop
+    // attribution): P(next | prev) over consecutive event pairs that share
+    // a session, p = n / n_prev rounded 6dp over exact counts. Scale
+    // shape: sessionize, lead(type), and lead(session) are THREE window
+    // functions over the SAME (user)-keyed (ts, event_id)-ordered frame —
+    // one exchange, one sort, no self-join — and every aggregate runs on
+    // the collapsed (prev, next) pair frame (|types|² rows at most).
+    Q("ev_markov",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val trans = t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_sess", lead(col("session_id"), 1).over(w))
+          .filter(col("next_type").isNotNull &&
+            col("next_sess") === col("session_id"))
+          .groupBy(col("event_type").as("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = trans.groupBy("prev_type")
+          .agg(sum(col("n")).as("n_prev"))
+        trans.join(broadcast(totals), "prev_type")
+          .select(col("prev_type"), col("next_type"), col("n"),
+            round(col("n").cast("double") / col("n_prev").cast("double"), 6)
+              .as("p"))
+      },
+      Some("""WITH lab AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, event_type, ts,
+        |          epoch_us(CAST(ts AS TIMESTAMP))
+        |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM events)),
+        |tr AS (
+        |  SELECT event_type AS prev_type, session_id,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type,
+        |    lead(session_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_sess
+        |  FROM lab),
+        |cnt AS (SELECT prev_type, next_type, COUNT(*) AS n FROM tr
+        |        WHERE next_type IS NOT NULL AND next_sess = session_id
+        |        GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev
+        |        FROM cnt GROUP BY 1)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE), 6) AS p
+        |FROM cnt JOIN tot USING (prev_type)""".stripMargin)),
+
+    // PageRank over the within-session transition graph (which event types
+    // the traffic actually flows THROUGH, not just how often each fires —
+    // the difference between a hub step and a terminal step). Ten damped
+    // (0.85) power iterations in EXACT fixed-point arithmetic: ranks are
+    // scaled longs (1e12), every per-edge contribution is the explicitly
+    // ordered integer chain (((r·n) div out) · 17) div 20, so both engines
+    // walk bit-identical integers — no cross-engine float accumulation at
+    // all. Scale shape: the event stream collapses through the ev_markov
+    // single-exchange window into a |types|²-bounded edge frame; all ten
+    // iterations run on that tiny frame (auto-broadcast joins), the fact
+    // table is scanned once. The oracle unrolls the same ten iterations as
+    // chained CTEs — no recursive-CTE aggregate restrictions to dodge.
+    Q("ev_pagerank",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val edges = t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_sess", lead(col("session_id"), 1).over(w))
+          .filter(col("next_type").isNotNull &&
+            col("next_sess") === col("session_id"))
+          .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+          .agg(count(lit(1)).as("n"))
+        val out = edges.groupBy("src").agg(sum(col("n")).as("out_n"))
+        val e = edges.join(broadcast(out), "src")
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+        var pr = nodes.crossJoin(broadcast(nn))
+          .select(col("node"), expr("1000000000000 div n_nodes").as("r"))
+        for (_ <- 1 to 10) {
+          val inflow = pr
+            .join(e.withColumnRenamed("src", "node"), "node")
+            .select(col("dst"),
+              expr("(((r * n) div out_n) * 17) div 20").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("inflow"))
+          pr = nodes.crossJoin(broadcast(nn))
+            .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .select(col("node"),
+              (expr("150000000000 div n_nodes")
+                + coalesce(col("inflow"), lit(0L))).as("r"))
+        }
+        pr.select(col("node"), col("r").as("rank_scaled"),
+          round(col("r").cast("double") / 1000000000000.0, 6).as("rank"))
+      },
+      Some(PagerankSql)),
 
     // Trending items per day (the windowed top-k every analytics dashboard
     // serves): top-3 event types by count within each calendar day, ties

@@ -476,6 +476,42 @@ object PipelineQueries {
         |CROSS JOIN gtot
         |GROUP BY source""".stripMargin)),
 
+    // Benford first-significant-digit audit (the classic fabricated-data
+    // / broken-ETL screen for financial-style columns): the digit
+    // distribution of o_totalprice against Benford's log10(1 + 1/d)
+    // expectation. Digit extraction stays in EXACT integer space —
+    // floor() to a BIGINT, then the first character of its decimal
+    // rendering — because integer-to-string is bit-identical across
+    // engines while log10()-of-a-double near a power of ten is not.
+    // Scale shape: one digit-keyed map-combined count (9 groups), the
+    // one-row total broadcast back; observed_p and the Benford reference
+    // are 6dp-rounded doubles with wide boundary margins.
+    Q("dq_benford",
+      (s, d) => {
+        val counts = t(s, d, "orders")
+          .filter(col("o_totalprice") >= 1)
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("n_total"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("n_total").cast("double"), 6)
+              .as("observed_p"),
+            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+              .as("benford_p"))
+      },
+      Some("""WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |cnt AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cnt)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS observed_p,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
+        |FROM cnt CROSS JOIN tot""".stripMargin)),
+
     // Per-source near-dup incidence audit (the release-review counterpart
     // of dq_pii_rate for DUPLICATION): how much of each source the
     // end-to-end near-dup decision keeps — the number a data card reports
@@ -1307,6 +1343,56 @@ object PipelineQueries {
       Some("""SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin)),
+
+    // Count-min sketch token frequencies (Cormode & Muthukrishnan 2005):
+    // the mergeable bounded-memory counter that answers point frequency
+    // queries where exact per-token counts would blow the state budget —
+    // the streaming/fleet-merge counterpart of tx_heavy_hitters'
+    // Misra–Gries candidates. d=3 rows × w=4096 buckets keyed by three
+    // disjoint 3-hex-digit slices of the engine-portable md5 (the cp_dsir
+    // bucket idiom), estimate = min over rows — one-sided by construction
+    // (est ≥ exact, the overestimate is the judged collision audit).
+    // Scale shape: the raw token stream collapses through ONE map-combined
+    // token count; the 12,288-counter table builds from that collapsed
+    // frame and broadcasts back — nothing data-sized ever self-joins or
+    // re-shuffles. Output bounded to frequent tokens (exact ≥ 20).
+    Q("tx_cms_freq",
+      (s, d) => {
+        val tf = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("text"))
+          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n_exact"))
+        val keyed = tf.select(col("token"), col("n_exact"),
+          explode(array((0 to 2).map(r => struct(lit(r).as("r"),
+            conv(substring(md5(col("token")), 1 + 3 * r, 3), 16, 10)
+              .cast("long").as("bucket"))): _*)).as("rb"))
+          .select(col("token"), col("n_exact"),
+            col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        val counters = keyed.groupBy("r", "bucket")
+          .agg(sum(col("n_exact")).as("c"))
+        keyed.join(broadcast(counters), Seq("r", "bucket"))
+          .groupBy("token")
+          .agg(max(col("n_exact")).as("n_exact"), min(col("c")).as("est"))
+          .filter(col("n_exact") >= 20)
+      },
+      Some("""WITH tf AS (
+        |  SELECT token, COUNT(*) AS n_exact
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |keyed AS (
+        |  SELECT token, n_exact, r,
+        |    (strpos('0123456789abcdef', substring(md5(token), 1 + 3 * r, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substring(md5(token), 2 + 3 * r, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(token), 3 + 3 * r, 1)) - 1) AS bucket
+        |  FROM tf CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)),
+        |counters AS (
+        |  SELECT r, bucket, CAST(SUM(n_exact) AS BIGINT) AS c
+        |  FROM keyed GROUP BY 1, 2)
+        |SELECT k.token, CAST(MIN(k.n_exact) AS BIGINT) AS n_exact,
+        |  CAST(MIN(c.c) AS BIGINT) AS est
+        |FROM keyed k JOIN counters c USING (r, bucket)
+        |GROUP BY k.token
+        |HAVING MIN(k.n_exact) >= 20""".stripMargin)),
 
     // TF-IDF scores per (doc, token): tf and df are exact integer counts;
     // idf = ln(N/df) and the product are single double ops (rounded for the

@@ -136,7 +136,15 @@ class RegistrySpec extends SparkSpec {
       "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",
-      "tx_collocations", "ev_market_basket", "dq_source_kl")
+      "tx_collocations", "ev_market_basket", "dq_source_kl",
+      //  - dq_benford: the 9-row digit-count frame cross-joins its OWN
+      //    single-row total (the scalar-subquery shape); the fact scan
+      //    collapses through a map-combined count first
+      //  - ev_pagerank: each of the ten power iterations cross-joins the
+      //    SINGLE-ROW node-count aggregate onto the |event types|-bounded
+      //    node frame (the cp_mixture_sample scalar shape); the event
+      //    stream collapses through the ev_markov window before any join
+      "dq_benford", "ev_pagerank")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

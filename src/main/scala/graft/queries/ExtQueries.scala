@@ -856,6 +856,15 @@ object ExtQueries {
     // iterations run on that tiny frame (auto-broadcast joins), the fact
     // table is scanned once. The oracle unrolls the same ten iterations as
     // chained CTEs — no recursive-CTE aggregate restrictions to dodge.
+    //
+    // The edge and node frames are materialized ONCE via lazy
+    // localCheckpoint (the connectedComponents discipline): without the
+    // cut, every iteration re-derives the sessionize window per branch
+    // and the static plan balloons to 100+ parquet scans of the SAME
+    // events table; with it, ten iterations reference two tiny
+    // checkpointed frames and the stream is scanned once. eager = false
+    // keeps plan construction side-effect-free (registry scans,
+    // fingerprints, explain must not run the window).
     Q("ev_pagerank",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -874,8 +883,10 @@ object ExtQueries {
           .agg(count(lit(1)).as("n"))
         val out = edges.groupBy("src").agg(sum(col("n")).as("out_n"))
         val e = edges.join(broadcast(out), "src")
+          .localCheckpoint(eager = false)
         val nodes = e.select(col("src").as("node"))
           .union(e.select(col("dst").as("node"))).distinct()
+          .localCheckpoint(eager = false)
         val nn = nodes.agg(count(lit(1)).as("n_nodes"))
         var pr = nodes.crossJoin(broadcast(nn))
           .select(col("node"), expr("1000000000000 div n_nodes").as("r"))
@@ -886,7 +897,8 @@ object ExtQueries {
               expr("(((r * n) div out_n) * 17) div 20").as("c"))
             .groupBy("dst").agg(sum(col("c")).as("inflow"))
           pr = nodes.crossJoin(broadcast(nn))
-            .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .join(broadcast(inflow.withColumnRenamed("dst", "node")),
+              Seq("node"), "left")
             .select(col("node"),
               (expr("150000000000 div n_nodes")
                 + coalesce(col("inflow"), lit(0L))).as("r"))

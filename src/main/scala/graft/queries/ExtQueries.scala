@@ -844,6 +844,75 @@ object ExtQueries {
         |  round(CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE), 6) AS p
         |FROM cnt JOIN tot USING (prev_type)""".stripMargin)),
 
+    // Linear multi-touch attribution: each purchase splits one unit of
+    // conversion credit equally across the events that preceded it in the
+    // SAME session, aggregated per event type — the marketing-analytics
+    // answer to "which touchpoints actually drive purchases" that
+    // last-touch counting gets wrong. Credit stays EXACT: micro-credits
+    // are 1e6 div n_preceding integer longs (engine-identical), summed as
+    // longs; the readable double is derived at the end. Scale shape: the
+    // ev_market_basket precedent — one user-keyed sessionize window, a
+    // (user, session)-keyed self-join whose fan-out is bounded by
+    // session length × purchases-per-session, then everything collapses
+    // through (purchase, type)-keyed map-combined counts.
+    Q("ev_attribution",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val sess = t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("user_id", "session_id", "event_id", "ts", "event_type")
+        val purch = sess.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("session_id"),
+            col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val perType = sess.join(purch, Seq("user_id", "session_id"))
+          .filter(col("ts") < col("p_ts") ||
+            (col("ts") === col("p_ts") && col("event_id") < col("p_id")))
+          .groupBy("p_id", "event_type").agg(count(lit(1)).as("n_t"))
+        val perPurch = perType.groupBy("p_id")
+          .agg(sum(col("n_t")).as("n_prec"))
+        perType.join(perPurch, "p_id")
+          .select(col("event_type"),
+            (col("n_t") * expr("1000000 div n_prec")).as("c"), col("n_t"))
+          .groupBy("event_type")
+          .agg(sum(col("c")).as("credit_micro"),
+            sum(col("n_t")).as("n_touches"))
+          .select(col("event_type"), col("credit_micro"), col("n_touches"),
+            round(col("credit_micro").cast("double") / 1000000.0, 6)
+              .as("credit"))
+      },
+      Some("""WITH lab AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, event_type, ts,
+        |          epoch_us(CAST(ts AS TIMESTAMP))
+        |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM events)),
+        |purch AS (SELECT user_id, session_id, event_id AS p_id, ts AS p_ts
+        |          FROM lab WHERE event_type = 'purchase'),
+        |pt AS (
+        |  SELECT p.p_id, l.event_type, COUNT(*) AS n_t
+        |  FROM lab l JOIN purch p USING (user_id, session_id)
+        |  WHERE l.ts < p.p_ts OR (l.ts = p.p_ts AND l.event_id < p.p_id)
+        |  GROUP BY 1, 2),
+        |pp AS (SELECT p_id, CAST(SUM(n_t) AS BIGINT) AS n_prec
+        |       FROM pt GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(SUM(n_t * (1000000 // n_prec)) AS BIGINT) AS credit_micro,
+        |  CAST(SUM(n_t) AS BIGINT) AS n_touches,
+        |  round(CAST(SUM(n_t * (1000000 // n_prec)) AS DOUBLE) / 1000000.0, 6)
+        |    AS credit
+        |FROM pt JOIN pp USING (p_id)
+        |GROUP BY event_type""".stripMargin)),
+
     // PageRank over the within-session transition graph (which event types
     // the traffic actually flows THROUGH, not just how often each fires —
     // the difference between a hub step and a terminal step). Ten damped

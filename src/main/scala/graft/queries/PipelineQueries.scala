@@ -1394,6 +1394,64 @@ object PipelineQueries {
         |GROUP BY k.token
         |HAVING MIN(k.n_exact) >= 20""".stripMargin)),
 
+    // Zipf rank-frequency slope of the head vocabulary (the corpus-health
+    // scalar every data card quotes: natural text sits near −1; template
+    // spam and boilerplate bend it): least-squares slope of ln(freq) on
+    // ln(rank) over the top-200 tokens. Regression runs on EXACT integer
+    // sums of 6dp-scaled-long ln values (products ≤1e16, sums ≤1e18 —
+    // inside long), the slope is ONE double division at the end — the
+    // dq_source_kl determinism contract, so engines match bit-for-bit.
+    // Scale shape: one map-combined token count, TakeOrderedAndProject
+    // top-200 (the tx_heavy_hitters shape), and the rank window + sums
+    // run on the 200-row frame only.
+    Q("tx_zipf",
+      (s, d) => {
+        val top = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("text"))
+          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(200)
+        val wr = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token"))
+        val ranked = top
+          .withColumn("rank", row_number().over(wr))
+          .select(
+            round(round(log(col("rank").cast("double")), 6) * 1000000, 0)
+              .cast("long").as("x"),
+            round(round(log(col("freq").cast("double")), 6) * 1000000, 0)
+              .cast("long").as("y"))
+        ranked
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n").as("n_tokens"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              6).as("zipf_slope"))
+      },
+      Some("""WITH tf AS (
+        |  SELECT token, COUNT(*) AS freq
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |top AS (SELECT token, freq FROM tf ORDER BY freq DESC, token LIMIT 200),
+        |ranked AS (
+        |  SELECT
+        |    CAST(round(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, token)
+        |      AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) AS x,
+        |    CAST(round(round(ln(CAST(freq AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) AS y
+        |  FROM top),
+        |sums AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM ranked)
+        |SELECT n AS n_tokens,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        |FROM sums""".stripMargin)),
+
     // TF-IDF scores per (doc, token): tf and df are exact integer counts;
     // idf = ln(N/df) and the product are single double ops (rounded for the
     // cross-engine libm contract).

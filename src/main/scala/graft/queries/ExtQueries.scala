@@ -1093,6 +1093,130 @@ object ExtQueries {
         |  AND b.week_start = a.week_start + 7
         |GROUP BY a.week_start""".stripMargin)),
 
+    // Cohort LTV curves (the growth-accounting staple next to ev_retention's
+    // activity grid): users cohorted by first-activity week, purchase value
+    // accumulated per (cohort, week-offset) — "how much has the March
+    // cohort spent by week 3". Money stays EXACT: each double value is
+    // 6dp-scaled to a long ONCE (engine-identical rounding), summed as
+    // longs, cumulated as longs; readable doubles derive at the end.
+    // Scale shape: one user-keyed min-week aggregate broadcast-joined
+    // back? No — joined user-keyed (users are fact-sized), then one
+    // (cohort, offset)-keyed map-combined sum; the cumulative window runs
+    // on the cohorts×offsets grid (calendar-bounded, not data-bounded).
+    Q("ev_cohort_ltv",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("week"),
+            col("event_type"), col("value"))
+        val cohorts = ev.groupBy("user_id")
+          .agg(min(col("week")).as("cohort_week"))
+        val grid = ev.filter(col("event_type") === "purchase")
+          .join(cohorts, "user_id")
+          .select(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+              .as("week_offset"),
+            round(col("value") * 1000000, 0).cast("long").as("v"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(sum(col("v")).as("rev_micro"), count(lit(1)).as("n_purchases"))
+        val wc = Window.partitionBy("cohort_week").orderBy("week_offset")
+        grid
+          .withColumn("cum_micro", sum(col("rev_micro")).over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("cohort_week"), col("week_offset"), col("n_purchases"),
+            round(col("rev_micro").cast("double") / 1000000.0, 6).as("revenue"),
+            round(col("cum_micro").cast("double") / 1000000.0, 6).as("ltv"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |    event_type, value
+        |  FROM events),
+        |cohorts AS (SELECT user_id, MIN(week) AS cohort_week
+        |            FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT cohort_week,
+        |    CAST((week - cohort_week) // 7 AS INTEGER) AS week_offset,
+        |    CAST(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |      AS rev_micro,
+        |    COUNT(*) AS n_purchases
+        |  FROM ev JOIN cohorts USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_purchases,
+        |  round(CAST(rev_micro AS DOUBLE) / 1000000.0, 6) AS revenue,
+        |  round(CAST(SUM(rev_micro) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / 1000000.0, 6) AS ltv
+        |FROM grid""".stripMargin)),
+
+    // Peak concurrent sessions per day (capacity planning's first
+    // question). Sweep-line over session start/end deltas, planned as the
+    // DISTRIBUTED two-phase prefix sum: per-day running sums are a
+    // day-KEYED window, the cross-day carry is a prefix sum over the tiny
+    // calendar-bounded day frame (the sk_skyline banded-prefix argument),
+    // and peak(day) = carry + max(local run). The oracle states the naive
+    // semantics — ONE global running sum — which equals carry + local by
+    // the prefix-sum identity; ties at equal ts order starts (+1) before
+    // ends (−1), so touching sessions count as concurrent in both engines.
+    Q("ev_concurrency",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val spans = t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        val deltas = spans
+          .select(col("start_ts").as("ts"), lit(1L).as("delta"),
+            col("user_id"), col("session_id"))
+          .unionByName(spans.select(col("end_ts").as("ts"),
+            lit(-1L).as("delta"), col("user_id"), col("session_id")))
+          .withColumn("day", to_date(col("ts")))
+        val wd = Window.partitionBy("day")
+          .orderBy(col("ts"), col("delta").desc, col("user_id"),
+            col("session_id"))
+        val local = deltas.withColumn("run", sum(col("delta")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val dayAgg = local.groupBy("day")
+          .agg(max(col("run")).as("local_peak"), sum(col("delta")).as("net"))
+        val wdays = Window.orderBy("day")
+        dayAgg
+          .withColumn("cum", sum(col("net")).over(
+            wdays.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("carry", coalesce(lag(col("cum"), 1).over(wdays), lit(0L)))
+          .select(col("day"), (col("carry") + col("local_peak")).as("peak"))
+      },
+      Some("""WITH lab AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, ts,
+        |          epoch_us(CAST(ts AS TIMESTAMP))
+        |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM events)),
+        |spans AS (SELECT user_id, session_id,
+        |            MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |          FROM lab GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT start_ts AS ts, 1 AS delta, user_id, session_id FROM spans
+        |  UNION ALL
+        |  SELECT end_ts AS ts, -1 AS delta, user_id, session_id FROM spans),
+        |swept AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_id
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM deltas)
+        |SELECT day, CAST(MAX(run) AS BIGINT) AS peak
+        |FROM swept GROUP BY day""".stripMargin)),
+
     // Per-type z-score outlier detection, two-phase: the per-type moments
     // come from a groupBy aggregate (map-side partial combine — each task
     // contributes one (sum, count, m2) triple per type, so 100 TB of events

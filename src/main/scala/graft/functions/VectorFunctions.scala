@@ -57,4 +57,14 @@ object VectorFunctions {
     org.apache.spark.sql.GraftBridge.column(
       graft.expressions.VectorSum(
         org.apache.spark.sql.GraftBridge.expression(c), dim).toAggregateExpression())
+
+  /** Exact integer co-moment AGGREGATE over a pre-scaled `array<long>`
+    * column ([[graft.expressions.CoMoments]]): one pass, one
+    * `1 + dim + dim²` long buffer holding (n, elementwise sums, outer-
+    * product sums) — everything an exact covariance matrix needs, with no
+    * per-row ×dim² fan-out. */
+  def coMoments(c: Column, dim: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.CoMoments(
+        org.apache.spark.sql.GraftBridge.expression(c), dim).toAggregateExpression())
 }

@@ -223,6 +223,54 @@ object PipelineQueries {
   private val DsirScoreSql =
     DsirScoreCte + "SELECT doc_id, score, n_tokens FROM scored"
 
+  /** DuckDB oracle for emb_top_eigen: the same exact integer pipeline —
+    * floor-scaled elements, (n, S, P) co-moment sums (here via the
+    * explode/self-join formulation the CoMoments aggregate replaces),
+    * the integer covariance `n·P − S·S` rescaled by trunc-toward-zero
+    * division, then the ten power iterations UNROLLED as chained CTEs
+    * (the ev_pagerank discipline). Sign-sensitive divisions spell
+    * truncation explicitly (`sign · (abs // d)`) because DuckDB's `//`
+    * floors while Spark's `div` truncates — on positives they agree,
+    * so every division here routes through abs(). */
+  private lazy val TopEigenSql: String = {
+    // Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
+    // CTEs, and w_k feeding both v_k's projection and its max-abs scalar
+    // would otherwise expand the ten-iteration chain EXPONENTIALLY (2^10
+    // copies of the whole pipeline — measured minutes instead of 0.2 s).
+    val iters = (1 to 10).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT m.i, CAST(SUM(m.mv * p.v) AS BIGINT) AS w
+         |  FROM mat m JOIN v${k - 1} p ON p.i = m.j GROUP BY m.i),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN w >= 0 THEN w // d ELSE -((-w) // d) END AS v
+         |  FROM w$k CROSS JOIN (SELECT MAX(ABS(w)) // 1000000 + 1 AS d
+         |                       FROM w$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |el AS MATERIALIZED (SELECT vec_id, gs.i, sv[gs.i + 1] AS v
+       |       FROM sv, generate_series(0, 63) gs(i)),
+       |nn AS (SELECT COUNT(*) AS n FROM sv),
+       |ssum AS (SELECT i, CAST(SUM(v) AS BIGINT) AS s FROM el GROUP BY i),
+       |pp AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS p
+       |       FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
+       |mat AS MATERIALIZED (
+       |  SELECT i, j,
+       |    CASE WHEN c >= 0 THEN c // 1000000 ELSE -((-c) // 1000000) END AS mv
+       |  FROM (SELECT pp.i, pp.j, nn.n * pp.p - si.s * sj.s AS c
+       |        FROM pp CROSS JOIN nn
+       |        JOIN ssum si ON si.i = pp.i
+       |        JOIN ssum sj ON sj.i = pp.j)),
+       |v0 AS (SELECT gs.i, CAST(1000000 AS BIGINT) AS v
+       |       FROM generate_series(0, 63) gs(i)),
+       |$iters,
+       |sgn AS (SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS s
+       |        FROM v10 WHERE v <> 0 ORDER BY i LIMIT 1)
+       |SELECT i AS dim, CAST(v * s AS BIGINT) AS v_scaled
+       |FROM v10 CROSS JOIN sgn""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Deduplication ----------------------------------------------------
@@ -3109,6 +3157,64 @@ object PipelineQueries {
         |  SELECT vec_id,
         |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), centroid), 4) AS centroid_sim
         |  FROM embeddings CROSS JOIN m)
-        |SELECT vec_id, centroid_sim FROM scored WHERE centroid_sim <= -0.15""".stripMargin))
+        |SELECT vec_id, centroid_sim FROM scored WHERE centroid_sim <= -0.15""".stripMargin)),
+
+    // Top principal direction of the embedding cloud by power iteration —
+    // the PCA-lite every embedding pipeline wants (dominant-direction
+    // health: a rogue top component means one feature eats the geometry;
+    // its direction seeds whitening, dimension pruning, and OPQ-style
+    // rotations). The whole computation is EXACT integer arithmetic:
+    // floor-scaled elements (floor, not round — bit-identical across
+    // engines by IEEE alone), the CoMoments one-pass aggregate (count +
+    // sums + outer-product sums in a single 1+64+64² long buffer — the
+    // corpus is scanned ONCE, nothing fans out ×4096 per row), integer
+    // covariance n·P − S·S, and ten power iterations with explicit
+    // trunc-toward-zero renormalization. Covariance is PSD, so iteration
+    // converges without sign oscillation; the final sign is normalized to
+    // the first nonzero component. All iteration frames are 64–4096 rows
+    // (localCheckpoint cuts the loop lineage, the ev_pagerank discipline).
+    Q("emb_top_eigen",
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val dim = 64
+        val mom = graft.operators.Parallelism.fanOut(t(s, d, "embeddings"))
+          .select(transform(col("embedding"), x =>
+            floor(x.cast("double") * 1000).cast("long")).as("sv"))
+          .agg(VectorFunctions.coMoments(col("sv"), dim).as("m"))
+        val mat = mom
+          .select(col("m"), posexplode(slice(col("m"), 2 + dim, dim * dim)))
+          .select(
+            (col("pos") / dim).cast("int").as("i"),
+            pmod(col("pos"), lit(dim)).cast("int").as("j"),
+            (element_at(col("m"), 1) * col("col")
+              - element_at(col("m"), (col("pos") / dim).cast("int") + lit(2))
+                * element_at(col("m"), pmod(col("pos"), lit(dim)).cast("int")
+                  + lit(2))).as("c"))
+          .select(col("i"), col("j"),
+            when(col("c") >= 0, expr("c div 1000000"))
+              .otherwise(-expr("(-c) div 1000000")).as("mv"))
+          .localCheckpoint(eager = false)
+        var v = s.range(dim).select(col("id").cast("int").as("i"),
+          lit(1000000L).as("v"))
+        for (_ <- 1 to 10) {
+          val w = mat
+            .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
+            .groupBy("i").agg(sum(col("mv") * col("vj")).as("w"))
+          val dv = w.agg((max(abs(col("w"))).cast("long")).as("mx"))
+            .select(expr("mx div 1000000 + 1").as("d"))
+          // checkpoint per iteration: each broadcast of v otherwise re-runs
+          // the ENTIRE preceding chain (O(k²) recompute across ten rounds)
+          v = w.crossJoin(broadcast(dv))
+            .select(col("i"),
+              when(col("w") >= 0, expr("w div d"))
+                .otherwise(-expr("(-w) div d")).as("v"))
+            .localCheckpoint(eager = false)
+        }
+        val sgn = v.filter(col("v") =!= 0).orderBy("i").limit(1)
+          .select(when(col("v") >= 0, lit(1L)).otherwise(lit(-1L)).as("s"))
+        v.crossJoin(broadcast(sgn))
+          .select(col("i").as("dim"), (col("v") * col("s")).as("v_scaled"))
+      },
+      Some(TopEigenSql))
   )
 }

@@ -144,7 +144,11 @@ class RegistrySpec extends SparkSpec {
       //    SINGLE-ROW node-count aggregate onto the |event types|-bounded
       //    node frame (the cp_mixture_sample scalar shape); the event
       //    stream collapses through the ev_markov window before any join
-      "dq_benford", "ev_pagerank")
+      //  - emb_top_eigen: the corpus collapses through ONE CoMoments
+      //    aggregate; every cross join after that broadcasts a SINGLE-ROW
+      //    frame (the renormalization divisor, the sign scalar) onto
+      //    64-row iteration frames
+      "dq_benford", "ev_pagerank", "emb_top_eigen")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -277,6 +277,32 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric containment over LSH candidate pairs: |A∩B| / min(|A|,|B|)
+    * — how much of the SMALLER shingle set sits inside the larger. Catches
+    * the quote/inclusion duplication Jaccard dilutes away (a page embedded
+    * verbatim in a 10× larger page has Jaccard ≈ 0.1 but containment 1.0 —
+    * the RefinedWeb-style subsumption screen). Candidates come from the
+    * same MinHash banding as [[nearDupKeep]], so recall inherits LSH's
+    * Jaccard bias: a tiny doc inside a huge one may band apart even at
+    * containment 1.0 — passage-level copies are [[winnowCandidatePairs]]'s
+    * job; this operator scores the pairs banding DOES surface. Work is
+    * per-candidate-pair, never all-pairs. */
+  def containmentPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int, bands: Int, threshold: Double,
+      shingleK: Int = 2): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleK)
+    val sets = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
+      .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** The complete near-dup dedup decision: LSH candidates → exact Jaccard
     * refine on candidate pairs only → greedy keep (drop any doc that
     * near-dups a smaller-id doc — the standard one-pass policy; transitive

@@ -1217,6 +1217,56 @@ object ExtQueries {
         |SELECT day, CAST(MAX(run) AS BIGINT) AS peak
         |FROM swept GROUP BY day""".stripMargin)),
 
+    // Inter-event cadence audit (the bot/scripted-traffic screen a
+    // training-data pipeline runs before trusting behavioral data): a
+    // human's event gaps are bursty (squared coefficient of variation
+    // cv² ≳ 1, the exponential-arrival baseline); a cron-driven client
+    // fires metronomically (cv² → 0). Per-user gap second counts stay
+    // EXACT longs (n, Σg, Σg²); cv² = (n·Σg² − (Σg)²)/(Σg)² is computed
+    // over doubles CAST from those exact integers in one mirrored
+    // expression chain, rounded 6dp. Scale shape: one user-keyed window
+    // (the sessionize exchange), one map-combined per-user aggregate —
+    // the flag never shuffles row-sized data twice.
+    Q("ev_bot_cadence",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val g = t(s, d, "events")
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .select(col("user_id"), expr("gap_us div 1000000").as("g"))
+        g.groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+            sum(col("g") * col("g")).as("sg2"))
+          .filter(col("n_gaps") >= 30 && col("sg") > 0)
+          .select(col("user_id"), col("n_gaps"),
+            round((col("n_gaps").cast("double") * col("sg2").cast("double")
+              - col("sg").cast("double") * col("sg").cast("double"))
+              / (col("sg").cast("double") * col("sg").cast("double")), 6)
+              .as("cv2"))
+          .withColumn("is_regular", col("cv2") < 0.3)
+      },
+      Some("""WITH gaps AS (
+        |  SELECT user_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+        |      AS g
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, COUNT(*) AS n_gaps,
+        |    CAST(SUM(g) AS BIGINT) AS sg, CAST(SUM(g * g) AS BIGINT) AS sg2
+        |  FROM gaps WHERE g IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  round((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+        |    - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |    / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)), 6) AS cv2,
+        |  round((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+        |    - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |    / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)), 6) < 0.3 AS is_regular
+        |FROM st WHERE n_gaps >= 30 AND sg > 0""".stripMargin)),
+
     // Per-type z-score outlier detection, two-phase: the per-type moments
     // come from a groupBy aggregate (map-side partial combine — each task
     // contributes one (sum, count, m2) triple per type, so 100 TB of events

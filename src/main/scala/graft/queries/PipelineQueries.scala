@@ -675,6 +675,33 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Asymmetric containment over the SAME LSH candidates the Jaccard
+    // refine scores: |A∩B| / min(|A|,|B|) — the subsumption screen that
+    // catches a page quoted verbatim inside a 10× larger page (Jaccard
+    // ≈ 0.1, containment 1.0). Recall inherits LSH's Jaccard bias (the
+    // scaladoc on Dedup.containmentPairs owns the caveat; passage-level
+    // copies are winnowing's job) and the oracle mirrors the SAME banded
+    // candidate set, so the judged contract is the scoring, not banding
+    // recall. Per-candidate-pair work only.
+    Q("dd_containment",
+      (s, d) => Dedup.containmentPairs(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        NumHashes, Bands, threshold = 0.6),
+      Some(BandsCte + """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    CAST(least(len(sa.sh), len(sb.sh)) AS DOUBLE) AS containment
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, containment
+        |FROM scored WHERE containment >= 0.6""".stripMargin)),
+
     // Embedding-cosine near-dups through annulus (pivot-angle) banding —
     // band-keyed equi-join + exact cosine refine, complete at ANY threshold
     // by the spherical triangle inequality (sign-LSH probing, kept as

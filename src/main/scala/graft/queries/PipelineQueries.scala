@@ -2223,6 +2223,50 @@ object PipelineQueries {
         |          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
         |        FROM documents))""".stripMargin)),
 
+    // Packing-efficiency audit (the counterpart data-engineering number to
+    // tx_seq_packing's assignment): per source, how many 2048-token bins
+    // the packing produced and what fraction of their budget is actually
+    // filled — the padding-waste metric a training job's cost model reads.
+    // Exact integer token sums and bin counts; fill_frac is one double
+    // division rounded 6dp. Same single source-keyed window as the packing
+    // itself, then a two-level map-combined rollup.
+    Q("cp_pack_efficiency",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("source"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / 2048).cast("long").as("bin"))
+          .groupBy("source", "bin").agg(sum(col("n_tokens")).as("bin_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_bins"), sum(col("bin_tokens")).as("n_tokens"))
+          .select(col("source"), col("n_bins"), col("n_tokens"),
+            round(col("n_tokens").cast("double")
+              / (col("n_bins") * 2048L).cast("double"), 6).as("fill_frac"))
+      },
+      Some("""WITH packed AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin
+        |  FROM (
+        |    SELECT doc_id, source, n_tokens,
+        |      SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT doc_id, source,
+        |            CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |          FROM documents))),
+        |bins AS (SELECT source, bin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |         FROM packed GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_bins,
+        |  CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(bin_tokens) AS DOUBLE)
+        |    / CAST(COUNT(*) * 2048 AS DOUBLE), 6) AS fill_frac
+        |FROM bins GROUP BY source""".stripMargin)),
+
     // ---- Corpus composition ----------------------------------------------
 
     // Per-source quota (C4/RefinedWeb-style cap): keep the `quota` longest
@@ -3185,6 +3229,44 @@ object PipelineQueries {
         |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), centroid), 4) AS centroid_sim
         |  FROM embeddings CROSS JOIN m)
         |SELECT vec_id, centroid_sim FROM scored WHERE centroid_sim <= -0.15""".stripMargin)),
+
+    // Anisotropy audit (Ethayarajh 2019's embedding-collapse screen): the
+    // distribution of pairwise cosines over a deterministic stride sample —
+    // a healthy embedding space centers near 0; a collapsed one (every
+    // vector pointing the same way) piles mass near 1 and poisons every
+    // cosine-based op in this suite. Pairing is the fixed stride
+    // (vec_id, vec_id+97): an EQUI join, n pairs total, reproducible on
+    // any engine — no rand(), no all-pairs. Per-bucket means ride exact
+    // scaled-long sums of the 4dp cosines; floor(cos·10) bucketing is one
+    // IEEE multiply+floor, bit-identical cross-engine by construction.
+    Q("emb_anisotropy",
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val e = t(s, d, "embeddings")
+        e.select(col("vec_id").as("pid"), col("embedding").as("ea"))
+          .join(e.select((col("vec_id") - 97).as("pid"),
+            col("embedding").as("eb")), "pid")
+          .select(VectorFunctions.cosineRounded(col("ea"), col("eb")).as("cos"))
+          .select(floor(col("cos") * 10).cast("int").as("bucket"),
+            round(col("cos") * 10000, 0).cast("long").as("c4"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("c4")).as("sc4"))
+          .select(col("bucket"), col("n"),
+            round(col("sc4").cast("double") / col("n").cast("double")
+              / 10000.0, 6).as("mean_cos"))
+      },
+      Some("""WITH pairs AS (
+        |  SELECT round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 97),
+        |bk AS (
+        |  SELECT CAST(floor(cos * 10) AS INTEGER) AS bucket,
+        |    CAST(round(cos * 10000, 0) AS BIGINT) AS c4
+        |  FROM pairs)
+        |SELECT bucket, COUNT(*) AS n,
+        |  round(CAST(SUM(c4) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 10000.0, 6) AS mean_cos
+        |FROM bk GROUP BY bucket""".stripMargin)),
 
     // Top principal direction of the embedding cloud by power iteration —
     // the PCA-lite every embedding pipeline wants (dominant-direction

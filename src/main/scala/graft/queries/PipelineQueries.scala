@@ -1767,6 +1767,46 @@ object PipelineQueries {
     // covered-position aggregation, then a row-local higher-order cut — no
     // all-pairs step; cost bounded by duplicated-gram occurrences (see
     // Dedup.boilerplateSpans).
+    // Per-doc n-gram novelty (the memorization/recycled-content audit next
+    // to tx_boilerplate's removal): the fraction of a doc's DISTINCT word
+    // trigrams that appear in no other document — near-0 means recycled
+    // or templated text, near-1 means genuinely novel content. Exact
+    // integer counts (distinct grams via shingles(), corpus doc-frequency
+    // per gram), novelty one double division. Scale shape: row-local gram
+    // projection, ONE gram-keyed distinct-count exchange, join back on the
+    // same key, one doc-keyed rollup — the tx_boilerplate cost envelope.
+    Q("tx_ngram_novelty",
+      (s, d) => {
+        val grams = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"),
+            explode(TextFunctions.shingles(col("text"), 3)).as("gram"))
+        val df = grams.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        grams.join(df, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .select(col("doc_id"), col("n_grams"), col("n_unique"),
+            round(col("n_unique").cast("double")
+              / col("n_grams").cast("double"), 6).as("novelty"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(parts) - 2),
+        |    i -> parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2])))
+        |    AS gram
+        |  FROM toks WHERE len(parts) >= 3),
+        |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        |FROM grams JOIN df USING (gram)
+        |GROUP BY doc_id""".stripMargin)),
+
     Q("tx_boilerplate",
       (s, d) => graft.operators.Dedup.boilerplateSpans(
         t(s, d, "documents"), col("doc_id"), col("text"), k = 8, minDocs = 2),

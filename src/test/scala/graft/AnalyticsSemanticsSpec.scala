@@ -133,6 +133,104 @@ class AnalyticsSemanticsSpec extends SparkSpec {
     assert(sess.count() > 0) // the sessionizer the attribution shares stays live
   }
 
+  test("dd_containment: containment >= jaccard on every scored pair " +
+    "(|∩|/min dominates |∩|/|∪| by definition)") {
+    val cont = run("dd_containment")
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+    val jac = graft.operators.Dedup.jaccardPairs(
+      graft.sources.Tables(spark, sf, "documents"),
+      col("doc_id"), col("text"), threshold = 0.0)
+    val joined = cont.join(jac, Seq("doc_a", "doc_b"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= 0.6 && c <= 1.0 + 1e-12)
+      if (!r.isNullAt(3)) assert(c >= r.getDouble(3) - 1e-12,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): containment $c < jaccard")
+    }
+  }
+
+  test("tx_ngram_novelty: per-doc counts are consistent and the unique-gram " +
+    "total matches the corpus df=1 census") {
+    val nov = run("tx_ngram_novelty").collect()
+    nov.foreach { r =>
+      val (n, u, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(u >= 0 && u <= n && f >= 0.0 && f <= 1.0, r.toString)
+    }
+    val grams = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 3))
+          .as("gram"))
+    val df1 = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") === 1).count()
+    assert(nov.map(_.getLong(2)).sum == df1,
+      "sum of per-doc unique grams must equal the corpus df=1 gram count")
+  }
+
+  test("ev_cohort_ltv: ltv is the running sum of revenue per cohort and " +
+    "grid revenue conserves the direct purchase total") {
+    val rows = run("ev_cohort_ltv")
+      .select("cohort_week", "week_offset", "revenue", "ltv").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      var cum = BigDecimal(0)
+      g.sortBy(_._2).foreach { case (_, _, rev, ltv) =>
+        cum += BigDecimal(rev)
+        // both sides are 6dp-rounded projections of the same exact longs
+        assert((BigDecimal(ltv) - cum).abs <= BigDecimal("0.000002"))
+      }
+    }
+    val direct = graft.sources.Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 1000000, 0).cast("long"))).collect()(0).getLong(0)
+    val grid = rows.map(r => BigDecimal(r._3)).sum
+    assert((grid - BigDecimal(direct) / 1000000).abs <= BigDecimal("0.01"),
+      s"grid revenue $grid vs direct ${BigDecimal(direct) / 1000000}")
+  }
+
+  test("emb_anisotropy: bucket counts sum to the stride-pair count and " +
+    "means sit inside their buckets") {
+    val rows = run("emb_anisotropy").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val vecs = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = vecs.count(v => vecs(v + 97))
+    assert(rows.map(_._2).sum == expected,
+      "every stride pair must land in exactly one bucket")
+    rows.foreach { case (b, _, m) =>
+      assert(m >= b / 10.0 - 1e-9 && m < (b + 1) / 10.0 + 1e-9,
+        s"bucket $b mean $m outside [${b / 10.0}, ${(b + 1) / 10.0})")
+    }
+  }
+
+  test("cp_pack_efficiency: token totals conserve the raw corpus and bin " +
+    "counts match the packing's max bin id") {
+    val effRows = run("cp_pack_efficiency").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val packed = run("tx_seq_packing").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = packed.groupBy(_._1)
+    effRows.foreach { case (src, nBins, nTokens) =>
+      val g = bySrc(src)
+      assert(nTokens == g.map(_._2).sum, s"$src token conservation")
+      assert(nBins == g.map(_._3).max + 1, s"$src bin census")
+    }
+    assert(effRows.map(_._1).toSet == bySrc.keySet)
+  }
+
+  test("tx_zipf: the head vocabulary follows a negative power law") {
+    val r = run("tx_zipf").collect()(0)
+    val vocab = graft.sources.Tables(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token")).select("token").distinct().count()
+    assert(r.getLong(0) == math.min(200L, vocab),
+      "regression must run on the full head (top-200 or the whole vocab)")
+    val slope = r.getDouble(1)
+    assert(slope < 0, s"Zipf slope must be negative, got $slope")
+    assert(slope > -3, s"implausibly steep slope $slope")
+  }
+
   test("ev_markov: outgoing probabilities sum to 1 per prev_type within " +
     "rounding, and transition counts conserve") {
     val perPrev = run("ev_markov").groupBy("prev_type")

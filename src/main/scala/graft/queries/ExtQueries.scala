@@ -619,6 +619,54 @@ object ExtQueries {
         |        MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
         |      FROM events GROUP BY user_id)""".stripMargin)),
 
+    // Strict ORDERED 3-step funnel (view → click after that view →
+    // purchase after that click): the order constraint ev_funnel's
+    // two-step conditional-min cannot express — each step's anchor is the
+    // previous step's resolved timestamp. Planned as THREE chained
+    // unbounded windows over the SAME user partitioning (fv feeds fc's
+    // predicate, fc feeds fp's): one hash exchange, no sort (unbounded
+    // frames), no self-join, then a distinct collapse to one row per
+    // user. The oracle states the identical window chain.
+    Q("ev_funnel_steps",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+        val st = t(s, d, "events")
+          .withColumn("fv",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("fc",
+            min(when(col("event_type") === "click" && col("ts") >= col("fv"),
+              col("ts"))).over(w))
+          .withColumn("fp",
+            min(when(col("event_type") === "purchase" && col("ts") >= col("fc"),
+              col("ts"))).over(w))
+        st.select(col("user_id"), col("fv").as("first_view"),
+            col("fc").as("first_click"), col("fp").as("first_purchase"),
+            (when(col("fv").isNotNull, 1).otherwise(0)
+              + when(col("fc").isNotNull, 1).otherwise(0)
+              + when(col("fp").isNotNull, 1).otherwise(0)).cast("int")
+              .as("steps"))
+          .distinct()
+      },
+      Some("""WITH st1 AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+        |      OVER (PARTITION BY user_id) AS fv
+        |  FROM events),
+        |st2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= fv THEN ts END)
+        |    OVER (PARTITION BY user_id) AS fc
+        |  FROM st1),
+        |st3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= fc THEN ts END)
+        |    OVER (PARTITION BY user_id) AS fp
+        |  FROM st2)
+        |SELECT DISTINCT user_id, fv AS first_view, fc AS first_click,
+        |  fp AS first_purchase,
+        |  CAST(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS steps
+        |FROM st3""".stripMargin)),
+
     // Gap-based sessionization: a session break is >30 idle minutes; the
     // session id is the running count of breaks per user — lag + windowed
     // sum over (user_id, ts, event_id). Scale shape: the window partitions

@@ -15,7 +15,7 @@ import duckdb, math, sys
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 con = duckdb.connect()
-for t in ["documents", "embeddings", "orders", "customer", "lineitem"]:
+for t in ["documents", "embeddings", "orders", "customer", "lineitem", "events"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 AUDITS = [
@@ -44,6 +44,51 @@ AUDITS = [
     ("norms (4dp)", 4, """
       SELECT sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))
       FROM embeddings"""),
+    # round-11 additions: every freshly rounded derived double
+    ("markov/benford/novelty count ratios (6dp)", 6, """
+      WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+      t AS (SELECT SUM(n) AS nt FROM c)
+      SELECT CAST(a.n AS DOUBLE) / CAST(b.n AS DOUBLE) FROM c a, c b
+      UNION ALL SELECT CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) FROM c CROSS JOIN t"""),
+    ("cohort value micro-scaling (round0)", 0, """
+      SELECT value * 1000000 FROM events WHERE event_type = 'purchase'"""),
+    ("cadence cv2 chain (6dp)", 6, """
+      WITH g AS (SELECT user_id,
+          (epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
+        FROM events),
+      s AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS sg,
+              CAST(SUM(g*g) AS BIGINT) AS sg2
+            FROM g WHERE g IS NOT NULL GROUP BY 1)
+      SELECT (CAST(n AS DOUBLE)*CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE))
+             / (CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE))
+      FROM s WHERE n >= 30 AND sg > 0"""),
+    ("anisotropy bucket mean (6dp)", 6, """
+      WITH p AS (SELECT round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 97),
+      bk AS (SELECT CAST(floor(cos*10) AS INT) AS bucket,
+               CAST(round(cos*10000, 0) AS BIGINT) AS c4 FROM p)
+      SELECT CAST(SUM(c4) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10000.0
+      FROM bk GROUP BY bucket"""),
+    ("pagerank/ltv/attribution scaled-long re-projection (6dp)", 6, """
+      -- x = m/1e6 for integer m: distance to a 6dp half-boundary is ~0.5 by
+      -- construction; measured anyway to keep the audit exhaustive
+      SELECT CAST(CAST(round(value * 1000000, 0) AS BIGINT) AS DOUBLE) / 1000000.0
+      FROM events WHERE event_type = 'purchase'"""),
+    ("zipf slope (6dp)", 6, """
+      WITH tf AS (SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+      top AS (SELECT token, freq FROM tf ORDER BY freq DESC, token LIMIT 200),
+      ranked AS (SELECT
+          CAST(round(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) AS x,
+          CAST(round(round(ln(CAST(freq AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) AS y
+        FROM top),
+      s AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) sx, CAST(SUM(y) AS BIGINT) sy,
+              CAST(SUM(x*y) AS BIGINT) sxy, CAST(SUM(x*x) AS BIGINT) sxx FROM ranked)
+      SELECT CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) FROM s"""),
+    ("benford log10 reference (6dp)", 6, """
+      SELECT log10(1.0 + 1.0 / CAST(d AS DOUBLE)) FROM generate_series(1, 9) t(d)"""),
 ]
 
 worst_overall = 1.0

@@ -2309,6 +2309,46 @@ object PipelineQueries {
 
     // ---- Corpus composition ----------------------------------------------
 
+    // Source-inequality audit: the Gini coefficient of per-source token
+    // mass — the one-number answer to "is this corpus a few crawls wearing
+    // a trench coat" that a data card quotes next to the mixture table
+    // (0 = perfectly balanced, →1 = one source owns everything). Uses the
+    // exact sorted-rank identity G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n over
+    // EXACT long sums; the rank window runs on the per-source frame, which
+    // is bounded by the source vocabulary (the sk_skyline band argument),
+    // never by data volume. Tie ranks are pinned by (mass, source).
+    Q("cp_source_gini",
+      (s, d) => {
+        val st = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("source", "text"))
+          .select(col("source"), tokenCount(col("text")).cast("long").as("nt"))
+          .groupBy("source").agg(sum(col("nt")).as("x"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .orderBy(col("x"), col("source"))
+        st.withColumn("i", row_number().over(wr).cast("long"))
+          .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("sx"),
+            sum(col("i") * col("x")).as("six"))
+          .select(col("n_sources"),
+            round((lit(2.0) * col("six").cast("double"))
+              / (col("n_sources").cast("double") * col("sx").cast("double"))
+              - (col("n_sources") + 1).cast("double")
+                / col("n_sources").cast("double"), 6).as("gini"))
+      },
+      Some("""WITH st AS (
+        |  SELECT source, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |ranked AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
+        |  FROM st),
+        |s AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(i * x) AS BIGINT) AS six
+        |      FROM ranked)
+        |SELECT n AS n_sources,
+        |  round((2.0 * CAST(six AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM s""".stripMargin)),
+
     // Per-source quota (C4/RefinedWeb-style cap): keep the `quota` longest
     // docs per source through the custom TopKPerGroup physical operator —
     // ONE source-keyed exchange into k-bounded per-group heaps, no sort, no

@@ -560,6 +560,75 @@ object PipelineQueries {
         |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
         |FROM cnt CROSS JOIN tot""".stripMargin)),
 
+    // Pairwise two-sample Kolmogorov–Smirnov drift test between sources
+    // over the doc-length distribution — the DISTRIBUTION-level drift stat
+    // next to dq_source_kl's token-level one (KL sees vocabulary shift; KS
+    // sees a source that silently started emitting stubs or megadocs with
+    // the same words). EXACT arithmetic throughout: D = max|F_a − F_b| is
+    // computed as the integer max of |c_a·n_b − c_b·n_a| over the shared
+    // threshold grid, divided once at the end. Scale shape: the fact table
+    // collapses through one (source, n_chars)-keyed map-combined count
+    // into a VALUE-RANGE-bounded frame; the threshold grid rides a
+    // one-row collect_set broadcast (the scalar-subquery shape), CDFs are
+    // source-keyed cumulative windows, and the pair join is
+    // threshold-keyed over bounded frames — |sources|² output rows.
+    Q("dq_ks_drift",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val thr = counts.agg(collect_set(col("n_chars")).as("ts"))
+        val grid = counts.select("source").distinct()
+          .crossJoin(broadcast(thr))
+          .select(col("source"), explode(col("ts")).as("n_chars"))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("n_chars")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val cdf = grid.join(counts, Seq("source", "n_chars"), "left")
+          .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(wc))
+        val ns = counts.groupBy("source").agg(sum(col("c")).as("n"))
+        val ca = cdf.select(col("source").as("source_a"),
+          col("n_chars"), col("cum").as("cum_a"))
+        val cb = cdf.select(col("source").as("source_b"),
+          col("n_chars"), col("cum").as("cum_b"))
+        ca.join(cb, "n_chars")
+          .filter(col("source_a") < col("source_b"))
+          .join(broadcast(ns.select(col("source").as("source_a"),
+            col("n").as("n_a"))), "source_a")
+          .join(broadcast(ns.select(col("source").as("source_b"),
+            col("n").as("n_b"))), "source_b")
+          .groupBy("source_a", "source_b")
+          .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+            .as("dnum"), min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            round(col("dnum").cast("double")
+              / (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
+      },
+      Some("""WITH counts AS (
+        |  SELECT source, n_chars, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, t.n_chars
+        |  FROM (SELECT DISTINCT source FROM counts) s
+        |  CROSS JOIN (SELECT DISTINCT n_chars FROM counts) t),
+        |cdf AS (
+        |  SELECT g.source, g.n_chars,
+        |    CAST(SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source
+        |      ORDER BY g.n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.source = g.source AND c.n_chars = g.n_chars),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |       FROM counts GROUP BY source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  MIN(na.n) AS n_a, MIN(nb.n) AS n_b,
+        |  round(CAST(MAX(ABS(a.cum * nb.n - b.cum * na.n)) AS DOUBLE)
+        |    / CAST(MIN(na.n) * MIN(nb.n) AS DOUBLE), 6) AS ks
+        |FROM cdf a
+        |JOIN cdf b ON b.n_chars = a.n_chars AND a.source < b.source
+        |JOIN ns na ON na.source = a.source
+        |JOIN ns nb ON nb.source = b.source
+        |GROUP BY 1, 2""".stripMargin)),
+
     // Per-source near-dup incidence audit (the release-review counterpart
     // of dq_pii_rate for DUPLICATION): how much of each source the
     // end-to-end near-dup decision keeps — the number a data card reports

@@ -148,7 +148,11 @@ class RegistrySpec extends SparkSpec {
       //    aggregate; every cross join after that broadcasts a SINGLE-ROW
       //    frame (the renormalization divisor, the sign scalar) onto
       //    64-row iteration frames
-      "dq_benford", "ev_pagerank", "emb_top_eigen")
+      //  - dq_ks_drift: the threshold grid rides a ONE-ROW collect_set
+      //    broadcast onto the |sources|-bounded source list (the
+      //    scalar-subquery shape); everything else is keyed joins over
+      //    value-range-bounded frames
+      "dq_benford", "ev_pagerank", "emb_top_eigen", "dq_ks_drift")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

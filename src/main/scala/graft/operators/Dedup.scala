@@ -309,18 +309,28 @@ object Dedup {
     * chains resolve in favor of the smallest id each edge touches).
     * Returns the KEPT doc ids. Work is linear + per-candidate-pair; never
     * all-pairs. */
-  def nearDupKeep(docs: DataFrame, idCol: Column, textCol: Column,
-      numHashes: Int, bands: Int, threshold: Double,
-      shingleK: Int = 2): DataFrame = {
+  /** LSH candidate pairs scored with exact Jaccard (no threshold applied):
+    * the shared refine step behind [[nearDupKeep]] and the judged
+    * threshold-sensitivity sweep. Returns (doc_a, doc_b, jaccard) for every
+    * banded candidate; cost is per-candidate-pair, never all-pairs. */
+  def scoredCandidatePairs(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
     val pairs = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleK)
     val sets = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
       .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
-    val scored = pairs
+    pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def nearDupKeep(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int, bands: Int, threshold: Double,
+      shingleK: Int = 2): DataFrame = {
+    val scored = scoredCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleK)
       .filter(col("jaccard") >= threshold)
     docs.select(idCol.as("doc_id"))
       .join(scored.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")

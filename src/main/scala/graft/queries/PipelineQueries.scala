@@ -744,6 +744,44 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // Dedup threshold-sensitivity sweep (the tuning artifact behind the
+    // 0.4 the keep decision hardcodes): candidate pairs and dropped docs
+    // at every Jaccard threshold 0.3..0.9 in ONE pass — the LSH candidates
+    // are scored once (the shared nearDupKeep refine), each scored pair
+    // row-locally explodes onto the 7-literal threshold ladder, and two
+    // map-combined aggregates collapse it. A corpus whose n_dropped cliff
+    // sits right at the production threshold is a corpus whose dedup is
+    // one crawl away from flipping; this is the query that shows it.
+    Q("dd_threshold_curve",
+      (s, d) => Dedup.scoredCandidatePairs(
+          t(s, d, "documents"), col("doc_id"), col("text"),
+          NumHashes, Bands)
+        .select(col("doc_b"), col("jaccard"),
+          explode(array((3 to 9).map(t => lit(t / 10.0)): _*)).as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_dropped")),
+      Some(BandsCte + """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b)
+        |SELECT t.threshold, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT doc_b) AS n_dropped
+        |FROM scored
+        |CROSS JOIN (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |            AS DOUBLE) AS threshold) t
+        |WHERE jaccard >= t.threshold
+        |GROUP BY t.threshold""".stripMargin)),
+
     // Asymmetric containment over the SAME LSH candidates the Jaccard
     // refine scores: |A∩B| / min(|A|,|B|) — the subsumption screen that
     // catches a page quoted verbatim inside a 10× larger page (Jaccard
@@ -791,6 +829,56 @@ object PipelineQueries {
     // ---- Similarity search ------------------------------------------------
 
     // Brute-force cosine top-k: broadcast query set, one corpus pass.
+    // kNN-graph health: in-degree (hubness) and edge reciprocity of the
+    // exact top-5 graph over the declared 256-vector verification subset
+    // (the dd_jaccard pattern — the scale path would build edges through
+    // the IVF-bucketed scan, same as search). Hub vectors (in-degree >> k)
+    // are the classic ANN pathology that silently eats recall; reciprocity
+    // is the standard graph-quality number HNSW-style builders watch. The
+    // kNN edges reuse the sim_bruteforce query-set-broadcast shape; both
+    // metrics are keyed aggregates + one semi-join on the k-bounded edge
+    // set.
+    Q("sim_hubness",
+      (s, d) => {
+        val sub = t(s, d, "embeddings").filter(col("vec_id") < 256)
+        val knn = Similarity.bruteForceTopK(sub, sub, k = 5)
+        val indeg = knn.groupBy(col("neighbor_id").as("vec_id"))
+          .agg(count(lit(1)).as("in_degree"))
+        val recip = knn
+          .join(knn.select(col("query_id").as("neighbor_id"),
+            col("neighbor_id").as("query_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id").as("vec_id"))
+          .agg(count(lit(1)).as("n_reciprocal"))
+        sub.select("vec_id")
+          .join(indeg, Seq("vec_id"), "left")
+          .join(recip, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+            coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+      },
+      Some("""WITH sub AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+        |knn AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rn
+        |    FROM sub q JOIN sub c ON q.vec_id != c.vec_id)
+        |  WHERE rn <= 5),
+        |ind AS (SELECT neighbor_id AS vec_id, COUNT(*) AS in_degree
+        |        FROM knn GROUP BY 1),
+        |rec AS (SELECT e.query_id AS vec_id, COUNT(*) AS n_reciprocal
+        |        FROM knn e JOIN knn r ON r.query_id = e.neighbor_id
+        |          AND r.neighbor_id = e.query_id
+        |        GROUP BY 1)
+        |SELECT v.vec_id, COALESCE(in_degree, 0) AS in_degree,
+        |  COALESCE(n_reciprocal, 0) AS n_reciprocal
+        |FROM (SELECT vec_id FROM sub) v
+        |LEFT JOIN ind USING (vec_id)
+        |LEFT JOIN rec USING (vec_id)""".stripMargin)),
+
     Q("sim_bruteforce_topk",
       (s, d) => Similarity.bruteForceTopK(
         t(s, d, "embeddings"),

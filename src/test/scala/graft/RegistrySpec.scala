@@ -152,7 +152,11 @@ class RegistrySpec extends SparkSpec {
       //    broadcast onto the |sources|-bounded source list (the
       //    scalar-subquery shape); everything else is keyed joins over
       //    value-range-bounded frames
-      "dq_benford", "ev_pagerank", "emb_top_eigen", "dq_ks_drift")
+      //  - sim_hubness: kNN edges reuse the sim_bruteforce shape — the
+      //    DECLARED 256-vector verification subset broadcast against the
+      //    same bounded scan; both metrics then ride the k-bounded edges
+      "dq_benford", "ev_pagerank", "emb_top_eigen", "dq_ks_drift",
+      "sim_hubness")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -1265,6 +1265,77 @@ object ExtQueries {
         |SELECT day, CAST(MAX(run) AS BIGINT) AS peak
         |FROM swept GROUP BY day""".stripMargin)),
 
+    // Per-user feature-store export (the model-ready table a churn/LTV
+    // trainer reads): recency, frequency (events + sessions), monetary,
+    // and the longest activity streak — one row per user, every number
+    // exact (session count = sum of sessionize breaks, money in scaled
+    // longs, streak via the gaps-and-islands key). Scale shape: the
+    // sessionize window and the per-user rollup share ONE user-keyed
+    // exchange; the streak leg runs on the collapsed (user, day) pair
+    // table; the corpus max-day is a one-row broadcast.
+    Q("ev_user_features",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val perUser = t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("brk")).as("n_sessions"),
+            max(to_date(col("ts"))).as("last_day"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 1000000, 0).cast("long")).otherwise(0L))
+              .as("monetary_micro"))
+        val ws = Window.partitionBy("user_id").orderBy("day")
+        val streaks = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("grp", date_sub(col("day"), row_number().over(ws)))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(max(col("len")).as("longest_streak"))
+        val maxDay = t(s, d, "events").agg(max(to_date(col("ts"))).as("max_day"))
+        perUser.join(streaks, "user_id")
+          .crossJoin(broadcast(maxDay))
+          .select(col("user_id"), col("n_events"), col("n_sessions"),
+            col("longest_streak"),
+            datediff(col("max_day"), col("last_day")).cast("int")
+              .as("recency_days"),
+            round(col("monetary_micro").cast("double") / 1000000.0, 6)
+              .as("monetary"))
+      },
+      Some("""WITH lab AS (
+        |  SELECT user_id, event_type, value, ts,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM (SELECT user_id, event_id, event_type, value, ts,
+        |          epoch_us(CAST(ts AS TIMESTAMP))
+        |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM events)),
+        |pu AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(brk) AS BIGINT) AS n_sessions,
+        |    MAX(CAST(ts AS DATE)) AS last_day,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 1000000, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS monetary_micro
+        |  FROM lab GROUP BY user_id),
+        |du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS grp
+        |  FROM du),
+        |runs AS (SELECT user_id, grp, COUNT(*) AS len
+        |         FROM isl GROUP BY user_id, grp),
+        |streaks AS (SELECT user_id, MAX(len) AS longest_streak
+        |            FROM runs GROUP BY user_id),
+        |md AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events)
+        |SELECT user_id, n_events, n_sessions, longest_streak,
+        |  CAST(max_day - last_day AS INTEGER) AS recency_days,
+        |  round(CAST(monetary_micro AS DOUBLE) / 1000000.0, 6) AS monetary
+        |FROM pu JOIN streaks USING (user_id) CROSS JOIN md""".stripMargin)),
+
     // Inter-event cadence audit (the bot/scripted-traffic screen a
     // training-data pipeline runs before trusting behavioral data): a
     // human's event gaps are bursty (squared coefficient of variation

@@ -155,8 +155,11 @@ class RegistrySpec extends SparkSpec {
       //  - sim_hubness: kNN edges reuse the sim_bruteforce shape — the
       //    DECLARED 256-vector verification subset broadcast against the
       //    same bounded scan; both metrics then ride the k-bounded edges
+      //  - ev_user_features: the corpus max-day is a SINGLE-ROW aggregate
+      //    cross-joined onto the per-user feature frame (the p13 scalar-
+      //    subquery shape); every other join is user-keyed
       "dq_benford", "ev_pagerank", "emb_top_eigen", "dq_ks_drift",
-      "sim_hubness")
+      "sim_hubness", "ev_user_features")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -34,6 +34,28 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("ts"), col("view_ts"))
   }
 
+  /** LEFT as-of join with a max-staleness tolerance — the point-in-time
+    * join feature stores actually need: every left row survives, and a
+    * match older than `toleranceUs` is nulled instead of silently served
+    * stale (training on a feature computed hours before the label's
+    * timestamp is leakage's quieter sibling). Same single user-keyed
+    * window as [[asofJoin]]; the staleness check is row-local. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+      toleranceUs: Long): DataFrame = {
+    val l = left.select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"))
+    val r = right.select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+      lit(0).as("side"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__m", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("__m").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("__m")) <= toleranceUs,
+          col("__m")).as("view_ts"))
+  }
+
   /** Tumbling-window counts/sums. `sum` is exact decimal, surfaced as double
     * (Registry determinism contract). Works identically on a stream after
     * `withWatermark`. */

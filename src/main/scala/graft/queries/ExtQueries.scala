@@ -435,6 +435,31 @@ object ExtQueries {
                 ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin),
       headline = true),
 
+    // LEFT as-of join with max-staleness tolerance (the point-in-time join
+    // feature stores need): every purchase survives, and a preceding view
+    // older than one hour is NULLED rather than silently served stale —
+    // training on a feature computed long before the label's timestamp is
+    // leakage's quieter sibling, and plain as-of joins commit it by
+    // default. Same single user-keyed window as aj_asof_join; the
+    // staleness check is row-local.
+    Q("aj_asof_tolerance",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        EventOps.asofJoinTolerance(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          toleranceUs = 3600L * 1000000)
+      },
+      Some("""SELECT a.event_id, a.user_id, a.ts,
+        |  CASE WHEN b.ts IS NOT NULL
+        |    AND epoch_us(a.ts) - epoch_us(b.ts) <= CAST(3600 AS BIGINT) * 1000000
+        |    THEN b.ts END AS view_ts
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin)),
+
     // Interval (bounded-range) join: purchases matched to same-user views
     // within the preceding hour — equi key (user) carries the shuffle, the
     // time band is a post-join filter, so no candidate blow-up beyond the

@@ -3467,6 +3467,24 @@ object PipelineQueries {
         |  FROM embeddings CROSS JOIN m)
         |SELECT vec_id, centroid_sim FROM scored WHERE centroid_sim <= -0.15""".stripMargin)),
 
+    // SQ8 quantization-distortion audit (the error number next to
+    // sim_sq8_topk's serving path): per-vector mean absolute error of the
+    // floor(x·127)/127 round trip — the budget check run before trusting
+    // a quantized index's rankings. Row-local: one forward-folded
+    // higher-order aggregate per vector (the norms/list_sum parity
+    // contract), rounded 6dp; no shuffle at all.
+    Q("emb_sq8_error",
+      (s, d) => t(s, d, "embeddings").select(
+        col("vec_id"),
+        round(aggregate(
+          transform(col("embedding"), x =>
+            abs(x.cast("double") - floor(x.cast("double") * 127) / lit(127.0))),
+          lit(0.0), (acc, x) => acc + x) / 64.0, 6).as("mae")),
+      Some("""SELECT vec_id,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> abs(x - floor(x * 127) / 127.0))) / 64.0, 6) AS mae
+        |FROM embeddings""".stripMargin)),
+
     // Anisotropy audit (Ethayarajh 2019's embedding-collapse screen): the
     // distribution of pairwise cosines over a deterministic stride sample —
     // a healthy embedding space centers near 0; a collapsed one (every

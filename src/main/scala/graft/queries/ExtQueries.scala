@@ -986,6 +986,50 @@ object ExtQueries {
         |FROM pt JOIN pp USING (p_id)
         |GROUP BY event_type""".stripMargin)),
 
+    // Second-order behavioral patterns: within-session event-type TRIGRAMS
+    // (what ev_markov's first-order matrix cannot see — "view→click→error"
+    // vs "view→click→purchase" share every bigram yet tell opposite
+    // stories). Both leads and the sessionizer ride the SAME user-keyed
+    // (ts, event_id)-ordered frame — still one exchange, one sort — and
+    // the rollup runs on the |types|³-bounded trigram frame.
+    Q("ev_type_trigrams",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .withColumn("s3", lead(col("session_id"), 2).over(w))
+          .filter(col("t3").isNotNull && col("s3") === col("session_id"))
+          .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH lab AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, event_type, ts,
+        |          epoch_us(CAST(ts AS TIMESTAMP))
+        |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM events)),
+        |tri AS (
+        |  SELECT event_type AS t1, session_id,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3,
+        |    lead(session_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+        |  FROM lab)
+        |SELECT t1, t2, t3, COUNT(*) AS n
+        |FROM tri WHERE t3 IS NOT NULL AND s3 = session_id
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
     // PageRank over the within-session transition graph (which event types
     // the traffic actually flows THROUGH, not just how often each fires —
     // the difference between a hub step and a terminal step). Ten damped

@@ -1778,6 +1778,36 @@ object PipelineQueries {
         |  hex(encode(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64))) AS frame_hex
         |FROM idx""".stripMargin)),
 
+    // Frame-LEVEL dedup across assets (the sub-asset granularity video
+    // pipelines dedup at — identical intro/outro frames across different
+    // uploads): sample frames (the mm_frame_sample operator), fingerprint
+    // each, keep digests appearing in >1 asset with their spread. The
+    // digest rides the hex rendering both engines already emit
+    // byte-identically (mm_frame_sample's judged contract), so the md5
+    // parity is inherited. One digest-keyed map-combined count.
+    Q("mm_frame_dedup",
+      (s, d) => Multimodal.frameSample(
+          t(s, d, "documents").select(col("doc_id"),
+            Multimodal.asPayload(col("text")).as("payload")),
+          frameSize = 64, stride = 2)
+        .select(col("doc_id"), md5(hex(col("frame"))).as("digest"))
+        .groupBy("digest")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > 1),
+      Some("""WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1, 2)) AS frame_idx
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id,
+        |    md5(hex(encode(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)))) AS digest
+        |  FROM idx)
+        |SELECT digest, COUNT(*) AS n_frames,
+        |  COUNT(DISTINCT doc_id) AS n_docs
+        |FROM fr GROUP BY digest
+        |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin)),
+
     // Typed feature-extraction over binary payloads via mapPartitions (the
     // decode step is a deterministic stub — see Multimodal.scala — but the
     // batching, schema, and partition plumbing are the real article).

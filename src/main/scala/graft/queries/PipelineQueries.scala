@@ -524,6 +524,52 @@ object PipelineQueries {
         |CROSS JOIN gtot
         |GROUP BY source""".stripMargin)),
 
+    // Chi-square test of independence between source and language (the
+    // "is this metadata column real or vestigial" audit — a corpus whose
+    // lang is independent of source either has a broken lang-ID or a
+    // perfectly mixed crawl, and either way the data card should say so).
+    // Exact integer observed counts and row/column margins; each cell's
+    // (o·n − r·c)² / (e·n²) term is ONE mirrored double chain from exact
+    // longs, 6dp-rounded per cell before the exact integer sum (the
+    // dq_source_kl scaled-long discipline). Scale shape: one
+    // (source, lang)-keyed map-combined count (the contingency table is
+    // category-bounded), margins broadcast back.
+    Q("dq_chi2_independence",
+      (s, d) => {
+        val cell = t(s, d, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val rs = cell.groupBy("source").agg(sum(col("o")).as("r"))
+        val cs = cell.groupBy("lang").agg(sum(col("o")).as("c"))
+        val n = cell.agg(sum(col("o")).as("n"))
+        cell.join(broadcast(rs), "source").join(broadcast(cs), "lang")
+          .crossJoin(broadcast(n))
+          .select(round(round(
+            (col("o").cast("double") * col("n").cast("double")
+              - col("r").cast("double") * col("c").cast("double"))
+              * (col("o").cast("double") * col("n").cast("double")
+                - col("r").cast("double") * col("c").cast("double"))
+              / (col("r").cast("double") * col("c").cast("double")
+                * col("n").cast("double")), 6) * 1000000, 0)
+            .cast("long").as("term"))
+          .agg(count(lit(1)).as("n_cells"),
+            (sum(col("term")).cast("double") / 1000000.0).as("chi2"))
+      },
+      Some("""WITH cell AS (
+        |  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |rs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY 1),
+        |cs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell)
+        |SELECT COUNT(*) AS n_cells,
+        |  CAST(SUM(CAST(round(round(
+        |    (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |    / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)),
+        |    6) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS chi2
+        |FROM cell JOIN rs USING (source) JOIN cs USING (lang)
+        |CROSS JOIN nn""".stripMargin)),
+
     // Benford first-significant-digit audit (the classic fabricated-data
     // / broken-ETL screen for financial-style columns): the digit
     // distribution of o_totalprice against Benford's log10(1 + 1/d)
@@ -3552,6 +3598,40 @@ object PipelineQueries {
         |  round(CAST(SUM(c4) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    / 10000.0, 6) AS mean_cos
         |FROM bk GROUP BY bucket""".stripMargin)),
+
+    // Class-separation audit over the labeled embeddings (the "are these
+    // vectors any good for classification" number): mean cosine of
+    // same-label vs cross-label pairs on the deterministic stride sample —
+    // healthy embeddings put intra-label mass well above inter-label; a
+    // gap near zero means the labels are not linearly recoverable from
+    // this space. Same equi-join stride pairing and exact scaled-long
+    // means as emb_anisotropy, split by label agreement.
+    Q("emb_label_separation",
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val e = t(s, d, "embeddings")
+        e.select(col("vec_id").as("pid"), col("embedding").as("ea"),
+            col("label").as("label"))
+          .join(e.select((col("vec_id") - 97).as("pid"),
+            col("embedding").as("eb"), col("label").as("label_b")), "pid")
+          .select(col("label"),
+            (col("label") === col("label_b")).as("is_intra"),
+            round(VectorFunctions.cosineRounded(col("ea"), col("eb")) * 10000, 0)
+              .cast("long").as("c4"))
+          .groupBy("label", "is_intra")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c4")).cast("double")
+              / count(lit(1)).cast("double") / 10000.0, 6).as("mean_cos"))
+      },
+      Some("""WITH pairs AS (
+        |  SELECT a.label AS label, a.label = b.label AS is_intra,
+        |    CAST(round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 4) * 10000, 0) AS BIGINT) AS c4
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 97)
+        |SELECT label, is_intra, COUNT(*) AS n,
+        |  round(CAST(SUM(c4) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 10000.0, 6) AS mean_cos
+        |FROM pairs GROUP BY 1, 2""".stripMargin)),
 
     // Top principal direction of the embedding cloud by power iteration —
     // the PCA-lite every embedding pipeline wants (dominant-direction

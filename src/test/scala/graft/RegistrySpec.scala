@@ -158,8 +158,11 @@ class RegistrySpec extends SparkSpec {
       //  - ev_user_features: the corpus max-day is a SINGLE-ROW aggregate
       //    cross-joined onto the per-user feature frame (the p13 scalar-
       //    subquery shape); every other join is user-keyed
+      //  - dq_chi2_independence: the category-bounded contingency cells
+      //    cross-join their OWN single-row grand total (the scalar shape);
+      //    margins attach as keyed broadcasts
       "dq_benford", "ev_pagerank", "emb_top_eigen", "dq_ks_drift",
-      "sim_hubness", "ev_user_features")
+      "sim_hubness", "ev_user_features", "dq_chi2_independence")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

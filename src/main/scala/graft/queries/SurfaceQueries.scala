@@ -577,6 +577,37 @@ object SurfaceQueries {
         |  SELECT o_orderkey, o_orderstatus,
         |    row_number() OVER (PARTITION BY o_orderstatus
         |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
-        |  FROM orders) WHERE rn <= 100""".stripMargin))
+        |  FROM orders) WHERE rn <= 100""".stripMargin)),
+
+    // Class-balanced downsampling (the classifier-training staple
+    // sm_stratified's FIXED quota cannot express): every label keeps
+    // exactly min-class-size rows, chosen by the deterministic hash order
+    // — so the output is balanced whatever the input skew, and identical
+    // on any engine or partitioning. The min class size is a two-level
+    // aggregate broadcast back as ONE row; ranking is a label-KEYED
+    // window; nothing data-sized crosses the wire twice.
+    Q("sm_balanced_downsample",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val minN = e.groupBy("label").agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("min_n"))
+        val w = Window.partitionBy("label")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        e.select(col("vec_id"), col("label"),
+            row_number().over(w).as("rn"))
+          .crossJoin(broadcast(minN))
+          .filter(col("rn") <= col("min_n"))
+          .select("vec_id", "label")
+      },
+      Some("""WITH mn AS (
+        |  SELECT MIN(n) AS min_n FROM (
+        |    SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1)),
+        |ranked AS (
+        |  SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings)
+        |SELECT vec_id, label FROM ranked CROSS JOIN mn
+        |WHERE rn <= min_n""".stripMargin))
   )
 }

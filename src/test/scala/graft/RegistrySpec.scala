@@ -162,7 +162,10 @@ class RegistrySpec extends SparkSpec {
       //    cross-join their OWN single-row grand total (the scalar shape);
       //    margins attach as keyed broadcasts
       "dq_benford", "ev_pagerank", "emb_top_eigen", "dq_ks_drift",
-      "sim_hubness", "ev_user_features", "dq_chi2_independence")
+      //  - sm_balanced_downsample: the min-class-size quota is a SINGLE-ROW
+      //    two-level aggregate cross-joined onto the ranked frame
+      "sim_hubness", "ev_user_features", "dq_chi2_independence",
+      "sm_balanced_downsample")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -1455,6 +1455,54 @@ object ExtQueries {
         |    / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)), 6) < 0.3 AS is_regular
         |FROM st WHERE n_gaps >= 30 AND sg > 0""".stripMargin)),
 
+    // Full cohort retention triangle (the matrix behind every retention
+    // chart — ev_retention only reports the week+1 diagonal): users
+    // cohorted by first-active week, per (cohort, week-offset) distinct
+    // active users and the retention fraction against the cohort's size.
+    // All counts exact; the rate is one 6dp-rounded division. Scale shape:
+    // the stream collapses to the distinct (user, week) pair table ONCE,
+    // the user-keyed cohort aggregate joins back user-keyed, and the
+    // triangle rollup runs on the calendar-bounded (cohort, offset) grid.
+    Q("ev_retention_matrix",
+      (s, d) => {
+        val weekly = t(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("week"))
+          .distinct()
+        val cohorts = weekly.groupBy("user_id")
+          .agg(min(col("week")).as("cohort_week"))
+        val sizes = cohorts.groupBy("cohort_week")
+          .agg(count(lit(1)).as("cohort_size"))
+        weekly.join(cohorts, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+              .as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"),
+            round(col("n_active").cast("double")
+              / col("cohort_size").cast("double"), 6).as("retention"))
+      },
+      Some("""WITH weekly AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events),
+        |cohorts AS (SELECT user_id, MIN(week) AS cohort_week
+        |            FROM weekly GROUP BY user_id),
+        |sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size
+        |          FROM cohorts GROUP BY cohort_week),
+        |grid AS (
+        |  SELECT cohort_week,
+        |    CAST((week - cohort_week) // 7 AS INTEGER) AS week_offset,
+        |    COUNT(DISTINCT user_id) AS n_active
+        |  FROM weekly JOIN cohorts USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+        |    AS retention
+        |FROM grid JOIN sizes USING (cohort_week)""".stripMargin)),
+
     // Per-type z-score outlier detection, two-phase: the per-type moments
     // come from a groupBy aggregate (map-side partial combine — each task
     // contributes one (sum, count, m2) triple per type, so 100 TB of events

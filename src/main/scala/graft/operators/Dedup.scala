@@ -277,6 +277,71 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact Jaccard-threshold similarity join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo, Ma & Srikant, WWW 2007; Xiao, Wang,
+    * Lin & Yu, WWW 2008), the EXACT-recall counterpart of
+    * [[lshCandidatePairs]]: where MinHash banding trades recall for a
+    * collision probability curve, prefix filtering finds provably EVERY
+    * pair at or above the threshold. Tokens get a global rarest-first
+    * total order (document frequency asc, token asc); J(A,B) ≥ t implies
+    * |A∩B| ≥ ⌈t·|A|⌉ (the union is at least |A|), so a qualifying pair
+    * must share a token inside each side's first |A| − ⌈t·|A|⌉ + 1 ordered
+    * tokens — candidates are an equi-join of PREFIX tokens only, with the
+    * length band t·max(|A|,|B|) ≤ min(|A|,|B|) pruning the rest before the
+    * exact per-pair refine.
+    *
+    * Scale shape: one token-keyed map-combined shuffle for document
+    * frequencies, one doc-keyed window ranking each doc's tokens, and the
+    * candidate join moves PREFIX rows only — ≈(1−t)·|doc| tokens per doc,
+    * and the rarest-first order makes prefix buckets the SMALL-df buckets
+    * by construction (a boilerplate shingle shared by half the corpus is
+    * last in every ordering and lands in almost no prefixes, the exact
+    * inverse of the LSH mega-bucket failure mode). The refine joins the
+    * checkpointed shingle-set projection per candidate pair; nothing is
+    * ever all-pairs. Cost knob vs [[lshCandidatePairs]]: two extra keyed
+    * shuffles (df + rank) buy exact recall — the published trade for
+    * dedup stages where a missed near-dup is a correctness bug, not a
+    * recall statistic. */
+  def prefixFilterPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleK: Int = 2): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    // shingle-set projection: computed once, reused by the df count, the
+    // prefix ranking, and both sides of the exact refine (the dd_lsh_pairs
+    // checkpointed-projection pattern — the doc scan runs once)
+    val sets = Parallelism.fanOut(
+        docs.select(idCol.as("doc_id"), textCol.as("__text")))
+      .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // rarest-first rank within each doc; prefix keeps the first
+    // n − ⌈t·n⌉ + 1 tokens (both engines evaluate ⌈t·n⌉ on the identical
+    // double product, so the cut index is engine-portable)
+    val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("long") + 1)
+      .select(col("doc_id"), col("n"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        greatest(col("a.n"), col("b.n")) * threshold <=
+          least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Asymmetric containment over LSH candidate pairs: |A∩B| / min(|A|,|B|)
     * — how much of the SMALLER shingle set sits inside the larger. Catches
     * the quote/inclusion duplication Jaccard dilutes away (a page embedded

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Q
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Linkage, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** Training-data-pipeline query surface (north star beyond the reference):
@@ -789,6 +789,55 @@ object PipelineQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // Exact-recall similarity join at its scale shape: prefix filtering
+    // (AllPairs/PPJoin) over the FULL corpus with no id bound — the oracle
+    // is the complete all-pairs join, so the judged contract is that the
+    // prefix+length filters lose NOTHING at the threshold (LSH's judged
+    // rows can only claim the banded candidate set; this one claims every
+    // qualifying pair). Candidates move prefix tokens only, rarest-first.
+    Q("dd_prefix_pairs",
+      (s, d) => Dedup.prefixFilterPairs(
+        t(s, d, "documents"), col("doc_id"), col("text"), threshold = 0.5),
+      Some(ShinglesCte + """,
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // Fuzzy entity linkage by sorted neighborhood (Hernández & Stolfo's
+    // merge/purge): distinct part names — the dedup-then-link shape every
+    // linkage pipeline uses — blocked on the first name token, sorted
+    // within block, each key compared to its 8 successors only, edit
+    // distance ≤ 4 kept. The oracle re-derives the identical neighborhood
+    // (same block, same (key, id) order, same window) and DuckDB's
+    // levenshtein, so the judged contract covers both the candidate
+    // neighborhood semantics and cross-engine edit-distance agreement.
+    Q("dd_sorted_neighborhood",
+      (s, d) => Linkage.sortedNeighborhood(
+        t(s, d, "part").groupBy(col("p_name").as("key"))
+          .agg(min(col("p_partkey")).as("id")),
+        col("id"), col("key"), split_part(col("key"), lit(" "), lit(1)),
+        window = 8, maxDist = 4),
+      Some("""WITH dn AS (
+        |  SELECT p_name AS key, MIN(p_partkey) AS id FROM part GROUP BY 1),
+        |r AS (
+        |  SELECT id, key, split_part(key, ' ', 1) AS blk,
+        |    row_number() OVER (PARTITION BY split_part(key, ' ', 1)
+        |                       ORDER BY key, id) AS rn
+        |  FROM dn)
+        |SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+        |  levenshtein(a.key, b.key) AS dist
+        |FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 8
+        |WHERE levenshtein(a.key, b.key) <= 4""".stripMargin)),
 
     // Dedup threshold-sensitivity sweep (the tuning artifact behind the
     // 0.4 the keep decision hardcodes): candidate pairs and dropped docs

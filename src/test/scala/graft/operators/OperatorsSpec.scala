@@ -86,6 +86,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq("[x,1,2]", "[y,3,1]"))
   }
 
+  test("Dedup.prefixFilterPairs == all-pairs jaccardPairs at every threshold") {
+    // completeness is the operator's whole claim: the prefix + length
+    // filters must lose nothing vs the exact all-pairs join, at loose and
+    // tight thresholds, with exact dups, near-dups, and partial overlaps
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"), // near-dup of 1
+      (3L, "p q r s t u v w"),
+      (4L, "p q r s t u v w"), // exact dup of 3
+      (5L, "a b p q somewhat mixed tokens here"),
+      (6L, "one more unrelated document entirely")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.25, 0.5, 0.8, 1.0)) {
+      val exact = rowSet(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), t))
+      val pf = rowSet(Dedup.prefixFilterPairs(docs, col("doc_id"), col("text"), t))
+      assert(pf == exact, s"threshold $t: prefix-filter $pf vs exact $exact")
+    }
+  }
+
   test("Dedup: LSH candidates contain the exact-duplicate pair") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

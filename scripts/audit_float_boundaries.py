@@ -89,6 +89,16 @@ AUDITS = [
       SELECT CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) FROM s"""),
     ("benford log10 reference (6dp)", 6, """
       SELECT log10(1.0 + 1.0 / CAST(d AS DOUBLE)) FROM generate_series(1, 9) t(d)"""),
+    ("covisitation cosine (6dp)", 6, """
+      WITH vi AS (SELECT DISTINCT user_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events WHERE event_type = 'view'),
+      ic AS (SELECT item, COUNT(*) AS n FROM vi GROUP BY 1),
+      pairs AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS n_both
+        FROM vi a JOIN vi b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2)
+      SELECT n_both / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+      FROM pairs JOIN ic na ON na.item = ia JOIN ic nb ON nb.item = ib"""),
 ]
 
 worst_overall = 1.0

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over edge DataFrames. Companion to the
+  * iterative propagation ops already in the engine (`ev_pagerank`'s power
+  * iteration, [[Dedup.connectedComponents]]' min-label loop): these are the
+  * single-pass structural counters.
+  */
+object Graph {
+
+  /** Per-node triangle participation counts over an undirected simple
+    * graph given as (u, v) edge rows (u ≠ v; duplicate/reversed edge rows
+    * are collapsed first). Returns (node, n_triangles) for every node in
+    * at least one triangle.
+    *
+    * Algorithm: degree-ordered edge orientation (the MapReduce triangle
+    * counting of Suri & Vassilvitskii, WWW 2011): every edge orients from
+    * its lower to its higher endpoint in the total order (degree, node),
+    * wedges are pairs of out-neighbors, and a wedge closes into a triangle
+    * iff its (order-sorted) endpoints are themselves an oriented edge —
+    * each triangle is found exactly once, at its lowest-order corner.
+    *
+    * Scale shape: orientation caps out-degree at O(√m) on ANY graph (a
+    * node of degree d > √m has all its edges pointed at it by lower-degree
+    * neighbors), so the wedge self-join emits O(m^1.5) rows worst-case
+    * instead of the O(Σ deg²) a hub would cost under naive per-node
+    * pairing — degree ordering is precisely the skew defense. All joins
+    * are equi-keyed (src; then the (dst_lo, dst_hi) closure lookup);
+    * nothing is ever all-pairs. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: (lo, hi) by node id, deduped
+    val e = edges.toDF("eu", "ev")
+      .filter(col("eu") =!= col("ev"))
+      .select(least(col("eu"), col("ev")).as("lo"),
+        greatest(col("eu"), col("ev")).as("hi"))
+      .distinct()
+    val deg = e.select(col("lo").as("node"))
+      .unionAll(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the smaller to the larger (deg, node); the
+    // destination keeps its full order key so the wedge sort below shares
+    // the orientation's total order
+    val ordLo = struct(col("dlo").as("d"), col("lo").as("n"))
+    val ordHi = struct(col("dhi").as("d"), col("hi").as("n"))
+    val ori = e
+      .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), "hi")
+      .select(
+        when(ordLo < ordHi, col("lo")).otherwise(col("hi")).as("src"),
+        when(ordLo < ordHi, ordHi).otherwise(ordLo).as("dst"))
+    // wedges at each source: ordered out-neighbor pairs; the closing edge,
+    // if present, is oriented exactly b -> c because orientation and the
+    // wedge sort share one total order
+    val wedges = ori.as("e1").join(ori.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"),
+        col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tri = wedges.as("w").join(ori.as("e3"),
+        col("w.b.n") === col("e3.src") && col("w.c") === col("e3.dst"),
+        "left_semi")
+      .select(col("a"), col("b.n").as("b"), col("c.n").as("c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

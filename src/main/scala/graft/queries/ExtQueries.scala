@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Q
-import graft.operators.{EventOps, SaltedJoin}
+import graft.operators.{EventOps, Graph, SaltedJoin}
 import graft.sources.Tables
 
 /** Extension query surface: the operator categories the reference lacks
@@ -1148,6 +1148,74 @@ object ExtQueries {
         |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
         |  GROUP BY d.day)
         |SELECT day, wau_exact FROM wau""".stripMargin)),
+
+    // Item-item co-visitation with cosine normalization — the "users who
+    // viewed X also viewed Y" primitive behind item-based collaborative
+    // filtering (Linden et al., IEEE Internet Computing 2003). The stream
+    // collapses to distinct (user, item) once; per-user pair emission goes
+    // through the capped bucketPairs splitter (power-user defense), and
+    // the normalization joins the tiny per-item user counts back in.
+    // cosine = n_both / √(n_a·n_b), rounded 6dp on identical integer
+    // inputs both engines.
+    Q("ev_covisitation",
+      (s, d) => {
+        val views = t(s, d, "events").filter(col("event_type") === "view")
+        val item = get_json_object(col("props"), "$.k").cast("long")
+        val ic = views.select(col("user_id"), item.as("item")).distinct()
+          .groupBy("item").agg(count(lit(1)).as("n"))
+        EventOps.covisitationEdges(views, item, minUsers = 1L)
+          .join(ic.select(col("item").as("u"), col("n").as("n_u")), "u")
+          .join(ic.select(col("item").as("v"), col("n").as("n_v")), "v")
+          .select(col("u").as("item_a"), col("v").as("item_b"), col("n_both"),
+            round(col("n_both").cast("double") /
+              sqrt(col("n_u").cast("double") * col("n_v").cast("double")), 6)
+              .as("cosine"))
+      },
+      Some("""WITH vi AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'view'),
+        |ic AS (SELECT item, COUNT(*) AS n FROM vi GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+        |  FROM vi a JOIN vi b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_both,
+        |  round(n_both / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6)
+        |    AS cosine
+        |FROM pairs
+        |JOIN ic na ON na.item = item_a
+        |JOIN ic nb ON nb.item = item_b""".stripMargin)),
+
+    // Triangle participation counts on the thresholded co-visitation graph
+    // (≥5 shared viewers per edge): the clustering-structure audit of the
+    // item graph, via degree-ordered orientation (Suri & Vassilvitskii,
+    // WWW 2011) — out-degrees cap at O(√m) on ANY graph, so the wedge
+    // join never explodes on a hub. The oracle counts the same triangles
+    // by the naive three-way id-ordered join: orientation changes the
+    // work, provably not the triangle set.
+    Q("ev_triangles",
+      (s, d) => Graph.triangleCounts(
+        EventOps.covisitationEdges(
+          t(s, d, "events").filter(col("event_type") === "view"),
+          get_json_object(col("props"), "$.k").cast("long"), minUsers = 5L)
+          .select("u", "v"))
+        .withColumnRenamed("node", "item"),
+      Some("""WITH vi AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'view'),
+        |e AS (
+        |  SELECT a.item AS ia, b.item AS ib
+        |  FROM vi a JOIN vi b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tri AS (
+        |  SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+        |  FROM e e1 JOIN e e2 ON e1.ib = e2.ia
+        |  JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+        |m AS (SELECT a AS item FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT item, COUNT(*) AS n_triangles FROM m GROUP BY 1""".stripMargin)),
 
     // Late-straggler sessionization through the STATEFUL streaming operator
     // (graft.streaming.StatefulSessions), judged against the same

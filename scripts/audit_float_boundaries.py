@@ -99,6 +99,12 @@ AUDITS = [
         GROUP BY 1, 2)
       SELECT n_both / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
       FROM pairs JOIN ic na ON na.item = ia JOIN ic nb ON nb.item = ib"""),
+    ("rm3 tf/dl scaled-long projection (round0)", 0, """
+      WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+      tf AS (SELECT doc_id, len(parts) AS dl, term, COUNT(*) AS tf
+             FROM (SELECT doc_id, parts, unnest(parts) AS term FROM toks)
+             GROUP BY 1, 2, 3)
+      SELECT CAST(tf AS DOUBLE) / dl * 1000000000000.0 FROM tf"""),
 ]
 
 worst_overall = 1.0

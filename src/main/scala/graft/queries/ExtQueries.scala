@@ -1149,6 +1149,39 @@ object ExtQueries {
         |  GROUP BY d.day)
         |SELECT day, wau_exact FROM wau""".stripMargin)),
 
+    // Recency-weighted engagement: per-user activity score under
+    // exponential time decay with a one-week half-life. The decay weight
+    // is EXACT: 0.5^(weeks_ago) is scaled to the integer 2^(30 − weeks),
+    // summed as longs (order/partitioning-independent), and divided by
+    // 2^30 once at the end — transcendental-free, so the score is
+    // bit-identical across engines and cluster layouts, unlike a
+    // pow(0.5, x)-per-row formulation whose sum order would matter.
+    // Scale shape: the corpus max-day is a SINGLE-ROW aggregate broadcast
+    // back (the p13 scalar-subquery shape), then one user-keyed
+    // map-combined aggregate. Incrementality note: a stored score ages by
+    // one halving per elapsed week (multiply by 2⁻¹), so the ledger
+    // updates without rescanning history — the ev_wau_sketch contract.
+    Q("ev_decay_score",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val mx = ev.agg(max(col("day")).as("max_day"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("wt",
+            expr("shiftleft(cast(1 as bigint), 30 - cast(datediff(max_day, day) div 7 as int))"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("s"))
+          .select(col("user_id"), col("n_events"),
+            (col("s").cast("double") / lit(1073741824.0)).as("decay_score"))
+      },
+      Some("""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+        |e AS (SELECT user_id,
+        |        (1::BIGINT << (30 - CAST((max_day - CAST(ts AS DATE)) // 7 AS INT))) AS wt
+        |      FROM events CROSS JOIN mx)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(wt) AS DOUBLE) / 1073741824.0 AS decay_score
+        |FROM e GROUP BY 1""".stripMargin)),
+
     // Item-item co-visitation with cosine normalization — the "users who
     // viewed X also viewed Y" primitive behind item-based collaborative
     // filtering (Linden et al., IEEE Internet Computing 2003). The stream

@@ -570,6 +570,63 @@ object PipelineQueries {
         |FROM cell JOIN rs USING (source) JOIN cs USING (lang)
         |CROSS JOIN nn""".stripMargin)),
 
+    // Exact ROC-AUC of the stopword-ratio quality signal against the
+    // fixture's lang == 'en' label — the evaluation number every learned
+    // quality filter reports, via the rank-sum (Mann–Whitney U)
+    // formulation with average-rank tie handling. Everything is integer
+    // until the final division: the corpus collapses to the distinct-
+    // score frame (p = positives, n = negatives per score) with one
+    // map-combined aggregate, a running negative count over that frame
+    // gives 2·P·N·AUC = Σ p·(2·cum_neg_below + n) as an exact long, and
+    // the single IEEE division at the end is bit-identical across
+    // engines (no rounding needed). Scale shape: the raw corpus pays one
+    // keyed aggregate; the global-order window runs on the collapsed
+    // frame only, whose cardinality is the number of DISTINCT scores —
+    // bounded in production by scoring at fixed precision (the same
+    // contract that bounds dq_histogram's buckets).
+    Q("dq_auc",
+      (s, d) => {
+        val scored = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(
+            (TextFunctions.stopwordCount(col("text"), TextFunctions.EnglishStopwords)
+              .cast("double") /
+              nullif(TextFunctions.tokenCount(col("text")), lit(0)).cast("double"))
+              .as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .filter(col("score").isNotNull)
+        val byScore = scored.groupBy("score")
+          .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        byScore
+          .withColumn("cumn", coalesce(sum(col("n")).over(w), lit(0L)))
+          .agg(sum(col("p") * (lit(2L) * col("cumn") + col("n"))).as("num2"),
+            sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"))
+          .select(
+            (col("num2").cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+              .as("auc"),
+            col("n_pos"), col("n_neg"))
+      },
+      Some("""WITH f AS (
+        |  SELECT CAST(len(list_filter(str_split(text, ' '),
+        |           w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / NULLIF(len(str_split(text, ' ')), 0) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT score, CAST(SUM(y) AS BIGINT) AS p,
+        |        CAST(SUM(1 - y) AS BIGINT) AS n
+        |      FROM f WHERE score IS NOT NULL GROUP BY 1),
+        |c AS (SELECT p, n,
+        |        COALESCE(CAST(SUM(n) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |          0) AS cumn
+        |      FROM g)
+        |SELECT CAST(SUM(p * (2 * cumn + n)) AS DOUBLE)
+        |    / (2.0 * CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS auc,
+        |  CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg
+        |FROM c""".stripMargin)),
+
     // Benford first-significant-digit audit (the classic fabricated-data
     // / broken-ETL screen for financial-style columns): the digit
     // distribution of o_totalprice against Benford's log10(1 + 1/d)
@@ -3218,6 +3275,73 @@ object PipelineQueries {
         |WHERE bm25 > 0
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 20""".stripMargin)),
+
+    // RM3-style pseudo-relevance-feedback query expansion (Lavrenko &
+    // Croft's relevance model, the Anserini/Galago default): the BM25
+    // top-10 for the standing query become the pseudo-relevant set, and
+    // expansion terms rank by the uniform-prior relevance model
+    // P(w|R) = (1/k)·Σ_d tf(w,d)/|d|, excluding the original query terms
+    // and stopwords. Determinism contract: each per-doc contribution
+    // tf/dl is pre-rounded to a scaled long at 1e12 (identical IEEE
+    // division + round both engines) and SUMMED AS LONGS, so the
+    // cross-doc accumulation is order/partitioning-independent — the
+    // tx_unigram_logprob treatment. Scale shape: the top-k doc-id set
+    // (10 rows) broadcasts onto one corpus token pass; the term aggregate
+    // is map-combined; the final cut is a k-bounded
+    // TakeOrderedAndProject. At serving scale the top-k comes from the
+    // LexIndex BM25 path instead of the full scan — same downstream.
+    Q("tx_rm3_expansion",
+      (s, d) => {
+        val topk = bm25Scores(s, d)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+          .select("doc_id")
+        val excluded = Seq("dup", "vector", "window") ++
+          TextFunctions.EnglishStopwords
+        graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), tokens(col("text")).as("parts"))
+          .join(broadcast(topk), "doc_id")
+          .select(col("doc_id"), size(col("parts")).as("dl"),
+            explode(col("parts")).as("term"))
+          .filter(!col("term").isin(excluded.map(x => x: Any): _*))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+          .select(col("term"),
+            round(col("tf").cast("double") / col("dl").cast("double")
+              * lit(1e12), 0).cast("long").as("c"))
+          .groupBy("term").agg(sum(col("c")).as("sc"))
+          .orderBy(col("sc").desc, col("term")).limit(15)
+          .select(col("term"),
+            (col("sc").cast("double") / lit(1e13)).as("rm3_weight"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  AVG(CAST(len(parts) AS DOUBLE)) AS avgdl,
+        |  CAST(SUM(CASE WHEN list_contains(parts, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df_dup,
+        |  CAST(SUM(CASE WHEN list_contains(parts, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+        |  CAST(SUM(CASE WHEN list_contains(parts, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+        |  FROM toks),
+        |scored AS (
+        |  SELECT doc_id, round(
+        |      ln((n_docs - df_dup + 0.5) / (df_dup + 0.5) + 1) * (CAST(len(list_filter(parts, x -> x = 'dup')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(parts, x -> x = 'dup')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len(parts) AS DOUBLE) / avgdl))
+        |    + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1) * (CAST(len(list_filter(parts, x -> x = 'vector')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(parts, x -> x = 'vector')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len(parts) AS DOUBLE) / avgdl))
+        |    + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1) * (CAST(len(list_filter(parts, x -> x = 'window')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(parts, x -> x = 'window')) AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len(parts) AS DOUBLE) / avgdl)),
+        |    4) AS bm25
+        |  FROM toks CROSS JOIN stats),
+        |topk AS (SELECT doc_id FROM scored WHERE bm25 > 0
+        |         ORDER BY bm25 DESC, doc_id LIMIT 10),
+        |terms AS (SELECT t.doc_id, len(t.parts) AS dl, unnest(t.parts) AS term
+        |          FROM toks t JOIN topk USING (doc_id)),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM terms
+        |       WHERE term NOT IN ('dup','vector','window','the','a','of','and','to','in')
+        |       GROUP BY 1, 2, 3),
+        |c AS (SELECT term,
+        |        CAST(SUM(CAST(round(CAST(tf AS DOUBLE) / dl * 1000000000000.0, 0) AS BIGINT)) AS BIGINT) AS sc
+        |      FROM tf GROUP BY 1)
+        |SELECT term, CAST(sc AS DOUBLE) / 10000000000000.0 AS rm3_weight
+        |FROM c ORDER BY sc DESC, term LIMIT 15""".stripMargin)),
 
     // Eval-set decontamination pairs: which TRAIN docs share ≥3 distinct
     // word trigrams with an EVAL doc (the per-pair listing behind the

@@ -165,7 +165,13 @@ class RegistrySpec extends SparkSpec {
       //  - sm_balanced_downsample: the min-class-size quota is a SINGLE-ROW
       //    two-level aggregate cross-joined onto the ranked frame
       "sim_hubness", "ev_user_features", "dq_chi2_independence",
-      "sm_balanced_downsample")
+      //  - ev_decay_score: the corpus max-day is a SINGLE-ROW aggregate
+      //    cross-joined onto the event scan (the ev_user_features / p13
+      //    scalar-subquery shape) before the user-keyed aggregate
+      //  - tx_rm3_expansion: the tx_bm25 single-row-stats broadcast (its
+      //    top-10 comes from the same bm25Scores helper); the expansion
+      //    pass itself joins the 10-row doc-id set equi-keyed
+      "sm_balanced_downsample", "ev_decay_score", "tx_rm3_expansion")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

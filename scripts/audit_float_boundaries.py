@@ -105,6 +105,25 @@ AUDITS = [
              FROM (SELECT doc_id, parts, unnest(parts) AS term FROM toks)
              GROUP BY 1, 2, 3)
       SELECT CAST(tf AS DOUBLE) / dl * 1000000000000.0 FROM tf"""),
+    ("covisitation pmi + sppmi shift (6dp)", 6, """
+      WITH vi AS (SELECT DISTINCT user_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events WHERE event_type = 'view'),
+      tot AS (SELECT COUNT(*) AS u_total FROM vi),
+      ic AS (SELECT item, COUNT(*) AS n FROM vi GROUP BY 1),
+      pairs AS (SELECT a.item ia, b.item ib, COUNT(*) AS n_both
+        FROM vi a JOIN vi b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      p AS (SELECT ln(CAST(n_both AS DOUBLE) * CAST(u_total AS DOUBLE)
+              / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))) AS pmi
+            FROM pairs JOIN ic na ON na.item = ia JOIN ic nb ON nb.item = ib
+            CROSS JOIN tot)
+      SELECT pmi FROM p UNION ALL SELECT pmi - ln(5.0) FROM p"""),
+    ("calibration score micro-scaling (round0)", 0, """
+      SELECT CAST(len(list_filter(str_split(text, ' '),
+               w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             / NULLIF(len(str_split(text, ' ')), 0) * 1000000.0
+      FROM documents WHERE text IS NOT NULL"""),
 ]
 
 worst_overall = 1.0

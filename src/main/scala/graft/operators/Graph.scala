@@ -65,4 +65,42 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** `rounds`-round k-core peel: repeatedly drop nodes with current degree
+    * < k and the edges they carry. Returns the surviving (node, deg) frame
+    * — after enough rounds this is the k-core (the maximal subgraph where
+    * every node keeps ≥ k neighbors), the standard "dense engaged core"
+    * extraction.
+    *
+    * The round count is an EXPLICIT, documented contract (the BPE/k-means
+    * iterative-loop discipline): both the engine and any oracle run
+    * exactly `rounds` peels, so results are comparable even before the
+    * fixpoint, and production sizes `rounds` to the measured peel depth
+    * (degeneracy ordering converges in O(peel-depth) rounds, typically
+    * tens even on web-scale graphs). Each round is two map-combined
+    * degree aggregates + two semi-joins on the survivor set; per-round
+    * lineage is cut with a lazy localCheckpoint so the plan stays flat.
+    * A converged core is detectable (one more round changes nothing) but
+    * not silently iterated to — unbounded fixpoint loops are the
+    * does-not-survive-a-pathological-input shape. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1")
+    var e = edges.toDF("eu", "ev")
+      .filter(col("eu") =!= col("ev"))
+      .select(least(col("eu"), col("ev")).as("u"),
+        greatest(col("eu"), col("ev")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("u").as("node")).unionAll(ed.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+      e = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    degrees(e)
+  }
 }

@@ -102,6 +102,35 @@ object ExtQueries {
     * CAST back to BIGINT per iteration so DuckDB's HUGEINT SUM widening
     * cannot diverge from the engine's long arithmetic.
     */
+  /** DuckDB oracle for ev_kcore: the SAME 6 peel rounds as
+    * [[graft.operators.Graph.kcore]], unrolled — each round recomputes
+    * degrees from the surviving edge set and keeps nodes with ≥ 12. */
+  private val KcoreOracle: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and e_i
+    // references e_{i-1} three times, so un-materialized unrolling
+    // re-plans the base scan 3^6 times (the emb_top_eigen lesson)
+    val base = """WITH vi AS MATERIALIZED (
+      |  SELECT DISTINCT user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |  FROM events WHERE event_type = 'view'),
+      |e0 AS MATERIALIZED (
+      |  SELECT a.item AS u, b.item AS v
+      |  FROM vi a JOIN vi b ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 4)""".stripMargin
+    val rounds = (1 to 6).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e${i - 1}
+         |    UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1
+         |  HAVING COUNT(*) >= 12),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM n$i)
+         |    AND v IN (SELECT node FROM n$i))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    base + rounds + """
+      |SELECT node AS item, CAST(COUNT(*) AS BIGINT) AS deg
+      |FROM (SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6)
+      |GROUP BY 1""".stripMargin
+  }
+
   private val PagerankSql: String = {
     val prs = (1 to 10).map { i =>
       s"""pr$i AS (
@@ -1220,6 +1249,52 @@ object ExtQueries {
         |JOIN ic na ON na.item = item_a
         |JOIN ic nb ON nb.item = item_b""".stripMargin)),
 
+    // Shifted positive PMI over the co-visitation graph — the
+    // word2vec-as-implicit-matrix-factorization weighting (Levy &
+    // Goldberg, NeurIPS 2014): PMI(a,b) = ln(n_both·U / (n_a·n_b)) with
+    // U = distinct (user, item) observations, SPPMI = max(0, PMI − ln 5).
+    // The ln is ROW-LOCAL on the pair frame (never summed), so 6dp
+    // rounding on identical integer ratios is the only cross-engine
+    // contract (the tx_tfidf treatment — boundary-audited). Scale shape:
+    // the same capped pair pipeline as ev_covisitation plus a one-row
+    // broadcast total; PMI itself adds zero shuffles.
+    Q("ev_pmi",
+      (s, d) => {
+        val views = t(s, d, "events").filter(col("event_type") === "view")
+        val item = get_json_object(col("props"), "$.k").cast("long")
+        val vi = views.select(col("user_id"), item.as("item")).distinct()
+        val total = vi.agg(count(lit(1)).as("u_total"))
+        val ic = vi.groupBy("item").agg(count(lit(1)).as("n"))
+        val pmi = log(col("n_both").cast("double") * col("u_total").cast("double") /
+          (col("n_u").cast("double") * col("n_v").cast("double")))
+        EventOps.covisitationEdges(views, item, minUsers = 2L)
+          .join(ic.select(col("item").as("u"), col("n").as("n_u")), "u")
+          .join(ic.select(col("item").as("v"), col("n").as("n_v")), "v")
+          .crossJoin(broadcast(total))
+          .select(col("u").as("item_a"), col("v").as("item_b"), col("n_both"),
+            round(pmi, 6).as("pmi"),
+            greatest(lit(0.0), round(pmi - log(lit(5.0)), 6)).as("sppmi"))
+      },
+      Some("""WITH vi AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'view'),
+        |tot AS (SELECT COUNT(*) AS u_total FROM vi),
+        |ic AS (SELECT item, COUNT(*) AS n FROM vi GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+        |  FROM vi a JOIN vi b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT item_a, item_b, n_both,
+        |  round(ln(CAST(n_both AS DOUBLE) * CAST(u_total AS DOUBLE)
+        |    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))), 6) AS pmi,
+        |  greatest(0.0, round(ln(CAST(n_both AS DOUBLE) * CAST(u_total AS DOUBLE)
+        |    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))) - ln(5.0), 6)) AS sppmi
+        |FROM pairs
+        |JOIN ic na ON na.item = item_a
+        |JOIN ic nb ON nb.item = item_b
+        |CROSS JOIN tot""".stripMargin)),
+
     // Triangle participation counts on the thresholded co-visitation graph
     // (≥5 shared viewers per edge): the clustering-structure audit of the
     // item graph, via degree-ordered orientation (Suri & Vassilvitskii,
@@ -1249,6 +1324,89 @@ object ExtQueries {
         |m AS (SELECT a AS item FROM tri UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri)
         |SELECT item, COUNT(*) AS n_triangles FROM m GROUP BY 1""".stripMargin)),
+
+    // k-core extraction on the co-visitation graph (the "dense engaged
+    // core" behind community mining and spam-farm detection): 6-round
+    // degree peel at k=12 over the ≥4-shared-viewer edges. The round
+    // count is the explicit iterative-loop contract (the BPE/k-means
+    // discipline): the oracle unrolls the SAME 6 peels, so the judged
+    // result is well-defined even independent of convergence (the
+    // fixture converges in 3). Each round: two map-combined degree
+    // aggregates + two survivor semi-joins, lineage cut per round.
+    Q("ev_kcore",
+      (s, d) => Graph.kcore(
+        EventOps.covisitationEdges(
+          t(s, d, "events").filter(col("event_type") === "view"),
+          get_json_object(col("props"), "$.k").cast("long"), minUsers = 4L)
+          .select("u", "v"),
+        k = 12, rounds = 6)
+        .withColumnRenamed("node", "item"),
+      Some(KcoreOracle)),
+
+    // One-row structural audit of the co-visitation graph: size, density,
+    // and degree assortativity (Newman 2002) — disassortative item graphs
+    // (hubs attach to leaves) and assortative ones (hub cliques) need
+    // different serving strategies, and a sudden assortativity shift is a
+    // bot-ring signature. Exactness: degrees are integers; the Pearson
+    // correlation over the symmetrized edge list reduces to
+    // (2m·Σxy − (Σx)²) / (2m·Σx² − (Σx)²) in EXACT longs (symmetry makes
+    // the x and y marginals identical), with one IEEE division at the
+    // end — no rounding contract needed. Scale shape: degree frame joins
+    // the edge list equi-keyed twice; one-row aggregates cross-join (the
+    // p13 scalar shape). Long arithmetic holds to ~3e9-degree-sum
+    // corpora; the decimal(38) variant is the drop-in beyond.
+    Q("ev_graph_stats",
+      (s, d) => {
+        val e = EventOps.covisitationEdges(
+          t(s, d, "events").filter(col("event_type") === "view"),
+          get_json_object(col("props"), "$.k").cast("long"), minUsers = 4L)
+          .select("u", "v")
+        val deg = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+          max(col("deg")).as("max_degree"))
+        val dir = e.select(col("u").as("x"), col("v").as("y"))
+          .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+        val edgeStats = dir
+          .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+          .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+          .agg(count(lit(1)).as("n2"), sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"))
+        edgeStats.crossJoin(broadcast(nodeStats))
+          .select(col("n_nodes"), expr("n2 div 2").as("n_edges"),
+            (col("n2").cast("double") / col("n_nodes").cast("double"))
+              .as("avg_degree"),
+            col("max_degree"),
+            ((col("n2") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              (col("n2") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .as("assortativity"))
+      },
+      Some("""WITH vi AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'view'),
+        |e AS (
+        |  SELECT a.item AS u, b.item AS v
+        |  FROM vi a JOIN vi b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |         CAST(MAX(deg) AS BIGINT) AS max_degree FROM deg),
+        |dir AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+        |es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+        |         CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy,
+        |         CAST(SUM(dx.deg) AS BIGINT) AS sx,
+        |         CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx
+        |       FROM dir JOIN deg dx ON dx.node = dir.x
+        |                JOIN deg dy ON dy.node = dir.y)
+        |SELECT n_nodes, n2 // 2 AS n_edges,
+        |  CAST(n2 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS avg_degree,
+        |  max_degree,
+        |  CAST(n2 * sxy - sx * sx AS DOUBLE)
+        |    / CAST(n2 * sxx - sx * sx AS DOUBLE) AS assortativity
+        |FROM es CROSS JOIN ns""".stripMargin)),
 
     // Late-straggler sessionization through the STATEFUL streaming operator
     // (graft.streaming.StatefulSessions), judged against the same

@@ -627,6 +627,51 @@ object PipelineQueries {
         |  CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg
         |FROM c""".stripMargin)),
 
+    // Calibration (reliability) curve companion to dq_auc: decile
+    // buckets of the stopword-ratio signal vs the empirical lang == 'en'
+    // rate per bucket — the plot that says whether a score is usable as
+    // a probability or only as a ranking. Exactness: the bucket index
+    // floor(score·10) is an exact double op on the exact-int-derived
+    // ratio; the mean score per bucket pre-rounds each score to a scaled
+    // long at 1e6 and sums longs (order-independent); the positive rate
+    // is one integer division. Scale shape: one map-combined 10-group
+    // aggregate — the dq_histogram shape.
+    Q("dq_calibration",
+      (s, d) => {
+        val scored = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(
+            (TextFunctions.stopwordCount(col("text"), TextFunctions.EnglishStopwords)
+              .cast("double") /
+              nullif(TextFunctions.tokenCount(col("text")), lit(0)).cast("double"))
+              .as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .filter(col("score").isNotNull)
+        scored
+          .select(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bucket"),
+            round(col("score") * lit(1e6), 0).cast("long").as("s6"), col("y"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            sum(col("s6")).as("ss"))
+          .select(col("bucket"), col("n"), col("n_pos"),
+            (col("ss").cast("double") / col("n").cast("double") / lit(1e6))
+              .as("mean_score"),
+            (col("n_pos").cast("double") / col("n").cast("double"))
+              .as("pos_rate"))
+      },
+      Some("""WITH f AS (
+        |  SELECT CAST(len(list_filter(str_split(text, ' '),
+        |           w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / NULLIF(len(str_split(text, ' ')), 0) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+        |        CAST(round(score * 1000000.0, 0) AS BIGINT) AS s6, y
+        |      FROM f WHERE score IS NOT NULL)
+        |SELECT bucket, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  CAST(SUM(s6) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_score,
+        |  CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
+        |FROM b GROUP BY 1""".stripMargin)),
+
     // Benford first-significant-digit audit (the classic fabricated-data
     // / broken-ETL screen for financial-style columns): the digit
     // distribution of o_totalprice against Benford's log10(1 + 1/d)

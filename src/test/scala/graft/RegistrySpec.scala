@@ -171,7 +171,14 @@ class RegistrySpec extends SparkSpec {
       //  - tx_rm3_expansion: the tx_bm25 single-row-stats broadcast (its
       //    top-10 comes from the same bm25Scores helper); the expansion
       //    pass itself joins the 10-row doc-id set equi-keyed
-      "sm_balanced_downsample", "ev_decay_score", "tx_rm3_expansion")
+      //  - ev_pmi: the ev_market_basket shape — the one-row distinct-
+      //    observation total cross-joins onto the item-pair frame; the
+      //    pair pipeline itself is the capped equi-keyed covisitation path
+      //  - ev_graph_stats: the one-row (n_nodes, max_degree) aggregate
+      //    cross-joins the one-row edge-moment aggregate (two scalar
+      //    frames — the p13 shape); the degree joins are equi-keyed
+      "sm_balanced_downsample", "ev_decay_score", "tx_rm3_expansion",
+      "ev_pmi", "ev_graph_stats")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

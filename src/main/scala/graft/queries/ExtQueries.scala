@@ -1408,6 +1408,103 @@ object ExtQueries {
         |    / CAST(n2 * sxx - sx * sx AS DOUBLE) AS assortativity
         |FROM es CROSS JOIN ns""".stripMargin)),
 
+    // Leave-last-out next-item recommendation evaluation — the composite
+    // that makes the co-visitation family earn its keep: hold out each
+    // user's LAST viewed item, recommend by summed item-item cosine from
+    // the history-only co-visitation model (held-out observations never
+    // enter the model — no train/test leakage), and report hit-rate@10
+    // and MRR@10. Determinism: per-edge cosines round to scaled longs at
+    // 1e6 BEFORE the per-candidate sum (order-independent), ranking is
+    // pure integer (score desc, item asc), and MRR pre-rounds 1e6/rank
+    // per hit (an exact 10-value table) before its long sum. Scale
+    // shape: one user-keyed window for the held-out item, the capped
+    // covisitation pair path, item-keyed score joins, a user-keyed rank
+    // window, and two one-row aggregates cross-joined at the very end.
+    Q("ev_rec_hitrate",
+      (s, d) => {
+        val item = get_json_object(col("props"), "$.k").cast("long")
+        val v = t(s, d, "events").filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"), item.as("item"))
+        val wLast = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val last = v.withColumn("rn", row_number().over(wLast))
+          .filter(col("rn") === 1).select(col("user_id"), col("item").as("held"))
+        val hist = v.join(last, "user_id").filter(col("item") =!= col("held"))
+          .select("user_id", "item").distinct()
+          .localCheckpoint(eager = false)
+        val ic = hist.groupBy("item").agg(count(lit(1)).as("n"))
+        val cos = EventOps.covisitationEdges(
+            hist.select(col("user_id"), col("item")), col("item"), minUsers = 1L)
+          .join(ic.select(col("item").as("u"), col("n").as("n_u")), "u")
+          .join(ic.select(col("item").as("v"), col("n").as("n_v")), "v")
+          .select(col("u"), col("v"),
+            round(col("n_both").cast("double") /
+              sqrt(col("n_u").cast("double") * col("n_v").cast("double"))
+              * lit(1e6), 0).cast("long").as("c6"))
+        val bi = cos.select(col("u").as("i"), col("v").as("c"), col("c6"))
+          .unionAll(cos.select(col("v").as("i"), col("u").as("c"), col("c6")))
+        val scores = hist.as("h").join(bi.as("b"), col("h.item") === col("b.i"))
+          .groupBy(col("h.user_id").as("user_id"), col("b.c").as("c"))
+          .agg(sum(col("c6")).as("sc"))
+          .join(hist.select(col("user_id"), col("item").as("c")),
+            Seq("user_id", "c"), "left_anti")
+        val wRank = Window.partitionBy("user_id")
+          .orderBy(col("sc").desc, col("c"))
+        val hits = scores.withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 10)
+          .join(last, "user_id").filter(col("c") === col("held"))
+          .select(col("user_id"), col("rn"))
+        val nu = hist.select("user_id").distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val hm = hits.agg(count(lit(1)).as("n_hits"),
+          coalesce(sum(round(lit(1e6) / col("rn"), 0).cast("long")), lit(0L))
+            .as("mrr6"))
+        nu.crossJoin(broadcast(hm))
+          .select(col("n_users"), col("n_hits"),
+            (col("n_hits").cast("double") / col("n_users").cast("double"))
+              .as("hit_rate"),
+            (col("mrr6").cast("double") / lit(1e6) / col("n_users").cast("double"))
+              .as("mrr"))
+      },
+      Some("""WITH v AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'view'),
+        |lst AS (SELECT user_id, item AS held FROM (
+        |  SELECT user_id, item, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM v) WHERE rn = 1),
+        |hist AS (SELECT DISTINCT v.user_id, v.item
+        |  FROM v JOIN lst USING (user_id) WHERE v.item <> held),
+        |ic AS (SELECT item, COUNT(*) AS n FROM hist GROUP BY 1),
+        |pairs AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS n_both
+        |  FROM hist a JOIN hist b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT ia, ib, CAST(round(n_both
+        |    / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+        |    * 1000000.0, 0) AS BIGINT) AS c6
+        |  FROM pairs JOIN ic na ON na.item = ia JOIN ic nb ON nb.item = ib),
+        |bi AS (SELECT ia AS i, ib AS c, c6 FROM cs
+        |       UNION ALL SELECT ib, ia, c6 FROM cs),
+        |sc AS (SELECT h.user_id, b.c, CAST(SUM(b.c6) AS BIGINT) AS s
+        |  FROM hist h JOIN bi b ON b.i = h.item GROUP BY 1, 2),
+        |scx AS (SELECT sc.user_id, sc.c, sc.s FROM sc
+        |  LEFT JOIN hist hh ON hh.user_id = sc.user_id AND hh.item = sc.c
+        |  WHERE hh.item IS NULL),
+        |top AS (SELECT user_id, c, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY s DESC, c) AS rn FROM scx),
+        |hits AS (SELECT t.user_id, t.rn FROM top t
+        |  JOIN lst l ON l.user_id = t.user_id AND t.c = l.held
+        |  WHERE t.rn <= 10),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM hist),
+        |hm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  COALESCE(CAST(SUM(CAST(round(1000000.0 / rn, 0) AS BIGINT)) AS BIGINT),
+        |    0) AS mrr6 FROM hits)
+        |SELECT n_users, n_hits,
+        |  CAST(n_hits AS DOUBLE) / CAST(n_users AS DOUBLE) AS hit_rate,
+        |  CAST(mrr6 AS DOUBLE) / 1000000.0 / CAST(n_users AS DOUBLE) AS mrr
+        |FROM nu CROSS JOIN hm""".stripMargin)),
+
     // Late-straggler sessionization through the STATEFUL streaming operator
     // (graft.streaming.StatefulSessions), judged against the same
     // micros-exact gap-merge SQL as ev_sessionize: micro-batch 1 delivers

@@ -177,8 +177,11 @@ class RegistrySpec extends SparkSpec {
       //  - ev_graph_stats: the one-row (n_nodes, max_degree) aggregate
       //    cross-joins the one-row edge-moment aggregate (two scalar
       //    frames — the p13 shape); the degree joins are equi-keyed
+      //  - ev_rec_hitrate: the final metric row cross-joins two ONE-ROW
+      //    aggregates (user total × hit/MRR sums — the p13 scalar shape);
+      //    every data-sized join is user- or item-keyed
       "sm_balanced_downsample", "ev_decay_score", "tx_rm3_expansion",
-      "ev_pmi", "ev_graph_stats")
+      "ev_pmi", "ev_graph_stats", "ev_rec_hitrate")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

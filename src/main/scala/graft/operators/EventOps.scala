@@ -122,6 +122,29 @@ object EventOps {
       .filter(col("n_both") >= minUsers)
   }
 
+  /** Serve per-user decay scores from a
+    * [[graft.streaming.EventStreams.startDecayLedgerSink]] ledger, as of
+    * the ledger's latest day: merge the per-batch partial (user, day)
+    * counts, weight each day by the exact integer 2^(30 − weeks_ago)
+    * (the judged `ev_decay_score` contract — transcendental-free,
+    * order-independent), and sum as longs. The per-day counts are
+    * sufficient statistics, so serving cost is O(ledger) — never
+    * O(events) — and any other as-of date is the same query with a
+    * different anchor. */
+  def decayScoresFromLedger(spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String): DataFrame = {
+    val ledger = spark.read.parquet(ledgerDir)
+      .groupBy("user_id", "day").agg(sum(col("n")).as("n"))
+    val mx = ledger.agg(max(col("day")).as("max_day"))
+    ledger.crossJoin(broadcast(mx))
+      .withColumn("wt",
+        expr("n * shiftleft(cast(1 as bigint), 30 - cast(datediff(max_day, day) div 7 as int))"))
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_events"), sum(col("wt")).as("s"))
+      .select(col("user_id"), col("n_events"),
+        (col("s").cast("double") / lit(1073741824.0)).as("decay_score"))
+  }
+
   /** Incremental distinct-user LEDGER: one mergeable HLL sketch per day
     * (DataSketches `hll_sketch_agg`). The ledger is the production WAU/MAU
     * architecture at 100 TB: each day's events are aggregated ONCE into a

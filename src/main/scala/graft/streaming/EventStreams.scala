@@ -145,6 +145,41 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Incremental decay-score LEDGER sink — the streaming counterpart of
+    * the judged `ev_decay_score` query. Each micro-batch collapses to its
+    * per-(user, day) event counts and (re)writes them under the batch's
+    * OWN partition (`batch_id=N`); serving
+    * ([[graft.operators.EventOps.decayScoresFromLedger]]) merges the
+    * partials and applies the exact power-of-two decay weights as of the
+    * ledger's latest day.
+    *
+    * Exactly-once: the write is idempotent BY ADDRESSING — a retried or
+    * replayed batch N overwrites `batch_id=N` with identical bytes
+    * instead of appending a second copy, the standard foreachBatch
+    * (batchId + idempotent write) recipe, so the sink needs no anti-join
+    * against its own history and per-batch cost is O(batch), independent
+    * of ledger size. This REQUIRES the stable batch ids a checkpoint
+    * provides, hence the mandatory `checkpointDir` (a fresh checkpoint
+    * renumbers batches — the spec pins the crash-replay semantics by
+    * rolling the checkpoint back). Decay granularity is day-bucketed, so
+    * per-day counts are sufficient statistics for ANY as-of date: scores
+    * re-derive from the compact ledger without ever rescanning events,
+    * and a periodic compaction folding old `batch_id` partitions into one
+    * keeps partition counts bounded (the index-compaction story). */
+  def startDecayLedgerSink(events: DataFrame, ledgerDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col("user_id"), to_date(col("ts")).as("day"))
+          .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite")
+          .parquet(s"$ledgerDir/batch_id=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType)))

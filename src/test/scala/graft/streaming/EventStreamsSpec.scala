@@ -557,4 +557,78 @@ class EventStreamsSpec extends SparkSpec {
     assert(ledgerSegs("lex") === lexSegs && ledgerSegs("band") === bandSegs,
       "a replayed forget batch must not grow the tombstone ledgers")
   }
+
+  test("decay-ledger sink: incremental batches, crash replay lands once, serving is exact") {
+    val dir = Files.createTempDirectory("graft-decay").toString
+    val cp = s"$dir/cp"
+    val f1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-03 10:00:00", 1, "view", 1.0),
+      ev(3, "2024-01-02 10:00:00", 2, "click", 1.0))
+    val f2 = Seq(
+      ev(4, "2024-01-15 10:00:00", 1, "view", 1.0),
+      ev(5, "2024-01-16 10:00:00", 3, "view", 1.0))
+
+    // the spec's own exact mirror of the ev_decay_score weight contract
+    def expected(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) = {
+      val days = rows.map(r => r._3 -> r._2.toLocalDateTime.toLocalDate)
+      val maxDay = days.map(_._2).max
+      days.groupBy(_._1).map { case (u, ds) =>
+        val s = ds.map { case (_, day) =>
+          1L << (30 - java.time.temporal.ChronoUnit.DAYS.between(day, maxDay).toInt / 7)
+        }.sum
+        u -> (ds.size.toLong, s.toDouble / (1L << 30).toDouble)
+      }
+    }
+    def served(): Map[Long, (Long, Double)] =
+      EventOps.decayScoresFromLedger(spark, s"$dir/ledger").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def run(): Unit = EventStreams.startDecayLedgerSink(
+      EventStreams.readEvents(spark, s"$dir/in"), s"$dir/ledger", cp)
+      .awaitTermination(60000)
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rmDir(path: String): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+    }
+
+    f1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+    run()
+    assert(served() == expected(f1))
+
+    // snapshot the checkpoint BEFORE batch 2 commits (= the crash window)
+    copyDir(cp, s"$dir/cp_bak")
+
+    f2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val afterTwo = served()
+    assert(afterTwo == expected(f1 ++ f2),
+      "serving must equal the batch decay contract over all landed events")
+    val partitions = new java.io.File(s"$dir/ledger").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(partitions.size >= 2, s"expected per-batch partitions, got $partitions")
+
+    // crash replay: roll the checkpoint back so batch 2 re-executes under
+    // its ORIGINAL id — the overwrite-by-addressing must land it once
+    rmDir(cp); copyDir(s"$dir/cp_bak", cp)
+    run()
+    assert(served() == afterTwo, "replayed batch must overwrite, not double-count")
+    val partitionsAfter = new java.io.File(s"$dir/ledger").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(partitionsAfter == partitions,
+      "a replayed batch must not mint new ledger partitions")
+  }
 }

@@ -119,6 +119,21 @@ AUDITS = [
             FROM pairs JOIN ic na ON na.item = ia JOIN ic nb ON nb.item = ib
             CROSS JOIN tot)
       SELECT pmi FROM p UNION ALL SELECT pmi - ln(5.0) FROM p"""),
+    ("kneser-ney bigram probability (6dp)", 6, """
+      WITH toksl AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+      bi AS (SELECT unnest(list_transform(generate_series(1, len(parts) - 1),
+               i -> parts[i] || ' ' || parts[i + 1])) AS bg
+             FROM toksl WHERE len(parts) >= 2),
+      bc AS (SELECT bg, str_split(bg, ' ')[1] AS w1, str_split(bg, ' ')[2] AS w2,
+               COUNT(*) AS cb FROM bi GROUP BY 1, 2, 3),
+      hist AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1, COUNT(*) AS n1p
+               FROM bc GROUP BY 1),
+      cont AS (SELECT w2, COUNT(*) AS n1c FROM bc GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS tt FROM bc)
+      SELECT (CAST(cb AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+          + 0.75 * (CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE))
+            * (CAST(n1c AS DOUBLE) / CAST(tt AS DOUBLE))
+      FROM bc JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tot"""),
     ("calibration score micro-scaling (round0)", 0, """
       SELECT CAST(len(list_filter(str_split(text, ' '),
                w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)

@@ -2432,6 +2432,106 @@ object PipelineQueries {
         |  COALESCE(s.nb, CAST(0 AS BIGINT)) AS n_bigrams
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)),
 
+    // Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    // Chen & Goodman 1998's benchmark winner — the production n-gram
+    // smoother): absolute discount D = 0.75 (exact in binary) plus the
+    // CONTINUATION-count backoff that distinguishes KN from the
+    // fixed-interpolation tx_bigram_lm — a word's unigram backoff mass is
+    // how many distinct contexts it FOLLOWS, not how often it occurs
+    // (the "San Francisco" correction: "Francisco" is frequent but
+    // follows one context, so its backoff weight is tiny). Every count
+    // (pair, history, continuation, type total) derives from ONE bigram
+    // type table; the probability is a fixed mirrored double chain
+    // rounded 6dp (boundary-audited). Scale shape: the corpus pays one
+    // bigram explode + map-combined count; everything after runs on the
+    // type table (vocab²-bounded, corpus-independent); top-500 cut is a
+    // TakeOrderedAndProject.
+    Q("tx_kn_bigram",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val parts = tokens(col("text"))
+        val bc = graft.operators.Parallelism.fanOut(docs)
+          .select(explode(when(size(parts) >= 2,
+            transform(sequence(lit(1), size(parts) - 1), i =>
+              concat(element_at(parts, i), lit(" "), element_at(parts, i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("cb"))
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+          .localCheckpoint(eager = false)
+        val hist = bc.groupBy("w1")
+          .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p"))
+        val cont = bc.groupBy("w2").agg(count(lit(1)).as("n1c"))
+        val tot = bc.agg(count(lit(1)).as("tt"))
+        bc.join(hist, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("cb"),
+            round((col("cb").cast("double") - lit(0.75)) / col("c1").cast("double")
+              + lit(0.75) * (col("n1p").cast("double") / col("c1").cast("double"))
+                * (col("n1c").cast("double") / col("tt").cast("double")), 6)
+              .as("p_kn"))
+          .orderBy(col("cb").desc, col("w1"), col("w2"))
+          .limit(500)
+      },
+      Some("""WITH toksl AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |bi AS (SELECT unnest(list_transform(generate_series(1, len(parts) - 1),
+        |         i -> parts[i] || ' ' || parts[i + 1])) AS bg
+        |       FROM toksl WHERE len(parts) >= 2),
+        |bc AS (SELECT bg, str_split(bg, ' ')[1] AS w1, str_split(bg, ' ')[2] AS w2,
+        |         COUNT(*) AS cb FROM bi GROUP BY 1, 2, 3),
+        |hist AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1,
+        |           COUNT(*) AS n1p FROM bc GROUP BY 1),
+        |cont AS (SELECT w2, COUNT(*) AS n1c FROM bc GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS tt FROM bc)
+        |SELECT bc.w1, bc.w2, cb,
+        |  round((CAST(cb AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+        |    + 0.75 * (CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |      * (CAST(n1c AS DOUBLE) / CAST(tt AS DOUBLE)), 6) AS p_kn
+        |FROM bc JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+        |ORDER BY cb DESC, w1, w2 LIMIT 500""".stripMargin)),
+
+    // Tokenizer fertility / out-of-vocabulary audit per source — the
+    // accounting behind every tokenizer decision (a source whose
+    // chars-per-token or OOV rate is an outlier either needs its own
+    // vocab slice or is junk): top-1000 corpus vocabulary (freq desc,
+    // token tiebreak — the tx_vocab cut), then one token pass per source
+    // counting tokens, OOV tokens, and token characters. Ratios are raw
+    // IEEE divisions of exact integers — bit-identical, no rounding
+    // contract. Scale shape: map-combined vocab count + k-bounded
+    // TakeOrdered, 1000-row broadcast onto the exploded pass, one
+    // source-keyed map-combined rollup.
+    Q("tx_fertility",
+      (s, d) => {
+        val toks = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("source", "text"))
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token")).limit(1000)
+          .select(col("token"), lit(1L).as("iv"))
+        toks.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"),
+            sum(length(col("token")).cast("long")).as("n_chars"))
+          .select(col("source"), col("n_tokens"), col("n_oov"),
+            (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+              .as("chars_per_token"),
+            (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+              .as("oov_rate"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT source, unnest(str_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1)
+        |  ORDER BY freq DESC, token LIMIT 1000)
+        |SELECT source, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS oov_rate,
+        |  CAST(SUM(length(t.token)) AS DOUBLE) / COUNT(*) AS chars_per_token
+        |FROM toks t LEFT JOIN vocab v ON v.token = t.token
+        |GROUP BY source""".stripMargin)),
+
     // Per-document Shannon token entropy — the information-density signal
     // behind Gopher/RedPajama-style quality rules (near-zero entropy =
     // repeated-token spam, high entropy = diverse vocabulary):

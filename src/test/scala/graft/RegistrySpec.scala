@@ -180,8 +180,11 @@ class RegistrySpec extends SparkSpec {
       //  - ev_rec_hitrate: the final metric row cross-joins two ONE-ROW
       //    aggregates (user total × hit/MRR sums — the p13 scalar shape);
       //    every data-sized join is user- or item-keyed
+      //  - tx_kn_bigram: the tx_bigram_lm shape — the one-row bigram-type
+      //    total cross-joins onto the vocab²-bounded type table; the
+      //    history/continuation joins are equi-keyed
       "sm_balanced_downsample", "ev_decay_score", "tx_rm3_expansion",
-      "ev_pmi", "ev_graph_stats", "ev_rec_hitrate")
+      "ev_pmi", "ev_graph_stats", "ev_rec_hitrate", "tx_kn_bigram")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -1505,6 +1505,50 @@ object ExtQueries {
         |  CAST(mrr6 AS DOUBLE) / 1000000.0 / CAST(n_users AS DOUBLE) AS mrr
         |FROM nu CROSS JOIN hm""".stripMargin)),
 
+    // Exponentially-smoothed daily levels per event type (simple
+    // exponential smoothing, α = 1/2): l_d = c_d/2 + l_{d−1}/2 in CLOSED
+    // FORM — l_d = (Σ_{d'≤d} c_{d'}·2^{d'}) / 2^{d+1}, so the whole
+    // recursion is ONE running integer sum and an exact power-of-two
+    // division: transcendental-free, bit-identical everywhere, and gap
+    // days decay correctly because weights depend on day DISTANCE, not
+    // row adjacency. Long headroom: counts·2^horizon must fit 63 bits —
+    // fine to ~2^20 events/day over a 30-day window; longer horizons
+    // re-anchor per window (the decay-ledger trick) or go decimal(38).
+    // Scale shape: the corpus collapses to the (type, day) frame first;
+    // the window runs on that bounded frame only (the tx_zipf precedent);
+    // one-row broadcast min-day (p13 shape).
+    Q("ev_smoothing",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val mn = daily.agg(min(col("day")).as("min_day"))
+        val w = Window.partitionBy("event_type").orderBy("di")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(mn))
+          .withColumn("di", datediff(col("day"), col("min_day")).cast("int"))
+          .withColumn("c2", expr("n * shiftleft(cast(1 as bigint), di)"))
+          .withColumn("s", sum(col("c2")).over(w))
+          .select(col("event_type"), col("day"), col("n"),
+            (col("s").cast("double") /
+              expr("cast(shiftleft(cast(1 as bigint), di + 1) as double)"))
+              .as("level"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mn AS (SELECT MIN(day) AS min_day FROM daily),
+        |idx AS (SELECT event_type, day, n, (day - min_day) AS di,
+        |          n * (1::BIGINT << (day - min_day)) AS c2
+        |        FROM daily CROSS JOIN mn),
+        |sm AS (SELECT event_type, day, n, di,
+        |        CAST(SUM(c2) OVER (PARTITION BY event_type ORDER BY di
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+        |      FROM idx)
+        |SELECT event_type, day, n,
+        |  CAST(s AS DOUBLE) / CAST(1::BIGINT << (di + 1) AS DOUBLE) AS level
+        |FROM sm""".stripMargin)),
+
     // Late-straggler sessionization through the STATEFUL streaming operator
     // (graft.streaming.StatefulSessions), judged against the same
     // micros-exact gap-merge SQL as ev_sessionize: micro-batch 1 delivers

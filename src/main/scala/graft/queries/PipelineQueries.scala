@@ -941,6 +941,46 @@ object PipelineQueries {
         |FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 8
         |WHERE levenshtein(a.key, b.key) <= 4""".stripMargin)),
 
+    // The complete fuzzy-dedup decision over the linkage pairs — the
+    // merge/purge endgame: sorted-neighborhood candidates (maxDist 3) →
+    // connected components (typo chains are transitive: "blue rod" ~
+    // "blue bolt" ~ "cold bolt" must collapse together even when the
+    // ends differ by more than the threshold) → keep each component's
+    // minimum id plus every unlinked name. Composes the judged linkage
+    // operator with the same iterative min-label components that back
+    // dd_components; the oracle re-derives the closure with a recursive
+    // CTE.
+    Q("dd_fuzzy_keep",
+      (s, d) => {
+        val dn = t(s, d, "part").groupBy(col("p_name").as("key"))
+          .agg(min(col("p_partkey")).as("id"))
+        val pairs = Linkage.sortedNeighborhood(dn, col("id"), col("key"),
+            split_part(col("key"), lit(" "), lit(1)), window = 8, maxDist = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val comp = Dedup.connectedComponents(pairs)
+          .select(col("id").as("cid"), col("component"))
+        dn.join(comp, col("id") === col("cid"), "left")
+          .filter(col("component").isNull || col("component") === col("id"))
+          .select(col("id"), col("key"))
+      },
+      Some("""WITH RECURSIVE dn AS (
+        |  SELECT p_name AS key, MIN(p_partkey) AS id FROM part GROUP BY 1),
+        |r AS (SELECT id, key, split_part(key, ' ', 1) AS blk,
+        |    row_number() OVER (PARTITION BY split_part(key, ' ', 1)
+        |                       ORDER BY key, id) AS rn FROM dn),
+        |pairs AS (SELECT a.id AS doc_a, b.id AS doc_b FROM r a JOIN r b
+        |  ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 8
+        |  WHERE levenshtein(a.key, b.key) <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r2) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r2 FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id, MIN(r2) AS component FROM reach GROUP BY id)
+        |SELECT dn.id, dn.key FROM dn LEFT JOIN comp ON comp.id = dn.id
+        |WHERE comp.component IS NULL OR comp.component = dn.id""".stripMargin)),
+
     // Dedup threshold-sensitivity sweep (the tuning artifact behind the
     // 0.4 the keep decision hardcodes): candidate pairs and dropped docs
     // at every Jaccard threshold 0.3..0.9 in ONE pass — the LSH candidates

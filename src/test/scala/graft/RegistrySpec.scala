@@ -184,7 +184,10 @@ class RegistrySpec extends SparkSpec {
       //    total cross-joins onto the vocab²-bounded type table; the
       //    history/continuation joins are equi-keyed
       "sm_balanced_downsample", "ev_decay_score", "tx_rm3_expansion",
-      "ev_pmi", "ev_graph_stats", "ev_rec_hitrate", "tx_kn_bigram")
+      //  - ev_smoothing: the one-row min-day aggregate cross-joins onto
+      //    the collapsed (type, day) frame (the ev_decay_score shape)
+      "ev_pmi", "ev_graph_stats", "ev_rec_hitrate", "tx_kn_bigram",
+      "ev_smoothing")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -134,6 +134,19 @@ AUDITS = [
           + 0.75 * (CAST(n1p AS DOUBLE) / CAST(c1 AS DOUBLE))
             * (CAST(n1c AS DOUBLE) / CAST(tt AS DOUBLE))
       FROM bc JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN tot"""),
+    ("dirichlet query-likelihood ln terms (6dp)", 6, """
+      WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+      stats AS (SELECT CAST(SUM(len(parts)) AS DOUBLE) AS ctot,
+        CAST(SUM(len(list_filter(parts, x -> x = 'dup'))) AS DOUBLE) AS cf_dup,
+        CAST(SUM(len(list_filter(parts, x -> x = 'vector'))) AS DOUBLE) AS cf_vector,
+        CAST(SUM(len(list_filter(parts, x -> x = 'window'))) AS DOUBLE) AS cf_window
+        FROM toks)
+      SELECT ln((CAST(len(list_filter(parts, x -> x = t.tm)) AS DOUBLE)
+          + 2000.0 * (CASE t.tm WHEN 'dup' THEN cf_dup
+              WHEN 'vector' THEN cf_vector ELSE cf_window END / ctot))
+        / (CAST(len(parts) AS DOUBLE) + 2000.0))
+      FROM toks CROSS JOIN stats
+      CROSS JOIN (SELECT unnest(['dup','vector','window']) AS tm) t"""),
     ("calibration score micro-scaling (round0)", 0, """
       SELECT CAST(len(list_filter(str_split(text, ' '),
                w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)

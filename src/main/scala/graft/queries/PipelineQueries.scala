@@ -672,6 +672,50 @@ object PipelineQueries {
         |  CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
         |FROM b GROUP BY 1""".stripMargin)),
 
+    // Jackknife (leave-one-source-out) influence audit: for each source,
+    // the corpus mean document length WITHOUT that source, and its
+    // jackknife influence (g−1)·(mean_full − mean_loo) — the robustness
+    // screen that names the source dragging a corpus statistic before
+    // anyone retrains on it. Exactness: every mean is a single IEEE
+    // division of exact long sums ((S − s_i)/(N − n_i) — totals come from
+    // one single-row aggregate, so no resampling and no double
+    // accumulation anywhere); the influence is a fixed mirrored chain.
+    // Scale shape: one source-keyed map-combined aggregate + a one-row
+    // totals cross-join (p13 shape) — leave-one-out for ALL g sources
+    // costs one pass, not g passes.
+    Q("dq_jackknife",
+      (s, d) => {
+        val bySrc = t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s_chars"))
+        val tot = bySrc.agg(sum(col("n_docs")).as("nn"),
+          sum(col("s_chars")).as("ss"), count(lit(1)).as("g"))
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            (col("ss").cast("double") / col("nn").cast("double"))
+              .as("mean_full"),
+            ((col("ss") - col("s_chars")).cast("double") /
+              (col("nn") - col("n_docs")).cast("double")).as("loo_mean"),
+            ((col("g") - lit(1L)).cast("double") *
+              ((col("ss").cast("double") / col("nn").cast("double")) -
+                (col("ss") - col("s_chars")).cast("double") /
+                  (col("nn") - col("n_docs")).cast("double")))
+              .as("influence"))
+      },
+      Some("""WITH bs AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s_chars
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+        |  CAST(SUM(s_chars) AS BIGINT) AS ss, COUNT(*) AS g FROM bs)
+        |SELECT source, n_docs,
+        |  CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mean_full,
+        |  CAST(ss - s_chars AS DOUBLE) / CAST(nn - n_docs AS DOUBLE) AS loo_mean,
+        |  CAST(g - 1 AS DOUBLE) * (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    - CAST(ss - s_chars AS DOUBLE) / CAST(nn - n_docs AS DOUBLE))
+        |    AS influence
+        |FROM bs CROSS JOIN tot""".stripMargin)),
+
     // Benford first-significant-digit audit (the classic fabricated-data
     // / broken-ETL screen for financial-style columns): the digit
     // distribution of o_totalprice against Benford's log10(1 + 1/d)
@@ -3459,6 +3503,55 @@ object PipelineQueries {
         |  FROM toks CROSS JOIN stats)
         |WHERE bm25 > 0
         |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin)),
+
+    // Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai &
+    // Lafferty, SIGIR 2001; μ = 2000, their recommended default) — the
+    // language-modeling alternative to tx_bm25's probabilistic ranking:
+    // score(d) = Σ_w ln((tf + μ·cf_w/|C|) / (|d| + μ)). Same scale shape
+    // as BM25: corpus stats are ONE single-row aggregate broadcast onto a
+    // row-local scoring pass (per-term lns are a fixed mirrored chain of
+    // 6dp-rounded doubles — never aggregated), then a k-bounded
+    // TakeOrdered. Every doc scores (smoothing gives zero-tf docs the
+    // background probability), which is exactly what distinguishes QL
+    // from BM25's match-only scoring.
+    Q("tx_ql_dirichlet",
+      (s, d) => {
+        val qterms = Seq("dup", "vector", "window")
+        val docs = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), tokens(col("text")).as("parts"))
+        val statAggs = sum(size(col("parts"))).cast("double").as("ctot") +:
+          qterms.map(tm => sum(size(filter(col("parts"), x => x === lit(tm))))
+            .cast("double").as(s"cf_$tm"))
+        val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+        val dl = size(col("parts")).cast("double")
+        val score = qterms.map { tm =>
+          val tf = size(filter(col("parts"), x => x === lit(tm))).cast("double")
+          round(log((tf + lit(2000.0) * (col(s"cf_$tm") / col("ctot")))
+            / (dl + lit(2000.0))), 6)
+        }.reduce(_ + _)
+        docs.crossJoin(broadcast(stats))
+          .select(col("doc_id"), score.as("ql"))
+          .orderBy(col("ql").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |stats AS (SELECT CAST(SUM(len(parts)) AS DOUBLE) AS ctot,
+        |  CAST(SUM(len(list_filter(parts, x -> x = 'dup'))) AS DOUBLE) AS cf_dup,
+        |  CAST(SUM(len(list_filter(parts, x -> x = 'vector'))) AS DOUBLE) AS cf_vector,
+        |  CAST(SUM(len(list_filter(parts, x -> x = 'window'))) AS DOUBLE) AS cf_window
+        |  FROM toks)
+        |SELECT doc_id,
+        |    round(ln((CAST(len(list_filter(parts, x -> x = 'dup')) AS DOUBLE)
+        |      + 2000.0 * (cf_dup / ctot)) / (CAST(len(parts) AS DOUBLE) + 2000.0)), 6)
+        |  + round(ln((CAST(len(list_filter(parts, x -> x = 'vector')) AS DOUBLE)
+        |      + 2000.0 * (cf_vector / ctot)) / (CAST(len(parts) AS DOUBLE) + 2000.0)), 6)
+        |  + round(ln((CAST(len(list_filter(parts, x -> x = 'window')) AS DOUBLE)
+        |      + 2000.0 * (cf_window / ctot)) / (CAST(len(parts) AS DOUBLE) + 2000.0)), 6)
+        |  AS ql
+        |FROM toks CROSS JOIN stats
+        |ORDER BY ql DESC, doc_id
         |LIMIT 20""".stripMargin)),
 
     // RM3-style pseudo-relevance-feedback query expansion (Lavrenko &

@@ -186,8 +186,12 @@ class RegistrySpec extends SparkSpec {
       "sm_balanced_downsample", "ev_decay_score", "tx_rm3_expansion",
       //  - ev_smoothing: the one-row min-day aggregate cross-joins onto
       //    the collapsed (type, day) frame (the ev_decay_score shape)
+      //  - tx_ql_dirichlet: the tx_bm25 shape — ONE single-row corpus-stats
+      //    aggregate cross-joined onto the row-local scoring pass
       "ev_pmi", "ev_graph_stats", "ev_rec_hitrate", "tx_kn_bigram",
-      "ev_smoothing")
+      //  - dq_jackknife: the one-row totals aggregate cross-joins onto the
+      //    |sources|-bounded per-source frame (the p13 scalar shape)
+      "ev_smoothing", "tx_ql_dirichlet", "dq_jackknife")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -302,36 +302,71 @@ object Dedup {
     * shuffles (df + rank) buy exact recall — the published trade for
     * dedup stages where a missed near-dup is a correctness bug, not a
     * recall statistic. */
-  def prefixFilterPairs(docs: DataFrame, idCol: Column, textCol: Column,
-      threshold: Double, shingleK: Int = 2): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0, 1], got $threshold")
-    // shingle-set projection: computed once, reused by the df count, the
-    // prefix ranking, and both sides of the exact refine (the dd_lsh_pairs
-    // checkpointed-projection pattern — the doc scan runs once)
-    val sets = Parallelism.fanOut(
+  /** Checkpointed (doc_id, sh) shingle-set projection shared by the prefix
+    * join's df count, ranking, and exact refine — the doc scan runs once
+    * (the dd_lsh_pairs checkpointed-projection pattern). */
+  private[operators] def prefixShingleSets(docs: DataFrame, idCol: Column,
+      textCol: Column, shingleK: Int): DataFrame =
+    Parallelism.fanOut(
         docs.select(idCol.as("doc_id"), textCol.as("__text")))
       .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(eager = false)
+
+  /** Prefix-filter candidate generation over [[prefixShingleSets]] output:
+    * rarest-first global token order, per-doc prefix of n − ⌈t·n⌉ + 1
+    * tokens, prefix-token equi-join + length band. With `positional` the
+    * PPJoin position filter also applies: a shared prefix token at ranks
+    * (pa, pb) bounds the pair's possible overlap by
+    * 1 + min(n_a − pa, n_b − pb) (every other shared token ranks later in
+    * BOTH docs), so a pair none of whose shared prefix tokens can reach
+    * the required overlap ⌈t·max(n_a, n_b)⌉ is pruned. The bound is
+    * conservative for the FIRST shared token of any qualifying pair, so
+    * the filter is provably lossless (spec-pinned: positional == plain on
+    * results, ⊆ on candidates); it exists purely to shrink the refine's
+    * input. Exposed test-visibly so the spec can count candidates. */
+  private[operators] def prefixCandidates(sets: DataFrame, threshold: Double,
+      positional: Boolean): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // ⌈t·n⌉ with a one-sided fp guard: when t·n is an exact integer
+    // mathematically but rounds UP in floating point (t=0.8, n=5 →
+    // 4.0000000000000002 → ceil 5), a naive ceil shortens the prefix /
+    // raises the overlap floor and can LOSE qualifying pairs. Subtracting
+    // 1e-9 before ceil restores the exact integer and otherwise changes
+    // nothing; any slack only lengthens prefixes / weakens pruning —
+    // completeness is never at risk from this direction.
+    def ceilT(x: Column): Column =
+      ceil(lit(threshold) * x - lit(1e-9)).cast("long")
     // rarest-first rank within each doc; prefix keeps the first
-    // n − ⌈t·n⌉ + 1 tokens (both engines evaluate ⌈t·n⌉ on the identical
-    // double product, so the cut index is engine-portable)
+    // n − ⌈t·n⌉ + 1 tokens (both engines evaluate the identical double
+    // product, so the cut index is engine-portable)
     val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     val prefix = ex.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("n") - ceil(lit(threshold) * col("n")).cast("long") + 1)
-      .select(col("doc_id"), col("n"), col("shingle"))
-    val cand = prefix.as("a").join(prefix.as("b"), "shingle")
+      .filter(col("rn") <= col("n") - ceilT(col("n")) + 1)
+      .select(col("doc_id"), col("n"), col("rn"), col("shingle"))
+    val joined = prefix.as("a").join(prefix.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id") &&
         greatest(col("a.n"), col("b.n")) * threshold <=
           least(col("a.n"), col("b.n")))
+    val base =
+      if (!positional) joined
+      else joined.filter(
+        lit(1L) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
+          ceilT(greatest(col("a.n"), col("b.n"))))
+    base
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def prefixFilterPairs(docs: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleK: Int = 2): DataFrame = {
+    val sets = prefixShingleSets(docs, idCol, textCol, shingleK)
+    val cand = prefixCandidates(sets, threshold, positional = true)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

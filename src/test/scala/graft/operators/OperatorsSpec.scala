@@ -105,6 +105,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("prefix filter: positional filter prunes candidates but never results") {
+    // near-dup-heavy corpus where docs share long runs (the positional
+    // bound bites) plus exact-integer-t·n shapes (n=5 at t=0.8) that
+    // exercise the fp ceil guard
+    val docs = Seq(
+      (1L, "a b c d e f"),           // 5 distinct bigram shingles
+      (2L, "a b c d e f g"),         // superset: 6 shingles, J = 5/6
+      (3L, "a b x y z w"),
+      (4L, "q r s t u v"),
+      (5L, "q r s t u v"),           // exact dup of 4
+      (6L, "m n o p q r s t u v")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val sets = Dedup.prefixShingleSets(docs, col("doc_id"), col("text"), 2)
+      val plain = rowSet(Dedup.prefixCandidates(sets, t, positional = false))
+      val pos = rowSet(Dedup.prefixCandidates(sets, t, positional = true))
+      assert(pos.toSet.subsetOf(plain.toSet), s"t=$t: positional must subset")
+      val exact = rowSet(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), t))
+      val pf = rowSet(Dedup.prefixFilterPairs(docs, col("doc_id"), col("text"), t))
+      assert(pf == exact, s"t=$t: positional filter lost a qualifying pair")
+    }
+    // the pruning is real: at 0.8 the (1,3) / (3, x) shared-"a b" collisions
+    // survive the plain length band only when sizes allow, and the
+    // positional bound kills collisions whose shared token sits too deep
+    val sets = Dedup.prefixShingleSets(docs, col("doc_id"), col("text"), 2)
+    assert(Dedup.prefixCandidates(sets, 0.8, positional = true).count() <=
+      Dedup.prefixCandidates(sets, 0.8, positional = false).count())
+  }
+
   test("Dedup: LSH candidates contain the exact-duplicate pair") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

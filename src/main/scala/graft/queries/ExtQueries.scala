@@ -1549,6 +1549,72 @@ object ExtQueries {
         |  CAST(s AS DOUBLE) / CAST(1::BIGINT << (di + 1) AS DOUBLE) AS level
         |FROM sm""".stripMargin)),
 
+    // CUSUM change-point detection on daily counts per event type (Page
+    // 1954) — the drift alarm behind every pipeline-health monitor. The
+    // textbook recursion S_d = max(0, S_{d−1} + dev_d) is NOT a plain
+    // window aggregate, but it has the closed form
+    // S_d = P_d − min(0, min_{d'≤d} P_{d'}) over the deviation prefix sum
+    // P — two window functions, no iteration. Exactness: deviations are
+    // scaled integers (nd·n_d − T, the mean scaled through by the day
+    // count), missing days enter as explicit zero-count rows (a gap IS
+    // evidence of drift), and the alarm compares scaled longs; the
+    // reported cusum is one IEEE division. Scale shape: the corpus
+    // collapses to (type, day) first; the day-range scaffold is a one-row
+    // broadcast + row-local sequence explode; windows run on the bounded
+    // scaffold frame only.
+    Q("ev_cusum",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val range = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val scaffold = daily.select("event_type").distinct()
+          .crossJoin(broadcast(range))
+          .select(col("event_type"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val filled = scaffold.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("cnt"), lit(0L)).as("n"))
+        val tot = filled.groupBy("event_type")
+          .agg(sum(col("n")).as("tt"), count(lit(1)).as("nd"))
+        val wOrd = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        filled.join(tot, "event_type")
+          .withColumn("dev", col("nd") * col("n") - col("tt"))
+          .withColumn("p", sum(col("dev")).over(wOrd))
+          .withColumn("s",
+            col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+          .select(col("event_type"), col("day"), col("n"),
+            (col("s").cast("double") / col("nd").cast("double")).as("cusum"),
+            (col("s") > col("tt")).as("alarm"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |scaffold AS (
+        |  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) CROSS JOIN rng),
+        |filled AS (
+        |  SELECT s.event_type, s.day, COALESCE(d.cnt, 0) AS n
+        |  FROM scaffold s LEFT JOIN daily d
+        |    ON d.event_type = s.event_type AND d.day = s.day),
+        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tt,
+        |          COUNT(*) AS nd FROM filled GROUP BY 1),
+        |c AS (SELECT f.event_type, f.day, f.n,
+        |        CAST(SUM(nd * n - tt) OVER (PARTITION BY f.event_type
+        |          ORDER BY f.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+        |        tt, nd
+        |      FROM filled f JOIN tot USING (event_type)),
+        |s2 AS (SELECT event_type, day, n, tt, nd,
+        |        p - least(0, CAST(MIN(p) OVER (PARTITION BY event_type
+        |          ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS s
+        |      FROM c)
+        |SELECT event_type, day, n,
+        |  CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS cusum,
+        |  s > tt AS alarm
+        |FROM s2""".stripMargin)),
+
     // Late-straggler sessionization through the STATEFUL streaming operator
     // (graft.streaming.StatefulSessions), judged against the same
     // micros-exact gap-merge SQL as ev_sessionize: micro-batch 1 delivers

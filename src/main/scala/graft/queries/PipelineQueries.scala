@@ -716,6 +716,61 @@ object PipelineQueries {
         |    AS influence
         |FROM bs CROSS JOIN tot""".stripMargin)),
 
+    // Poisson bootstrap of the corpus mean document length (the
+    // scalable bootstrap: per-row replicate weights ~ Poisson(1) replace
+    // resampling, so B replicates are ONE pass with no shuffle of data
+    // by replicate — Chamandy et al., Google 2012). Determinism: the
+    // uniform draw is 6 md5 hex chars of (doc_id ':' rep) — the engine's
+    // standard derandomization — and the inverse-CDF thresholds are
+    // 6dp LITERAL constants in both engines (never computed from exp()),
+    // so weights are exact integers everywhere; each replicate mean is
+    // one IEEE division of exact long sums. Weights cap at 6
+    // (P(X>6) ≈ 8e-5, folded into the top bucket both sides). Scale
+    // shape: row-local weight projection, one rep-keyed map-combined
+    // aggregate over 20 groups.
+    Q("dq_bootstrap",
+      (s, d) => {
+        val reps = t(s, d, "documents").select("doc_id", "n_chars")
+          .select(col("doc_id"), col("n_chars"),
+            explode(sequence(lit(1), lit(20))).as("rep"))
+        val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("rep").cast("string"))), 1, 6), 16, 10)
+          .cast("long").cast("double") / lit(16777216.0)
+        val wgt = when(u < 0.367879, 0L).when(u < 0.735759, 1L)
+          .when(u < 0.919699, 2L).when(u < 0.981012, 3L)
+          .when(u < 0.996340, 4L).when(u < 0.999406, 5L).otherwise(6L)
+        reps.withColumn("w", wgt)
+          .groupBy("rep")
+          .agg(sum(col("w")).as("n_eff"),
+            sum(col("w") * col("n_chars")).as("sw"))
+          .select(col("rep"), col("n_eff"),
+            (col("sw").cast("double") / col("n_eff").cast("double"))
+              .as("boot_mean"))
+      },
+      Some("""WITH reps AS (
+        |  SELECT doc_id, n_chars, unnest(generate_series(1, 20)) AS rep
+        |  FROM documents),
+        |h AS (SELECT rep, n_chars,
+        |  ( (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':' || rep::VARCHAR), 1, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':' || rep::VARCHAR), 2, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':' || rep::VARCHAR), 3, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':' || rep::VARCHAR), 4, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':' || rep::VARCHAR), 5, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':' || rep::VARCHAR), 6, 1)) - 1) ) AS f
+        |  FROM reps),
+        |wv AS (SELECT rep, n_chars,
+        |  CASE WHEN f / 16777216.0 < 0.367879 THEN 0
+        |       WHEN f / 16777216.0 < 0.735759 THEN 1
+        |       WHEN f / 16777216.0 < 0.919699 THEN 2
+        |       WHEN f / 16777216.0 < 0.981012 THEN 3
+        |       WHEN f / 16777216.0 < 0.996340 THEN 4
+        |       WHEN f / 16777216.0 < 0.999406 THEN 5
+        |       ELSE 6 END AS w
+        |  FROM h)
+        |SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS boot_mean
+        |FROM wv GROUP BY rep""".stripMargin)),
+
     // Benford first-significant-digit audit (the classic fabricated-data
     // / broken-ETL screen for financial-style columns): the digit
     // distribution of o_totalprice against Benford's log10(1 + 1/d)

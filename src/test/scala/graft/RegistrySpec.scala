@@ -191,7 +191,9 @@ class RegistrySpec extends SparkSpec {
       "ev_pmi", "ev_graph_stats", "ev_rec_hitrate", "tx_kn_bigram",
       //  - dq_jackknife: the one-row totals aggregate cross-joins onto the
       //    |sources|-bounded per-source frame (the p13 scalar shape)
-      "ev_smoothing", "tx_ql_dirichlet", "dq_jackknife")
+      //  - ev_cusum: the one-row global day-range aggregate cross-joins
+      //    onto the |types|-bounded scaffold (the p13 scalar shape)
+      "ev_smoothing", "tx_ql_dirichlet", "dq_jackknife", "ev_cusum")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -345,10 +345,14 @@ object Dedup {
     // n − ⌈t·n⌉ + 1 tokens (both engines evaluate the identical double
     // product, so the cut index is engine-portable)
     val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    // checkpoint: BOTH sides of the candidate self-join read this frame —
+    // without the cut the df-count + ranking pipeline (two keyed
+    // exchanges) plans and runs twice
     val prefix = ex.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceilT(col("n")) + 1)
       .select(col("doc_id"), col("n"), col("rn"), col("shingle"))
+      .localCheckpoint(eager = false)
     val joined = prefix.as("a").join(prefix.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id") &&
         greatest(col("a.n"), col("b.n")) * threshold <=

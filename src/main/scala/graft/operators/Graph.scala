@@ -50,6 +50,10 @@ object Graph {
       .select(
         when(ordLo < ordHi, col("lo")).otherwise(col("hi")).as("src"),
         when(ordLo < ordHi, ordHi).otherwise(ordLo).as("dst"))
+      // checkpoint: the oriented edge set is read THREE times (both wedge
+      // legs + the closure lookup) — cut the lineage so the degree join
+      // pipeline runs once
+      .localCheckpoint(eager = false)
     // wedges at each source: ordered out-neighbor pairs; the closing edge,
     // if present, is oriented exactly b -> c because orientation and the
     // wedge sort share one total order

@@ -1427,8 +1427,12 @@ object ExtQueries {
           .select(col("user_id"), col("event_id"), col("ts"), item.as("item"))
         val wLast = Window.partitionBy("user_id")
           .orderBy(col("ts").desc, col("event_id").desc)
+        // checkpoint: the holdout frame feeds both the history build and
+        // the final hit join — cut the lineage so the user-keyed window
+        // runs once, not once per consumer
         val last = v.withColumn("rn", row_number().over(wLast))
           .filter(col("rn") === 1).select(col("user_id"), col("item").as("held"))
+          .localCheckpoint(eager = false)
         val hist = v.join(last, "user_id").filter(col("item") =!= col("held"))
           .select("user_id", "item").distinct()
           .localCheckpoint(eager = false)

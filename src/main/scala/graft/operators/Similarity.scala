@@ -409,4 +409,51 @@ object Similarity {
         cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
     topKBySim(joined, k)
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+    * traversal — the 2-approximation behind active-learning and
+    * dataset-distillation coresets): seed with the minimum id, then k−1
+    * times add the point FARTHEST from its nearest chosen center.
+    * Distance is cosine with the engine's 4dp cross-engine rounding
+    * contract; ties break to the smaller id, so the trajectory is fully
+    * deterministic. Returns (sel_round, vec_id, max_sim) where max_sim is
+    * the winner's nearest-center similarity at selection time — read top
+    * to bottom it IS the coverage-radius curve (the seed row carries −1).
+    *
+    * Scale shape: the nearest-center similarity is a COLUMN maintained
+    * incrementally — each round cross-joins the ONE-ROW new center (the
+    * BpeTrainer broadcast-winner discipline), updates
+    * ms := max(ms, sim(x, c)), and localCheckpoints to keep the plan
+    * flat — k corpus passes total (k·n distances, no pairwise blowup),
+    * each winner a one-row TakeOrdered. k is the explicit, documented
+    * cost knob; an already-selected point can only re-win if every point
+    * sits at similarity 1.0 to some center (the corpus is a single
+    * duplicate cloud — selection is then complete by definition). */
+  def kCenterCoreset(vectors: DataFrame, idCol: Column, vecCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = vectors.select(idCol.as("vec_id"), vecCol.as("emb"))
+      .localCheckpoint(eager = false)
+    val seed = base.orderBy("vec_id").limit(1).localCheckpoint(eager = false)
+    var out = seed.select(lit(1).as("sel_round"), col("vec_id"),
+      lit(-1.0).as("max_sim"))
+    var cur = base.crossJoin(broadcast(seed.select(col("emb").as("cemb"))))
+      .select(col("vec_id"), col("emb"),
+        cosineRounded(col("emb"), col("cemb")).as("ms"))
+      .localCheckpoint(eager = false)
+    for (r <- 2 to k) {
+      val win = cur.orderBy(col("ms").asc, col("vec_id").asc).limit(1)
+        .localCheckpoint(eager = false)
+      out = out.unionByName(win.select(lit(r).as("sel_round"), col("vec_id"),
+        col("ms").as("max_sim")))
+      if (r < k) {
+        cur = cur.crossJoin(broadcast(win.select(col("emb").as("cemb"))))
+          .select(col("vec_id"), col("emb"),
+            greatest(col("ms"),
+              cosineRounded(col("emb"), col("cemb"))).as("ms"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    out
+  }
 }

@@ -159,6 +159,42 @@ object PipelineQueries {
     * shape: per-doc tf/doclen are row-local; the only corpus-wide state is
     * one single-row stats aggregate broadcast back (scalar-subquery shape),
     * so the corpus is scored in a single pass with no keyed shuffle. */
+  /** DuckDB oracle for sm_kcenter_coreset: the SAME 8 greedy
+    * farthest-first rounds as [[graft.operators.Similarity.kCenterCoreset]]
+    * unrolled as MATERIALIZED CTEs — m_r carries every point's
+    * nearest-center similarity after r centers; w_r is round r's winner
+    * (min similarity, min id). */
+  private val KcenterOracle: String = {
+    val K = 8
+    def cos(e: String, c: String): String =
+      s"round(list_cosine_similarity(CAST($e.embedding AS DOUBLE[]), " +
+        s"CAST($c.embedding AS DOUBLE[])), 4)"
+    val base = s"""WITH c1 AS MATERIALIZED (
+      |  SELECT MIN(vec_id) AS vec_id FROM embeddings),
+      |m1 AS MATERIALIZED (
+      |  SELECT e.vec_id, ${cos("e", "c")} AS ms
+      |  FROM embeddings e CROSS JOIN c1
+      |  JOIN embeddings c ON c.vec_id = c1.vec_id)""".stripMargin
+    val rounds = (2 to K).map { r =>
+      val win = s"""w$r AS MATERIALIZED (
+        |  SELECT vec_id, ms FROM m${r - 1} ORDER BY ms, vec_id LIMIT 1)"""
+        .stripMargin
+      val upd = if (r == K) "" else s""",
+        |m$r AS MATERIALIZED (
+        |  SELECT m.vec_id, greatest(m.ms, ${cos("e", "c")}) AS ms
+        |  FROM m${r - 1} m JOIN embeddings e ON e.vec_id = m.vec_id
+        |  CROSS JOIN w$r JOIN embeddings c ON c.vec_id = w$r.vec_id)"""
+        .stripMargin
+      win + upd
+    }.mkString(",\n", ",\n", "")
+    val out = (2 to K)
+      .map(r => s"UNION ALL SELECT $r, vec_id, ms FROM w$r")
+      .mkString("\n")
+    base + rounds +
+      s"\nSELECT 1 AS sel_round, vec_id, CAST(-1.0 AS DOUBLE) AS max_sim FROM c1\n" +
+      out
+  }
+
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("dup", "vector", "window")
     val docs = graft.operators.Parallelism.fanOut(
@@ -4016,6 +4052,19 @@ object PipelineQueries {
         |    - (CAST(ssum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
         |      * (CAST(ssum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))), 6) AS std
         |FROM a""".stripMargin)),
+
+    // Greedy k-center coreset over the embedding corpus (Gonzalez
+    // farthest-first — the diversity-selection counterpart of the
+    // similarity searches above: pick the k points that best COVER the
+    // space, the active-learning / dataset-distillation primitive).
+    // Deterministic end to end: 4dp-rounded cosine, min-id seed and
+    // tiebreaks; the oracle replays the same 8 greedy rounds as
+    // MATERIALIZED CTEs, so the judged contract is the whole trajectory
+    // (selection order AND the coverage-radius curve), not just the set.
+    Q("sm_kcenter_coreset",
+      (s, d) => graft.operators.Similarity.kCenterCoreset(
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 8),
+      Some(KcenterOracle)),
 
     // Embedding-space outlier filter (the quality gate that drops vectors
     // far from the corpus centroid — mis-embedded or off-distribution

@@ -193,7 +193,11 @@ class RegistrySpec extends SparkSpec {
       //    |sources|-bounded per-source frame (the p13 scalar shape)
       //  - ev_cusum: the one-row global day-range aggregate cross-joins
       //    onto the |types|-bounded scaffold (the p13 scalar shape)
-      "ev_smoothing", "tx_ql_dirichlet", "dq_jackknife", "ev_cusum")
+      //  - sm_kcenter_coreset: each greedy round cross-joins the ONE-ROW
+      //    newly-selected center onto the corpus (the tx_bpe_train
+      //    broadcast-winner shape); winners are one-row TakeOrdereds
+      "ev_smoothing", "tx_ql_dirichlet", "dq_jackknife", "ev_cusum",
+      "sm_kcenter_coreset")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -134,6 +134,31 @@ class OperatorsSpec extends SparkSpec {
       Dedup.prefixCandidates(sets, 0.8, positional = false).count())
   }
 
+  test("kCenterCoreset: deterministic farthest-first trajectory on a known layout") {
+    // three well-separated direction clusters + the min-id seed in the
+    // first: round 2 and 3 must pick from the OTHER clusters before any
+    // round revisits a covered one
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.99f, 0.1f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)), (11L, Array(0.1f, 0.99f, 0.0f)),
+      (20L, Array(0.0f, 0.0f, 1.0f)), (21L, Array(0.0f, 0.1f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(vecs, col("vec_id"), col("embedding"), k = 3)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got.head == (1, 1L), "seed must be the minimum id")
+    val picked = got.map(_._2).toSet
+    assert(picked.intersect(Set(10L, 11L)).size == 1 &&
+      picked.intersect(Set(20L, 21L)).size == 1,
+      s"rounds 2-3 must cover the two far clusters, got $got")
+    // the selection-time nearest-center similarity is non-decreasing
+    // (coverage radius shrinks) from round 2 on
+    val sims = Similarity.kCenterCoreset(vecs, col("vec_id"), col("embedding"), k = 5)
+      .orderBy("sel_round").collect().map(_.getDouble(2)).drop(1)
+    assert(sims.zip(sims.tail).forall { case (a, b) => a <= b },
+      s"coverage curve must be monotone, got ${sims.toSeq}")
+  }
+
   test("Dedup: LSH candidates contain the exact-duplicate pair") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -1619,6 +1619,60 @@ object ExtQueries {
         |  s > tt AS alarm
         |FROM s2""".stripMargin)),
 
+    // Time-lagged feature engineering per (event_type, day) — the
+    // feature-store companion of ev_smoothing/ev_cusum and the standard
+    // input block for any demand-forecast model: yesterday's count, the
+    // same weekday last week, and the trailing-7-day mean. Built on the
+    // SAME zero-filled day scaffold as ev_cusum (a missing day is a real
+    // zero, and lag columns must see it), so lag() is correct by
+    // construction — no gap-skipping bugs. The trailing mean is an exact
+    // integer sum over a 7-row frame with one IEEE division. Windows run
+    // on the bounded scaffold only.
+    Q("ev_lag_features",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val range = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val filled = daily.select("event_type").distinct()
+          .crossJoin(broadcast(range))
+          .select(col("event_type"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+          .join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("cnt"), lit(0L)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val w7 = w.rowsBetween(-6, Window.currentRow)
+        filled
+          .withColumn("lag_1", lag(col("n"), 1).over(w))
+          .withColumn("lag_7", lag(col("n"), 7).over(w))
+          .withColumn("s7", sum(col("n")).over(w7))
+          .withColumn("c7", count(lit(1)).over(w7))
+          .select(col("event_type"), col("day"), col("n"),
+            col("lag_1"), col("lag_7"),
+            (col("s7").cast("double") / col("c7").cast("double"))
+              .as("trailing_mean_7"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |filled AS (
+        |  SELECT s.event_type, s.day, COALESCE(d.cnt, 0) AS n
+        |  FROM (SELECT event_type,
+        |          unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |        FROM (SELECT DISTINCT event_type FROM daily) CROSS JOIN rng) s
+        |  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day)
+        |SELECT event_type, day, n,
+        |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS lag_1,
+        |  lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS lag_7,
+        |  CAST(CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_mean_7
+        |FROM filled""".stripMargin)),
+
     // Late-straggler sessionization through the STATEFUL streaming operator
     // (graft.streaming.StatefulSessions), judged against the same
     // micros-exact gap-merge SQL as ev_sessionize: micro-batch 1 delivers

@@ -1116,6 +1116,61 @@ object PipelineQueries {
         |SELECT dn.id, dn.key FROM dn LEFT JOIN comp ON comp.id = dn.id
         |WHERE comp.component IS NULL OR comp.component = dn.id""".stripMargin)),
 
+    // MinHash estimator calibration: for every LSH candidate pair, the
+    // signature's Jaccard ESTIMATE (matching components / 16) against the
+    // exact shingle Jaccard — the audit that tells you whether 16 hashes
+    // are enough before trusting the banded pipeline's thresholds (the
+    // estimator is unbiased with sd √(J(1−J)/k) ≈ 0.12 at k=16; a
+    // systematic gap here means broken hashing, not noise). Everything is
+    // exact: matches/16 is a dyadic rational, the exact Jaccard the usual
+    // intersect/union division, the error their raw difference — no
+    // rounding contract. Per-candidate-pair work only.
+    Q("dd_minhash_estimate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"),
+          NumHashes, Bands)
+        val sigs = graft.operators.Parallelism.fanOut(
+            docs.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), col("sh"),
+            TextFunctions.minhashSignature(col("sh"), NumHashes).as("sig"))
+          .localCheckpoint(eager = false)
+        pairs
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+            col("sh").as("sh_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+            col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (size(filter(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => x === y), b => b)).cast("double") / lit(16.0))
+              .as("est_jaccard"),
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+              .as("jaccard"))
+          .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      },
+      Some(BandsCte + """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(generate_series(1, 16),
+        |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0 AS est_jaccard,
+        |    CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(ha.sh, hb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN sig sa ON sa.doc_id = doc_a
+        |  JOIN sig sb ON sb.doc_id = doc_b
+        |  JOIN sh ha ON ha.doc_id = doc_a
+        |  JOIN sh hb ON hb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, est_jaccard, jaccard,
+        |  abs(est_jaccard - jaccard) AS abs_err
+        |FROM scored""".stripMargin)),
+
     // Dedup threshold-sensitivity sweep (the tuning artifact behind the
     // 0.4 the keep decision hardcodes): candidate pairs and dropped docs
     // at every Jaccard threshold 0.3..0.9 in ONE pass — the LSH candidates

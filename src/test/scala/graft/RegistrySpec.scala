@@ -196,8 +196,10 @@ class RegistrySpec extends SparkSpec {
       //  - sm_kcenter_coreset: each greedy round cross-joins the ONE-ROW
       //    newly-selected center onto the corpus (the tx_bpe_train
       //    broadcast-winner shape); winners are one-row TakeOrdereds
+      //  - ev_lag_features: the ev_cusum scaffold — the one-row day-range
+      //    aggregate cross-joins onto the |types|-bounded frame
       "ev_smoothing", "tx_ql_dirichlet", "dq_jackknife", "ev_cusum",
-      "sm_kcenter_coreset")
+      "sm_kcenter_coreset", "ev_lag_features")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -147,6 +147,24 @@ AUDITS = [
         / (CAST(len(parts) AS DOUBLE) + 2000.0))
       FROM toks CROSS JOIN stats
       CROSS JOIN (SELECT unnest(['dup','vector','window']) AS tm) t"""),
+    ("rake word-score scaling (round0)", 0, """
+      WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+      tok AS (SELECT doc_id, pos, parts[pos] AS token,
+                parts[pos] IN ('the','a','of','and','to','in') AS stop
+              FROM (SELECT doc_id, parts,
+                      unnest(generate_series(1, len(parts))) AS pos FROM t0)),
+      ph0 AS (SELECT doc_id, pos, token, stop,
+                CAST(SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+              FROM tok),
+      ph AS (SELECT doc_id, sid, COUNT(*) AS plen
+             FROM ph0 WHERE NOT stop GROUP BY 1, 2),
+      pw AS (SELECT p.plen, token AS word FROM ph0 t
+             JOIN ph p ON p.doc_id = t.doc_id AND p.sid = t.sid
+             WHERE NOT t.stop)
+      SELECT CAST(SUM(plen) AS DOUBLE) / COUNT(*) * 1000000.0
+      FROM pw GROUP BY word"""),
     ("calibration score micro-scaling (round0)", 0, """
       SELECT CAST(len(list_filter(str_split(text, ' '),
                w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)

@@ -2762,6 +2762,116 @@ object PipelineQueries {
         |FROM toks t LEFT JOIN vocab v ON v.token = t.token
         |GROUP BY source""".stripMargin)),
 
+    // Lexical diversity per source: type-token ratio and the Simpson
+    // repeat-probability index Σ n_i(n_i−1) / (N(N−1)) — the corpus-level
+    // companion to the per-doc tx_entropy/tx_repetition signals (a source
+    // whose Simpson index spikes is template spam even when individual
+    // docs pass the gate). Both indices are single IEEE divisions of
+    // exact long sums. Scale shape: one (source, token)-keyed
+    // map-combined count, one source-keyed rollup.
+    Q("tx_diversity",
+      (s, d) => {
+        val tc = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("source", "text"))
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        tc.groupBy("source").agg(
+            sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+            sum(col("c") * (col("c") - 1)).as("s2"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            (col("n_types").cast("double") / col("n_tokens").cast("double"))
+              .as("ttr"),
+            (col("s2").cast("double") /
+              (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+              .as("simpson"))
+      },
+      Some("""WITH tc AS (
+        |  SELECT source, token, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(str_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        COUNT(*) AS n_types,
+        |        CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+        |      FROM tc GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(s2 AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+        |    AS simpson
+        |FROM r""".stripMargin)),
+
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    // maximal stopword-free token runs (one per-doc window builds the
+    // phrase ids from the stopword breaks), word scores are degree/freq
+    // over phrase membership, a phrase scores the sum of its words'
+    // scores. Determinism: each word score pre-rounds to a scaled long
+    // (the unigram-logprob treatment) so the per-phrase sum is
+    // order-independent, and the top-15 cut is (score, phrase)-total-
+    // ordered. Scale shape: one doc-keyed window over the token explode,
+    // then every aggregate runs on phrase/word projections; the final cut
+    // is a TakeOrderedAndProject.
+    Q("tx_rake",
+      (s, d) => {
+        val stops = TextFunctions.EnglishStopwords
+        val tok = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+          .withColumn("stop", col("token").isin(stops.map(x => x: Any): _*))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val ph = tok
+          .withColumn("sid", sum(col("stop").cast("long")).over(w))
+          .filter(!col("stop"))
+          .groupBy(col("doc_id"), col("sid"))
+          .agg(collect_list(struct(col("pos"), col("token"))).as("pw"))
+          .select(
+            array_join(transform(array_sort(col("pw")),
+              x => x.getField("token")), " ").as("phrase"),
+            size(col("pw")).as("plen"))
+          .localCheckpoint(eager = false)
+        val wsc = ph
+          .select(col("plen"), explode(split(col("phrase"), " ")).as("word"))
+          .groupBy("word")
+          .agg(round(sum(col("plen")).cast("double") / count(lit(1))
+            .cast("double") * lit(1e6), 0).cast("long").as("s6"))
+        val scored = ph.select("phrase").distinct()
+          .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+          .join(wsc, "word")
+          .groupBy("phrase").agg(sum(col("s6")).as("t6"))
+        ph.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+          .join(scored, "phrase")
+          .select(col("phrase"), col("n_occ"),
+            (col("t6").cast("double") / lit(1e6)).as("rake_score"))
+          .orderBy(col("rake_score").desc, col("phrase")).limit(15)
+      },
+      Some("""WITH t0 AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |tok AS (SELECT doc_id, pos, parts[pos] AS token,
+        |          parts[pos] IN ('the','a','of','and','to','in') AS stop
+        |        FROM (SELECT doc_id, parts,
+        |                unnest(generate_series(1, len(parts))) AS pos FROM t0)),
+        |ph0 AS (SELECT doc_id, pos, token, stop,
+        |          CAST(SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+        |            PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |        FROM tok),
+        |ph AS (SELECT doc_id, sid,
+        |         string_agg(token, ' ' ORDER BY pos) AS phrase,
+        |         COUNT(*) AS plen
+        |       FROM ph0 WHERE NOT stop GROUP BY 1, 2),
+        |wsc AS (SELECT word, CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*)
+        |          * 1000000.0, 0) AS BIGINT) AS s6
+        |        FROM (SELECT plen, unnest(str_split(phrase, ' ')) AS word
+        |              FROM ph) GROUP BY 1),
+        |ps AS (SELECT phrase, CAST(SUM(s6) AS BIGINT) AS t6
+        |       FROM (SELECT phrase, unnest(str_split(phrase, ' ')) AS word
+        |             FROM (SELECT DISTINCT phrase FROM ph))
+        |       JOIN wsc USING (word) GROUP BY 1),
+        |occ AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY 1)
+        |SELECT p.phrase, n_occ, CAST(t6 AS DOUBLE) / 1000000.0 AS rake_score
+        |FROM ps p JOIN occ USING (phrase)
+        |ORDER BY rake_score DESC, phrase LIMIT 15""".stripMargin)),
+
     // Per-document Shannon token entropy — the information-density signal
     // behind Gopher/RedPajama-style quality rules (near-zero entropy =
     // repeated-token spam, high entropy = diverse vocabulary):

@@ -195,6 +195,30 @@ object PipelineQueries {
       out
   }
 
+  /** DuckDB oracle for sm_coreset_coverage: the same 8 greedy rounds as
+    * [[KcenterOracle]], then every point's nearest-center similarity
+    * bucketed into deciles with scaled-long mean similarity. */
+  private val KcenterCoverageOracle: String = {
+    val prefixEnd = KcenterOracle.indexOf("\nSELECT 1 AS sel_round")
+    val ctes = KcenterOracle.substring(0, prefixEnd)
+    val cen = (2 to 8).map(r => s"UNION ALL SELECT vec_id FROM w$r")
+      .mkString("SELECT vec_id FROM c1\n", "\n", "")
+    ctes + s""",
+      |cen AS MATERIALIZED ($cen),
+      |msx AS MATERIALIZED (
+      |  SELECT e.vec_id,
+      |    MAX(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |      CAST(c.embedding AS DOUBLE[])), 4)) AS ms
+      |  FROM embeddings e CROSS JOIN cen
+      |  JOIN embeddings c ON c.vec_id = cen.vec_id
+      |  GROUP BY 1)
+      |SELECT least(CAST(floor(ms * 10) AS BIGINT), 9) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(ms * 10000.0, 0) AS BIGINT)) AS DOUBLE)
+      |    / COUNT(*) / 10000.0 AS mean_sim
+      |FROM msx GROUP BY 1""".stripMargin
+  }
+
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("dup", "vector", "window")
     val docs = graft.operators.Parallelism.fanOut(
@@ -4230,6 +4254,38 @@ object PipelineQueries {
       (s, d) => graft.operators.Similarity.kCenterCoreset(
         t(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 8),
       Some(KcenterOracle)),
+
+    // Coverage evaluation of that coreset — the acceptance number for a
+    // diversity selection: the decile distribution of every point's
+    // similarity to its NEAREST selected center (a left-heavy
+    // distribution means 8 centers under-cover the space; the complement
+    // of sim_ann_recall's serving-side evals). Exactness: per-point max
+    // over the 8 broadcast centers is row-bounded; the per-bucket mean
+    // pre-rounds each 4dp similarity to a scaled long before summing.
+    // Scale shape: one corpus pass against an 8-row broadcast, one
+    // 20-bucket map-combined rollup.
+    Q("sm_coreset_coverage",
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val emb = t(s, d, "embeddings")
+        val centers = graft.operators.Similarity.kCenterCoreset(
+            emb, col("vec_id"), col("embedding"), k = 8)
+          .select(col("vec_id").as("cid"))
+        val cvec = emb.join(broadcast(centers),
+            emb("vec_id") === centers("cid"))
+          .select(col("embedding").as("cemb"))
+        emb.crossJoin(broadcast(cvec))
+          .select(col("vec_id"),
+            VectorFunctions.cosineRounded(col("embedding"), col("cemb"))
+              .as("sim"))
+          .groupBy("vec_id").agg(max(col("sim")).as("ms"))
+          .groupBy(least(floor(col("ms") * 10).cast("long"), lit(9L))
+            .as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("ms") * lit(1e4), 0).cast("long")).cast("double")
+              / count(lit(1)).cast("double") / lit(1e4)).as("mean_sim"))
+      },
+      Some(KcenterCoverageOracle)),
 
     // Embedding-space outlier filter (the quality gate that drops vectors
     // far from the corpus centroid — mis-embedded or off-distribution

@@ -198,8 +198,11 @@ class RegistrySpec extends SparkSpec {
       //    broadcast-winner shape); winners are one-row TakeOrdereds
       //  - ev_lag_features: the ev_cusum scaffold — the one-row day-range
       //    aggregate cross-joins onto the |types|-bounded frame
+      //  - sm_coreset_coverage: the coreset construction's one-row winner
+      //    joins plus an 8-ROW center-vector broadcast against one corpus
+      //    pass (the sim_bruteforce bounded-broadcast shape)
       "ev_smoothing", "tx_ql_dirichlet", "dq_jackknife", "ev_cusum",
-      "sm_kcenter_coreset", "ev_lag_features")
+      "sm_kcenter_coreset", "ev_lag_features", "sm_coreset_coverage")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -732,6 +732,64 @@ object PipelineQueries {
         |  CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
         |FROM b GROUP BY 1""".stripMargin)),
 
+    // Matthews correlation of the C4-style quality gate against the
+    // fixture lang label — the single-number confusion summary that,
+    // unlike accuracy, survives class imbalance; completes the
+    // evaluation family (dq_auc ranks scores, dq_calibration checks
+    // probabilities, MCC judges the hard decision). The confusion matrix
+    // is four map-combined counts; MCC = (TP·TN − FP·FN)/√(Π margins)
+    // in exact longs until the final sqrt+division (longs hold to
+    // ~55k rows per cell-product factor; decimal beyond). sqrt is
+    // IEEE-correctly-rounded, so the result is bit-identical with no
+    // rounding contract.
+    Q("dq_mcc",
+      (s, d) => {
+        val pred = TextFunctions.gateRules(col("text")).map(_._2).reduce(_ && _)
+        val truth = col("lang") === "en"
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(pred.as("p"), truth.as("t"))
+          .agg(
+            sum(when(col("p") && col("t"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("p") && !col("t"), 1L).otherwise(0L)).as("fp"),
+            sum(when(!col("p") && col("t"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("p") && !col("t"), 1L).otherwise(0L)).as("tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            ((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+              sqrt(((col("tp") + col("fp")) * (col("tp") + col("fn")) *
+                (col("tn") + col("fp")) * (col("tn") + col("fn")))
+                .cast("double"))).as("mcc"))
+      },
+      Some("""WITH f AS (
+        |  SELECT
+        |    (len(str_split(text, ' ')) BETWEEN 10 AND 1000)
+        |    AND COALESCE(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / NULLIF(len(str_split(text, ' ')), 0) BETWEEN 2.0 AND 10.0, FALSE)
+        |    AND (CASE WHEN len(str_split(text, ' ')) = 0 THEN 'unknown'
+        |         WHEN CAST(len(list_filter(str_split(text, ' '),
+        |                w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |              / len(str_split(text, ' ')) >= 0.05 THEN 'en'
+        |         ELSE 'other' END) = 'en'
+        |    AND COALESCE(CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+        |      (CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+        |        1.0 - CAST(len(list_distinct(list_transform(
+        |          generate_series(1, len(str_split(text, ' ')) - 1),
+        |          i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1])))
+        |          AS DOUBLE) / (len(str_split(text, ' ')) - 1)
+        |      END) <= 0.8 END, TRUE) AS p,
+        |    lang = 'en' AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT
+        |  CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM f)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp * tn - fp * fn AS DOUBLE)
+        |    / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) AS DOUBLE))
+        |    AS mcc
+        |FROM c""".stripMargin)),
+
     // Jackknife (leave-one-source-out) influence audit: for each source,
     // the corpus mean document length WITHOUT that source, and its
     // jackknife influence (g−1)·(mean_full − mean_loo) — the robustness

@@ -219,6 +219,48 @@ object PipelineQueries {
       |FROM msx GROUP BY 1""".stripMargin
   }
 
+  /** DuckDB oracle for tx_textrank: the ev_pagerank integer-scaled power
+    * iteration (damping 17/20, 10 rounds, trunc-toward-zero `//`) on the
+    * stopword-filtered word adjacency graph, top-20 by (rank, word). */
+  private val TextrankSql: String = {
+    val prs = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.node, CAST((150000000000 // nn.n_nodes)
+         |    + COALESCE(SUM((((p.r * e.n) // e.out_n) * 17) // 20), 0)
+         |    AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (ee e JOIN pr${i - 1} p ON p.node = e.src)
+         |    ON e.dst = nd.node
+         |  GROUP BY nd.node, nn.n_nodes)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, pos, parts[pos] AS token
+       |  FROM (SELECT doc_id, parts,
+       |          unnest(generate_series(1, len(parts))) AS pos
+       |        FROM (SELECT doc_id, str_split(text, ' ') AS parts
+       |              FROM documents))
+       |  WHERE parts[pos] NOT IN ('the','a','of','and','to','in')),
+       |sq AS (SELECT doc_id, pos, token,
+       |        lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |      FROM tok),
+       |e0 AS (SELECT token AS a, nxt AS b FROM sq
+       |       WHERE nxt IS NOT NULL AND nxt <> token),
+       |edges AS (SELECT src, dst, COUNT(*) AS n FROM (
+       |    SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0)
+       |  GROUP BY 1, 2),
+       |ee AS (SELECT edges.src, dst, n, CAST(ot.out_n AS BIGINT) AS out_n
+       |  FROM edges JOIN (SELECT src, SUM(n) AS out_n FROM edges GROUP BY 1) ot
+       |    USING (src)),
+       |nodes AS (SELECT DISTINCT src AS node FROM ee),
+       |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+       |pr0 AS (SELECT node, CAST(1000000000000 // n_nodes AS BIGINT) AS r
+       |        FROM nodes CROSS JOIN nn),
+       |$prs
+       |SELECT node AS word, r AS rank_scaled,
+       |  round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
+       |FROM pr10 ORDER BY rank_scaled DESC, word LIMIT 20""".stripMargin
+  }
+
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("dup", "vector", "window")
     val docs = graft.operators.Parallelism.fanOut(
@@ -2953,6 +2995,58 @@ object PipelineQueries {
         |SELECT p.phrase, n_occ, CAST(t6 AS DOUBLE) / 1000000.0 AS rake_score
         |FROM ps p JOIN occ USING (phrase)
         |ORDER BY rake_score DESC, phrase LIMIT 15""".stripMargin)),
+
+    // TextRank keywords (Mihalcea & Tarau, EMNLP 2004) — the graph
+    // counterpart of RAKE: PageRank over the stopword-filtered word
+    // adjacency graph (consecutive content words co-occur, symmetrized,
+    // weighted by count). Reuses the ev_pagerank determinism machinery
+    // verbatim: integer-scaled ranks, trunc-toward-zero division,
+    // damping 17/20, exactly 10 rounds — bit-identical across engines
+    // and layouts with one 6dp re-projection at the end. Scale shape:
+    // one doc-keyed window builds edges, iterations run on the
+    // vocab-bounded edge/node frames (keyed joins — inflow is NOT
+    // broadcast; vocab can be large), top-20 is a TakeOrdered.
+    Q("tx_textrank",
+      (s, d) => {
+        val stops = TextFunctions.EnglishStopwords
+        val tok = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+          .filter(!col("token").isin(stops.map(x => x: Any): _*))
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val e0 = tok.withColumn("nxt", lead(col("token"), 1).over(wd))
+          .filter(col("nxt").isNotNull && col("nxt") =!= col("token"))
+          .select(col("token").as("a"), col("nxt").as("b"))
+        val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        val e = edges
+          .join(edges.groupBy("src").agg(sum(col("n")).as("out_n")), "src")
+          .localCheckpoint(eager = false)
+        val nodes = e.select(col("src").as("node")).distinct()
+          .localCheckpoint(eager = false)
+        val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+        var pr = nodes.crossJoin(broadcast(nn))
+          .select(col("node"), expr("1000000000000 div n_nodes").as("r"))
+        for (_ <- 1 to 10) {
+          val inflow = pr
+            .join(e.withColumnRenamed("src", "node"), "node")
+            .select(col("dst"),
+              expr("(((r * n) div out_n) * 17) div 20").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("inflow"))
+          pr = nodes.crossJoin(broadcast(nn))
+            .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .select(col("node"),
+              (expr("150000000000 div n_nodes")
+                + coalesce(col("inflow"), lit(0L))).as("r"))
+        }
+        pr.select(col("node").as("word"), col("r").as("rank_scaled"),
+            round(col("r").cast("double") / 1000000000000.0, 6).as("rank"))
+          .orderBy(col("rank_scaled").desc, col("word")).limit(20)
+      },
+      Some(TextrankSql)),
 
     // Per-document Shannon token entropy — the information-density signal
     // behind Gopher/RedPajama-style quality rules (near-zero entropy =

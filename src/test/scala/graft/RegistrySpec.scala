@@ -201,8 +201,12 @@ class RegistrySpec extends SparkSpec {
       //  - sm_coreset_coverage: the coreset construction's one-row winner
       //    joins plus an 8-ROW center-vector broadcast against one corpus
       //    pass (the sim_bruteforce bounded-broadcast shape)
+      //  - tx_textrank: the ev_pagerank shape — every iteration
+      //    cross-joins the SINGLE-ROW node-count aggregate onto the
+      //    vocab-bounded node frame; edge joins stay keyed
       "ev_smoothing", "tx_ql_dirichlet", "dq_jackknife", "ev_cusum",
-      "sm_kcenter_coreset", "ev_lag_features", "sm_coreset_coverage")
+      "sm_kcenter_coreset", "ev_lag_features", "sm_coreset_coverage",
+      "tx_textrank")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -170,6 +170,93 @@ AUDITS = [
                w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
              / NULLIF(len(str_split(text, ' ')), 0) * 1000000.0
       FROM documents WHERE text IS NOT NULL"""),
+    ("psi per-bin (p-q)ln(p/q) terms (6dp)", 6, """
+      WITH f AS (
+        SELECT source,
+          CAST(len(list_filter(str_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+            / NULLIF(len(str_split(text, ' ')), 0) AS score
+        FROM documents WHERE text IS NOT NULL),
+      b AS (SELECT source, least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket
+            FROM f WHERE score IS NOT NULL),
+      counts AS (SELECT source, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      grid AS (SELECT source, g.bucket
+        FROM (SELECT DISTINCT source FROM counts)
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) g),
+      dense AS (SELECT g.source, g.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM grid g LEFT JOIN counts c
+          ON c.source = g.source AND c.bucket = g.bucket),
+      tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_src FROM dense GROUP BY 1),
+      ref AS (SELECT bucket, n AS n_ref FROM dense WHERE source = 'src0'),
+      rtot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS n_ref_tot FROM ref)
+      SELECT (CAST(d.n + 1 AS DOUBLE) / CAST(t.n_src + 10 AS DOUBLE)
+          - CAST(r.n_ref + 1 AS DOUBLE) / CAST(rt.n_ref_tot + 10 AS DOUBLE))
+        * ln((CAST(d.n + 1 AS DOUBLE) / CAST(t.n_src + 10 AS DOUBLE))
+           / (CAST(r.n_ref + 1 AS DOUBLE) / CAST(rt.n_ref_tot + 10 AS DOUBLE)))
+      FROM dense d JOIN tot t USING (source) JOIN ref r USING (bucket)
+      CROSS JOIN rtot rt WHERE d.source <> 'src0'"""),
+    ("jsd half-sum terms (6dp)", 6, """
+      WITH toks AS (
+        SELECT source, unnest(str_split(text, ' ')) AS token FROM documents),
+      st AS (SELECT source, token, COUNT(*) AS n_st FROM toks GROUP BY 1, 2),
+      tt AS (SELECT token, COUNT(*) AS n_t FROM toks GROUP BY 1),
+      stot AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+      dense AS (
+        SELECT stot.source, stot.n_s, tt.token, tt.n_t,
+          CAST(COALESCE(st.n_st, 0) AS BIGINT) AS n_st
+        FROM tt CROSS JOIN stot
+        LEFT JOIN st ON st.source = stot.source AND st.token = tt.token)
+      SELECT (CASE WHEN n_st > 0 THEN
+           (CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+           * ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+               / ((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                  + CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE)) / 2.0))
+         ELSE 0.0 END
+         + CASE WHEN n_t - n_st > 0 THEN
+           (CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+           * ln((CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+               / ((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                  + CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE)) / 2.0))
+         ELSE 0.0 END) / 2.0
+      FROM dense CROSS JOIN gtot"""),
+    ("km hazard ln terms (6dp) + exp of cum (6dp)", 6, """
+      WITH dd AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      runs AS (
+        SELECT user_id, day,
+          day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                AS INTEGER) AS grp
+        FROM dd),
+      lf AS (SELECT COUNT(*) AS life,
+               MAX(day) < DATE '2024-01-30' AS churned
+             FROM runs GROUP BY user_id, grp),
+      g AS (SELECT life, COUNT(*) AS leave_n,
+              CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM lf GROUP BY 1),
+      r AS (SELECT life, leave_n, d,
+              CAST(SUM(leave_n) OVER (ORDER BY life
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                AS n_risk
+            FROM g),
+      e AS (SELECT life, n_risk, d,
+              CAST(SUM(CASE WHEN d < n_risk THEN
+                CAST(round(round(ln(CAST(n_risk - d AS DOUBLE)
+                  / CAST(n_risk AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)
+                END) OVER (ORDER BY life ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS log_s
+            FROM r)
+      SELECT ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      FROM r WHERE d < n_risk
+      UNION ALL
+      SELECT exp(CAST(log_s AS DOUBLE) / 1000000.0)
+      FROM e WHERE d > 0 AND d < n_risk"""),
+    ("facility-coreset cosines (4dp)", 4, """
+      SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[]))
+      FROM embeddings a JOIN embeddings b
+        ON substring(md5('1:' || CAST(a.vec_id AS VARCHAR)), 1, 1) = '0'
+       AND a.vec_id <> b.vec_id"""),
 ]
 
 worst_overall = 1.0

@@ -456,4 +456,76 @@ object Similarity {
     }
     out
   }
+
+  /** Stochastic-greedy facility-location selection (Mirzasoleiman et al.
+    * 2015, "Lazier Than Lazy Greedy", over the submodular objective of
+    * Lin & Bilmes 2011): pick `k` points maximizing
+    * f(S) = Σ_x max(0, max_{c∈S} sim(x, c)) — the REPRESENTATIVENESS
+    * selection that complements [[kCenterCoreset]]'s pure-diversity
+    * farthest-first (k-center covers the extremes; facility location
+    * covers the mass). Each round scores only a hash-drawn candidate
+    * pool (a point is a round-r candidate iff the first hex char of
+    * md5("r:" + id) equals `candHex` — deterministic across engines,
+    * runs, and partitionings; stochastic-greedy's (1 − 1/e − ε)
+    * guarantee needs only O((n/k)·ln(1/ε)) candidates, so production
+    * tightens the prefix as n grows while this fixture rate keeps the
+    * pool ≈ n/16). Marginal gains are EXACT integers: similarities are
+    * 4dp-pre-rounded scaled longs (the engine-parity contract), coverage
+    * is clamped at 0, and the winner maximizes (gain, then min id).
+    *
+    * Scale shape per round: the corpus pays one pass against the
+    * broadcast candidate pool (gain = one map-combined candidate-keyed
+    * sum) and one pass against the single-row broadcast winner for the
+    * coverage update — the corpus itself never shuffles; lineage is cut
+    * per round with a lazy localCheckpoint (the [[kCenterCoreset]]
+    * recompute argument).
+    *
+    * Returns one row per selection: (sel_round, vec_id, gain_scaled,
+    * gain = gain_scaled/10⁴).
+    */
+  def facilityCoreset(vectors: DataFrame, idCol: Column, vecCol: Column,
+      k: Int, candHex: String = "0"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def s4(a: Column, b: Column): Column =
+      round(cosineRounded(a, b) * 10000, 0).cast("long")
+    val base = vectors.select(idCol.as("vec_id"), vecCol.as("emb"))
+      .localCheckpoint(eager = false)
+    var cur = base.select(col("vec_id"), col("emb"), lit(0L).as("ms"))
+      .localCheckpoint(eager = false)
+    var out: DataFrame = null
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val pool = base.filter(
+          substring(md5(concat(lit(s"$r:"), col("vec_id").cast("string"))),
+            1, 1) === candHex)
+        .select(col("vec_id").as("cand_id"), col("emb").as("cemb"))
+      val cands =
+        if (r == 1) pool
+        else pool.join(broadcast(selected),
+          pool("cand_id") === selected("sel_id"), "left_anti")
+      val gains = cur.crossJoin(broadcast(cands))
+        .select(col("cand_id"),
+          greatest(lit(0L), s4(col("emb"), col("cemb")) - col("ms"))
+            .as("g"))
+        .groupBy("cand_id").agg(sum(col("g")).as("gain"))
+      val win = gains.join(broadcast(cands), "cand_id")
+        .orderBy(col("gain").desc, col("cand_id").asc).limit(1)
+        .localCheckpoint(eager = false)
+      val row = win.select(lit(r.toLong).as("sel_round"),
+        col("cand_id").as("vec_id"), col("gain").as("gain_scaled"),
+        (col("gain").cast("double") / 10000.0).as("gain"))
+      out = if (out == null) row else out.unionByName(row)
+      selected =
+        if (selected == null) win.select(col("cand_id").as("sel_id"))
+        else selected.unionByName(win.select(col("cand_id").as("sel_id")))
+          .localCheckpoint(eager = false)
+      if (r < k) {
+        cur = cur.crossJoin(broadcast(win.select(col("cemb").as("wemb"))))
+          .select(col("vec_id"), col("emb"),
+            greatest(col("ms"), s4(col("emb"), col("wemb"))).as("ms"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    out
+  }
 }

@@ -2138,6 +2138,146 @@ object ExtQueries {
               SELECT user_id, MIN(ts) AS session_start,
                      MAX(ts) + INTERVAL '6 hours' AS session_end,
                      COUNT(*) AS n_events
-              FROM sess GROUP BY user_id, sid""".stripMargin))
+              FROM sess GROUP BY user_id, sid""".stripMargin)),
+
+    // RFM segmentation (Hughes 1994's recency/frequency/monetary quintile
+    // coding — the classic behavioral-value grid CRM teams cut campaigns
+    // by). Per user: recency = days from last event to the fixed anchor
+    // 2024-02-01 (a LITERAL, so the score is reproducible across runs and
+    // scale factors — never "now()"), frequency = event count, monetary =
+    // exact micro-scaled purchase revenue. Each dimension is coded 1–5 by
+    // ntile(5) under a TOTAL order (metric, then user_id — best value gets
+    // quintile 1), so both engines tile identically; segment = R·100 +
+    // F·10 + M. Exactness: monetary sums pre-scaled longs (the
+    // ev_cohort_ltv contract); the only doubles out are exact-long /1e6
+    // divisions. Scale shape: events pay ONE user-keyed map-combined
+    // aggregate; the three global-order ntile windows run on the
+    // collapsed user frame only (the dq_auc collapsed-frame argument) —
+    // at production user counts the same coding is a two-phase
+    // rank-vs-broadcast-quantile-boundary join, which this plan's
+    // boundary semantics (ties broken by user_id) transfer to unchanged.
+    Q("ev_rfm",
+      (s, d) => {
+        val anchor = to_date(lit("2024-02-01"))
+        val byUser = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            datediff(anchor, to_date(max(col("ts")))).cast("long").as("r_days"),
+            count(lit(1)).as("f"),
+            sum(round(col("value") * 1000000, 0).cast("long")).as("m_micro"))
+        val rq = Window.orderBy(col("r_days"), col("user_id"))
+        val fq = Window.orderBy(col("f").desc, col("user_id"))
+        val mq = Window.orderBy(col("m_micro").desc, col("user_id"))
+        byUser
+          .withColumn("r_q", ntile(5).over(rq).cast("long"))
+          .withColumn("f_q", ntile(5).over(fq).cast("long"))
+          .withColumn("m_q", ntile(5).over(mq).cast("long"))
+          .select(col("user_id"), col("r_days"), col("f"),
+            round(col("m_micro").cast("double") / 1000000.0, 6).as("monetary"),
+            col("r_q"), col("f_q"), col("m_q"),
+            (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id,
+        |    CAST(DATE '2024-02-01' - CAST(MAX(ts) AS DATE) AS BIGINT) AS r_days,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |      AS m_micro
+        |  FROM events GROUP BY user_id),
+        |q AS (
+        |  SELECT user_id, r_days, f, m_micro,
+        |    CAST(ntile(5) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY m_micro DESC, user_id) AS BIGINT) AS m_q
+        |  FROM u)
+        |SELECT user_id, r_days, f,
+        |  round(CAST(m_micro AS DOUBLE) / 1000000.0, 6) AS monetary,
+        |  r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS segment
+        |FROM q""".stripMargin)),
+
+    // Kaplan–Meier survival curve of user activity STREAKS (Kaplan &
+    // Meier 1958) — the censoring-correct estimate naive streak-length
+    // histograms get wrong: a streak still running on the corpus's final
+    // observed day (the LITERAL anchor 2024-01-30) was not observed to
+    // break, so it is CENSORED at its observed length, not counted as a
+    // death. Subjects: maximal runs of consecutive active days per user
+    // (the ev_streaks entity — day minus dense row_number groups runs
+    // identically in both engines); lifetime = run length in days; death
+    // = the run's last day precedes the anchor. S(t) = Π_{t'≤t}(1 − d/n)
+    // is carried in log-domain as exact scaled longs: each length's
+    // ln((n−d)/n) is one mirrored IEEE chain from exact longs,
+    // 6dp-pre-rounded before the exact running sum (the dq_source_kl
+    // discipline), so the cumulative log-survival is bit-identical and
+    // the single exp at the end is one mirrored op under a 6dp round
+    // (boundary-audited). n = at-risk via a current-row-to-unbounded-
+    // FOLLOWING running sum — no separate total pass; d = n can only
+    // happen at the global maximum lifetime (anything alive longer would
+    // still be at risk), where S hits exactly 0 and the log column goes
+    // null in both engines. Scale shape: events collapse through one
+    // (user, day)-keyed distinct and one user-keyed window into runs;
+    // the KM windows run on the collapsed per-LENGTH frame, bounded by
+    // the observation window's day count, not by users.
+    Q("ev_survival_km",
+      (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val rn = row_number().over(
+          Window.partitionBy("user_id").orderBy("day"))
+        val u = days.withColumn("grp", date_sub(col("day"), rn))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("life"), max(col("day")).as("last_day"))
+          .select(col("life"),
+            (col("last_day") < to_date(lit("2024-01-30"))).as("churned"))
+        val g = u.groupBy("life").agg(count(lit(1)).as("leave_n"),
+          sum(when(col("churned"), 1L).otherwise(0L)).as("d"))
+        val atRisk = sum(col("leave_n")).over(
+          Window.orderBy("life")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        val r = g.withColumn("n_risk", atRisk)
+        val term = when(col("d") < col("n_risk"),
+          round(round(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")), 6) * 1000000, 0).cast("long"))
+        val cum = sum(term).over(
+          Window.orderBy("life")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        r.withColumn("log_s", cum)
+          .filter(col("d") > 0)
+          .select(col("life"), col("n_risk"), col("d"),
+            when(col("d") < col("n_risk"), col("log_s"))
+              .otherwise(lit(null).cast("long")).as("log_surv_scaled"),
+            when(col("d") < col("n_risk"),
+              round(exp(col("log_s").cast("double") / 1000000.0), 6))
+              .otherwise(lit(0.0)).as("km"))
+      },
+      Some("""WITH dd AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |runs AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS INTEGER) AS grp
+        |  FROM dd),
+        |lf AS (SELECT COUNT(*) AS life,
+        |         MAX(day) < DATE '2024-01-30' AS churned
+        |       FROM runs GROUP BY user_id, grp),
+        |g AS (SELECT life, COUNT(*) AS leave_n,
+        |        CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |      FROM lf GROUP BY 1),
+        |r AS (SELECT life, leave_n, d,
+        |        CAST(SUM(leave_n) OVER (ORDER BY life
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |          AS n_risk
+        |      FROM g),
+        |e AS (SELECT life, n_risk, d,
+        |        CAST(SUM(CASE WHEN d < n_risk THEN
+        |          CAST(round(round(ln(CAST(n_risk - d AS DOUBLE)
+        |            / CAST(n_risk AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)
+        |          END) OVER (ORDER BY life ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS log_s
+        |      FROM r)
+        |SELECT life, n_risk, d,
+        |  CASE WHEN d < n_risk THEN log_s END AS log_surv_scaled,
+        |  CASE WHEN d < n_risk THEN round(exp(CAST(log_s AS DOUBLE) / 1000000.0), 6)
+        |       ELSE 0.0 END AS km
+        |FROM e WHERE d > 0""".stripMargin))
   )
 }

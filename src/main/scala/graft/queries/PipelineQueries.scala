@@ -222,6 +222,53 @@ object PipelineQueries {
   /** DuckDB oracle for tx_textrank: the ev_pagerank integer-scaled power
     * iteration (damping 17/20, 10 rounds, trunc-toward-zero `//`) on the
     * stopword-filtered word adjacency graph, top-20 by (rank, word). */
+  /** DuckDB oracle for sm_facility_coreset: the SAME 5 stochastic-greedy
+    * facility-location rounds as
+    * [[graft.operators.Similarity.facilityCoreset]] unrolled as
+    * MATERIALIZED CTEs — m_r carries every point's scaled-long coverage
+    * after r selections, c_r is round r's hash-drawn candidate pool
+    * (minus prior winners), g_r the exact-integer marginal gains, w_r the
+    * (gain DESC, id) winner. */
+  private val FacilityOracle: String = {
+    val K = 5
+    def s4(p: String, c: String): String =
+      s"CAST(round(round(list_cosine_similarity($p.emb, $c), 4) " +
+        "* 10000, 0) AS BIGINT)"
+    val rounds = (1 to K).map { r =>
+      val excl =
+        if (r == 1) ""
+        else (1 until r).map(i => s"SELECT cand_id FROM w$i")
+          .mkString("\n    AND vec_id NOT IN (", " UNION ALL ", ")")
+      val upd = if (r == K) "" else s""",
+        |m$r AS MATERIALIZED (
+        |  SELECT p.vec_id, greatest(m.ms, ${s4("p", "w.cemb")}) AS ms
+        |  FROM pts p JOIN m${r - 1} m USING (vec_id) CROSS JOIN w$r w)"""
+        .stripMargin
+      s"""c$r AS MATERIALIZED (
+        |  SELECT vec_id AS cand_id, emb AS cemb FROM pts
+        |  WHERE substring(md5('$r:' || CAST(vec_id AS VARCHAR)), 1, 1) = '0'$excl),
+        |g$r AS MATERIALIZED (
+        |  SELECT c.cand_id,
+        |    CAST(SUM(greatest(CAST(0 AS BIGINT),
+        |      ${s4("p", "c.cemb")} - m.ms)) AS BIGINT) AS gain
+        |  FROM c$r c CROSS JOIN pts p JOIN m${r - 1} m ON m.vec_id = p.vec_id
+        |  GROUP BY 1),
+        |w$r AS MATERIALIZED (
+        |  SELECT g.cand_id, g.gain, c.cemb
+        |  FROM g$r g JOIN c$r c USING (cand_id)
+        |  ORDER BY g.gain DESC, g.cand_id LIMIT 1)""".stripMargin + upd
+    }.mkString(",\n")
+    val out = (1 to K).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS sel_round, cand_id AS vec_id, " +
+        s"gain AS gain_scaled, CAST(gain AS DOUBLE) / 10000.0 AS gain FROM w$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH pts AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |m0 AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS ms FROM pts),
+      |$rounds
+      |$out""".stripMargin
+  }
+
   private val TextrankSql: String = {
     val prs = (1 to 10).map { i =>
       s"""pr$i AS (
@@ -4617,6 +4664,253 @@ object PipelineQueries {
         v.crossJoin(broadcast(sgn))
           .select(col("i").as("dim"), (col("v") * col("s")).as("v_scaled"))
       },
-      Some(TopEigenSql))
+      Some(TopEigenSql)),
+
+    // Cohen's kappa (Cohen 1960) between the two independent row-local
+    // quality raters the engine ships — the C4-style rule gate
+    // (dd_fuzzy_keep / dq_mcc's predicate) and the n-gram language-ID
+    // heuristic voting lang_pred == 'en' — i.e. chance-corrected
+    // inter-rater agreement. dq_mcc judges one rater against truth; kappa
+    // asks whether two raters even agree beyond what their marginal rates
+    // force, the first check before ensembling gates. Exact end-to-end:
+    // kappa = (N·(TP+TN) − pe_num) / (N² − pe_num) with
+    // pe_num = (TP+FP)(TP+FN) + (TN+FN)(TN+FP), all exact longs, ONE
+    // IEEE division at the end (the dq_mcc no-rounding contract). Scale
+    // shape: both raters are row-local; the whole query is one
+    // map-combined 4-cell confusion aggregate.
+    Q("dq_cohens_kappa",
+      (s, d) => {
+        val a = TextFunctions.gateRules(col("text")).map(_._2).reduce(_ && _)
+        val b = langId(col("text")) === "en"
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(a.as("p"), b.as("q"))
+          .agg(
+            sum(when(col("p") && col("q"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("p") && !col("q"), 1L).otherwise(0L)).as("fp"),
+            sum(when(!col("p") && col("q"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("p") && !col("q"), 1L).otherwise(0L)).as("tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            ((((col("tp") + col("tn")) * (col("tp") + col("fp") + col("fn") + col("tn")))
+              - ((col("tp") + col("fp")) * (col("tp") + col("fn"))
+                + (col("tn") + col("fn")) * (col("tn") + col("fp"))))
+              .cast("double") /
+              (((col("tp") + col("fp") + col("fn") + col("tn"))
+                * (col("tp") + col("fp") + col("fn") + col("tn")))
+                - ((col("tp") + col("fp")) * (col("tp") + col("fn"))
+                  + (col("tn") + col("fn")) * (col("tn") + col("fp"))))
+                .cast("double")).as("kappa"))
+      },
+      Some("""WITH f AS (
+        |  SELECT
+        |    (len(str_split(text, ' ')) BETWEEN 10 AND 1000)
+        |    AND COALESCE(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / NULLIF(len(str_split(text, ' ')), 0) BETWEEN 2.0 AND 10.0, FALSE)
+        |    AND (CASE WHEN len(str_split(text, ' ')) = 0 THEN 'unknown'
+        |         WHEN CAST(len(list_filter(str_split(text, ' '),
+        |                w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |              / len(str_split(text, ' ')) >= 0.05 THEN 'en'
+        |         ELSE 'other' END) = 'en'
+        |    AND COALESCE(CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+        |      (CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+        |        1.0 - CAST(len(list_distinct(list_transform(
+        |          generate_series(1, len(str_split(text, ' ')) - 1),
+        |          i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1])))
+        |          AS DOUBLE) / (len(str_split(text, ' ')) - 1)
+        |      END) <= 0.8 END, TRUE) AS p,
+        |    (CASE WHEN len(str_split(text, ' ')) = 0 THEN 'unknown'
+        |         WHEN CAST(len(list_filter(str_split(text, ' '),
+        |                w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |              / len(str_split(text, ' ')) >= 0.05 THEN 'en'
+        |         ELSE 'other' END) = 'en' AS q
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT
+        |  CAST(SUM(CASE WHEN p AND q THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN p AND NOT q THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN NOT p AND q THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN NOT p AND NOT q THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM f)
+        |SELECT tp, fp, fn, tn,
+        |  CAST((tp + tn) * (tp + fp + fn + tn)
+        |       - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp)) AS DOUBLE)
+        |  / CAST((tp + fp + fn + tn) * (tp + fp + fn + tn)
+        |       - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp)) AS DOUBLE)
+        |    AS kappa
+        |FROM c""".stripMargin)),
+
+    // Population Stability Index of the stopword-ratio quality-score
+    // distribution, each source vs the 'src0' reference — the standard
+    // model-monitoring drift number (PSI < 0.1 stable, > 0.25 shifted)
+    // over the SAME score and decile binning dq_calibration uses, so the
+    // drift monitor and the calibration audit can never disagree about
+    // what the score is. PSI(s) = Σ_bins (p_s − p_ref)·ln(p_s / p_ref)
+    // over the fixed 10-decile grid with add-one smoothing (empty bins
+    // are data, not poles). Exactness: bin counts are exact longs on a
+    // DENSE source×bin grid (a missing bin is count 0 in both engines);
+    // each bin's (p_s − p_ref)·ln(p_s/p_ref) is one mirrored IEEE chain
+    // from exact longs, 6dp-pre-rounded to a scaled long before the
+    // per-source exact integer sum (the dq_source_kl discipline). Scale
+    // shape: one (source, bin)-keyed map-combined count; the dense grid,
+    // reference column, and totals are all source×10-bounded broadcasts.
+    Q("dq_psi",
+      (s, d) => {
+        val scored = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("source"),
+            (TextFunctions.stopwordCount(col("text"), TextFunctions.EnglishStopwords)
+              .cast("double") /
+              nullif(TextFunctions.tokenCount(col("text")), lit(0)).cast("double"))
+              .as("score"))
+          .filter(col("score").isNotNull)
+          .select(col("source"),
+            least(floor(col("score") * 10).cast("long"), lit(9L)).as("bucket"))
+        val counts = scored.groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+        val grid = counts.select(col("source")).distinct()
+          .crossJoin(s.range(10).select(col("id").as("bucket")))
+        val dense = grid.join(counts, Seq("source", "bucket"), "left")
+          .select(col("source"), col("bucket"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val tot = dense.groupBy("source").agg(sum(col("n")).as("n_src"))
+        val ref = dense.filter(col("source") === "src0")
+          .select(col("bucket"), col("n").as("n_ref"))
+        val refTot = ref.agg(sum(col("n_ref")).as("n_ref_tot"))
+        val ps = (col("n") + 1).cast("double") / (col("n_src") + 10).cast("double")
+        val pr = (col("n_ref") + 1).cast("double") /
+          (col("n_ref_tot") + 10).cast("double")
+        dense.filter(col("source") =!= "src0")
+          .join(broadcast(tot), "source")
+          .join(broadcast(ref), "bucket")
+          .crossJoin(broadcast(refTot))
+          .select(col("source"), col("n_src"),
+            round(round((ps - pr) * log(ps / pr), 6) * 1000000, 0)
+              .cast("long").as("term"))
+          .groupBy("source")
+          .agg(min(col("n_src")).cast("long").as("n_docs"),
+            (sum(col("term")).cast("double") / 1000000.0).as("psi"))
+      },
+      Some("""WITH f AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |           w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / NULLIF(len(str_split(text, ' ')), 0) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT source, least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket
+        |      FROM f WHERE score IS NOT NULL),
+        |counts AS (SELECT source, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |grid AS (SELECT source, g.bucket
+        |  FROM (SELECT DISTINCT source FROM counts)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) g),
+        |dense AS (SELECT g.source, g.bucket,
+        |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.source = g.source AND c.bucket = g.bucket),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_src
+        |        FROM dense GROUP BY 1),
+        |ref AS (SELECT bucket, n AS n_ref FROM dense WHERE source = 'src0'),
+        |rtot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS n_ref_tot FROM ref)
+        |SELECT d.source, CAST(MIN(n_src) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(round(round(
+        |    (CAST(d.n + 1 AS DOUBLE) / CAST(t.n_src + 10 AS DOUBLE)
+        |      - CAST(r.n_ref + 1 AS DOUBLE) / CAST(rt.n_ref_tot + 10 AS DOUBLE))
+        |    * ln((CAST(d.n + 1 AS DOUBLE) / CAST(t.n_src + 10 AS DOUBLE))
+        |       / (CAST(r.n_ref + 1 AS DOUBLE) / CAST(rt.n_ref_tot + 10 AS DOUBLE))),
+        |    6) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS psi
+        |FROM dense d
+        |JOIN tot t USING (source)
+        |JOIN ref r USING (bucket)
+        |CROSS JOIN rtot rt
+        |WHERE d.source <> 'src0'
+        |GROUP BY d.source""".stripMargin)),
+
+    // Jensen–Shannon divergence (Lin 1991) between each source's unigram
+    // distribution and the REST of the corpus — the symmetric, bounded
+    // ([0, ln 2]) counterpart of dq_source_kl's KL: KL names the
+    // vocabulary outlier but explodes on disjoint support; JSD is what a
+    // data card reports when sources genuinely don't share tokens.
+    // JSD(P‖Q) = ½ΣP·ln(P/M) + ½ΣQ·ln(Q/M), M = (P+Q)/2, with P = this
+    // source's token distribution and Q = the complement's, both exact
+    // integer ratios (q's counts are the subtraction n_t − n_st — no
+    // second pass over the corpus). Zero-P and zero-Q terms drop by
+    // continuity (x·ln x → 0) via mirrored CASE guards; every surviving
+    // term is one mirrored IEEE chain pre-rounded to a 6dp scaled long
+    // before the exact per-source sum (the dq_source_kl discipline); the
+    // token grid is DENSE (token-total frame × the source-bounded totals
+    // row set left-joined to per-source counts), so a token a source
+    // never emits still contributes its ½q·ln 2 mass identically in both
+    // engines. Scale shape: one (source, token)-keyed map-combined count,
+    // one token-keyed count, and a |V|·|sources| grid — linear in
+    // vocabulary with a constant sources multiplier, no all-pairs.
+    Q("tx_jsd",
+      (s, d) => {
+        val toks = t(s, d, "documents").select(col("source"), col("text"))
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+        val st = toks.groupBy("source", "token").agg(count(lit(1)).as("n_st"))
+        val tTot = toks.groupBy("token").agg(count(lit(1)).as("n_t"))
+        val sTot = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+        val gTot = tTot.agg(sum(col("n_t")).as("n"))
+        val dense = tTot.crossJoin(broadcast(sTot))
+          .join(st, Seq("source", "token"), "left")
+          .select(col("source"), col("n_s"), col("n_t"),
+            coalesce(col("n_st"), lit(0L)).as("n_st"))
+          .crossJoin(broadcast(gTot))
+        val p = col("n_st").cast("double") / col("n_s").cast("double")
+        val q = (col("n_t") - col("n_st")).cast("double") /
+          (col("n") - col("n_s")).cast("double")
+        val m = (p + q) / lit(2.0)
+        val term = (when(col("n_st") > 0, p * log(p / m)).otherwise(lit(0.0))
+          + when(col("n_t") - col("n_st") > 0, q * log(q / m))
+            .otherwise(lit(0.0))) / lit(2.0)
+        dense
+          .select(col("source"), col("n_s"),
+            round(round(term, 6) * 1000000, 0).cast("long").as("term"))
+          .groupBy("source")
+          .agg((sum(col("term")).cast("double") / 1000000.0).as("jsd"),
+            min(col("n_s")).cast("long").as("n_tokens"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT source, unnest(str_split(text, ' ')) AS token FROM documents),
+        |st AS (SELECT source, token, COUNT(*) AS n_st FROM toks GROUP BY 1, 2),
+        |tt AS (SELECT token, COUNT(*) AS n_t FROM toks GROUP BY 1),
+        |stot AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s
+        |         FROM st GROUP BY 1),
+        |gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+        |dense AS (
+        |  SELECT stot.source, stot.n_s, tt.token, tt.n_t,
+        |    CAST(COALESCE(st.n_st, 0) AS BIGINT) AS n_st
+        |  FROM tt CROSS JOIN stot
+        |  LEFT JOIN st ON st.source = stot.source AND st.token = tt.token)
+        |SELECT source,
+        |  CAST(SUM(CAST(round(round(
+        |    (CASE WHEN n_st > 0 THEN
+        |       (CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |       * ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |           / ((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+        |              + CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+        |             / 2.0))
+        |     ELSE 0.0 END
+        |     + CASE WHEN n_t - n_st > 0 THEN
+        |       (CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+        |       * ln((CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+        |           / ((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+        |              + CAST(n_t - n_st AS DOUBLE) / CAST(n - n_s AS DOUBLE))
+        |             / 2.0))
+        |     ELSE 0.0 END) / 2.0,
+        |    6) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS jsd,
+        |  CAST(MIN(n_s) AS BIGINT) AS n_tokens
+        |FROM dense CROSS JOIN gtot
+        |GROUP BY source""".stripMargin)),
+
+    // Stochastic-greedy facility-location coreset (Mirzasoleiman et al.
+    // 2015 over Lin & Bilmes 2011's submodular objective) — the
+    // REPRESENTATIVENESS selection next to sm_kcenter_coreset's pure
+    // diversity: maximize Σ_x max(0, max_{c∈S} sim(x,c)), so selections
+    // sit where the data mass is instead of at its extremes. Determinism
+    // and the judged contract: hash-drawn candidate pools, exact-integer
+    // gains over 4dp-pre-rounded scaled similarities, (gain, min-id)
+    // winners — the oracle replays all 5 rounds as MATERIALIZED CTEs, so
+    // the whole greedy trajectory (selection order AND gain curve) is
+    // judged, not just the set. Scale notes on the operator.
+    Q("sm_facility_coreset",
+      (s, d) => graft.operators.Similarity.facilityCoreset(
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 5),
+      Some(FacilityOracle))
   )
 }

@@ -206,7 +206,20 @@ class RegistrySpec extends SparkSpec {
       //    vocab-bounded node frame; edge joins stay keyed
       "ev_smoothing", "tx_ql_dirichlet", "dq_jackknife", "ev_cusum",
       "sm_kcenter_coreset", "ev_lag_features", "sm_coreset_coverage",
-      "tx_textrank")
+      //  - dq_psi: the one-row reference-total aggregate cross-joins onto
+      //    the sources×10-bounded dense bin grid (the p13 scalar shape);
+      //    bin counts and the reference column attach as keyed broadcasts
+      //  - tx_jsd: the dq_source_kl shape — the one-row corpus token
+      //    total cross-joins onto the (source, token) frame, and the
+      //    |sources|-bounded totals row set cross-joins the token frame
+      //    to densify it (a bounded constant-multiplier fan-out, not a
+      //    data×data product)
+      //  - sm_facility_coreset: each stochastic-greedy round cross-joins
+      //    the hash-drawn BOUNDED candidate pool against one corpus pass
+      //    (the sim_bruteforce bounded-broadcast shape — stochastic-greedy
+      //    sizes the pool to O((n/k)ln(1/ε)) by construction) plus the
+      //    sm_kcenter one-row winner update
+      "tx_textrank", "dq_psi", "tx_jsd", "sm_facility_coreset")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

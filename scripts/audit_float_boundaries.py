@@ -251,6 +251,49 @@ AUDITS = [
       UNION ALL
       SELECT exp(CAST(log_s AS DOUBLE) / 1000000.0)
       FROM e WHERE d > 0 AND d < n_risk"""),
+    ("heaps cumulative ln points (6dp)", 6, """
+      WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        FROM documents WHERE text IS NOT NULL),
+      per_doc AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+      first_seen AS (
+        SELECT doc_id, COUNT(*) AS new_types
+        FROM (SELECT token, MIN(doc_id) AS doc_id FROM toks GROUP BY 1)
+        GROUP BY 1),
+      cum AS (
+        SELECT
+          SUM(p.n_toks) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+            AS t_cum,
+          SUM(COALESCE(f.new_types, 0)) OVER (ORDER BY p.doc_id
+            ROWS UNBOUNDED PRECEDING) AS v_cum
+        FROM per_doc p LEFT JOIN first_seen f USING (doc_id))
+      SELECT ln(CAST(t_cum AS DOUBLE)) FROM cum
+      UNION ALL SELECT ln(CAST(v_cum AS DOUBLE)) FROM cum"""),
+    ("jl component micro-scaling (6dp)", 6, """
+      WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT v[unnest(generate_series(1, len(v)))] FROM p"""),
+    ("neyman weight sqrt (round0)", 0, """
+      WITH st AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sx,
+          CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY 1)
+      SELECT sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) FROM st"""),
+    ("silhouette ratio (6dp)", 6, """
+      WITH cent AS (SELECT vec_id AS centroid_id,
+          CAST(embedding AS DOUBLE[]) AS centroid
+        FROM embeddings WHERE vec_id < 8),
+      sc AS (SELECT v.vec_id, c.centroid_id,
+          CAST(round(round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+            c.centroid), 4) * 10000, 0) AS BIGINT) AS c4
+        FROM embeddings v CROSS JOIN cent c WHERE v.vec_id >= 32),
+      rk AS (SELECT vec_id, c4, row_number() OVER (
+          PARTITION BY vec_id ORDER BY c4 DESC, centroid_id) AS rn FROM sc),
+      pv AS (SELECT vec_id,
+          MAX(CASE WHEN rn = 1 THEN c4 END) AS c1,
+          MAX(CASE WHEN rn = 2 THEN c4 END) AS c2
+        FROM rk WHERE rn <= 2 GROUP BY 1)
+      SELECT CAST(c1 - c2 AS DOUBLE) / CAST(10000 - c2 AS DOUBLE)
+      FROM pv WHERE c2 < 10000"""),
     ("facility-coreset cosines (4dp)", 4, """
       SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                CAST(b.embedding AS DOUBLE[]))

@@ -177,6 +177,78 @@ object ExtQueries {
        |FROM pr10""".stripMargin
   }
 
+  /** DuckDB oracle for ev_hits: the same bipartite user→item view edges,
+    * then the 5 HITS half-step pairs (authority pull, hub pull, each
+    * L1-normalized to 1e6 by trunc division) UNROLLED as MATERIALIZED
+    * CTEs — the ev_pagerank integer power-iteration discipline verbatim,
+    * with every score CAST back to BIGINT per step so HUGEINT SUM
+    * widening cannot diverge from the engine's longs. */
+  private val HitsSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.auth, CAST(SUM(h.s) AS BIGINT) AS raw
+         |  FROM e JOIN h${i - 1} h ON h.hub = e.hub GROUP BY 1),
+         |asum$i AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT auth, CAST((raw * 1000000) // t AS BIGINT) AS s
+         |  FROM ar$i CROSS JOIN asum$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.hub, CAST(SUM(a.s) AS BIGINT) AS raw
+         |  FROM e JOIN a$i a ON a.auth = e.auth GROUP BY 1),
+         |hsum$i AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT hub, CAST((raw * 1000000) // t AS BIGINT) AS s
+         |  FROM hr$i CROSS JOIN hsum$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT user_id AS hub,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS auth
+       |  FROM events WHERE event_type = 'view'),
+       |h0 AS MATERIALIZED (
+       |  SELECT DISTINCT hub, CAST(1000000 AS BIGINT) AS s FROM e),
+       |$rounds
+       |SELECT side, id, score6, rn FROM (
+       |  SELECT side, id, score6, CAST(row_number() OVER (
+       |    PARTITION BY side ORDER BY score6 DESC, id) AS BIGINT) AS rn
+       |  FROM (SELECT 'auth' AS side, auth AS id, s AS score6 FROM a5
+       |        UNION ALL SELECT 'hub', hub, s FROM h5))
+       |WHERE rn <= 10""".stripMargin
+  }
+
+  /** DuckDB oracle for ev_label_prop: the kcore edge frame at the sparser
+    * ≥6-shared-user threshold (the ≥4 graph is one dense component — no
+    * community structure to detect), then the SAME 4 synchronous
+    * label-propagation rounds unrolled as MATERIALIZED CTEs
+    * — per round each node adopts the most frequent neighbor label
+    * (count desc, then MIN label: the engine's max(struct(c, −lab))
+    * winner, expressed as a row_number). */
+  private val LpaSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, nlab AS lab FROM (
+         |    SELECT node, nlab, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, nlab) AS rn
+         |    FROM (SELECT n.node, l.lab AS nlab, COUNT(*) AS c
+         |          FROM nbr n JOIN l${i - 1} l ON l.node = n.nbr
+         |          GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vi AS MATERIALIZED (
+       |  SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |  FROM events WHERE event_type = 'view'),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.item AS u, b.item AS v
+       |  FROM vi a JOIN vi b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 6),
+       |nbr AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM nbr),
+       |$rounds
+       |SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS size
+       |FROM l4 GROUP BY 1""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Window: rank per group (top-3 orders per customer)
@@ -2278,6 +2350,130 @@ object ExtQueries {
         |  CASE WHEN d < n_risk THEN log_s END AS log_surv_scaled,
         |  CASE WHEN d < n_risk THEN round(exp(CAST(log_s AS DOUBLE) / 1000000.0), 6)
         |       ELSE 0.0 END AS km
-        |FROM e WHERE d > 0""".stripMargin))
+        |FROM e WHERE d > 0""".stripMargin)),
+
+    // Robust outlier screen per event type via median absolute deviation
+    // (Hampel's identifier) — the anomaly gate that, unlike ev_anomaly's
+    // mean/stddev z-score, a single wild value cannot drag: both the
+    // center (median) and the spread (MAD) have a 50% breakdown point.
+    // Flag = |x − median| > 5·MAD (a LITERAL multiplier; ≈ 3.37σ under
+    // normality). Exactness needs NO rounding: both engines compute the
+    // exact interpolating median over the same parquet doubles (the
+    // a17_median parity), the deviation chain |x − med| and the 5·MAD
+    // product are mirrored IEEE ops on identical inputs, and outputs are
+    // counts plus raw medians. Scale shape: two type-keyed aggregates
+    // with a broadcast re-attach between them (type cardinality is
+    // bounded); production swaps exact medians for mergeable quantile
+    // sketches (a19's shape) without changing the flag rule.
+    Q("ev_mad_outliers",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("value"))
+        val med = ev.groupBy("event_type").agg(median(col("value")).as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"), col("value"), col("med"),
+            abs(col("value") - col("med")).as("adev"))
+        val mad = dev.groupBy("event_type").agg(median(col("adev")).as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min(col("med")).as("med"), min(col("mad")).as("mad"),
+            sum(when(col("adev") > lit(5.0) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+      },
+      Some("""WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+        |SELECT event_type, COUNT(*) AS n,
+        |  MIN(d.med) AS med, MIN(m.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.adev > 5.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY event_type""".stripMargin)),
+
+    // HITS hubs and authorities (Kleinberg 1999) on the bipartite
+    // user→item view graph — the mutual-reinforcement ranking PageRank's
+    // single score can't express: a good HUB (curator-like user) views
+    // many good items, a good AUTHORITY (canonical item) is viewed by
+    // good hubs. Five alternating pull/normalize rounds in EXACT integer
+    // arithmetic (the ev_pagerank discipline): scores are 1e6-scaled
+    // longs, each half-step L1-normalizes by one trunc division against a
+    // one-row broadcast total — transcendental-free and bit-identical to
+    // the oracle's unrolled CTEs. Long headroom: raw = Σ edge·1e6 holds
+    // to ~9e12 edges; decimal(38) is the drop-in beyond. Scale shape: per
+    // round two keyed (non-broadcast) edge joins + two map-combined
+    // aggregates on node-bounded frames, lineage cut per round; the
+    // event stream is scanned ONCE for the edge frame.
+    Q("ev_hits",
+      (s, d) => {
+        val e = t(s, d, "events").filter(col("event_type") === "view")
+          .select(col("user_id").as("hub"),
+            get_json_object(col("props"), "$.k").cast("long").as("auth"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        var h = e.select(col("hub")).distinct()
+          .select(col("hub"), lit(1000000L).as("s"))
+          .localCheckpoint(eager = false)
+        var a: DataFrame = null
+        for (_ <- 1 to 5) {
+          val ar = e.join(h, "hub").groupBy("auth").agg(sum(col("s")).as("raw"))
+          val asum = ar.agg(sum(col("raw")).as("t"))
+          a = ar.crossJoin(broadcast(asum))
+            .select(col("auth"), expr("(raw * 1000000) div t").as("s"))
+            .localCheckpoint(eager = false)
+          val hr = e.join(a, "auth").groupBy("hub").agg(sum(col("s")).as("raw"))
+          val hsum = hr.agg(sum(col("raw")).as("t"))
+          h = hr.crossJoin(broadcast(hsum))
+            .select(col("hub"), expr("(raw * 1000000) div t").as("s"))
+            .localCheckpoint(eager = false)
+        }
+        val both = a.select(lit("auth").as("side"), col("auth").as("id"),
+            col("s").as("score6"))
+          .unionAll(h.select(lit("hub").as("side"), col("hub").as("id"),
+            col("s").as("score6")))
+        val w = Window.partitionBy("side")
+          .orderBy(col("score6").desc, col("id"))
+        both.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+      },
+      Some(HitsSql)),
+
+    // Synchronous label propagation (Raghavan et al. 2007) on the item
+    // co-visitation graph — community detection for the catalog: 4 fixed
+    // rounds (the explicit iterative-loop contract shared with kcore /
+    // pagerank / BPE), each node adopting its neighbors' most frequent
+    // label with ties to the SMALLEST label — fully deterministic, no
+    // random visit order (the published algorithm's nondeterminism is
+    // exactly what a cross-engine contract cannot carry). Winner selection
+    // is one max(struct(count, −label)) aggregate — no window. Scale
+    // shape: per round one label-keyed edge join + two map-combined
+    // aggregates on node-bounded frames, lineage cut per round; reported
+    // as community sizes (the bounded rollup).
+    Q("ev_label_prop",
+      (s, d) => {
+        val e = EventOps.covisitationEdges(
+            t(s, d, "events").filter(col("event_type") === "view"),
+            get_json_object(col("props"), "$.k").cast("long"), minUsers = 6L)
+          .select("u", "v")
+        val nbr = e.select(col("u").as("node"), col("v").as("nbr"))
+          .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+          .localCheckpoint(eager = false)
+        var lab = nbr.select(col("node")).distinct()
+          .select(col("node"), col("node").as("lab"))
+          .localCheckpoint(eager = false)
+        for (_ <- 1 to 4) {
+          val cnt = nbr
+            .join(lab.select(col("node").as("nbr"), col("lab").as("nlab")), "nbr")
+            .groupBy("node", "nlab").agg(count(lit(1)).as("c"))
+          lab = cnt.groupBy("node")
+            .agg(max(struct(col("c"), (-col("nlab")).as("neg"))).as("w"))
+            .select(col("node"), (-col("w.neg")).as("lab"))
+            .localCheckpoint(eager = false)
+        }
+        lab.groupBy(col("lab").as("community")).agg(count(lit(1)).as("size"))
+      },
+      Some(LpaSql))
   )
 }

@@ -4911,6 +4911,517 @@ object PipelineQueries {
     Q("sm_facility_coreset",
       (s, d) => graft.operators.Similarity.facilityCoreset(
         t(s, d, "embeddings"), col("vec_id"), col("embedding"), k = 5),
-      Some(FacilityOracle))
+      Some(FacilityOracle)),
+
+    // Per-token burstiness (Church & Gale 1995; Katz 1996) — the
+    // within-document repetition profile that separates content words
+    // (bursty: rare across docs, repeated inside them) from function
+    // words (even spread), the signal behind stopword induction and
+    // Katz's K-mixture term weighting. Per token over the (doc, token)
+    // tf frame: df = containing docs, tf_sum = total occurrences,
+    // df2 = docs containing it at least twice; burstiness = tf_sum/df
+    // (mean occurrences GIVEN presence) and p_repeat = df2/df, each one
+    // exact-long IEEE division (no rounding contract needed). Scale
+    // shape: one (doc, token)-keyed map-combined count, then one
+    // token-keyed map-combined rollup — the tx_vocab wordcount shape.
+    Q("tx_burstiness",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        tf.groupBy("token")
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"),
+            sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("df2"))
+          .select(col("token"), col("df"), col("tf_sum"), col("df2"),
+            (col("tf_sum").cast("double") / col("df").cast("double"))
+              .as("burstiness"),
+            (col("df2").cast("double") / col("df").cast("double"))
+              .as("p_repeat"))
+      },
+      Some("""WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT token, COUNT(*) AS df,
+        |  CAST(SUM(tf) AS BIGINT) AS tf_sum,
+        |  CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+        |  CAST(SUM(tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS burstiness,
+        |  CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS p_repeat
+        |FROM tf GROUP BY token""".stripMargin)),
+
+    // Heaps'-law vocabulary-growth fit (Heaps 1978): V(T) ≈ K·T^β — the
+    // tokenizer-sizing curve (how fast does the vocab grow as the crawl
+    // grows?) every BPE budget decision starts from. Points: after each
+    // document in doc_id order, T = cumulative token count and V =
+    // cumulative distinct-type count (a token is NEW in the doc holding
+    // its min doc_id — one token-keyed min, no re-scan); β and ln K by
+    // ordinary least squares on (ln T, ln V). Exactness: each point's
+    // ln is 6dp-pre-rounded to a scaled long; the OLS moment sums are
+    // exact integers combined in 38-digit decimals (n·Σxy − Σx·Σy
+    // overflows longs at production point counts), and the slope /
+    // intercept are fixed mirrored chains from those exact integers.
+    // Scale shape: two map-combined keyed aggregates + running sums on
+    // the collapsed per-DOC frame (production: the ev_concurrency banded
+    // prefix-sum or boundary sampling — OLS needs only sampled points).
+    Q("tx_heaps",
+      (s, d) => {
+        val toks = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+        val firstSeen = toks.groupBy("token")
+          .agg(min(col("doc_id")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val pts = perDoc.join(firstSeen, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          .select(
+            sum(col("n_toks")).over(w).as("t_cum"),
+            sum(col("new_types")).over(w).as("v_cum"))
+          .select(
+            round(round(log(col("t_cum").cast("double")), 6) * 1000000, 0)
+              .cast("long").as("x6"),
+            round(round(log(col("v_cum").cast("double")), 6) * 1000000, 0)
+              .cast("long").as("y6"))
+        val m = pts.agg(count(lit(1)).as("n"),
+          sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+          sum(col("x6") * col("y6")).as("sxy"),
+          sum(col("x6") * col("x6")).as("sxx"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        m.select(col("n"),
+          ((dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+            .cast("double") /
+            (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+              .cast("double")).as("beta"),
+          ((col("sy").cast("double") -
+            ((dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+              .cast("double") /
+              (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+                .cast("double")) * col("sx").cast("double"))
+            / col("n").cast("double") / 1000000.0).as("ln_k"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |per_doc AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+        |first_seen AS (
+        |  SELECT doc_id, COUNT(*) AS new_types
+        |  FROM (SELECT token, MIN(doc_id) AS doc_id FROM toks GROUP BY 1)
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT
+        |    SUM(p.n_toks) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS t_cum,
+        |    SUM(COALESCE(f.new_types, 0)) OVER (ORDER BY p.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS v_cum
+        |  FROM per_doc p LEFT JOIN first_seen f USING (doc_id)),
+        |pts AS (
+        |  SELECT
+        |    CAST(round(round(ln(CAST(t_cum AS DOUBLE)), 6) * 1000000, 0)
+        |      AS BIGINT) AS x6,
+        |    CAST(round(round(ln(CAST(v_cum AS DOUBLE)), 6) * 1000000, 0)
+        |      AS BIGINT) AS y6
+        |  FROM cum),
+        |m AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+        |        CAST(SUM(x6 * y6) AS BIGINT) AS sxy,
+        |        CAST(SUM(x6 * x6) AS BIGINT) AS sxx
+        |      FROM pts)
+        |SELECT n,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |    AS beta,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |       / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000000.0 AS ln_k
+        |FROM m""".stripMargin)),
+
+    // Blocking-quality audit of the MinHash-LSH candidate generator
+    // (Christen 2012's pair-completeness / reduction-ratio — THE two
+    // numbers that justify any blocking scheme): how many of the TRUE
+    // Jaccard ≥ 0.5 pairs does banding catch (completeness = recall of
+    // dd_lsh_pairs against dd_prefix_pairs' exact truth), and what
+    // fraction of the n·(n−1)/2 comparison universe does it avoid
+    // (reduction ratio)? The truth leg is the prefix-filter join —
+    // provably COMPLETE at the threshold and scale-safe, so the engine
+    // never runs an all-pairs join; the oracle derives the same truth
+    // from the naive all-pairs formulation, making the judged contract
+    // an independent re-derivation. Metrics are exact counts with two
+    // final IEEE divisions. Scale shape: both legs are the existing
+    // banded/prefix paths; the audit adds only one-row count aggregates
+    // cross-joined into the single metrics row (the p13 scalar shape).
+    Q("dd_blocking_quality",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val truth = Dedup.prefixFilterPairs(
+            docs, col("doc_id"), col("text"), threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val cand = Dedup.lshCandidatePairs(
+            docs, col("doc_id"), col("text"), NumHashes, Bands)
+          .select(col("doc_a"), col("doc_b"))
+        val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        val nd = Dedup.minhashBands(docs, col("doc_id"), col("text"),
+            NumHashes, Bands)
+          .select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_docs"))
+        val nt = truth.agg(count(lit(1)).as("n_truth"))
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val nh = hit.agg(count(lit(1)).as("n_hit"))
+        nd.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+          .crossJoin(broadcast(nh))
+          .select(col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_truth").cast("double"))
+              .as("completeness"),
+            (lit(1.0) - col("n_cand").cast("double") /
+              (col("n_docs").cast("double")
+                * (col("n_docs") - 1).cast("double") / lit(2.0)))
+              .as("reduction_ratio"))
+      },
+      Some(BandsCte + """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM bands),
+        |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+        |nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+        |nh AS (SELECT COUNT(*) AS n_hit FROM truth t
+        |       JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+        |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS completeness,
+        |  1.0 - CAST(n_cand AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE) / 2.0)
+        |    AS reduction_ratio
+        |FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh""".stripMargin)),
+
+    // Label-aware retrieval quality: NDCG@10 (Järvelin & Kekäläinen 2002)
+    // of the brute-force cosine top-10 against the embeddings' class
+    // labels (relevant = same label as the query) — the semantic-quality
+    // counterpart of sim_ann_recall's self-consistency check: recall says
+    // the ANN index matches brute force, NDCG says the embedding SPACE
+    // ranks same-class items first. Exactness: rank discounts 1/log2(r+1)
+    // are a 10-entry LITERAL table of 6dp scaled longs (and the ideal DCG
+    // a LITERAL cumulative table), so DCG/IDCG are exact integer sums with
+    // ONE IEEE division at the end — no transcendental, no rounding
+    // contract. Scale shape: the k-bounded heap top-10 (|Q|·10 rows) joins
+    // broadcast query labels and the |labels|-bounded corpus class counts;
+    // everything after retrieval is k- or label-bounded.
+    Q("sim_label_ndcg",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 32)
+        val qs = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        val disc6 = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+          356207L, 333333L, 315465L, 301030L, 289065L)
+        val cum6 = disc6.scanLeft(0L)(_ + _) // cum6(m) = ideal DCG of m hits
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        val ranked = Similarity.bruteForceTopK(corpus, qs, k = 10)
+          .withColumn("rank", row_number().over(w))
+        val qlab = qs.select(col("vec_id").as("query_id"), col("label").as("q_label"))
+        val nlab = corpus.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+        val discCol = disc6.zipWithIndex
+          .map { case (v, i) => when(col("rank") === (i + 1), lit(v)).otherwise(lit(0L)) }
+          .reduce(_ + _)
+        val dcg = nlab.join(broadcast(ranked.join(broadcast(qlab), "query_id")),
+            "neighbor_id")
+          .groupBy("query_id")
+          .agg(sum(when(col("q_label") === col("n_label"), discCol)
+            .otherwise(lit(0L))).as("dcg6"))
+        val labCnt = corpus.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+        val nrel = qlab.join(broadcast(labCnt), col("q_label") === col("label"), "left")
+          .select(col("query_id"), coalesce(col("n_lab"), lit(0L)).as("n_rel"))
+        val idcgCol = cum6.zipWithIndex
+          .map { case (v, i) => when(least(col("n_rel"), lit(10L)) === i, lit(v))
+            .otherwise(lit(0L)) }
+          .reduce(_ + _)
+        nrel.join(broadcast(dcg), "query_id")
+          .select(col("query_id"), col("n_rel"), col("dcg6"),
+            when(idcgCol > 0L,
+              col("dcg6").cast("double") / idcgCol.cast("double"))
+              .otherwise(lit(0.0)).as("ndcg"))
+      },
+      Some("""WITH qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q,
+        |    label AS q_label FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    label AS n_label FROM embeddings WHERE vec_id >= 32),
+        |top AS (SELECT query_id, q_label, neighbor_id, n_label, rn FROM (
+        |  SELECT qv.query_id, qv.q_label, cv.neighbor_id, cv.n_label,
+        |    row_number() OVER (PARTITION BY qv.query_id
+        |      ORDER BY round(list_cosine_similarity(qv.q, cv.v), 4) DESC,
+        |               cv.neighbor_id) AS rn
+        |  FROM qv CROSS JOIN cv)
+        |  WHERE rn <= 10),
+        |disc AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        |  (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+        |  (9, 301030), (10, 289065)) d(rn, d6)),
+        |cum AS (SELECT * FROM (VALUES (0, 0), (1, 1000000), (2, 1630930),
+        |  (3, 2130930), (4, 2561607), (5, 2948460), (6, 3304667), (7, 3638000),
+        |  (8, 3953465), (9, 4254495), (10, 4543560)) c(m, c6)),
+        |dcg AS (SELECT query_id,
+        |    CAST(SUM(CASE WHEN q_label = n_label THEN d6 ELSE 0 END) AS BIGINT)
+        |      AS dcg6
+        |  FROM top JOIN disc USING (rn) GROUP BY 1),
+        |nrel AS (SELECT q.query_id, CAST(COUNT(c.neighbor_id) AS BIGINT) AS n_rel
+        |  FROM qv q LEFT JOIN cv c ON c.n_label = q.q_label GROUP BY 1)
+        |SELECT n.query_id, n.n_rel, d.dcg6,
+        |  CASE WHEN c.c6 > 0 THEN CAST(d.dcg6 AS DOUBLE) / CAST(c.c6 AS DOUBLE)
+        |       ELSE 0.0 END AS ndcg
+        |FROM nrel n JOIN dcg d USING (query_id)
+        |JOIN cum c ON c.m = LEAST(n.n_rel, 10)""".stripMargin)),
+
+    // Per-cluster simplified silhouette (Rousseeuw 1987; centroid form per
+    // Hruschka 2004) of the IVF coarse assignment — the clustering-quality
+    // number behind every nlist decision: a = cosine distance to the OWN
+    // centroid, b = distance to the nearest OTHER centroid, s = (b−a)/b
+    // (a ≤ b by construction, so max(a,b) = b). With 4dp-scaled cosines
+    // c1 ≥ c2 this is the exact rational (c1−c2)/(10000−c2), rounded 6dp
+    // to a scaled long BEFORE the per-cluster mean (order-independent
+    // exact sums, one final division); c2 = 10000 (tie at sim 1) guards
+    // to s = 0. Scale shape: the assignClusters fan-out (|corpus|×k rows
+    // against broadcast centroids), one vec-keyed top-2 window, one
+    // cluster-keyed rollup — no pairwise distances anywhere (the full
+    // Rousseeuw silhouette is quadratic; the centroid form is THE scale
+    // substitute).
+    Q("sim_silhouette",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        val sc = emb.filter(col("vec_id") >= 32).alias("v")
+          .crossJoin(broadcast(cents.alias("c")))
+          .select(col("v.vec_id").as("vec_id"), col("centroid_id"),
+            round(graft.functions.VectorFunctions
+              .cosineRounded(col("v.embedding"), col("centroid")) * lit(10000), 0)
+              .cast("long").as("c4"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("c4").desc, col("centroid_id"))
+        val pv = sc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy("vec_id")
+          .agg(max(when(col("rn") === 1, col("centroid_id"))).as("cluster"),
+            max(when(col("rn") === 1, col("c4"))).as("c1"),
+            max(when(col("rn") === 2, col("c4"))).as("c2"))
+        pv.select(col("cluster"),
+            when(col("c2") >= 10000, lit(0L))
+              .otherwise(round((col("c1") - col("c2")).cast("double") /
+                (lit(10000L) - col("c2")).cast("double") * lit(1000000), 0)
+                .cast("long")).as("s6"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("s6")).cast("double") / lit(1000000.0) /
+              count(lit(1)).cast("double")).as("mean_silhouette"))
+      },
+      Some("""WITH cent AS (SELECT vec_id AS centroid_id,
+        |    CAST(embedding AS DOUBLE[]) AS centroid
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (SELECT v.vec_id, c.centroid_id,
+        |    CAST(round(round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |      c.centroid), 4) * 10000, 0) AS BIGINT) AS c4
+        |  FROM embeddings v CROSS JOIN cent c WHERE v.vec_id >= 32),
+        |rk AS (SELECT vec_id, centroid_id, c4, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY c4 DESC, centroid_id) AS rn FROM sc),
+        |pv AS (SELECT vec_id,
+        |    MAX(CASE WHEN rn = 1 THEN centroid_id END) AS cluster,
+        |    MAX(CASE WHEN rn = 1 THEN c4 END) AS c1,
+        |    MAX(CASE WHEN rn = 2 THEN c4 END) AS c2
+        |  FROM rk WHERE rn <= 2 GROUP BY 1),
+        |sv AS (SELECT cluster,
+        |    CASE WHEN c2 >= 10000 THEN 0
+        |         ELSE CAST(round(CAST(c1 - c2 AS DOUBLE)
+        |           / CAST(10000 - c2 AS DOUBLE) * 1000000, 0) AS BIGINT)
+        |    END AS s6
+        |  FROM pv)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(s6) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_silhouette
+        |FROM sv GROUP BY cluster""".stripMargin)),
+
+    // Chi-square keyness (Manning & Schütze 1999 §5.3.3) — the top-10
+    // tokens most over-represented in each source vs the rest of the
+    // corpus, the classical feature-selection / corpus-comparison
+    // statistic behind domain-tag vocabularies and leakage screens.
+    // 2×2 contingency per (source, token) from token counts: with
+    // marginals tok_n, src_n, n_all, the determinant ad−bc collapses to
+    // a·n_all − tok_n·src_n, so χ² = n·(a·n − tok·src)² /
+    // (tok·(n−tok)·src·(n−src)) — exact INTEGER numerator/denominator in
+    // decimal(38) (long overflows at ~1e12 token corpora; decimal holds
+    // to ~1e9 tokens per the 1e38 bound, beyond which the per-term counts
+    // pre-scale down), ONE double division, and only positively-associated
+    // terms kept (observed > expected). Ranking compares bit-identical
+    // doubles, token-tiebroken. Scale shape: one (source, token)-keyed
+    // map-combined count, a token-keyed marginal join, |sources|-bounded
+    // and one-row broadcasts, and a per-source top-10 window on the
+    // vocab-bounded frame.
+    Q("tx_chi2_terms",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("a"))
+        val tokTot = tf.groupBy("token").agg(sum(col("a")).as("tok_n"))
+        val srcTot = tf.groupBy("source").agg(sum(col("a")).as("src_n"))
+        val nTot = srcTot.agg(sum(col("src_n")).as("n_all"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val delta = dec(col("a")) * dec(col("n_all")) -
+          dec(col("tok_n")) * dec(col("src_n"))
+        val chi = tf.join(tokTot, "token")
+          .join(broadcast(srcTot), "source")
+          .crossJoin(broadcast(nTot))
+          .filter(delta > lit(0) &&
+            col("tok_n") < col("n_all") && col("src_n") < col("n_all"))
+          .select(col("source"), col("token"), col("a"), col("tok_n"),
+            ((dec(col("n_all")) * delta * delta).cast("double") /
+              (dec(col("tok_n")) * dec(col("n_all") - col("tok_n")) *
+                dec(col("src_n")) * dec(col("n_all") - col("src_n")))
+                .cast("double")).as("chi2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("chi2").desc, col("token"))
+        chi.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+      },
+      Some("""WITH tf AS (
+        |  SELECT source, token, COUNT(*) AS a
+        |  FROM (SELECT source, unnest(str_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tok AS (SELECT token, CAST(SUM(a) AS BIGINT) AS tok_n FROM tf GROUP BY 1),
+        |src AS (SELECT source, CAST(SUM(a) AS BIGINT) AS src_n FROM tf GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(src_n) AS BIGINT) AS n_all FROM src),
+        |ch AS (
+        |  SELECT tf.source, tf.token, CAST(tf.a AS BIGINT) AS a, tok.tok_n,
+        |    CAST(CAST(nt.n_all AS HUGEINT)
+        |        * (CAST(tf.a AS HUGEINT) * nt.n_all
+        |           - CAST(tok.tok_n AS HUGEINT) * src.src_n)
+        |        * (CAST(tf.a AS HUGEINT) * nt.n_all
+        |           - CAST(tok.tok_n AS HUGEINT) * src.src_n) AS DOUBLE)
+        |      / CAST(CAST(tok.tok_n AS HUGEINT) * (nt.n_all - tok.tok_n)
+        |        * CAST(src.src_n AS HUGEINT) * (nt.n_all - src.src_n) AS DOUBLE)
+        |      AS chi2
+        |  FROM tf JOIN tok USING (token) JOIN src USING (source) CROSS JOIN nt
+        |  WHERE CAST(tf.a AS HUGEINT) * nt.n_all
+        |          - CAST(tok.tok_n AS HUGEINT) * src.src_n > 0
+        |    AND tok.tok_n < nt.n_all AND src.src_n < nt.n_all)
+        |SELECT source, token, a, tok_n, chi2, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY chi2 DESC, token) AS BIGINT) AS rk
+        |  FROM ch)
+        |WHERE rk <= 10""".stripMargin)),
+
+    // Johnson–Lindenstrauss random projection + distortion audit (Achlioptas
+    // 2003 ±1 variant): project every embedding to 16 dims with a
+    // DETERMINISTIC md5-sign matrix (s_jk = ±1 from one hex char of
+    // md5("jl:j:k") — no stored projection matrix, any executor can
+    // re-derive any entry) and report the norm-preservation ratio
+    // ‖y‖²/‖x‖² every JL argument promises ≈ 1. Exactness: components
+    // pre-round to 6dp scaled longs, so projections y = Σ x6·s and both
+    // squared norms are EXACT integers — one IEEE division per vector, no
+    // rounding contract. Scale shape: row-local 16× fan-out of the
+    // per-component frame, one (vec, out-dim)-keyed map-combined sum, two
+    // vec-keyed rollups — embeddings scanned once, no shuffle wider than
+    // the projected (vec × 16) frame.
+    Q("emb_jl_distortion",
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos").as("j"),
+            round(col("col").cast("double") * lit(1000000), 0).cast("long")
+              .as("x6"))
+          .localCheckpoint(eager = false) // feeds projection AND norm rollup
+        val sign = when(substring(md5(concat(lit("jl:"),
+            col("j").cast("string"), lit(":"), col("k").cast("string"))), 1, 1)
+            < lit("8"), 1L).otherwise(-1L)
+        val proj = ex
+          .select(col("vec_id"), col("j"), col("x6"),
+            explode(sequence(lit(0), lit(15))).as("k"))
+          .select(col("vec_id"), col("k"), (col("x6") * sign).as("term"))
+          .groupBy("vec_id", "k").agg(sum(col("term")).as("y6"))
+        val ny = proj.groupBy("vec_id").agg(sum(col("y6") * col("y6")).as("sy2"))
+        val nx = ex.groupBy("vec_id").agg(sum(col("x6") * col("x6")).as("sx2"))
+        nx.join(ny, "vec_id")
+          .select(col("vec_id"), col("sx2"), col("sy2"),
+            when(col("sx2") > 0,
+              col("sy2").cast("double") / lit(16.0) / col("sx2").cast("double"))
+              .otherwise(lit(0.0)).as("norm_ratio"))
+      },
+      Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id,
+        |    unnest(generate_series(1, len(v))) - 1 AS j,
+        |    CAST(round(v[unnest(generate_series(1, len(v)))] * 1000000, 0)
+        |      AS BIGINT) AS x6
+        |  FROM p),
+        |proj AS (
+        |  SELECT vec_id, k, CAST(SUM(x6 * CASE WHEN substring(md5(
+        |      'jl:' || CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 1)
+        |      < '8' THEN 1 ELSE -1 END) AS BIGINT) AS y6
+        |  FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)
+        |  GROUP BY 1, 2),
+        |ny AS (SELECT vec_id, CAST(SUM(y6 * y6) AS BIGINT) AS sy2
+        |  FROM proj GROUP BY 1),
+        |nx AS (SELECT vec_id, CAST(SUM(x6 * x6) AS BIGINT) AS sx2
+        |  FROM ex GROUP BY 1)
+        |SELECT nx.vec_id, nx.sx2, ny.sy2,
+        |  CASE WHEN nx.sx2 > 0
+        |    THEN CAST(ny.sy2 AS DOUBLE) / 16.0 / CAST(nx.sx2 AS DOUBLE)
+        |    ELSE 0.0 END AS norm_ratio
+        |FROM nx JOIN ny USING (vec_id)""".stripMargin)),
+
+    // Neyman optimal stratified allocation (Neyman 1934) — how a 1000-doc
+    // QA sample should split across sources: n_h ∝ N_h·S_h (big AND
+    // internally-varied strata get more). With population S_h, the weight
+    // collapses to the EXACT integer determinant sqrt(n·Σx² − (Σx)²) —
+    // one correctly-rounded sqrt per source (bit-identical both engines),
+    // rounded to an integer weight; allocations are integer trunc
+    // divisions against the summed weight (floor allocation — the
+    // largest-remainder top-up is a driver-side |sources|-row concern).
+    // Scale shape: one source-keyed map-combined moment aggregate; all
+    // downstream frames are |sources|-bounded.
+    Q("cp_neyman_alloc",
+      (s, d) => {
+        val st = t(s, d, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sx"),
+            sum(col("n_chars") * col("n_chars")).as("sxx"))
+        val wgt = st.select(col("source"), col("n_docs"),
+          round(sqrt((col("n_docs") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")), 0).cast("long").as("w"))
+        val tot = wgt.agg(sum(col("w")).as("wtot"))
+        wgt.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("w"),
+            expr("(1000 * w) div wtot").as("n_alloc"),
+            (col("w").cast("double") / col("wtot").cast("double")).as("frac"))
+      },
+      Some("""WITH st AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(round(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)), 0)
+        |      AS BIGINT) AS w
+        |  FROM st),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w)
+        |SELECT source, n_docs, w, (1000 * w) // wtot AS n_alloc,
+        |  CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE) AS frac
+        |FROM w CROSS JOIN t""".stripMargin))
   )
 }

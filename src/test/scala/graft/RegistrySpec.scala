@@ -219,7 +219,30 @@ class RegistrySpec extends SparkSpec {
       //    (the sim_bruteforce bounded-broadcast shape — stochastic-greedy
       //    sizes the pool to O((n/k)ln(1/ε)) by construction) plus the
       //    sm_kcenter one-row winner update
-      "tx_textrank", "dq_psi", "tx_jsd", "sm_facility_coreset")
+      //  - dd_blocking_quality: the data legs are the existing banded
+      //    (dd_lsh_pairs) and prefix-filter (dd_prefix_pairs) paths; the
+      //    audit itself cross-joins four ONE-ROW count aggregates into
+      //    the single metrics row (the p13 scalar shape)
+      "tx_textrank", "dq_psi", "tx_jsd", "sm_facility_coreset",
+      "dd_blocking_quality",
+      //  - sim_label_ndcg: the BNLJ is bruteForceTopK's broadcast of the
+      //    16-row query set against one corpus scan (the sim_bruteforce
+      //    declared-verification shape); everything downstream is k- or
+      //    label-bounded
+      //  - sim_silhouette: the BNLJ is the assignClusters fan-out — the
+      //    8-row centroid table broadcast against one corpus scan (every
+      //    vector scores every centroid BY DESIGN; k centroids, not n²)
+      "sim_label_ndcg", "sim_silhouette",
+      //  - tx_chi2_terms: the BNLJ attaches the ONE-ROW corpus-total frame
+      //    (the tx_bm25 single-row-stats pattern); the contingency joins
+      //    are all keyed or |sources|-bounded broadcasts
+      //  - ev_hits: per-round L1 normalization attaches a ONE-ROW sum via
+      //    crossJoin(broadcast(...)) — the cp_mixture_sample totals shape,
+      //    ×2 per power-iteration round
+      "tx_chi2_terms", "ev_hits",
+      //  - cp_neyman_alloc: the BNLJ attaches the ONE-ROW summed-weight
+      //    frame to the |sources|-bounded weight table (p13 scalar shape)
+      "cp_neyman_alloc")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))
@@ -239,7 +262,12 @@ class RegistrySpec extends SparkSpec {
     // counterparts and are documented as verification-scale constructs:
     //  - a10/a17: the exact contract the a19 sketch is bound-checked against
     //  - a19: carries the exact columns alongside the sketch's error bound
-    val exactOk = Set("a10_percentiles", "a17_median", "a19_approx_percentile")
+    //  - ev_mad_outliers: Hampel's identifier is DEFINED on exact medians
+    //    (its scaladoc owns the production swap to mergeable quantile
+    //    sketches, a19's shape, without changing the flag rule); the
+    //    grouped frames are event-type-bounded, not per-fact-key
+    val exactOk = Set("a10_percentiles", "a17_median", "a19_approx_percentile",
+      "ev_mad_outliers")
     val exactAgg = "(?<![_a-z])(percentile|median)\\(".r
     val violations = Registry.all.filter(q => q.sql.isDefined && !exactOk(q.name))
       .flatMap { q =>

@@ -269,6 +269,14 @@ AUDITS = [
         FROM per_doc p LEFT JOIN first_seen f USING (doc_id))
       SELECT ln(CAST(t_cum AS DOUBLE)) FROM cum
       UNION ALL SELECT ln(CAST(v_cum AS DOUBLE)) FROM cum"""),
+    ("brier squared errors (6dp)", 6, """
+      WITH f AS (
+        SELECT CAST(len(list_filter(str_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / NULLIF(len(str_split(text, ' ')), 0) AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE text IS NOT NULL)
+      SELECT (score - y) * (score - y) FROM f WHERE score IS NOT NULL"""),
     ("jl component micro-scaling (6dp)", 6, """
       WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       SELECT v[unnest(generate_series(1, len(v)))] FROM p"""),

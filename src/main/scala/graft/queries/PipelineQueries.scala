@@ -420,6 +420,73 @@ object PipelineQueries {
        |FROM v10 CROSS JOIN sgn""".stripMargin
   }
 
+  /** DuckDB oracle for sim_mmr_exact: the same top-10 candidate pool per
+    * query (4dp-rounded cosine, id-tiebroken), then the 5 greedy MMR
+    * selection rounds UNROLLED as MATERIALIZED CTEs. With λ = 1/2 the
+    * argmax of λ·rel − (1−λ)·maxSim equals the argmax of the INTEGER
+    * rel4 − maxsim4, so every round's winner is an exact-integer
+    * (objective, min-id) decision — the facility-coreset trajectory
+    * discipline. */
+  private val MmrOracle: String = {
+    val rounds = (2 to 5).map { i =>
+      s"""ms$i AS MATERIALIZED (
+         |  SELECT c.query_id, c.neighbor_id, c.rel4,
+         |    MAX(p.c4) AS maxsim4
+         |  FROM cand c
+         |  JOIN sel${i - 1} s ON s.query_id = c.query_id
+         |  JOIN pairs p ON p.query_id = c.query_id
+         |    AND p.a = c.neighbor_id AND p.b = s.neighbor_id
+         |  WHERE c.neighbor_id NOT IN (
+         |    SELECT neighbor_id FROM sel${i - 1} WHERE query_id = c.query_id)
+         |  GROUP BY 1, 2, 3),
+         |w$i AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rel4, maxsim4,
+         |    rel4 - maxsim4 AS obj2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel4 - maxsim4 DESC, neighbor_id) AS rn
+         |    FROM ms$i) WHERE rn = 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM sel${i - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q
+       |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 20),
+       |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id >= 32),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, v,
+       |    CAST(round(round(list_cosine_similarity(q, v), 4) * 10000, 0)
+       |      AS BIGINT) AS rel4
+       |  FROM (SELECT qv.query_id, cv.neighbor_id, cv.v,  qv.q,
+       |      row_number() OVER (PARTITION BY qv.query_id
+       |        ORDER BY round(list_cosine_similarity(qv.q, cv.v), 4) DESC,
+       |                 cv.neighbor_id) AS rn
+       |    FROM qv CROSS JOIN cv)
+       |  WHERE rn <= 10),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+       |    CAST(round(round(list_cosine_similarity(a.v, b.v), 4) * 10000, 0)
+       |      AS BIGINT) AS c4
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+       |    AND a.neighbor_id <> b.neighbor_id),
+       |w1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rel4, CAST(0 AS BIGINT) AS maxsim4,
+       |    rel4 AS obj2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel4 DESC, neighbor_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM w1),
+       |$rounds
+       |SELECT query_id, sel_round, neighbor_id, rel4, maxsim4, obj2 FROM (
+       |  SELECT query_id, 1 AS sel_round, neighbor_id, rel4, maxsim4, obj2
+       |  FROM w1
+       |  UNION ALL SELECT query_id, 2, neighbor_id, rel4, maxsim4, obj2 FROM w2
+       |  UNION ALL SELECT query_id, 3, neighbor_id, rel4, maxsim4, obj2 FROM w3
+       |  UNION ALL SELECT query_id, 4, neighbor_id, rel4, maxsim4, obj2 FROM w4
+       |  UNION ALL SELECT query_id, 5, neighbor_id, rel4, maxsim4, obj2 FROM w5
+       |)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Deduplication ----------------------------------------------------
@@ -5422,6 +5489,205 @@ object PipelineQueries {
         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w)
         |SELECT source, n_docs, w, (1000 * w) // wtot AS n_alloc,
         |  CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE) AS frac
-        |FROM w CROSS JOIN t""".stripMargin))
+        |FROM w CROSS JOIN t""".stripMargin)),
+
+    // Cross-engine HyperLogLog distinct-count audit (Flajolet et al. 2007)
+    // — unlike the ev_dau_wau serving ledger (whose Spark-internal HLL
+    // sketches have no DuckDB analogue), this builds the sketch from
+    // FIRST PRINCIPLES identically in both engines, making the ESTIMATE
+    // itself the judged contract: 256 registers keyed by the first two
+    // md5 hex chars (register = string key — no hex→int conversion, the
+    // MinHash band-key discipline), rank ρ = leading zero BITS of the
+    // next 13 hex chars + 1 via pure string ops (strip '0's + one CASE on
+    // the first nonzero nibble), and the harmonic sum Σ2^(−M_j) held
+    // EXACT as Σ2^(53−M_j) in longs (max 256·2^53 ≈ 2.3e18 — fits).
+    // alpha_256 = 0.7213/(1+1.079/256) is the 6dp LITERAL 0.718273 both
+    // engines; the estimate is one mirrored double chain over exact
+    // integers. Scale shape: one md5 projection collapses the corpus to
+    // ≤256 register rows (map-combined max — THE mergeable-sketch shape:
+    // at 100 TB each executor folds its partition to 256 rows); the truth
+    // leg is the exact distinct for the error report.
+    Q("dq_hll_distinct",
+      (s, d) => {
+        val h = md5(col("text"))
+        val rem = substring(h, 3, 13)
+        val nz = regexp_replace(rem, "^0+", "")
+        val first = substring(nz, 1, 1)
+        val rho = when(length(nz) === 0, lit(53L)).otherwise(
+          ((lit(13) - length(nz)) * 4 +
+            when(first === "1", 3)
+              .when(first.isin("2", "3"), 2)
+              .when(first.isin("4", "5", "6", "7"), 1)
+              .otherwise(0) + 1).cast("long"))
+        val regs = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(substring(h, 1, 2).as("reg"), rho.as("rho"))
+          .groupBy("reg").agg(max(col("rho")).as("m_j"))
+        val z = regs.agg(count(lit(1)).as("n_regs"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))"))
+            .as("zp"))
+          .select(col("n_regs"),
+            (col("zp") + (lit(256L) - col("n_regs")) * lit(9007199254740992L))
+              .as("z53"))
+        val truth = t(s, d, "documents").filter(col("text").isNotNull)
+          .agg(countDistinct(col("text")).as("n_true"))
+        val est = lit(0.718273) * lit(65536.0) * lit(9007199254740992.0) /
+          col("z53").cast("double")
+        z.crossJoin(broadcast(truth))
+          .select(col("n_regs"), col("z53"), col("n_true"),
+            est.as("estimate"),
+            (est / col("n_true").cast("double") - lit(1.0)).as("rel_err"))
+      },
+      Some("""WITH hx AS (
+        |  SELECT md5(text) AS h FROM documents WHERE text IS NOT NULL),
+        |rr AS (SELECT substring(h, 1, 2) AS reg,
+        |    CASE WHEN length(regexp_replace(substring(h, 3, 13), '^0+', '')) = 0
+        |      THEN 53
+        |      ELSE (13 - length(regexp_replace(substring(h, 3, 13), '^0+', ''))) * 4
+        |        + CASE substring(regexp_replace(substring(h, 3, 13), '^0+', ''), 1, 1)
+        |            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |            ELSE 0 END + 1 END AS rho
+        |  FROM hx),
+        |regs AS (SELECT reg, CAST(MAX(rho) AS BIGINT) AS m_j FROM rr GROUP BY 1),
+        |z AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_regs,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_j AS INTEGER)) AS BIGINT)
+        |      + (256 - COUNT(*)) * 9007199254740992 AS z53
+        |  FROM regs),
+        |tr AS (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_true
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT n_regs, CAST(z53 AS BIGINT) AS z53, n_true,
+        |  CAST(0.718273 AS DOUBLE) * CAST(65536 AS DOUBLE)
+        |    * CAST(9007199254740992 AS DOUBLE) / CAST(z53 AS DOUBLE)
+        |    AS estimate,
+        |  (CAST(0.718273 AS DOUBLE) * CAST(65536 AS DOUBLE)
+        |    * CAST(9007199254740992 AS DOUBLE) / CAST(z53 AS DOUBLE))
+        |    / CAST(n_true AS DOUBLE) - 1.0 AS rel_err
+        |FROM z CROSS JOIN tr""".stripMargin)),
+
+    // MMR as an exact-trajectory cross-engine contract — the INDEPENDENT
+    // check on sim_mmr_rerank: that entry runs the production row-local
+    // fold (Retrieval.mmrTopK) and is judged by the absence of greedy
+    // violations; this one re-formulates the same greedy as a 5-round
+    // join cascade whose ENTIRE trajectory (winner, objective, max-sim
+    // per round) is bit-equal against DuckDB replaying it. Greedily
+    // select 5 of the top-10 candidates maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-already-selected. With
+    // λ = 1/2 the argmax equals the argmax of the INTEGER rel4 − maxsim4
+    // (4dp-scaled cosines), so the whole greedy trajectory is exact
+    // integer (objective, min-id) decisions — zero new rounding contract
+    // (pairwise 4dp cosines are already boundary-audited). Scale shape:
+    // the k-bounded heap top-10 (|Q|·k rows), a k²-bounded per-query
+    // pairwise frame, and 5 rounds of k-bounded joins + one
+    // max(struct(obj, −id)) winner aggregate per round — the corpus is
+    // touched ONLY by the initial retrieval.
+    Q("sim_mmr_exact",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 32)
+        val qs = emb.filter(col("vec_id") >= 16 && col("vec_id") < 20)
+        val cand = Similarity.bruteForceTopK(corpus, qs, k = 10)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("sim") * 10000, 0).cast("long").as("rel4"))
+          .join(corpus.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("v")), "neighbor_id")
+          .localCheckpoint(eager = false)
+        val ca = cand.select(col("query_id"), col("neighbor_id").as("a"),
+          col("v").as("va"))
+        val cb = cand.select(col("query_id"), col("neighbor_id").as("b"),
+          col("v").as("vb"))
+        val pairs = ca.join(cb, Seq("query_id")).filter(col("a") =!= col("b"))
+          .select(col("query_id"), col("a"), col("b"),
+            round(graft.functions.VectorFunctions
+              .cosineRounded(col("va"), col("vb")) * 10000, 0)
+              .cast("long").as("c4"))
+          .localCheckpoint(eager = false)
+        val w1 = cand.groupBy("query_id")
+          .agg(max(struct(col("rel4"), (-col("neighbor_id")).as("nid"))).as("w"))
+          .select(col("query_id"), lit(1).as("sel_round"),
+            (-col("w.nid")).as("neighbor_id"), col("w.rel4").as("rel4"),
+            lit(0L).as("maxsim4"), col("w.rel4").as("obj2"))
+        var sel = w1.select("query_id", "neighbor_id")
+          .localCheckpoint(eager = false)
+        var out = w1
+        for (r <- 2 to 5) {
+          val ms = cand.join(sel, Seq("query_id", "neighbor_id"), "left_anti")
+            .join(pairs.select(col("query_id"), col("a").as("neighbor_id"),
+              col("b"), col("c4")), Seq("query_id", "neighbor_id"))
+            .join(sel.select(col("query_id"), col("neighbor_id").as("b")),
+              Seq("query_id", "b"))
+            .groupBy("query_id", "neighbor_id", "rel4")
+            .agg(max(col("c4")).as("maxsim4"))
+          val wr = ms.groupBy("query_id")
+            .agg(max(struct((col("rel4") - col("maxsim4")).as("obj2"),
+              (-col("neighbor_id")).as("nid"), col("rel4").as("r4"),
+              col("maxsim4").as("ms4"))).as("w"))
+            .select(col("query_id"), lit(r).as("sel_round"),
+              (-col("w.nid")).as("neighbor_id"), col("w.r4").as("rel4"),
+              col("w.ms4").as("maxsim4"), col("w.obj2").as("obj2"))
+          sel = sel.unionAll(wr.select("query_id", "neighbor_id"))
+            .localCheckpoint(eager = false)
+          out = out.unionAll(wr)
+        }
+        out
+      },
+      Some(MmrOracle)),
+
+    // Brier score + skill (Brier 1950; Murphy 1973) of the stopword-ratio
+    // signal read as a P(lang = en) probability — the PROPER scoring rule
+    // that closes the evaluation family: dq_auc ranks, dq_calibration
+    // plots reliability, dq_mcc judges the hard decision, Brier prices
+    // the probabilities themselves (and BSS says whether they beat the
+    // base rate). Exactness: each squared error (score − y)² pre-rounds
+    // to a 6dp scaled long before the cross-row sum (order-independent
+    // exact longs, boundary-audited); the climatological reference
+    // ȳ(1−ȳ) and the skill 1 − BS/BS_ref are mirrored chains on exact
+    // integers. Scale shape: one map-combined one-row aggregate over a
+    // single scan — the dq_auc cost envelope.
+    Q("dq_brier",
+      (s, d) => {
+        val scored = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(
+            (TextFunctions.stopwordCount(col("text"), TextFunctions.EnglishStopwords)
+              .cast("double") /
+              nullif(TextFunctions.tokenCount(col("text")), lit(0)).cast("double"))
+              .as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .filter(col("score").isNotNull)
+        scored
+          .select(col("y"),
+            round((col("score") - col("y").cast("double")) *
+              (col("score") - col("y").cast("double")) * lit(1e6), 0)
+              .cast("long").as("t6"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            sum(col("t6")).as("st6"))
+          .select(col("n"), col("n_pos"),
+            (col("st6").cast("double") / lit(1e6) / col("n").cast("double"))
+              .as("brier"),
+            ((col("n_pos") * (col("n") - col("n_pos"))).cast("double") /
+              (col("n") * col("n")).cast("double")).as("brier_ref"),
+            (lit(1.0) -
+              (col("st6").cast("double") / lit(1e6) / col("n").cast("double")) /
+              ((col("n_pos") * (col("n") - col("n_pos"))).cast("double") /
+                (col("n") * col("n")).cast("double"))).as("bss"))
+      },
+      Some("""WITH f AS (
+        |  SELECT CAST(len(list_filter(str_split(text, ' '),
+        |           w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / NULLIF(len(str_split(text, ' ')), 0) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT y, CAST(round((score - y) * (score - y) * 1000000.0, 0)
+        |        AS BIGINT) AS t6
+        |      FROM f WHERE score IS NOT NULL),
+        |m AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |        CAST(SUM(t6) AS BIGINT) AS st6 FROM b)
+        |SELECT n, n_pos,
+        |  CAST(st6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS brier,
+        |  CAST(n_pos * (n - n_pos) AS DOUBLE) / CAST(n * n AS DOUBLE)
+        |    AS brier_ref,
+        |  1.0 - (CAST(st6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+        |    / (CAST(n_pos * (n - n_pos) AS DOUBLE) / CAST(n * n AS DOUBLE))
+        |    AS bss
+        |FROM m""".stripMargin))
   )
 }

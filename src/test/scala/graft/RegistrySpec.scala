@@ -242,7 +242,13 @@ class RegistrySpec extends SparkSpec {
       "tx_chi2_terms", "ev_hits",
       //  - cp_neyman_alloc: the BNLJ attaches the ONE-ROW summed-weight
       //    frame to the |sources|-bounded weight table (p13 scalar shape)
-      "cp_neyman_alloc")
+      "cp_neyman_alloc",
+      //  - dq_hll_distinct: the BNLJ attaches the ONE-ROW exact-distinct
+      //    truth frame to the one-row sketch-estimate frame (p13 shape)
+      //  - sim_mmr_exact: the BNLJ is bruteForceTopK's 4-row query
+      //    broadcast (the sim_bruteforce declared-verification shape);
+      //    every greedy round is k-bounded
+      "dq_hll_distinct", "sim_mmr_exact")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -226,4 +226,25 @@ class RetrievalSpec extends SparkSpec {
       "diversity-weighted selection must swap the near-duplicate for the " +
         "distinct direction")
   }
+
+  test("mmrTopK fold trajectory equals the sim_mmr_exact join cascade " +
+      "(two independent formulations of one greedy contract)") {
+    // at lambda = 1/2 the fold's 6dp-rounded score argmax provably equals
+    // the cascade's integer rel4 − maxsim4 argmax: 4dp-scaled cosines make
+    // adjacent objective values 5e-5 apart, far above the 1e-6 rounding
+    // step, so 6dp rounding can never merge distinct objectives — same
+    // winners, same ties (min id), same trajectory
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 32)
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 20)
+    val fold = Retrieval.mmrTopK(corpus, queries,
+        candidates = 10, k = 5, lambda = 0.5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val cascade = graft.Registry.all.find(_.name == "sim_mmr_exact").get
+      .fn(spark, sf)
+      .select(col("query_id"), col("sel_round").as("rank"), col("neighbor_id"))
+    assert(rowSet(fold) === rowSet(cascade))
+  }
 }

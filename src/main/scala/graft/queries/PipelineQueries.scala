@@ -5509,33 +5509,15 @@ object PipelineQueries {
     // leg is the exact distinct for the error report.
     Q("dq_hll_distinct",
       (s, d) => {
-        val h = md5(col("text"))
-        val rem = substring(h, 3, 13)
-        val nz = regexp_replace(rem, "^0+", "")
-        val first = substring(nz, 1, 1)
-        val rho = when(length(nz) === 0, lit(53L)).otherwise(
-          ((lit(13) - length(nz)) * 4 +
-            when(first === "1", 3)
-              .when(first.isin("2", "3"), 2)
-              .when(first.isin("4", "5", "6", "7"), 1)
-              .otherwise(0) + 1).cast("long"))
-        val regs = t(s, d, "documents").filter(col("text").isNotNull)
-          .select(substring(h, 1, 2).as("reg"), rho.as("rho"))
-          .groupBy("reg").agg(max(col("rho")).as("m_j"))
-        val z = regs.agg(count(lit(1)).as("n_regs"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))"))
-            .as("zp"))
-          .select(col("n_regs"),
-            (col("zp") + (lit(256L) - col("n_regs")) * lit(9007199254740992L))
-              .as("z53"))
-        val truth = t(s, d, "documents").filter(col("text").isNotNull)
+        val docs = t(s, d, "documents")
+        val e = graft.operators.HllSketch.estimate(
+          graft.operators.HllSketch.registers(docs, col("text")))
+        val truth = docs.filter(col("text").isNotNull)
           .agg(countDistinct(col("text")).as("n_true"))
-        val est = lit(0.718273) * lit(65536.0) * lit(9007199254740992.0) /
-          col("z53").cast("double")
-        z.crossJoin(broadcast(truth))
-          .select(col("n_regs"), col("z53"), col("n_true"),
-            est.as("estimate"),
-            (est / col("n_true").cast("double") - lit(1.0)).as("rel_err"))
+        e.crossJoin(broadcast(truth))
+          .select(col("n_regs"), col("z53"), col("n_true"), col("estimate"),
+            (col("estimate") / col("n_true").cast("double") - lit(1.0))
+              .as("rel_err"))
       },
       Some("""WITH hx AS (
         |  SELECT md5(text) AS h FROM documents WHERE text IS NOT NULL),

@@ -631,4 +631,62 @@ class EventStreamsSpec extends SparkSpec {
     assert(partitionsAfter == partitions,
       "a replayed batch must not mint new ledger partitions")
   }
+
+  test("hll register ledger: serving equals the batch sketch over all " +
+      "landed docs; checkpoint-rollback replay cannot move the estimate") {
+    import graft.operators.HllSketch
+    val dir = Files.createTempDirectory("graft-hll").toString
+    val cp = s"$dir/cp"
+    def docsDF(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def run(): Unit = EventStreams.startHllLedgerSink(
+      EventStreams.readDocuments(spark, s"$dir/in"), s"$dir/ledger", cp)
+      .awaitTermination(60000)
+    def served() =
+      HllSketch.estimateFromLedger(spark, s"$dir/ledger").collect().head
+    def batchExpected(rows: Seq[(Long, String)]) = HllSketch.estimate(
+      HllSketch.registers(docsDF(rows), col("text"))).collect().head
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rmDir(path: String): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+    }
+
+    // batch 1, then snapshot the checkpoint (the pre-batch-2 crash window)
+    val f1 = (1L to 300L).map(i => (i, s"hll doc text $i"))
+    val f2 = (200L to 500L).map(i => (i, s"hll doc text $i")) // overlaps f1
+    docsDF(f1).write.parquet(s"$dir/in")
+    run()
+    assert(served() == batchExpected(f1),
+      "ledger serving must equal the batch sketch after one batch")
+    copyDir(cp, s"$dir/cp_bak")
+
+    // batch 2 overlaps batch 1: max-merge must absorb re-seen texts
+    docsDF(f2).write.mode("append").parquet(s"$dir/in")
+    run()
+    val afterTwo = served()
+    assert(afterTwo == batchExpected(f1 ++ f2),
+      "serving must equal the batch sketch over the union of all batches")
+
+    // crash replay: batch 2 re-executes under its ORIGINAL id — idempotent
+    // by addressing AND by max-merge algebra
+    rmDir(cp); copyDir(s"$dir/cp_bak", cp)
+    run()
+    assert(served() == afterTwo,
+      "a replayed batch must not move the estimate")
+    val parts = new java.io.File(s"$dir/ledger").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(parts.size == 2, s"expected two per-batch partitions, got $parts")
+  }
 }

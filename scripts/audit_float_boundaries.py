@@ -269,6 +269,24 @@ AUDITS = [
         FROM per_doc p LEFT JOIN first_seen f USING (doc_id))
       SELECT ln(CAST(t_cum AS DOUBLE)) FROM cum
       UNION ALL SELECT ln(CAST(v_cum AS DOUBLE)) FROM cum"""),
+    ("mmd pairing cosines (4dp)", 4, """
+      WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          row_number() OVER (ORDER BY vec_id) - 1 AS r
+        FROM embeddings WHERE label BETWEEN 0 AND 4),
+      y AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          row_number() OVER (ORDER BY vec_id) - 1 AS r
+        FROM embeddings WHERE label BETWEEN 5 AND 9),
+      x1 AS (SELECT r // 2 AS pair_id, v FROM x WHERE r % 2 = 0),
+      x2 AS (SELECT r // 2 AS pair_id, v FROM x WHERE r % 2 = 1),
+      y1 AS (SELECT r // 2 AS pair_id, v FROM y WHERE r % 2 = 0),
+      y2 AS (SELECT r // 2 AS pair_id, v FROM y WHERE r % 2 = 1),
+      j AS (SELECT x1.v AS a, x2.v AS b, y1.v AS c, y2.v AS d
+        FROM x1 JOIN x2 USING (pair_id) JOIN y1 USING (pair_id)
+        JOIN y2 USING (pair_id))
+      SELECT list_cosine_similarity(a, b) FROM j
+      UNION ALL SELECT list_cosine_similarity(c, d) FROM j
+      UNION ALL SELECT list_cosine_similarity(a, d) FROM j
+      UNION ALL SELECT list_cosine_similarity(b, c) FROM j"""),
     ("brier squared errors (6dp)", 6, """
       WITH f AS (
         SELECT CAST(len(list_filter(str_split(text, ' '),

@@ -2474,6 +2474,53 @@ object ExtQueries {
         }
         lab.groupBy(col("lab").as("community")).agg(count(lit(1)).as("size"))
       },
-      Some(LpaSql))
+      Some(LpaSql)),
+
+    // Fano factor (index of dispersion) of daily event counts per type —
+    // the burstiness-vs-Poisson screen at the TIME-SERIES level
+    // (ev_bot_cadence screens per-user gaps; Fano screens the aggregate):
+    // F = Var/Mean over the ZERO-FILLED day scaffold (gap days are data —
+    // the ev_cusum/ev_lag_features scaffold discipline); F ≈ 1 is
+    // Poisson, ≫1 bursty/incident-driven, ≪1 metronomic. Population
+    // variance over exact integer moments collapses to
+    // (n·Σc² − (Σc)²)/(n·Σc) — one IEEE division, no rounding contract.
+    // Scale shape: the event stream collapses through one (type, day)
+    // map-combined count; the scaffold is |types|×|days| bounded.
+    Q("ev_fano",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val counts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = ev.select("event_type").distinct()
+        types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+          .select(col("event_type"), col("n_days"), col("sc"),
+            ((col("n_days") * col("scc") - col("sc") * col("sc")).cast("double") /
+              (col("n_days") * col("sc")).cast("double")).as("fano"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |m AS (SELECT event_type, COUNT(*) AS n_days,
+        |        CAST(SUM(c) AS BIGINT) AS sc,
+        |        CAST(SUM(c * c) AS BIGINT) AS scc
+        |      FROM grid GROUP BY 1)
+        |SELECT event_type, n_days, sc,
+        |  CAST(n_days * scc - sc * sc AS DOUBLE)
+        |    / CAST(n_days * sc AS DOUBLE) AS fano
+        |FROM m""".stripMargin))
   )
 }

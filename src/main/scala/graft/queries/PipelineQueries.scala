@@ -5670,6 +5670,110 @@ object PipelineQueries {
         |  1.0 - (CAST(st6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
         |    / (CAST(n_pos * (n - n_pos) AS DOUBLE) / CAST(n * n AS DOUBLE))
         |    AS bss
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // Linear-time maximum mean discrepancy (Gretton et al. 2012 §6)
+    // between the label-0–4 and label-5–9 embedding populations — the
+    // distribution-level shift audit in EMBEDDING space, complementing
+    // the scalar/token drift family (dq_ks_drift, dq_psi, dq_source_kl):
+    // MMD² sees differences no single projected statistic captures. The
+    // linear estimator pairs CONSECUTIVE points (vec_id order) inside
+    // each sample — n/2 h-statistics, never the quadratic kernel matrix:
+    // h = k(x1,x2) + k(y1,y2) − k(x1,y2) − k(x2,y1) on 4dp-scaled cosine
+    // kernels (exact integers, the boundary-audited family), mean = one
+    // IEEE division. Scale shape: two sample-bounded rank windows +
+    // pair_id equi-joins (at 100 TB the ranks come from the banded
+    // prefix-sum assignment); the estimator stays O(n).
+    Q("emb_mmd",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        def mem(lo: Int, hi: Int, m: Int, vc: String) = {
+          val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+          emb.filter(col("label") >= lo && col("label") <= hi)
+            .select(col("vec_id"), col("embedding"))
+            .withColumn("r", row_number().over(w) - 1)
+            .filter(col("r") % 2 === m)
+            .select(expr("r div 2").as("pair_id"), col("embedding").as(vc))
+        }
+        def c4(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          round(graft.functions.VectorFunctions.cosineRounded(a, b) * 10000, 0)
+            .cast("long")
+        mem(0, 4, 0, "x1").join(mem(0, 4, 1, "x2"), "pair_id")
+          .join(mem(5, 9, 0, "y1"), "pair_id")
+          .join(mem(5, 9, 1, "y2"), "pair_id")
+          .select((c4(col("x1"), col("x2")) + c4(col("y1"), col("y2")) -
+            c4(col("x1"), col("y2")) - c4(col("x2"), col("y1"))).as("h4"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("h4")).as("sh4"))
+          .select(col("n_pairs"),
+            (col("sh4").cast("double") / lit(10000.0) /
+              col("n_pairs").cast("double")).as("mmd2"))
+      },
+      Some("""WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    row_number() OVER (ORDER BY vec_id) - 1 AS r
+        |  FROM embeddings WHERE label BETWEEN 0 AND 4),
+        |y AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    row_number() OVER (ORDER BY vec_id) - 1 AS r
+        |  FROM embeddings WHERE label BETWEEN 5 AND 9),
+        |x1 AS (SELECT r // 2 AS pair_id, v FROM x WHERE r % 2 = 0),
+        |x2 AS (SELECT r // 2 AS pair_id, v FROM x WHERE r % 2 = 1),
+        |y1 AS (SELECT r // 2 AS pair_id, v FROM y WHERE r % 2 = 0),
+        |y2 AS (SELECT r // 2 AS pair_id, v FROM y WHERE r % 2 = 1),
+        |h AS (SELECT
+        |    CAST(round(round(list_cosine_similarity(x1.v, x2.v), 4) * 10000, 0) AS BIGINT)
+        |  + CAST(round(round(list_cosine_similarity(y1.v, y2.v), 4) * 10000, 0) AS BIGINT)
+        |  - CAST(round(round(list_cosine_similarity(x1.v, y2.v), 4) * 10000, 0) AS BIGINT)
+        |  - CAST(round(round(list_cosine_similarity(x2.v, y1.v), 4) * 10000, 0) AS BIGINT)
+        |    AS h4
+        |  FROM x1 JOIN x2 USING (pair_id) JOIN y1 USING (pair_id)
+        |  JOIN y2 USING (pair_id))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(h4) AS DOUBLE) / 10000.0 / CAST(COUNT(*) AS DOUBLE) AS mmd2
+        |FROM h""".stripMargin)),
+
+    // Flesch reading ease (Flesch 1948) from exact integer counts — the
+    // classical readability screen next to the heuristic quality family
+    // (tx_quality counts ratios, tx_readability prices sentence/word
+    // structure): words = whitespace tokens, sentences = [.!?]+ runs
+    // (floored at 1 — fragments still read), syllables ≈ [aeiouy]+ vowel
+    // groups (the standard regex surrogate; both regex classes are in the
+    // portable Java∩RE2 subset). The score 206.835 − 1.015·(W/S) −
+    // 84.6·(SY/W) is a fixed mirrored chain of double literals over exact
+    // integer ratios — no rounding contract. Scale shape: entirely
+    // row-local, one scan, no shuffle.
+    Q("tx_readability",
+      (s, d) => {
+        val words = size(tokens(col("text"))).cast("long")
+        val sentences = greatest(lit(1L),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+        val syllables = size(expr(
+          "regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), words.as("words"), sentences.as("sentences"),
+            syllables.as("syllables"))
+          .filter(col("words") > 0)
+          .select(col("doc_id"), col("words"), col("sentences"),
+            col("syllables"),
+            (lit(206.835) -
+              lit(1.015) * (col("words").cast("double") /
+                col("sentences").cast("double")) -
+              lit(84.6) * (col("syllables").cast("double") /
+                col("words").cast("double"))).as("flesch"))
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS words,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS syllables
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, words, sentences, syllables,
+        |  CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE)
+        |      * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE)
+        |      * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) AS flesch
+        |FROM f WHERE words > 0""".stripMargin))
   )
 }

@@ -269,6 +269,31 @@ AUDITS = [
         FROM per_doc p LEFT JOIN first_seen f USING (doc_id))
       SELECT ln(CAST(t_cum AS DOUBLE)) FROM cum
       UNION ALL SELECT ln(CAST(v_cum AS DOUBLE)) FROM cum"""),
+    ("entropy-rate ln terms (6dp)", 6, """
+      WITH lab AS (
+        SELECT user_id, event_id, event_type, ts,
+          SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+            THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (SELECT user_id, event_id, event_type, ts,
+                epoch_us(CAST(ts AS TIMESTAMP))
+                  - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events)),
+      tr AS (
+        SELECT event_type AS prev_type, session_id,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS next_type,
+          lead(session_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS next_sess
+        FROM lab),
+      cnt AS (SELECT prev_type, next_type, COUNT(*) AS n FROM tr
+              WHERE next_type IS NOT NULL AND next_sess = session_id
+              GROUP BY 1, 2),
+      tot AS (SELECT prev_type, SUM(n) AS n_prev FROM cnt GROUP BY 1)
+      SELECT ln(CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE))
+      FROM cnt JOIN tot USING (prev_type)"""),
     ("mmd pairing cosines (4dp)", 4, """
       WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
           row_number() OVER (ORDER BY vec_id) - 1 AS r

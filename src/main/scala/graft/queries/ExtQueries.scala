@@ -2521,6 +2521,159 @@ object ExtQueries {
         |SELECT event_type, n_days, sc,
         |  CAST(n_days * scc - sc * sc AS DOUBLE)
         |    / CAST(n_days * sc AS DOUBLE) AS fano
+        |FROM m""".stripMargin)),
+
+    // Empirical entropy rate of the session Markov chain (Shannon 1948) —
+    // ONE number for "how predictable is user behavior": H = −Σ_{ij}
+    // p(i,j)·ln p(j|i) over ev_markov's transition counts, equivalently
+    // −Σ n_ij·ln(n_ij/n_i) / N. A falling rate means funnels are
+    // ossifying; a jump flags new flows or bots. Exactness: each
+    // ln(n_ij/n_i) pre-rounds to a 6dp scaled long (boundary-audited),
+    // the n_ij-weighted sum is exact long arithmetic, and ONE division
+    // ends the chain — all inside a single aggregate, no scalar
+    // cross-join. Scale shape: the ev_markov discipline verbatim (one
+    // user-keyed window exchange, |types|²-bounded transition frame).
+    Q("ev_entropy_rate",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val trans = t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_sess", lead(col("session_id"), 1).over(w))
+          .filter(col("next_type").isNotNull &&
+            col("next_sess") === col("session_id"))
+          .groupBy(col("event_type").as("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = trans.groupBy("prev_type")
+          .agg(sum(col("n")).as("n_prev"))
+        trans.join(broadcast(totals), "prev_type")
+          .select(col("n"),
+            round(log(col("n").cast("double") / col("n_prev").cast("double"))
+              * lit(1000000), 0).cast("long").as("ln6"))
+          .agg(sum(col("n")).as("n_trans"),
+            sum(col("n") * col("ln6")).as("s"))
+          .select(col("n_trans"),
+            (-col("s").cast("double") / lit(1000000.0) /
+              col("n_trans").cast("double")).as("entropy_rate"))
+      },
+      Some("""WITH lab AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, event_type, ts,
+        |          epoch_us(CAST(ts AS TIMESTAMP))
+        |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM events)),
+        |tr AS (
+        |  SELECT event_type AS prev_type, session_id,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type,
+        |    lead(session_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_sess
+        |  FROM lab),
+        |cnt AS (SELECT prev_type, next_type, COUNT(*) AS n FROM tr
+        |        WHERE next_type IS NOT NULL AND next_sess = session_id
+        |        GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev
+        |        FROM cnt GROUP BY 1),
+        |term AS (SELECT n, CAST(round(
+        |    ln(CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE)) * 1000000, 0)
+        |    AS BIGINT) AS ln6
+        |  FROM cnt JOIN tot USING (prev_type)),
+        |m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_trans,
+        |        CAST(SUM(n * ln6) AS BIGINT) AS s FROM term)
+        |SELECT n_trans,
+        |  -CAST(s AS DOUBLE) / 1000000.0 / CAST(n_trans AS DOUBLE)
+        |    AS entropy_rate
+        |FROM m""".stripMargin)),
+
+    // Lag-1 / lag-7 autocorrelation of daily event counts per type — the
+    // day-over-day persistence and weekly-seasonality screens a forecast
+    // feature block (ev_lag_features) should be justified by, on the SAME
+    // zero-filled day scaffold (gap days are real zeros; skipping them
+    // would splice non-adjacent days together). Pearson over the lagged
+    // pairs in EXACT integer moments: (m·Σxy − Σx·Σy) /
+    // √((m·Σx²−(Σx)²)·(m·Σy²−(Σy)²)) — one correctly-rounded sqrt of an
+    // exact long product, one division; degenerate (constant) series
+    // report 0. Scale shape: one (type, day) map-combined count, the
+    // bounded scaffold, one type-keyed window for both leads, two
+    // melted rows per day — everything after the first count is
+    // |types|×|days| bounded.
+    Q("ev_acf",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val counts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = ev.select("event_type").distinct()
+        val grid = types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val led = grid.withColumn("y1", lead(col("c"), 1).over(w))
+          .withColumn("y7", lead(col("c"), 7).over(w))
+        val melted = led.filter(col("y1").isNotNull)
+            .select(col("event_type"), lit(1L).as("lag"),
+              col("c").as("x"), col("y1").as("y"))
+          .unionAll(led.filter(col("y7").isNotNull)
+            .select(col("event_type"), lit(7L).as("lag"),
+              col("c").as("x"), col("y7").as("y")))
+        melted.groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("m"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("lag"), col("m"),
+            when((col("m") * col("sxx") - col("sx") * col("sx")) > 0 &&
+                (col("m") * col("syy") - col("sy") * col("sy")) > 0,
+              (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                sqrt(((col("m") * col("sxx") - col("sx") * col("sx")) *
+                  (col("m") * col("syy") - col("sy") * col("sy")))
+                  .cast("double")))
+              .otherwise(lit(0.0)).as("acf"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |led AS (SELECT event_type, c,
+        |    lead(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+        |    lead(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+        |  FROM grid),
+        |melted AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag, c AS x, y1 AS y
+        |  FROM led WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, CAST(7 AS BIGINT), c, y7
+        |  FROM led WHERE y7 IS NOT NULL),
+        |m AS (SELECT event_type, lag, COUNT(*) AS m,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |        CAST(SUM(y * y) AS BIGINT) AS syy
+        |      FROM melted GROUP BY 1, 2)
+        |SELECT event_type, lag, m,
+        |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+        |    THEN CAST(m * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST((m * sxx - sx * sx) * (m * syy - sy * sy) AS DOUBLE))
+        |    ELSE 0.0 END AS acf
         |FROM m""".stripMargin))
   )
 }

@@ -5774,6 +5774,42 @@ object PipelineQueries {
         |      * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
         |    - CAST(84.6 AS DOUBLE)
         |      * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) AS flesch
-        |FROM f WHERE words > 0""".stripMargin))
+        |FROM f WHERE words > 0""".stripMargin)),
+
+    // Good–Turing adjusted counts (Good 1953) — the frequency-of-
+    // frequencies smoothing underlying Katz backoff and the classical
+    // unseen-mass estimate the LM family (tx_bigram_lm, tx_kn_bigram) sits
+    // on: r* = (r+1)·n_{r+1}/n_r over the count-of-counts table. Exact
+    // integers to ONE IEEE division per frequency class (no rounding
+    // contract); classes with an empty successor class (n_{r+1} = 0)
+    // report r* = 0 — the standard "smooth externally" gap. Scale shape:
+    // the corpus collapses through one token-keyed map-combined count,
+    // then a count-of-counts aggregate and an r+1 self-join on the frame
+    // bounded by the number of DISTINCT frequencies.
+    Q("tx_good_turing",
+      (s, d) => {
+        val vocab = t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("r"))
+        val ff = vocab.groupBy("r").agg(count(lit(1)).as("n_r"))
+          .localCheckpoint(eager = false) // feeds both sides of the r+1 join
+        ff.join(ff.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+            Seq("r"), "left")
+          .select(col("r"), col("n_r"),
+            when(col("n_r1").isNotNull,
+              ((col("r") + 1) * col("n_r1")).cast("double") /
+                col("n_r").cast("double"))
+              .otherwise(lit(0.0)).as("r_star"))
+      },
+      Some("""WITH vocab AS (
+        |  SELECT token, COUNT(*) AS r
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1),
+        |ff AS (SELECT r, COUNT(*) AS n_r FROM vocab GROUP BY 1)
+        |SELECT a.r, CAST(a.n_r AS BIGINT) AS n_r,
+        |  CASE WHEN b.n_r IS NOT NULL
+        |    THEN CAST((a.r + 1) * b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE)
+        |    ELSE 0.0 END AS r_star
+        |FROM ff a LEFT JOIN ff b ON b.r = a.r + 1""".stripMargin))
   )
 }

@@ -177,6 +177,60 @@ object ExtQueries {
        |FROM pr10""".stripMargin
   }
 
+  private val hllLedgerMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized [[runHllLedger]] (the ev_late_sessions harness idiom: judged
+    * queries may be invoked repeatedly in one JVM — plan gates, Verify —
+    * and the streaming run is deterministic given the fixture, keyed by
+    * its file fingerprint). */
+  private def hllLedger(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/documents.parquet")
+    hllLedgerMemo.get((s, d)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = runHllLedger(s, d)
+        hllLedgerMemo.put((s, d), (fp, df))
+        df
+    }
+  }
+
+  /** Drive the streaming HLL register ledger end-to-end over the fixture
+    * documents — TWO AvailableNow micro-batch runs (even doc_ids, then odd)
+    * through [[graft.streaming.EventStreams.startHllLedgerSink]] — and
+    * serve the estimate from the ledger. The oracle re-derives the SAME
+    * sketch from the parquet in one shot: serving from per-batch register
+    * partitions must be batching-invariant (max-merge associativity), so
+    * the judged contract is the streaming path's equality with the batch
+    * formula, bit for bit. */
+  private def runHllLedger(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll-led").toString
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    def run(): Unit = {
+      graft.streaming.EventStreams.startHllLedgerSink(
+        graft.streaming.EventStreams.readDocuments(s, s"$tmp/in"),
+        s"$tmp/ledger", s"$tmp/cp").awaitTermination(120000)
+      ()
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$tmp/in")
+    run()
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    // capture to a local frame (the lateSessions idiom) so the judged
+    // result does not depend on the temp ledger outliving this call
+    val captured = graft.operators.HllSketch
+      .estimateFromLedger(s, s"$tmp/ledger").collect()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(captured.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_regs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("z53",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("estimate",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+
   /** DuckDB oracle for ev_hits: the same bipartite user→item view edges,
     * then the 5 HITS half-step pairs (authority pull, hub pull, each
     * L1-normalized to 1e6 by trunc division) UNROLLED as MATERIALIZED
@@ -2674,6 +2728,36 @@ object ExtQueries {
         |    THEN CAST(m * sxy - sx * sy AS DOUBLE)
         |      / sqrt(CAST((m * sxx - sx * sx) * (m * syy - sy * sy) AS DOUBLE))
         |    ELSE 0.0 END AS acf
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // Streaming-parity entry for the HLL register ledger (the
+    // ev_late_sessions pattern applied to the sketch family): the fixture
+    // documents flow through the streaming sink in TWO micro-batch runs,
+    // and the estimate SERVED FROM THE LEDGER must bit-equal the oracle's
+    // one-shot batch derivation — judged proof that per-batch register
+    // partitions + max-merge are batching-invariant, not just spec'd so.
+    Q("st_hll_ledger",
+      (s, d) => hllLedger(s, d),
+      Some("""WITH hx AS (
+        |  SELECT md5(text) AS h FROM documents WHERE text IS NOT NULL),
+        |rr AS (SELECT substring(h, 1, 2) AS reg,
+        |    CASE WHEN length(regexp_replace(substring(h, 3, 13), '^0+', '')) = 0
+        |      THEN 53
+        |      ELSE (13 - length(regexp_replace(substring(h, 3, 13), '^0+', ''))) * 4
+        |        + CASE substring(regexp_replace(substring(h, 3, 13), '^0+', ''), 1, 1)
+        |            WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |            WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |            ELSE 0 END + 1 END AS rho
+        |  FROM hx),
+        |regs AS (SELECT reg, CAST(MAX(rho) AS BIGINT) AS m_j FROM rr GROUP BY 1),
+        |z AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_regs,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_j AS INTEGER)) AS BIGINT)
+        |      + (256 - COUNT(*)) * 9007199254740992 AS z53
+        |  FROM regs)
+        |SELECT n_regs, CAST(z53 AS BIGINT) AS z53,
+        |  CAST(0.718273 AS DOUBLE) * CAST(65536 AS DOUBLE)
+        |    * CAST(9007199254740992 AS DOUBLE) / CAST(z53 AS DOUBLE)
+        |    AS estimate
+        |FROM z""".stripMargin))
   )
 }

@@ -269,6 +269,19 @@ AUDITS = [
         FROM per_doc p LEFT JOIN first_seen f USING (doc_id))
       SELECT ln(CAST(t_cum AS DOUBLE)) FROM cum
       UNION ALL SELECT ln(CAST(v_cum AS DOUBLE)) FROM cum"""),
+    ("ece bucket gaps (6dp)", 6, """
+      WITH f AS (
+        SELECT CAST(len(list_filter(str_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / NULLIF(len(str_split(text, ' ')), 0) AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE text IS NOT NULL),
+      b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+              CAST(round(score * 1000000.0, 0) AS BIGINT) AS s6, y
+            FROM f WHERE score IS NOT NULL)
+      SELECT abs(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+        - CAST(SUM(s6) AS DOUBLE) / COUNT(*) / 1000000.0)
+      FROM b GROUP BY bucket"""),
     ("entropy-rate ln terms (6dp)", 6, """
       WITH lab AS (
         SELECT user_id, event_id, event_type, ts,

@@ -5810,6 +5810,111 @@ object PipelineQueries {
         |  CASE WHEN b.n_r IS NOT NULL
         |    THEN CAST((a.r + 1) * b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE)
         |    ELSE 0.0 END AS r_star
-        |FROM ff a LEFT JOIN ff b ON b.r = a.r + 1""".stripMargin))
+        |FROM ff a LEFT JOIN ff b ON b.r = a.r + 1""".stripMargin)),
+
+    // Expected calibration error (Naeini et al. 2015) — dq_calibration's
+    // reliability curve condensed to the ONE number dashboards alert on:
+    // ECE = Σ_b (n_b/N)·|pos_rate_b − mean_score_b| over the same decile
+    // buckets. Exactness: per-bucket pos_rate and mean_score are the
+    // dq_calibration chains (exact integer ratios / pre-rounded scaled
+    // sums); their |difference| pre-rounds to a 6dp scaled long before
+    // the n_b-weighted cross-bucket sum (order-independent exact longs),
+    // one final division. Scale shape: the dq_calibration 10-group
+    // aggregate + one 10-row rollup.
+    Q("dq_ece",
+      (s, d) => {
+        val scored = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(
+            (TextFunctions.stopwordCount(col("text"), TextFunctions.EnglishStopwords)
+              .cast("double") /
+              nullif(TextFunctions.tokenCount(col("text")), lit(0)).cast("double"))
+              .as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .filter(col("score").isNotNull)
+        val buckets = scored
+          .select(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bucket"),
+            round(col("score") * lit(1e6), 0).cast("long").as("s6"), col("y"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            sum(col("s6")).as("ss"))
+          .select(col("n"),
+            round(abs(col("n_pos").cast("double") / col("n").cast("double") -
+              col("ss").cast("double") / col("n").cast("double") / lit(1e6))
+              * lit(1e6), 0).cast("long").as("gap6"))
+        buckets.agg(sum(col("n")).as("n_docs"),
+            sum(col("n") * col("gap6")).as("sg"))
+          .select(col("n_docs"),
+            (col("sg").cast("double") / lit(1e6) / col("n_docs").cast("double"))
+              .as("ece"))
+      },
+      Some("""WITH f AS (
+        |  SELECT CAST(len(list_filter(str_split(text, ' '),
+        |           w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / NULLIF(len(str_split(text, ' ')), 0) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+        |        CAST(round(score * 1000000.0, 0) AS BIGINT) AS s6, y
+        |      FROM f WHERE score IS NOT NULL),
+        |g AS (SELECT COUNT(*) AS n,
+        |        CAST(round(abs(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+        |          - CAST(SUM(s6) AS DOUBLE) / COUNT(*) / 1000000.0)
+        |          * 1000000, 0) AS BIGINT) AS gap6
+        |      FROM b GROUP BY bucket),
+        |m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |        CAST(SUM(n * gap6) AS BIGINT) AS sg FROM g)
+        |SELECT n_docs,
+        |  CAST(sg AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE) AS ece
+        |FROM m""".stripMargin)),
+
+    // Near-dup cluster-size histogram — the data-card number behind the
+    // keep decisions (dd_neardup_keep / dd_cluster_keep_best): how many
+    // clusters of each multiplicity exist and how much of the corpus is
+    // removable copies ((size−1)·n_clusters per row). Built on the SAME
+    // memoized connected components as dd_components (docs outside every
+    // candidate pair count as size-1 clusters), so the histogram can never
+    // disagree with the clustering it summarizes. Pure integer
+    // count-of-counts; the only corpus-scale work is the already-judged
+    // banded LSH path — the rollups run on component-bounded frames.
+    Q("dd_cluster_sizes",
+      (s, d) => {
+        val comp = components(s, d)
+        val singles = t(s, d, "documents").filter(col("text").isNotNull)
+          .select("doc_id")
+          .join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(lit(1L).as("sz"), col("n_clusters"))
+        comp.groupBy("component").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+          .unionAll(singles)
+          .groupBy("sz").agg(sum(col("n_clusters")).as("n_clusters"))
+          .select(col("sz"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("n_docs"),
+            ((col("sz") - 1) * col("n_clusters")).as("n_removable"))
+      },
+      Some(BandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1),
+        |hist AS (
+        |  SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM documents
+        |  WHERE text IS NOT NULL AND doc_id NOT IN (SELECT doc_id FROM comp)),
+        |m AS (SELECT sz, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+        |      FROM hist GROUP BY 1)
+        |SELECT sz, n_clusters, CAST(sz * n_clusters AS BIGINT) AS n_docs,
+        |  CAST((sz - 1) * n_clusters AS BIGINT) AS n_removable
+        |FROM m""".stripMargin))
   )
 }

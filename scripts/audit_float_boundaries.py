@@ -269,6 +269,15 @@ AUDITS = [
         FROM per_doc p LEFT JOIN first_seen f USING (doc_id))
       SELECT ln(CAST(t_cum AS DOUBLE)) FROM cum
       UNION ALL SELECT ln(CAST(v_cum AS DOUBLE)) FROM cum"""),
+    ("adamic-adar user weight (round0)", 0, """
+      WITH vi AS (
+        SELECT DISTINCT user_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE event_type = 'view'
+          AND json_extract_string(props, '$.k') IS NOT NULL)
+      SELECT CAST(1000000 AS DOUBLE) / ln(CAST(COUNT(*) AS DOUBLE))
+      FROM vi GROUP BY user_id HAVING COUNT(*) >= 2"""),
     ("ece bucket gaps (6dp)", 6, """
       WITH f AS (
         SELECT CAST(len(list_filter(str_split(text, ' '),

@@ -122,6 +122,41 @@ object EventOps {
       .filter(col("n_both") >= minUsers)
   }
 
+  /** Adamic–Adar link-prediction scores over the user–item bipartite graph
+    * (Adamic & Adar, "Friends and neighbors on the Web", 2003): for every
+    * unordered item pair, AA(a,b) = Σ_{u ∈ N(a)∩N(b)} 1/ln(deg(u)) — common
+    * users, each discounted by how promiscuous they are, the classic signal
+    * that beats raw co-visitation counts on hub-heavy graphs (a crawler who
+    * touches everything contributes ~nothing; a two-item user contributes
+    * the most evidence). Returns (item_a, item_b, n_common, adamic_adar)
+    * with item_a < item_b.
+    *
+    * Determinism contract: each user's weight 1/ln(deg_u) is pre-rounded
+    * ONCE to a 6dp scaled long on the per-user degree frame (deg ≥ 2 ⇒
+    * ln > 0; boundary-audited), so the cross-pair accumulation is exact
+    * long arithmetic in any order; ONE IEEE division at the end. Scale
+    * shape: the same [[Dedup.bucketPairs]] capped per-user pair emission as
+    * [[covisitationEdges]] — the weight rides inside the pair item struct
+    * (constant within a user, so block ordering is untouched), adding zero
+    * extra shuffles over the unweighted edge count. */
+  def adamicAdar(events: DataFrame, itemCol: Column): DataFrame = {
+    val vi = events.select(col("user_id"), itemCol.as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val w = vi.groupBy("user_id").agg(count(lit(1)).as("du"))
+      .filter(col("du") >= 2)
+      .select(col("user_id"),
+        round(lit(1000000.0) / log(col("du").cast("double")), 0)
+          .cast("long").as("w6"))
+    // user-keyed equi-join feeds bucketPairs' groupBy(user_id): one
+    // exchange each side, then the pair stream carries w6 for free
+    Dedup.bucketPairs(vi.join(w, "user_id"), Seq("user_id"),
+        struct(col("item"), col("w6")))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("a.w6")).as("s6"))
+      .select(col("item_a"), col("item_b"), col("n_common"),
+        (col("s6").cast("double") / lit(1000000.0)).as("adamic_adar"))
+  }
+
   /** Serve per-user decay scores from a
     * [[graft.streaming.EventStreams.startDecayLedgerSink]] ledger, as of
     * the ledger's latest day: merge the per-batch partial (user, day)

@@ -2730,6 +2730,39 @@ object ExtQueries {
         |    ELSE 0.0 END AS acf
         |FROM m""".stripMargin)),
 
+    // Adamic–Adar link prediction over the co-visitation graph (Adamic &
+    // Adar 2003) — the hub-discounted upgrade of ev_covisitation's raw
+    // common-user counts: each shared user contributes 1/ln(deg_u), so
+    // catalog-crawling power users stop dominating the recommendation
+    // edges. Weights pre-round to 6dp scaled longs per USER (boundary-
+    // audited) before the exact-long pair sum; one division at the end.
+    // Scale shape: the capped bucketPairs per-user emission with the
+    // weight riding inside the item struct — zero shuffles beyond the
+    // unweighted edge count.
+    Q("ev_adamic_adar",
+      (s, d) => {
+        val views = t(s, d, "events").filter(col("event_type") === "view")
+        val item = get_json_object(col("props"), "$.k").cast("long")
+        EventOps.adamicAdar(views, item)
+      },
+      Some("""WITH vi AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE event_type = 'view'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |w AS (SELECT user_id,
+        |    CAST(round(CAST(1000000 AS DOUBLE)
+        |      / ln(CAST(COUNT(*) AS DOUBLE)), 0) AS BIGINT) AS w6
+        |  FROM vi GROUP BY user_id HAVING COUNT(*) >= 2),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, w.w6
+        |  FROM vi a JOIN vi b ON a.user_id = b.user_id AND a.item < b.item
+        |  JOIN w ON w.user_id = a.user_id)
+        |SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |  CAST(SUM(w6) AS DOUBLE) / 1000000.0 AS adamic_adar
+        |FROM pairs GROUP BY 1, 2""".stripMargin)),
+
     // Streaming-parity entry for the HLL register ledger (the
     // ev_late_sessions pattern applied to the sketch family): the fixture
     // documents flow through the streaming sink in TWO micro-batch runs,

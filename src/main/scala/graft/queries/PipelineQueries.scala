@@ -5915,6 +5915,194 @@ object PipelineQueries {
         |      FROM hist GROUP BY 1)
         |SELECT sz, n_clusters, CAST(sz * n_clusters AS BIGINT) AS n_docs,
         |  CAST((sz - 1) * n_clusters AS BIGINT) AS n_removable
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // ANN recall for the SQ8 quantized path — completes the recall matrix
+    // (IVF, LSH, ADC already report): per query, how many of the exact
+    // cosine top-3 survive int8 scalar quantization. Unlike IVF/LSH this
+    // measures RANKING loss from quantization alone (the scan is full), so
+    // it isolates the storage-compression knob from the bucketing knob.
+    // Both legs are the already-judged search shapes; the eval join
+    // touches only their k-bounded outputs.
+    Q("sim_sq8_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 32)
+        val qs = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        val truth = Similarity.bruteForceTopK(corpus, qs, k = 3)
+          .select("query_id", "neighbor_id")
+        val approx = Similarity.sq8TopK(corpus, qs, k = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"))
+      },
+      Some("""WITH sq8 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(q.embedding[i] AS DOUBLE)
+        |            * (floor(CAST(c.embedding[i] AS DOUBLE) * 127) / 127.0)))
+        |        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             i -> (floor(CAST(c.embedding[i] AS DOUBLE) * 127) / 127.0)
+        |               * (floor(CAST(c.embedding[i] AS DOUBLE) * 127) / 127.0))))), 4)
+        |      DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id >= 32
+        |  WHERE q.vec_id >= 16 AND q.vec_id < 32)
+        |  WHERE rn <= 3),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 32),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT qv.query_id, cv.neighbor_id,
+        |    row_number() OVER (PARTITION BY qv.query_id
+        |      ORDER BY round(list_cosine_similarity(qv.q, cv.v), 4) DESC, cv.neighbor_id) AS rn
+        |  FROM qv CROSS JOIN cv)
+        |  WHERE rn <= 3)
+        |SELECT t.query_id, COUNT(s.neighbor_id) AS n_hits
+        |FROM truth t LEFT JOIN sq8 s
+        |  ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+        |GROUP BY t.query_id""".stripMargin)),
+
+    // ANN recall for the 1-bit binary path — the last serving path without
+    // a judged recall number: per query, how many of the exact cosine
+    // top-3 the sign-bit Hamming ranking recovers. The most aggressive
+    // compression (64 dims → 8 bytes) gets the honest-measurement
+    // treatment the cheaper-to-trust paths already have.
+    Q("sim_binary_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 32)
+        val qs = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        val truth = Similarity.bruteForceTopK(corpus, qs, k = 3)
+          .select("query_id", "neighbor_id")
+        val approx = Similarity.binaryTopK(corpus, qs, k = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"))
+      },
+      Some("""WITH b AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT) AS hi,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN CAST(1 AS BIGINT) << (64 - i) ELSE 0 END)) AS BIGINT) AS lo
+        |  FROM embeddings),
+        |bin AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(q.hi, c.hi)) + bit_count(xor(q.lo, c.lo)) ASC,
+        |        c.vec_id) AS rn
+        |  FROM b q JOIN b c ON c.vec_id >= 32
+        |  WHERE q.vec_id >= 16 AND q.vec_id < 32)
+        |  WHERE rn <= 3),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 32),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT qv.query_id, cv.neighbor_id,
+        |    row_number() OVER (PARTITION BY qv.query_id
+        |      ORDER BY round(list_cosine_similarity(qv.q, cv.v), 4) DESC, cv.neighbor_id) AS rn
+        |  FROM qv CROSS JOIN cv)
+        |  WHERE rn <= 3)
+        |SELECT t.query_id, COUNT(s.neighbor_id) AS n_hits
+        |FROM truth t LEFT JOIN bin s
+        |  ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+        |GROUP BY t.query_id""".stripMargin)),
+
+    // Gopher document-quality rules (Rae et al. 2021, App. A) — the
+    // published named ruleset, as per-rule flags + the combined pass:
+    // word count in [50, 100000]; mean word length in [3, 10]; symbol
+    // (#/...) -to-word ratio ≤ 0.1; ≤90% of lines bullet-started; ≤30% of
+    // lines ellipsis-ended; ≥80% of words with an alphabetic char; ≥2
+    // distinct of Gopher's 8 stopwords present. Complements tx_quality_gate
+    // (generic float-ratio thresholds) and tx_repetition (Gopher's
+    // repetition section) with the exactest possible contract: every
+    // threshold is an integer cross-multiplication — no division, no
+    // rounding, nothing to boundary-audit. Row-local, one scan.
+    Q("tx_gopher_rules",
+      (s, d) => {
+        val words = TextFunctions.tokens(col("text"))
+        val lines = split(col("text"), "\n")
+        val gopherStops = array(Seq("the", "be", "to", "of", "and", "that",
+          "have", "with").map(lit(_)): _*)
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(words).cast("long").as("n_words"),
+            aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+              .as("sum_len"),
+            (regexp_count(col("text"), lit("#")) +
+              regexp_count(col("text"), lit("\\.\\.\\."))).cast("long").as("n_sym"),
+            size(lines).cast("long").as("n_lines"),
+            size(filter(lines, l =>
+              l.startsWith("-") || l.startsWith("*"))).cast("long").as("n_bullet"),
+            size(filter(lines, l => l.endsWith("..."))).cast("long").as("n_ell"),
+            size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+            size(array_intersect(array_distinct(words), gopherStops))
+              .cast("long").as("n_stop"))
+          .select(col("doc_id"), col("n_words"),
+            when(col("n_words").between(50L, 100000L), 1L).otherwise(0L)
+              .as("ok_word_count"),
+            when(lit(3L) * col("n_words") <= col("sum_len") &&
+              col("sum_len") <= lit(10L) * col("n_words"), 1L).otherwise(0L)
+              .as("ok_mean_len"),
+            when(lit(10L) * col("n_sym") <= col("n_words"), 1L).otherwise(0L)
+              .as("ok_symbol_ratio"),
+            when(lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"), 1L)
+              .otherwise(0L).as("ok_bullets"),
+            when(lit(10L) * col("n_ell") <= lit(3L) * col("n_lines"), 1L)
+              .otherwise(0L).as("ok_ellipsis"),
+            when(lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"), 1L)
+              .otherwise(0L).as("ok_alpha"),
+            when(col("n_stop") >= 2L, 1L).otherwise(0L).as("ok_stopwords"))
+          .withColumn("pass",
+            col("ok_word_count") * col("ok_mean_len") * col("ok_symbol_ratio") *
+              col("ok_bullets") * col("ok_ellipsis") * col("ok_alpha") *
+              col("ok_stopwords"))
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id, str_split(text, ' ') AS words,
+        |    str_split(text, chr(10)) AS lines, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS sum_len,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '-')
+        |      OR starts_with(l, '*'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(words),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+        |  FROM f),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS ok_word_count,
+        |    CAST(CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+        |      THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_len,
+        |    CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS BIGINT)
+        |      AS ok_symbol_ratio,
+        |    CAST(CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT)
+        |      AS ok_bullets,
+        |    CAST(CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT)
+        |      AS ok_ellipsis,
+        |    CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT)
+        |      AS ok_alpha,
+        |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords
+        |  FROM g)
+        |SELECT doc_id, n_words, ok_word_count, ok_mean_len, ok_symbol_ratio,
+        |  ok_bullets, ok_ellipsis, ok_alpha, ok_stopwords,
+        |  ok_word_count * ok_mean_len * ok_symbol_ratio * ok_bullets
+        |    * ok_ellipsis * ok_alpha * ok_stopwords AS pass
+        |FROM r""".stripMargin))
   )
 }

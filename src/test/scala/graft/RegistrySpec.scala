@@ -132,7 +132,12 @@ class RegistrySpec extends SparkSpec {
       "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train",
       "cp_mixture_sample", "cp_temperature_sample",
       "sim_hard_negatives", "sim_hybrid_rrf", "sim_triplet_mine",
+      //  - sim_sq8_recall / sim_binary_recall: both legs reuse the
+      //    sanctioned bruteforce/sq8/binary shapes — the bounded query
+      //    subset broadcasts against one corpus scan; the eval join itself
+      //    is a keyed broadcast over k-bounded outputs
       "sim_ann_recall", "sim_lsh_recall", "sim_adc_recall",
+      "sim_sq8_recall", "sim_binary_recall",
       "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",

@@ -2730,6 +2730,65 @@ object ExtQueries {
         |    ELSE 0.0 END AS acf
         |FROM m""".stripMargin)),
 
+    // Seasonal-naive forecast evaluation (the MASE idea, Hyndman & Koehler
+    // 2006): on the zero-filled day scaffold, score the forecast "day t
+    // repeats day t−7" against the naive "day t repeats day t−1" by the
+    // ratio of their absolute-error sums over the SAME eval window — the
+    // honest pre-model baseline check every metric dashboard needs (a
+    // ratio < 1 says weekly seasonality is real and a model must beat
+    // seasonal-naive, not naive, to matter; pairs with ev_acf's lag-7
+    // screen). Exact integer error sums, ONE division per type, 0 when
+    // the naive denominator is 0 (constant series). Scale shape: the
+    // ev_acf scaffold — one (type, day) map-combined count, a bounded
+    // grid, one window per type.
+    Q("ev_seasonal_naive",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val counts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = ev.select("event_type").distinct()
+        val grid = types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        grid.withColumn("l1", lag(col("c"), 1).over(w))
+          .withColumn("l7", lag(col("c"), 7).over(w))
+          .filter(col("l7").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs(col("c") - col("l7"))).as("sae_seasonal"),
+            sum(abs(col("c") - col("l1"))).as("sae_naive1"))
+          .select(col("event_type"), col("n_eval"),
+            col("sae_seasonal"), col("sae_naive1"),
+            when(col("sae_naive1") > 0,
+              col("sae_seasonal").cast("double") / col("sae_naive1").cast("double"))
+              .otherwise(lit(0.0)).as("mase"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |lagged AS (SELECT event_type, c,
+        |    lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        |  FROM grid)
+        |SELECT event_type, COUNT(*) AS n_eval,
+        |  CAST(SUM(abs(c - l7)) AS BIGINT) AS sae_seasonal,
+        |  CAST(SUM(abs(c - l1)) AS BIGINT) AS sae_naive1,
+        |  CASE WHEN SUM(abs(c - l1)) > 0
+        |    THEN CAST(SUM(abs(c - l7)) AS DOUBLE) / CAST(SUM(abs(c - l1)) AS DOUBLE)
+        |    ELSE 0.0 END AS mase
+        |FROM lagged WHERE l7 IS NOT NULL GROUP BY 1""".stripMargin)),
+
     // Adamic–Adar link prediction over the co-visitation graph (Adamic &
     // Adar 2003) — the hub-discounted upgrade of ev_covisitation's raw
     // common-user counts: each shared user contributes 1/ln(deg_u), so

@@ -6014,6 +6014,50 @@ object PipelineQueries {
         |  ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
         |GROUP BY t.query_id""".stripMargin)),
 
+    // k-anonymity audit (Sweeney 2002) — the privacy check BEYOND regex
+    // PII (dq_pii_rate redacts identifiers; this measures whether the
+    // metadata itself re-identifies): group the corpus by its
+    // quasi-identifier tuple (lang, source, length bucket) and report, for
+    // each standard k, how many equivalence classes and documents sit in
+    // classes smaller than k — the share of the corpus a linker could pin
+    // down. Pure integer counting: one keyed aggregate over the corpus,
+    // then a 4× threshold explode on the CLASS frame (bounded by distinct
+    // QI combos, never corpus-sized); one division per k row.
+    Q("dq_k_anonymity",
+      (s, d) => {
+        val cls = t(s, d, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_bucket"))
+          .groupBy("lang", "source", "len_bucket")
+          .agg(count(lit(1)).as("sz"))
+        cls.select(explode(array(lit(2L), lit(5L), lit(10L), lit(20L))).as("k"),
+            col("sz"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+              .as("n_classes_at_risk"),
+            sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+              .as("n_docs_at_risk"),
+            sum(col("sz")).as("n_docs"))
+          .select(col("k"), col("n_classes"), col("n_classes_at_risk"),
+            col("n_docs_at_risk"),
+            (col("n_docs_at_risk").cast("double") / col("n_docs").cast("double"))
+              .as("risk_share"))
+      },
+      Some("""WITH cls AS (
+        |  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS sz
+        |  FROM documents GROUP BY 1, 2, 3),
+        |e AS (SELECT CAST(k AS BIGINT) AS k, sz
+        |      FROM cls CROSS JOIN (SELECT unnest([2, 5, 10, 20]) AS k))
+        |SELECT k, COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_at_risk,
+        |  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_docs_at_risk,
+        |  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(sz) AS DOUBLE) AS risk_share
+        |FROM e GROUP BY k""".stripMargin)),
+
     // Gopher document-quality rules (Rae et al. 2021, App. A) — the
     // published named ruleset, as per-rule flags + the combined pass:
     // word count in [50, 100000]; mean word length in [3, 10]; symbol

@@ -254,10 +254,11 @@ class RegistrySpec extends SparkSpec {
       //    broadcast (the sim_bruteforce declared-verification shape);
       //    every greedy round is k-bounded
       "dq_hll_distinct", "sim_mmr_exact",
-      //  - ev_fano / ev_acf: the BNLJ crosses the |types|-bounded distinct
-      //    frame with the broadcast |days|-bounded scaffold (both collapse
-      //    from one-row/grouped aggregates — the zero-fill grid, not data)
-      "ev_fano", "ev_acf")
+      //  - ev_fano / ev_acf / ev_seasonal_naive: the BNLJ crosses the
+      //    |types|-bounded distinct frame with the broadcast |days|-bounded
+      //    scaffold (both collapse from one-row/grouped aggregates — the
+      //    zero-fill grid, not data)
+      "ev_fano", "ev_acf", "ev_seasonal_naive")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

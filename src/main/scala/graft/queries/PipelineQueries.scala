@@ -381,7 +381,11 @@ object PipelineQueries {
     * truncation explicitly (`sign · (abs // d)`) because DuckDB's `//`
     * floors while Spark's `div` truncates — on positives they agree,
     * so every division here routes through abs(). */
-  private lazy val TopEigenSql: String = {
+  /** Shared CTE chain: floor-scaled elements, count/sums, exact integer
+    * covariance, ten power iterations → `v10` (the unsigned top
+    * eigenvector, 1e6-scaled). `TopEigenSql` adds the sign normalization;
+    * `AbttSql` reuses the chain for the explained-variance residual. */
+  private lazy val TopEigenCte: String = {
     // Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
     // CTEs, and w_k feeding both v_k's projection and its max-abs scalar
     // would otherwise expand the ten-iteration chain EXPONENTIALLY (2^10
@@ -401,7 +405,8 @@ object PipelineQueries {
        |el AS MATERIALIZED (SELECT vec_id, gs.i, sv[gs.i + 1] AS v
        |       FROM sv, generate_series(0, 63) gs(i)),
        |nn AS (SELECT COUNT(*) AS n FROM sv),
-       |ssum AS (SELECT i, CAST(SUM(v) AS BIGINT) AS s FROM el GROUP BY i),
+       |ssum AS MATERIALIZED (
+       |       SELECT i, CAST(SUM(v) AS BIGINT) AS s FROM el GROUP BY i),
        |pp AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS p
        |       FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
        |mat AS MATERIALIZED (
@@ -413,12 +418,93 @@ object PipelineQueries {
        |        JOIN ssum sj ON sj.i = pp.j)),
        |v0 AS (SELECT gs.i, CAST(1000000 AS BIGINT) AS v
        |       FROM generate_series(0, 63) gs(i)),
-       |$iters,
+       |$iters""".stripMargin
+  }
+
+  private lazy val TopEigenSql: String =
+    s"""$TopEigenCte,
        |sgn AS (SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS s
        |        FROM v10 WHERE v <> 0 ORDER BY i LIMIT 1)
        |SELECT i AS dim, CAST(v * s AS BIGINT) AS v_scaled
        |FROM v10 CROSS JOIN sgn""".stripMargin
+
+  /** The power-iteration core shared by emb_top_eigen (which adds sign
+    * normalization) and emb_abtt (which consumes v bilinearly, so the
+    * sign cancels): returns the one-row coMoments frame `m` and the
+    * unsigned 1e6-scaled top-eigenvector frame (i, v) after ten exact
+    * integer iterations. All iteration frames are 64–4096 rows
+    * (localCheckpoint cuts the loop lineage, the ev_pagerank discipline);
+    * the corpus is scanned ONCE into the moment buffer. */
+  private def topEigenFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.functions.VectorFunctions
+    val dim = 64
+    val mom = graft.operators.Parallelism.fanOut(t(s, d, "embeddings"))
+      .select(transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000).cast("long")).as("sv"))
+      .agg(VectorFunctions.coMoments(col("sv"), dim).as("m"))
+    val mat = mom
+      .select(col("m"), posexplode(slice(col("m"), 2 + dim, dim * dim)))
+      .select(
+        (col("pos") / dim).cast("int").as("i"),
+        pmod(col("pos"), lit(dim)).cast("int").as("j"),
+        (element_at(col("m"), 1) * col("col")
+          - element_at(col("m"), (col("pos") / dim).cast("int") + lit(2))
+            * element_at(col("m"), pmod(col("pos"), lit(dim)).cast("int")
+              + lit(2))).as("c"))
+      .select(col("i"), col("j"),
+        when(col("c") >= 0, expr("c div 1000000"))
+          .otherwise(-expr("(-c) div 1000000")).as("mv"))
+      .localCheckpoint(eager = false)
+    var v = s.range(dim).select(col("id").cast("int").as("i"),
+      lit(1000000L).as("v"))
+    for (_ <- 1 to 10) {
+      val w = mat
+        .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
+        .groupBy("i").agg(sum(col("mv") * col("vj")).as("w"))
+      val dv = w.agg((max(abs(col("w"))).cast("long")).as("mx"))
+        .select(expr("mx div 1000000 + 1").as("d"))
+      // checkpoint per iteration: each broadcast of v otherwise re-runs
+      // the ENTIRE preceding chain (O(k²) recompute across ten rounds)
+      v = w.crossJoin(broadcast(dv))
+        .select(col("i"),
+          when(col("w") >= 0, expr("w div d"))
+            .otherwise(-expr("(-w) div d")).as("v"))
+        .localCheckpoint(eager = false)
+    }
+    (mom, v)
   }
+
+  /** DuckDB oracle for emb_abtt: the TopEigen chain, then the explained
+    * share via the n-cleared centering identity — per vector the three
+    * exact long scalars q = v·sx, a = sx·sx, b = sx·S combine in HUGEINT
+    * as (n·q − v·S)² and n²·a − 2n·b + |S|², algebraically equal to the
+    * per-dimension (n·sx − S) expansion the Spark side sums. */
+  private lazy val AbttSql: String =
+    s"""$TopEigenCte,
+       |vv AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vv FROM v10),
+       |sq AS (SELECT CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ss2
+       |       FROM ssum),
+       |qq AS (SELECT CAST(SUM(t.v * s.s) AS HUGEINT) AS vs
+       |       FROM v10 t JOIN ssum s USING (i)),
+       |qr AS (SELECT e.vec_id, CAST(SUM(e.v * t.v) AS BIGINT) AS q,
+       |         CAST(SUM(e.v * e.v) AS BIGINT) AS a,
+       |         CAST(SUM(e.v * s.s) AS BIGINT) AS b
+       |       FROM el e JOIN v10 t ON t.i = e.i JOIN ssum s ON s.i = e.i
+       |       GROUP BY 1),
+       |terms AS (SELECT
+       |    CAST(nn.n AS HUGEINT) * q - vs AS pterm,
+       |    CAST(nn.n AS HUGEINT) * nn.n * a - 2 * nn.n * b + ss2 AS yterm
+       |  FROM qr CROSS JOIN nn CROSS JOIN sq CROSS JOIN qq),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    SUM(pterm * pterm) AS sp2, SUM(yterm) AS syy FROM terms)
+       |SELECT n_vecs,
+       |  CASE WHEN vv > 0 AND syy > 0
+       |    THEN CAST(sp2 AS DOUBLE) / (CAST(vv AS DOUBLE) * CAST(syy AS DOUBLE))
+       |    ELSE 0.0 END AS explained_share,
+       |  1.0 - CASE WHEN vv > 0 AND syy > 0
+       |    THEN CAST(sp2 AS DOUBLE) / (CAST(vv AS DOUBLE) * CAST(syy AS DOUBLE))
+       |    ELSE 0.0 END AS residual_share
+       |FROM tot CROSS JOIN vv""".stripMargin
 
   /** DuckDB oracle for sim_mmr_exact: the same top-10 candidate pool per
     * query (4dp-rounded cosine, id-tiebroken), then the 5 greedy MMR
@@ -4691,47 +4777,69 @@ object PipelineQueries {
     // (localCheckpoint cuts the loop lineage, the ev_pagerank discipline).
     Q("emb_top_eigen",
       (s, d) => {
-        import graft.functions.VectorFunctions
-        val dim = 64
-        val mom = graft.operators.Parallelism.fanOut(t(s, d, "embeddings"))
-          .select(transform(col("embedding"), x =>
-            floor(x.cast("double") * 1000).cast("long")).as("sv"))
-          .agg(VectorFunctions.coMoments(col("sv"), dim).as("m"))
-        val mat = mom
-          .select(col("m"), posexplode(slice(col("m"), 2 + dim, dim * dim)))
-          .select(
-            (col("pos") / dim).cast("int").as("i"),
-            pmod(col("pos"), lit(dim)).cast("int").as("j"),
-            (element_at(col("m"), 1) * col("col")
-              - element_at(col("m"), (col("pos") / dim).cast("int") + lit(2))
-                * element_at(col("m"), pmod(col("pos"), lit(dim)).cast("int")
-                  + lit(2))).as("c"))
-          .select(col("i"), col("j"),
-            when(col("c") >= 0, expr("c div 1000000"))
-              .otherwise(-expr("(-c) div 1000000")).as("mv"))
-          .localCheckpoint(eager = false)
-        var v = s.range(dim).select(col("id").cast("int").as("i"),
-          lit(1000000L).as("v"))
-        for (_ <- 1 to 10) {
-          val w = mat
-            .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
-            .groupBy("i").agg(sum(col("mv") * col("vj")).as("w"))
-          val dv = w.agg((max(abs(col("w"))).cast("long")).as("mx"))
-            .select(expr("mx div 1000000 + 1").as("d"))
-          // checkpoint per iteration: each broadcast of v otherwise re-runs
-          // the ENTIRE preceding chain (O(k²) recompute across ten rounds)
-          v = w.crossJoin(broadcast(dv))
-            .select(col("i"),
-              when(col("w") >= 0, expr("w div d"))
-                .otherwise(-expr("(-w) div d")).as("v"))
-            .localCheckpoint(eager = false)
-        }
+        val (_, v) = topEigenFrames(s, d)
         val sgn = v.filter(col("v") =!= 0).orderBy("i").limit(1)
           .select(when(col("v") >= 0, lit(1L)).otherwise(lit(-1L)).as("s"))
         v.crossJoin(broadcast(sgn))
           .select(col("i").as("dim"), (col("v") * col("s")).as("v_scaled"))
       },
       Some(TopEigenSql)),
+
+    // All-but-the-top decision metric (Mu & Viswanath, ICLR 2018): the
+    // share of CENTERED variance the top principal component eats —
+    // explained = Σ_r (v·(x_r−μ))² / (|v|²·Σ_r|x_r−μ|²) — and the residual
+    // isotropy left after ABTT would remove it. A high share means one
+    // rogue direction dominates the geometry (anisotropy's root cause;
+    // emb_anisotropy measures the symptom) and mean+top-component removal
+    // will pay. Exactness: centering is cleared of its 1/n by multiplying
+    // through by n (y = n·x_scaled − S, every factor of n² cancels in the
+    // ratio), so numerator and denominator are EXACT integers — per-dim
+    // longs on the Spark side, the algebraically-equal scalar expansion
+    // (n·q − v·S)² / (n²a − 2nb + |S|²) in HUGEINT on the oracle side —
+    // with two double casts and one division at the end. The exact-long
+    // window holds to n ≈ 1.4e8 vectors (64·1000·1e6·n < 2⁶³); past that
+    // the same plan runs with decimal promotion on the three per-row
+    // scalars. Scale shape: the coMoments pass the eigenvector already
+    // needs, ten 64-row iteration frames, then ONE more corpus scan with a
+    // broadcast one-row (n, S, v) frame — no per-dimension explode, no
+    // corpus shuffle.
+    Q("emb_abtt",
+      (s, d) => {
+        val dim = 64
+        val (mom, v) = topEigenFrames(s, d)
+        val varrRow = v
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+            x => x.getField("v")).as("varr"))
+          .select(col("varr"),
+            aggregate(col("varr"), lit(0L), (acc, x) => acc + x * x).as("vv"))
+        val statsRow = mom
+          .select(element_at(col("m"), 1).as("n"), slice(col("m"), 2, dim).as("ss"))
+          .crossJoin(varrRow)
+        val explained =
+          when(col("vv") > 0 && col("syy") > 0,
+            col("sp2").cast("double") /
+              (col("vv").cast("double") * col("syy").cast("double")))
+            .otherwise(lit(0.0))
+        graft.operators.Parallelism.fanOut(t(s, d, "embeddings"))
+          .select(transform(col("embedding"), x =>
+            floor(x.cast("double") * 1000).cast("long")).as("sv"))
+          .crossJoin(broadcast(statsRow))
+          .select(zip_with(col("sv"), col("ss"),
+            (a, sm) => col("n") * a - sm).as("y"), col("varr"), col("vv"))
+          .select(
+            aggregate(zip_with(col("y"), col("varr"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("p"),
+            aggregate(col("y"), lit(0L), (acc, x) => acc + x * x).as("yy"),
+            col("vv"))
+          .groupBy("vv")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("p").cast("decimal(19,0)") * col("p").cast("decimal(19,0)"))
+              .as("sp2"),
+            sum(col("yy")).as("syy"))
+          .select(col("n_vecs"), explained.as("explained_share"),
+            (lit(1.0) - explained).as("residual_share"))
+      },
+      Some(AbttSql)),
 
     // Cohen's kappa (Cohen 1960) between the two independent row-local
     // quality raters the engine ships — the C4-style rule gate

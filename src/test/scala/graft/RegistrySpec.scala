@@ -166,7 +166,10 @@ class RegistrySpec extends SparkSpec {
       //  - dq_chi2_independence: the category-bounded contingency cells
       //    cross-join their OWN single-row grand total (the scalar shape);
       //    margins attach as keyed broadcasts
-      "dq_benford", "ev_pagerank", "emb_top_eigen", "dq_ks_drift",
+      //  - emb_abtt: emb_top_eigen's iteration shape plus ONE more corpus
+      //    scan that cross-joins a SINGLE-ROW broadcast (n, S, v) stats
+      //    frame (the scalar-subquery shape); nothing corpus-sized joins
+      "dq_benford", "ev_pagerank", "emb_top_eigen", "emb_abtt", "dq_ks_drift",
       //  - sm_balanced_downsample: the min-class-size quota is a SINGLE-ROW
       //    two-level aggregate cross-joined onto the ranked frame
       "sim_hubness", "ev_user_features", "dq_chi2_independence",

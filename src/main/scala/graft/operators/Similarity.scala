@@ -326,6 +326,43 @@ object Similarity {
     topKBySim(joined, k)
   }
 
+  /** The probe-sweep primitive behind recall-vs-probes tuning: top-`k`
+    * neighbors per query for EVERY probe count 1..`maxProbes`, from ONE
+    * candidate generation — the query fans out its `maxProbes` ranked
+    * clusters once, each candidate carries the rank of the cluster it was
+    * reached through, and a candidate reached at rank r is (by IVF
+    * semantics) in the candidate set of every probes ≥ r, so the sweep is
+    * an explode on the k-bounded candidate frame, NOT `maxProbes` separate
+    * searches over the corpus. Returns (probes, query_id, neighbor_id,
+    * sim); the `probes = p` slice is row-identical to `ivfTopK(..., p)`.
+    * Scale shape: identical to [[ivfTopK]] at `maxProbes` — one
+    * cluster-keyed equi-join — plus a ≤maxProbes× explode of its
+    * candidates. */
+  def ivfTopKByProbe(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, maxProbes: Int): DataFrame = {
+    require(maxProbes >= 1)
+    val corpusC = assignClusters(corpus, centroids)
+      .select(col("cluster"), col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+    val queriesC = queries
+      .crossJoin(broadcast(packedCentroids(centroids)))
+      .select(
+        posexplode(nearestCentroids(col("embedding"), col("cents"), maxProbes))
+          .as(Seq("prank", "cluster")),
+        col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val candidates = queriesC.join(corpusC, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineRounded(col("q_vec"), col("n_vec")).as("sim"),
+        explode(sequence((col("prank") + 1).cast("long"), lit(maxProbes.toLong)))
+          .as("probes"))
+    graft.plans.TopKPerGroup(
+      candidates.withColumn("__neg_id", -col("neighbor_id")),
+      group = Seq("probes", "query_id"),
+      order = Seq("sim", "__neg_id"),
+      k = k)
+      .select("probes", "query_id", "neighbor_id", "sim")
+  }
+
   /** Lloyd's k-means for training the IVF coarse centroids — the piece that
     * turns [[ivfTopK]] from "centroids given" into a self-contained index
     * build. Deterministic: init = the k lowest-id vectors, fixed `iters`

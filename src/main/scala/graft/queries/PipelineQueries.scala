@@ -6122,6 +6122,112 @@ object PipelineQueries {
         |  ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
         |GROUP BY t.query_id""".stripMargin)),
 
+    // Recall-vs-probes curve — THE tuning table for an IVF deployment
+    // (every probe added buys recall with candidate volume; this measures
+    // the actual trade instead of guessing): recall@3 against brute-force
+    // truth for probes 1..4, from ONE candidate generation — each
+    // candidate carries the rank of the cluster it was reached through and
+    // explodes only into the probe counts that would have seen it, so the
+    // sweep costs one maxProbes-wide search, not four searches. The
+    // probes=2 slice is row-identical to sim_ivf_multiprobe's search leg.
+    Q("sim_probe_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 32)
+        val qs = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        val cents = emb.filter(col("vec_id") < 8)
+        val truth = Similarity.bruteForceTopK(corpus, qs, k = 3)
+          .select(explode(sequence(lit(1L), lit(4L))).as("probes"),
+            col("query_id"), col("neighbor_id"))
+        val approx = Similarity.ivfTopKByProbe(corpus, qs, cents,
+            k = 3, maxProbes = 4)
+          .select(col("probes"), col("query_id"), col("neighbor_id"),
+            lit(1).as("hit"))
+        truth.join(broadcast(approx),
+            Seq("probes", "query_id", "neighbor_id"), "left")
+          .groupBy("probes")
+          .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+          .select(col("probes"), col("n_truth"), col("n_hits"),
+            (col("n_hits").cast("double") / col("n_truth").cast("double"))
+              .as("recall"))
+      },
+      Some("""WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid FROM embeddings WHERE vec_id < 8),
+        |ranked AS (
+        |  SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS embedding, c.centroid_id AS cluster,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.centroid) DESC, c.centroid_id) AS rn
+        |  FROM embeddings v CROSS JOIN cent c),
+        |corpus AS (SELECT cluster, vec_id AS neighbor_id, embedding AS n_vec FROM ranked WHERE rn = 1 AND vec_id >= 32),
+        |queries AS (SELECT cluster, rn AS prank, vec_id AS query_id, embedding AS q_vec FROM ranked
+        |            WHERE rn <= 4 AND vec_id >= 16 AND vec_id < 32),
+        |cand AS (
+        |  SELECT CAST(unnest(generate_series(q.prank, 4)) AS BIGINT) AS probes,
+        |    q.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(q.q_vec, c.n_vec), 4) AS sim
+        |  FROM queries q JOIN corpus c USING (cluster)
+        |  WHERE q.query_id != c.neighbor_id),
+        |ivf AS (SELECT probes, query_id, neighbor_id FROM (
+        |  SELECT probes, query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY probes, query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM cand) WHERE rn <= 3),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 32),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT qv.query_id, cv.neighbor_id,
+        |    row_number() OVER (PARTITION BY qv.query_id
+        |      ORDER BY round(list_cosine_similarity(qv.q, cv.v), 4) DESC, cv.neighbor_id) AS rn
+        |  FROM qv CROSS JOIN cv)
+        |  WHERE rn <= 3),
+        |tp AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT) AS probes,
+        |         query_id, neighbor_id FROM truth)
+        |SELECT t.probes, CAST(COUNT(*) AS BIGINT) AS n_truth,
+        |  COUNT(i.neighbor_id) AS n_hits,
+        |  CAST(COUNT(i.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM tp t LEFT JOIN ivf i
+        |  ON i.probes = t.probes AND i.query_id = t.query_id
+        |    AND i.neighbor_id = t.neighbor_id
+        |GROUP BY t.probes""".stripMargin)),
+
+    // Dedup-then-quota composite — the pipeline ORDERING contract the
+    // standalone stages can't witness: domain quotas computed on the raw
+    // corpus over-allocate exactly the sources whose docs collapse in
+    // dedup, so the production recipe dedups FIRST and budgets after.
+    // This entry runs dd_neardup_keep's judged keep decision, then
+    // cp_domain_quota's per-source top-k on the SURVIVORS — both stages
+    // the already-judged shapes, glued by one semi-join; the oracle
+    // re-derives the whole chain end-to-end.
+    Q("cp_dedup_quota",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val kept = Dedup.nearDupKeep(docs, col("doc_id"), col("text"),
+          NumHashes, Bands, threshold = 0.4)
+        graft.operators.Composition.domainQuota(
+          docs.select("doc_id", "source", "n_chars")
+            .join(kept, Seq("doc_id"), "left_semi"),
+          domain = "source", order = Seq("n_chars", "doc_id"), quota = 5)
+      },
+      Some(BandsCte + """,
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b),
+        |kept AS (SELECT doc_id FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_b FROM scored WHERE jaccard >= 0.4)),
+        |dd AS (SELECT d.doc_id, d.source, d.n_chars
+        |       FROM documents d JOIN kept USING (doc_id))
+        |SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |  FROM dd) WHERE rn <= 5""".stripMargin)),
+
     // k-anonymity audit (Sweeney 2002) — the privacy check BEYOND regex
     // PII (dq_pii_rate redacts identifiers; this measures whether the
     // metadata itself re-identifies): group the corpus by its

@@ -231,6 +231,56 @@ object ExtQueries {
           org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
 
+  private val decayLedgerMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized [[runDecayLedger]] (the judged-streaming-harness idiom shared
+    * with [[hllLedger]]/[[lateSessions]]: judged queries are invoked
+    * repeatedly in one JVM and the streaming run is deterministic given the
+    * fixture, keyed by its file fingerprint). */
+  private def decayLedger(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/events.parquet")
+    decayLedgerMemo.get((s, d)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = runDecayLedger(s, d)
+        decayLedgerMemo.put((s, d), (fp, df))
+        df
+    }
+  }
+
+  /** Drive the streaming decay-score ledger end-to-end over the fixture
+    * events — TWO AvailableNow micro-batch runs (even event_ids, then odd)
+    * through [[graft.streaming.EventStreams.startDecayLedgerSink]] — and
+    * serve the per-user scores from the ledger
+    * ([[graft.operators.EventOps.decayScoresFromLedger]]). The oracle is
+    * ev_decay_score's one-shot batch derivation over the same parquet:
+    * because the ledger holds exact per-batch (user, day) partial counts
+    * and the 2^(30−weeks) weighting is applied at SERVE time against the
+    * ledger-wide max day, the split — including day-level counts torn
+    * across the two batches and the max-day anchor arriving in either
+    * half — must not move a single score. */
+  private def runDecayLedger(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decay-led").toString
+    val ev = t(s, d, "events")
+    def run(): Unit = {
+      graft.streaming.EventStreams.startDecayLedgerSink(
+        graft.streaming.EventStreams.readEvents(s, s"$tmp/in"),
+        s"$tmp/ledger", s"$tmp/cp").awaitTermination(120000)
+      ()
+    }
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$tmp/in")
+    run()
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    // capture to a local frame (the lateSessions idiom) so the judged
+    // result does not depend on the temp ledger outliving this call
+    val served = graft.operators.EventOps.decayScoresFromLedger(s, s"$tmp/ledger")
+    val captured = served.collect()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(captured.toSeq.asJava, served.schema)
+  }
+
   /** DuckDB oracle for ev_hits: the same bipartite user→item view edges,
     * then the 5 HITS half-step pairs (authority pull, hub pull, each
     * L1-normalized to 1e6 by trunc division) UNROLLED as MATERIALIZED
@@ -2828,6 +2878,24 @@ object ExtQueries {
     // and the estimate SERVED FROM THE LEDGER must bit-equal the oracle's
     // one-shot batch derivation — judged proof that per-batch register
     // partitions + max-merge are batching-invariant, not just spec'd so.
+    // Streaming-parity entry for the decay-score ledger (the st_hll_ledger
+    // treatment for the ADDITIVE-merge ledger family): the fixture events
+    // flow through startDecayLedgerSink in TWO micro-batch runs, scores are
+    // served from the ledger, and the result must bit-equal ev_decay_score's
+    // one-shot batch derivation — judged proof that per-batch (user, day)
+    // partial counts + serve-time weighting against the ledger-wide max day
+    // are batching-invariant (day counts torn across batches and the
+    // max-day anchor landing in either half included).
+    Q("st_decay_ledger",
+      (s, d) => decayLedger(s, d),
+      Some("""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+        |e AS (SELECT user_id,
+        |        (1::BIGINT << (30 - CAST((max_day - CAST(ts AS DATE)) // 7 AS INT))) AS wt
+        |      FROM events CROSS JOIN mx)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(wt) AS DOUBLE) / 1073741824.0 AS decay_score
+        |FROM e GROUP BY 1""".stripMargin)),
+
     Q("st_hll_ledger",
       (s, d) => hllLedger(s, d),
       Some("""WITH hx AS (

@@ -269,6 +269,12 @@ AUDITS = [
         FROM per_doc p LEFT JOIN first_seen f USING (doc_id))
       SELECT ln(CAST(t_cum AS DOUBLE)) FROM cum
       UNION ALL SELECT ln(CAST(v_cum AS DOUBLE)) FROM cum"""),
+    ("rbo depth terms (round0)", 0, """
+      SELECT CAST(1000000 AS DOUBLE) * aa.a
+        / (dd.d * (CAST(1 AS BIGINT) << CAST(dd.d AS INT)))
+      FROM (SELECT unnest(generate_series(1, 5)) AS d) dd,
+           (SELECT unnest(generate_series(1, 5)) AS a) aa
+      WHERE aa.a <= dd.d"""),
     ("adamic-adar user weight (round0)", 0, """
       WITH vi AS (
         SELECT DISTINCT user_id,

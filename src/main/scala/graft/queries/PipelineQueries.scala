@@ -6189,6 +6189,91 @@ object PipelineQueries {
         |    AND i.neighbor_id = t.neighbor_id
         |GROUP BY t.probes""".stripMargin)),
 
+    // Rank-biased overlap (Webber et al., TOIS 2010) between the exact
+    // cosine ranking and the SQ8 quantized ranking, truncated at depth 5
+    // with persistence p = 1/2 — the LIST-level drift measure the
+    // set-level recall can't see (recall@3 is blind to a reshuffle inside
+    // the top 3; RBO charges every prefix disagreement, weighted toward
+    // the top). With p = 1/2 each depth-d term is A_d/(d·2^d) — exact
+    // small-denominator rationals, pre-rounded to 6dp scaled longs per
+    // (query, depth) (boundary-audited over the full finite value set)
+    // before the per-query exact sum; a query with zero prefix agreement
+    // still reports rbo = 0 via the left join. Truncated form (no tail
+    // extrapolation): a lower bound, the regression-alert convention.
+    // Scale shape: two already-judged k-bounded rankings, one equi-join
+    // on (query, neighbor), a ≤5× explode on the matched rows.
+    Q("sim_rbo",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") >= 32)
+        val qs = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+        val exact = Similarity.bruteForceTopK(corpus, qs, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            row_number().over(w).as("r1"))
+        val quant = Similarity.sq8TopK(corpus, qs, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            row_number().over(w).as("r2"))
+        val agree = exact.join(quant, Seq("query_id", "neighbor_id"))
+          .select(col("query_id"),
+            explode(sequence(greatest(col("r1"), col("r2")).cast("long"),
+              lit(5L))).as("dpt"))
+          .groupBy("query_id", "dpt").agg(count(lit(1)).as("a"))
+        val terms = agree.select(col("query_id"),
+          round(lit(1e6) * col("a").cast("double") /
+            (col("dpt") * expr("shiftleft(cast(1 as bigint), cast(dpt as int))"))
+              .cast("double"), 0).cast("long").as("t6"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(terms.groupBy("query_id").agg(sum(col("t6")).as("s6")),
+            Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("s6"), lit(0L)).cast("double") / lit(1e6)).as("rbo"))
+      },
+      Some("""WITH ex AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS r1 FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id >= 32
+        |  WHERE q.vec_id >= 16 AND q.vec_id < 32)
+        |  QUALIFY r1 <= 5),
+        |qt AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS r2 FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(q.embedding[i] AS DOUBLE)
+        |          * (floor(CAST(c.embedding[i] AS DOUBLE) * 127) / 127.0)))
+        |      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |           i -> (floor(CAST(c.embedding[i] AS DOUBLE) * 127) / 127.0)
+        |             * (floor(CAST(c.embedding[i] AS DOUBLE) * 127) / 127.0))))), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id >= 32
+        |  WHERE q.vec_id >= 16 AND q.vec_id < 32)
+        |  QUALIFY r2 <= 5),
+        |agree AS (
+        |  SELECT e.query_id, CAST(dpt AS BIGINT) AS dpt,
+        |    CAST(COUNT(*) AS BIGINT) AS a
+        |  FROM ex e JOIN qt t
+        |    ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id,
+        |  LATERAL unnest(generate_series(greatest(e.r1, t.r2), 5)) AS u(dpt)
+        |  GROUP BY 1, 2),
+        |terms AS (SELECT query_id,
+        |    CAST(round(CAST(1000000 AS DOUBLE) * a
+        |      / (dpt * (CAST(1 AS BIGINT) << CAST(dpt AS INT))), 0) AS BIGINT)
+        |      AS t6
+        |  FROM agree),
+        |pq AS (SELECT query_id, CAST(SUM(t6) AS BIGINT) AS s6
+        |       FROM terms GROUP BY 1)
+        |SELECT v.vec_id AS query_id,
+        |  CAST(COALESCE(s6, 0) AS DOUBLE) / 1000000.0 AS rbo
+        |FROM embeddings v LEFT JOIN pq ON pq.query_id = v.vec_id
+        |WHERE v.vec_id >= 16 AND v.vec_id < 32""".stripMargin)),
+
     // Dedup-then-quota composite — the pipeline ORDERING contract the
     // standalone stages can't witness: domain quotas computed on the raw
     // corpus over-allocate exactly the sources whose docs collapse in

@@ -137,7 +137,7 @@ class RegistrySpec extends SparkSpec {
       //    subset broadcasts against one corpus scan; the eval join itself
       //    is a keyed broadcast over k-bounded outputs
       "sim_ann_recall", "sim_lsh_recall", "sim_adc_recall",
-      "sim_sq8_recall", "sim_binary_recall", "sim_probe_recall",
+      "sim_sq8_recall", "sim_binary_recall", "sim_probe_recall", "sim_rbo",
       "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",

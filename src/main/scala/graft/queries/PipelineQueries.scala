@@ -6313,6 +6313,97 @@ object PipelineQueries {
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id DESC) AS rn
         |  FROM dd) WHERE rn <= 5""".stripMargin)),
 
+    // Out-of-vocabulary rate per source against the corpus top-50 vocab —
+    // the data-card number behind tokenizer/vocab decisions (a source
+    // whose occurrences are mostly outside the head vocabulary will
+    // fragment into long BPE sequences; pairs with tx_fertility's
+    // tokenizer-side audit). ONE corpus pass builds the (source, token)
+    // counts; the head vocab is a second ROLLUP of that same frame
+    // (vocabulary-sized, TakeOrdered top-50 with the (count desc, token)
+    // tiebreak), broadcast back as a left-join marker. Exact integer
+    // occurrence sums, one division per source. The dual-consumer count
+    // frame is localCheckpoint-ed so both branches plan it once.
+    Q("tx_oov_rate",
+      (s, d) => {
+        val st = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false)
+        val vocab = st.groupBy("token").agg(sum(col("n")).as("tn"))
+          .orderBy(col("tn").desc, col("token")).limit(50)
+          .select(col("token"), lit(1).as("in_vocab"))
+        st.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("source")
+          .agg(sum(col("n")).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+              .as("n_oov"))
+          .select(col("source"), col("n_tokens"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+              .as("oov_rate"))
+      },
+      Some("""WITH st AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT source, unnest(str_split(text, ' ')) AS token
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, SUM(n) AS tn FROM st GROUP BY 1
+        |  ORDER BY tn DESC, token LIMIT 50))
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE) AS oov_rate
+        |FROM st LEFT JOIN vocab v USING (token)
+        |GROUP BY source""".stripMargin)),
+
+    // Referential-integrity audit over the warehouse star schema — the
+    // first data-quality gate any fact load runs: per declared FK, how
+    // many child rows point at a missing parent. Each FK is ONE left join
+    // of the child key projection against the distinct parent keys
+    // (dimension sides broadcast; the lineitem→orders fact-fact edge
+    // shuffles once on the key) with an integer orphan count — no
+    // row-level violation explode, so the audit output is 4 rows whatever
+    // the fact size.
+    Q("dq_ref_integrity",
+      (s, d) => {
+        def fk(name: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String) =
+          child.select(col(key).as("k"))
+            .join(parent.select(col(pkey).as("k")).distinct()
+              .withColumn("ex", lit(1)), Seq("k"), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("ex").isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+        fk("orders.o_custkey", t(s, d, "orders"), "o_custkey",
+            t(s, d, "customer"), "c_custkey")
+          .unionAll(fk("lineitem.l_orderkey", t(s, d, "lineitem"), "l_orderkey",
+            t(s, d, "orders"), "o_orderkey"))
+          .unionAll(fk("lineitem.l_partkey", t(s, d, "lineitem"), "l_partkey",
+            t(s, d, "part"), "p_partkey"))
+          .unionAll(fk("lineitem.l_suppkey", t(s, d, "lineitem"), "l_suppkey",
+            t(s, d, "supplier"), "s_suppkey"))
+      },
+      Some("""SELECT 'orders.o_custkey' AS fk,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphans
+        |FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey"""
+        .stripMargin)),
+
     // k-anonymity audit (Sweeney 2002) — the privacy check BEYOND regex
     // PII (dq_pii_rate redacts identifiers; this measures whether the
     // metadata itself re-identifies): group the corpus by its

@@ -6404,6 +6404,48 @@ object PipelineQueries {
         |FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey"""
         .stripMargin)),
 
+    // Event-stream sanity audit — the ingest smoke test that runs before
+    // any event analytics is trusted: null timestamps, duplicate event
+    // ids, per-user id/time order inversions (an id-sequential producer
+    // whose clock runs backwards is the classic silent corruptor of
+    // as-of joins and sessionization), and negative values. One corpus
+    // scan feeds a map-combined global aggregate; the inversion count
+    // adds ONE user-keyed window (the sessionize exchange) and the dup
+    // count one id-keyed aggregate on the id projection — all outputs
+    // exact integers, one summary row whatever the stream size.
+    Q("dq_event_sanity",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val base = ev.agg(count(lit(1)).as("n_events"),
+          sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_null_ts"),
+          sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_negative_value"))
+        val dups = ev.groupBy("event_id").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") - 1).as("n_dup_ids"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        val inv = ev.select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .agg(sum(when(col("ts") < col("prev_ts"), 1L).otherwise(0L))
+            .as("n_order_inversions"))
+        base.crossJoin(broadcast(dups)).crossJoin(broadcast(inv))
+      },
+      Some("""WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_ts,
+        |    CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_negative_value
+        |  FROM events),
+        |dups AS (SELECT CAST(SUM(c - 1) AS BIGINT) AS n_dup_ids
+        |  FROM (SELECT COUNT(*) AS c FROM events GROUP BY event_id)),
+        |inv AS (SELECT CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_order_inversions
+        |  FROM (SELECT ts, lag(ts, 1) OVER (
+        |          PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |        FROM events))
+        |SELECT n_events, n_null_ts, n_negative_value, n_dup_ids,
+        |  n_order_inversions
+        |FROM base CROSS JOIN dups CROSS JOIN inv""".stripMargin)),
+
     // k-anonymity audit (Sweeney 2002) — the privacy check BEYOND regex
     // PII (dq_pii_rate redacts identifiers; this measures whether the
     // metadata itself re-identifies): group the corpus by its

@@ -257,6 +257,9 @@ class RegistrySpec extends SparkSpec {
       //    broadcast (the sim_bruteforce declared-verification shape);
       //    every greedy round is k-bounded
       "dq_hll_distinct", "sim_mmr_exact",
+      //  - dq_event_sanity: three ONE-ROW summary aggregates cross-joined
+      //    into the single audit row (the p13 scalar-subquery shape)
+      "dq_event_sanity",
       //  - ev_fano / ev_acf / ev_seasonal_naive: the BNLJ crosses the
       //    |types|-bounded distinct frame with the broadcast |days|-bounded
       //    scaffold (both collapse from one-row/grouped aggregates — the

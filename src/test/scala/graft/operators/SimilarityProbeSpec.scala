@@ -52,6 +52,29 @@ class SimilarityProbeSpec extends SparkSpec {
     assert(recalls.last == 1.0, s"nprobe = k-clusters should be exact: $recalls")
   }
 
+  test("ivfTopKByProbe: every probes=p slice is row-identical to ivfTopK(probes=p)") {
+    // the sweep primitive's whole contract (and sim_probe_recall's premise):
+    // one maxProbes-wide candidate generation, sliced by probe count, must
+    // reproduce each standalone search bit for bit — ranks, ties, sims
+    val corpus = emb.filter(col("vec_id") >= 32)
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val sweep = Similarity
+      .ivfTopKByProbe(corpus, queries, centroids, k = 3, maxProbes = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    for (p <- 1 to 4) {
+      val direct = Similarity
+        .ivfTopK(corpus, queries, centroids, k = 3, probes = p)
+        .collect()
+        .map(r => (p.toLong, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val slice = sweep.filter(_._1 == p.toLong)
+      assert(slice == direct, s"probe sweep slice p=$p diverges from ivfTopK")
+    }
+  }
+
   test("range search: exactly the scored pairs at or above the threshold") {
     val corpus = emb.filter(col("vec_id") >= 32)
     val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32)

@@ -269,6 +269,46 @@ object Composition {
       .drop("__source", "__n", "__nmin")
   }
 
+  /** The temperature-sweep tuning table behind [[temperatureSample]]'s
+    * single-α knob: for every integer exponent e in 1..`maxE` (α = 1−1/e,
+    * i.e. α ∈ {0, 1/2, 2/3, 3/4, …} — exactly the exponents whose
+    * survival test u^e·n < n_min is pure repeated IEEE multiplication, no
+    * libm pow), the per-source sampled count and resulting mixture share.
+    * This is how the α knob is actually chosen: look at how flat each
+    * candidate makes the mix and what it costs in docs. ONE corpus scan
+    * evaluates all e values row-locally (the membership flags explode from
+    * the same draw); every rollup after that runs on the
+    * |sources|·maxE-bounded frame. Same salt-1 draw as
+    * [[temperatureSample]], so the e matching a deployed α reproduces its
+    * exact membership. */
+  def temperatureCurve(docs: DataFrame, source: Column, id: Column,
+      maxE: Int): DataFrame = {
+    require(maxE >= 1 && maxE <= 16, "maxE must be in [1, 16]")
+    val counts = docs.groupBy(source.as("bucket"))
+      .agg(count(lit(1)).as("n_in"))
+    val nmin = counts.agg(min(col("n_in")).cast("double").as("nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+    val u = uniformDraw(id, salt = 1L)
+    val flags = docs.select(source.as("bucket"), u.as("u"))
+      .join(broadcast(rates), "bucket")
+      .select(col("bucket"), col("n_in"), explode(array((1 to maxE).map { e =>
+        val uPow = (1 to e).map(_ => col("u")).reduce(_ * _)
+        struct(lit(e.toLong).as("e"),
+          when(uPow * col("n_in").cast("double") < col("nmin"), 1L)
+            .otherwise(0L).as("f"))
+      }: _*)).as("x"))
+      .groupBy(col("x.e").as("e"), col("bucket"))
+      .agg(max(col("n_in")).as("n_in"), sum(col("x.f")).as("n_sampled"))
+      .localCheckpoint(eager = false) // two consumers: per-e totals + output
+    val tot = flags.groupBy("e").agg(sum(col("n_sampled")).as("tot"))
+    flags.join(broadcast(tot), "e")
+      .select(col("e"),
+        (lit(1.0) - lit(1.0) / col("e").cast("double")).as("alpha"),
+        col("bucket"), col("n_in"), col("n_sampled"),
+        (col("n_sampled").cast("double") / col("tot").cast("double"))
+          .as("share"))
+  }
+
   /** Deterministic mixture with UPSAMPLING — the epoch/repeat form of
     * [[mixtureSample]] for when the recipe needs more of a source than it
     * has (every production run that repeats Wikipedia while reading the

@@ -3847,6 +3847,49 @@ object PipelineQueries {
         |SELECT doc_id, bucket FROM b JOIN counts USING (bucket), m
         |WHERE (u * u) * n < nmin""".stripMargin)),
 
+    // Temperature-sweep tuning table (the sim_probe_recall philosophy for
+    // the composition knob): per integer exponent e in 1..4 (α = 1−1/e ∈
+    // {0, 1/2, 2/3, 3/4} — exactly the α values whose survival test is
+    // pure repeated IEEE multiplication), the per-bucket sampled count and
+    // the resulting mixture share — how flat each candidate α makes the
+    // mix vs what it costs in docs. One corpus scan evaluates every e
+    // row-locally from the SAME salt-1 draw as cp_temperature_sample (the
+    // e=2 slice reproduces its exact membership); rollups run on the
+    // 12-row (bucket, e) frame.
+    Q("cp_temperature_curve",
+      (s, d) => {
+        val bucket = when(pmod(col("doc_id"), lit(10L)) < 5, "heavy")
+          .when(pmod(col("doc_id"), lit(10L)) < 8, "mid")
+          .otherwise("light")
+        graft.operators.Composition.temperatureCurve(
+          t(s, d, "documents").select(col("doc_id"), bucket.as("bucket")),
+          source = col("bucket"), id = col("doc_id"), maxE = 4)
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 5 THEN 'heavy'
+        |         WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'light' END AS bucket,
+        |    CAST(xor(doc_id % 2147483648 * 2654435761 % 4294967296
+        |        % 2147483648, 1327217884) * 2654435761
+        |      % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents),
+        |counts AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_in
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT CAST(MIN(n_in) AS DOUBLE) AS nmin FROM counts),
+        |es AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT) AS e),
+        |fl AS (SELECT bucket, e, n_in,
+        |    CASE e WHEN 1 THEN u WHEN 2 THEN u * u WHEN 3 THEN u * u * u
+        |      ELSE u * u * u * u END AS up, nmin
+        |  FROM b JOIN counts USING (bucket) CROSS JOIN es CROSS JOIN m),
+        |g AS (SELECT e, bucket, MAX(n_in) AS n_in,
+        |    CAST(SUM(CASE WHEN up * CAST(n_in AS DOUBLE) < nmin
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |  FROM fl GROUP BY 1, 2),
+        |t AS (SELECT e, CAST(SUM(n_sampled) AS BIGINT) AS tot FROM g GROUP BY 1)
+        |SELECT g.e, 1.0 - 1.0 / CAST(g.e AS DOUBLE) AS alpha, bucket,
+        |  n_in, n_sampled,
+        |  CAST(n_sampled AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM g JOIN t USING (e)""".stripMargin)),
+
     // Mixture with UPSAMPLING (epoch replication — the recipe that repeats
     // Wikipedia while reading the web once): each source scaled to
     // totalRows·w rows in expectation via floor(r) full replications per

@@ -130,7 +130,7 @@ class RegistrySpec extends SparkSpec {
       "cp_curriculum_shards", "tx_bm25", "emb_centroid_outliers",
       "q13_sql_udf_cosine",
       "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train",
-      "cp_mixture_sample", "cp_temperature_sample",
+      "cp_mixture_sample", "cp_temperature_sample", "cp_temperature_curve",
       "sim_hard_negatives", "sim_hybrid_rrf", "sim_triplet_mine",
       //  - sim_sq8_recall / sim_binary_recall: both legs reuse the
       //    sanctioned bruteforce/sq8/binary shapes — the bounded query

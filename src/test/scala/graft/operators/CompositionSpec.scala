@@ -374,6 +374,28 @@ class CompositionSpec extends SparkSpec {
         "the salt-5 draw is correlated with salt 0)")
   }
 
+  test("temperatureCurve: the e=2 row reproduces temperatureSample(alpha=0.5) " +
+      "counts, shares sum to 1, sampling never exceeds the source") {
+    import org.apache.spark.sql.functions._
+    val many = spark.range(0, 500).select(col("id").as("doc_id"),
+      when(col("id") % 10 < 6, "big").otherwise("small").as("source"))
+    val curve = Composition.temperatureCurve(many, col("source"),
+      col("doc_id"), maxE = 4).collect()
+    val direct = Composition.temperatureSample(many, col("source"),
+        col("doc_id"), alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e2 = curve.filter(_.getLong(0) == 2L)
+      .map(r => r.getString(2) -> r.getLong(4)).toMap
+    assert(e2 === direct, "e=2 slice must equal the deployed alpha=0.5 sample")
+    for (e <- 1L to 4L) {
+      val rows = curve.filter(_.getLong(0) == e)
+      assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-12)
+      assert(rows.forall(r => r.getLong(4) <= r.getLong(3)),
+        "sampled count must never exceed the source size")
+    }
+  }
+
   test("tokenMixtureSample: a target source with zero tokens empties the " +
       "output instead of silently re-weighting") {
     val toks = docs.withColumn("n_tokens", col("n_chars"))

@@ -6232,6 +6232,52 @@ object PipelineQueries {
         |    AND i.neighbor_id = t.neighbor_id
         |GROUP BY t.probes""".stripMargin)),
 
+    // Leave-one-out 1-NN label accuracy — the classic nonparametric "are
+    // these vectors any good for classification" probe, complementing
+    // emb_label_separation (mean-cosine gap: a GLOBAL statistic that can
+    // look healthy while local neighborhoods are impure) and sim_label_ndcg
+    // (graded ranking quality): each vector's nearest neighbor votes, per
+    // label accuracy = share of votes that match. Runs on the DECLARED
+    // 256-vector verification subset (the sim_hubness convention) since
+    // leave-one-out is quadratic by nature; the production path for the
+    // full corpus is the same eval over the IVF/LSH candidate sets. Exact
+    // integer counts, one division per label.
+    Q("sim_1nn_accuracy",
+      (s, d) => {
+        val sub = t(s, d, "embeddings").filter(col("vec_id") < 256)
+        val lab = sub.select(col("vec_id"), col("label"))
+        Similarity.bruteForceTopK(sub, sub, k = 1)
+          .join(lab.select(col("vec_id").as("query_id"), col("label").as("y")),
+            "query_id")
+          .join(broadcast(lab.select(col("vec_id").as("neighbor_id"),
+            col("label").as("y_hat"))), "neighbor_id")
+          .groupBy("y")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("y_hat") === col("y"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(col("y").as("label"), col("n"), col("n_correct"),
+            (col("n_correct").cast("double") / col("n").cast("double"))
+              .as("accuracy"))
+      },
+      Some("""WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    label
+        |  FROM embeddings WHERE vec_id < 256),
+        |nn AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+        |        c.vec_id) AS rn
+        |  FROM sub q JOIN sub c ON q.vec_id != c.vec_id)
+        |  WHERE rn = 1)
+        |SELECT a.label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN b.label = a.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(SUM(CASE WHEN b.label = a.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        |FROM nn JOIN sub a ON a.vec_id = nn.query_id
+        |JOIN sub b ON b.vec_id = nn.neighbor_id
+        |GROUP BY a.label""".stripMargin)),
+
     // Rank-biased overlap (Webber et al., TOIS 2010) between the exact
     // cosine ranking and the SQ8 quantized ranking, truncated at depth 5
     // with persistence p = 1/2 — the LIST-level drift measure the

@@ -138,6 +138,10 @@ class RegistrySpec extends SparkSpec {
       //    is a keyed broadcast over k-bounded outputs
       "sim_ann_recall", "sim_lsh_recall", "sim_adc_recall",
       "sim_sq8_recall", "sim_binary_recall", "sim_probe_recall", "sim_rbo",
+      //  - sim_1nn_accuracy: bruteForceTopK over the DECLARED 256-vector
+      //    verification subset (the sim_hubness shape); labels attach as
+      //    keyed broadcasts
+      "sim_1nn_accuracy",
       "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",

@@ -6232,6 +6232,63 @@ object PipelineQueries {
         |    AND i.neighbor_id = t.neighbor_id
         |GROUP BY t.probes""".stripMargin)),
 
+    // Vocabulary mass-concentration deciles — the head/torso/tail data
+    // card behind every vocab-size and OOV decision (tx_zipf fits the
+    // exponent; this reports the actual mass table: how much of the corpus
+    // the top 10% of types covers, where the long tail starts): types
+    // ranked by (freq desc, token), split into 10 rank deciles, per decile
+    // the type count, occurrence mass, share and cumulative share. All
+    // integer counts; shares divide exact longs. Scale shape: ONE
+    // token-keyed aggregate over the corpus; the ranking window and decile
+    // rollup run on the VOCABULARY-sized frame (the tx_zipf discipline),
+    // never the corpus.
+    Q("tx_head_mass",
+      (s, d) => {
+        val counts = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").select("text"))
+          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false) // two consumers: totals + ranking
+        val tot = counts.agg(count(lit(1)).as("v"), sum(col("n")).as("total"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))
+        val wc = org.apache.spark.sql.expressions.Window.orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        counts.withColumn("rank", row_number().over(wr))
+          .crossJoin(broadcast(tot))
+          .select(expr("(rank - 1) * 10 div v").as("decile"),
+            col("n"), col("total"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_occurrences"),
+            max(col("total")).as("total"))
+          .withColumn("cum", sum(col("n_occurrences")).over(wc))
+          .select(col("decile"), col("n_types"), col("n_occurrences"),
+            (col("n_occurrences").cast("double") / col("total").cast("double"))
+              .as("mass_share"),
+            (col("cum").cast("double") / col("total").cast("double"))
+              .as("cum_share"))
+      },
+      Some("""WITH counts AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(n) AS BIGINT) AS total FROM counts),
+        |ranked AS (SELECT n,
+        |    row_number() OVER (ORDER BY n DESC, token) AS rank
+        |  FROM counts),
+        |dec AS (SELECT (rank - 1) * 10 // v AS decile, n, total
+        |  FROM ranked CROSS JOIN tot),
+        |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(n) AS BIGINT) AS n_occurrences, MAX(total) AS total
+        |  FROM dec GROUP BY decile)
+        |SELECT decile, n_types, n_occurrences,
+        |  CAST(n_occurrences AS DOUBLE) / CAST(total AS DOUBLE) AS mass_share,
+        |  CAST(SUM(n_occurrences) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(total AS DOUBLE) AS cum_share
+        |FROM g""".stripMargin)),
+
     // Leave-one-out 1-NN label accuracy — the classic nonparametric "are
     // these vectors any good for classification" probe, complementing
     // emb_label_separation (mean-cosine gap: a GLOBAL statistic that can

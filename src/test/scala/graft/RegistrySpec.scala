@@ -126,6 +126,10 @@ class RegistrySpec extends SparkSpec {
     val bnljOk = Set("j4_cross_join", "rj_range_join", "p13_scalar_subquery",
       "sim_bruteforce_topk", "sim_ivf_topk", "sim_ivf_multiprobe",
       "sim_range_search", "tx_quality_classifier",
+      //  - tx_head_mass: the BNLJ attaches the ONE-ROW (vocab size, total
+      //    occurrences) aggregate onto the vocabulary-sized ranked frame
+      //    (the p13 scalar-subquery shape)
+      "tx_head_mass",
       "tx_tfidf", "tx_unigram_logprob", "tx_ppl_buckets", "cp_ccnet_mixture",
       "cp_curriculum_shards", "tx_bm25", "emb_centroid_outliers",
       "q13_sql_udf_cosine",

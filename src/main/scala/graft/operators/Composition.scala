@@ -309,6 +309,52 @@ object Composition {
           .as("share"))
   }
 
+  /** Water-filling token-budget allocator — the recipe SOLVER the other
+    * composition ops assume has already run: given per-source available
+    * tokens, integer target weights, and a total budget, allocate each
+    * source min(available, r·w_s) for the largest feasible rate r. Sources
+    * that saturate (can't supply their weighted share) get everything they
+    * have and their unmet share redistributes over the rest — the
+    * classic water-filling fixpoint, reached in ≤ |sources| rounds.
+    *
+    * EXACT end to end: integer weights make every saturation test a
+    * cross-multiplication (a_s·W_U ≤ R·w_s with R = budget − Σ_sat a,
+    * W_U = Σ_unsat w — no rational r ever materializes) and the final
+    * unsaturated allocation is one integral division floor(R·w_s / W_U).
+    * Scale shape: the loop runs entirely on the |sources|-sized state
+    * frame (localCheckpoint per round, the power-iteration discipline);
+    * the corpus appears only in the caller's one availability aggregate. */
+  def budgetFill(avail: DataFrame, weights: Seq[(String, Long)],
+      budget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0) && budget >= 0)
+    val session = avail.sparkSession
+    import session.implicits._
+    val wdf = weights.toDF("source", "w")
+    def roundAgg(st: DataFrame) = st.agg(
+      coalesce(sum(when(col("sat") === 1L, col("a"))), lit(0L)).as("asat"),
+      coalesce(sum(when(col("sat") === 0L, col("w"))), lit(0L)).as("wu"))
+    var st = avail.select(col("source"), col("a").cast("long").as("a"))
+      .join(broadcast(wdf), "source")
+      .withColumn("sat", lit(0L))
+      .localCheckpoint(eager = false)
+    for (_ <- weights.indices) {
+      st = st.crossJoin(broadcast(roundAgg(st)))
+        .select(col("source"), col("a"), col("w"),
+          when(col("sat") === 1L ||
+            (col("wu") > 0 &&
+              col("a") * col("wu") <= (lit(budget) - col("asat")) * col("w")),
+            1L).otherwise(0L).as("sat"))
+        .localCheckpoint(eager = false)
+    }
+    st.crossJoin(broadcast(roundAgg(st)))
+      .select(col("source"), col("a").as("available"), col("w").as("weight"),
+        col("sat").as("saturated"),
+        when(col("sat") === 1L, col("a"))
+          .otherwise(expr(
+            s"((${budget}L - asat) * w) div greatest(wu, 1)"))
+          .as("allocated"))
+  }
+
   /** Deterministic mixture with UPSAMPLING — the epoch/repeat form of
     * [[mixtureSample]] for when the recipe needs more of a source than it
     * has (every production run that repeats Wikipedia while reading the

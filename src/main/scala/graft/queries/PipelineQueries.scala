@@ -3890,6 +3890,60 @@ object PipelineQueries {
         |  CAST(n_sampled AS DOUBLE) / CAST(tot AS DOUBLE) AS share
         |FROM g JOIN t USING (e)""".stripMargin)),
 
+    // Water-filling budget allocation — the recipe SOLVER upstream of the
+    // sampling ops: fill a 100k-char budget from the doc_id-derived
+    // buckets at target weights 1:3:6, letting scarce buckets saturate
+    // and their unmet share redistribute over the rest. On this
+    // fixture all three rounds fire: light (27,615 chars available,
+    // weight 6) saturates in round 1, mid in round 2, and heavy takes the
+    // exact remainder — Σ allocated = 100,000. Everything is integer
+    // cross-multiplication + one final integral division (see
+    // Composition.budgetFill); the oracle unrolls the ≤3 fixpoint rounds
+    // as MATERIALIZED CTEs.
+    Q("cp_budget_fill",
+      (s, d) => {
+        val bucket = when(pmod(col("doc_id"), lit(10L)) < 5, "heavy")
+          .when(pmod(col("doc_id"), lit(10L)) < 8, "mid")
+          .otherwise("light")
+        val avail = t(s, d, "documents")
+          .select(bucket.as("source"), col("n_chars"))
+          .groupBy("source").agg(sum(col("n_chars")).as("a"))
+        graft.operators.Composition.budgetFill(avail,
+          Seq("heavy" -> 1L, "mid" -> 3L, "light" -> 6L), budget = 100000L)
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""a$k AS (SELECT
+             |    COALESCE(SUM(CASE WHEN sat = 1 THEN a END), 0) AS asat,
+             |    COALESCE(SUM(CASE WHEN sat = 0 THEN w END), 0) AS wu
+             |  FROM st${k - 1}),
+             |st$k AS MATERIALIZED (SELECT source, a, w,
+             |    CASE WHEN sat = 1
+             |        OR (wu > 0 AND a * wu <= (100000 - asat) * w)
+             |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sat
+             |  FROM st${k - 1} CROSS JOIN a$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH avail AS MATERIALIZED (
+           |  SELECT CASE WHEN doc_id % 10 < 5 THEN 'heavy'
+           |       WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'light' END AS source,
+           |    CAST(SUM(n_chars) AS BIGINT) AS a
+           |  FROM documents GROUP BY 1),
+           |w(wsource, w) AS (VALUES ('heavy', CAST(1 AS BIGINT)),
+           |  ('mid', CAST(3 AS BIGINT)), ('light', CAST(6 AS BIGINT))),
+           |st0 AS MATERIALIZED (SELECT source, a, w, CAST(0 AS BIGINT) AS sat
+           |  FROM avail JOIN w ON wsource = source),
+           |$rounds,
+           |fin AS (SELECT
+           |    COALESCE(SUM(CASE WHEN sat = 1 THEN a END), 0) AS asat,
+           |    COALESCE(SUM(CASE WHEN sat = 0 THEN w END), 0) AS wu
+           |  FROM st3)
+           |SELECT source, a AS available, w AS weight, sat AS saturated,
+           |  CASE WHEN sat = 1 THEN a
+           |    ELSE CAST(((100000 - asat) * w) // greatest(wu, 1) AS BIGINT)
+           |    END AS allocated
+           |FROM st3 CROSS JOIN fin""".stripMargin
+      }),
+
     // Mixture with UPSAMPLING (epoch replication — the recipe that repeats
     // Wikipedia while reading the web once): each source scaled to
     // totalRows·w rows in expectation via floor(r) full replications per

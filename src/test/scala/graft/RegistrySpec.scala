@@ -134,6 +134,11 @@ class RegistrySpec extends SparkSpec {
       "cp_curriculum_shards", "tx_bm25", "emb_centroid_outliers",
       "q13_sql_udf_cosine",
       "sim_pq_codes", "sim_pq_adc_topk", "dd_semantic_keep", "tx_bpe_train",
+      //  - cp_budget_fill: every round cross-joins the |sources|-sized
+      //    state frame with its OWN one-row (asat, wu) aggregate (the
+      //    power-iteration scalar shape); the corpus appears only in the
+      //    availability aggregate
+      "cp_budget_fill",
       "cp_mixture_sample", "cp_temperature_sample", "cp_temperature_curve",
       "sim_hard_negatives", "sim_hybrid_rrf", "sim_triplet_mine",
       //  - sim_sq8_recall / sim_binary_recall: both legs reuse the

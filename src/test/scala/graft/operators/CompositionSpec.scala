@@ -396,6 +396,34 @@ class CompositionSpec extends SparkSpec {
     }
   }
 
+  test("budgetFill: water-filling conserves the budget, caps at availability, " +
+      "and degenerates to exact proportional split when nothing saturates") {
+    import org.apache.spark.sql.functions._
+    val avail = Seq(("a", 1000L), ("b", 50L), ("c", 1000L)).toDF("source", "a")
+    val out = Composition.budgetFill(avail,
+        Seq("a" -> 1L, "b" -> 1L, "c" -> 2L), budget = 400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // b wants 100 but has 50 → saturates; remainder 350 splits 1:2
+    assert(out("b") === ((50L, 1L, 1L, 50L)))
+    assert(out("a") === ((1000L, 1L, 0L, 116L))) // floor(350*1/3)
+    assert(out("c") === ((1000L, 2L, 0L, 233L))) // floor(350*2/3)
+    assert(out.values.map(_._4).sum <= 400L)
+    assert(out.values.forall { case (a, _, _, x) => x <= a })
+
+    // nothing saturates → exact proportional floor split of the budget
+    val flat = Composition.budgetFill(avail,
+        Seq("a" -> 1L, "b" -> 1L, "c" -> 2L), budget = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(flat === Map("a" -> 25L, "b" -> 25L, "c" -> 50L))
+
+    // budget above total availability → everyone saturates at what they have
+    val rich = Composition.budgetFill(avail,
+        Seq("a" -> 1L, "b" -> 1L, "c" -> 2L), budget = 10000L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rich === Map("a" -> 1000L, "b" -> 50L, "c" -> 1000L))
+  }
+
   test("tokenMixtureSample: a target source with zero tokens empties the " +
       "output instead of silently re-weighting") {
     val toks = docs.withColumn("n_tokens", col("n_chars"))

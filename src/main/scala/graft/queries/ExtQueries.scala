@@ -231,6 +231,68 @@ object ExtQueries {
           org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
 
+  private val cmsLedgerMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized [[runCmsLedger]] (the judged-streaming-harness idiom shared
+    * with [[hllLedger]]/[[decayLedger]]/[[lateSessions]]). */
+  private def cmsLedger(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/documents.parquet")
+    cmsLedgerMemo.get((s, d)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = runCmsLedger(s, d)
+        cmsLedgerMemo.put((s, d), (fp, df))
+        df
+    }
+  }
+
+  /** Drive the streaming count-min counter ledger end-to-end over the
+    * fixture documents — TWO AvailableNow micro-batch runs (even doc_ids,
+    * then odd) through
+    * [[graft.streaming.EventStreams.startCmsLedgerSink]] — and serve the
+    * point-frequency estimates from the ledger for the tx_cms_freq query
+    * set (tokens with exact corpus count ≥ 20). The oracle re-derives the
+    * SAME sketch from the parquet in one shot: per-batch counter
+    * partitions summed at serve time must be batching-invariant (counter
+    * addition is associative — every token's occurrences are torn across
+    * the two batches here), so the judged contract is the streaming
+    * path's bit-equality with the one-shot batch formula. */
+  private def runCmsLedger(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms-led").toString
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    def run(): Unit = {
+      graft.streaming.EventStreams.startCmsLedgerSink(
+        graft.streaming.EventStreams.readDocuments(s, s"$tmp/in"),
+        s"$tmp/ledger", s"$tmp/cp").awaitTermination(120000)
+      ()
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$tmp/in")
+    run()
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    val tf = t(s, d, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= 20)
+    val served = graft.operators.CmsSketch
+      .estimatesFromLedger(s, s"$tmp/ledger", tf.select("token"))
+    // capture to a local frame (the hllLedger idiom) so the judged result
+    // does not depend on the temp ledger outliving this call
+    val captured = tf.join(served, "token")
+      .select(col("token"), col("n_exact"), col("est")).collect()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(captured.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_exact",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("est",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
   private val decayLedgerMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, DataFrame)]
 
@@ -546,6 +608,56 @@ object ExtQueries {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  round((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS corr_qty_price
+        |FROM s""".stripMargin)),
+
+    // Simple OLS regression per group (slope / intercept / R²) — the
+    // closed-form least squares every metrics stack ships next to corr.
+    // Same determinism story as a9_moments/a11_corr: the five sufficient
+    // statistics are exact decimal sums (accumulation-order independent),
+    // the regression coefficients are then a fixed sequence of double ops,
+    // rounded once at the end — bit-identical on any cluster layout. The
+    // oracle applies the identical closed form to the identical exact sums
+    // (DuckDB's regr_slope would re-derive from double accumulation).
+    Q("a20_ols_regression",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double").as("sy"),
+          sum((col("l_quantity").cast("decimal(20,4)") *
+               col("l_extendedprice").cast("decimal(20,4)")).cast("decimal(38,8)"))
+            .cast("double").as("sxy"),
+          sum((col("l_quantity").cast("decimal(20,4)") *
+               col("l_quantity").cast("decimal(20,4)")).cast("decimal(38,8)"))
+            .cast("double").as("sx2"),
+          sum((col("l_extendedprice").cast("decimal(20,4)") *
+               col("l_extendedprice").cast("decimal(20,4)")).cast("decimal(38,8)"))
+            .cast("double").as("sy2"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sx2") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sx2") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+                 (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sx2") - col("sx") * col("sx")) *
+             (col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("r2")),
+      Some("""WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(20,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sy2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n, 6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |    ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS r2
         |FROM s""".stripMargin)),
 
     // GROUPING SETS (beyond rollup/cube): disjoint per-dimension subtotals.
@@ -2895,6 +3007,35 @@ object ExtQueries {
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(wt) AS DOUBLE) / 1073741824.0 AS decay_score
         |FROM e GROUP BY 1""".stripMargin)),
+
+    // Streaming-parity entry for the count-min counter ledger (the
+    // st_hll_ledger treatment for the LINEAR-sketch family): documents
+    // flow through startCmsLedgerSink in TWO micro-batch runs — every
+    // frequent token's occurrences torn across both — estimates are
+    // served from the summed ledger partitions, and the result must
+    // bit-equal the oracle's one-shot batch CMS (the tx_cms_freq formula:
+    // exact integer counters, min over 3 md5-sliced rows, query set =
+    // tokens with exact count ≥ 20).
+    Q("st_cms_ledger",
+      (s, d) => cmsLedger(s, d),
+      Some("""WITH tf AS (
+        |  SELECT token, COUNT(*) AS n_exact
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |keyed AS (
+        |  SELECT token, n_exact, r,
+        |    (strpos('0123456789abcdef', substring(md5(token), 1 + 3 * r, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substring(md5(token), 2 + 3 * r, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(token), 3 + 3 * r, 1)) - 1) AS bucket
+        |  FROM tf CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)),
+        |counters AS (
+        |  SELECT r, bucket, CAST(SUM(n_exact) AS BIGINT) AS c
+        |  FROM keyed GROUP BY 1, 2)
+        |SELECT k.token, CAST(MIN(k.n_exact) AS BIGINT) AS n_exact,
+        |  CAST(MIN(c.c) AS BIGINT) AS est
+        |FROM keyed k JOIN counters c USING (r, bucket)
+        |GROUP BY k.token
+        |HAVING MIN(k.n_exact) >= 20""".stripMargin)),
 
     Q("st_hll_ledger",
       (s, d) => hllLedger(s, d),

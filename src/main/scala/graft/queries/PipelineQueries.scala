@@ -1131,6 +1131,101 @@ object PipelineQueries {
         |  CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS boot_mean
         |FROM wv GROUP BY rep""".stripMargin)),
 
+    // CUPED variance-reduced experiment readout (Deng et al., WSDM 2013 —
+    // the A/B-metric adjustment every experimentation platform runs): the
+    // month splits at Jan 15 into a pre-period covariate X (per-user value
+    // sum before the split) and the experiment metric Y (per-user value sum
+    // after), arms are a deterministic md5 coin on user_id (the engine's
+    // standard derandomization), and each arm reports its raw mean(Y) next
+    // to mean(Y) − θ·(mean(X) − mean_all(X)) with θ = cov(X,Y)/var(X)
+    // pooled over all users. Determinism: per-user X/Y are exact decimal
+    // sums; θ and both means come from exact pooled decimal sums via the
+    // a11_corr closed-form chain (a fixed sequence of double ops, rounded
+    // once) — never from per-user double accumulation, which would be
+    // order-dependent (the oracle pools directly over users; exact decimal
+    // addition is associative, so arm-then-pool equals pool). Scale shape:
+    // ONE corpus pass — the user-keyed map-combined aggregate collapses
+    // straight into the ≤2-row arm frame carrying ALL five sufficient
+    // statistics as decimals; that frame localCheckpoints (the
+    // tx_bpe_train reuse idiom) so the pooled row is an aggregate of ≤2
+    // rows, not a second corpus scan, and attaches back as the p13
+    // one-row broadcast cross-join.
+    Q("dq_cuped",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val byArm = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("ts") < split, col("value")).otherwise(lit(0.0))
+              .cast("decimal(20,4)")).cast("decimal(20,4)").as("x"),
+            sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+              .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(
+            when(substring(md5(col("user_id").cast("string")), 1, 1)
+              .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("A"))
+              .otherwise(lit("B")).as("arm"),
+            col("x"), col("y"))
+          .groupBy("arm")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("x")).cast("decimal(38,4)").as("sxd"),
+            sum(col("y")).cast("decimal(38,4)").as("syd"),
+            sum((col("x") * col("x")).cast("decimal(38,8)"))
+              .cast("decimal(38,8)").as("sx2d"),
+            sum((col("x") * col("y")).cast("decimal(38,8)"))
+              .cast("decimal(38,8)").as("sxyd"))
+          .localCheckpoint(eager = false) // reused: arm rows + pooled row
+        val pooled = byArm.agg(
+          sum(col("n_users")).cast("double").as("n_all"),
+          sum(col("sxd")).cast("double").as("sx_all"),
+          sum(col("syd")).cast("double").as("sy_all"),
+          sum(col("sx2d")).cast("double").as("sx2_all"),
+          sum(col("sxyd")).cast("double").as("sxy_all"))
+        val theta =
+          (col("n_all") * col("sxy_all") - col("sx_all") * col("sy_all")) /
+            (col("n_all") * col("sx2_all") - col("sx_all") * col("sx_all"))
+        byArm.crossJoin(broadcast(pooled))
+          .select(col("arm"), col("n_users"),
+            round(col("syd").cast("double") / col("n_users").cast("double"), 6)
+              .as("mean_y"),
+            round(col("syd").cast("double") / col("n_users").cast("double") -
+              theta * (col("sxd").cast("double") / col("n_users").cast("double") -
+                col("sx_all") / col("n_all")), 6).as("mean_y_cuped"),
+            round(theta, 6).as("theta"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS x,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    x, y
+        |  FROM bu),
+        |pooled AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+        |    CAST(SUM(x) AS DOUBLE) AS sx_all,
+        |    CAST(SUM(y) AS DOUBLE) AS sy_all,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sx2_all,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy_all
+        |  FROM armed),
+        |ba AS (
+        |  SELECT arm, COUNT(*) AS n_users,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy
+        |  FROM armed GROUP BY 1)
+        |SELECT arm, n_users,
+        |  round(sy / CAST(n_users AS DOUBLE), 6) AS mean_y,
+        |  round(sy / CAST(n_users AS DOUBLE)
+        |    - (n_all * sxy_all - sx_all * sy_all)
+        |      / (n_all * sx2_all - sx_all * sx_all)
+        |      * (sx / CAST(n_users AS DOUBLE) - sx_all / n_all), 6)
+        |    AS mean_y_cuped,
+        |  round((n_all * sxy_all - sx_all * sy_all)
+        |    / (n_all * sx2_all - sx_all * sx_all), 6) AS theta
+        |FROM ba CROSS JOIN pooled""".stripMargin)),
+
     // Benford first-significant-digit audit (the classic fabricated-data
     // / broken-ETL screen for financial-style columns): the digit
     // distribution of o_totalprice against Benford's log10(1 + 1/d)
@@ -2333,7 +2428,9 @@ object PipelineQueries {
     // the streaming/fleet-merge counterpart of tx_heavy_hitters'
     // Misra–Gries candidates. d=3 rows × w=4096 buckets keyed by three
     // disjoint 3-hex-digit slices of the engine-portable md5 (the cp_dsir
-    // bucket idiom), estimate = min over rows — one-sided by construction
+    // bucket idiom; operators/CmsSketch.buckets is the single hash
+    // definition shared with the streaming counter ledger judged by
+    // st_cms_ledger), estimate = min over rows — one-sided by construction
     // (est ≥ exact, the overestimate is the judged collision audit).
     // Scale shape: the raw token stream collapses through ONE map-combined
     // token count; the 12,288-counter table builds from that collapsed
@@ -2346,9 +2443,7 @@ object PipelineQueries {
           .select(explode(TextFunctions.tokens(col("text"))).as("token"))
           .groupBy("token").agg(count(lit(1)).as("n_exact"))
         val keyed = tf.select(col("token"), col("n_exact"),
-          explode(array((0 to 2).map(r => struct(lit(r).as("r"),
-            conv(substring(md5(col("token")), 1 + 3 * r, 3), 16, 10)
-              .cast("long").as("bucket"))): _*)).as("rb"))
+          explode(graft.operators.CmsSketch.buckets(col("token"))).as("rb"))
           .select(col("token"), col("n_exact"),
             col("rb.r").as("r"), col("rb.bucket").as("bucket"))
         val counters = keyed.groupBy("r", "bucket")
@@ -6388,6 +6483,88 @@ object PipelineQueries {
         |FROM nn JOIN sub a ON a.vec_id = nn.query_id
         |JOIN sub b ON b.vec_id = nn.neighbor_id
         |GROUP BY a.label""".stripMargin)),
+
+    // NN-Descent k-NN graph construction (Dong, Moses & Li, WWW 2011) —
+    // the all-corpus neighbor graph (input to graph-ANN serving, near-dup
+    // clustering, label propagation) WITHOUT an all-pairs pass: start
+    // from the deterministic id-ring guess and iterate the paper's local
+    // join twice — each node introduces its general neighbors (out ∪
+    // capped reverse) to each other, scored pairs compete into every
+    // endpoint's top-k. Fully deterministic (ring init, 4dp-pre-rounded
+    // cosine, tiebroken windows), so the oracle replays the ENTIRE
+    // two-iteration trajectory as materialized CTEs and the judged
+    // contract is the final graph bit-for-bit. Scale shape: per node per
+    // round ≤ C(k+ρ,2) candidate pairs, keyed joins and k-bounded windows
+    // only — see operators/NnDescent.
+    Q("sim_nndescent",
+      (s, d) => graft.operators.NnDescent.knnGraph(
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        k = 4, iters = 2, revCap = 4),
+      Some("""WITH emb AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM emb),
+        |init AS (
+        |  SELECT e.vec_id AS src, (e.vec_id + j) % n AS dst
+        |  FROM emb e CROSS JOIN nn
+        |       CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)
+        |  WHERE e.vec_id != (e.vec_id + j) % n),
+        |knn0 AS MATERIALIZED (
+        |  SELECT i.src, i.dst, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM init i JOIN emb a ON a.vec_id = i.src
+        |               JOIN emb b ON b.vec_id = i.dst),
+        |rev1 AS (
+        |  SELECT dst AS src, src AS dst, sim FROM (
+        |    SELECT src, dst, sim, row_number() OVER (
+        |      PARTITION BY dst ORDER BY sim DESC, src) AS rn FROM knn0)
+        |  WHERE rn <= 4),
+        |gen1 AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM knn0
+        |    UNION ALL SELECT src, dst FROM rev1)),
+        |pairs1 AS MATERIALIZED (
+        |  SELECT DISTINCT a.dst AS src, b.dst AS dst
+        |  FROM gen1 a JOIN gen1 b ON a.src = b.src AND a.dst < b.dst),
+        |sc1 AS MATERIALIZED (
+        |  SELECT p.src, p.dst, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM pairs1 p JOIN emb a ON a.vec_id = p.src
+        |                JOIN emb b ON b.vec_id = p.dst),
+        |knn1 AS MATERIALIZED (
+        |  SELECT src, dst, sim FROM (
+        |    SELECT src, dst, sim, row_number() OVER (
+        |      PARTITION BY src ORDER BY sim DESC, dst) AS rn
+        |    FROM (SELECT DISTINCT src, dst, sim FROM (
+        |      SELECT src, dst, sim FROM knn0
+        |      UNION ALL SELECT src, dst, sim FROM sc1
+        |      UNION ALL SELECT dst AS src, src AS dst, sim FROM sc1)
+        |      WHERE src != dst))
+        |  WHERE rn <= 4),
+        |rev2 AS (
+        |  SELECT dst AS src, src AS dst, sim FROM (
+        |    SELECT src, dst, sim, row_number() OVER (
+        |      PARTITION BY dst ORDER BY sim DESC, src) AS rn FROM knn1)
+        |  WHERE rn <= 4),
+        |gen2 AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM knn1
+        |    UNION ALL SELECT src, dst FROM rev2)),
+        |pairs2 AS MATERIALIZED (
+        |  SELECT DISTINCT a.dst AS src, b.dst AS dst
+        |  FROM gen2 a JOIN gen2 b ON a.src = b.src AND a.dst < b.dst),
+        |sc2 AS MATERIALIZED (
+        |  SELECT p.src, p.dst, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM pairs2 p JOIN emb a ON a.vec_id = p.src
+        |                JOIN emb b ON b.vec_id = p.dst),
+        |knn2 AS (
+        |  SELECT src, dst, sim FROM (
+        |    SELECT src, dst, sim, row_number() OVER (
+        |      PARTITION BY src ORDER BY sim DESC, dst) AS rn
+        |    FROM (SELECT DISTINCT src, dst, sim FROM (
+        |      SELECT src, dst, sim FROM knn1
+        |      UNION ALL SELECT src, dst, sim FROM sc2
+        |      UNION ALL SELECT dst AS src, src AS dst, sim FROM sc2)
+        |      WHERE src != dst))
+        |  WHERE rn <= 4)
+        |SELECT src, dst, sim FROM knn2""".stripMargin)),
 
     // Rank-biased overlap (Webber et al., TOIS 2010) between the exact
     // cosine ranking and the SQ8 quantized ranking, truncated at depth 5

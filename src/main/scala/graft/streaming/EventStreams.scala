@@ -206,6 +206,32 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming count-min counter ledger — the point-frequency counterpart
+    * of [[startHllLedgerSink]]'s cardinality ledger
+    * ([[graft.operators.CmsSketch]] is the single shared definition): each
+    * micro-batch collapses its token stream to the ≤12,288-row counter
+    * matrix and writes it to the batch's OWN `batch_id=N` partition.
+    * Counter merge is ADDITION (a linear sketch) — associative and
+    * commutative, so serving is batching-invariant however the stream was
+    * split, but NOT idempotent: a double-landed batch would double-count.
+    * Exactly-once therefore rests entirely on ADDRESSING (a replayed
+    * batch N overwrites `batch_id=N` with identical bytes), which is why
+    * the checkpoint — the source of stable batch ids — is mandatory.
+    * Serving ([[graft.operators.CmsSketch.estimatesFromLedger]]) sums the
+    * ledger partitions; the raw stream is never re-scanned. */
+  def startCmsLedgerSink(docs: DataFrame, ledgerDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.CmsSketch.counters(batch, col("text"))
+          .write.mode("overwrite")
+          .parquet(s"$ledgerDir/batch_id=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType)))

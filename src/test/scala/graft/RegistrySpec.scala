@@ -277,7 +277,15 @@ class RegistrySpec extends SparkSpec {
       //    |types|-bounded distinct frame with the broadcast |days|-bounded
       //    scaffold (both collapse from one-row/grouped aggregates — the
       //    zero-fill grid, not data)
-      "ev_fano", "ev_acf", "ev_seasonal_naive")
+      "ev_fano", "ev_acf", "ev_seasonal_naive",
+      //  - dq_cuped: the ONE-ROW pooled-moments aggregate cross-joins onto
+      //    the ≤2-row per-arm frame (the p13 scalar-subquery shape); the
+      //    only corpus-sized exchange is the user-keyed map-combined sum
+      "dq_cuped",
+      //  - sim_nndescent: the ONE-ROW ring-size scalar cross-joins onto
+      //    the id frame for the seed graph (the p13 shape); every
+      //    iteration step is keyed joins + k-bounded windows
+      "sim_nndescent")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

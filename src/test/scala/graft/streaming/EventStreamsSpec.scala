@@ -689,4 +689,68 @@ class EventStreamsSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
     assert(parts.size == 2, s"expected two per-batch partitions, got $parts")
   }
+
+  test("cms counter ledger: serving equals the batch sketch over all " +
+      "landed docs; checkpoint-rollback replay cannot double-count") {
+    import graft.operators.CmsSketch
+    val dir = Files.createTempDirectory("graft-cms").toString
+    val cp = s"$dir/cp"
+    def docsDF(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def run(): Unit = EventStreams.startCmsLedgerSink(
+      EventStreams.readDocuments(spark, s"$dir/in"), s"$dir/ledger", cp)
+      .awaitTermination(60000)
+    val queries = Seq("alpha", "beta", "gamma").toDF("token")
+    def served() = CmsSketch
+      .estimatesFromLedger(spark, s"$dir/ledger", queries)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def batchExpected(rows: Seq[(Long, String)]) = CmsSketch.estimates(
+      CmsSketch.counters(docsDF(rows), col("text")), queries)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rmDir(path: String): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+    }
+
+    // every query token's occurrences are torn across the two batches —
+    // the additive-merge parity this ledger exists to prove
+    val f1 = (1L to 60L).map(i => (i, s"alpha beta filler$i"))
+    val f2 = (61L to 100L).map(i => (i, s"alpha gamma filler$i"))
+    docsDF(f1).write.parquet(s"$dir/in")
+    run()
+    assert(served() == batchExpected(f1),
+      "ledger serving must equal the batch sketch after one batch")
+    copyDir(cp, s"$dir/cp_bak")
+
+    docsDF(f2).write.mode("append").parquet(s"$dir/in")
+    run()
+    val afterTwo = served()
+    assert(afterTwo == batchExpected(f1 ++ f2),
+      "serving must equal the batch sketch over the union of all batches")
+    // one-sided sanity on a known count: alpha appears exactly 100 times
+    assert(afterTwo("alpha") >= 100L, "count-min must never undercount")
+
+    // crash replay: batch 2 re-executes under its ORIGINAL id — counter
+    // addition is NOT idempotent, so this passes ONLY by addressing
+    // (overwrite of batch_id=N); an append-mode sink would double-count
+    rmDir(cp); copyDir(s"$dir/cp_bak", cp)
+    run()
+    assert(served() == afterTwo,
+      "a replayed batch must overwrite its partition, not double-count")
+    val parts2 = new java.io.File(s"$dir/ledger").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(parts2.size == 2, s"expected two per-batch partitions, got $parts2")
+  }
 }

@@ -16,11 +16,14 @@ import graft.functions.VectorFunctions
   * top-k list, repeat.
   *
   * Determinism (the judged contract — the oracle replays the SAME
-  * trajectory): the initial guess is the id RING ((id + j) mod n,
-  * j = 1..k — no random sampling anywhere), similarities pre-round to 4dp
-  * (the corpus-wide cosine discipline) BEFORE any ranking, and every
-  * row_number is tiebroken (sim desc, dst asc), so each iteration's graph
-  * is a pure function of the corpus.
+  * trajectory): the initial guess is k DERANDOMIZED draws per node —
+  * 6 md5 hex chars of (id ':' j) mod n, the dq_bootstrap idiom — which
+  * keeps the long-range shortcut edges the paper's random init provides
+  * (a LOCAL seed like an id ring starves the local join: neighbors of
+  * ring neighbors are just more ring, and recall stalls near zero);
+  * similarities pre-round to 4dp (the corpus-wide cosine discipline)
+  * BEFORE any ranking, and every row_number is tiebroken (sim desc,
+  * dst asc), so each iteration's graph is a pure function of the corpus.
   *
   * Scale shape: per iteration, each node emits at most
   * C(k + revCap, 2) candidate pairs (the reverse cap is the paper's ρ
@@ -40,7 +43,7 @@ object NnDescent {
     * (src, dst, sim): for each node, its current best k neighbors by
     * 4dp-rounded cosine. */
   def knnGraph(emb: DataFrame, idCol: Column, vecCol: Column,
-      k: Int = 4, iters: Int = 2, revCap: Int = 4): DataFrame = {
+      k: Int = 16, iters: Int = 3, revCap: Int = 16): DataFrame = {
     val e = emb.select(idCol.as("vec_id"), vecCol.as("v"))
     def score(pairs: DataFrame): DataFrame =
       pairs
@@ -48,17 +51,22 @@ object NnDescent {
         .join(e.select(col("vec_id").as("dst"), col("v").as("vb")), "dst")
         .select(col("src"), col("dst"),
           VectorFunctions.cosineRounded(col("va"), col("vb")).as("sim"))
-    // deterministic seed graph: the id ring (ids need not be contiguous
-    // for CORRECTNESS — a missing ring target just yields a dead edge that
-    // loses every ranking — but the fixture ids are dense, making the seed
-    // a genuine k-regular graph); the ring size is the one-row scalar
+    // deterministic seed graph: k md5 draws per node modulo the corpus
+    // size (the one-row scalar). Draw collisions / self-draws just thin a
+    // node's seed list below k — NN-Descent tolerates that (ids need not
+    // even be contiguous: a modulo target that is no real id is simply a
+    // dead edge that loses every ranking).
     val n = e.agg(count(lit(1)).as("n"))
     val init = e
       .select(col("vec_id").as("src"),
         explode(sequence(lit(1), lit(k))).as("j"))
       .crossJoin(broadcast(n))
-      .select(col("src"), ((col("src") + col("j")) % col("n")).as("dst"))
+      .select(col("src"),
+        (conv(substring(md5(concat(col("src").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 6), 16, 10).cast("long") % col("n"))
+          .as("dst"))
       .filter(col("src") =!= col("dst"))
+      .distinct()
     var knn = score(init)
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
     for (_ <- 1 to iters) {

@@ -26,6 +26,74 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** The deterministic experiment arm coin — md5 first hex digit, 'A' on
+    * 0–7 — shared by dq_cuped (the metric) and dq_srm (the split audit):
+    * ONE definition, so the audited assignment can never drift from the
+    * assignment the metric reads (the PII single-definition lesson). */
+  private def expArm(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(md5(idCol.cast("string")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("A"))
+      .otherwise(lit("B"))
+
+  /** DuckDB replay of the FULL NN-Descent trajectory
+    * ([[graft.operators.NnDescent.knnGraph]]) as materialized CTEs —
+    * generated per (k, iters, revCap) the way ev_pagerank's oracle
+    * generates its power-iteration rounds, ending at `knn<iters>`.
+    * The md5 seed draw is the dq_bootstrap 6-hex-digit arithmetic. */
+  private def nnDescentCtes(k: Int, iters: Int, revCap: Int): String = {
+    val h = "md5(e.vec_id::VARCHAR || ':' || j::VARCHAR)"
+    val draw = (0 until 6).map { i =>
+      val mult = math.pow(16, 5 - i).toLong
+      val m = if (mult == 1L) "" else s" * $mult"
+      s"(strpos('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1)$m"
+    }.mkString("\n|  + ")
+    val head = s"""emb AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM emb),
+      |init AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT e.vec_id AS src,
+      |      ($draw) % n AS dst
+      |    FROM emb e CROSS JOIN nn
+      |         CROSS JOIN (SELECT unnest([${(1 to k).mkString(", ")}]) AS j))
+      |  WHERE src != dst),
+      |knn0 AS MATERIALIZED (
+      |  SELECT i.src, i.dst, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      |  FROM init i JOIN emb a ON a.vec_id = i.src
+      |               JOIN emb b ON b.vec_id = i.dst)"""
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s""",
+      |rev$i AS (
+      |  SELECT dst AS src, src AS dst, sim FROM (
+      |    SELECT src, dst, sim, row_number() OVER (
+      |      PARTITION BY dst ORDER BY sim DESC, src) AS rn FROM knn$p)
+      |  WHERE rn <= $revCap),
+      |gen$i AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM knn$p
+      |    UNION ALL SELECT src, dst FROM rev$i)),
+      |pairs$i AS MATERIALIZED (
+      |  SELECT DISTINCT a.dst AS src, b.dst AS dst
+      |  FROM gen$i a JOIN gen$i b ON a.src = b.src AND a.dst < b.dst),
+      |sc$i AS MATERIALIZED (
+      |  SELECT p.src, p.dst, round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      |  FROM pairs$i p JOIN emb a ON a.vec_id = p.src
+      |                JOIN emb b ON b.vec_id = p.dst),
+      |knn$i AS MATERIALIZED (
+      |  SELECT src, dst, sim FROM (
+      |    SELECT src, dst, sim, row_number() OVER (
+      |      PARTITION BY src ORDER BY sim DESC, dst) AS rn
+      |    FROM (SELECT DISTINCT src, dst, sim FROM (
+      |      SELECT src, dst, sim FROM knn$p
+      |      UNION ALL SELECT src, dst, sim FROM sc$i
+      |      UNION ALL SELECT dst AS src, src AS dst, sim FROM sc$i)
+      |      WHERE src != dst))
+      |  WHERE rn <= $k)"""
+    }.mkString
+    head + rounds
+  }
+
   private val NumHashes = 16
   private val Bands = 4
 
@@ -1131,6 +1199,47 @@ object PipelineQueries {
         |  CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS boot_mean
         |FROM wv GROUP BY rep""".stripMargin)),
 
+    // Sample-ratio mismatch audit (the experimentation-stack guardrail
+    // that must run BEFORE any arm metric is believed — a biased split
+    // invalidates dq_cuped's read no matter how clean the math): users
+    // assigned by the SAME md5 arm coin as dq_cuped ([[expArm]] is the
+    // single definition), observed arm counts against the designed 50/50,
+    // chi² with one degree of freedom. For two equal-expectation cells
+    // the statistic collapses to (n_a − n_b)²/n EXACTLY, so it is one
+    // correctly-rounded IEEE division of exact longs (the dq_mcc
+    // no-rounding contract); the flag tests the 5% critical value 3.841
+    // as a LITERAL on both engines. Scale shape: one distinct-user
+    // exchange collapsing into a single map-combined two-cell count.
+    Q("dq_srm",
+      (s, d) => t(s, d, "events")
+        .select(col("user_id")).distinct()
+        .select(expArm(col("user_id")).as("arm"))
+        .groupBy()
+        .agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b")).cast("double"))
+            .as("chi2"),
+          ((((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b")).cast("double"))
+            > lit(3.841)).as("srm_flag")),
+      Some("""WITH armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |c AS (
+        |  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM armed)
+        |SELECT n_a, n_b,
+        |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE) AS chi2,
+        |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
+        |FROM c""".stripMargin)),
+
     // CUPED variance-reduced experiment readout (Deng et al., WSDM 2013 —
     // the A/B-metric adjustment every experimentation platform runs): the
     // month splits at Jan 15 into a pre-period covariate X (per-user value
@@ -1160,11 +1269,7 @@ object PipelineQueries {
               .cast("decimal(20,4)")).cast("decimal(20,4)").as("x"),
             sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
               .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
-          .select(
-            when(substring(md5(col("user_id").cast("string")), 1, 1)
-              .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("A"))
-              .otherwise(lit("B")).as("arm"),
-            col("x"), col("y"))
+          .select(expArm(col("user_id")).as("arm"), col("x"), col("y"))
           .groupBy("arm")
           .agg(count(lit(1)).as("n_users"),
             sum(col("x")).cast("decimal(38,4)").as("sxd"),
@@ -6487,84 +6592,62 @@ object PipelineQueries {
     // NN-Descent k-NN graph construction (Dong, Moses & Li, WWW 2011) —
     // the all-corpus neighbor graph (input to graph-ANN serving, near-dup
     // clustering, label propagation) WITHOUT an all-pairs pass: start
-    // from the deterministic id-ring guess and iterate the paper's local
-    // join twice — each node introduces its general neighbors (out ∪
-    // capped reverse) to each other, scored pairs compete into every
-    // endpoint's top-k. Fully deterministic (ring init, 4dp-pre-rounded
-    // cosine, tiebroken windows), so the oracle replays the ENTIRE
-    // two-iteration trajectory as materialized CTEs and the judged
-    // contract is the final graph bit-for-bit. Scale shape: per node per
-    // round ≤ C(k+ρ,2) candidate pairs, keyed joins and k-bounded windows
-    // only — see operators/NnDescent.
+    // from k derandomized md5 draws per node (long-range shortcuts, the
+    // role the paper's random init plays) and iterate the local join —
+    // each node introduces its general neighbors (out ∪ capped reverse)
+    // to each other, scored pairs compete into every endpoint's top-k.
+    // Fully deterministic (md5 init, 4dp-pre-rounded cosine, tiebroken
+    // windows), so the oracle replays the ENTIRE three-iteration
+    // trajectory as generated materialized CTEs (nnDescentCtes — the
+    // ev_pagerank round-generation idiom) and the judged contract is the
+    // final graph bit-for-bit. Scale shape: per node per round ≤ C(k+ρ,2)
+    // candidate pairs, keyed joins and k-bounded windows only — see
+    // operators/NnDescent.
     Q("sim_nndescent",
       (s, d) => graft.operators.NnDescent.knnGraph(
         t(s, d, "embeddings"), col("vec_id"), col("embedding"),
-        k = 4, iters = 2, revCap = 4),
-      Some("""WITH emb AS MATERIALIZED (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM emb),
-        |init AS (
-        |  SELECT e.vec_id AS src, (e.vec_id + j) % n AS dst
-        |  FROM emb e CROSS JOIN nn
-        |       CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)
-        |  WHERE e.vec_id != (e.vec_id + j) % n),
-        |knn0 AS MATERIALIZED (
-        |  SELECT i.src, i.dst, round(list_cosine_similarity(a.v, b.v), 4) AS sim
-        |  FROM init i JOIN emb a ON a.vec_id = i.src
-        |               JOIN emb b ON b.vec_id = i.dst),
-        |rev1 AS (
-        |  SELECT dst AS src, src AS dst, sim FROM (
-        |    SELECT src, dst, sim, row_number() OVER (
-        |      PARTITION BY dst ORDER BY sim DESC, src) AS rn FROM knn0)
-        |  WHERE rn <= 4),
-        |gen1 AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT src, dst FROM knn0
-        |    UNION ALL SELECT src, dst FROM rev1)),
-        |pairs1 AS MATERIALIZED (
-        |  SELECT DISTINCT a.dst AS src, b.dst AS dst
-        |  FROM gen1 a JOIN gen1 b ON a.src = b.src AND a.dst < b.dst),
-        |sc1 AS MATERIALIZED (
-        |  SELECT p.src, p.dst, round(list_cosine_similarity(a.v, b.v), 4) AS sim
-        |  FROM pairs1 p JOIN emb a ON a.vec_id = p.src
-        |                JOIN emb b ON b.vec_id = p.dst),
-        |knn1 AS MATERIALIZED (
-        |  SELECT src, dst, sim FROM (
-        |    SELECT src, dst, sim, row_number() OVER (
-        |      PARTITION BY src ORDER BY sim DESC, dst) AS rn
-        |    FROM (SELECT DISTINCT src, dst, sim FROM (
-        |      SELECT src, dst, sim FROM knn0
-        |      UNION ALL SELECT src, dst, sim FROM sc1
-        |      UNION ALL SELECT dst AS src, src AS dst, sim FROM sc1)
-        |      WHERE src != dst))
-        |  WHERE rn <= 4),
-        |rev2 AS (
-        |  SELECT dst AS src, src AS dst, sim FROM (
-        |    SELECT src, dst, sim, row_number() OVER (
-        |      PARTITION BY dst ORDER BY sim DESC, src) AS rn FROM knn1)
-        |  WHERE rn <= 4),
-        |gen2 AS MATERIALIZED (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT src, dst FROM knn1
-        |    UNION ALL SELECT src, dst FROM rev2)),
-        |pairs2 AS MATERIALIZED (
-        |  SELECT DISTINCT a.dst AS src, b.dst AS dst
-        |  FROM gen2 a JOIN gen2 b ON a.src = b.src AND a.dst < b.dst),
-        |sc2 AS MATERIALIZED (
-        |  SELECT p.src, p.dst, round(list_cosine_similarity(a.v, b.v), 4) AS sim
-        |  FROM pairs2 p JOIN emb a ON a.vec_id = p.src
-        |                JOIN emb b ON b.vec_id = p.dst),
-        |knn2 AS (
-        |  SELECT src, dst, sim FROM (
-        |    SELECT src, dst, sim, row_number() OVER (
-        |      PARTITION BY src ORDER BY sim DESC, dst) AS rn
-        |    FROM (SELECT DISTINCT src, dst, sim FROM (
-        |      SELECT src, dst, sim FROM knn1
-        |      UNION ALL SELECT src, dst, sim FROM sc2
-        |      UNION ALL SELECT dst AS src, src AS dst, sim FROM sc2)
-        |      WHERE src != dst))
+        k = 16, iters = 3, revCap = 16),
+      Some(s"""WITH ${nnDescentCtes(16, 3, 16)}
+        |SELECT src, dst, sim FROM knn3""".stripMargin)),
+
+    // NN-Descent recall — the sim_ann_recall measure applied to the graph
+    // path: per query node (the DECLARED 256-node verification subset, the
+    // sim_hubness convention), how many of the true brute-force top-4 the
+    // three-iteration NN-Descent graph recovered among its k=16 edges.
+    // Truth left-joins the graph edges, so misses count 0 and every query
+    // reports. The graph leg is the already-judged sim_nndescent
+    // trajectory (the oracle re-generates the same CTEs); the truth leg
+    // is the declared bounded-broadcast brute-force shape; the eval join
+    // touches only k-bounded outputs.
+    Q("sim_nndescent_recall",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val truth = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 256), k = 4)
+          .select("query_id", "neighbor_id")
+        val approx = graft.operators.NnDescent.knnGraph(
+            emb, col("vec_id"), col("embedding"), k = 16, iters = 3, revCap = 16)
+          .filter(col("src") < 256)
+          .select(col("src").as("query_id"), col("dst").as("neighbor_id"),
+            lit(1).as("hit"))
+        truth.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_hits"))
+      },
+      Some(s"""WITH ${nnDescentCtes(16, 3, 16)},
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+        |          c.vec_id) AS rn
+        |    FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id < 256)
         |  WHERE rn <= 4)
-        |SELECT src, dst, sim FROM knn2""".stripMargin)),
+        |SELECT t.query_id, COUNT(g.src) AS n_hits
+        |FROM truth t LEFT JOIN knn3 g
+        |  ON g.src = t.query_id AND g.dst = t.neighbor_id
+        |GROUP BY t.query_id""".stripMargin)),
 
     // Rank-biased overlap (Webber et al., TOIS 2010) between the exact
     // cosine ranking and the SQ8 quantized ranking, truncated at depth 5

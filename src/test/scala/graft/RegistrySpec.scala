@@ -285,7 +285,10 @@ class RegistrySpec extends SparkSpec {
       //  - sim_nndescent: the ONE-ROW ring-size scalar cross-joins onto
       //    the id frame for the seed graph (the p13 shape); every
       //    iteration step is keyed joins + k-bounded windows
-      "sim_nndescent")
+      //  - sim_nndescent_recall: the sim_nndescent ring scalar plus the
+      //    declared 256-query brute-force truth leg (the sim_ann_recall
+      //    shape); the eval join rides k-bounded outputs
+      "sim_nndescent", "sim_nndescent_recall")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

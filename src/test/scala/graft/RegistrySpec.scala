@@ -288,7 +288,10 @@ class RegistrySpec extends SparkSpec {
       //  - sim_nndescent_recall: the sim_nndescent ring scalar plus the
       //    declared 256-query brute-force truth leg (the sim_ann_recall
       //    shape); the eval join rides k-bounded outputs
-      "sim_nndescent", "sim_nndescent_recall")
+      //  - sim_graph_expand: the graph leg carries sim_nndescent's one-row
+      //    corpus-size scalar; seeds/expansion/rerank are all keyed joins
+      //    over k-bounded frames
+      "sim_nndescent", "sim_nndescent_recall", "sim_graph_expand")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

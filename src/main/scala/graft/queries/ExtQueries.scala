@@ -660,6 +660,80 @@ object ExtQueries {
         |    ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS r2
         |FROM s""".stripMargin)),
 
+    // Skewness / kurtosis per group — the 3rd/4th standardized central
+    // moments completing the a9_moments family (asymmetry + tail weight of
+    // a metric distribution). Determinism: l_quantity is 2dp-exact, so
+    // rows project to the scaled-100 long q; q²,q³,q⁴ stay inside long
+    // per row, and the four power sums are EXACT decimal(38,0) aggregates
+    // (HUGEINT on the DuckDB side — also exact). Both standardized ratios
+    // are SCALE-INVARIANT (numerator p³ resp. p⁴ units over denominator
+    // (p²)^{3/2} resp. (p²)²), so the closed forms run directly on the
+    // scaled raw moments — a fixed mirrored double chain, rounded once.
+    // Kurtosis is reported RAW (normal = 3), not excess. Scale shape: one
+    // keyed map-combined aggregate.
+    Q("a21_skew_kurtosis",
+      (s, d) => {
+        val q = round(col("l_quantity") * 100, 0).cast("long")
+        val d38 = "decimal(38,0)"
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), q.as("q"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("q").cast(d38)).cast("double").as("s1"),
+            sum((col("q") * col("q")).cast(d38)).cast("double").as("s2"),
+            sum((col("q") * col("q") * col("q")).cast(d38)).cast("double")
+              .as("s3"),
+            sum((col("q") * col("q") * col("q") * col("q")).cast(d38))
+              .cast("double").as("s4"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n"),
+            round(col("s1") / col("n") / lit(100.0), 6).as("mean"),
+            round((col("s3") / col("n")
+              - lit(3.0) * (col("s1") / col("n")) * (col("s2") / col("n"))
+              + lit(2.0) * (col("s1") / col("n")) * (col("s1") / col("n"))
+                * (col("s1") / col("n")))
+              / ((col("s2") / col("n")
+                - (col("s1") / col("n")) * (col("s1") / col("n")))
+                * sqrt(col("s2") / col("n")
+                  - (col("s1") / col("n")) * (col("s1") / col("n")))), 6)
+              .as("skewness"),
+            round((col("s4") / col("n")
+              - lit(4.0) * (col("s1") / col("n")) * (col("s3") / col("n"))
+              + lit(6.0) * (col("s1") / col("n")) * (col("s1") / col("n"))
+                * (col("s2") / col("n"))
+              - lit(3.0) * (col("s1") / col("n")) * (col("s1") / col("n"))
+                * (col("s1") / col("n")) * (col("s1") / col("n")))
+              / ((col("s2") / col("n")
+                - (col("s1") / col("n")) * (col("s1") / col("n")))
+                * (col("s2") / col("n")
+                  - (col("s1") / col("n")) * (col("s1") / col("n")))), 6)
+              .as("kurtosis"))
+      },
+      Some("""WITH qs AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS q
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS s1,
+        |    CAST(SUM(q * q) AS DOUBLE) AS s2,
+        |    CAST(SUM(q * q * q) AS DOUBLE) AS s3,
+        |    CAST(SUM(q * q * q * q) AS DOUBLE) AS s4
+        |  FROM qs GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(s1 / n / 100.0, 6) AS mean,
+        |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n))
+        |      * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness,
+        |  round((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n))
+        |      * (s2 / n - (s1 / n) * (s1 / n))), 6) AS kurtosis
+        |FROM s""".stripMargin)),
+
     // GROUPING SETS (beyond rollup/cube): disjoint per-dimension subtotals.
     Q("a12_grouping_sets",
       (s, d) => {

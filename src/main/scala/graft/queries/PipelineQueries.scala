@@ -1243,6 +1243,95 @@ object PipelineQueries {
         |    / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
         |FROM c""".stripMargin)),
 
+    // Welch's unequal-variance t-test between the experiment arms — the
+    // readout that sits between dq_srm (is the split valid?) and dq_cuped
+    // (variance-reduced point estimate): per-user post-period metric Y
+    // (the dq_cuped definition, exact decimal sums), per-arm mean/variance
+    // from exact pooled decimals, then the t statistic and the
+    // Welch–Satterthwaite degrees of freedom as fixed mirrored double
+    // chains (sqrt is IEEE-exact; no pow anywhere), rounded once. Scale
+    // shape: one user-keyed map-combined aggregate collapsing into the
+    // ≤2-row arm frame, pivoted to one row by conditional max (each arm
+    // appears once — max IS selection).
+    Q("dq_ab_welch",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val byArm = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+            .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("y"))
+          .groupBy("arm")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("y")).cast("double").as("sy"),
+            sum((col("y") * col("y")).cast("decimal(38,8)")).cast("double")
+              .as("sy2"))
+        val p = byArm.agg(
+          max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("sy"))).as("sy_a"),
+          max(when(col("arm") === "A", col("sy2"))).as("sy2_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("sy"))).as("sy_b"),
+          max(when(col("arm") === "B", col("sy2"))).as("sy2_b"))
+        val mA = col("sy_a") / col("n_a")
+        val mB = col("sy_b") / col("n_b")
+        val se2A = ((col("sy2_a") - col("sy_a") * col("sy_a") / col("n_a"))
+          / (col("n_a") - lit(1.0))) / col("n_a")
+        val se2B = ((col("sy2_b") - col("sy_b") * col("sy_b") / col("n_b"))
+          / (col("n_b") - lit(1.0))) / col("n_b")
+        p.select(
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          round(mA, 6).as("mean_a"),
+          round(mB, 6).as("mean_b"),
+          round((mA - mB) / sqrt(se2A + se2B), 6).as("t_stat"),
+          round((se2A + se2B) * (se2A + se2B) /
+            (se2A * se2A / (col("n_a") - lit(1.0)) +
+             se2B * se2B / (col("n_b") - lit(1.0))), 6).as("df"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    y
+        |  FROM bu),
+        |ba AS (
+        |  SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS sy2
+        |  FROM armed GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sy END) AS sy_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sy2 END) AS sy2_a,
+        |    MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sy END) AS sy_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sy2 END) AS sy2_b
+        |  FROM ba)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(sy_a / n_a, 6) AS mean_a,
+        |  round(sy_b / n_b, 6) AS mean_b,
+        |  round((sy_a / n_a - sy_b / n_b)
+        |    / sqrt(((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a
+        |         + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b), 6)
+        |    AS t_stat,
+        |  round((((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a
+        |       + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b)
+        |    * (((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a
+        |       + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b)
+        |    / ((((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a)
+        |        * (((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a)
+        |        / (n_a - 1.0)
+        |      + (((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b)
+        |        * (((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b)
+        |        / (n_b - 1.0)), 6) AS df
+        |FROM p""".stripMargin)),
+
     // CUPED variance-reduced experiment readout (Deng et al., WSDM 2013 —
     // the A/B-metric adjustment every experimentation platform runs): the
     // month splits at Jan 15 into a pre-period covariate X (per-user value

@@ -6832,6 +6832,44 @@ object PipelineQueries {
         |                 JOIN cv ON cv.neighbor_id = e.neighbor_id)
         |WHERE rn <= 3""".stripMargin)),
 
+    // Mutual-kNN clustering (Brito et al. 1997's mutual-neighborhood
+    // graph; the unsupervised cluster-discovery primitive next to
+    // SemDeDup's centroid-partitioned dedup): keep an edge only when BOTH
+    // endpoints list each other in the NN-Descent graph AND the 4dp
+    // similarity clears 0.3 — mutuality prunes hub edges, the threshold
+    // prunes the background manifold — then connected components by the
+    // engine's iterative min-label. Scale shape: the graph is the judged
+    // sim_nndescent build; mutuality is ONE self-equi-join on the
+    // k-bounded edge set; components iterate on edge-bounded frames with
+    // lineage cuts. Oracle: generated trajectory CTEs + the dd_components
+    // recursive-CTE closure.
+    Q("sim_knn_components",
+      (s, d) => {
+        val g = graft.operators.NnDescent.knnGraph(
+          t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          k = 16, iters = 3, revCap = 16)
+        val mutual = g.as("a")
+          .join(g.as("b"),
+            col("b.src") === col("a.dst") && col("b.dst") === col("a.src"))
+          .filter(col("a.src") < col("a.dst") && col("a.sim") >= 0.3)
+          .select(col("a.src").as("doc_a"), col("a.dst").as("doc_b"))
+        graft.operators.Dedup.connectedComponents(mutual)
+          .select(col("id").as("vec_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE ${nnDescentCtes(16, 3, 16)},
+        |mutual AS (
+        |  SELECT a.src AS doc_a, a.dst AS doc_b
+        |  FROM knn3 a JOIN knn3 b ON b.src = a.dst AND b.dst = a.src
+        |  WHERE a.src < a.dst AND a.sim >= 0.3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM mutual
+        |  UNION ALL SELECT doc_b, doc_a FROM mutual),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin)),
+
     // Rank-biased overlap (Webber et al., TOIS 2010) between the exact
     // cosine ranking and the SQ8 quantized ranking, truncated at depth 5
     // with persistence p = 1/2 — the LIST-level drift measure the

@@ -291,7 +291,11 @@ class RegistrySpec extends SparkSpec {
       //  - sim_graph_expand: the graph leg carries sim_nndescent's one-row
       //    corpus-size scalar; seeds/expansion/rerank are all keyed joins
       //    over k-bounded frames
-      "sim_nndescent", "sim_nndescent_recall", "sim_graph_expand")
+      //  - sim_knn_components: the graph build carries sim_nndescent's
+      //    one-row corpus-size scalar; mutuality and the component rounds
+      //    are keyed self-joins on the k-bounded edge set
+      "sim_nndescent", "sim_nndescent_recall", "sim_graph_expand",
+      "sim_knn_components")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

@@ -1332,6 +1332,85 @@ object PipelineQueries {
         |        / (n_b - 1.0)), 6) AS df
         |FROM p""".stripMargin)),
 
+    // Mann–Whitney U between the arms (Wilcoxon rank-sum) — the
+    // nonparametric partner of dq_ab_welch for skewed per-user metrics
+    // (this events metric IS right-skewed, see a21): midranks kept EXACT
+    // as the integer r2 = 2·min_rank + (t − 1) (twice the midrank — no
+    // .5 rational ever materializes), U from the exact arm rank sum, z
+    // from the tie-corrected normal approximation as one mirrored double
+    // chain over exact longs (T = Σ(t³−t) exact). No continuity
+    // correction (both engines identical by construction). Scale note:
+    // the pooled ranking is a single-partition window over the USER-level
+    // frame — fine to ~10⁸ users; beyond that the two-phase
+    // rank-vs-broadcast-boundaries rewrite (the ev_rfm note) applies.
+    Q("dq_mannwhitney",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val byUser = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+            .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("y"))
+        val ranked = byUser
+          .withColumn("rmin",
+            rank().over(org.apache.spark.sql.expressions.Window.orderBy("y")))
+          .withColumn("t", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("y")))
+          .withColumn("r2",
+            lit(2L) * col("rmin") + col("t") - lit(1L))
+        val ties = byUser.groupBy("y").agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+        val stats = ranked.groupBy().agg(
+          sum(when(col("arm") === "A", col("r2")).otherwise(lit(0L)))
+            .as("r2a"),
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+        val uA = (col("r2a") - col("n_a") * (col("n_a") + lit(1L)))
+          .cast("double") / lit(2.0)
+        val mu = (col("n_a") * col("n_b")).cast("double") / lit(2.0)
+        val nn = (col("n_a") + col("n_b")).cast("double")
+        val varU = ((col("n_a") * col("n_b")).cast("double") / lit(12.0)) *
+          ((nn + lit(1.0)) - col("tt").cast("double") /
+            ((col("n_a") + col("n_b")) *
+             (col("n_a") + col("n_b") - lit(1L))).cast("double"))
+        stats.crossJoin(broadcast(ties))
+          .select(col("n_a"), col("n_b"), uA.as("u_a"),
+            round((uA - mu) / sqrt(varU), 6).as("z"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    y
+        |  FROM bu),
+        |ranked AS (
+        |  SELECT arm,
+        |    2 * rank() OVER (ORDER BY y)
+        |      + count(*) OVER (PARTITION BY y) - 1 AS r2
+        |  FROM armed),
+        |ties AS (
+        |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt
+        |  FROM (SELECT COUNT(*) AS t FROM armed GROUP BY y)),
+        |stats AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN r2 ELSE 0 END) AS BIGINT) AS r2a,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM ranked)
+        |SELECT n_a, n_b,
+        |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+        |  round((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+        |      - CAST(n_a * n_b AS DOUBLE) / 2.0)
+        |    / sqrt((CAST(n_a * n_b AS DOUBLE) / 12.0)
+        |      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |        - CAST(tt AS DOUBLE)
+        |          / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z
+        |FROM stats CROSS JOIN ties""".stripMargin)),
+
     // CUPED variance-reduced experiment readout (Deng et al., WSDM 2013 —
     // the A/B-metric adjustment every experimentation platform runs): the
     // month splits at Jan 15 into a pre-period covariate X (per-user value

@@ -278,6 +278,10 @@ class RegistrySpec extends SparkSpec {
       //    scaffold (both collapse from one-row/grouped aggregates — the
       //    zero-fill grid, not data)
       "ev_fano", "ev_acf", "ev_seasonal_naive",
+      //  - dq_mannwhitney: the ONE-ROW tie-correction aggregate
+      //    cross-joins the one-row rank-sum stats frame (two scalar
+      //    frames — the ev_graph_stats shape)
+      "dq_mannwhitney",
       //  - dq_cuped: the ONE-ROW pooled-moments aggregate cross-joins onto
       //    the ≤2-row per-arm frame (the p13 scalar-subquery shape); the
       //    only corpus-sized exchange is the user-keyed map-combined sum

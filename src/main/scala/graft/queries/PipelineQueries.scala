@@ -35,6 +35,14 @@ object PipelineQueries {
       .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit("A"))
       .otherwise(lit("B"))
 
+  /** The deterministic train/val split coin — md5 first two hex digits of
+    * the doc id, 'train' below "cd" (≈ 80/20) — shared by tx_train_split
+    * (the published split) and tx_heldout_ppl (the eval that must read
+    * the SAME split): one definition (the expArm discipline). */
+  private def trainValSplit(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(md5(idCol.cast("string")), 1, 2) < "cd", lit("train"))
+      .otherwise(lit("val"))
+
   /** DuckDB replay of the FULL NN-Descent trajectory
     * ([[graft.operators.NnDescent.knnGraph]]) as materialized CTEs —
     * generated per (k, iters, revCap) the way ev_pagerank's oracle
@@ -2844,9 +2852,7 @@ object PipelineQueries {
     // cluster layouts — the property a reproducible training pipeline needs.
     Q("tx_train_split",
       (s, d) => t(s, d, "documents").select(
-        col("doc_id"),
-        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cd", lit("train"))
-          .otherwise(lit("val")).as("split")),
+        col("doc_id"), trainValSplit(col("doc_id")).as("split")),
       Some("""SELECT doc_id,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
         |       THEN 'train' ELSE 'val' END AS split
@@ -3356,6 +3362,118 @@ object PipelineQueries {
         |  COALESCE(CAST(s.lp_sum AS DOUBLE) / 1000000.0, 0.0) AS logprob,
         |  COALESCE(s.nb, CAST(0 AS BIGINT)) AS n_bigrams
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)),
+
+    // Held-out bigram perplexity per source — the TRAIN/EVAL composite the
+    // single-corpus LM scores above can't claim (a model scored on its own
+    // training tokens under-reports perplexity): the Jelinek–Mercer bigram
+    // model (the tx_bigram_lm form, with add-one unigram smoothing so
+    // unseen eval tokens keep P > 0) fits on the md5 TRAIN split
+    // (trainValSplit — the same coin tx_train_split publishes) and scores
+    // the VAL split's bigrams only. Unseen eval bigram ⇒ the 0.7 bigram
+    // term contributes 0 (mirrored CASE); each eval bigram's ln is
+    // 6dp-pre-rounded to a scaled long, so per-source totals are exact
+    // integer sums; cross-entropy is one division, perplexity one
+    // mirrored exp OF THE 6dp-ROUNDED ce (the ev_survival_km exp
+    // convention). Scale shape: one bigram-keyed model count on train,
+    // one bigram-keyed eval join, doc- then source-keyed exact rollups;
+    // the one-row (n, V) totals frame broadcasts (p13 shape).
+    Q("tx_heldout_ppl",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("source"),
+            trainValSplit(col("doc_id")).as("split"))
+        val parts = tokens(col("text"))
+        def bigrams(df: DataFrame) =
+          graft.operators.Parallelism.fanOut(df)
+            .select(col("doc_id"), explode(
+              when(size(parts) >= 2,
+                transform(sequence(lit(1), size(parts) - 1), i =>
+                  concat(element_at(parts, i), lit(" "),
+                    element_at(parts, i + 1))))
+              .otherwise(array().cast("array<string>"))).as("bg"))
+        val train = docs.filter(col("split") === "train")
+        val vocab = train.select(explode(parts).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+        val tot = vocab.agg(sum(col("freq")).as("n"),
+          count(lit(1)).as("v"))
+        val bc = bigrams(train).groupBy("bg").agg(count(lit(1)).as("cb"))
+        val evalBi = bigrams(docs.filter(col("split") === "val"))
+          .withColumn("prev", split(col("bg"), " ").getItem(0))
+          .withColumn("cur", split(col("bg"), " ").getItem(1))
+          .join(bc, Seq("bg"), "left")
+          .join(broadcast(vocab.select(col("token").as("prev"),
+            col("freq").as("fp"))), Seq("prev"), "left")
+          .join(broadcast(vocab.select(col("token").as("cur"),
+            col("freq").as("fc"))), Seq("cur"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            round(round(log(
+              when(col("cb").isNull || col("fp").isNull, lit(0.0))
+                .otherwise(lit(0.7) *
+                  (col("cb").cast("double") / col("fp").cast("double"))) +
+              lit(0.3) * ((coalesce(col("fc"), lit(0L)) + lit(1L))
+                .cast("double") /
+                (col("n") + col("v")).cast("double"))), 6)
+              * 1000000, 0).cast("long").as("lp"))
+        val byDoc = evalBi.groupBy("doc_id")
+          .agg(sum(col("lp")).as("lp_sum"), count(lit(1)).as("nb"))
+        byDoc
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_docs_scored"),
+            sum(col("nb")).as("n_bigrams"),
+            sum(col("lp_sum")).as("lp_total"))
+          .select(col("source"), col("n_docs_scored"), col("n_bigrams"),
+            round(-(col("lp_total").cast("double") / lit(1000000.0)) /
+              col("n_bigrams").cast("double"), 6).as("cross_entropy"),
+            round(exp(round(-(col("lp_total").cast("double") / lit(1000000.0)) /
+              col("n_bigrams").cast("double"), 6)), 6).as("perplexity"))
+      },
+      Some("""WITH docs AS (
+        |  SELECT doc_id, text, source,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |         THEN 'train' ELSE 'val' END AS split
+        |  FROM documents),
+        |toksl AS (SELECT doc_id, source, split, str_split(text, ' ') AS parts
+        |  FROM docs),
+        |ttok AS (SELECT unnest(parts) AS token FROM toksl
+        |  WHERE split = 'train'),
+        |vocab AS (SELECT token, COUNT(*) AS freq FROM ttok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        |tbi AS (SELECT unnest(list_transform(generate_series(1, len(parts) - 1),
+        |    i -> parts[i] || ' ' || parts[i + 1])) AS bg
+        |  FROM toksl WHERE split = 'train' AND len(parts) >= 2),
+        |bc AS (SELECT bg, COUNT(*) AS cb FROM tbi GROUP BY bg),
+        |ebi AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(parts) - 1),
+        |      i -> parts[i] || ' ' || parts[i + 1])) AS bg
+        |  FROM toksl WHERE split = 'val' AND len(parts) >= 2),
+        |scoredbi AS (
+        |  SELECT e.doc_id,
+        |    CAST(round(round(ln(
+        |      CASE WHEN bc.cb IS NULL OR fp.freq IS NULL THEN 0.0
+        |        ELSE 0.7 * (CAST(bc.cb AS DOUBLE) / CAST(fp.freq AS DOUBLE)) END
+        |      + 0.3 * (CAST(COALESCE(fc.freq, 0) + 1 AS DOUBLE)
+        |        / CAST(tot.n + tot.v AS DOUBLE))), 6) * 1000000, 0) AS BIGINT)
+        |      AS lp
+        |  FROM ebi e
+        |  LEFT JOIN bc ON bc.bg = e.bg
+        |  LEFT JOIN vocab fp ON fp.token = str_split(e.bg, ' ')[1]
+        |  LEFT JOIN vocab fc ON fc.token = str_split(e.bg, ' ')[2]
+        |  CROSS JOIN tot),
+        |bydoc AS (SELECT doc_id, CAST(SUM(lp) AS BIGINT) AS lp_sum,
+        |    COUNT(*) AS nb
+        |  FROM scoredbi GROUP BY doc_id)
+        |SELECT d.source,
+        |  CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_docs_scored,
+        |  CAST(SUM(b.nb) AS BIGINT) AS n_bigrams,
+        |  round(-(CAST(SUM(b.lp_sum) AS DOUBLE) / 1000000.0)
+        |    / CAST(SUM(b.nb) AS DOUBLE), 6) AS cross_entropy,
+        |  round(exp(round(-(CAST(SUM(b.lp_sum) AS DOUBLE) / 1000000.0)
+        |    / CAST(SUM(b.nb) AS DOUBLE), 6)), 6) AS perplexity
+        |FROM bydoc b JOIN docs d USING (doc_id)
+        |GROUP BY d.source""".stripMargin)),
 
     // Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
     // Chen & Goodman 1998's benchmark winner — the production n-gram
@@ -7249,6 +7367,52 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
         |    / CAST(SUM(sz) AS DOUBLE) AS risk_share
         |FROM e GROUP BY k""".stripMargin)),
+
+    // Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    // companion k-anonymity misses: a released (event_type, day) cell can
+    // be k-anonymous by ROW count yet still expose its members when all
+    // rows belong to few DISTINCT users (the sensitive attribute). Per
+    // l ∈ {2, 3, 5}: how many cells carry fewer than l distinct users,
+    // and the share of event rows sitting in such cells. Exact integer
+    // counts, one division per l. Scale shape: one (type, day)-keyed
+    // distinct-count aggregate (cells are calendar-bounded), then the
+    // l-grid explode on the cell frame.
+    Q("dq_l_diversity",
+      (s, d) => {
+        val cls = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("user_id"))
+          .groupBy("event_type", "day")
+          .agg(countDistinct(col("user_id")).as("ldiv"),
+            count(lit(1)).as("n_rows"))
+        cls.select(explode(array(lit(2L), lit(3L), lit(5L))).as("l"),
+            col("ldiv"), col("n_rows"))
+          .groupBy("l")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(col("ldiv") < col("l"), 1L).otherwise(0L))
+              .as("n_cells_at_risk"),
+            sum(when(col("ldiv") < col("l"), col("n_rows")).otherwise(0L))
+              .as("n_rows_at_risk"),
+            sum(col("n_rows")).as("n_rows"))
+          .select(col("l"), col("n_cells"), col("n_cells_at_risk"),
+            col("n_rows_at_risk"),
+            (col("n_rows_at_risk").cast("double") /
+              col("n_rows").cast("double")).as("risk_share"))
+      },
+      Some("""WITH cls AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(DISTINCT user_id) AS ldiv, COUNT(*) AS n_rows
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT CAST(l AS BIGINT) AS l, ldiv, n_rows
+        |      FROM cls CROSS JOIN (SELECT unnest([2, 3, 5]) AS l))
+        |SELECT l, COUNT(*) AS n_cells,
+        |  CAST(SUM(CASE WHEN ldiv < l THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cells_at_risk,
+        |  CAST(SUM(CASE WHEN ldiv < l THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(SUM(CASE WHEN ldiv < l THEN n_rows ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n_rows) AS DOUBLE) AS risk_share
+        |FROM e GROUP BY l""".stripMargin)),
 
     // Gopher document-quality rules (Rae et al. 2021, App. A) — the
     // published named ruleset, as per-rule flags + the combined pass:

@@ -278,6 +278,10 @@ class RegistrySpec extends SparkSpec {
       //    scaffold (both collapse from one-row/grouped aggregates — the
       //    zero-fill grid, not data)
       "ev_fano", "ev_acf", "ev_seasonal_naive",
+      //  - tx_heldout_ppl: the tx_bigram_lm shape on the train split —
+      //    the ONE-ROW (n, V) totals frame cross-joins the eval bigram
+      //    scoring pass; model joins are keyed or vocab-bounded broadcasts
+      "tx_heldout_ppl",
       //  - dq_mannwhitney: the ONE-ROW tie-correction aggregate
       //    cross-joins the one-row rank-sum stats frame (two scalar
       //    frames — the ev_graph_stats shape)

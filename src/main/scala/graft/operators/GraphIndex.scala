@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.functions.VectorFunctions
+import graft.sources.SegmentedTable
+
+/** Persisted k-NN GRAPH index — the graph-ANN sibling of [[IvfIndex]]
+  * (partition layout) and [[LexIndex]] (posting lists): the build-then-
+  * serve form of the `sim_graph_expand` composite. `build` runs
+  * [[NnDescent]] once over the corpus and persists BOTH the vectors
+  * (sign-LSH-bucketed, the seed source) and the converged edge lists (the
+  * expansion source); `searchTopK` then seeds from the query's LSH bucket,
+  * walks `hops` rounds of stored edges, and exact-reranks — the
+  * DiskANN/NSG serving idea with the graph as a TABLE, recall bought from
+  * k-bounded edge reads instead of wider corpus scans (candidates per
+  * query ≤ seeds·deg^hops, corpus-size independent).
+  *
+  * Layout: each segment spans TWO artifact families under ONE version
+  * (`vectors/seg=<v>/` partitioned by `bucket` inside, plus the matching
+  * `edges/seg=<v>/` adjacency rows), both named by one `manifest` — the
+  * [[LexIndex]] two-family discipline, so vectors and their edges can
+  * never be observed out of step. `meta/` pins (planes, k, build id)
+  * BEFORE the artifacts and `commit/` seals the same id AFTER them (the
+  * [[graft.sources.BuildStamp]] torn-REBUILD protocol: bucket keys and
+  * edge lists are only comparable under the stored parameters).
+  *
+  * Maintenance: `append` attaches new vectors WITHOUT a global rebuild —
+  * candidates for each new node are its LSH bucket mates plus ONE hop of
+  * their stored edges, scored and cut to the top-k (the NN-Descent local
+  * join applied once, seeded by the index itself). INSERT-ONLY and
+  * exactly-once by the id screen; existing nodes' edge lists are NOT
+  * back-updated (the new node is reachable as a SEED but not yet as an
+  * expansion target from old nodes — the staleness is one-directional and
+  * a rebuild refreshes it, the IvfIndex re-train posture). `delete`
+  * tombstones ids ([[IndexIngest]] ledger); serving masks tombstoned
+  * vectors AND any edge touching one; `compact` erases them physically
+  * and folds the segments; `vacuum` reclaims. Single WRITER per index;
+  * readers pin complete snapshots via the manifest.
+  */
+object GraphIndex {
+
+  /** Stage one segment's two families (invisible until the manifest names
+    * the version; Overwrite wipes a crashed predecessor at the same v). */
+  private def writeSegment(vectors: DataFrame, edges: DataFrame,
+      path: String, v: Long): Unit = {
+    vectors.select(col("vec_id"), col("embedding"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(SegmentedTable.segDir(s"$path/vectors", v))
+    edges.select(col("src"), col("dst"), col("sim"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(SegmentedTable.segDir(s"$path/edges", v))
+  }
+
+  /** NN-Descent over the corpus + persist vectors (bucketed) and the
+    * converged edge lists; manifest + the meta/commit stamp pair. */
+  def build(corpus: DataFrame, path: String, k: Int = 16, iters: Int = 3,
+      revCap: Int = 16, planes: Seq[Int] = Seq(0, 1, 2, 3)): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val buildId = graft.sources.BuildStamp.newId()
+    Seq((planes.mkString(","), k, buildId))
+      .toDF("planes", "k", "build_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    val vecs = corpus.select(col("vec_id"), col("embedding"),
+      Similarity.signLshBucket(col("embedding"), planes).as("bucket"))
+    val graph = NnDescent.knnGraph(corpus, col("vec_id"), col("embedding"),
+      k, iters, revCap)
+    val v =
+      if (SegmentedTable.manifestExists(spark, path))
+        SegmentedTable.readManifest(spark, path).version + 1
+      else 0L
+    writeSegment(vecs, graph, path, v)
+    SegmentedTable.writeManifest(spark, path,
+      SegmentedTable.Manifest(v, Seq(v)))
+    graft.sources.BuildStamp.commit(spark, path, buildId)
+  }
+
+  private def params(spark: SparkSession, path: String): (Seq[Int], Int) = {
+    val metaRow = spark.read.parquet(s"$path/meta").head()
+    graft.sources.BuildStamp.requireCommitted(spark, path, metaRow,
+      "graph index")
+    (metaRow.getAs[String]("planes").split(",").filter(_.nonEmpty)
+      .map(_.toInt).toSeq, metaRow.getAs[Int]("k"))
+  }
+
+  /** Live vectors (vec_id, embedding, bucket) — manifest-pinned scan,
+    * tombstones masked. */
+  def vectors(spark: SparkSession, path: String): DataFrame = {
+    val m = SegmentedTable.readManifest(spark, path)
+    IndexIngest.maskTombstones(spark, path, m,
+      SegmentedTable.readKeepSeg(spark, s"$path/vectors", m), "vec_id")
+  }
+
+  /** Live edges (src, dst, sim) — manifest-pinned scan; an edge is masked
+    * when EITHER endpoint is tombstoned (a deleted vector must neither be
+    * served nor expanded through). The double mask reuses the ONE
+    * [[IndexIngest.maskTombstones]] definition per endpoint, carrying the
+    * seg column across the first mask (the masking condition is
+    * seg ≤ del_v — an edge re-published after a delete stays visible). */
+  def edges(spark: SparkSession, path: String): DataFrame = {
+    val m = SegmentedTable.readManifest(spark, path)
+    val withSeg = SegmentedTable
+      .readKeepSeg(spark, s"$path/edges", m)
+      .withColumn("__seg_carry", col("seg"))
+    val srcMasked = IndexIngest.maskTombstones(spark, path, m, withSeg, "src")
+      .withColumn("seg", col("__seg_carry"))
+    IndexIngest.maskTombstones(spark, path, m, srcMasked, "dst")
+      .drop("__seg_carry")
+  }
+
+  /** Graph-expanded top-k against the persisted index: LSH bucket seeds
+    * (top `seedK` per query by exact cosine), `hops` rounds of stored-edge
+    * expansion, exact-cosine rerank — identical semantics to the
+    * sim_graph_expand composite over the same (graph, planes), with the
+    * graph READ instead of rebuilt. */
+  def searchTopK(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, hops: Int = 2, seedK: Int = 8): DataFrame = {
+    require(hops >= 0 && seedK >= 1 && k >= 1)
+    val (planes, _) = params(spark, path)
+    val corpusB = vectors(spark, path).select(col("bucket"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+    val queriesB = queries.select(
+      Similarity.signLshBucket(col("embedding"), planes).as("bucket"),
+      col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val seeded = queriesB.join(corpusB, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
+    val seeds = Similarity.topKBySim(seeded, seedK)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    val g = edges(spark, path).select(col("src").as("cand"),
+      col("dst").as("expand"))
+    var frontier = seeds
+    var cands = seeds
+    for (_ <- 1 to hops) {
+      frontier = frontier.join(g, "cand")
+        .select(col("query_id"), col("expand").as("cand")).distinct()
+      cands = cands.unionByName(frontier)
+    }
+    val emb = vectors(spark, path)
+    val rerank = cands.distinct()
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_vec")), "query_id")
+      .join(emb.select(col("vec_id").as("cand"),
+        col("embedding").as("n_vec")), "cand")
+      .filter(col("query_id") =!= col("cand"))
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
+    Similarity.topKBySim(rerank, k)
+  }
+
+  /** Attach new vectors WITHOUT rebuilding: screen ids against the live
+    * vectors (exactly-once, INSERT-ONLY), seed each fresh node's candidate
+    * set from its LSH bucket mates — in the EXISTING index and in the
+    * batch itself — plus one hop of their stored edges (the NN-Descent
+    * local join applied once), keep the
+    * top-k as the new node's edge list, and publish vectors + edges as ONE
+    * new segment under ONE manifest flip. Existing nodes' lists are not
+    * back-updated (documented staleness; rebuild refreshes). Self-compacts
+    * past `maxSegments`. */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      maxSegments: Int = 16): Unit = {
+    require(maxSegments >= 2)
+    val (planes, k) = params(spark, path)
+    val m = SegmentedTable.readManifest(spark, path)
+    val live = IndexIngest.maskTombstones(spark, path, m,
+      SegmentedTable.readKeepSeg(spark, s"$path/vectors", m), "vec_id")
+    val fresh = batch.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .join(live.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.signLshBucket(col("embedding"), planes).as("bucket"))
+      .localCheckpoint(eager = true) // one screen feeds edges + both writes
+    if (!fresh.isEmpty) {
+      // candidate pool = the index's vectors PLUS the batch itself, so
+      // near-dup vectors arriving together still link to each other
+      val pool = live.select("bucket", "vec_id", "embedding")
+        .unionByName(fresh.select("bucket", "vec_id", "embedding"))
+      val mates = fresh.select(col("vec_id").as("src"), col("bucket"),
+          col("embedding").as("q_vec"))
+        .join(pool.select(col("bucket"), col("vec_id").as("cand")), "bucket")
+        .select(col("src"), col("q_vec"), col("cand"))
+      val g = edges(spark, path).select(col("src").as("cand"),
+        col("dst").as("expand"))
+      val expanded = mates.select(col("src"), col("q_vec"), col("cand"))
+        .unionByName(mates.join(g, "cand")
+          .select(col("src"), col("q_vec"), col("expand").as("cand")))
+        .dropDuplicates("src", "cand")
+      val newEdges = expanded
+        .join(pool.select(col("vec_id").as("cand"),
+          col("embedding").as("n_vec")), "cand")
+        .filter(col("src") =!= col("cand"))
+        .select(col("src"), col("cand").as("dst"),
+          VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))))
+        .filter(col("rn") <= k).drop("rn")
+      val v = m.version + 1
+      writeSegment(fresh, newEdges, path, v)
+      SegmentedTable.writeManifest(spark, path,
+        SegmentedTable.Manifest(v, m.segments :+ v, m.extras))
+      if (m.segments.length + 1 > maxSegments) compact(spark, path)
+    }
+  }
+
+  /** Logical delete by id — the shared tombstone ledger over the VECTORS
+    * family ([[IndexIngest.delete]]); [[edges]] masks both endpoints off
+    * the same ledger, so one publish hides the vector and every edge
+    * touching it. Physically erased at the next [[compact]]. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    IndexIngest.delete(spark, path, "vectors", ids, "vec_id")
+
+  /** Fold the live segments of BOTH families into one segment each and
+    * publish with ONE manifest flip, materializing the tombstone-masked
+    * views (deleted vectors and their edges are physically erased here)
+    * and clearing the ledger. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val spark2 = spark
+    val m = SegmentedTable.readManifest(spark2, path)
+    val v = m.version + 1
+    val liveV = IndexIngest.maskTombstones(spark2, path, m,
+      SegmentedTable.readKeepSeg(spark2, s"$path/vectors", m), "vec_id")
+    writeSegment(
+      liveV.repartition(col("bucket")),
+      edges(spark2, path),
+      path, v)
+    SegmentedTable.writeManifest(spark2, path,
+      SegmentedTable.Manifest(v, Seq(v),
+        m.extras - IndexIngest.TombstoneKey))
+  }
+
+  /** Reclaim unreferenced segment dirs of both families + the superseded
+    * tombstone ledger. WRITER-ONLY, serialized with append/compact/delete.
+    * The vectors-family vacuum also prunes the snapshot-manifest ledger;
+    * the edges pass reclaims its own dirs against the same retained set. */
+  def vacuum(spark: SparkSession, path: String, retainSnapshots: Int = 1): Unit = {
+    IndexIngest.vacuum(spark, path, "vectors", retainSnapshots)
+    SegmentedTable.vacuum(spark, path, s"$path/edges", retainSnapshots)
+    ()
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val corpus = graft.sources.Tables(spark, sf, "embeddings")
+    .select("vec_id", "embedding")
+  private lazy val queries = corpus.filter(col("vec_id") < 4)
+
+  private lazy val path: String = {
+    val p = java.nio.file.Files.createTempDirectory("graph-index").toString
+    GraphIndex.build(corpus, p, k = 8, iters = 2, revCap = 8)
+    p
+  }
+
+  /** The in-memory sim_graph_expand composite over the SAME graph/planes —
+    * the parity target serving must hit bit-for-bit. */
+  private def directExpand(base: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame, k: Int, hops: Int,
+      seedK: Int): org.apache.spark.sql.DataFrame = {
+    val planes = Seq(0, 1, 2, 3)
+    val seeded = qs.select(
+        Similarity.signLshBucket(col("embedding"), planes).as("bucket"),
+        col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .join(base.select(
+        Similarity.signLshBucket(col("embedding"), planes).as("bucket"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("n_vec")),
+        "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions
+          .cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
+    val seeds = Similarity.topKBySim(seeded, seedK)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    val g = NnDescent.knnGraph(base, col("vec_id"), col("embedding"),
+        k = 8, iters = 2, revCap = 8)
+      .select(col("src").as("cand"), col("dst").as("expand"))
+    var frontier = seeds
+    var cands = seeds
+    for (_ <- 1 to hops) {
+      frontier = frontier.join(g, "cand")
+        .select(col("query_id"), col("expand").as("cand")).distinct()
+      cands = cands.unionByName(frontier)
+    }
+    val rerank = cands.distinct()
+      .join(qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_vec")), "query_id")
+      .join(base.select(col("vec_id").as("cand"),
+        col("embedding").as("n_vec")), "cand")
+      .filter(col("query_id") =!= col("cand"))
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        graft.functions.VectorFunctions
+          .cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
+    Similarity.topKBySim(rerank, k)
+  }
+
+  test("serving from the persisted index equals the in-memory " +
+      "seed+expand+rerank composite over the same graph") {
+    val served = GraphIndex.searchTopK(spark, path, queries,
+      k = 5, hops = 2, seedK = 8)
+    val direct = directExpand(corpus, queries, k = 5, hops = 2, seedK = 8)
+    assert(rowSet(served) === rowSet(direct))
+    assert(served.count() > 0)
+  }
+
+  test("append is exactly-once (in-batch dup + replay), links same-batch " +
+      "neighbors, and new vectors become searchable") {
+    val p = java.nio.file.Files.createTempDirectory("graph-maint").toString
+    GraphIndex.build(corpus.filter(col("vec_id") < 300), p,
+      k = 8, iters = 2, revCap = 8)
+    val batch = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    val n0 = GraphIndex.vectors(spark, p).count()
+    GraphIndex.append(spark, p, batch.unionByName(batch))
+    GraphIndex.append(spark, p, batch) // full replay
+    assert(GraphIndex.vectors(spark, p).count() === n0 + 50)
+    // every appended node carries an edge list (the batch pool guarantees
+    // candidates even in an otherwise-empty bucket: 50 vectors over 16
+    // buckets always gives bucket mates somewhere; assert non-empty lists
+    // for the ids that do have same-bucket company)
+    val newEdges = GraphIndex.edges(spark, p).filter(col("src") >= 300)
+    assert(newEdges.count() > 0, "appended nodes must be linked")
+    // a new vector is reachable as a query answer: query for one of the
+    // appended ids' own vector must return itself-adjacent neighbors
+    val q = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 302)
+    val got = GraphIndex.searchTopK(spark, p, q, k = 3, hops = 1, seedK = 8)
+    assert(got.count() > 0)
+  }
+
+  test("delete masks the vector and every edge touching it; re-append " +
+      "restores; compact erases physically and serves identically") {
+    val p = java.nio.file.Files.createTempDirectory("graph-del").toString
+    GraphIndex.build(corpus.filter(col("vec_id") < 200), p,
+      k = 8, iters = 2, revCap = 8)
+    val victim = 7L
+    assert(GraphIndex.edges(spark, p)
+      .filter(col("src") === victim || col("dst") === victim).count() > 0)
+    GraphIndex.delete(spark, p, Seq(victim).toDF("vec_id"))
+    assert(GraphIndex.vectors(spark, p)
+      .filter(col("vec_id") === victim).isEmpty)
+    assert(GraphIndex.edges(spark, p)
+      .filter(col("src") === victim || col("dst") === victim).isEmpty,
+      "a deleted vector must not be served or expanded through")
+    // serve result after compact is identical to before (masking was
+    // already in force; compact only changes the physical layout)
+    val before = rowSet(GraphIndex.searchTopK(spark, p, queries,
+      k = 5, hops = 2, seedK = 8))
+    GraphIndex.compact(spark, p)
+    val after = rowSet(GraphIndex.searchTopK(spark, p, queries,
+      k = 5, hops = 2, seedK = 8))
+    assert(after === before)
+    // physically erased: raw segment scan of the live manifest holds no
+    // victim rows
+    assert(GraphIndex.vectors(spark, p)
+      .filter(col("vec_id") === victim).isEmpty)
+    val m = graft.sources.SegmentedTable.readManifest(spark, p)
+    assert(m.segments.length === 1, "compact folds to one live segment")
+    assert(!m.extras.contains("tombstone_segs"),
+      "compact clears the tombstone ledger")
+    // re-append after delete: the id screen must re-admit it
+    GraphIndex.append(spark, p, corpus.filter(col("vec_id") === victim))
+    assert(GraphIndex.vectors(spark, p)
+      .filter(col("vec_id") === victim).count() === 1)
+  }
+
+  test("vacuum reclaims superseded segments of BOTH families; a replayed " +
+      "append after compact+vacuum still lands nothing") {
+    val p = java.nio.file.Files.createTempDirectory("graph-vac").toString
+    GraphIndex.build(corpus.filter(col("vec_id") < 200), p,
+      k = 8, iters = 2, revCap = 8)
+    val batch = corpus.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+    GraphIndex.append(spark, p, batch)
+    GraphIndex.compact(spark, p)
+    GraphIndex.vacuum(spark, p)
+    def segDirs(fam: String) =
+      new java.io.File(s"$p/$fam").listFiles()
+        .filter(_.getName.startsWith("seg=")).map(_.getName).toSet
+    assert(segDirs("vectors").size === 1, s"vectors: ${segDirs("vectors")}")
+    assert(segDirs("edges").size === 1, s"edges: ${segDirs("edges")}")
+    val n = GraphIndex.vectors(spark, p).count()
+    GraphIndex.append(spark, p, batch) // replay after the whole cycle
+    assert(GraphIndex.vectors(spark, p).count() === n)
+    // the torn-rebuild stamp survives the maintenance cycle
+    val served = GraphIndex.searchTopK(spark, p, queries, k = 3)
+    assert(served.count() > 0)
+  }
+}

@@ -456,6 +456,30 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming graph-index ingest — the fourth persisted-index sink
+    * (vectors → [[graft.operators.GraphIndex]]): every micro-batch of
+    * (vec_id, embedding) rows attaches into the persisted k-NN graph —
+    * bucket assignment under the STORED planes, candidate edges from
+    * bucket mates (index ∪ batch) plus one stored hop, both artifact
+    * families published under ONE manifest flip. Exactly-once comes from
+    * `append`'s id screen (in-batch dedup + anti-join), bounded segment
+    * counts from its self-compaction; superseded segments are vacuumed at
+    * the START of each batch callback (the single writer's context — the
+    * LexIndex sink's posture), giving concurrent serves a retention
+    * window of the batch cadence. Single writer per index; AvailableNow
+    * micro-batches satisfy that by construction. */
+  def startGraphIndexSink(vectors: DataFrame, indexPath: String,
+      maxSegments: Int = 16): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.GraphIndex.vacuum(batch.sparkSession, indexPath)
+        graft.operators.GraphIndex.append(batch.sparkSession, indexPath,
+          batch, maxSegments)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming right-to-be-forgotten queue — the deletion complement of
     * the three index-ingest sinks: each micro-batch of deletion requests
     * (rows carrying `idCol`) is applied to every configured persisted
@@ -473,7 +497,8 @@ object EventStreams {
       lexIndexPath: Option[String] = None,
       bandIndexPath: Option[String] = None,
       ivfIndexPath: Option[String] = None,
-      ivfAdcPath: Option[String] = None): StreamingQuery =
+      ivfAdcPath: Option[String] = None,
+      graphIndexPath: Option[String] = None): StreamingQuery =
     requests.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -485,6 +510,8 @@ object EventStreams {
         ivfIndexPath.foreach(p => graft.operators.IvfIndex.delete(
           spark, p, ids.select(col(idCol).as("vec_id"))))
         ivfAdcPath.foreach(p => graft.operators.IvfAdc.delete(
+          spark, p, ids.select(col(idCol).as("vec_id"))))
+        graphIndexPath.foreach(p => graft.operators.GraphIndex.delete(
           spark, p, ids.select(col(idCol).as("vec_id"))))
         ()
       }

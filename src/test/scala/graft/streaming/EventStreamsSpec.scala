@@ -369,6 +369,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(codes2.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("graph index sink: micro-batches attach under stored parameters; " +
+      "replay + in-batch redelivery land exactly once; new nodes serve") {
+    import graft.operators.GraphIndex
+    val dir = Files.createTempDirectory("graft-gidxsink").toString
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    GraphIndex.build(emb.filter(col("vec_id") < 300), s"$dir/idx",
+      k = 8, iters = 2, revCap = 8)
+    val n0 = GraphIndex.vectors(spark, s"$dir/idx").count()
+    val b1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    b1.write.parquet(s"$dir/in1")
+    b1.write.mode("append").parquet(s"$dir/in1") // in-batch redelivery
+    EventStreams.startGraphIndexSink(
+      EventStreams.readVectors(spark, s"$dir/in1"), s"$dir/idx")
+      .awaitTermination(60000)
+    val v1 = GraphIndex.vectors(spark, s"$dir/idx")
+    assert(v1.count() === n0 + b1.count(),
+      "duplicate vec_ids within one micro-batch must land exactly once")
+    assert(v1.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
+    // replay under a fresh checkpoint: the index IS the idempotent sink
+    EventStreams.startGraphIndexSink(
+      EventStreams.readVectors(spark, s"$dir/in1"), s"$dir/idx")
+      .awaitTermination(60000)
+    assert(GraphIndex.vectors(spark, s"$dir/idx").count() === n0 + b1.count(),
+      "replay must append nothing")
+    // an attached vector serves through the same graph-expand search path
+    val res = GraphIndex.searchTopK(spark, s"$dir/idx",
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 302), k = 3, hops = 1)
+    assert(res.count() > 0)
+  }
+
   test("lexical index sink: micro-batches append postings; serve equals " +
       "one-shot build; replay lands exactly once; compaction + start-of-batch " +
       "vacuum bound disk; null ids dropped not fatal") {

@@ -7067,6 +7067,75 @@ object PipelineQueries {
         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
         |SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin)),
 
+    // Cluster purity of the mutual-kNN components against the held labels
+    // — the external-validation number next to sim_silhouette's internal
+    // one (a clustering can be geometrically tight yet label-impure; this
+    // measures label agreement directly): per component, its size, the
+    // majority label (max count, ties to the SMALLER label id) and the
+    // majority share; exact integer counts, one division per component.
+    // The edge threshold sits ABOVE sim_knn_components' (0.34 vs 0.3):
+    // at 0.3 the mutual graph is one giant component and purity is a
+    // single trivial row; 0.34 fragments it so the per-component argmax
+    // actually exercises multi-group semantics (4dp-rounded sims make
+    // the cut deterministic on both engines).
+    // Scale shape: the component frame joins labels id-keyed, one
+    // (component, label) count, one component-keyed argmax window on the
+    // component-bounded frame.
+    Q("sim_cluster_purity",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val g = graft.operators.NnDescent.knnGraph(
+          emb, col("vec_id"), col("embedding"),
+          k = 16, iters = 3, revCap = 16)
+        val mutual = g.as("a")
+          .join(g.as("b"),
+            col("b.src") === col("a.dst") && col("b.dst") === col("a.src"))
+          .filter(col("a.src") < col("a.dst") && col("a.sim") >= 0.34)
+          .select(col("a.src").as("doc_a"), col("a.dst").as("doc_b"))
+        val comp = graft.operators.Dedup.connectedComponents(mutual)
+          .select(col("id").as("vec_id"), col("component"))
+        val cl = comp.join(emb.select("vec_id", "label"), "vec_id")
+          .groupBy("component", "label").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("component").orderBy(col("n").desc, col("label"))
+        cl.withColumn("rn", row_number().over(w))
+          .withColumn("size", sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("component")))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("size").as("n"),
+            col("label").as("majority_label"), col("n").as("n_majority"),
+            round(col("n").cast("double") / col("size").cast("double"), 6)
+              .as("purity"))
+      },
+      Some(s"""WITH RECURSIVE ${nnDescentCtes(16, 3, 16)},
+        |mutual AS (
+        |  SELECT a.src AS doc_a, a.dst AS doc_b
+        |  FROM knn3 a JOIN knn3 b ON b.src = a.dst AND b.dst = a.src
+        |  WHERE a.src < a.dst AND a.sim >= 0.34),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM mutual
+        |  UNION ALL SELECT doc_b, doc_a FROM mutual),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id AS vec_id, MIN(r) AS component FROM reach
+        |  GROUP BY id),
+        |cl AS (
+        |  SELECT c.component, e.label, COUNT(*) AS n
+        |  FROM comp c JOIN embeddings e ON e.vec_id = c.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT component, CAST(n_all AS BIGINT) AS n, label AS majority_label,
+        |  n AS n_majority,
+        |  round(CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS purity
+        |FROM (
+        |  SELECT component, label, n,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY n DESC, label) AS rn,
+        |    SUM(n) OVER (PARTITION BY component) AS n_all
+        |  FROM cl)
+        |WHERE rn = 1""".stripMargin)),
+
     // Rank-biased overlap (Webber et al., TOIS 2010) between the exact
     // cosine ranking and the SQ8 quantized ranking, truncated at depth 5
     // with persistence p = 1/2 — the LIST-level drift measure the

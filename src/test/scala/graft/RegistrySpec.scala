@@ -303,7 +303,9 @@ class RegistrySpec extends SparkSpec {
       //    one-row corpus-size scalar; mutuality and the component rounds
       //    are keyed self-joins on the k-bounded edge set
       "sim_nndescent", "sim_nndescent_recall", "sim_graph_expand",
-      "sim_knn_components")
+      //  - sim_cluster_purity: the sim_knn_components build (ring scalar)
+      //    plus label joins keyed on vec_id and component-bounded windows
+      "sim_knn_components", "sim_cluster_purity")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

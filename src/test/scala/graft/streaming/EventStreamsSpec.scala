@@ -545,14 +545,17 @@ class EventStreamsSpec extends SparkSpec {
   test("deletion sink: a streamed forget-request batch deletes from the " +
       "lexical and band indexes; replay is a no-op and the ledgers do " +
       "not grow") {
-    import graft.operators.{BandIndex, LexIndex}
+    import graft.operators.{BandIndex, GraphIndex, LexIndex}
     val dir = Files.createTempDirectory("graft-delsink").toString
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
     val terms = Seq("dup", "vector", "window")
     LexIndex.build(docs, s"$dir/lex", buckets = 8)
     BandIndex.build(docs, col("doc_id"), col("text"),
       numHashes = 16, bands = 4, shingleK = 2, path = s"$dir/band")
+    GraphIndex.build(emb, s"$dir/graph", k = 8, iters = 2, revCap = 8)
     // the forget queue: ids >= 300 (text column just satisfies the reader
     // schema; the sink only consumes idCol)
     docs.filter(col("doc_id") >= 300).write.parquet(s"$dir/requests")
@@ -560,7 +563,8 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.startDeletionSink(
         EventStreams.readDocuments(spark, s"$dir/requests"), "doc_id",
         lexIndexPath = Some(s"$dir/lex"),
-        bandIndexPath = Some(s"$dir/band"))
+        bandIndexPath = Some(s"$dir/band"),
+        graphIndexPath = Some(s"$dir/graph"))
         .awaitTermination(60000),
       "deletion sink timed out")
     def top(p: String) = LexIndex.searchTopK(spark, p, terms, k = 20)
@@ -579,13 +583,20 @@ class EventStreamsSpec extends SparkSpec {
     // band gate forgets: no bands remain for the deleted ids
     assert(BandIndex.bands(spark, s"$dir/band")
       .filter(col("doc_id") >= 300).isEmpty)
-    val (lexSegs, bandSegs) = (ledgerSegs("lex"), ledgerSegs("band"))
-    assert(lexSegs > 0 && bandSegs > 0)
+    // graph index forgets: the vector and every edge touching it
+    assert(GraphIndex.vectors(spark, s"$dir/graph")
+      .filter(col("vec_id") >= 300).isEmpty)
+    assert(GraphIndex.edges(spark, s"$dir/graph")
+      .filter(col("src") >= 300 || col("dst") >= 300).isEmpty)
+    val (lexSegs, bandSegs, graphSegs) =
+      (ledgerSegs("lex"), ledgerSegs("band"), ledgerSegs("graph"))
+    assert(lexSegs > 0 && bandSegs > 0 && graphSegs > 0)
     // fresh-checkpoint replay of the same requests: every id is already
     // tombstoned, so the deletes are no-ops and no ledger segment lands
     sink()
     assert(top(s"$dir/lex") === top(onlyA), "replayed deletion changes nothing")
-    assert(ledgerSegs("lex") === lexSegs && ledgerSegs("band") === bandSegs,
+    assert(ledgerSegs("lex") === lexSegs && ledgerSegs("band") === bandSegs
+        && ledgerSegs("graph") === graphSegs,
       "a replayed forget batch must not grow the tombstone ledgers")
   }
 

@@ -7136,6 +7136,82 @@ object PipelineQueries {
         |  FROM cl)
         |WHERE rn = 1""".stripMargin)),
 
+    // Adjusted Rand Index (Hubert & Arabie, J. Classification 1985)
+    // between the mutual-kNN components and the held labels — the
+    // chance-corrected partner to sim_cluster_purity's raw majority
+    // share (purity rewards trivially fine partitions; ARI's expected-
+    // agreement correction does not). Exactness: every term is TWICE a
+    // pair count — T_x = Σ x·(x−1) over cells / cluster sizes / label
+    // sizes — summed as exact longs (order-independent), and the
+    // doubling cancels in the ratio, so the only IEEE ops are the final
+    // expected/denominator arithmetic, identical mult-then-divide order
+    // on both engines. Scale shape: the contingency frame is
+    // (clusters × labels)-bounded; its three rollups are one-row frames
+    // attached by the sanctioned one-row crossJoin(broadcast) — the
+    // corpus contributes only the component build.
+    Q("sim_ari",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val g = graft.operators.NnDescent.knnGraph(
+          emb, col("vec_id"), col("embedding"),
+          k = 16, iters = 3, revCap = 16)
+        val mutual = g.as("a")
+          .join(g.as("b"),
+            col("b.src") === col("a.dst") && col("b.dst") === col("a.src"))
+          .filter(col("a.src") < col("a.dst") && col("a.sim") >= 0.34)
+          .select(col("a.src").as("doc_a"), col("a.dst").as("doc_b"))
+        val comp = graft.operators.Dedup.connectedComponents(mutual)
+          .select(col("id").as("vec_id"), col("component"))
+        val cl = comp.join(emb.select("vec_id", "label"), "vec_id")
+          .groupBy("component", "label").agg(count(lit(1)).as("n"))
+        val cells = cl.agg(sum(col("n") * (col("n") - 1)).as("t_ij"),
+          sum(col("n")).as("n"))
+        val aSide = cl.groupBy("component").agg(sum(col("n")).as("a"))
+          .agg(sum(col("a") * (col("a") - 1)).as("t_a"))
+        val bSide = cl.groupBy("label").agg(sum(col("n")).as("b"))
+          .agg(sum(col("b") * (col("b") - 1)).as("t_b"))
+        val tn = (col("n") * (col("n") - 1)).cast("double")
+        val expected =
+          col("t_a").cast("double") * col("t_b").cast("double") / tn
+        cells.crossJoin(broadcast(aSide)).crossJoin(broadcast(bSide))
+          .select(col("n"), col("t_ij"), col("t_a"), col("t_b"),
+            round((col("t_ij").cast("double") - expected) /
+              ((col("t_a") + col("t_b")).cast("double") / 2.0 - expected), 6)
+              .as("ari"))
+      },
+      Some(s"""WITH RECURSIVE ${nnDescentCtes(16, 3, 16)},
+        |mutual AS (
+        |  SELECT a.src AS doc_a, a.dst AS doc_b
+        |  FROM knn3 a JOIN knn3 b ON b.src = a.dst AND b.dst = a.src
+        |  WHERE a.src < a.dst AND a.sim >= 0.34),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM mutual
+        |  UNION ALL SELECT doc_b, doc_a FROM mutual),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id AS vec_id, MIN(r) AS component FROM reach
+        |  GROUP BY id),
+        |cl AS (
+        |  SELECT c.component, e.label, COUNT(*) AS n
+        |  FROM comp c JOIN embeddings e ON e.vec_id = c.vec_id
+        |  GROUP BY 1, 2),
+        |tij AS (SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS t_ij,
+        |    CAST(SUM(n) AS BIGINT) AS n FROM cl),
+        |ta AS (SELECT CAST(SUM(a * (a - 1)) AS BIGINT) AS t_a FROM (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS a FROM cl GROUP BY component)),
+        |tb AS (SELECT CAST(SUM(b * (b - 1)) AS BIGINT) AS t_b FROM (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS b FROM cl GROUP BY label))
+        |SELECT n, t_ij, t_a, t_b,
+        |  round((CAST(t_ij AS DOUBLE)
+        |      - CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE))
+        |    / (CAST(t_a + t_b AS DOUBLE) / 2.0
+        |      - CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE)), 6) AS ari
+        |FROM tij, ta, tb""".stripMargin)),
+
     // Rank-biased overlap (Webber et al., TOIS 2010) between the exact
     // cosine ranking and the SQ8 quantized ranking, truncated at depth 5
     // with persistence p = 1/2 — the LIST-level drift measure the

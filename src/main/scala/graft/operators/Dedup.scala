@@ -874,6 +874,70 @@ object Dedup {
         coalesce(size(col("__covered")), lit(0)).cast("long").as("n_removed"))
   }
 
+  /** Maximal duplicated-substring spans — the ExactSubstr inventory of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022, arXiv:2107.06499 §4.1), at k-token gram
+    * resolution instead of the paper's byte-level suffix array (the
+    * right granularity when the corpus is tokenized anyway, and the
+    * distributable one: a suffix array is a global sort over bytes;
+    * gram flagging is one keyed count). Emits, per carrier doc, every
+    * MAXIMAL run of token positions covered by some k-gram shared with
+    * >= minDocs documents, as (doc_id, span_start, n_tokens, span_text)
+    * with n_tokens >= minLen. Where [[boilerplateSpans]] SCRUBS the
+    * covered positions out of the text, this EXTRACTS the span
+    * inventory — the audit table ExactSubstr cuts from, and the input
+    * to targeted span-level removal or memorization probes.
+    *
+    * Scale shape: shares boilerplateSpans' cost envelope — row-local
+    * gram projection, ONE gram-keyed distinct-count + join-back on the
+    * same key, one doc-keyed covered-position aggregation. The island
+    * split (contiguity boundaries of the sorted covered array, zipped
+    * start-to-end) and the text slice are row-local higher-order ops —
+    * no window, no extra shuffle, cost bounded by duplicated-gram
+    * occurrences, never corpus². */
+  def duplicatedSpans(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int, minLen: Int): DataFrame = {
+    require(k >= 1 && minDocs >= 2 && minLen >= k,
+      "need k >= 1, minDocs >= 2, minLen >= k")
+    val toks = docs.select(idCol.as("doc_id"), split(textCol, " ").as("__toks"))
+    val grams = toks.select(col("doc_id"),
+        explode(when(size(col("__toks")) >= k,
+          expr(s"transform(sequence(0, size(__toks) - $k), " +
+            s"i -> struct(i AS start, concat_ws(' ', slice(__toks, i + 1, $k)) AS gram))"))
+          .otherwise(array())).as("__g"))
+      .select(col("doc_id"), col("__g.start").as("start"), col("__g.gram").as("gram"))
+    val flagged = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("gram")
+    val covered = grams.join(flagged, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("__c"))
+    // islands: indexes where the sorted covered array breaks contiguity
+    // (run starts) zipped against run ends — both filters yield one
+    // entry per island in the same order, so zip_with pairs them 1:1
+    covered.join(toks, "doc_id")
+      .select(col("doc_id"), col("__toks"),
+        explode(expr(
+          """zip_with(
+            |  filter(sequence(0, size(__c) - 1),
+            |    i -> i = 0 OR __c[i] != __c[i - 1] + 1),
+            |  filter(sequence(0, size(__c) - 1),
+            |    i -> i = size(__c) - 1 OR __c[i + 1] != __c[i] + 1),
+            |  (s, e) -> struct(__c[s] AS start, __c[e] - __c[s] + 1 AS len))""".stripMargin))
+          .as("__span"))
+      .filter(col("__span.len") >= minLen)
+      .select(col("doc_id"),
+        col("__span.start").cast("long").as("span_start"),
+        col("__span.len").cast("long").as("n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__span.start") + 1, col("__span.len")))
+          .as("span_text"))
+  }
+
   def embeddingNearDupsAnnulus(emb: DataFrame, idCol: Column, vecCol: Column,
       threshold: Double, bandDeg: Double = 5.0): DataFrame = {
     val bandRad = math.toRadians(bandDeg)

@@ -3145,6 +3145,42 @@ object PipelineQueries {
         |  CAST(COALESCE(len(c.covered), 0) AS BIGINT) AS n_removed
         |FROM toks t LEFT JOIN covagg c ON t.doc_id = c.doc_id""".stripMargin)),
 
+    // Maximal duplicated-substring spans (ExactSubstr, Lee et al. ACL
+    // 2022, at 8-gram resolution) — where tx_boilerplate SCRUBS covered
+    // positions, this EXTRACTS the span inventory: per carrier, every
+    // maximal covered run of >= 12 tokens with its text. The audit
+    // table behind span-level dedup and memorization probes. Scale
+    // shape: the tx_boilerplate envelope (one gram-keyed distinct-count
+    // + join-back, one doc-keyed coverage agg) plus a ROW-LOCAL island
+    // split over the sorted covered array — no window, no extra
+    // exchange (see Dedup.duplicatedSpans).
+    Q("dd_dup_spans",
+      (s, d) => graft.operators.Dedup.duplicatedSpans(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        k = 8, minDocs = 2, minLen = 12),
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |grams AS (SELECT doc_id, i AS start,
+        |    array_to_string(parts[i+1 : i+8], ' ') AS gram
+        |  FROM toks, unnest(generate_series(0, len(parts) - 8)) AS g(i)
+        |  WHERE len(parts) >= 8),
+        |flagged AS (SELECT gram FROM grams
+        |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, p
+        |  FROM grams g JOIN flagged f USING (gram),
+        |       unnest(generate_series(g.start, g.start + 7)) AS s(p)),
+        |ord AS (SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+        |  FROM cov),
+        |spans AS (SELECT doc_id, MIN(p) AS start,
+        |    MAX(p) - MIN(p) + 1 AS len
+        |  FROM ord GROUP BY doc_id, p - rn)
+        |SELECT s.doc_id, CAST(s.start AS BIGINT) AS span_start,
+        |  CAST(s.len AS BIGINT) AS n_tokens,
+        |  array_to_string(t.parts[s.start + 1 : s.start + s.len], ' ')
+        |    AS span_text
+        |FROM spans s JOIN toks t USING (doc_id)
+        |WHERE s.len >= 12""".stripMargin)),
+
     // Overlapping document chunking (width 32, stride 16) — the windowing
     // pass before embedding/RAG indexing: each doc explodes into its token
     // windows row-locally (sequence + posexplode generators, no shuffle),

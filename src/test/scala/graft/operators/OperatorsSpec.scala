@@ -202,6 +202,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got2(2L) === (("z", 9L)))
   }
 
+  test("Dedup.duplicatedSpans: maximal islands extracted with their text, " +
+      "separate runs stay separate, minLen and intra-doc repeats filtered") {
+    // a 9-token shared run -> two overlapping 8-grams merge to ONE
+    // 9-token maximal span in both carriers
+    val run = "a b c d e f g h i"
+    val far = "p q r s t u v w x"
+    val docs = Seq(
+      (1L, s"x0 $run y0 n1 n2 n3 n4 n5 n6 n7 n8 n9 $far z0"), // two islands
+      (2L, s"$run mid $far"),
+      // doc 3: repeats an 8-gram only within itself — df = 1, no span
+      (3L, "one two three four five six seven eight one two three four five six seven eight"),
+      (4L, "unique filler text with no shared content at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, col("doc_id"), col("text"),
+        k = 8, minDocs = 2, minLen = 9)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 9L, run), (1L, 20L, 9L, far),
+      (2L, 0L, 9L, run), (2L, 10L, 9L, far)),
+      "each shared run is one maximal span per carrier; nothing else")
+    // minLen above the island size filters it out entirely
+    assert(Dedup.duplicatedSpans(docs, col("doc_id"), col("text"),
+      k = 8, minDocs = 2, minLen = 10).isEmpty)
+  }
+
   test("Dedup.incrementalNearDupFilter: band-sharers rejected, fresh and shingle-less docs survive") {
     val history = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

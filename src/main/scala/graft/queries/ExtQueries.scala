@@ -343,6 +343,56 @@ object ExtQueries {
     s.createDataFrame(captured.toSeq.asJava, served.schema)
   }
 
+  private val quantileLedgerMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized [[runQuantileLedger]] (the judged-streaming-harness idiom
+    * shared with [[hllLedger]]/[[cmsLedger]]/[[decayLedger]]). */
+  private def quantileLedger(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/documents.parquet")
+    quantileLedgerMemo.get((s, d)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = runQuantileLedger(s, d)
+        quantileLedgerMemo.put((s, d), (fp, df))
+        df
+    }
+  }
+
+  /** Drive the streaming log-bucket quantile ledger end-to-end over the
+    * fixture documents — TWO AvailableNow micro-batch runs (even doc_ids,
+    * then odd) through
+    * [[graft.streaming.EventStreams.startQuantileLedgerSink]] — and serve
+    * five length quantiles from the summed ledger
+    * ([[graft.operators.LogHistogram.quantilesFromLedger]]). The oracle
+    * re-derives the SAME histogram from the parquet in one shot: bucket
+    * counts torn across the two batches must sum back to the batch
+    * histogram (addition is associative), so the judged contract is the
+    * streaming path's bit-equality with the one-shot batch formula —
+    * bucket assignment included, because both engines compute the shift
+    * by pure integer bit ops (no log()). */
+  private def runQuantileLedger(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-led").toString
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    def run(): Unit = {
+      graft.streaming.EventStreams.startQuantileLedgerSink(
+        graft.streaming.EventStreams.readDocuments(s, s"$tmp/in"),
+        s"$tmp/ledger", s"$tmp/cp").awaitTermination(120000)
+      ()
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$tmp/in")
+    run()
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    // capture to a local frame (the hllLedger idiom) so the judged result
+    // does not depend on the temp ledger outliving this call
+    val served = graft.operators.LogHistogram.quantilesFromLedger(
+      s, s"$tmp/ledger", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    val captured = served.collect()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(captured.toSeq.asJava, served.schema)
+  }
+
   /** DuckDB oracle for ev_hits: the same bipartite user→item view edges,
     * then the 5 HITS half-step pairs (authority pull, hub pull, each
     * L1-normalized to 1e6 by trunc division) UNROLLED as MATERIALIZED
@@ -3110,6 +3160,42 @@ object ExtQueries {
         |FROM keyed k JOIN counters c USING (r, bucket)
         |GROUP BY k.token
         |HAVING MIN(k.n_exact) >= 20""".stripMargin)),
+
+    // Streaming-parity entry for the log-bucket quantile ledger (the
+    // st_cms_ledger treatment for ORDER STATISTICS): document lengths
+    // flow through startQuantileLedgerSink in TWO micro-batch runs —
+    // every bucket's count torn across both — and five quantiles are
+    // served from the summed ledger partitions. The oracle re-derives
+    // the one-shot batch histogram with the SAME transcendental-free
+    // bucket function (shift = max(0, bitlength − 1 − 5) via binary-
+    // string length, pure integer shifts for the bounds), so the served
+    // (q, n, rank, lo, hi) rows must bit-equal — a rank-bracket
+    // guarantee, not an estimate (see operators/LogHistogram.scala).
+    Q("st_quantile_ledger",
+      (s, d) => quantileLedger(s, d),
+      Some("""WITH v AS (
+        |  SELECT length(text) AS v FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT GREATEST(0, length(bin(v)) - 1 - 5) AS shift,
+        |    v >> GREATEST(0, length(bin(v)) - 1 - 5) AS m, COUNT(*) AS c
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT (m << shift) AS lo, ((m + 1) << shift) - 1 AS hi,
+        |    SUM(c) OVER (ORDER BY (m << shift)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS n
+        |  FROM b),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE)
+        |    AS q)
+        |SELECT q, CAST(n AS BIGINT) AS n,
+        |  CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT) AS rank,
+        |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
+        |FROM (
+        |  SELECT qs.q, c.n, c.lo, c.hi,
+        |    row_number() OVER (PARTITION BY qs.q ORDER BY c.lo) AS rn
+        |  FROM qs JOIN cum c
+        |    ON c.cum >= ceil(qs.q * CAST(c.n AS DOUBLE)))
+        |WHERE rn = 1""".stripMargin)),
 
     Q("st_hll_ledger",
       (s, d) => hllLedger(s, d),

@@ -232,6 +232,33 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming document-length quantile ledger — the ORDER-STATISTICS
+    * member of the sketch-ledger family ([[startHllLedgerSink]]
+    * cardinality, [[startCmsLedgerSink]] point frequency):
+    * [[graft.operators.LogHistogram]] is the single shared definition.
+    * Each micro-batch collapses its `length(text)` stream (null text
+    * excluded, the population contract) to the ≤~2k-row log₂-bucket
+    * histogram and writes it to the batch's OWN `batch_id=N` partition.
+    * Histogram merge is ADDITION — batching-invariant but not
+    * idempotent, so exactly-once rests on ADDRESSING (the CmsSketch
+    * ledger rule; a replayed batch N overwrites `batch_id=N`). Serving
+    * ([[graft.operators.LogHistogram.quantilesFromLedger]]) sums the
+    * ledger partitions and answers any quantile with a rank-bracketing
+    * bucket; the raw stream is never re-scanned. */
+  def startQuantileLedgerSink(docs: DataFrame, ledgerDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.LogHistogram.buckets(
+            batch.filter(col("text").isNotNull), length(col("text")))
+          .write.mode("overwrite")
+          .parquet(s"$ledgerDir/batch_id=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType)))

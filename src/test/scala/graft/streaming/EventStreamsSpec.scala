@@ -795,4 +795,75 @@ class EventStreamsSpec extends SparkSpec {
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
     assert(parts2.size == 2, s"expected two per-batch partitions, got $parts2")
   }
+
+  test("quantile ledger: served quantiles equal the one-shot batch " +
+      "histogram over all landed docs; checkpoint-rollback replay " +
+      "cannot double-count") {
+    import graft.operators.LogHistogram
+    val dir = Files.createTempDirectory("graft-qled").toString
+    val cp = s"$dir/cp"
+    val qs = Seq(0.5, 0.9)
+    def docsDF(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def run(): Unit = EventStreams.startQuantileLedgerSink(
+      EventStreams.readDocuments(spark, s"$dir/in"), s"$dir/ledger", cp)
+      .awaitTermination(60000)
+    def served() = LogHistogram
+      .quantilesFromLedger(spark, s"$dir/ledger", qs)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def batchExpected(rows: Seq[(Long, String)]) = LogHistogram.quantiles(
+      LogHistogram.buckets(docsDF(rows).filter(col("text").isNotNull),
+        length(col("text"))), qs)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rmDir(path: String): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+    }
+    // lengths span several octaves so the second batch lands in buckets
+    // the first also populated (the torn-count additive-merge contract);
+    // a null-text doc must drop from the population on the sink side
+    val f1 = (1L to 40L).map(i => (i, "x" * (10 + i.toInt * 7)))
+    val f2 = (41L to 70L).map(i => (i, "y" * (5 + i.toInt * 11))) :+
+      ((71L, null.asInstanceOf[String]))
+    docsDF(f1).write.parquet(s"$dir/in")
+    run()
+    assert(served() == batchExpected(f1),
+      "ledger serving must equal the batch histogram after one batch")
+    copyDir(cp, s"$dir/cp_bak")
+
+    docsDF(f2).write.mode("append").parquet(s"$dir/in")
+    run()
+    val afterTwo = served()
+    assert(afterTwo == batchExpected(f1 ++ f2),
+      "serving must equal the batch histogram over the union of batches")
+    // the rank guarantee: the true median of the 70 non-null lengths
+    // lies inside the served [lo, hi] bracket
+    val lens = (f1 ++ f2).flatMap(r => Option(r._2)).map(_.length.toLong)
+      .sorted
+    val median = lens((math.ceil(0.5 * lens.size) - 1).toInt)
+    val (_, _, lo, hi) = afterTwo(0.5)
+    assert(lo <= median && median <= hi,
+      s"true median $median must fall in the served bracket [$lo, $hi]")
+
+    // crash replay: batch 2 re-executes under its ORIGINAL id — histogram
+    // addition is NOT idempotent, so this passes ONLY by addressing
+    rmDir(cp); copyDir(s"$dir/cp_bak", cp)
+    run()
+    assert(served() == afterTwo,
+      "a replayed batch must overwrite its partition, not double-count")
+  }
 }

@@ -7595,6 +7595,93 @@ object PipelineQueries {
         |    / CAST(SUM(n_rows) AS DOUBLE) AS risk_share
         |FROM e GROUP BY l""".stripMargin)),
 
+    // t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    // third leg of the privacy trio: a cell can be k-anonymous AND
+    // l-diverse yet still leak when its sensitive-attribute DISTRIBUTION
+    // (lang, here) sits far from the corpus baseline (skew attack). Per
+    // QI cell (source, length bucket): the variational distance
+    // TVD = ½ Σ_lang |n/N_cell − m/M|, and per t ∈ {0.2, 0.3, 0.5} the
+    // cells/rows whose TVD EXCEEDS t. Exactness: languages ABSENT from a
+    // cell contribute m·N_cell, so the numerator folds analytically to
+    // Σ_present(|n·M − m·N_cell| − m·N_cell) + M·N_cell — the join stays
+    // equi-keyed on lang (no cell × lang grid), every term an exact
+    // long, and the threshold test is the cross-multiplication
+    // num·10 > t10·2·N_cell·M — NO float compare anywhere; risk_share is
+    // the one division. Scale shape: one (cell, lang) count, two
+    // bounded rollups, the one-row corpus total via the sanctioned
+    // crossJoin(broadcast); products n·M stay in long to ~10⁹ docs —
+    // beyond that the audit's counts move to decimal(38,0) (the
+    // a21_skew_kurtosis treatment).
+    Q("dq_t_closeness",
+      (s, d) => {
+        val cellLang = t(s, d, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_bucket"))
+          .groupBy("source", "len_bucket", "lang")
+          .agg(count(lit(1)).as("n"))
+        val cells = cellLang.groupBy("source", "len_bucket")
+          .agg(sum(col("n")).as("n_cell"))
+        val glob = cellLang.groupBy("lang").agg(sum(col("n")).as("m"))
+        val total = glob.agg(sum(col("m")).as("m_total"))
+        val perCell = cellLang
+          .join(broadcast(glob), "lang")
+          .join(cells, Seq("source", "len_bucket"))
+          .crossJoin(broadcast(total))
+          .groupBy("source", "len_bucket")
+          .agg(
+            (sum(abs(col("n") * col("m_total") - col("m") * col("n_cell"))
+              - col("m") * col("n_cell"))
+              + min(col("m_total") * col("n_cell"))).as("num"),
+            min(col("n_cell")).as("n_cell"),
+            min(col("m_total")).as("m_total"))
+        perCell
+          .select(explode(array(lit(2L), lit(3L), lit(5L))).as("t_tenths"),
+            col("num"), col("n_cell"), col("m_total"))
+          .groupBy("t_tenths")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(col("num") * 10L >
+              col("t_tenths") * 2L * col("n_cell") * col("m_total"), 1L)
+              .otherwise(0L)).as("n_cells_at_risk"),
+            sum(when(col("num") * 10L >
+              col("t_tenths") * 2L * col("n_cell") * col("m_total"),
+              col("n_cell")).otherwise(0L)).as("n_rows_at_risk"),
+            sum(col("n_cell")).as("n_rows"))
+          .select(col("t_tenths"), col("n_cells"), col("n_cells_at_risk"),
+            col("n_rows_at_risk"),
+            (col("n_rows_at_risk").cast("double") /
+              col("n_rows").cast("double")).as("risk_share"))
+      },
+      Some("""WITH cl AS (
+        |  SELECT source, n_chars // 100 AS len_bucket, lang, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |cells AS (SELECT source, len_bucket, CAST(SUM(n) AS BIGINT) AS n_cell
+        |  FROM cl GROUP BY 1, 2),
+        |gl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS m FROM cl GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS m_total FROM gl),
+        |perCell AS (
+        |  SELECT c.source, c.len_bucket,
+        |    CAST(SUM(ABS(c.n * t.m_total - g.m * s.n_cell)
+        |        - g.m * s.n_cell) AS BIGINT)
+        |      + MIN(t.m_total * s.n_cell) AS num,
+        |    MIN(s.n_cell) AS n_cell, MIN(t.m_total) AS m_total
+        |  FROM cl c
+        |  JOIN gl g USING (lang)
+        |  JOIN cells s ON s.source = c.source AND s.len_bucket = c.len_bucket
+        |  CROSS JOIN tot t
+        |  GROUP BY 1, 2),
+        |e AS (SELECT CAST(t_tenths AS BIGINT) AS t_tenths, num, n_cell,
+        |    m_total
+        |  FROM perCell CROSS JOIN (SELECT unnest([2, 3, 5]) AS t_tenths))
+        |SELECT t_tenths, COUNT(*) AS n_cells,
+        |  CAST(SUM(CASE WHEN num * 10 > t_tenths * 2 * n_cell * m_total
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_at_risk,
+        |  CAST(SUM(CASE WHEN num * 10 > t_tenths * 2 * n_cell * m_total
+        |    THEN n_cell ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(SUM(CASE WHEN num * 10 > t_tenths * 2 * n_cell * m_total
+        |    THEN n_cell ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n_cell) AS DOUBLE) AS risk_share
+        |FROM e GROUP BY t_tenths""".stripMargin)),
+
     // Gopher document-quality rules (Rae et al. 2021, App. A) — the
     // published named ruleset, as per-rule flags + the combined pass:
     // word count in [50, 100000]; mean word length in [3, 10]; symbol

@@ -290,6 +290,10 @@ class RegistrySpec extends SparkSpec {
       //    the ≤2-row per-arm frame (the p13 scalar-subquery shape); the
       //    only corpus-sized exchange is the user-keyed map-combined sum
       "dq_cuped",
+      //  - dq_t_closeness: the ONE-ROW corpus-total frame cross-joins onto
+      //    the (cell, lang) terms (the tx_bm25 single-row-stats shape);
+      //    everything else is equi-keyed on lang / the QI cell
+      "dq_t_closeness",
       //  - sim_nndescent: the ONE-ROW ring-size scalar cross-joins onto
       //    the id frame for the seed graph (the p13 shape); every
       //    iteration step is keyed joins + k-bounded windows

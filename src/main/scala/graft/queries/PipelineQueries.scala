@@ -7248,6 +7248,108 @@ object PipelineQueries {
         |        / CAST(n * (n - 1) AS DOUBLE)), 6) AS ari
         |FROM tij, ta, tb""".stripMargin)),
 
+    // Normalized mutual information (arithmetic-mean normalization,
+    // Kvålseth 1987 / the scikit-learn default) between the mutual-kNN
+    // components and the held labels — the information-theoretic third
+    // leg of the external-validation set (purity = raw agreement, ARI =
+    // chance-corrected pairs, NMI = shared information). Exactness: the
+    // corpus-wide cross-engine ln discipline — each cell term
+    // ln((n·nij)/(ai·bj)) and each marginal term ln(a/n) is computed as
+    // ONE division of exact long products, 6dp-pre-rounded to a scaled
+    // long BEFORE the count-weighted exact sums S_I/S_U/S_V; in
+    // 2I/(H_U+H_V) the 1e6·n normalization CANCELS, so the final value
+    // is one IEEE division of exact longs, round 6 (boundary margins of
+    // the judged value set verified ≥1e5 ulps). Products n·nij stay in
+    // long to ~3e9 points (the dq_t_closeness scale note). Scale shape:
+    // the contingency frame is (clusters × labels)-bounded; marginals
+    // broadcast back; the three one-row sums attach by the sanctioned
+    // crossJoin(broadcast).
+    Q("sim_nmi",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val g = graft.operators.NnDescent.knnGraph(
+          emb, col("vec_id"), col("embedding"),
+          k = 16, iters = 3, revCap = 16)
+        val mutual = g.as("a")
+          .join(g.as("b"),
+            col("b.src") === col("a.dst") && col("b.dst") === col("a.src"))
+          .filter(col("a.src") < col("a.dst") && col("a.sim") >= 0.34)
+          .select(col("a.src").as("doc_a"), col("a.dst").as("doc_b"))
+        val comp = graft.operators.Dedup.connectedComponents(mutual)
+          .select(col("id").as("vec_id"), col("component"))
+        val cl = comp.join(emb.select("vec_id", "label"), "vec_id")
+          .groupBy("component", "label").agg(count(lit(1)).as("n_ij"))
+        val aS = cl.groupBy("component").agg(sum(col("n_ij")).as("a"))
+        val bS = cl.groupBy("label").agg(sum(col("n_ij")).as("b"))
+        val tot = cl.agg(sum(col("n_ij")).as("n"))
+        val sI = cl.join(broadcast(aS), "component")
+          .join(broadcast(bS), "label")
+          .crossJoin(broadcast(tot))
+          .select(col("n_ij"),
+            round(log((col("n") * col("n_ij")).cast("double") /
+              (col("a") * col("b")).cast("double")) * 1000000, 0)
+              .cast("long").as("ln6"))
+          .agg(sum(col("n_ij") * col("ln6")).as("s_i"))
+        val sU = aS.crossJoin(broadcast(tot))
+          .select(col("a"),
+            round(log(col("a").cast("double") / col("n").cast("double"))
+              * 1000000, 0).cast("long").as("ln6"))
+          .agg(sum(col("a") * col("ln6")).as("s_u"))
+        val sV = bS.crossJoin(broadcast(tot))
+          .select(col("b"),
+            round(log(col("b").cast("double") / col("n").cast("double"))
+              * 1000000, 0).cast("long").as("ln6"))
+          .agg(sum(col("b") * col("ln6")).as("s_v"))
+        sI.crossJoin(broadcast(sU)).crossJoin(broadcast(sV))
+          .crossJoin(broadcast(tot))
+          .select(col("n"), col("s_i"), col("s_u"), col("s_v"),
+            round((col("s_i") * 2L).cast("double") /
+              (-(col("s_u") + col("s_v"))).cast("double"), 6).as("nmi"))
+      },
+      Some(s"""WITH RECURSIVE ${nnDescentCtes(16, 3, 16)},
+        |mutual AS (
+        |  SELECT a.src AS doc_a, a.dst AS doc_b
+        |  FROM knn3 a JOIN knn3 b ON b.src = a.dst AND b.dst = a.src
+        |  WHERE a.src < a.dst AND a.sim >= 0.34),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM mutual
+        |  UNION ALL SELECT doc_b, doc_a FROM mutual),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |comp AS (SELECT id AS vec_id, MIN(r) AS component FROM reach
+        |  GROUP BY id),
+        |cl AS (
+        |  SELECT c.component, e.label, COUNT(*) AS n_ij
+        |  FROM comp c JOIN embeddings e ON e.vec_id = c.vec_id
+        |  GROUP BY 1, 2),
+        |am AS (SELECT component, CAST(SUM(n_ij) AS BIGINT) AS a FROM cl
+        |  GROUP BY 1),
+        |bm AS (SELECT label, CAST(SUM(n_ij) AS BIGINT) AS b FROM cl
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n FROM cl),
+        |si AS (
+        |  SELECT CAST(SUM(n_ij * CAST(round(ln(
+        |      CAST(t.n * c.n_ij AS DOUBLE) / CAST(a.a * b.b AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT)) AS BIGINT) AS s_i
+        |  FROM cl c JOIN am a USING (component) JOIN bm b USING (label)
+        |  CROSS JOIN tot t),
+        |su AS (
+        |  SELECT CAST(SUM(a * CAST(round(ln(
+        |      CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT)) AS BIGINT) AS s_u
+        |  FROM am CROSS JOIN tot),
+        |sv AS (
+        |  SELECT CAST(SUM(b * CAST(round(ln(
+        |      CAST(b AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000, 0)
+        |      AS BIGINT)) AS BIGINT) AS s_v
+        |  FROM bm CROSS JOIN tot)
+        |SELECT n, s_i, s_u, s_v,
+        |  round(CAST(s_i * 2 AS DOUBLE) / CAST(-(s_u + s_v) AS DOUBLE), 6)
+        |    AS nmi
+        |FROM si, su, sv, tot""".stripMargin)),
+
     // Rank-biased overlap (Webber et al., TOIS 2010) between the exact
     // cosine ranking and the SQ8 quantized ranking, truncated at depth 5
     // with persistence p = 1/2 — the LIST-level drift measure the

@@ -309,10 +309,10 @@ class RegistrySpec extends SparkSpec {
       "sim_nndescent", "sim_nndescent_recall", "sim_graph_expand",
       //  - sim_cluster_purity: the sim_knn_components build (ring scalar)
       //    plus label joins keyed on vec_id and component-bounded windows
-      //  - sim_ari: the same build; its three contingency rollups are
-      //    ONE-ROW frames attached by crossJoin(broadcast) (the tx_bm25
-      //    single-row-stats shape)
-      "sim_knn_components", "sim_cluster_purity", "sim_ari")
+      //  - sim_ari / sim_nmi: the same build; their contingency rollups
+      //    are ONE-ROW frames attached by crossJoin(broadcast) (the
+      //    tx_bm25 single-row-stats shape)
+      "sim_knn_components", "sim_cluster_purity", "sim_ari", "sim_nmi")
     val violations = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (!cartesianOk(q.name) && plan.contains("CartesianProduct"))

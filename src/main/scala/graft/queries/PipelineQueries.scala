@@ -6597,6 +6597,102 @@ object PipelineQueries {
         |  CAST(sg AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE) AS ece
         |FROM m""".stripMargin)),
 
+    // Split conformal calibration (Vovk's inductive conformal;
+    // Angelopoulos & Bates 2021 §1 notation) — the distribution-free
+    // guarantee layer over the same raw signal dq_auc ranks and
+    // dq_calibration/dq_ece probability-check: on the md5 calibration
+    // half (trainValSplit, the single split definition), the
+    // ⌈(n_cal+1)(1−α)⌉-th largest positive-class score becomes the
+    // acceptance threshold; the held-out half then reports empirical
+    // positive coverage, which the conformal theorem lower-bounds by
+    // 1−α. Exactness: scores are the exact stopword/token int ratios
+    // (one division, the dq_auc value set); the threshold is an ORDER
+    // STATISTIC — selected at an integer rank on the distinct-score
+    // frame (first score whose desc-cumulative count reaches k), no new
+    // rounding anywhere; k's ceil((n_cal+1)·(1−α)) is the one mirrored
+    // double chain. Scale shape: two corpus passes collapse to
+    // distinct-score / per-α frames; the one-row n_cal attaches by the
+    // sanctioned crossJoin(broadcast); the 2-row threshold frame joins
+    // the eval side BY α (equi, broadcast). The desc-cumulative window
+    // rides the distinct-score-bounded frame (the dq_auc shape).
+    Q("dq_conformal",
+      (s, d) => {
+        val scored = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            (TextFunctions.stopwordCount(col("text"),
+              TextFunctions.EnglishStopwords).cast("double") /
+              nullif(TextFunctions.tokenCount(col("text")), lit(0))
+                .cast("double")).as("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+            trainValSplit(col("doc_id")).as("split"))
+          .filter(col("score").isNotNull)
+        val cal = scored.filter(col("split") === "train" && col("y") === 1L)
+        val nCal = cal.agg(count(lit(1)).as("n_cal"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val thr = cal.groupBy("score").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .crossJoin(broadcast(nCal))
+          .select(col("score"), col("cum"), col("n_cal"),
+            explode(array(lit(0.1), lit(0.2))).as("alpha"))
+          .withColumn("k",
+            ceil((col("n_cal") + 1).cast("double") * (lit(1.0) - col("alpha")))
+              .cast("long"))
+          .groupBy("alpha")
+          .agg(min(col("n_cal")).as("n_cal"), min(col("k")).as("k"),
+            max(when(col("cum") >= col("k"), col("score"))).as("thr"))
+        scored.filter(col("split") === "val" && col("y") === 1L)
+          .select(col("score"),
+            explode(array(lit(0.1), lit(0.2))).as("alpha"))
+          .join(broadcast(thr), "alpha")
+          .groupBy("alpha")
+          .agg(min(col("n_cal")).as("n_cal"), min(col("k")).as("k"),
+            min(col("thr")).as("thr"), count(lit(1)).as("n_test_pos"),
+            sum(when(col("score") >= col("thr"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .select(col("alpha"), col("n_cal"), col("k"), col("thr"),
+            col("n_test_pos"), col("n_covered"),
+            (col("n_covered").cast("double") /
+              col("n_test_pos").cast("double")).as("coverage"))
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(str_split(text, ' '),
+        |           w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / NULLIF(len(str_split(text, ' ')), 0) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |         THEN 'train' ELSE 'val' END AS split
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT * FROM f WHERE score IS NOT NULL),
+        |cal AS (SELECT score FROM s WHERE split = 'train' AND y = 1),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+        |bys AS (SELECT score, COUNT(*) AS c FROM cal GROUP BY 1),
+        |cm AS (SELECT score, SUM(c) OVER (ORDER BY score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bys),
+        |th AS (
+        |  SELECT alpha, MIN(n_cal) AS n_cal, MIN(k) AS k,
+        |    MAX(CASE WHEN cum >= k THEN score END) AS thr
+        |  FROM (SELECT c.score, c.cum, n.n_cal, a.alpha,
+        |      CAST(ceil(CAST(n.n_cal + 1 AS DOUBLE) * (1 - a.alpha))
+        |        AS BIGINT) AS k
+        |    FROM cm c CROSS JOIN nc n
+        |    CROSS JOIN (SELECT CAST(unnest([0.1, 0.2]) AS DOUBLE) AS alpha)
+        |      a)
+        |  GROUP BY alpha),
+        |test AS (SELECT score FROM s WHERE split = 'val' AND y = 1)
+        |SELECT t.alpha, t.n_cal, t.k, t.thr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test_pos,
+        |  CAST(SUM(CASE WHEN te.score >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  CAST(SUM(CASE WHEN te.score >= t.thr THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS coverage
+        |FROM test te CROSS JOIN th t
+        |GROUP BY 1, 2, 3, 4""".stripMargin)),
+
     // Near-dup cluster-size histogram — the data-card number behind the
     // keep decisions (dd_neardup_keep / dd_cluster_keep_best): how many
     // clusters of each multiplicity exist and how much of the corpus is

@@ -294,6 +294,10 @@ class RegistrySpec extends SparkSpec {
       //    the (cell, lang) terms (the tx_bm25 single-row-stats shape);
       //    everything else is equi-keyed on lang / the QI cell
       "dq_t_closeness",
+      //  - dq_conformal: the ONE-ROW n_cal frame cross-joins onto the
+      //    distinct-score cumulative frame (the p13 shape); the 2-row
+      //    threshold frame joins the eval side BY alpha (equi, broadcast)
+      "dq_conformal",
       //  - sim_nndescent: the ONE-ROW ring-size scalar cross-joins onto
       //    the id frame for the seed graph (the p13 shape); every
       //    iteration step is keyed joins + k-bounded windows

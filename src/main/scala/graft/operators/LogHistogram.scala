@@ -42,54 +42,70 @@ object LogHistogram {
   private def shiftOf(v: Column): Column =
     greatest(lit(0), length(bin(v)) - 1 - Resolution)
 
-  /** ≤ ~2k rows (shift, m, c): the log-bucket histogram of the
-    * non-negative integer `valueCol` over `df` (null values excluded —
-    * callers pre-filter to make the population explicit). */
-  def buckets(df: DataFrame, valueCol: Column): DataFrame =
-    df.select(valueCol.cast("long").as("__v"))
+  /** Per-group log-bucket histograms: ≤ ~2k rows PER KEY of
+    * (keys..., shift, m, c) for the non-negative integer `valueCol`
+    * over `df` (null values excluded — callers pre-filter to make the
+    * population explicit). One map-combined groupBy over a projection. */
+  def bucketsBy(df: DataFrame, keys: Seq[Column],
+      valueCol: Column): DataFrame = {
+    val keyed = df.select(keys :+ valueCol.cast("long").as("__v"): _*)
       .filter(col("__v").isNotNull)
-      .select(shiftOf(col("__v")).as("shift"), col("__v"))
-      .select(col("shift"),
-        expr("shiftright(__v, shift)").as("m"))
-      .groupBy("shift", "m").agg(count(lit(1)).as("c"))
+      .withColumn("shift", shiftOf(col("__v")))
+      .withColumn("m", expr("shiftright(__v, shift)"))
+    val keyNames = keyed.columns.filterNot(Set("__v", "shift", "m"))
+    keyed.groupBy((keyNames.map(col) :+ col("shift") :+ col("m")): _*)
+      .agg(count(lit(1)).as("c"))
+  }
 
-  /** Fold any union of histogram frames back to one histogram — plain
-    * addition (linear sketch), associative and commutative, NOT
-    * idempotent (see object scaladoc). */
-  def merge(hists: DataFrame): DataFrame =
-    hists.groupBy("shift", "m").agg(sum(col("c")).as("c"))
+  /** The ungrouped histogram: ≤ ~2k rows (shift, m, c). */
+  def buckets(df: DataFrame, valueCol: Column): DataFrame =
+    bucketsBy(df, Nil, valueCol)
 
-  /** Serve quantiles from a (merged) histogram: one row per q with the
-    * population size, the target rank ceil(q·n), and the containing
-    * bucket's [lo, hi]. Every frame here is histogram-bounded (≤ ~2k
-    * rows) — the cumulative window and the per-q argmin never see the
-    * corpus. */
-  def quantiles(hist: DataFrame, qs: Seq[Double]): DataFrame = {
-    val spark = hist.sparkSession
-    import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("lo")
+  /** Fold any union of (optionally keyed) histogram frames back to one
+    * histogram per key — plain addition (linear sketch), associative
+    * and commutative, NOT idempotent (see object scaladoc). */
+  def mergeBy(hists: DataFrame, keys: Seq[String]): DataFrame =
+    hists.groupBy((keys.map(col) :+ col("shift") :+ col("m")): _*)
+      .agg(sum(col("c")).as("c"))
+
+  def merge(hists: DataFrame): DataFrame = mergeBy(hists, Nil)
+
+  /** Serve quantiles per key from (merged) keyed histograms: one row
+    * per (key, q) with the key's population size, the target rank
+    * ceil(q·n), and the containing bucket's [lo, hi]. Every frame here
+    * is histogram-bounded (≤ ~2k rows per key) — the key-partitioned
+    * cumulative window and the per-q argmin never see the corpus. */
+  def quantilesBy(hist: DataFrame, keys: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    val kcols = keys.map(col)
+    val ordW = org.apache.spark.sql.expressions.Window
+      .partitionBy(kcols: _*).orderBy("lo")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val bounded = merge(hist)
-      .select(col("c"),
+    val allW = org.apache.spark.sql.expressions.Window
+      .partitionBy(kcols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val bounded = mergeBy(hist, keys)
+      .select(kcols ++ Seq(col("c"),
         expr("shiftleft(m, shift)").as("lo"),
-        expr("shiftleft(m + 1, shift) - 1").as("hi"))
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n", sum(col("c")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy()
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
-    qs.toDF("q")
-      .join(bounded,
-        col("cum") >= ceil(col("q") * col("n").cast("double")).cast("long"))
-      .groupBy("q")
+        expr("shiftleft(m + 1, shift) - 1").as("hi")): _*)
+      .withColumn("cum", sum(col("c")).over(ordW))
+      .withColumn("n", sum(col("c")).over(allW))
+    bounded
+      .select(kcols ++ Seq(col("cum"), col("n"), col("lo"), col("hi"),
+        explode(array(qs.map(lit(_)): _*)).as("q")): _*)
+      .filter(col("cum") >= ceil(col("q") * col("n").cast("double")).cast("long"))
+      .groupBy((kcols :+ col("q")): _*)
       .agg(min(col("n")).as("n"),
         min_by(struct(col("lo"), col("hi")), col("lo")).as("b"))
-      .select(col("q"), col("n"),
+      .select(kcols ++ Seq(col("q"), col("n"),
         ceil(col("q") * col("n").cast("double")).cast("long").as("rank"),
-        col("b.lo").as("lo"), col("b.hi").as("hi"))
+        col("b.lo").as("lo"), col("b.hi").as("hi")): _*)
   }
+
+  /** The ungrouped serve: one row per q. */
+  def quantiles(hist: DataFrame, qs: Seq[Double]): DataFrame =
+    quantilesBy(hist, Nil, qs)
 
   /** Serve quantiles from a streaming histogram ledger (per-batch
     * `batch_id=N` partitions): sum the histogram-bounded ledger rows

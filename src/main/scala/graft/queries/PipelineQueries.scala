@@ -6914,6 +6914,47 @@ object PipelineQueries {
     // ranked by (freq desc, token), split into 10 rank deciles, per decile
     // the type count, occurrence mass, share and cumulative share. All
     // integer counts; shares divide exact longs. Scale shape: ONE
+    // Per-source document-length quantile brackets — the batch face of
+    // the LogHistogram contract (the streaming st_quantile_ledger serves
+    // the same formula from per-batch partitions): per source, p50/p90
+    // of length(text) as the CONTAINING BUCKET of rank ceil(q·n) —
+    // bucketing by pure integer bit ops (shift = max(0, bitlength−1−5)),
+    // a rank-bracket guarantee with ≈3% bucket width, no log(), no
+    // sampling. The per-domain length data card behind chunking/packing
+    // parameter choices. Scale shape: one map-combined (source, shift,
+    // m) count collapses the corpus; the cumulative window and per-q
+    // argmin ride the ≤~2k-rows-per-source histogram frame.
+    Q("tx_length_quantiles",
+      (s, d) => graft.operators.LogHistogram.quantilesBy(
+        graft.operators.LogHistogram.bucketsBy(
+          t(s, d, "documents").filter(col("text").isNotNull),
+          Seq(col("source")), length(col("text"))),
+        Seq("source"), Seq(0.5, 0.9)),
+      Some("""WITH v AS (
+        |  SELECT source, length(text) AS v FROM documents
+        |  WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT source, GREATEST(0, length(bin(v)) - 1 - 5) AS shift,
+        |    v >> GREATEST(0, length(bin(v)) - 1 - 5) AS m, COUNT(*) AS c
+        |  FROM v GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT source, (m << shift) AS lo, ((m + 1) << shift) - 1 AS hi,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY (m << shift)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM b),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+        |SELECT source, q, CAST(n AS BIGINT) AS n,
+        |  CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT) AS rank,
+        |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
+        |FROM (
+        |  SELECT c.source, qs.q, c.n, c.lo, c.hi,
+        |    row_number() OVER (PARTITION BY c.source, qs.q
+        |      ORDER BY c.lo) AS rn
+        |  FROM qs JOIN cum c
+        |    ON c.cum >= ceil(qs.q * CAST(c.n AS DOUBLE)))
+        |WHERE rn = 1""".stripMargin)),
+
     // token-keyed aggregate over the corpus; the ranking window and decile
     // rollup run on the VOCABULARY-sized frame (the tx_zipf discipline),
     // never the corpus.

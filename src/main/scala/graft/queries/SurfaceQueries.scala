@@ -344,6 +344,37 @@ object SurfaceQueries {
       Some("""SELECT doc_id, unnest(str_split(text, ' ')) AS tok
         |FROM documents WHERE doc_id < 100""".stripMargin)),
 
+    // Correlated scalar-aggregate subqueries through the parser (the
+    // TPC-H Q17 "small-quantity orders" shape) — exercises Catalyst's
+    // subquery decorrelation: both per-part scalar subqueries rewrite to
+    // ONE partkey-keyed aggregate joined back (never a per-row probe).
+    // The published predicate l_quantity < 0.2·avg(l_quantity) is kept
+    // EXACT by cross-multiplication — q·5·cnt < sum on integral
+    // quantities — so no float average ever enters a comparison (the
+    // dq_t_closeness discipline applied to the SQL surface); revenue
+    // accumulates as decimal(20,4), cast to double once at the end (the
+    // q11 convention).
+    Q("q18_correlated_avg",
+      (s, d) => views(s, d, "lineitem").sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+          |    AS revenue
+          |FROM lineitem l
+          |WHERE CAST(l_quantity AS BIGINT) * 5 *
+          |    (SELECT COUNT(*) FROM lineitem l2
+          |     WHERE l2.l_partkey = l.l_partkey)
+          |  < (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+          |     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |WHERE CAST(l_quantity AS BIGINT) * 5 *
+        |    (SELECT COUNT(*) FROM lineitem l2
+        |     WHERE l2.l_partkey = l.l_partkey)
+        |  < (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)),
+
     // CTE + multi-join + exact-decimal revenue rollup (TPC-H Q5 shape).
     Q("q11_cte_revenue",
       (s, d) => views(s, d, "customer", "orders", "lineitem", "nation").sql(

@@ -593,6 +593,101 @@ object SurfaceQueries {
         |WHERE CAST(doc_id % 2147483648 * 2654435761 % 4294967296 AS DOUBLE) / 4294967296.0
         |      < least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0)""".stripMargin)),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis & Spirakis, IPL
+    // 2006 A-Res): the top-k docs by u^(1/w) — equivalently the k
+    // SMALLEST (−ln u)/w — where u is the deterministic 6-hex-digit md5
+    // draw in (0, 1] (the dq_bootstrap idiom) and w = n_chars, so longer
+    // docs are proportionally likelier but each doc lands at most once
+    // (sm_weighted_sample is the Bernoulli/with-replacement counterpart).
+    // Exactness: ln u is 6dp-pre-rounded to a scaled long ONCE (the
+    // corpus-wide ln discipline — the sample is then a deterministic
+    // function of ids and weights on any engine); the sort key is one
+    // IEEE division of exact longs, ties broken by doc_id. Scale shape:
+    // row-local keying + TakeOrderedAndProject — k-bounded, no shuffle
+    // beyond the top-k reduction, the q03 top-k contract.
+    Q("sm_weighted_wor",
+      (s, d) => {
+        val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":wor"))), 1, 6), 16, 10).cast("long")
+        val lnu6 = round(log((u + 1).cast("double") / lit(16777216.0))
+          * 1000000, 0).cast("long")
+        val keyRaw = (-col("lnu6")).cast("double") / col("n_chars").cast("double")
+        t(s, d, "documents").filter(col("n_chars").isNotNull)
+          .select(col("doc_id"), col("n_chars"), lnu6.as("lnu6"))
+          .orderBy(keyRaw, col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), col("n_chars"), col("lnu6"),
+            round(keyRaw, 6).as("key6"))
+      },
+      Some("""WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |  ( (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':wor'), 1, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':wor'), 2, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':wor'), 3, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':wor'), 4, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':wor'), 5, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':wor'), 6, 1)) - 1) ) AS f
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |k AS (SELECT doc_id, n_chars,
+        |    CAST(round(ln(CAST(f + 1 AS DOUBLE) / 16777216.0) * 1000000, 0)
+        |      AS BIGINT) AS lnu6
+        |  FROM h)
+        |SELECT doc_id, n_chars, lnu6,
+        |  round(CAST(-lnu6 AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS key6
+        |FROM k
+        |ORDER BY CAST(-lnu6 AS DOUBLE) / CAST(n_chars AS DOUBLE), doc_id
+        |LIMIT 50""".stripMargin)),
+
+    // Per-stratum weighted sampling without replacement: A-Res (the
+    // sm_weighted_wor key, fresh ':gwor' salt) applied INDEPENDENTLY per
+    // source — the top-10 docs per source by (−lnu6)/n_chars — the shape a
+    // per-domain curation quota actually needs (a corpus-global WOR pass
+    // lets one heavy domain crowd out the rest). Same determinism contract:
+    // the ln draw is 6dp-pre-rounded to a scaled long once, the key is one
+    // IEEE division of exact longs, doc_id breaks ties. Scale shape: ONE
+    // shuffle on the stratum key and a rank filter the optimizer lowers to
+    // WindowGroupLimit — per-partition top-k heaps before the exchange, so
+    // the full corpus never sorts (the w1/w4 window contract).
+    Q("sm_group_wor",
+      (s, d) => {
+        val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":gwor"))), 1, 6), 16, 10).cast("long")
+        val lnu6 = round(log((u + 1).cast("double") / lit(16777216.0))
+          * 1000000, 0).cast("long")
+        val keyRaw = (-col("lnu6")).cast("double") / col("n_chars").cast("double")
+        val w = Window.partitionBy("source")
+          .orderBy(keyRaw.asc, col("doc_id").asc)
+        t(s, d, "documents").filter(col("n_chars").isNotNull)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            lnu6.as("lnu6"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("source"), col("doc_id"), col("n_chars"), col("lnu6"),
+            col("rn"), round(keyRaw, 6).as("key6"))
+      },
+      Some("""WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |  ( (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':gwor'), 1, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':gwor'), 2, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':gwor'), 3, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':gwor'), 4, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':gwor'), 5, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR || ':gwor'), 6, 1)) - 1) ) AS f
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |k AS (SELECT source, doc_id, n_chars,
+        |    CAST(round(ln(CAST(f + 1 AS DOUBLE) / 16777216.0) * 1000000, 0)
+        |      AS BIGINT) AS lnu6
+        |  FROM h),
+        |r AS (SELECT source, doc_id, n_chars, lnu6,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(-lnu6 AS DOUBLE) / CAST(n_chars AS DOUBLE), doc_id)
+        |      AS INT) AS rn,
+        |    round(CAST(-lnu6 AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS key6
+        |  FROM k)
+        |SELECT source, doc_id, n_chars, lnu6, rn, key6
+        |FROM r WHERE rn <= 10
+        |ORDER BY source, rn""".stripMargin)),
+
     // Stratified deterministic sample: first 100 of each stratum in
     // hash-of-key order (reproducible train-data subsampling per class).
     Q("sm_stratified",

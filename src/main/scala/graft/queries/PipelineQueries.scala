@@ -1341,6 +1341,92 @@ object PipelineQueries {
         |FROM p""".stripMargin)),
 
     // Mann–Whitney U between the arms (Wilcoxon rank-sum) — the
+    // Minimum detectable effect at the observed arm sizes/variances — the
+    // DESIGN-stage readout the a/b family still lacked (dq_srm validates
+    // the split, dq_ab_welch tests the observed effect, this one answers
+    // "what effect COULD this experiment have seen?" — the number a
+    // power analysis quotes before launch and a null readout quotes
+    // after): MDE = (z_{α/2} + z_β)·SE with α=0.05 two-sided, power
+    // 0.80, so the z sum enters as the single literal 2.801585
+    // (1.959964 + 0.841621 — the dq_srm critical-value-as-literal
+    // contract) and SE is the same Welch standard error dq_ab_welch
+    // uses, from the same exact-decimal sufficient statistics. Relative
+    // MDE divides by the pooled mean. All doubles are fixed mirrored
+    // chains over exact decimal→double casts, rounded once. Scale
+    // shape: identical to dq_ab_welch — one user-keyed map-combined
+    // aggregate into the ≤2-row arm frame, pivoted by conditional max.
+    Q("dq_power_mde",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val byArm = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+            .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("y"))
+          .groupBy("arm")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("y")).cast("double").as("sy"),
+            sum((col("y") * col("y")).cast("decimal(38,8)")).cast("double")
+              .as("sy2"))
+        val p = byArm.agg(
+          max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("sy"))).as("sy_a"),
+          max(when(col("arm") === "A", col("sy2"))).as("sy2_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("sy"))).as("sy_b"),
+          max(when(col("arm") === "B", col("sy2"))).as("sy2_b"))
+        val varA = (col("sy2_a") - col("sy_a") * col("sy_a") / col("n_a")) /
+          (col("n_a") - lit(1.0))
+        val varB = (col("sy2_b") - col("sy_b") * col("sy_b") / col("n_b")) /
+          (col("n_b") - lit(1.0))
+        val se = sqrt(varA / col("n_a") + varB / col("n_b"))
+        val pooledMean = (col("sy_a") + col("sy_b")) /
+          (col("n_a") + col("n_b"))
+        p.select(
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          round(sqrt(varA), 6).as("sd_a"),
+          round(sqrt(varB), 6).as("sd_b"),
+          round(lit(2.801585) * se, 6).as("mde_abs"),
+          round(lit(2.801585) * se / pooledMean, 6).as("mde_rel"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    y
+        |  FROM bu),
+        |ba AS (
+        |  SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS sy2
+        |  FROM armed GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sy END) AS sy_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sy2 END) AS sy2_a,
+        |    MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sy END) AS sy_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sy2 END) AS sy2_b
+        |  FROM ba)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(sqrt((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)), 6) AS sd_a,
+        |  round(sqrt((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)), 6) AS sd_b,
+        |  round(2.801585 * sqrt(
+        |      ((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a
+        |    + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b), 6)
+        |    AS mde_abs,
+        |  round(2.801585 * sqrt(
+        |      ((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a
+        |    + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b)
+        |    / ((sy_a + sy_b) / (n_a + n_b)), 6) AS mde_rel
+        |FROM p""".stripMargin)),
+
     // nonparametric partner of dq_ab_welch for skewed per-user metrics
     // (this events metric IS right-skewed, see a21): midranks kept EXACT
     // as the integer r2 = 2·min_rank + (t − 1) (twice the midrank — no

@@ -3267,6 +3267,91 @@ object PipelineQueries {
         |FROM spans s JOIN toks t USING (doc_id)
         |WHERE s.len >= 12""".stripMargin)),
 
+    // Content-defined chunking dedup (the LBFS idea, Muthitacharoen et
+    // al. SOSP 2001 — storage-level dedup below document granularity,
+    // what actually reclaims bytes when near-identical docs share long
+    // runs): a position starts a chunk when the 8-char window hashed at
+    // it lands in 1/16 of hash space, so boundaries move WITH the
+    // content — an insertion re-chunks only its neighborhood, unlike
+    // fixed-stride blocks where one shifted byte breaks every downstream
+    // block (tx_chunking is that fixed-stride counterpart). The judged
+    // surface: per-source chunk counts, distinct-chunk counts, and the
+    // byte dedup ratio 1 − distinct_chars/total_chars. The boundary
+    // predicate is stateless (no min-chunk suppression), so chunking is
+    // a pure row-local array program — split points, spans, and chunk
+    // hashes all materialize inside the row via transform/filter/
+    // zip_with, and ONLY (source, chunk_hash) rows shuffle to the two
+    // map-combined rollups. Exactness: md5 window predicate, md5 chunk
+    // identity, exact integer char sums, one IEEE division rounded 6dp.
+    // 100 TB note: the per-position md5 is the judged SEMANTICS; the
+    // production scan swaps it for a gear rolling hash (FastCDC, ATC
+    // 2016) in a codegen Expression with the same boundary rule shape —
+    // chunking stays row-local either way, so the plan does not change.
+    Q("dd_cdc_chunks",
+      (s, d) => {
+        val docs = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").filter(col("text").isNotNull))
+          .select(col("source"), col("text"), length(col("text")).as("len"))
+        val bounds = when(col("len") >= 9,
+          filter(transform(sequence(lit(2), col("len") - 7),
+            i => when(substring(md5(col("text").substr(i, lit(8))
+              .cast("binary")), 1, 1) === "0", i)),
+            x => x.isNotNull))
+          .otherwise(array().cast("array<int>"))
+        val chunks = docs
+          .select(col("source"), col("text"), col("len"),
+            concat(array(lit(1)), bounds).as("starts"))
+          .select(col("source"), col("text"),
+            explode(zip_with(col("starts"),
+              concat(slice(col("starts"), lit(2), size(col("starts"))),
+                array(col("len") + 1)),
+              (st, nx) => struct(st.as("s"), nx.as("n")))).as("c"))
+          .select(col("source"),
+            md5(col("text").substr(col("c.s"), col("c.n") - col("c.s"))
+              .cast("binary")).as("h"),
+            (col("c.n") - col("c.s")).as("clen"))
+        chunks
+          .groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("cnt"), min(col("clen")).as("clen"))
+          .groupBy("source")
+          .agg(sum(col("cnt")).as("n_chunks"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("clen").cast("long") * col("cnt")).as("chars_total"),
+            sum(col("clen").cast("long")).as("chars_distinct"))
+          .select(col("source"), col("n_chunks"), col("n_distinct"),
+            col("chars_total"), col("chars_distinct"),
+            round(lit(1.0) - col("chars_distinct").cast("double") /
+              col("chars_total").cast("double"), 6).as("dedup_ratio"))
+      },
+      Some("""WITH docs AS (
+        |  SELECT doc_id, source, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, source, text, len, u.i
+        |  FROM docs, LATERAL unnest(generate_series(2, len - 7)) AS u(i)
+        |  WHERE substring(md5(substring(text, i, 8)), 1, 1) = '0'),
+        |starts AS (
+        |  SELECT doc_id, source, text, len, 1 AS s FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, source, text, len, i FROM b),
+        |sp AS (
+        |  SELECT doc_id, source, text, s,
+        |    COALESCE(lead(s) OVER (PARTITION BY doc_id ORDER BY s), len + 1)
+        |      AS nxt
+        |  FROM starts),
+        |ch AS (SELECT source, md5(substring(text, s, nxt - s)) AS h,
+        |    nxt - s AS clen
+        |  FROM sp),
+        |g AS (SELECT source, h, COUNT(*) AS cnt, MIN(clen) AS clen
+        |  FROM ch GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(clen * cnt) AS BIGINT) AS chars_total,
+        |  CAST(SUM(clen) AS BIGINT) AS chars_distinct,
+        |  round(1.0 - CAST(SUM(clen) AS DOUBLE)
+        |    / CAST(SUM(clen * cnt) AS DOUBLE), 6) AS dedup_ratio
+        |FROM g GROUP BY source""".stripMargin)),
+
     // Overlapping document chunking (width 32, stride 16) — the windowing
     // pass before embedding/RAG indexing: each doc explodes into its token
     // windows row-locally (sequence + posexplode generators, no shuffle),
@@ -7136,6 +7221,60 @@ object PipelineQueries {
         |FROM nn JOIN sub a ON a.vec_id = nn.query_id
         |JOIN sub b ON b.vec_id = nn.neighbor_id
         |GROUP BY a.label""".stripMargin)),
+
+    // Nearest-centroid (Rocchio) classification confusion matrix — the
+    // parametric partner of sim_1nn_accuracy: train per-label mean
+    // vectors on the held-out remainder (vec_id >= 256, disjoint from
+    // the 256-vector eval subset — a real train/test split, not
+    // leave-one-out), assign each eval vector to its most-cosine-similar
+    // centroid, report (label, y_hat, n). Where 1-NN measures local
+    // neighborhood purity, the centroid probe measures global class
+    // separability — linear-probe-style — and its full confusion matrix
+    // names WHICH classes blur. Determinism: the per-label VectorSum is
+    // an exact double sum (24-bit float mantissas, span << 53 bits — no
+    // rounding ever fires, so order-invariant), one IEEE division per
+    // dim, 4dp cosine, label-asc tiebreak. Scale shape: train collapses
+    // via ONE map-combined VectorSum per label; eval is a corpus pass
+    // against the ≤|labels|-row broadcast — never a pairwise join.
+    Q("sim_rocchio_accuracy",
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val e = t(s, d, "embeddings")
+        val cents = graft.operators.Parallelism.fanOut(
+            e.filter(col("vec_id") >= 256))
+          .groupBy(col("label").as("c_label"))
+          .agg(VectorFunctions.vectorSum(col("embedding"), 64).as("sum"),
+            count(when(size(col("embedding")) === 64, 1)).as("n"))
+          .select(col("c_label"),
+            transform(col("sum"), x => x / col("n")).as("centroid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("c_label").asc)
+        e.filter(col("vec_id") < 256)
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("c_label"),
+            VectorFunctions.cosineRounded(col("embedding"), col("centroid"))
+              .as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"), col("c_label").as("y_hat"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH pos AS (SELECT i FROM range(1, 65) t(i)),
+        |cent AS (SELECT c_label, list(a ORDER BY i) AS centroid FROM (
+        |  SELECT label AS c_label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS a
+        |  FROM embeddings CROSS JOIN pos WHERE vec_id >= 256
+        |  GROUP BY label, i) GROUP BY c_label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, c.c_label,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      c.centroid), 4) AS sim
+        |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 256),
+        |pick AS (SELECT vec_id, label, c_label,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, c_label) AS rn
+        |  FROM scored)
+        |SELECT label, c_label AS y_hat, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin)),
 
     // NN-Descent k-NN graph construction (Dong, Moses & Li, WWW 2011) —
     // the all-corpus neighbor graph (input to graph-ANN serving, near-dup

@@ -151,6 +151,10 @@ class RegistrySpec extends SparkSpec {
       //    verification subset (the sim_hubness shape); labels attach as
       //    keyed broadcasts
       "sim_1nn_accuracy",
+      //  - sim_rocchio_accuracy: the emb_centroid_outliers shape — the
+      //    eval scan cross-joins the broadcast ≤|labels|-row centroid
+      //    frame (train collapses through one map-combined VectorSum)
+      "sim_rocchio_accuracy",
       "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",

@@ -1427,6 +1427,219 @@ object PipelineQueries {
         |    / ((sy_a + sy_b) / (n_a + n_b)), 6) AS mde_rel
         |FROM p""".stripMargin)),
 
+    // Always-valid p-value by mixture SPRT (Johari, Koomen, Pekelis &
+    // Walsh, KDD 2017 — the "peeking" fix: a p-value that stays a
+    // p-value under CONTINUOUS monitoring, which is how every real
+    // experiment dashboard is actually read; dq_ab_welch's fixed-horizon
+    // t-test is only valid at one predeclared n): for the two-sample
+    // normal mean difference with mixing prior N(0, τ²), τ² = 1 declared
+    // at the metric's scale, Λ = sqrt(V/(V+τ²)) · exp(θ̂²τ²/(2V(V+τ²)))
+    // with θ̂ the arm mean difference and V its Welch variance — the same
+    // exact-decimal sufficient statistics as dq_ab_welch/dq_power_mde.
+    // p = min(1, 1/Λ). Determinism: sqrt is IEEE-exact; the one libm exp
+    // gets the corpus ln discipline — its argument is 6dp-PRE-rounded
+    // (bit-identical input on both engines), the result rounded once, p
+    // derived from the ROUNDED Λ. Scale shape: the dq_ab_welch envelope
+    // — one user-keyed map-combined pass into the 2-row arm frame.
+    Q("dq_msprt",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val byArm = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+            .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("y"))
+          .groupBy("arm")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("y")).cast("double").as("sy"),
+            sum((col("y") * col("y")).cast("decimal(38,8)")).cast("double")
+              .as("sy2"))
+        val p = byArm.agg(
+          max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("sy"))).as("sy_a"),
+          max(when(col("arm") === "A", col("sy2"))).as("sy2_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("sy"))).as("sy_b"),
+          max(when(col("arm") === "B", col("sy2"))).as("sy2_b"))
+        val v = ((col("sy2_a") - col("sy_a") * col("sy_a") / col("n_a")) /
+            (col("n_a") - lit(1.0))) / col("n_a") +
+          ((col("sy2_b") - col("sy_b") * col("sy_b") / col("n_b")) /
+            (col("n_b") - lit(1.0))) / col("n_b")
+        val theta = col("sy_a") / col("n_a") - col("sy_b") / col("n_b")
+        val ea = round(theta * theta * lit(1.0) /
+          (lit(2.0) * v * (v + lit(1.0))), 6)
+        p.select(
+            col("n_a").cast("long").as("n_a"),
+            col("n_b").cast("long").as("n_b"),
+            round(theta, 6).as("theta"),
+            round(sqrt(v / (v + lit(1.0))) * exp(ea), 6).as("lambda"))
+          .select(col("n_a"), col("n_b"), col("theta"), col("lambda"),
+            round(least(lit(1.0), lit(1.0) / col("lambda")), 6)
+              .as("p_always_valid"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    y
+        |  FROM bu),
+        |ba AS (
+        |  SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS sy2
+        |  FROM armed GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sy END) AS sy_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sy2 END) AS sy2_a,
+        |    MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sy END) AS sy_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sy2 END) AS sy2_b
+        |  FROM ba),
+        |vt AS (
+        |  SELECT n_a, n_b,
+        |    ((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a
+        |      + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b AS v,
+        |    sy_a / n_a - sy_b / n_b AS theta
+        |  FROM p),
+        |lam AS (
+        |  SELECT n_a, n_b, theta,
+        |    round(sqrt(v / (v + 1.0))
+        |      * exp(round(theta * theta * 1.0 / (2.0 * v * (v + 1.0)), 6)),
+        |      6) AS lambda
+        |  FROM vt)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(theta, 6) AS theta, lambda,
+        |  round(least(1.0, 1.0 / lambda), 6) AS p_always_valid
+        |FROM lam""".stripMargin)),
+
+    // Delta-method inference for a RATIO metric (Deng, Knoblich & Lu,
+    // KDD 2018): value-per-event R = Σy/Σx is a ratio of sums whose
+    // denominator is itself random, so the naive per-user-mean variance
+    // is simply wrong for it — the standard error needs the full
+    // (var_y − 2R·cov_xy + R²·var_x) Taylor term over user-level
+    // (x = event count, y = value sum) pairs. This is the readout every
+    // CTR/revenue-per-session experiment actually ships, and the one
+    // member of the inference family (welch/mde/msprt are per-user-mean
+    // tests) that handles unit-of-analysis ≠ unit-of-randomization.
+    // Exactness: x sums are exact longs, y/xy/y2 exact decimals (the
+    // a11_corr sufficient-statistics discipline), then one fixed
+    // mirrored double chain per arm and a z for the A−B contrast,
+    // rounded once each. Scale shape: the dq_ab_welch envelope — one
+    // user-keyed map-combined pass into the 2-row arm frame, pivoted by
+    // conditional max.
+    Q("dq_delta_ratio",
+      (s, d) => {
+        val byArm = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("x"),
+            sum(col("value").cast("decimal(20,4)")).cast("decimal(20,4)")
+              .as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("x"), col("y"))
+          .groupBy("arm")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("x") * col("x")).cast("double").as("sx2"),
+            sum((col("x").cast("decimal(20,4)") * col("y"))
+              .cast("decimal(38,8)")).cast("double").as("sxy"),
+            sum((col("y") * col("y")).cast("decimal(38,8)")).cast("double")
+              .as("sy2"))
+        val pivCols = Seq("n", "sx", "sy", "sx2", "sxy", "sy2").flatMap(c =>
+          Seq(max(when(col("arm") === "A", col(c))).as(s"${c}_a"),
+            max(when(col("arm") === "B", col(c))).as(s"${c}_b")))
+        val piv = byArm.agg(pivCols.head, pivCols.tail: _*)
+        def ratio(sfx: String) = col(s"sy_$sfx") / col(s"sx_$sfx")
+        def varR(sfx: String) = {
+          val n = col(s"n_$sfx")
+          val r = ratio(sfx)
+          val varY = (col(s"sy2_$sfx") - col(s"sy_$sfx") * col(s"sy_$sfx") / n) /
+            (n - lit(1.0))
+          val varX = (col(s"sx2_$sfx") - col(s"sx_$sfx") * col(s"sx_$sfx") / n) /
+            (n - lit(1.0))
+          val covXY = (col(s"sxy_$sfx") - col(s"sx_$sfx") * col(s"sy_$sfx") / n) /
+            (n - lit(1.0))
+          (varY - lit(2.0) * r * covXY + r * r * varX) /
+            (n * (col(s"sx_$sfx") / n) * (col(s"sx_$sfx") / n))
+        }
+        piv.select(
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          round(ratio("a"), 6).as("ratio_a"),
+          round(ratio("b"), 6).as("ratio_b"),
+          round(sqrt(varR("a")), 6).as("se_a"),
+          round(sqrt(varR("b")), 6).as("se_b"),
+          round((ratio("a") - ratio("b")) / sqrt(varR("a") + varR("b")), 6)
+            .as("z_delta"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    x, y
+        |  FROM bu),
+        |ba AS (
+        |  SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(20,4)) * y AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS sy2
+        |  FROM armed GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    MAX(CASE WHEN arm = 'A' THEN sx END) AS sx_a,
+        |    MAX(CASE WHEN arm = 'B' THEN sx END) AS sx_b,
+        |    MAX(CASE WHEN arm = 'A' THEN sy END) AS sy_a,
+        |    MAX(CASE WHEN arm = 'B' THEN sy END) AS sy_b,
+        |    MAX(CASE WHEN arm = 'A' THEN sx2 END) AS sx2_a,
+        |    MAX(CASE WHEN arm = 'B' THEN sx2 END) AS sx2_b,
+        |    MAX(CASE WHEN arm = 'A' THEN sxy END) AS sxy_a,
+        |    MAX(CASE WHEN arm = 'B' THEN sxy END) AS sxy_b,
+        |    MAX(CASE WHEN arm = 'A' THEN sy2 END) AS sy2_a,
+        |    MAX(CASE WHEN arm = 'B' THEN sy2 END) AS sy2_b
+        |  FROM ba)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(sy_a / sx_a, 6) AS ratio_a,
+        |  round(sy_b / sx_b, 6) AS ratio_b,
+        |  round(sqrt(((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)
+        |      - 2.0 * (sy_a / sx_a)
+        |        * ((sxy_a - sx_a * sy_a / n_a) / (n_a - 1.0))
+        |      + (sy_a / sx_a) * (sy_a / sx_a)
+        |        * ((sx2_a - sx_a * sx_a / n_a) / (n_a - 1.0)))
+        |    / (n_a * (sx_a / n_a) * (sx_a / n_a))), 6) AS se_a,
+        |  round(sqrt(((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)
+        |      - 2.0 * (sy_b / sx_b)
+        |        * ((sxy_b - sx_b * sy_b / n_b) / (n_b - 1.0))
+        |      + (sy_b / sx_b) * (sy_b / sx_b)
+        |        * ((sx2_b - sx_b * sx_b / n_b) / (n_b - 1.0)))
+        |    / (n_b * (sx_b / n_b) * (sx_b / n_b))), 6) AS se_b,
+        |  round((sy_a / sx_a - sy_b / sx_b)
+        |    / sqrt(((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)
+        |        - 2.0 * (sy_a / sx_a)
+        |          * ((sxy_a - sx_a * sy_a / n_a) / (n_a - 1.0))
+        |        + (sy_a / sx_a) * (sy_a / sx_a)
+        |          * ((sx2_a - sx_a * sx_a / n_a) / (n_a - 1.0)))
+        |      / (n_a * (sx_a / n_a) * (sx_a / n_a))
+        |      + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)
+        |        - 2.0 * (sy_b / sx_b)
+        |          * ((sxy_b - sx_b * sy_b / n_b) / (n_b - 1.0))
+        |        + (sy_b / sx_b) * (sy_b / sx_b)
+        |          * ((sx2_b - sx_b * sx_b / n_b) / (n_b - 1.0)))
+        |      / (n_b * (sx_b / n_b) * (sx_b / n_b))), 6) AS z_delta
+        |FROM p""".stripMargin)),
+
     // nonparametric partner of dq_ab_welch for skewed per-user metrics
     // (this events metric IS right-skewed, see a21): midranks kept EXACT
     // as the integer r2 = 2·min_rank + (t − 1) (twice the midrank — no

@@ -1640,6 +1640,96 @@ object PipelineQueries {
         |      / (n_b * (sx_b / n_b) * (sx_b / n_b))), 6) AS z_delta
         |FROM p""".stripMargin)),
 
+    // Winsorized and trimmed arm means — the robust-metric variant every
+    // heavy-tailed revenue experiment ships next to the raw mean (one
+    // whale user can own the Welch readout; a21 shows this metric IS
+    // right-skewed): per arm, clip at the k-th order statistics with
+    // k = ⌊n/10⌋ — winsorized replaces the tails with the rank-(k+1) /
+    // rank-(n−k) boundary VALUES, trimmed drops them. Everything is
+    // exact until the final division: decimal metric, row_number ranks
+    // over the (y, user_id) total order, decimal boundary compares and
+    // sums — no percentile interpolation anywhere (the LogHistogram
+    // rank-bracket philosophy: order statistics, not estimates). Scale
+    // shape: ONE user-keyed aggregate, one arm-partitioned rank window
+    // (2 arms — fine at any n; beyond ~10⁸ users/arm the two-phase
+    // rank-vs-broadcast-boundaries rewrite in the ev_rfm note applies),
+    // then 2-row broadcast joins for bounds and clip.
+    Q("dq_winsorized_mean",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("arm").orderBy(col("y").asc, col("user_id").asc)
+        val ranked = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+            .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("user_id"), col("y"))
+          .withColumn("rank", row_number().over(w))
+          .localCheckpoint(eager = false) // three consumers: n, bounds, sums
+        val narm = ranked.groupBy("arm")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("k", floor(col("n") / 10))
+        val rb = ranked.join(broadcast(narm), "arm")
+        val bounds = rb
+          .filter(col("rank") === col("k") + 1 ||
+            col("rank") === col("n") - col("k"))
+          .groupBy("arm")
+          .agg(min(when(col("rank") === col("k") + 1, col("y"))).as("lo"),
+            min(when(col("rank") === col("n") - col("k"), col("y"))).as("hi"))
+        rb.join(broadcast(bounds), "arm")
+          .groupBy("arm")
+          .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+            sum(col("y")).as("sy"),
+            sum(when(col("y") < col("lo"), col("lo"))
+              .when(col("y") > col("hi"), col("hi"))
+              .otherwise(col("y"))).as("sw"),
+            sum(when(col("rank") > col("k") &&
+              col("rank") <= col("n") - col("k"), col("y"))).as("st"))
+          .select(col("arm"), col("n"), col("k"),
+            round(col("sy").cast("double") / col("n").cast("double"), 6)
+              .as("mean_raw"),
+            round(col("sw").cast("double") / col("n").cast("double"), 6)
+              .as("mean_wins"),
+            round(col("st").cast("double") /
+              (col("n") - lit(2) * col("k")).cast("double"), 6)
+              .as("mean_trim"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    user_id, y,
+        |    row_number() OVER (PARTITION BY CASE
+        |      WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |        IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+        |      ORDER BY y, user_id) AS rank
+        |  FROM bu),
+        |narm AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) // 10 AS BIGINT) AS k
+        |  FROM ranked GROUP BY arm),
+        |bounds AS (
+        |  SELECT r.arm,
+        |    MIN(CASE WHEN r.rank = na.k + 1 THEN r.y END) AS lo,
+        |    MIN(CASE WHEN r.rank = na.n - na.k THEN r.y END) AS hi
+        |  FROM ranked r JOIN narm na USING (arm)
+        |  WHERE r.rank = na.k + 1 OR r.rank = na.n - na.k
+        |  GROUP BY r.arm)
+        |SELECT r.arm, na.n, na.k,
+        |  round(CAST(SUM(r.y) AS DOUBLE) / CAST(na.n AS DOUBLE), 6)
+        |    AS mean_raw,
+        |  round(CAST(SUM(CASE WHEN r.y < b.lo THEN b.lo
+        |      WHEN r.y > b.hi THEN b.hi ELSE r.y END) AS DOUBLE)
+        |    / CAST(na.n AS DOUBLE), 6) AS mean_wins,
+        |  round(CAST(SUM(CASE WHEN r.rank > na.k AND r.rank <= na.n - na.k
+        |      THEN r.y END) AS DOUBLE)
+        |    / CAST(na.n - 2 * na.k AS DOUBLE), 6) AS mean_trim
+        |FROM ranked r JOIN narm na USING (arm) JOIN bounds b USING (arm)
+        |GROUP BY r.arm, na.n, na.k""".stripMargin)),
+
     // nonparametric partner of dq_ab_welch for skewed per-user metrics
     // (this events metric IS right-skewed, see a21): midranks kept EXACT
     // as the integer r2 = 2·min_rank + (t − 1) (twice the midrank — no

@@ -1730,6 +1730,79 @@ object PipelineQueries {
         |FROM ranked r JOIN narm na USING (arm) JOIN bounds b USING (arm)
         |GROUP BY r.arm, na.n, na.k""".stripMargin)),
 
+    // Quantile treatment effects — the DISTRIBUTIONAL contrast the mean
+    // tests cannot see (a treatment can move the p90 while the mean
+    // readout stays flat, or vice versa — for skewed metrics the QTE
+    // profile is the honest effect summary): per arm the value at rank
+    // ⌈q·n⌉ for q ∈ {0.25, 0.5, 0.75, 0.9} — EXACT order statistics on
+    // the same (y, user_id)-ranked frame as dq_winsorized_mean, no
+    // interpolation — and the A−B difference per q. ⌈q·n⌉ is one IEEE
+    // multiply+ceil, bit-identical cross-engine by construction (its
+    // double rounding, e.g. 0.9·70 → 63.000…007 → 64, is part of the
+    // declared rank function). Scale shape: one user-keyed aggregate,
+    // one 2-arm rank window, the 4-row quantile spec broadcast against
+    // the 2-row count frame, rank-equality join back to the ranked rows.
+    Q("dq_qte",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("arm").orderBy(col("y").asc, col("user_id").asc)
+        val ranked = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+            .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("user_id"), col("y"))
+          .withColumn("rank", row_number().over(w))
+          .localCheckpoint(eager = false) // two consumers: counts + pick
+        val targets = ranked.groupBy("arm")
+          .agg(count(lit(1)).as("n"))
+          .select(col("arm"), col("n"),
+            explode(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("q"))
+          .select(col("arm").as("t_arm"), col("q"),
+            ceil(col("q") * col("n")).as("target"))
+        ranked
+          .join(broadcast(targets),
+            col("arm") === col("t_arm") && col("rank") === col("target"))
+          .select(col("q"), col("arm").as("a"),
+            col("y").cast("double").as("yv"))
+          .groupBy("q")
+          .agg(max(when(col("a") === "A", col("yv"))).as("y_a"),
+            max(when(col("a") === "B", col("yv"))).as("y_b"))
+          .select(col("q"), col("y_a"), col("y_b"),
+            (col("y_a") - col("y_b")).as("qte"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    user_id, y,
+        |    row_number() OVER (PARTITION BY CASE
+        |      WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |        IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END
+        |      ORDER BY y, user_id) AS rank
+        |  FROM bu),
+        |targets AS (
+        |  SELECT na.arm, u.q,
+        |    CAST(ceil(u.q * na.n) AS BIGINT) AS target
+        |  FROM (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM ranked GROUP BY arm) na
+        |  CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
+        |    AS q) u),
+        |pick AS (
+        |  SELECT t.q, r.arm, CAST(r.y AS DOUBLE) AS yv
+        |  FROM ranked r JOIN targets t
+        |    ON r.arm = t.arm AND r.rank = t.target)
+        |SELECT q,
+        |  MAX(CASE WHEN arm = 'A' THEN yv END) AS y_a,
+        |  MAX(CASE WHEN arm = 'B' THEN yv END) AS y_b,
+        |  MAX(CASE WHEN arm = 'A' THEN yv END)
+        |    - MAX(CASE WHEN arm = 'B' THEN yv END) AS qte
+        |FROM pick GROUP BY q""".stripMargin)),
+
     // nonparametric partner of dq_ab_welch for skewed per-user metrics
     // (this events metric IS right-skewed, see a21): midranks kept EXACT
     // as the integer r2 = 2·min_rank + (t − 1) (twice the midrank — no

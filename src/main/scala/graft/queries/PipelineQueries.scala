@@ -5896,6 +5896,72 @@ object PipelineQueries {
         |    / 10000.0, 6) AS mean_cos
         |FROM bk GROUP BY bucket""".stripMargin)),
 
+    // TwoNN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez &
+    // Laio, Scientific Reports 2017) — the embedding data-card number the
+    // dimension-STATS audits (emb_dim_stats: per-coordinate spread;
+    // emb_top_eigen/emb_abtt: dominant directions) cannot give: how many
+    // degrees of freedom the data actually occupies, using ONLY each
+    // point's two nearest neighbors (μ = d₂/d₁ is Pareto(ID) under local
+    // uniformity, so ID = n/Σln μ — the MLE needs no density model and no
+    // eigendecomposition). A 64-dim space embedding a ~10-dim manifold is
+    // headroom; ID ≈ ambient dim means compression (PQ/SQ8/JL above) will
+    // bite. Runs on the DECLARED 256-vector verification subset (the
+    // sim_1nn_accuracy convention — 2-NN is quadratic by nature; the
+    // full-corpus path runs the same estimator over the NN-Descent graph's
+    // top-2 edges). Exactness: euclidean d at 4dp (forward-folded squared
+    // diffs, the list_sum parity contract), zero-d₁ pairs excluded by
+    // declared rule, each ln μ 6dp-pre-rounded to a scaled long (the
+    // corpus ln discipline), ID = one IEEE division of exact aggregates.
+    Q("emb_intrinsic_dim",
+      (s, d) => {
+        import graft.functions.VectorFunctions
+        val sub = t(s, d, "embeddings").filter(col("vec_id") < 256)
+          .select(col("vec_id"), col("embedding"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("dist").asc, col("cid").asc)
+        val nn2 = sub.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .join(sub.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+            col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            VectorFunctions.l2Rounded(col("qv"), col("cv")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy("qid")
+          .agg(max(when(col("rn") === 1, col("dist"))).as("d1"),
+            max(when(col("rn") === 2, col("dist"))).as("d2"))
+          .filter(col("d1") > 0)
+        nn2
+          .select(round(log(col("d2") / col("d1")) * 1000000, 0).cast("long")
+            .as("lnmu6"))
+          .agg(count(lit(1)).as("n"), sum(col("lnmu6")).as("sum_ln6"))
+          .select(col("n"), col("sum_ln6"),
+            round(col("n").cast("double") /
+              (col("sum_ln6").cast("double") / lit(1000000.0)), 6)
+              .as("id_twonn"))
+      },
+      Some("""WITH sub AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 256),
+        |pd AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))), 4) AS dist
+        |  FROM sub q JOIN sub c ON q.vec_id != c.vec_id),
+        |nn AS (SELECT qid, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+        |  FROM pd),
+        |p2 AS (SELECT qid,
+        |    MAX(CASE WHEN rn = 1 THEN dist END) AS d1,
+        |    MAX(CASE WHEN rn = 2 THEN dist END) AS d2
+        |  FROM nn WHERE rn <= 2 GROUP BY qid),
+        |l AS (SELECT CAST(round(ln(d2 / d1) * 1000000, 0) AS BIGINT) AS lnmu6
+        |  FROM p2 WHERE d1 > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(lnmu6) AS BIGINT) AS sum_ln6,
+        |  round(CAST(COUNT(*) AS DOUBLE)
+        |    / (CAST(SUM(lnmu6) AS DOUBLE) / 1000000.0), 6) AS id_twonn
+        |FROM l""".stripMargin)),
+
     // Class-separation audit over the labeled embeddings (the "are these
     // vectors any good for classification" number): mean cosine of
     // same-label vs cross-label pairs on the deterministic stride sample —

@@ -155,6 +155,10 @@ class RegistrySpec extends SparkSpec {
       //    eval scan cross-joins the broadcast ≤|labels|-row centroid
       //    frame (train collapses through one map-combined VectorSum)
       "sim_rocchio_accuracy",
+      //  - emb_intrinsic_dim: 2-NN over the DECLARED 256-vector
+      //    verification subset (the sim_1nn_accuracy shape); the
+      //    full-corpus path is the NN-Descent graph's top-2 edges
+      "emb_intrinsic_dim",
       "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",

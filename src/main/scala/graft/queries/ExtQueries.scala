@@ -293,6 +293,143 @@ object ExtQueries {
           org.apache.spark.sql.types.LongType, nullable = true))))
   }
 
+  private val streamJoinMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized [[runStreamJoin]] (the judged-streaming-harness idiom). */
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/events.parquet")
+    streamJoinMemo.get((s, d)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = runStreamJoin(s, d)
+        streamJoinMemo.put((s, d), (fp, df))
+        df
+    }
+  }
+
+  /** Drive the watermarked stream-stream join end-to-end: the fixture
+    * events arrive as TWO micro-batches split at the 2024-01-15 midpoint
+    * and fed LATE HALF FIRST (out-of-order arrival — matches whose
+    * purchase and view land in different batches, in either order, must
+    * come from buffered join state, not batch locality), through
+    * [[graft.streaming.EventStreams.purchaseViewJoin]] into a memory
+    * sink. The far watermark keeps every row eligible (no late-drop), so
+    * the drained stream must emit EXACTLY the batch interval join — the
+    * ij_interval_join semantics — which is what the DuckDB oracle
+    * re-derives. The judged contract is batching/ordering invariance of
+    * the stream-stream join itself (the inner-join face of the
+    * EventStreamsSpec left-outer/eviction coverage). */
+  private def runStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    def rows(df: DataFrame) =
+      df.as[(Long, Long, String, java.sql.Timestamp)].collect().toSeq
+    val split = lit("2024-01-15 00:00:00").cast("timestamp")
+    val early = rows(ev.filter(col("ts") < split))
+    val late = rows(ev.filter(col("ts") >= split))
+    implicit val sqlCtx = s.sqlContext
+    val stream = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val src = stream.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val joined = graft.streaming.EventStreams.purchaseViewJoin(src, "3650 days")
+    val sink = "st_stream_join_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val captured = try {
+      stream.addData(late)
+      q.processAllAvailable()
+      stream.addData(early)
+      q.processAllAvailable()
+      s.table(sink).select("purchase_id", "view_id", "user_id").collect()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(sink)
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(captured.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("purchase_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("view_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  private val streamLeftJoinMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized [[runStreamLeftJoin]] (the judged-streaming-harness idiom). */
+  private def streamLeftJoin(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/events.parquet")
+    streamLeftJoinMemo.get((s, d)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = runStreamLeftJoin(s, d)
+        streamLeftJoinMemo.put((s, d), (fp, df))
+        df
+    }
+  }
+
+  /** Drive the LEFT-OUTER stream-stream join to a drained comparison —
+    * the judged face of the eviction semantic [[runStreamJoin]] cannot
+    * see: an UNMATCHED purchase null-pads only once the watermark passes
+    * the last instant a matching view could still arrive, so with a real
+    * 1-hour watermark the fixture events alone would never flush. The
+    * harness appends two far-future WATERMARK-PUSHER batches (a
+    * purchase/view pair each at 2035/2036 under sentinel user −1 — both
+    * types, because each branch's watermark advances only on events of
+    * its own type and the global watermark is their MIN; two batches,
+    * because a watermark moves at batch BOUNDARIES and outer results
+    * flush one batch after it moves). Sentinel rows are dropped from the
+    * judged frame; what remains must bit-equal the batch LEFT interval
+    * join the oracle runs — matched multiplicity identical to
+    * st_stream_join, plus exactly one null-padded row per unmatched
+    * purchase, emitted exactly once. */
+  private def runStreamLeftJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val all = ev.as[(Long, Long, String, java.sql.Timestamp)].collect().toSeq
+    def pusher(year: Int) = Seq(
+      (-1L, -1L, "purchase", java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")),
+      (-2L, -1L, "view", java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")))
+    implicit val sqlCtx = s.sqlContext
+    val stream = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val src = stream.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val joined = graft.streaming.EventStreams.purchaseViewLeftJoin(src, "1 hour")
+    val sink = "st_stream_left_join_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val captured = try {
+      stream.addData(all)
+      q.processAllAvailable()
+      stream.addData(pusher(2035))
+      q.processAllAvailable()
+      stream.addData(pusher(2036))
+      q.processAllAvailable()
+      s.table(sink).select("purchase_id", "view_id", "user_id")
+        .filter(col("user_id") >= 0).collect()
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(sink)
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(captured.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("purchase_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("view_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   private val decayLedgerMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, DataFrame)]
 
@@ -3219,6 +3356,31 @@ object ExtQueries {
         |  CAST(0.718273 AS DOUBLE) * CAST(65536 AS DOUBLE)
         |    * CAST(9007199254740992 AS DOUBLE) / CAST(z53 AS DOUBLE)
         |    AS estimate
-        |FROM z""".stripMargin))
+        |FROM z""".stripMargin)),
+
+    // Streaming-parity entry for the watermarked STREAM-STREAM JOIN (the
+    // st_hll_ledger treatment for join state): fixture events arrive as
+    // two micro-batches, LATE HALF FIRST, through purchaseViewJoin — so
+    // cross-batch matches must come from buffered join state — and the
+    // drained stream must bit-equal the batch interval join the oracle
+    // runs (the ij_interval_join semantics). See [[runStreamJoin]].
+    Q("st_stream_join",
+      (s, d) => streamJoin(s, d),
+      Some("""SELECT a.event_id AS purchase_id, b.event_id AS view_id, a.user_id
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') a
+        |JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR""".stripMargin)),
+
+    // The LEFT-OUTER streaming join, drained past the watermark with
+    // sentinel pusher batches — judged eviction/null-padding semantics
+    // (every unmatched purchase exactly once). See [[runStreamLeftJoin]].
+    Q("st_stream_left_join",
+      (s, d) => streamLeftJoin(s, d),
+      Some("""SELECT a.event_id AS purchase_id, b.event_id AS view_id, a.user_id
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') a
+        |LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL 1 HOUR""".stripMargin))
   )
 }

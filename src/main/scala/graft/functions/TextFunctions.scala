@@ -40,6 +40,15 @@ object TextFunctions {
   /** Distinct word set (order-insensitive; used by set-similarity ops). */
   def wordSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** Content-defined chunk START positions by the gear rolling hash — the
+    * codegen'd production boundary scan behind the dd_cdc_chunks
+    * semantics ([[graft.expressions.GearChunkStarts]]): one table lookup
+    * + shift + add per character, no per-position hashing. */
+  def gearChunkStarts(c: Column, maskBits: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.GearChunkStarts(
+        org.apache.spark.sql.GraftBridge.expression(c), maskBits))
+
   /** Distinct k-gram (word) shingles, computed row-wise with `transform`
     * over an index sequence — no explode, no shuffle. Docs shorter than k
     * words → empty array. */

@@ -1803,6 +1803,151 @@ object PipelineQueries {
         |    - MAX(CASE WHEN arm = 'B' THEN yv END) AS qte
         |FROM pick GROUP BY q""".stripMargin)),
 
+    // Covariate balance check (standardized mean difference) — the
+    // randomization audit dq_srm cannot do: SRM catches broken ASSIGNMENT
+    // COUNTS, SMD catches broken COMPOSITION (arms the same size but
+    // systematically different users — which silently biases every
+    // readout downstream and is exactly what CUPED's pre-period covariate
+    // would absorb or amplify): SMD = (x̄_A − x̄_B)/√((s²_A+s²_B)/2) on
+    // the PRE-period covariate (dq_cuped's X definition — the one column
+    // that must be treatment-free by construction), flagged at the
+    // conventional |SMD| > 0.1 as a literal (the dq_srm
+    // critical-value-as-literal contract). Same exact-decimal sufficient
+    // statistics and one-pass arm-frame envelope as dq_ab_welch.
+    Q("dq_smd_balance",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val byArm = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") < split, col("value")).otherwise(lit(0.0))
+            .cast("decimal(20,4)")).cast("decimal(20,4)").as("x"))
+          .select(expArm(col("user_id")).as("arm"), col("x"))
+          .groupBy("arm")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum((col("x") * col("x")).cast("decimal(38,8)")).cast("double")
+              .as("sx2"))
+        val p = byArm.agg(
+          max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("sx"))).as("sx_a"),
+          max(when(col("arm") === "A", col("sx2"))).as("sx2_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("sx"))).as("sx_b"),
+          max(when(col("arm") === "B", col("sx2"))).as("sx2_b"))
+        val varA = (col("sx2_a") - col("sx_a") * col("sx_a") / col("n_a")) /
+          (col("n_a") - lit(1.0))
+        val varB = (col("sx2_b") - col("sx_b") * col("sx_b") / col("n_b")) /
+          (col("n_b") - lit(1.0))
+        val smd = (col("sx_a") / col("n_a") - col("sx_b") / col("n_b")) /
+          sqrt((varA + varB) / lit(2.0))
+        p.select(
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          round(col("sx_a") / col("n_a"), 6).as("mean_x_a"),
+          round(col("sx_b") / col("n_b"), 6).as("mean_x_b"),
+          round(smd, 6).as("smd"),
+          (abs(smd) > lit(0.1)).as("imbalance_flag"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS x
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    x
+        |  FROM bu),
+        |ba AS (
+        |  SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sx2
+        |  FROM armed GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sx END) AS sx_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sx2 END) AS sx2_a,
+        |    MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sx END) AS sx_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sx2 END) AS sx2_b
+        |  FROM ba)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(sx_a / n_a, 6) AS mean_x_a,
+        |  round(sx_b / n_b, 6) AS mean_x_b,
+        |  round((sx_a / n_a - sx_b / n_b)
+        |    / sqrt((((sx2_a - sx_a * sx_a / n_a) / (n_a - 1.0))
+        |          + ((sx2_b - sx_b * sx_b / n_b) / (n_b - 1.0))) / 2.0), 6)
+        |    AS smd,
+        |  abs((sx_a / n_a - sx_b / n_b)
+        |    / sqrt((((sx2_a - sx_a * sx_a / n_a) / (n_a - 1.0))
+        |          + ((sx2_b - sx_b * sx_b / n_b) / (n_b - 1.0))) / 2.0)) > 0.1
+        |    AS imbalance_flag
+        |FROM p""".stripMargin)),
+
+    // Wilson score interval for the per-arm CONVERSION RATE (share of
+    // users with ≥1 high-value purchase, value > 90 — the declared
+    // conversion event; every fixture user has SOME purchase, so the
+    // bare any-purchase rate would sit degenerately at 1) — the
+    // binomial readout the continuous-
+    // metric family above skips, with the interval every dashboard
+    // should use instead of the Wald ±z√(p̂q̂/n) (Wald collapses to
+    // zero width at p̂∈{0,1} and undercovers badly at small n; Wilson
+    // inverts the score test instead — Brown, Cai & DasGupta 2001).
+    // Closed form: center (p̂ + z²/2n)/(1 + z²/n), half-width
+    // z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n), z = 1.959964 as the literal.
+    // Converter counts are exact (max-flag per user then integer sums);
+    // the interval is one fixed mirrored double chain per arm, rounded
+    // once. Scale shape: the dq_ab_welch envelope.
+    Q("dq_wilson_ci",
+      (s, d) => {
+        val byUser = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") > 90, 1L).otherwise(0L))
+            .as("conv"))
+          .select(expArm(col("user_id")).as("arm"), col("conv"))
+          .groupBy("arm")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("conv")).cast("double").as("x"))
+        val z = lit(1.959964)
+        val ph = col("x") / col("n")
+        val denom = lit(1.0) + z * z / col("n")
+        val center = (ph + z * z / (lit(2.0) * col("n"))) / denom
+        val half = z * sqrt(ph * (lit(1.0) - ph) / col("n") +
+          z * z / (lit(4.0) * col("n") * col("n"))) / denom
+        byUser.select(col("arm"),
+          col("n").cast("long").as("n"),
+          col("x").cast("long").as("n_converted"),
+          round(ph, 6).as("rate"),
+          round(center - half, 6).as("wilson_lo"),
+          round(center + half, 6).as("wilson_hi"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |ba AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(conv) AS DOUBLE) AS x
+        |  FROM bu GROUP BY 1)
+        |SELECT arm, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS n_converted,
+        |  round(x / n, 6) AS rate,
+        |  round((x / n + 1.959964 * 1.959964 / (2.0 * n))
+        |      / (1.0 + 1.959964 * 1.959964 / n)
+        |    - 1.959964 * sqrt((x / n) * (1.0 - x / n) / n
+        |        + 1.959964 * 1.959964 / (4.0 * n * n))
+        |      / (1.0 + 1.959964 * 1.959964 / n), 6) AS wilson_lo,
+        |  round((x / n + 1.959964 * 1.959964 / (2.0 * n))
+        |      / (1.0 + 1.959964 * 1.959964 / n)
+        |    + 1.959964 * sqrt((x / n) * (1.0 - x / n) / n
+        |        + 1.959964 * 1.959964 / (4.0 * n * n))
+        |      / (1.0 + 1.959964 * 1.959964 / n), 6) AS wilson_hi
+        |FROM ba""".stripMargin)),
+
     // nonparametric partner of dq_ab_welch for skewed per-user metrics
     // (this events metric IS right-skewed, see a21): midranks kept EXACT
     // as the integer r2 = 2·min_rank + (t − 1) (twice the midrank — no

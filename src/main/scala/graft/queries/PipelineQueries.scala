@@ -3873,6 +3873,82 @@ object PipelineQueries {
         |    / CAST(SUM(clen * cnt) AS DOUBLE), 6) AS dedup_ratio
         |FROM g GROUP BY source""".stripMargin)),
 
+    // Copy detection by SHARED CDC CHUNKS — the dedup mechanism the
+    // shingle family lacks a shape for: two docs where one embeds a long
+    // copied run inside much new material have a DILUTED Jaccard (the
+    // union grows with the new material) but their content-defined
+    // chunks over the copied run are IDENTICAL BY CONSTRUCTION (the
+    // dd_cdc_chunks boundary rule re-synchronizes after any edit), so
+    // counting shared chunk hashes finds partial copies at any dilution
+    // — the rsync/git-pack view of near-duplication. Bounded like LSH:
+    // tiny chunks (< 8 chars) are noise and dropped; a chunk shared by
+    // > 16 docs is boilerplate and dropped (both declared), so the
+    // pair join runs on capped buckets — never all-pairs. Judged rows:
+    // (doc_a, doc_b, n_shared ≥ 3) over distinct per-doc chunk hashes.
+    Q("dd_chunk_overlap",
+      (s, d) => {
+        val docs = graft.operators.Parallelism.fanOut(
+            t(s, d, "documents").filter(col("text").isNotNull))
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        val bounds = when(col("len") >= 9,
+          filter(transform(sequence(lit(2), col("len") - 7),
+            i => when(substring(md5(col("text").substr(i, lit(8))
+              .cast("binary")), 1, 1) === "0", i)),
+            x => x.isNotNull))
+          .otherwise(array().cast("array<int>"))
+        val chunks = docs
+          .select(col("doc_id"), col("text"), col("len"),
+            concat(array(lit(1)), bounds).as("starts"))
+          .select(col("doc_id"), col("text"),
+            explode(zip_with(col("starts"),
+              concat(slice(col("starts"), lit(2), size(col("starts"))),
+                array(col("len") + 1)),
+              (st, nx) => struct(st.as("s"), nx.as("n")))).as("c"))
+          .filter(col("c.n") - col("c.s") >= 8)
+          .select(col("doc_id"),
+            md5(col("text").substr(col("c.s"), col("c.n") - col("c.s"))
+              .cast("binary")).as("h"))
+          .distinct()
+          // three consumers (frequency cap + both self-join sides): the
+          // dd_lsh_pairs checkpointed-projection pattern — one chunk
+          // explode materializes, nothing rescans the corpus
+          .localCheckpoint(eager = false)
+        val keptH = chunks.groupBy("h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2 && col("nd") <= 16)
+          .select("h")
+        val ch = chunks.join(keptH, "h")
+        ch.select(col("h"), col("doc_id").as("doc_a"))
+          .join(ch.select(col("h"), col("doc_id").as("doc_b")), "h")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+      },
+      Some("""WITH docs AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, text, len, u.i
+        |  FROM docs, LATERAL unnest(generate_series(2, len - 7)) AS u(i)
+        |  WHERE substring(md5(substring(text, i, 8)), 1, 1) = '0'),
+        |starts AS (
+        |  SELECT doc_id, text, len, 1 AS s FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, text, len, i FROM b),
+        |sp AS (
+        |  SELECT doc_id, text, s,
+        |    COALESCE(lead(s) OVER (PARTITION BY doc_id ORDER BY s), len + 1)
+        |      AS nxt
+        |  FROM starts),
+        |ch AS (SELECT DISTINCT doc_id, md5(substring(text, s, nxt - s)) AS h
+        |  FROM sp WHERE nxt - s >= 8),
+        |kept AS (SELECT h FROM ch GROUP BY h
+        |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 16),
+        |cj AS (SELECT ch.doc_id, ch.h FROM ch JOIN kept USING (h))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM cj a JOIN cj b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin)),
+
     // The PRODUCTION face of content-defined chunking: gear rolling hash
     // (FastCDC, Xia et al. ATC 2016) in a native codegen Expression
     // ([[graft.expressions.GearChunkStarts]]) — one table lookup + shift +

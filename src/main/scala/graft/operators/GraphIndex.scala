@@ -89,11 +89,16 @@ object GraphIndex {
 
   /** Live vectors (vec_id, embedding, bucket) — manifest-pinned scan,
     * tombstones masked. */
-  def vectors(spark: SparkSession, path: String): DataFrame = {
-    val m = SegmentedTable.readManifest(spark, path)
+  def vectors(spark: SparkSession, path: String): DataFrame =
+    vectorsAt(spark, path, SegmentedTable.readManifest(spark, path))
+
+  /** [[vectors]] pinned to an already-read manifest — every multi-scan
+    * reader (searchTopK) threads ONE manifest through all of its scans so
+    * a concurrent writer publish cannot serve a mixed snapshot. */
+  private def vectorsAt(spark: SparkSession, path: String,
+      m: SegmentedTable.Manifest): DataFrame =
     IndexIngest.maskTombstones(spark, path, m,
       SegmentedTable.readKeepSeg(spark, s"$path/vectors", m), "vec_id")
-  }
 
   /** Live edges (src, dst, sim) — manifest-pinned scan; an edge is masked
     * when EITHER endpoint is tombstoned (a deleted vector must neither be
@@ -101,8 +106,12 @@ object GraphIndex {
     * [[IndexIngest.maskTombstones]] definition per endpoint, carrying the
     * seg column across the first mask (the masking condition is
     * seg ≤ del_v — an edge re-published after a delete stays visible). */
-  def edges(spark: SparkSession, path: String): DataFrame = {
-    val m = SegmentedTable.readManifest(spark, path)
+  def edges(spark: SparkSession, path: String): DataFrame =
+    edgesAt(spark, path, SegmentedTable.readManifest(spark, path))
+
+  /** [[edges]] pinned to an already-read manifest (see [[vectorsAt]]). */
+  private def edgesAt(spark: SparkSession, path: String,
+      m: SegmentedTable.Manifest): DataFrame = {
     val withSeg = SegmentedTable
       .readKeepSeg(spark, s"$path/edges", m)
       .withColumn("__seg_carry", col("seg"))
@@ -121,7 +130,11 @@ object GraphIndex {
       k: Int, hops: Int = 2, seedK: Int = 8): DataFrame = {
     require(hops >= 0 && seedK >= 1 && k >= 1)
     val (planes, _) = params(spark, path)
-    val corpusB = vectors(spark, path).select(col("bucket"),
+    // ONE manifest read pins the whole serve — seeds, expansion edges, and
+    // the rerank scan all see the same snapshot even if a writer publishes
+    // mid-query (the scaladoc's "readers pin complete snapshots" claim)
+    val m = SegmentedTable.readManifest(spark, path)
+    val corpusB = vectorsAt(spark, path, m).select(col("bucket"),
       col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
     val queriesB = queries.select(
       Similarity.signLshBucket(col("embedding"), planes).as("bucket"),
@@ -132,7 +145,7 @@ object GraphIndex {
         VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
     val seeds = Similarity.topKBySim(seeded, seedK)
       .select(col("query_id"), col("neighbor_id").as("cand"))
-    val g = edges(spark, path).select(col("src").as("cand"),
+    val g = edgesAt(spark, path, m).select(col("src").as("cand"),
       col("dst").as("expand"))
     var frontier = seeds
     var cands = seeds
@@ -141,7 +154,7 @@ object GraphIndex {
         .select(col("query_id"), col("expand").as("cand")).distinct()
       cands = cands.unionByName(frontier)
     }
-    val emb = vectors(spark, path)
+    val emb = vectorsAt(spark, path, m)
     val rerank = cands.distinct()
       .join(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_vec")), "query_id")
@@ -167,15 +180,15 @@ object GraphIndex {
     require(maxSegments >= 2)
     val (planes, k) = params(spark, path)
     val m = SegmentedTable.readManifest(spark, path)
-    val live = IndexIngest.maskTombstones(spark, path, m,
-      SegmentedTable.readKeepSeg(spark, s"$path/vectors", m), "vec_id")
+    val live = vectorsAt(spark, path, m)
     val fresh = batch.select(col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
       .join(live.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"),
         Similarity.signLshBucket(col("embedding"), planes).as("bucket"))
       .localCheckpoint(eager = true) // one screen feeds edges + both writes
-    if (!fresh.isEmpty) {
+    val published = !fresh.isEmpty
+    if (published) {
       // candidate pool = the index's vectors PLUS the batch itself, so
       // near-dup vectors arriving together still link to each other
       val pool = live.select("bucket", "vec_id", "embedding")
@@ -184,7 +197,7 @@ object GraphIndex {
           col("embedding").as("q_vec"))
         .join(pool.select(col("bucket"), col("vec_id").as("cand")), "bucket")
         .select(col("src"), col("q_vec"), col("cand"))
-      val g = edges(spark, path).select(col("src").as("cand"),
+      val g = edgesAt(spark, path, m).select(col("src").as("cand"),
         col("dst").as("expand"))
       val expanded = mates.select(col("src"), col("q_vec"), col("cand"))
         .unionByName(mates.join(g, "cand")
@@ -203,8 +216,13 @@ object GraphIndex {
       writeSegment(fresh, newEdges, path, v)
       SegmentedTable.writeManifest(spark, path,
         SegmentedTable.Manifest(v, m.segments :+ v, m.extras))
-      if (m.segments.length + 1 > maxSegments) compact(spark, path)
     }
+    // bound enforced even on a fully-screened (skipped) publish — a caller
+    // tightening maxSegments must see the index compacted by its next
+    // append, whatever that batch contains (IndexIngest.appendScreened's
+    // rule)
+    if (m.segments.length + (if (published) 1 else 0) > maxSegments)
+      compact(spark, path)
   }
 
   /** Logical delete by id — the shared tombstone ledger over the VECTORS
@@ -217,18 +235,34 @@ object GraphIndex {
   /** Fold the live segments of BOTH families into one segment each and
     * publish with ONE manifest flip, materializing the tombstone-masked
     * views (deleted vectors and their edges are physically erased here)
-    * and clearing the ledger. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val spark2 = spark
-    val m = SegmentedTable.readManifest(spark2, path)
+    * and clearing the ledger.
+    *
+    * `relink = true` additionally runs ONE NN-Descent local-join round
+    * ([[NnDescent.refineRound]]) over the merged edge lists before
+    * publishing — the append-staleness repair: [[append]] links new nodes
+    * outward but never back-updates existing nodes' lists, so after many
+    * appends old nodes can't expand INTO the new ones and serving recall
+    * erodes (measured in GraphIndexSpec). One round re-introduces every
+    * node's neighbors to each other across the old/new seam at the build
+    * loop's per-iteration cost — compaction is already a whole-table
+    * rewrite, so the refinement rides a write that was happening anyway. */
+  def compact(spark: SparkSession, path: String,
+      relink: Boolean = false): Unit = {
+    val m = SegmentedTable.readManifest(spark, path)
+    val (_, k) = params(spark, path)
     val v = m.version + 1
-    val liveV = IndexIngest.maskTombstones(spark2, path, m,
-      SegmentedTable.readKeepSeg(spark2, s"$path/vectors", m), "vec_id")
+    val liveV = vectorsAt(spark, path, m)
+    val liveE = edgesAt(spark, path, m)
+    val outE =
+      if (relink)
+        NnDescent.refineRound(liveE, liveV, col("vec_id"), col("embedding"),
+          k, revCap = k)
+      else liveE
     writeSegment(
       liveV.repartition(col("bucket")),
-      edges(spark2, path),
+      outE,
       path, v)
-    SegmentedTable.writeManifest(spark2, path,
+    SegmentedTable.writeManifest(spark, path,
       SegmentedTable.Manifest(v, Seq(v),
         m.extras - IndexIngest.TombstoneKey))
   }

@@ -44,15 +44,21 @@ object LogHistogram {
 
   /** Per-group log-bucket histograms: ≤ ~2k rows PER KEY of
     * (keys..., shift, m, c) for the non-negative integer `valueCol`
-    * over `df` (null values excluded — callers pre-filter to make the
-    * population explicit). One map-combined groupBy over a projection. */
+    * over `df` (null AND negative values excluded — out-of-contract rows
+    * leave the population rather than corrupting it: a negative long
+    * would take shift = 58 with a negative mantissa, silently breaking
+    * bucket order and every quantile bracket downstream; callers
+    * pre-filter when they want the exclusion explicit). One map-combined
+    * groupBy over a projection. */
   def bucketsBy(df: DataFrame, keys: Seq[Column],
       valueCol: Column): DataFrame = {
     val keyed = df.select(keys :+ valueCol.cast("long").as("__v"): _*)
-      .filter(col("__v").isNotNull)
+      .filter(col("__v") >= 0)
       .withColumn("shift", shiftOf(col("__v")))
       .withColumn("m", expr("shiftright(__v, shift)"))
     val keyNames = keyed.columns.filterNot(Set("__v", "shift", "m"))
+    require(keyNames.length == keys.length,
+      "key columns must not be named __v/shift/m (histogram internals)")
     keyed.groupBy((keyNames.map(col) :+ col("shift") :+ col("m")): _*)
       .agg(count(lit(1)).as("c"))
   }

@@ -68,29 +68,48 @@ object NnDescent {
       .filter(col("src") =!= col("dst"))
       .distinct()
     var knn = score(init)
-    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
-    for (_ <- 1 to iters) {
-      val rev = knn
-        .select(col("dst").as("src"), col("src").as("dst"), col("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= revCap).drop("rn")
-      val gen = knn.select("src", "dst")
-        .unionByName(rev.select("src", "dst")).distinct()
-      val pairs = gen.as("a")
-        .join(gen.as("b"),
-          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
-        .select(col("a.dst").as("src"), col("b.dst").as("dst"))
-        .distinct()
-      val scored = score(pairs)
-      val cand = scored.unionByName(
-        scored.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
-      knn = knn.unionByName(cand)
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
-        .localCheckpoint(eager = false) // per-round lineage cut
-    }
+    for (_ <- 1 to iters)
+      knn = refineRound(knn, emb, idCol, vecCol, k, revCap)
     knn
+  }
+
+  /** ONE local-join refinement round over an EXISTING (src, dst, sim)
+    * graph — the loop body of [[knnGraph]], factored so index maintenance
+    * can re-run it: [[GraphIndex]]'s compaction re-link applies it once
+    * over the merged edge lists to heal append staleness (appended nodes
+    * are linked outward but old nodes never learned about them; one round
+    * of "introduce my neighbors to each other" restores the
+    * bidirectional reachability serving recall rests on). Same cost
+    * envelope and determinism contract as the build loop. */
+  def refineRound(knn: DataFrame, emb: DataFrame, idCol: Column,
+      vecCol: Column, k: Int, revCap: Int): DataFrame = {
+    val e = emb.select(idCol.as("vec_id"), vecCol.as("v"))
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(e.select(col("vec_id").as("src"), col("v").as("va")), "src")
+        .join(e.select(col("vec_id").as("dst"), col("v").as("vb")), "dst")
+        .select(col("src"), col("dst"),
+          VectorFunctions.cosineRounded(col("va"), col("vb")).as("sim"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    val rev = knn
+      .select(col("dst").as("src"), col("src").as("dst"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= revCap).drop("rn")
+    val gen = knn.select("src", "dst")
+      .unionByName(rev.select("src", "dst")).distinct()
+    val pairs = gen.as("a")
+      .join(gen.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+      .distinct()
+    val scored = score(pairs)
+    val cand = scored.unionByName(
+      scored.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+    knn.unionByName(cand)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .localCheckpoint(eager = false) // per-round lineage cut
   }
 }

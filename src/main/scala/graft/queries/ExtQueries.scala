@@ -18,6 +18,23 @@ object ExtQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Temp workspace for the judged streaming-ledger harnesses: created per
+    * run and DELETED after the collect-based capture (every harness copies
+    * its result into a local frame precisely so it does not depend on the
+    * ledger files outliving the call) — repeated judged runs in one JVM
+    * must not accumulate disk under java.io.tmpdir. */
+  private def withTempDir[A](prefix: String)(body: String => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    try body(tmp.toString)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   // ev_late_sessions is the one entry whose BUILD is an execution: late
   // stragglers exist only ACROSS micro-batches, so the query must actually
   // run a MemoryStream pipeline to have anything to report. Memoized per
@@ -203,8 +220,8 @@ object ExtQueries {
     * partitions must be batching-invariant (max-merge associativity), so
     * the judged contract is the streaming path's equality with the batch
     * formula, bit for bit. */
-  private def runHllLedger(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-hll-led").toString
+  private def runHllLedger(s: SparkSession, d: String): DataFrame =
+      withTempDir("graft-hll-led") { tmp =>
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     def run(): Unit = {
       graft.streaming.EventStreams.startHllLedgerSink(
@@ -258,8 +275,8 @@ object ExtQueries {
     * addition is associative — every token's occurrences are torn across
     * the two batches here), so the judged contract is the streaming
     * path's bit-equality with the one-shot batch formula. */
-  private def runCmsLedger(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cms-led").toString
+  private def runCmsLedger(s: SparkSession, d: String): DataFrame =
+      withTempDir("graft-cms-led") { tmp =>
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     def run(): Unit = {
       graft.streaming.EventStreams.startCmsLedgerSink(
@@ -459,8 +476,8 @@ object ExtQueries {
     * ledger-wide max day, the split — including day-level counts torn
     * across the two batches and the max-day anchor arriving in either
     * half — must not move a single score. */
-  private def runDecayLedger(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-decay-led").toString
+  private def runDecayLedger(s: SparkSession, d: String): DataFrame =
+      withTempDir("graft-decay-led") { tmp =>
     val ev = t(s, d, "events")
     def run(): Unit = {
       graft.streaming.EventStreams.startDecayLedgerSink(
@@ -508,8 +525,8 @@ object ExtQueries {
     * streaming path's bit-equality with the one-shot batch formula —
     * bucket assignment included, because both engines compute the shift
     * by pure integer bit ops (no log()). */
-  private def runQuantileLedger(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q-led").toString
+  private def runQuantileLedger(s: SparkSession, d: String): DataFrame =
+      withTempDir("graft-q-led") { tmp =>
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
     def run(): Unit = {
       graft.streaming.EventStreams.startQuantileLedgerSink(
@@ -1922,12 +1939,17 @@ object ExtQueries {
           .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
           .agg(count(lit(1)).as("n2"), sum(col("dx") * col("dy")).as("sxy"),
             sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"))
+        // try_divide: an EMPTY graph (n_nodes = 0, tiny fixtures) or a
+        // degree-regular one (zero assortativity denominator) must yield
+        // NULL stats, not an ANSI DIVIDE_BY_ZERO — identical values
+        // whenever the denominator is nonzero (the judged scale)
         edgeStats.crossJoin(broadcast(nodeStats))
           .select(col("n_nodes"), expr("n2 div 2").as("n_edges"),
-            (col("n2").cast("double") / col("n_nodes").cast("double"))
-              .as("avg_degree"),
+            try_divide(col("n2").cast("double"),
+              col("n_nodes").cast("double")).as("avg_degree"),
             col("max_degree"),
-            ((col("n2") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            try_divide(
+              (col("n2") * col("sxy") - col("sx") * col("sx")).cast("double"),
               (col("n2") * col("sxx") - col("sx") * col("sx")).cast("double"))
               .as("assortativity"))
       },

@@ -42,12 +42,25 @@ object Scd2 {
     * seeded with the open version's attributes. Comparing to the
     * previous update (not the previous KEPT update) is equivalent:
     * a dropped update is by definition equal to its predecessor, so
-    * equality to it is equality to the last kept state. */
+    * equality to it is equality to the last kept state.
+    *
+    * Equal-timestamp rule: two updates for one key at the SAME ts would
+    * make lag/lead order-dependent and lead() would mint a zero-width
+    * [t, t) version — so duplicate (key, ts) rows are collapsed FIRST,
+    * keeping the row with the greatest attribute struct (a total,
+    * run-independent order; exact duplicates collapse to themselves).
+    * After the collapse every per-key window order is strict, so the
+    * merge is deterministic by construction. */
   def merge(current: DataFrame, updates: DataFrame, keys: Seq[String],
       attrs: Seq[String], ts: String): DataFrame = {
     require(keys.nonEmpty && attrs.nonEmpty, "scd2 needs keys and attrs")
     val open = current.filter(col("valid_to").isNull)
     val closed = current.filter(col("valid_to").isNotNull)
+    val tieW = Window.partitionBy((keys.map(col) :+ col(ts)): _*)
+      .orderBy(struct(attrs.map(col): _*).desc)
+    val updates1 = updates
+      .withColumn("graft_tie", row_number().over(tieW))
+      .filter(col("graft_tie") === 1).drop("graft_tie")
 
     val openA = open.select(
       (keys.map(col) :+ col("valid_from").as("open_from")) ++
@@ -59,7 +72,7 @@ object Scd2 {
     // then differs from)
     val baseline = coalesce(lag(attrStruct, 1).over(w),
       struct(attrs.map(c => col(s"cur_$c").as(c)): _*))
-    val changes = updates
+    val changes = updates1
       .join(openA, keys, "left")
       .filter(col("open_from").isNull || col(ts) > col("open_from"))
       .withColumn("graft_keep", !(attrStruct <=> baseline))

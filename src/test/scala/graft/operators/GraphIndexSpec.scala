@@ -127,6 +127,67 @@ class GraphIndexSpec extends SparkSpec {
       .filter(col("vec_id") === victim).count() === 1)
   }
 
+  test("the compaction bound is enforced even on a fully-screened (skipped) " +
+      "append — tightening maxSegments compacts on the next replay") {
+    val p = java.nio.file.Files.createTempDirectory("graph-bound").toString
+    GraphIndex.build(corpus.filter(col("vec_id") < 200), p,
+      k = 8, iters = 2, revCap = 8)
+    val b1 = corpus.filter(col("vec_id") >= 200 && col("vec_id") < 230)
+    val b2 = corpus.filter(col("vec_id") >= 230 && col("vec_id") < 260)
+    GraphIndex.append(spark, p, b1, maxSegments = 16)
+    GraphIndex.append(spark, p, b2, maxSegments = 16)
+    assert(graft.sources.SegmentedTable.readManifest(spark, p)
+      .segments.length === 3)
+    // a FULL replay publishes nothing — but the tightened bound must
+    // still compact (IndexIngest.appendScreened's rule)
+    GraphIndex.append(spark, p, b2, maxSegments = 2)
+    val m = graft.sources.SegmentedTable.readManifest(spark, p)
+    assert(m.segments.length === 1,
+      s"skipped publish must still enforce the bound, got ${m.segments}")
+    assert(GraphIndex.vectors(spark, p).count() === 260)
+  }
+
+  test("append staleness is measured and bounded; compact(relink=true) " +
+      "heals serving recall toward a fresh full build") {
+    // Build on HALF the corpus, append the rest in 4 batches: appended
+    // nodes link outward but never enter old nodes' edge lists, so
+    // old-seeded expansions can't reach them — the documented
+    // one-directional staleness. This test pins the decay floor and
+    // proves the compaction re-link (one NnDescent.refineRound over the
+    // merged lists) recovers recall to the fresh-rebuild level.
+    val qs = corpus.filter(col("vec_id") < 24)
+    val truth = Similarity.bruteForceTopK(corpus, qs, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val nTruth = truth.count().toDouble
+    def recallOf(served: org.apache.spark.sql.DataFrame): Double =
+      served.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / nTruth
+    val pInc = java.nio.file.Files.createTempDirectory("graph-stale").toString
+    GraphIndex.build(corpus.filter(col("vec_id") < 250), pInc,
+      k = 8, iters = 2, revCap = 8)
+    Seq((250L, 313L), (313L, 375L), (375L, 438L), (438L, 500L)).foreach {
+      case (lo, hi) => GraphIndex.append(spark, pInc,
+        corpus.filter(col("vec_id") >= lo && col("vec_id") < hi))
+    }
+    val stale = recallOf(GraphIndex.searchTopK(spark, pInc, qs,
+      k = 3, hops = 2, seedK = 8))
+    GraphIndex.compact(spark, pInc, relink = true)
+    val healed = recallOf(GraphIndex.searchTopK(spark, pInc, qs,
+      k = 3, hops = 2, seedK = 8))
+    val pFresh = java.nio.file.Files.createTempDirectory("graph-fresh").toString
+    GraphIndex.build(corpus, pFresh, k = 8, iters = 2, revCap = 8)
+    val fresh = recallOf(GraphIndex.searchTopK(spark, pFresh, qs,
+      k = 3, hops = 2, seedK = 8))
+    info(f"recall@3 stale=$stale%.3f relinked=$healed%.3f fresh=$fresh%.3f")
+    // floors pinned from measurement (see info line): staleness may cost
+    // recall but must stay bounded, and the re-link must close the gap
+    assert(stale >= 0.60, f"stale recall $stale%.3f below floor")
+    assert(healed >= fresh - 0.05,
+      f"relinked recall $healed%.3f must reach the fresh build's $fresh%.3f")
+    assert(healed >= stale - 1e-9, "re-link must never reduce recall")
+  }
+
   test("vacuum reclaims superseded segments of BOTH families; a replayed " +
       "append after compact+vacuum still lands nothing") {
     val p = java.nio.file.Files.createTempDirectory("graph-vac").toString

@@ -67,6 +67,31 @@ class Scd2Spec extends SparkSpec {
     assert(rowSet(merge(upd)) == rowSet(dim))
   }
 
+  test("equal-timestamp updates collapse deterministically (greatest attr struct wins)") {
+    // two conflicting updates for one key at the SAME ts: without the
+    // declared collapse, lag/lead order over the tie is run-dependent and
+    // lead() would mint a zero-width [t, t) version. The rule keeps the
+    // greatest (tier, region) struct — here ("plat","us") > ("plat","eu").
+    val upd = Seq(
+      (1L, "plat", "eu", t("05 00:00:00")),
+      (1L, "plat", "us", t("05 00:00:00")))
+      .toDF("k", "tier", "region", "ts")
+    val got = merge(upd).filter(col("k") === 1)
+    assert(rowSet(got) == Seq(
+      "[1,gold,eu,2024-01-01 00:00:00.0,2024-01-05 00:00:00.0]",
+      "[1,plat,us,2024-01-05 00:00:00.0,null]"))
+    // no zero-width interval anywhere
+    assert(merge(upd).filter(col("valid_to") === col("valid_from")).isEmpty)
+    // exact-duplicate rows collapse to themselves (idempotent ingest shape)
+    val dup = Seq(
+      (1L, "plat", "eu", t("05 00:00:00")),
+      (1L, "plat", "eu", t("05 00:00:00")))
+      .toDF("k", "tier", "region", "ts")
+    assert(rowSet(merge(dup).filter(col("k") === 1)) == Seq(
+      "[1,gold,eu,2024-01-01 00:00:00.0,2024-01-05 00:00:00.0]",
+      "[1,plat,eu,2024-01-05 00:00:00.0,null]"))
+  }
+
   test("exactly one open version per key survives any merge") {
     val upd = Seq(
       (1L, "plat", "eu", t("05 00:00:00")),

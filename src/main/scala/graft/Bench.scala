@@ -76,6 +76,32 @@ object Bench {
       .select(xxhash64(col("id")).as("k"))
       .orderBy("k")
 
+  /** One benchable unit: a name and a DataFrame constructor bound to an
+    * SF dir. Registry queries wrap `q.fn`; bench-local micros (the
+    * persisted-index serve) supply their own constructor. */
+  private final case class B(name: String,
+      mk: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+
+  /** Persisted-index serve micro: BM25 top-k against a pre-built
+    * [[graft.operators.LexIndex]]. The build is a one-time cost (like
+    * loading the tables) and runs OUTSIDE the timed window, memoized per
+    * SF dir; the measured unit is what a serving tier pays per query —
+    * bucket-pruned posting scans + the k-bounded rank. */
+  private val lexIndexDirs = scala.collection.mutable.Map.empty[String, String]
+  private def lexServe(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val p = lexIndexDirs.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("bench-lexindex").toString
+      graft.operators.LexIndex.build(
+        graft.sources.Tables(spark, sfDir, "documents")
+          .select("doc_id", "text"), dir, buckets = 64)
+      dir
+    })
+    graft.operators.LexIndex.searchTopK(spark, p,
+      Seq("dup", "vector", "window", "stream"), k = 20)
+  }
+
   /** Cumulative codegen compilation count for this JVM (driver-side is the
     * compiling side in local mode; the metric registers compilations from
     * `CodeGenerator.compile` cache misses). */
@@ -131,51 +157,84 @@ object Bench {
           Filter.Result.DENY, Filter.Result.NEUTRAL))
       ctx.updateLoggers()
     }
-    val headline = Registry.all.filter(_.headline)
+    val tier1 = Registry.all.filter(_.headline).map(q => B(q.name, q.fn))
+    // tier 2 (round 12): the heaviest operator families — marked in
+    // Registry.Tier2 — plus the persisted-index serve micro. Measured with
+    // the same interleaved-min protocol but 3 passes instead of 5 (these
+    // are multi-second operators; 3 passes bounds suite wall-clock while
+    // still shedding one co-tenant spike).
+    val tier2 = Registry.all.filter(_.headline2).map(q => B(q.name, q.fn)) :+
+      B("lex_index_serve", lexServe)
     def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // one warm-up pass amortizes JVM/codegen warm-up out of the measurement
-    headline.foreach { q =>
-      try runNoop(q.fn(spark, sfDir))
-      catch { case _: Throwable => () }
-    }
-    // min of 5 measured runs: the steady-state cost, robust to background
-    // load on a shared machine (observed 3-8× spikes from co-tenant load).
-    // The 5 runs are INTERLEAVED — 5 round-robin passes over all queries,
-    // not 5 back-to-back runs per query — so a sustained multi-second spike
-    // poisons at most one pass of each query instead of every sample of
-    // whichever query it lands on (BENCH_r06: q09_group_avg 1.49s driver
-    // min-of-5 vs 0.33s on a machine with a WORSE calibration_sec, because
-    // all 5 consecutive runs sat inside one spike). Interleaving is also
-    // what exposed the codegen-cache thrash documented above — kept, with
-    // the cache sized to the suite instead.
-    val samples = collection.mutable.Map.empty[String, List[Double]]
-    val compiles = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    val failedQ = collection.mutable.Set.empty[String]
-    for (_ <- 1 to 5; q <- headline) {
-      val c0 = codegenCompileCount
-      val t0 = System.nanoTime()
-      try runNoop(q.fn(spark, sfDir))
-      catch { case e: Throwable =>
-        failedQ += q.name
-        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+
+    /** Warm-up pass + `nRuns` INTERLEAVED measured passes over `bs` at
+      * `dir`: min-of-n per query, per-query codegen-compile counts, failed
+      * set. Interleaving (round-robin passes, not back-to-back runs per
+      * query) keeps a sustained co-tenant spike from poisoning every
+      * sample of one query — the BENCH_r06 lesson; the codegen cache is
+      * sized to the suite so interleaving no longer thrashes it. */
+    def measure(bs: Seq[B], dir: String, nRuns: Int)
+        : (Seq[(String, Double)], Map[String, Long], Set[String]) = {
+      bs.foreach { b =>
+        try runNoop(b.mk(spark, dir))
+        catch { case _: Throwable => () }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples.updateWith(q.name)(s => Some(dt :: s.getOrElse(Nil)))
-      compiles(q.name) += codegenCompileCount - c0
+      val samples = collection.mutable.Map.empty[String, List[Double]]
+      val compiles = collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      val failedQ = collection.mutable.Set.empty[String]
+      for (_ <- 1 to nRuns; b <- bs) {
+        val c0 = codegenCompileCount
+        val t0 = System.nanoTime()
+        try runNoop(b.mk(spark, dir))
+        catch { case e: Throwable =>
+          failedQ += b.name
+          System.err.println(s"[bench] ${b.name} FAILED at $dir: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples.updateWith(b.name)(s => Some(dt :: s.getOrElse(Nil)))
+        compiles(b.name) += codegenCompileCount - c0
+      }
+      // a failed query must not report a flatteringly tiny time
+      val results = bs.map(b =>
+        b.name -> (if (failedQ(b.name)) -1.0 else samples(b.name).min))
+      (results, compiles.toMap.withDefaultValue(0L), failedQ.toSet)
     }
-    // a failed query must not report a flatteringly tiny time
-    val results = headline.map(q =>
-      q.name -> (if (failedQ(q.name)) -1.0 else samples(q.name).min))
-    // planning-vs-execution split: time to construct + fully plan a FRESH
-    // frame (what every measured run pays before its first task), after the
-    // timed runs so the split never perturbs them
-    val planSec = headline.map { q =>
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).queryExecution.executedPlan; () }
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
-    }
+
+    /** Planning-vs-execution split: time to construct + fully plan a FRESH
+      * frame (what every measured run pays before its first task); called
+      * after the timed runs so the split never perturbs them. */
+    def planSplit(bs: Seq[B], dir: String): Seq[(String, Double)] =
+      bs.map { b =>
+        val t0 = System.nanoTime()
+        try { b.mk(spark, dir).queryExecution.executedPlan; () }
+        catch { case _: Throwable => () }
+        b.name -> (System.nanoTime() - t0) / 1e9
+      }
+
+    val (results, compiles, failed1) = measure(tier1, sfDir, nRuns = 5)
+    val (results2, compiles2, failed2) = measure(tier2, sfDir, nRuns = 3)
+    val planSec = planSplit(tier1, sfDir)
+    val planSec2 = planSplit(tier2, sfDir)
+
+    // scaling-slope check: re-measure EVERY benched query at the sibling
+    // 10×-smaller SF and report t(big)/t(small) per query. A query whose
+    // slope far exceeds the data ratio is super-linear — the operator a
+    // 100× scale-up breaks first — caught here before it happens. Slopes
+    // of sub-second queries are noisy (fixed per-query overhead dominates
+    // at the small SF); read them against the absolute times.
+    val smallDir = sfDir.replace("sf0.1", "sf0.01")
+    val slope: Seq[(String, Double)] =
+      if (smallDir != sfDir && new java.io.File(smallDir).isDirectory
+          && sys.env.getOrElse("SPARK_GRAFT_SLOPE", "1") == "1") {
+        val (small, _, _) = measure(tier1 ++ tier2, smallDir, nRuns = 3)
+        val bigByName = (results ++ results2).toMap
+        small.collect { case (n, s) if s > 0 && bigByName.getOrElse(n, -1.0) >= 0 =>
+          n -> bigByName(n) / s
+        }
+      } else Nil
+
     // calibration sentinel: same warm-up + min-of-5 protocol as the queries
     runNoop(calibration(spark))
     val calib = (1 to 5).map { _ =>
@@ -185,19 +244,25 @@ object Bench {
     }.min
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val qs = jmap(results)
-    val plans = jmap(planSec)
-    val comps = headline.map(q => "\"" + q.name + s"""":${compiles(q.name)}""")
-      .mkString("{", ",", "}")
+    def jcomp(bs: Seq[B], m: Map[String, Long]): String =
+      bs.map(b => "\"" + b.name + s"""":${m(b.name)}""")
+        .mkString("{", ",", "}")
     // failed queries stay visible as -1.0 per query but must NOT join the
     // sum — a -1 sentinel would LOWER the total, making a broken round
     // look faster than a working one
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def totalOf(rs: Seq[(String, Double)]): Double =
+      rs.collect { case (_, v) if v >= 0 => v }.sum
+    val total = totalOf(results)
+    val total2 = totalOf(results2)
+    val failedQ = failed1 ++ failed2
     val failedField =
       if (failedQ.isEmpty) ""
       else failedQ.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(""","failed_queries":[""", ",", "]")
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f$failedField,"queries":$qs,"plan_sec":$plans,"codegen_compiles":$comps,"sf":"$sfDir"}""")
+    val slopeField =
+      if (slope.isEmpty) ""
+      else s""","slope":${jmap(slope)},"slope_sf":"$smallDir""""
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f$failedField,"queries":${jmap(results)},"plan_sec":${jmap(planSec)},"codegen_compiles":${jcomp(tier1, compiles)},"tier2_total_sec":$total2%.3f,"tier2_queries":${jmap(results2)},"tier2_plan_sec":${jmap(planSec2)},"tier2_codegen_compiles":${jcomp(tier2, compiles2)}$slopeField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,18 +12,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * arithmetic and cast to double at the end, or rounded to a fixed scale on
   * both sides; raw column passthroughs are bit-exact by construction.
   */
+/** `headline` marks the round-1 bench set (timings comparable across every
+  * round); `headline2` marks the second bench tier added in round 12 — the
+  * heaviest operator families (similarity joins, graph builds, classifier
+  * training) whose wall-clock would otherwise regress invisibly. The tiers
+  * are reported separately so tier-1 totals stay round-over-round
+  * comparable. */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     sql: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    headline2: Boolean = false)
 
 object Registry {
+
+  /** The tier-2 bench set, assigned HERE (one list, not per-entry flags):
+    * the engine's heaviest operator families — exact similarity join,
+    * NN-Descent graph build, cross-doc boilerplate spans, winnowing pair
+    * generation, triangle counting, classifier training. Registered by
+    * name so a rename or removal fails loudly below. */
+  private val Tier2: Set[String] = Set(
+    "dd_prefix_pairs", "sim_nndescent", "tx_boilerplate",
+    "dd_winnow_pairs", "ev_triangles", "tx_quality_classifier")
+
   def all: Seq[Q] = {
-    val qs = queries.CoreQueries.all ++ queries.ExtQueries.all ++
-      queries.PipelineQueries.all ++ queries.SurfaceQueries.all
+    val qs = (queries.CoreQueries.all ++ queries.ExtQueries.all ++
+      queries.PipelineQueries.all ++ queries.SurfaceQueries.all)
+      .map(q => if (Tier2(q.name)) q.copy(headline2 = true) else q)
     val dups = qs.groupBy(_.name).filter(_._2.length > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    val missing = Tier2 -- qs.map(_.name).toSet
+    require(missing.isEmpty, s"tier-2 names not in registry: $missing")
     qs
   }
 

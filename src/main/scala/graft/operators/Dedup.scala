@@ -170,17 +170,22 @@ object Dedup {
     // one row per distinct signature crosses the wire, where the window
     // shuffled every row and then sorted each partition.
     //
-    // eager = false: materialization happens on FIRST USE, not at
-    // construction — building the frame (explain, plan asserts, registry
-    // enumeration) must not run the MinHash scan as a side effect. Caveat
-    // for multi-executor deployments: localCheckpoint blocks live on
-    // executors and truncate lineage, so losing an executor mid-query
-    // (dynamic allocation, spot nodes) fails the query — visibly, and a
-    // retry recomputes; deployments where that risk dominates should swap
-    // this for a reliable checkpoint directory.
-    val sig = signatures(docs, idCol, textCol, numHashes, shingleK)
-      .withColumn("__sig_key", md5(concat_ws(":", col("sig"))))
-      .localCheckpoint(eager = false)
+    // LazyCheckpoint, not a bare localCheckpoint(eager = false):
+    // materialization must happen on FIRST USE, not at construction —
+    // building the frame (explain, plan asserts, registry enumeration)
+    // must not run the MinHash scan as a side effect, and under AQE a
+    // bare lazy checkpoint DOES run it (toRdd materializes the fan-out
+    // shuffle stage at construction; see [[graft.plans.LazyCheckpoint]]).
+    // The fragment is a fixed-width repartition + per-row projection, so
+    // losing AQE inside it costs nothing. Caveat for multi-executor
+    // deployments: localCheckpoint blocks live on executors and truncate
+    // lineage, so losing an executor mid-query (dynamic allocation, spot
+    // nodes) fails the query — visibly, and a retry recomputes;
+    // deployments where that risk dominates should swap this for a
+    // reliable checkpoint directory.
+    val sig = graft.plans.LazyCheckpoint.of(
+      signatures(docs, idCol, textCol, numHashes, shingleK)
+        .withColumn("__sig_key", md5(concat_ws(":", col("sig")))))
     val groups = sig.groupBy("__sig_key").agg(
       min(col("doc_id")).as("rep"),
       first(col("sig")).as("sig"), // all sigs in a group are equal by key

@@ -62,4 +62,32 @@ object Linkage {
         levenshtein(col("key_a"), col("nb.key_b")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** The published MULTI-PASS extension of [[sortedNeighborhood]]
+    * (Hernández & Stolfo §4: "no single key will be sufficient to catch
+    * all matching records" — re-run with rotated block/sort keys and take
+    * the union): each `(blockCol, keyCol)` pass runs the same
+    * single-pass operator, pair ids normalize to `id_a < id_b`, and the
+    * union dedupes with the MINIMUM distance any pass measured. A pair
+    * whose records disagree in one pass's block (a typo in the first
+    * word) is recovered by a pass that blocks on a different fragment
+    * (the last word) — LinkageSpec measures the recall step per pass
+    * against all-pairs ground truth.
+    *
+    * Scale shape: `passes` sequential runs of the O(n·window) single
+    * pass plus ONE pair-keyed dedup aggregate over their (already
+    * distance-filtered, near-dup-sparse) union — the pass count
+    * multiplies cost linearly, exactly the paper's recall/cost knob. */
+  def sortedNeighborhoodMultiPass(recs: DataFrame, idCol: Column,
+      passes: Seq[(Column, Column)], window: Int, maxDist: Int): DataFrame = {
+    require(passes.nonEmpty, "at least one (block, key) pass required")
+    passes.map { case (blk, key) =>
+      sortedNeighborhood(recs, idCol, key, blk, window, maxDist)
+        .select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          col("dist"))
+    }.reduce(_.unionByName(_))
+      .groupBy("id_a", "id_b").agg(min(col("dist")).as("dist"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distributed GLOBAL ranking — the production form of the single-partition
+  * `Window.orderBy(value)` that several judged entries use at fixture scale
+  * (dq_mannwhitney's pooled midranks, the ev_rfm/tx_ppl_buckets ntiles).
+  * An unpartitioned window funnels the whole frame through ONE task; fine
+  * to ~10⁸ rows, a wall at 100 TB. The classic two-phase rewrite:
+  *
+  *   1. range-repartition by the value — each partition owns a contiguous
+  *      value interval, and equal values are CO-LOCATED (the range
+  *      partitioner assigns a key to exactly one partition);
+  *   2. per-partition row counts (one tiny P-row aggregate) prefix-sum into
+  *      broadcast offsets;
+  *   3. within-partition rank/tie-count windows (every partition
+  *      independent — full cluster width), shifted by the partition's
+  *      offset.
+  *
+  * `global min_rank = offset(partition) + local min_rank`, exactly — ties
+  * never straddle a partition boundary, so tie counts are local too.
+  *
+  * Determinism: the range boundaries come from the partitioner's sampling
+  * of a deterministic input, and every rank value produced is a pure
+  * function of the VALUE (min-rank and tie count don't depend on row order
+  * within a tie). RanksSpec asserts bit-equality with the global-window
+  * form on the judged fixture, row for row, and equality of the full
+  * Mann–Whitney statistic chain built on top.
+  *
+  * Skew note: one pathologically dominant tie group still lands in one
+  * partition (ranking ties are not saltable — their rank is shared). The
+  * quantile-sketch bucketing (tx_length_quantiles' LogHistogram) is the
+  * rewrite when per-VALUE mass exceeds a partition.
+  */
+object Ranks {
+
+  /** Append `r2Col` = 2·min_rank + (tie_count − 1) over the GLOBAL order
+    * of `valueCol` — twice the statistical midrank, kept integer so no .5
+    * rational ever materializes (the dq_mannwhitney contract) — without a
+    * single-partition window. `parts` defaults to the session shuffle
+    * width. Nulls must be pre-filtered (a global order over nulls is not
+    * part of the contract). */
+  def globalMidranks2x(df: DataFrame, valueCol: String,
+      r2Col: String = "r2", parts: Int = 0): DataFrame = {
+    val p =
+      if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // checkpoint the ranged frame: BOTH consumers (the count aggregate and
+    // the ranked output) must observe ONE materialization, so the sampled
+    // range boundaries — and therefore every partition id — are pinned
+    val ranged = graft.plans.LazyCheckpoint.of(
+      df.repartitionByRange(p, col(valueCol))
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // P rows: the prefix-sum window is single-partition but bounded by
+    // the partition COUNT, not the data
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val localW = Window.partitionBy("__pid").orderBy(valueCol)
+    val tieW = Window.partitionBy("__pid", valueCol)
+    ranged
+      .withColumn("__lr", rank().over(localW).cast("long"))
+      .withColumn("__t", count(lit(1)).over(tieW))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(r2Col,
+        lit(2L) * (col("__off") + col("__lr")) + col("__t") - lit(1L))
+      .drop("__pid", "__lr", "__t", "__off")
+  }
+
+  /** Mann–Whitney U + tie-corrected z over (arm, y) rows, built on the
+    * two-phase ranks — the at-scale form of the judged dq_mannwhitney
+    * (which uses a global window for its oracle parity). Output schema and
+    * arithmetic chain are IDENTICAL: exact long rank sums, T = Σ(t³−t)
+    * exact, one mirrored double chain, rounded once. */
+  def mannWhitney(armed: DataFrame, armCol: Column, yCol: Column): DataFrame = {
+    val byArm = armed.select(armCol.as("arm"), yCol.as("y"))
+    val ranked = globalMidranks2x(byArm, "y")
+    val ties = byArm.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+    val stats = ranked.groupBy().agg(
+      sum(when(col("arm") === "A", col("r2")).otherwise(lit(0L))).as("r2a"),
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+    val uA = (col("r2a") - col("n_a") * (col("n_a") + lit(1L)))
+      .cast("double") / lit(2.0)
+    val mu = (col("n_a") * col("n_b")).cast("double") / lit(2.0)
+    val nn = (col("n_a") + col("n_b")).cast("double")
+    val varU = ((col("n_a") * col("n_b")).cast("double") / lit(12.0)) *
+      ((nn + lit(1.0)) - col("tt").cast("double") /
+        ((col("n_a") + col("n_b")) *
+         (col("n_a") + col("n_b") - lit(1L))).cast("double"))
+    stats.crossJoin(broadcast(ties))
+      .select(col("n_a"), col("n_b"), uA.as("u_a"),
+        round((uA - mu) / sqrt(varU), 6).as("z"))
+  }
+}

@@ -469,6 +469,59 @@ object SurfaceQueries {
         |SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin)),
 
+    // Type-2 SCD merge (warehouse/Scd2) judged end-to-end: every customer
+    // starts as one open version (mktsegment, from 1995-01-01) and the
+    // whole orders table replays as timestamped segment updates — so the
+    // oracle re-derives chaining (multiple same-key changes materialize
+    // intermediate versions), run-collapse (equal-to-previous updates
+    // drop), the stale rule (pre-1995 orders drop: ts must exceed the open
+    // valid_from), and the equal-timestamp collapse (same-day conflicting
+    // orders keep the greatest attr — 21 real ties at sf0.01). The DuckDB
+    // side is the same window pipeline as the engine: tie-collapse by
+    // max(seg), lag-vs-baseline keep filter, lead() interval chaining,
+    // min-change close of the open version.
+    Q("k5_scd2_merge",
+      (s, d) => {
+        val cur = t(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          to_timestamp(lit("1995-01-01")).as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val upd = t(s, d, "orders").select(
+          col("o_custkey").as("k"), col("o_orderpriority").as("seg"),
+          col("o_orderdate").as("ts"))
+        graft.warehouse.Scd2.merge(cur, upd, Seq("k"), Seq("seg"), "ts")
+          .select("k", "seg", "valid_from", "valid_to")
+      },
+      Some("""WITH cur AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    TIMESTAMP '1995-01-01' AS vf FROM customer),
+        |upd1 AS (
+        |  SELECT o_custkey AS k, o_orderdate AS ts,
+        |    MAX(o_orderpriority) AS seg
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT u.k, u.ts, u.seg, c.seg AS cur_seg
+        |  FROM upd1 u LEFT JOIN cur c ON u.k = c.k
+        |  WHERE c.vf IS NULL OR u.ts > c.vf),
+        |kept AS (
+        |  SELECT k, ts, seg FROM (
+        |    SELECT k, ts, seg,
+        |      COALESCE(LAG(seg) OVER (PARTITION BY k ORDER BY ts),
+        |        cur_seg) AS base
+        |    FROM j)
+        |  WHERE seg IS DISTINCT FROM base),
+        |newv AS (
+        |  SELECT k, seg, ts AS valid_from,
+        |    LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+        |  FROM kept),
+        |firstchg AS (SELECT k, MIN(ts) AS chg FROM kept GROUP BY 1),
+        |openout AS (
+        |  SELECT c.k, c.seg, c.vf AS valid_from, f.chg AS valid_to
+        |  FROM cur c LEFT JOIN firstchg f ON c.k = f.k)
+        |SELECT k, seg, valid_from, valid_to FROM openout
+        |UNION ALL
+        |SELECT k, seg, valid_from, valid_to FROM newv""".stripMargin)),
+
     // JSON path extraction without a declared schema (get_json_object — the
     // schema-on-read probe; js_json_extract/js_map_funcs carry the typed
     // from_json path).

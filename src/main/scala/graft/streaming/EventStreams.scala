@@ -568,6 +568,55 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming type-2 SCD maintenance: each micro-batch of timestamped
+    * attribute updates merges into the versioned dimension through
+    * [[graft.warehouse.Scd2.merge]] and publishes the merged snapshot with
+    * ONE [[graft.warehouse.AtomicCommit.replaceTable]] manifest flip —
+    * readers see each batch's whole version transition or none of it.
+    *
+    * Idempotency is CONTENT-level and free by the merge semantics: a
+    * replayed micro-batch re-presents updates whose attribute states
+    * already equal the dimension's (run-collapse drops them) and whose
+    * timestamps don't advance any open version (the stale rule drops the
+    * rest), so the merge is a fixpoint — the replay publishes a new
+    * version with byte-identical rows (spec'd in EventStreamsSpec).
+    * Batch boundaries don't change the result for time-ordered streams:
+    * merging b1 then b2 equals merging b1 ∪ b2 at once whenever b2's
+    * updates are not older than b1's open versions — late stragglers
+    * behind an already-advanced open version are dropped by the declared
+    * stale rule (the watermark-discipline analogue for merges).
+    *
+    * Scale shape: the [[graft.warehouse.Scd2]] merge cost envelope per
+    * batch (windows over the small batch, one keyed join against the open
+    * slice) plus one full write of the dimension snapshot — dimensions are
+    * the SMALL side of a warehouse by construction; fact streams take the
+    * append-only sinks. */
+  def startScd2DimensionSink(updates: DataFrame, warehouseRoot: String,
+      table: String, keys: Seq[String], attrs: Seq[String],
+      ts: String, checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val tsType = batch.schema(ts).dataType
+        // first-batch seed: an empty dimension with the merged schema
+        val seed = batch
+          .select((keys ++ attrs).map(col) :+
+            col(ts).as("valid_from") :+
+            org.apache.spark.sql.functions.lit(null).cast(tsType)
+              .as("valid_to"): _*)
+          .limit(0)
+        val current = graft.warehouse.AtomicCommit
+          .snapshot(spark, warehouseRoot, table).getOrElse(seed)
+        val merged = graft.warehouse.Scd2
+          .merge(current, batch, keys, attrs, ts)
+        graft.warehouse.AtomicCommit
+          .replaceTable(spark, warehouseRoot, table, merged)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Attach input-row accounting to a (streaming or batch) event frame:
     * `Dataset.observe` counts rows per micro-batch at this point in the
     * plan — BEFORE any watermark drop — and surfaces them through

@@ -186,6 +186,30 @@ object AtomicCommit {
     staged.counts
   }
 
+  /** Snapshot-REPLACE commit for one table: stage `df` as a single new
+    * segment and publish a manifest pointing the table at ONLY that
+    * segment (every other table carries forward unchanged). The commit
+    * shape for REWRITING merges — [[Scd2.merge]] closes existing open
+    * versions, so its output is a new snapshot, not an appendable delta;
+    * the append-only [[prepare]] path cannot express it. Superseded
+    * segments stay on disk, so [[snapshotAt]] time travel over the
+    * replaced history keeps working until an external cleanup reclaims
+    * them. Same crash contract as every commit: nothing is visible until
+    * the single manifest rename. Returns the published version. */
+  def replaceTable(spark: SparkSession, root: String, table: String,
+      df: DataFrame): Long = {
+    val (version, current) = readManifest(spark, root)
+    val next = version + 1
+    val seg = s"$table/seg-$next"
+    df.write.mode("overwrite").parquet(s"$root/$seg")
+    val untouched = (current.keySet - table).toSeq.sorted.map { t =>
+      s"$t=" + current(t).mkString(",")
+    }
+    val body = (Seq(s"version=$next", s"$table=$seg") ++ untouched).mkString("\n")
+    publish(spark, Staged(root, next, body, Map.empty))
+    next
+  }
+
   /** [[Migration.migrate]] with all-four-tables atomicity: either every
     * entity table advances to the new snapshot or none does. */
   def migrateAtomic(spark: SparkSession, lakePath: String,

@@ -462,6 +462,54 @@ class EventStreamsSpec extends SparkSpec {
       "the next batch's vacuum must reclaim superseded segments")
   }
 
+  test("scd2 dimension sink: time-ordered batches merge to the one-shot " +
+      "result; a full replay is a content fixpoint") {
+    import graft.warehouse.{AtomicCommit, Scd2}
+    val dir = Files.createTempDirectory("graft-scd2sink").toString
+    val u1 = Seq(
+      (1L, "gold", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "free", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "seg", "ts")
+    val u2 = Seq(
+      (1L, "plat", Timestamp.valueOf("2024-01-05 00:00:00")),
+      (3L, "free", Timestamp.valueOf("2024-01-04 00:00:00")), // new key
+      (2L, "free", Timestamp.valueOf("2024-01-06 00:00:00"))) // equal state: no-op
+      .toDF("k", "seg", "ts")
+    u1.write.parquet(s"$dir/in")
+    def run(cp: String): Unit =
+      EventStreams.startScd2DimensionSink(
+        spark.readStream.schema(u1.schema).parquet(s"$dir/in"),
+        s"$dir/wh", "dim", Seq("k"), Seq("seg"), "ts", s"$dir/$cp")
+        .awaitTermination(60000)
+    run("cp1")
+    u2.write.mode("append").parquet(s"$dir/in")
+    run("cp1") // the checkpoint resumes: only u2 is a fresh batch
+    val cols = Seq("k", "seg", "valid_from", "valid_to")
+    val got = AtomicCommit.snapshot(spark, s"$dir/wh", "dim").get.select(cols.map(col): _*)
+    // batch-by-batch merging of a time-ordered stream equals one shot
+    val seed = u1.select(col("k"), col("seg"), col("ts").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to")).limit(0)
+    val want = Scd2.merge(seed, u1.unionByName(u2), Seq("k"), Seq("seg"), "ts")
+      .select(cols.map(col): _*)
+    assert(rowSet(got) == rowSet(want))
+    assert(got.filter(col("valid_to").isNull)
+      .groupBy("k").count().filter(col("count") =!= 1).isEmpty,
+      "exactly one open version per key")
+    // a FRESH checkpoint replays the whole input against the merged
+    // dimension: every update is equal-state or stale, so the merge is a
+    // fixpoint — a new version publishes, with byte-identical content
+    val v0 = AtomicCommit.readManifest(spark, s"$dir/wh")._1
+    run("cp2")
+    val replayed = AtomicCommit.snapshot(spark, s"$dir/wh", "dim").get
+      .select(cols.map(col): _*)
+    assert(rowSet(replayed) == rowSet(got))
+    assert(AtomicCommit.readManifest(spark, s"$dir/wh")._1 == v0 + 1)
+    // the pre-replay snapshot stays time-travelable after the replace
+    val atV0 = AtomicCommit.snapshotAt(spark, s"$dir/wh", "dim", v0).get
+      .select(cols.map(col): _*)
+    assert(rowSet(atV0) == rowSet(got))
+  }
+
   test("atomic two-table sink: events and stats commit together; replay commits nothing") {
     import graft.warehouse.AtomicCommit
     val dir = Files.createTempDirectory("graft-ac-stream").toString

@@ -312,11 +312,11 @@ object Dedup {
     * (the dd_lsh_pairs checkpointed-projection pattern). */
   private[operators] def prefixShingleSets(docs: DataFrame, idCol: Column,
       textCol: Column, shingleK: Int): DataFrame =
-    Parallelism.fanOut(
-        docs.select(idCol.as("doc_id"), textCol.as("__text")))
-      .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = false)
+    graft.plans.LazyCheckpoint.of(
+      Parallelism.fanOut(
+          docs.select(idCol.as("doc_id"), textCol.as("__text")))
+        .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
+        .filter(size(col("sh")) > 0))
 
   /** Prefix-filter candidate generation over [[prefixShingleSets]] output:
     * rarest-first global token order, per-doc prefix of n − ⌈t·n⌉ + 1
@@ -352,12 +352,13 @@ object Dedup {
     val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     // checkpoint: BOTH sides of the candidate self-join read this frame —
     // without the cut the df-count + ranking pipeline (two keyed
-    // exchanges) plans and runs twice
-    val prefix = ex.join(dfreq, "shingle")
+    // exchanges) plans and runs twice. LazyCheckpoint so construction
+    // stays job-free (the fragment's df join is token-keyed SMJ under
+    // either planner — no AQE broadcast to lose).
+    val prefix = graft.plans.LazyCheckpoint.of(ex.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceilT(col("n")) + 1)
-      .select(col("doc_id"), col("n"), col("rn"), col("shingle"))
-      .localCheckpoint(eager = false)
+      .select(col("doc_id"), col("n"), col("rn"), col("shingle")))
     val joined = prefix.as("a").join(prefix.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id") &&
         greatest(col("a.n"), col("b.n")) * threshold <=

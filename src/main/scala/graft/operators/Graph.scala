@@ -44,15 +44,17 @@ object Graph {
     // the orientation's total order
     val ordLo = struct(col("dlo").as("d"), col("lo").as("n"))
     val ordHi = struct(col("dhi").as("d"), col("hi").as("n"))
+    // checkpoint: the oriented edge set is read THREE times (both wedge
+    // legs + the closure lookup) — cut the lineage so the degree join
+    // pipeline runs once. NOT LazyCheckpoint (the NnDescent build-shaped
+    // rule): the degree joins want AQE's runtime broadcast — the lazy
+    // form measured ev_triangles +33% calibration-normalized at sf0.1.
     val ori = e
       .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), "lo")
       .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), "hi")
       .select(
         when(ordLo < ordHi, col("lo")).otherwise(col("hi")).as("src"),
         when(ordLo < ordHi, ordHi).otherwise(ordLo).as("dst"))
-      // checkpoint: the oriented edge set is read THREE times (both wedge
-      // legs + the closure lookup) — cut the lineage so the degree join
-      // pipeline runs once
       .localCheckpoint(eager = false)
     // wedges at each source: ordered out-neighbor pairs; the closing edge,
     // if present, is oriented exactly b -> c because orientation and the

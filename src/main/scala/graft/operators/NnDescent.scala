@@ -105,11 +105,19 @@ object NnDescent {
     val scored = score(pairs)
     val cand = scored.unionByName(
       scored.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+    // Per-round lineage cut. Deliberately NOT LazyCheckpoint: this is a
+    // BUILD-shaped operator (constructing the frame IS running the build),
+    // and the round's embedding joins rely on AQE's runtime broadcast
+    // decisions — measured at sf0.1, the lazy (AQE-off) form ran
+    // sim_nndescent +67% calibration-normalized (7.8s vs 4.1s) because the
+    // score joins fell back to sort-merge. The construction-time stage
+    // execution that AQE implies here is the build's real work, not a
+    // hidden side effect.
     knn.unionByName(cand)
       .filter(col("src") =!= col("dst"))
       .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
-      .localCheckpoint(eager = false) // per-round lineage cut
+      .localCheckpoint(eager = false)
   }
 }

@@ -91,9 +91,11 @@ object QualityClassifier {
       nFeatures: Int = NumFeatures): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val f = nFeatures
-    val data = Parallelism.fanOut(docs)
-      .select(features.as("x"), label.cast("double").as("y"))
-      .localCheckpoint(eager = false) // the ONE full-corpus collapse
+    // LazyCheckpoint: construction must not run the feature scan (the
+    // fragment is a fan-out projection; every round's join below carries
+    // an explicit broadcast hint, so no AQE decision is lost)
+    val data = graft.plans.LazyCheckpoint.of(Parallelism.fanOut(docs)
+      .select(features.as("x"), label.cast("double").as("y")))
     var w: DataFrame = data.sparkSession.range(1)
       .select(array(Seq.fill(f)(lit(0.0)): _*).as("w"))
     for (_ <- 0 until iters) {
@@ -105,12 +107,11 @@ object QualityClassifier {
         }: _*)
       val grads = contrib.agg(sum(col("n")).as("n"),
         (0 until f).map(j => sum(col(s"g$j")).as(s"g$j")): _*)
-      w = w.crossJoin(broadcast(grads))
+      w = graft.plans.LazyCheckpoint.of(w.crossJoin(broadcast(grads))
         .select(array((0 until f).map { j =>
           element_at(col("w"), j + 1) -
             lit(lr) * (col(s"g$j").cast("double") / 1e6 / col("n").cast("double"))
-        }: _*).as("w"))
-        .localCheckpoint(eager = false)
+        }: _*).as("w")))
     }
     w
   }

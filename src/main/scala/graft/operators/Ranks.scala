@@ -71,6 +71,100 @@ object Ranks {
       .drop("__pid", "__lr", "__t", "__off")
   }
 
+  /** n-tile over a STRICT global order — the production form of
+    * `ntile(n).over(Window.orderBy(...))` (ev_rfm, tx_ppl_buckets'
+    * per-language form): `orderCols` MUST be a total order (include a
+    * unique tiebreak column, as every judged ntile here does), which makes
+    * the bucket a closed-form function of the global row number r —
+    * SQL ntile gives the first N mod n buckets ⌈N/n⌉ rows and the rest
+    * ⌊N/n⌋ — so the same two-phase machinery (range repartition on the
+    * FULL order key, broadcast offsets, per-partition row_number) replaces
+    * the single-partition window; the bucket arithmetic is exact integer
+    * division. RanksSpec pins bit-equality against the window form,
+    * including the N < n and non-divisible-N edge layouts. */
+  def globalNtile(df: DataFrame, orderCols: Seq[Column], n: Int,
+      outCol: String, parts: Int = 0): DataFrame = {
+    require(n >= 1, s"ntile buckets must be >= 1, got $n")
+    require(orderCols.nonEmpty, "orderCols must be a (total) order")
+    val p =
+      if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val ranged = graft.plans.LazyCheckpoint.of(
+      df.repartitionByRange(p, orderCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(allW))
+      .select(col("__pid"), col("__off"), col("__n"))
+    val localW = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    ranged
+      .withColumn("__lr", row_number().over(localW).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__r", col("__off") + col("__lr")) // global row number
+      .withColumn("__q", expr(s"__n div ${n.toLong}"))
+      .withColumn("__rem", col("__n") % lit(n.toLong))
+      // SQL ntile: ranks 1..rem·(q+1) fill the first rem buckets (q+1
+      // rows each), the rest fill buckets of q rows. Exact integer ceils:
+      // ceil(a/b) = (a + b − 1) div b; q = 0 only when N < n, where the
+      // first branch covers every rank (rem = N), so the greatest() guard
+      // in the dead branch only keeps ANSI division happy.
+      .withColumn(outCol, when(
+        col("__r") <= col("__rem") * (col("__q") + lit(1L)),
+        expr("(__r + __q) div (__q + 1)"))
+        .otherwise(expr(
+          "__rem + (__r - __rem * (__q + 1) + greatest(__q, 1) - 1) " +
+            "div greatest(__q, 1)")))
+      .drop("__pid", "__lr", "__off", "__n", "__q", "__rem", "__r")
+  }
+
+  /** Per-KEY n-tile over a strict per-key order — the production form of
+    * `ntile(n).over(Window.partitionBy(keys).orderBy(...))` when one key's
+    * population exceeds a task (tx_ppl_buckets' per-language terciles with
+    * a dominant language): range-repartition on (keys ++ order) so each
+    * key's rows are CONTIGUOUS across partitions, per-(partition, key)
+    * counts prefix-sum into per-key offsets (a keys×P-row frame — windows
+    * over it are bounded by partition count, not data), per-(partition,
+    * key) row_number at full width, then the same closed-form bucket. */
+  def ntilePerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      n: Int, outCol: String, parts: Int = 0): DataFrame = {
+    require(n >= 1 && keyCols.nonEmpty && orderCols.nonEmpty)
+    val p =
+      if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val keys = keyCols.map(col)
+    val ranged = graft.plans.LazyCheckpoint.of(
+      df.repartitionByRange(p, keys ++ orderCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.partitionBy(keys: _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allW = Window.partitionBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = ranged.groupBy(keys :+ col("__pid"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(allW))
+      .select(keys :+ col("__pid") :+ col("__off") :+ col("__n"): _*)
+    val localW = Window.partitionBy(keys :+ col("__pid"): _*)
+      .orderBy(orderCols: _*)
+    ranged
+      .withColumn("__lr", row_number().over(localW).cast("long"))
+      .join(broadcast(offsets), keyCols :+ "__pid")
+      .withColumn("__r", col("__off") + col("__lr"))
+      .withColumn("__q", expr(s"__n div ${n.toLong}"))
+      .withColumn("__rem", col("__n") % lit(n.toLong))
+      .withColumn(outCol, when(
+        col("__r") <= col("__rem") * (col("__q") + lit(1L)),
+        expr("(__r + __q) div (__q + 1)"))
+        .otherwise(expr(
+          "__rem + (__r - __rem * (__q + 1) + greatest(__q, 1) - 1) " +
+            "div greatest(__q, 1)")))
+      .drop("__pid", "__lr", "__off", "__n", "__q", "__rem", "__r")
+  }
+
   /** Mann–Whitney U + tie-corrected z over (arm, y) rows, built on the
     * two-phase ranks — the at-scale form of the judged dq_mannwhitney
     * (which uses a global window for its oracle parity). Output schema and

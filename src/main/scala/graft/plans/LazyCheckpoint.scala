@@ -29,9 +29,24 @@ import org.apache.spark.sql.DataFrame
   * (construct, then checkpoint immediately); `executedPlan` is a lazy val,
   * so a frame that was already executed adaptively would ignore the scoped
   * conf.
+  *
+  * When NOT to use — BUILD-shaped iterative operators (NnDescent rounds,
+  * triangle orientation, k-core peels): constructing those frames IS
+  * running the build, and their per-round joins rely on AQE's runtime
+  * broadcast decisions. Measured at sf0.1, forcing them lazy cost
+  * sim_nndescent +67% and ev_triangles +33% calibration-normalized
+  * (sort-merge fallbacks), dwarfing the construction-laziness win. Use
+  * this helper for QUERY-shaped operators whose checkpointed fragment has
+  * a fixed plan (fan-out projections, token-keyed joins that SMJ under
+  * either planner — dd_lsh_pairs −18%, dd_prefix_pairs −45% measured).
   */
 object LazyCheckpoint {
-  def of(df: DataFrame): DataFrame = {
+  /** The conf flip is session-global, so concurrent `of` calls on one
+    * session serialize on the session monitor (concurrent UNRELATED
+    * queries on the same session during the window would plan
+    * non-adaptively — a documented single-writer-style caveat; the
+    * engine's mains and test JVM construct frames sequentially). */
+  def of(df: DataFrame): DataFrame = df.sparkSession.synchronized {
     val conf = df.sparkSession.conf
     val key = "spark.sql.adaptive.enabled"
     val prev = conf.get(key, "true")

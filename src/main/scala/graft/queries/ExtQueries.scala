@@ -2724,9 +2724,11 @@ object ExtQueries {
     // divisions. Scale shape: events pay ONE user-keyed map-combined
     // aggregate; the three global-order ntile windows run on the
     // collapsed user frame only (the dq_auc collapsed-frame argument) —
-    // at production user counts the same coding is a two-phase
-    // rank-vs-broadcast-quantile-boundary join, which this plan's
-    // boundary semantics (ties broken by user_id) transfer to unchanged.
+    // at production user counts the drop-in is
+    // [[graft.operators.Ranks.globalNtile]] (range-partition + broadcast
+    // offsets), spec'd BIT-EQUAL to these windows on this exact metric
+    // frame in RanksSpec — the total order (ties broken by user_id)
+    // transfers unchanged.
     Q("ev_rfm",
       (s, d) => {
         val anchor = to_date(lit("2024-02-01"))

@@ -1956,8 +1956,10 @@ object PipelineQueries {
     // chain over exact longs (T = Σ(t³−t) exact). No continuity
     // correction (both engines identical by construction). Scale note:
     // the pooled ranking is a single-partition window over the USER-level
-    // frame — fine to ~10⁸ users; beyond that the two-phase
-    // rank-vs-broadcast-boundaries rewrite (the ev_rfm note) applies.
+    // frame — fine to ~10⁸ users; beyond that the drop-in is
+    // [[graft.operators.Ranks.mannWhitney]] (two-phase midranks via
+    // range-partition + broadcast offsets), spec'd BIT-EQUAL to this
+    // entry's full output in RanksSpec.
     Q("dq_mannwhitney",
       (s, d) => {
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -4845,9 +4847,11 @@ object PipelineQueries {
     // order (score DESC, doc_id) is then engine-independent. The judged
     // form is the EXACT per-language ntile — one window keyed by lang; at
     // 100 TB a per-lang partition is a single-reducer sort, and the
-    // production form replaces the window with sampled score CUTPOINTS
-    // broadcast-joined back (what CCNet itself does) — same buckets up to
-    // sampling error, zero wide sort.
+    // EXACT drop-in is [[graft.operators.Ranks.ntilePerKey]] (range
+    // partition on (lang, order), per-key broadcast offsets — spec'd
+    // bit-equal to the per-key window under a dominant key in RanksSpec);
+    // CCNet's own sampled-cutpoint form remains the approximate
+    // alternative when even the per-key exchange is unwanted.
     Q("tx_ppl_buckets",
       (s, d) => graft.operators.CcnetBuckets.bucketed(
           t(s, d, "documents"), col("doc_id"), col("lang"), col("text"))

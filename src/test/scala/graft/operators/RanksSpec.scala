@@ -50,6 +50,53 @@ class RanksSpec extends SparkSpec {
     assert(got.count() === 1000)
   }
 
+  test("two-phase ntile equals the window ntile on the ev_rfm metric frame") {
+    val anchor = to_date(lit("2024-02-01"))
+    val byUser = graft.sources.Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(datediff(anchor, to_date(max(col("ts")))).cast("long").as("r_days"),
+        count(lit(1)).as("f"))
+    val windowed = byUser
+      .withColumn("r_q", ntile(5).over(Window.orderBy(col("r_days"),
+        col("user_id"))).cast("long"))
+      .withColumn("f_q", ntile(5).over(Window.orderBy(col("f").desc,
+        col("user_id"))).cast("long"))
+    val twoPhase = Ranks.globalNtile(
+      Ranks.globalNtile(byUser, Seq(col("r_days"), col("user_id")), 5, "r_q"),
+      Seq(col("f").desc, col("user_id")), 5, "f_q")
+    assert(rowSet(twoPhase.select("user_id", "r_q", "f_q")) ===
+      rowSet(windowed.select("user_id", "r_q", "f_q")))
+  }
+
+  test("two-phase ntile edge layouts: N < n and non-divisible N") {
+    def check(rows: Int, n: Int): Unit = {
+      val df = spark.range(0, rows).select(col("id"))
+      val win = df.withColumn("b",
+        ntile(n).over(Window.orderBy("id")).cast("long"))
+      val got = Ranks.globalNtile(df, Seq(col("id")), n, "b", parts = 4)
+      assert(rowSet(got) === rowSet(win), s"rows=$rows n=$n")
+    }
+    check(rows = 3, n = 5)   // N < n: one row per bucket 1..3
+    check(rows = 7, n = 5)   // rem = 2: buckets of 2,2,1,1,1
+    check(rows = 100, n = 5) // divisible
+    check(rows = 1, n = 1)
+  }
+
+  test("per-key two-phase ntile equals the per-key window ntile " +
+      "(the tx_ppl_buckets shape)") {
+    // skewed keys: one dominant key spanning many range partitions
+    val df = spark.range(0, 500)
+      .select(when(col("id") < 400, lit("en")).otherwise(
+        when(col("id") < 450, lit("de")).otherwise(lit("fr"))).as("lang"),
+        (col("id") * 37 % 101).as("score"), col("id"))
+    val win = df.withColumn("b", ntile(3).over(
+      Window.partitionBy("lang").orderBy(col("score"), col("id"))).cast("long"))
+    val got = Ranks.ntilePerKey(df, Seq("lang"),
+      Seq(col("score"), col("id")), 3, "b", parts = 8)
+    assert(rowSet(got.select("lang", "id", "b")) ===
+      rowSet(win.select("lang", "id", "b")))
+  }
+
   test("the two-phase Mann-Whitney equals the judged single-window form") {
     val prod = Ranks.mannWhitney(armed, col("arm"), col("y"))
     val judged = graft.Registry.byName("dq_mannwhitney").fn(spark, sf)

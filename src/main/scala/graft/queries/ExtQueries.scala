@@ -2768,6 +2768,51 @@ object ExtQueries {
         |  r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS segment
         |FROM q""".stripMargin)),
 
+    // The SAME RFM segmentation through the two-phase production ntile
+    // ([[graft.operators.Ranks.globalNtile]]) instead of three
+    // single-partition windows — judged against the IDENTICAL oracle, so
+    // the at-scale path is hash-verified end-to-end, not only spec-equal:
+    // any divergence between the closed-form bucket arithmetic and SQL
+    // ntile would fail this entry even if the window entry stayed green.
+    Q("ev_rfm_2p",
+      (s, d) => {
+        val anchor = to_date(lit("2024-02-01"))
+        val byUser = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            datediff(anchor, to_date(max(col("ts")))).cast("long").as("r_days"),
+            count(lit(1)).as("f"),
+            sum(round(col("value") * 1000000, 0).cast("long")).as("m_micro"))
+        val R = graft.operators.Ranks
+        val tiled = R.globalNtile(
+          R.globalNtile(
+            R.globalNtile(byUser,
+              Seq(col("r_days"), col("user_id")), 5, "r_q"),
+            Seq(col("f").desc, col("user_id")), 5, "f_q"),
+          Seq(col("m_micro").desc, col("user_id")), 5, "m_q")
+        tiled.select(col("user_id"), col("r_days"), col("f"),
+          round(col("m_micro").cast("double") / 1000000.0, 6).as("monetary"),
+          col("r_q"), col("f_q"), col("m_q"),
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id,
+        |    CAST(DATE '2024-02-01' - CAST(MAX(ts) AS DATE) AS BIGINT) AS r_days,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |      AS m_micro
+        |  FROM events GROUP BY user_id),
+        |q AS (
+        |  SELECT user_id, r_days, f, m_micro,
+        |    CAST(ntile(5) OVER (ORDER BY r_days, user_id) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY m_micro DESC, user_id) AS BIGINT) AS m_q
+        |  FROM u)
+        |SELECT user_id, r_days, f,
+        |  round(CAST(m_micro AS DOUBLE) / 1000000.0, 6) AS monetary,
+        |  r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS segment
+        |FROM q""".stripMargin)),
+
     // Kaplan–Meier survival curve of user activity STREAKS (Kaplan &
     // Meier 1958) — the censoring-correct estimate naive streak-length
     // histograms get wrong: a streak still running on the corpus's final

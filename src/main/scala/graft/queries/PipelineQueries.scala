@@ -2028,6 +2028,56 @@ object PipelineQueries {
         |          / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z
         |FROM stats CROSS JOIN ties""".stripMargin)),
 
+    // The SAME Mann–Whitney readout through the two-phase production
+    // ranking ([[graft.operators.Ranks.mannWhitney]]: range-partitioned
+    // midranks + broadcast offsets, no single-partition window) — judged
+    // against the IDENTICAL oracle, so the at-scale rank machinery is
+    // hash-verified end-to-end: a rank off by one anywhere moves the
+    // exact long rank sum and fails the compare.
+    Q("dq_mannwhitney_2p",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val byUser = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+            .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("y"))
+        graft.operators.Ranks.mannWhitney(byUser, col("arm"), col("y"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    y
+        |  FROM bu),
+        |ranked AS (
+        |  SELECT arm,
+        |    2 * rank() OVER (ORDER BY y)
+        |      + count(*) OVER (PARTITION BY y) - 1 AS r2
+        |  FROM armed),
+        |ties AS (
+        |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt
+        |  FROM (SELECT COUNT(*) AS t FROM armed GROUP BY y)),
+        |stats AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN r2 ELSE 0 END) AS BIGINT) AS r2a,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM ranked)
+        |SELECT n_a, n_b,
+        |  CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+        |  round((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+        |      - CAST(n_a * n_b AS DOUBLE) / 2.0)
+        |    / sqrt((CAST(n_a * n_b AS DOUBLE) / 12.0)
+        |      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |        - CAST(tt AS DOUBLE)
+        |          / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z
+        |FROM stats CROSS JOIN ties""".stripMargin)),
+
     // CUPED variance-reduced experiment readout (Deng et al., WSDM 2013 —
     // the A/B-metric adjustment every experimentation platform runs): the
     // month splits at Jan 15 into a pre-period covariate X (per-user value

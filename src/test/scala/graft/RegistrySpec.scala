@@ -292,8 +292,9 @@ class RegistrySpec extends SparkSpec {
       "tx_heldout_ppl",
       //  - dq_mannwhitney: the ONE-ROW tie-correction aggregate
       //    cross-joins the one-row rank-sum stats frame (two scalar
-      //    frames — the ev_graph_stats shape)
-      "dq_mannwhitney",
+      //    frames — the ev_graph_stats shape); _2p is the same scalar
+      //    attach over the two-phase rank machinery
+      "dq_mannwhitney", "dq_mannwhitney_2p",
       //  - dq_cuped: the ONE-ROW pooled-moments aggregate cross-joins onto
       //    the ≤2-row per-arm frame (the p13 scalar-subquery shape); the
       //    only corpus-sized exchange is the user-keyed map-combined sum

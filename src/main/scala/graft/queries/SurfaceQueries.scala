@@ -522,6 +522,61 @@ object SurfaceQueries {
         |UNION ALL
         |SELECT k, seg, valid_from, valid_to FROM newv""".stripMargin)),
 
+    // Point-in-time feature lookup against the k5 versioned dimension —
+    // the read side SCD2 exists for: every order retrieves the customer's
+    // segment AS OF its order date (greatest valid_from <= ts; the
+    // version opening exactly at ts applies; orders before the key's
+    // first version report NULL). The engine side is ONE user-keyed
+    // union-window pass (no inequality join — the aj_asof_join shape);
+    // the oracle replays the k5 merge then DuckDB's native ASOF LEFT
+    // JOIN — two entirely different evaluation strategies must agree row
+    // for row.
+    Q("k6_pit_lookup",
+      (s, d) => {
+        val cur = t(s, d, "customer").select(
+          col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          to_timestamp(lit("1995-01-01")).as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val upd = t(s, d, "orders").select(
+          col("o_custkey").as("k"), col("o_orderpriority").as("seg"),
+          col("o_orderdate").as("ts"))
+        val dim = graft.warehouse.Scd2.merge(cur, upd, Seq("k"), Seq("seg"), "ts")
+        val probes = t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey").as("k"),
+          col("o_orderdate").as("ts"))
+        graft.warehouse.PointInTime.lookup(dim, probes, Seq("k"), "ts",
+          Seq("seg"))
+          .select(col("o_orderkey"), col("k"), col("ts"),
+            col("seg").as("seg_asof"))
+      },
+      Some("""WITH cur AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    TIMESTAMP '1995-01-01' AS vf FROM customer),
+        |upd1 AS (
+        |  SELECT o_custkey AS k, o_orderdate AS ts,
+        |    MAX(o_orderpriority) AS seg
+        |  FROM orders GROUP BY 1, 2),
+        |j AS (
+        |  SELECT u.k, u.ts, u.seg, c.seg AS cur_seg
+        |  FROM upd1 u LEFT JOIN cur c ON u.k = c.k
+        |  WHERE c.vf IS NULL OR u.ts > c.vf),
+        |kept AS (
+        |  SELECT k, ts, seg FROM (
+        |    SELECT k, ts, seg,
+        |      COALESCE(LAG(seg) OVER (PARTITION BY k ORDER BY ts),
+        |        cur_seg) AS base
+        |    FROM j)
+        |  WHERE seg IS DISTINCT FROM base),
+        |newv AS (SELECT k, seg, ts AS valid_from FROM kept),
+        |dim AS (
+        |  SELECT k, seg, vf AS valid_from FROM cur
+        |  UNION ALL SELECT k, seg, valid_from FROM newv),
+        |probes AS (
+        |  SELECT o_orderkey, o_custkey AS k, o_orderdate AS ts FROM orders)
+        |SELECT p.o_orderkey, p.k, p.ts, dim.seg AS seg_asof
+        |FROM probes p ASOF LEFT JOIN dim
+        |  ON p.k = dim.k AND p.ts >= dim.valid_from""".stripMargin)),
+
     // JSON path extraction without a declared schema (get_json_object — the
     // schema-on-read probe; js_json_extract/js_map_funcs carry the typed
     // from_json path).

@@ -2768,6 +2768,66 @@ object ExtQueries {
         |  r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS segment
         |FROM q""".stripMargin)),
 
+    // Multi-MODEL conversion attribution (first/last/linear in one pass)
+    // over a TIME-WINDOW scope — the complement of ev_attribution, whose
+    // linear credit is session-scoped: every purchase shares credit over
+    // the user's click/view touches strictly within the 7 days before it,
+    // and all three standard models report per channel at once. Declared
+    // rules in [[EventOps.attribution]]: same-instant touches excluded,
+    // zero-touch conversions drop, (ts, event_id) tiebreak, linear
+    // credit as exact round(n_ch·10⁶/n) longs summed per channel. The
+    // oracle replays the band join + per-conversion window ranking and
+    // the same micro-credit arithmetic.
+    Q("ev_attribution_models",
+      (s, d) => EventOps.attribution(t(s, d, "events"),
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackMicros = 7L * 86400 * 1000000),
+      Some("""WITH conv AS (
+        |  SELECT event_id AS cid, user_id, epoch_us(ts) AS ct
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_type AS channel, epoch_us(ts) AS tt,
+        |    event_id AS tid
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT c.cid, t.channel, t.tt, t.tid
+        |  FROM conv c JOIN touch t USING (user_id)
+        |  WHERE t.tt < c.ct AND t.tt >= c.ct - 604800000000),
+        |ranked AS (
+        |  SELECT cid, channel,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tt, tid) AS rn_a,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tt DESC, tid DESC)
+        |      AS rn_d,
+        |    COUNT(*) OVER (PARTITION BY cid) AS n,
+        |    SUM(CASE WHEN channel = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY cid) AS n_click
+        |  FROM j),
+        |per AS (
+        |  SELECT cid,
+        |    MAX(CASE WHEN rn_a = 1 THEN channel END) AS first_ch,
+        |    MAX(CASE WHEN rn_d = 1 THEN channel END) AS last_ch,
+        |    MAX(n) AS n, MAX(n_click) AS n_click
+        |  FROM ranked GROUP BY cid),
+        |lin AS (
+        |  SELECT channel, CAST(SUM(w) AS BIGINT) AS linear_micro FROM (
+        |    SELECT 'click' AS channel,
+        |      CAST(round(n_click * 1000000.0 / n) AS BIGINT) AS w FROM per
+        |    UNION ALL
+        |    SELECT 'view',
+        |      CAST(round((n - n_click) * 1000000.0 / n) AS BIGINT) FROM per)
+        |  GROUP BY 1),
+        |firsts AS (SELECT first_ch AS channel, CAST(COUNT(*) AS BIGINT)
+        |  AS first_touch FROM per GROUP BY 1),
+        |lasts AS (SELECT last_ch AS channel, CAST(COUNT(*) AS BIGINT)
+        |  AS last_touch FROM per GROUP BY 1)
+        |SELECT lin.channel,
+        |  COALESCE(first_touch, 0) AS first_touch,
+        |  COALESCE(last_touch, 0) AS last_touch,
+        |  linear_micro
+        |FROM lin
+        |LEFT JOIN firsts ON lin.channel = firsts.channel
+        |LEFT JOIN lasts ON lin.channel = lasts.channel""".stripMargin)),
+
     // The SAME RFM segmentation through the two-phase production ntile
     // ([[graft.operators.Ranks.globalNtile]]) instead of three
     // single-partition windows — judged against the IDENTICAL oracle, so

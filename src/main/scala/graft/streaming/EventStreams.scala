@@ -407,6 +407,25 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming tokenization under a PERSISTED tokenizer
+    * ([[graft.operators.BpeModel]]) — the third model-bound sink
+    * (selection, quality, now tokenize): each micro-batch lands with its
+    * `tokens`/`n_tokens` columns derived under the STORED merge table, so
+    * every landed row is comparable within one tokenizer generation (the
+    * invariant packing budgets and fertility audits rest on). Exactly-once
+    * by the same doc_id anti-join as the gated sinks; tokenization is a
+    * pure function of stored rules + text, so a replayed batch derives
+    * identical columns and lands zero rows. */
+  def startTokenizedSink(docs: DataFrame, modelPath: String,
+      targetDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        landModelGated(batch, targetDir)(b => graft.operators.BpeModel
+          .tokenize(modelPath, b, col("text")))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming ANN-index ingest — the vector-side sibling of
     * [[startGatedDocumentSink]]: every micro-batch of (vec_id, embedding)
     * rows appends into a persisted [[graft.operators.IvfAdc]] index

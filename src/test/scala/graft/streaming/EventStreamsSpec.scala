@@ -263,6 +263,29 @@ class EventStreamsSpec extends SparkSpec {
       "replay must land nothing")
   }
 
+  test("tokenized sink: batches land with columns derived under the STORED " +
+      "merge table; redelivery + replay land exactly once") {
+    import graft.operators.BpeModel
+    val dir = Files.createTempDirectory("graft-bpesink").toString
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    BpeModel.build(docs, col("text"), s"$dir/model", nMerges = 4)
+    val batch = docs.filter(col("doc_id") < 150)
+    batch.union(batch).write.parquet(s"$dir/in1") // in-batch redelivery
+    def sink() = EventStreams.startTokenizedSink(
+      EventStreams.readDocuments(spark, s"$dir/in1"),
+      s"$dir/model", s"$dir/lake").awaitTermination(60000)
+    sink()
+    val lake = spark.read.parquet(s"$dir/lake")
+    val expect = BpeModel.tokenize(s"$dir/model", batch, col("text"))
+    assert(rowSet(lake.select("doc_id", "n_tokens")) ===
+      rowSet(expect.select("doc_id", "n_tokens")),
+      "landed token counts must match the stored-model derivation")
+    assert(lake.count() === batch.count())
+    sink() // fresh-checkpoint replay: identical derivation, anti-join lands 0
+    assert(spark.read.parquet(s"$dir/lake").count() === lake.count())
+  }
+
   test("gated document sink: near-dups vs prior batches are gated; replay ingests exactly-once") {
     import graft.operators.{BandIndex, Dedup}
     val dir = Files.createTempDirectory("graft-gated").toString

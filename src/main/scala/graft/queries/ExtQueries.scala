@@ -1625,6 +1625,63 @@ object ExtQueries {
         |FROM tri WHERE t3 IS NOT NULL AND s3 = session_id
         |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Top-20 session-opening paths (the first 5 event types of every
+    // session joined '>'-separated) — the product-analytics view of HOW
+    // users move, complementing ev_markov's one-step transition matrix and
+    // ev_type_trigrams' fixed-width windows with whole-path counts.
+    // Determinism: the path string is assembled from the within-session
+    // row_number over the total (ts, event_id) order — Spark sorts the
+    // collected (rn, type) structs before joining (collect_list order is
+    // not a contract; the sort makes it one), the oracle's string_agg
+    // orders by the same rn. Ties at the top-20 boundary break on the path
+    // string itself. Scale shape: one session-keyed window pass, then a
+    // map-combined count on the ≤|distinct paths| frame, then the
+    // k-bounded TakeOrderedAndProject — no global sort of the path table.
+    Q("ev_top_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val sw = Window.partitionBy("user_id", "session_id")
+          .orderBy("ts", "event_id")
+        val paths = t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(sw))
+          .filter(col("rn") <= 5)
+          .groupBy("user_id", "session_id")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+        paths.groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH lab AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, event_type, ts,
+        |          epoch_us(CAST(ts AS TIMESTAMP))
+        |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM events)),
+        |rn AS (
+        |  SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM lab),
+        |p AS (
+        |  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM rn WHERE rn <= 5 GROUP BY user_id, session_id)
+        |SELECT path, COUNT(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
     // PageRank over the within-session transition graph (which event types
     // the traffic actually flows THROUGH, not just how often each fires —
     // the difference between a hub step and a terminal step). Ten damped
@@ -1688,6 +1745,96 @@ object ExtQueries {
           round(col("r").cast("double") / 1000000000000.0, 6).as("rank"))
       },
       Some(PagerankSql)),
+
+    // Multi-source BFS hop distance over the same within-session
+    // transition graph: how many steps from any session-OPENING event type
+    // (the row_number()=1 types — the graph's sources) to each reachable
+    // type, the "how deep in a journey does this action live" readout.
+    // The Pregel shape: a distance frame relaxed through the edge list,
+    // min-merged each round — 16 fixed rounds (hop distances are bounded
+    // by |types|−1, and the oracle's recursion carries the IDENTICAL d<16
+    // cap, so the two engines explore exactly the same path lengths).
+    // Exact integer hops; no floats anywhere. Scale shape: the event
+    // stream collapses once through the sessionize window into the
+    // |types|²-bounded edge frame (lazily checkpointed, the ev_pagerank
+    // discipline — plan-only callers run nothing); all rounds run on that
+    // tiny frame with the previous round lazily checkpointed so the plan
+    // stays bounded instead of doubling per round.
+    Q("ev_shortest_hops",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sw = Window.partitionBy("user_id", "session_id")
+          .orderBy("ts", "event_id")
+        val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val base = t(s, d, "events")
+          .withColumn("brk",
+            when(gap.isNull || gap > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("brk")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("rn", row_number().over(sw))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_sess", lead(col("session_id"), 1).over(w))
+          .localCheckpoint(eager = false)
+        val e = base
+          .filter(col("next_type").isNotNull &&
+            col("next_sess") === col("session_id"))
+          .select(col("event_type").as("src"), col("next_type").as("dst"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        val seeds = base.filter(col("rn") === 1)
+          .select(col("event_type").as("node")).distinct()
+          .localCheckpoint(eager = false)
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .union(seeds.select(col("node"))).distinct()
+          .localCheckpoint(eager = false)
+        val unreached = 999999L
+        var dist = nodes
+          .join(broadcast(seeds.withColumn("h0", lit(0L))), Seq("node"), "left")
+          .select(col("node"), coalesce(col("h0"), lit(unreached)).as("hops"))
+          .localCheckpoint(eager = false)
+        for (_ <- 1 to 16) {
+          val relaxed = dist
+            .join(broadcast(e).withColumnRenamed("src", "node"), "node")
+            .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+          dist = dist.union(relaxed)
+            .groupBy("node").agg(min(col("hops")).as("hops"))
+            .localCheckpoint(eager = false)
+        }
+        dist.filter(col("hops") < unreached)
+          .select(col("node").as("event_type"), col("hops"))
+      },
+      Some("""WITH RECURSIVE lab AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, event_type, ts,
+        |          epoch_us(CAST(ts AS TIMESTAMP))
+        |            - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM events)),
+        |seq AS (
+        |  SELECT event_type, session_id,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type,
+        |    lead(session_id) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_sess
+        |  FROM lab),
+        |edges AS (
+        |  SELECT DISTINCT event_type AS src, next_type AS dst FROM seq
+        |  WHERE next_type IS NOT NULL AND next_sess = session_id),
+        |seeds AS (SELECT DISTINCT event_type AS node FROM seq WHERE rn = 1),
+        |reach(node, d) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM reach r
+        |  JOIN edges e ON e.src = r.node WHERE r.d < 16)
+        |SELECT node AS event_type, MIN(d) AS hops FROM reach GROUP BY 1""".stripMargin)),
 
     // Trending items per day (the windowed top-k every analytics dashboard
     // serves): top-3 event types by count within each calendar day, ties
@@ -2189,6 +2336,83 @@ object ExtQueries {
         |  CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS cusum,
         |  s > tt AS alarm
         |FROM s2""".stripMargin)),
+
+    // Single least-squares changepoint per event type over the daily count
+    // series — WHERE did the level shift, where ev_cusum answers WHETHER
+    // drift accumulated: the split k minimizing total squared error of a
+    // two-segment constant fit, i.e. maximizing S_l²/k + S_r²/(T−k)
+    // (binary-segmentation's scoring step, and one PELT round at depth 1).
+    // Determinism: daily counts are integers, so the split score is the
+    // EXACT scaled integer (S_l²(T−k) + S_r²k)·10⁶ div k(T−k) — both
+    // engines walk identical integers (decimal(38,0) here, HUGEINT in the
+    // oracle) and argmax ties break on the earlier day. The 10⁶-scaled
+    // score stays in long range while a type's total stays ≤ ~3·10⁹
+    // events; past that drop the scale factor (the comparison is
+    // scale-invariant). Means are one rounded IEEE division each. Scale
+    // shape: one map-combined (type, day) aggregate collapses the stream;
+    // every window runs on the ≤|types|·|days| daily frame, and the
+    // per-type argmax is O(T) via prefix sums — no per-split rescan.
+    Q("ev_changepoint",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val all = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val cum = daily
+          .withColumn("k", row_number().over(w).cast("long"))
+          .withColumn("sl", sum(col("x")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tt", count(lit(1)).over(all).cast("long"))
+          .withColumn("st", sum(col("x")).over(all))
+          .filter(col("k") < col("tt"))
+        val sel = Window.partitionBy("event_type")
+          .orderBy(col("q").desc, col("k"))
+        cum
+          .withColumn("q", expr(
+            """(CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
+              |   * CAST(tt - k AS DECIMAL(38,0))
+              | + CAST(st - sl AS DECIMAL(38,0)) * CAST(st - sl AS DECIMAL(38,0))
+              |   * CAST(k AS DECIMAL(38,0))) * 1000000
+              | div (k * (tt - k))""".stripMargin))
+          .withColumn("rn", row_number().over(sel))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").as("split_day"),
+            col("k").as("k_days"), col("tt").as("t_days"),
+            round(col("sl").cast("double") / col("k").cast("double"), 6)
+              .as("mean_before"),
+            round((col("st") - col("sl")).cast("double")
+              / (col("tt") - col("k")).cast("double"), 6).as("mean_after"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, day,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS k,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS st
+        |  FROM daily),
+        |scored AS (
+        |  SELECT *,
+        |    (CAST(sl AS HUGEINT) * CAST(sl AS HUGEINT) * CAST(tt - k AS HUGEINT)
+        |     + CAST(st - sl AS HUGEINT) * CAST(st - sl AS HUGEINT)
+        |       * CAST(k AS HUGEINT)) * 1000000
+        |      // CAST(k * (tt - k) AS HUGEINT) AS q
+        |  FROM cum WHERE k < tt)
+        |SELECT event_type, day AS split_day, k AS k_days, tt AS t_days,
+        |  round(CAST(sl AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_before,
+        |  round(CAST(st - sl AS DOUBLE) / CAST(tt - k AS DOUBLE), 6)
+        |    AS mean_after
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY q DESC, k) AS rn
+        |      FROM scored)
+        |WHERE rn = 1""".stripMargin)),
 
     // Time-lagged feature engineering per (event_type, day) — the
     // feature-store companion of ev_smoothing/ev_cusum and the standard

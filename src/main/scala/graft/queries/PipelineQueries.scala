@@ -418,6 +418,18 @@ object PipelineQueries {
           NumHashes, Bands))
         .select(col("id").as("doc_id"), col("component")))
 
+  /** The memoized large-star/small-star labels (dd_components_lss) — same
+    * pair graph, same cache (key suffixed), same run-at-construction
+    * reason: the alternating fixpoint must RUN to produce its frame. */
+  private def componentsLss(s: SparkSession, d: String): DataFrame = {
+    val (ss, dd, k) = componentsKey(s, d)
+    componentsCache.getOrElseUpdate((ss, dd, k + "|lss"),
+      Dedup.connectedComponentsAlternating(
+        Dedup.lshCandidatePairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          NumHashes, Bands))
+        .select(col("id").as("doc_id"), col("component")))
+  }
+
   /** DuckDB CTE mirroring operators/Dsir: hashed-token buckets (first 3
     * md5 hex chars, folded positionally = the base-16 parse), add-one
     * smoothed target(src1+src2)/raw bucket models, per-bucket scaled-long
@@ -713,6 +725,29 @@ object PipelineQueries {
     // (RegistrySpec, Explain) would otherwise re-run the whole clustering.
     Q("dd_components",
       (s, d) => components(s, d),
+      Some(BandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin)),
+
+    // The SAME clustering through the large-star/small-star alternating
+    // contraction ([[graft.operators.Dedup.connectedComponentsAlternating]],
+    // Kiveris et al. SoCC 2014) — judged against the IDENTICAL
+    // transitive-closure oracle, so the O(log²)-round production form is
+    // hash-verified end-to-end against min-label propagation's
+    // O(diameter) judged form: one mis-contracted edge anywhere splits or
+    // merges a component and fails the compare.
+    Q("dd_components_lss",
+      (s, d) => componentsLss(s, d),
       Some(BandsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2077,6 +2112,139 @@ object PipelineQueries {
         |        - CAST(tt AS DOUBLE)
         |          / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6) AS z
         |FROM stats CROSS JOIN ties""".stripMargin)),
+
+    // One-way ANOVA of event value across event types — the k-group
+    // generalization the pairwise family (dq_ab_welch's 2 arms) still
+    // lacked: "does mean value differ across the k event types at all?"
+    // is the gate a fleet of pairwise tests needs before multiple-
+    // comparison corrections. F = (SSB/(g−1)) / (SSW/(N−g)) from per-group
+    // sufficient statistics only. Determinism: per-row values enter as
+    // exact decimal(20,4); each group's SSB/SSW term is one fixed double
+    // chain pre-rounded to 6dp and summed as scaled longs (order-free —
+    // the tx_unigram_logprob discipline), so the cross-group sums are
+    // exact integers on both engines; the grand-total correction comes
+    // from the exact decimal Σy. Scale shape: ONE map-combined aggregate
+    // collapses the event stream into the ≤|types| group frame; everything
+    // after runs on that tiny frame — no second pass, no window.
+    Q("dq_anova",
+      (s, d) => {
+        val grp = t(s, d, "events")
+          .select(col("event_type"),
+            col("value").cast("decimal(20,4)").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).cast("decimal(38,4)").as("sy"),
+            sum((col("y") * col("y")).cast("decimal(38,8)"))
+              .cast("decimal(38,8)").as("sy2"))
+        val syd = col("sy").cast("double")
+        val sy2d = col("sy2").cast("double")
+        val nd = col("n").cast("double")
+        val terms = grp.select(col("n"), col("sy"),
+          round(round(syd * syd / nd, 6) * 1000000, 0).cast("long").as("bt"),
+          round(round(sy2d - syd * syd / nd, 6) * 1000000, 0).cast("long")
+            .as("wt"))
+        val tot = terms.agg(
+          count(lit(1)).as("g"),
+          sum(col("n")).as("nn"),
+          sum(col("sy")).cast("decimal(38,4)").as("ss"),
+          sum(col("bt")).as("ssbl"),
+          sum(col("wt")).as("sswl"))
+        val bigN = col("nn").cast("double")
+        val bigS = col("ss").cast("double")
+        val gD = col("g").cast("double")
+        val ssb = col("ssbl").cast("double") / 1000000.0 - bigS * bigS / bigN
+        val ssw = col("sswl").cast("double") / 1000000.0
+        tot.select(col("g").cast("long").as("n_groups"), col("nn").as("n"),
+          round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+          round((ssb / (gD - 1.0)) / (ssw / (bigN - gD)), 6).as("f_stat"))
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sy,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(20,4))
+        |        * CAST(value AS DECIMAL(20,4)) AS DECIMAL(38,8)))
+        |      AS DECIMAL(38,8)) AS sy2
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT n, sy,
+        |    CAST(round(round(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS bt,
+        |    CAST(round(round(CAST(sy2 AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE),
+        |        6) * 1000000, 0) AS BIGINT) AS wt
+        |  FROM g),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS g, CAST(SUM(n) AS BIGINT) AS nn,
+        |  CAST(SUM(sy) AS DECIMAL(38,4)) AS ss,
+        |  CAST(SUM(bt) AS BIGINT) AS ssbl, CAST(SUM(wt) AS BIGINT) AS sswl
+        |  FROM t)
+        |SELECT g AS n_groups, nn AS n,
+        |  round(CAST(ssbl AS DOUBLE) / 1000000.0
+        |    - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+        |    AS ss_between,
+        |  round(CAST(sswl AS DOUBLE) / 1000000.0, 6) AS ss_within,
+        |  round(((CAST(ssbl AS DOUBLE) / 1000000.0
+        |      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / (CAST(g AS DOUBLE) - 1.0))
+        |    / ((CAST(sswl AS DOUBLE) / 1000000.0)
+        |      / (CAST(nn AS DOUBLE) - CAST(g AS DOUBLE))), 6) AS f_stat
+        |FROM p""".stripMargin)),
+
+    // Spearman rank correlation between per-user activity (event count)
+    // and per-user spend (value sum) — the monotone-association readout
+    // Pearson (a11_corr's shape) misses when the relationship is
+    // nonlinear or heavy-tailed; on user metrics it almost always is.
+    // Defined as Pearson over midranks with ties averaged; both global
+    // rankings run through the TWO-PHASE production machinery
+    // ([[graft.operators.Ranks.globalMidranks2x]]: range repartition +
+    // broadcast offsets, no single-partition window) and emit the integer
+    // 2·midrank, so every rank statistic is an exact integer. The sums of
+    // rank products are exact decimals (HUGEINT in the oracle); the rho
+    // chain casts each exact integer to double at the SAME points on both
+    // engines and rounds once. Scale shape: one user-keyed map-combined
+    // aggregate, two range exchanges (the ranks), one tiny global
+    // aggregate — no all-pairs, no global window.
+    Q("dq_spearman",
+      (s, d) => {
+        val pu = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("x"),
+            sum(col("value").cast("decimal(20,4)"))
+              .cast("decimal(20,4)").as("y"))
+        val ranked = graft.operators.Ranks.globalMidranks2x(
+          graft.operators.Ranks.globalMidranks2x(pu, "x", "r2x"), "y", "r2y")
+        val d19 = (c: String) => col(c).cast("decimal(19,0)")
+        val sums = ranked.agg(
+          count(lit(1)).as("n"),
+          sum(d19("r2x")).cast("decimal(38,0)").as("sx"),
+          sum(d19("r2y")).cast("decimal(38,0)").as("sy"),
+          sum(d19("r2x") * d19("r2x")).cast("decimal(38,0)").as("sxx"),
+          sum(d19("r2y") * d19("r2y")).cast("decimal(38,0)").as("syy"),
+          sum(d19("r2x") * d19("r2y")).cast("decimal(38,0)").as("sxy"))
+        val n38 = col("n").cast("decimal(38,0)")
+        val num = (n38 * col("sxy") - col("sx") * col("sy")).cast("double")
+        val den = sqrt((n38 * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((n38 * col("syy") - col("sy") * col("sy")).cast("double"))
+        sums.select(col("n"), round(num / den, 6).as("spearman_rho"))
+      },
+      Some("""WITH pu AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT
+        |    CAST(2 * rank() OVER (ORDER BY x)
+        |      + count(*) OVER (PARTITION BY x) - 1 AS HUGEINT) AS r2x,
+        |    CAST(2 * rank() OVER (ORDER BY y)
+        |      + count(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS r2y
+        |  FROM pu),
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(r2x) AS sx, SUM(r2y) AS sy, SUM(r2x * r2x) AS sxx,
+        |    SUM(r2y * r2y) AS syy, SUM(r2x * r2y) AS sxy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+        |FROM s""".stripMargin)),
 
     // CUPED variance-reduced experiment readout (Deng et al., WSDM 2013 —
     // the A/B-metric adjustment every experimentation platform runs): the
@@ -4904,6 +5072,38 @@ object PipelineQueries {
     // alternative when even the per-key exchange is unwanted.
     Q("tx_ppl_buckets",
       (s, d) => graft.operators.CcnetBuckets.bucketed(
+          t(s, d, "documents"), col("doc_id"), col("lang"), col("text"))
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("mean_logprob"), col("n_tokens"), col("bucket")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+        |total AS (SELECT COUNT(*) AS n FROM toks),
+        |perdoc AS (
+        |  SELECT doc_id, lang,
+        |    SUM(CAST(round(round(ln(CAST(freq AS DOUBLE) / n), 6) * 1000000, 0) AS BIGINT)) AS lp,
+        |    COUNT(*) AS n_tokens
+        |  FROM toks JOIN vocab USING (token) CROSS JOIN total
+        |  GROUP BY doc_id, lang)
+        |SELECT doc_id, lang,
+        |  round(CAST(lp AS DOUBLE) / 1000000.0 / n_tokens, 6) AS mean_logprob,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CASE ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY round(CAST(lp AS DOUBLE) / 1000000.0 / n_tokens, 6) DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM perdoc""".stripMargin)),
+
+    // The SAME perplexity terciles through the two-phase per-key ntile
+    // ([[graft.operators.Ranks.ntilePerKey]]: range repartition on
+    // (lang, order), per-key broadcast offsets, closed-form bucket
+    // arithmetic — no per-language single-task window) — judged against
+    // tx_ppl_buckets' IDENTICAL oracle. This completes the trio of
+    // global-rank operators with a hash-verified production form
+    // (dq_mannwhitney_2p's midranks, ev_rfm_2p's global ntile, and this
+    // per-key ntile): the three shapes a 100× scale-up breaks first, each
+    // now proven bit-equal to its window form on the judged surface.
+    Q("tx_ppl_buckets_2p",
+      (s, d) => graft.operators.CcnetBuckets.bucketedTwoPhase(
           t(s, d, "documents"), col("doc_id"), col("lang"), col("text"))
         .select(col("id").as("doc_id"), col("grp").as("lang"),
           col("mean_logprob"), col("n_tokens"), col("bucket")),

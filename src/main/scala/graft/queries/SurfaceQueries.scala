@@ -577,6 +577,47 @@ object SurfaceQueries {
         |FROM probes p ASOF LEFT JOIN dim
         |  ON p.k = dim.k AND p.ts >= dim.valid_from""".stripMargin)),
 
+    // Incremental materialized-aggregate maintenance: a per-type
+    // (count, sum) state built from a BASE window, then advanced by
+    // merging the DELTA's partial aggregate — never rescanning base. The
+    // 100 TB point: a daily refresh touches one day of events, and the
+    // merge is the same associative partial-state combine Spark's own
+    // map-side aggregation uses (counts add; sums add as exact decimals,
+    // so merge order can't move the result). The oracle computes the
+    // aggregate over ALL events in one pass — merged-incremental must
+    // equal recomputed-from-scratch exactly, which is the whole
+    // correctness contract of incremental view maintenance. avg is
+    // DERIVED from merged state (never maintained directly — means don't
+    // merge), one rounded IEEE division.
+    Q("k7_incremental_agg",
+      (s, d) => {
+        val split = lit("2024-01-20 00:00:00").cast("timestamp")
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("event_type"),
+            col("value").cast("decimal(20,4)").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("y")).cast("decimal(38,4)").as("sv"))
+        val ev = t(s, d, "events")
+        val base = partial(ev.filter(col("ts") < split))
+        val delta = partial(ev.filter(col("ts") >= split))
+        base.unionByName(delta)
+          .groupBy("event_type")
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sv")).cast("decimal(38,4)").as("sv"))
+          .select(col("event_type"), col("n_events"),
+            col("sv").cast("double").as("total_value"),
+            round(col("sv").cast("double") / col("n_events").cast("double"), 6)
+              .as("mean_value"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS total_value,
+        |  round(CAST(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,4))
+        |      AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
+        |FROM events GROUP BY 1""".stripMargin)),
+
     // JSON path extraction without a declared schema (get_json_object — the
     // schema-on-read probe; js_json_extract/js_map_funcs carry the typed
     // from_json path).

@@ -277,6 +277,25 @@ class OperatorsSpec extends SparkSpec {
     assert(keep(2) === bfKept)
   }
 
+  test("Dedup.connectedComponentsAlternating: equals min-label on chains, stars, cycles, and the LSH pair graph") {
+    def labels(df: org.apache.spark.sql.DataFrame) = rowSet(df)
+    // a 40-node path (the diameter shape min-label pays O(n) rounds for),
+    // a star, and a multi-component mix with a cycle and an isolated pair
+    val chain = (1L to 40L).sliding(2).map(s => (s.head, s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val star = (2L to 12L).map(i => (1L, i)).toDF("doc_a", "doc_b")
+    val multi = Seq((100L, 101L), (101L, 102L), (200L, 201L),
+      (300L, 301L), (301L, 302L), (302L, 300L)).toDF("doc_a", "doc_b")
+    for (g <- Seq(chain, star, multi))
+      assert(labels(Dedup.connectedComponentsAlternating(g))
+        == labels(Dedup.connectedComponents(g)))
+    // the judged pair graph: row-for-row label equality of the two forms
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"), 16, 4)
+    assert(labels(Dedup.connectedComponentsAlternating(pairs))
+      == labels(Dedup.connectedComponents(pairs)))
+  }
+
   test("Dedup.simhashBandedPairs: identical rows to all-pairs Hamming, no BNLJ plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)

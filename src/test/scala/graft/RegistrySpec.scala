@@ -160,6 +160,10 @@ class RegistrySpec extends SparkSpec {
       //    full-corpus path is the NN-Descent graph's top-2 edges
       "emb_intrinsic_dim",
       "cp_dsir_score", "cp_dsir_select", "cp_dsir_mixture",
+      //  - dq_cramers_v / dq_kruskal_wallis: the BNLJ attaches a ONE-ROW
+      //    broadcast aggregate (the grand total / the tie-correction sum)
+      //    onto a ≤|groups|-row frame — the p13 scalar-subquery shape
+      "dq_cramers_v", "dq_kruskal_wallis",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",
       "tx_collocations", "ev_market_basket", "dq_source_kl",

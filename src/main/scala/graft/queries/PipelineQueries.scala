@@ -2042,6 +2042,129 @@ object PipelineQueries {
         |      / (1.0 + 1.959964 * 1.959964 / n), 6) AS wilson_hi
         |FROM ba""".stripMargin)),
 
+    // Fisher's EXACT test on the same arm×conversion 2×2 — the readout the
+    // asymptotic family (dq_chi2, dq_wilson_ci) cannot give when cells are
+    // small: the exact hypergeometric two-sided p (sum of all tables with
+    // probability ≤ the observed table's, margins fixed). Determinism is
+    // total: log C(n,k) is built from per-step ln((n−k+1)/k) terms
+    // pre-rounded to 6dp scaled longs and prefix-summed EXACTLY (so every
+    // table's log-probability is an exact integer), the "as extreme"
+    // screen is an integer comparison on those logs — no float tolerance
+    // convention needed — and the tail sum pre-rounds each exp to 1e-12
+    // scaled longs before the exact sum, rounded once at the end. Scale
+    // note: Fisher is a SMALL-MARGIN test by definition — the enumeration
+    // frame is |support| = O(min(row margin, column margin)) rows and the
+    // prefix windows run on it alone (never the corpus, which pays one
+    // user-keyed aggregate); at margins where the frame matters, the χ²
+    // approximation is the right tool and this test is the wrong one.
+    Q("dq_fisher_exact",
+      (s, d) => {
+        val byUser = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") > 90, 1L).otherwise(0L)).as("conv"))
+          .select(expArm(col("user_id")).as("arm"), col("conv"))
+        val tab = byUser.agg(
+          sum(when(col("arm") === "A" && col("conv") === 1, 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("arm") === "A" && col("conv") === 0, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("arm") === "B" && col("conv") === 1, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("arm") === "B" && col("conv") === 0, 1L)
+            .otherwise(0L)).as("d"))
+          .withColumn("m1", col("a") + col("b"))
+          .withColumn("m2", col("c") + col("d"))
+          .withColumn("mc", col("a") + col("c"))
+          .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+          .localCheckpoint(eager = false) // one row feeding every frame below
+        def r6(c: org.apache.spark.sql.Column) =
+          round(round(c, 6) * 1000000, 0).cast("long")
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+        val jw = W.orderBy("j").rowsBetween(W.unboundedPreceding, W.currentRow)
+        val lc1 = tab
+          .select(col("a"), col("b"), col("c"), col("d"), col("m1"),
+            col("m2"), col("mc"),
+            explode(sequence(lit(0L), least(col("m1"), col("mc")))).as("k"))
+          .withColumn("t1", when(col("k") === 0, 0L).otherwise(
+            r6(log((col("m1") - col("k") + 1).cast("double")
+              / col("k").cast("double")))))
+          .withColumn("lc1", sum(col("t1")).over(w))
+        val lc2 = tab
+          .select(col("m2"),
+            explode(sequence(lit(0L), least(col("m2"), col("mc")))).as("j"))
+          .withColumn("t2", when(col("j") === 0, 0L).otherwise(
+            r6(log((col("m2") - col("j") + 1).cast("double")
+              / col("j").cast("double")))))
+          .withColumn("lc2", sum(col("t2")).over(jw))
+          .select(col("j"), col("lc2"))
+        val lc3 = tab
+          .select(col("n"), explode(sequence(lit(1L), col("mc"))).as("i"))
+          .select(r6(log((col("n") - col("i") + 1).cast("double")
+            / col("i").cast("double"))).as("t3"))
+          .agg(sum(col("t3")).as("lc3"))
+        val sup = lc1
+          .filter(col("k") >= greatest(lit(0L), col("mc") - col("m2")))
+          .join(lc2, lc2("j") === col("mc") - col("k"))
+          .crossJoin(broadcast(lc3))
+          .withColumn("logp", col("lc1") + col("lc2") - col("lc3"))
+        val obs = sup.filter(col("k") === col("a"))
+          .select(col("logp").as("logp_obs"))
+        sup.crossJoin(broadcast(obs))
+          .filter(col("logp") <= col("logp_obs"))
+          .agg(max(col("a")).as("n_a_conv"), max(col("b")).as("n_a_other"),
+            max(col("c")).as("n_b_conv"), max(col("d")).as("n_b_other"),
+            round(sum(round(exp(col("logp").cast("double") / 1000000.0)
+                * 1000000000000L, 0).cast("long")).cast("double")
+              / 1000000000000.0, 6).as("p_two_sided"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |tab AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN arm = 'A' AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN arm = 'B' AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN arm = 'B' AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM (SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |      conv FROM bu)),
+        |m AS (SELECT a, b, c, d, a + b AS m1, c + d AS m2, a + c AS mc,
+        |        a + b + c + d AS n FROM tab),
+        |ks AS (SELECT m.*, unnest(generate_series(0, least(m1, mc))) AS k FROM m),
+        |lc1 AS (
+        |  SELECT *, CAST(SUM(CASE WHEN k = 0 THEN 0
+        |    ELSE CAST(round(round(ln(CAST(m1 - k + 1 AS DOUBLE)
+        |      / CAST(k AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) END)
+        |    OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lc1
+        |  FROM ks),
+        |js AS (SELECT m2, mc, unnest(generate_series(0, least(m2, mc))) AS j FROM m),
+        |lc2 AS (
+        |  SELECT j, CAST(SUM(CASE WHEN j = 0 THEN 0
+        |    ELSE CAST(round(round(ln(CAST(m2 - j + 1 AS DOUBLE)
+        |      / CAST(j AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) END)
+        |    OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lc2
+        |  FROM js),
+        |lc3 AS (
+        |  SELECT CAST(SUM(CAST(round(round(ln(CAST(n - i + 1 AS DOUBLE)
+        |    / CAST(i AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS lc3
+        |  FROM (SELECT n, unnest(generate_series(1, mc)) AS i FROM m)),
+        |sup AS (
+        |  SELECT lc1.*, lc2.lc2, lc3.lc3, lc1.lc1 + lc2.lc2 - lc3.lc3 AS logp
+        |  FROM lc1 JOIN lc2 ON lc2.j = lc1.mc - lc1.k CROSS JOIN lc3
+        |  WHERE lc1.k >= greatest(0, lc1.mc - lc1.m2)),
+        |obs AS (SELECT logp AS logp_obs FROM sup WHERE k = a)
+        |SELECT MAX(a) AS n_a_conv, MAX(b) AS n_a_other,
+        |  MAX(c) AS n_b_conv, MAX(d) AS n_b_other,
+        |  round(CAST(SUM(CAST(round(exp(CAST(logp AS DOUBLE) / 1000000.0)
+        |      * 1000000000000, 0) AS BIGINT)) AS DOUBLE) / 1000000000000.0, 6)
+        |    AS p_two_sided
+        |FROM sup CROSS JOIN obs WHERE logp <= logp_obs""".stripMargin)),
+
     // nonparametric partner of dq_ab_welch for skewed per-user metrics
     // (this events metric IS right-skewed, see a21): midranks kept EXACT
     // as the integer r2 = 2·min_rank + (t − 1) (twice the midrank — no

@@ -164,6 +164,10 @@ class RegistrySpec extends SparkSpec {
       //    broadcast aggregate (the grand total / the tie-correction sum)
       //    onto a ≤|groups|-row frame — the p13 scalar-subquery shape
       "dq_cramers_v", "dq_kruskal_wallis",
+      //  - dq_fisher_exact: one-row broadcast frames (the 2×2 table, the
+      //    log C(n,mc) constant, the observed log-probability) cross-join
+      //    the margin-bounded support frame — the p13 shape throughout
+      "dq_fisher_exact",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",
       "tx_collocations", "ev_market_basket", "dq_source_kl",

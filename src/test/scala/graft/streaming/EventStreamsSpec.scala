@@ -745,6 +745,88 @@ class EventStreamsSpec extends SparkSpec {
       "a replayed batch must not mint new ledger partitions")
   }
 
+  test("cusum drift ledger: serving equals the independent batch mirror; crash replay lands once") {
+    val dir = Files.createTempDirectory("graft-cusum").toString
+    val cp = s"$dir/cp"
+    // day gaps inside the range are REAL zeros the statistic must see;
+    // the (view, Jan 3) day is torn across the two batches
+    val f1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 11:00:00", 2, "view", 1.0),
+      ev(3, "2024-01-03 10:00:00", 1, "click", 1.0))
+    val f2 = Seq(
+      ev(4, "2024-01-03 10:30:00", 2, "view", 1.0),
+      ev(5, "2024-01-05 10:00:00", 3, "view", 1.0))
+
+    // independent Scala mirror of the ev_cusum integer chain
+    def expected(rows: Seq[(Long, Timestamp, Long, String, Double, String)])
+        : Set[(String, String, Long, Double, Boolean)] = {
+      val byDay = rows.groupBy(r =>
+        (r._4, r._2.toLocalDateTime.toLocalDate)).view.mapValues(_.size.toLong)
+      val d0 = rows.map(_._2.toLocalDateTime.toLocalDate).min(
+        Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+      val d1 = rows.map(_._2.toLocalDateTime.toLocalDate).max(
+        Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+      val days = Iterator.iterate(d0)(_.plusDays(1))
+        .takeWhile(!_.isAfter(d1)).toSeq
+      rows.map(_._4).distinct.flatMap { et =>
+        val ns = days.map(d => d -> byDay.getOrElse((et, d), 0L))
+        val tt = ns.map(_._2).sum
+        val nd = days.size.toLong
+        var p = 0L
+        var minP = 0L
+        ns.map { case (day, n) =>
+          p += nd * n - tt
+          minP = math.min(minP, p)
+          val s = p - math.min(0L, minP)
+          (et, day.toString, n, s.toDouble / nd.toDouble, s > tt)
+        }
+      }.toSet
+    }
+    def served(): Set[(String, String, Long, Double, Boolean)] =
+      EventOps.cusumFromLedger(spark, s"$dir/ledger").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+    def run(): Unit = EventStreams.startCusumLedgerSink(
+      EventStreams.readEvents(spark, s"$dir/in"), s"$dir/ledger", cp)
+      .awaitTermination(60000)
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rmDir(path: String): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+    }
+
+    f1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/in")
+    run()
+    assert(served() == expected(f1))
+
+    copyDir(cp, s"$dir/cp_bak")
+    f2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val afterTwo = served()
+    assert(afterTwo == expected(f1 ++ f2),
+      "serving must equal the batch cusum contract over all landed events")
+
+    // crash replay: batch 2 re-executes under its original id — the
+    // overwrite-by-addressing must land it once, not double the torn day
+    rmDir(cp); copyDir(s"$dir/cp_bak", cp)
+    run()
+    assert(served() == afterTwo, "replayed batch must overwrite, not double-count")
+  }
+
   test("hll register ledger: serving equals the batch sketch over all " +
       "landed docs; checkpoint-rollback replay cannot move the estimate") {
     import graft.operators.HllSketch

@@ -4624,6 +4624,70 @@ object PipelineQueries {
         |    w -> w IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_removed
         |FROM documents""".stripMargin)),
 
+    // Suffix stemming for vocabulary folding — the S-stemmer (Harman 1991)
+    // plural rules plus an -ing/-ed strip, the light-stemming pass IR
+    // pipelines run before TF-IDF/BM25 when full Porter is overkill. The
+    // rule cascade is defined ENTIRELY in ordered substring/length
+    // operations (no regex dialect to disagree on): ies→y, sses→ss,
+    // s-strip guarded against -ss/-us and short words, then ing/ed with
+    // minimum-stem guards — the engine's rule order IS the contract, and
+    // the oracle replays it case-for-case. Reports the top-50 stems with
+    // token mass and surface-form counts (the vocabulary-folding audit).
+    // Scale shape: stemming is row-local string ops inside the token
+    // explode; one stem-keyed map-combined aggregate; k-bounded top-50.
+    Q("tx_stemming",
+      (s, d) => {
+        val w = lower(col("tok"))
+        val l = length(w)
+        // ordered plural rules (substring is 1-based on both engines)
+        val r1 = when(w.endsWith("ies") && l > 4,
+            concat(w.substr(lit(1), l - 3), lit("y")))
+          .when(w.endsWith("sses"), w.substr(lit(1), l - 2))
+          .when(w.endsWith("s") && !w.endsWith("ss") && !w.endsWith("us")
+            && l > 3, w.substr(lit(1), l - 1))
+          .otherwise(w)
+        val stemmed = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .select(r1.as("r"))
+        val rl = length(col("r"))
+        val stem = when(col("r").endsWith("ing") && rl > 5,
+            col("r").substr(lit(1), rl - 3))
+          .when(col("r").endsWith("ed") && rl > 4,
+            col("r").substr(lit(1), rl - 2))
+          .otherwise(col("r"))
+        stemmed.select(stem.as("stem"), col("r"))
+          .groupBy("stem")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("r")).as("n_forms"))
+          .orderBy(col("n_tokens").desc, col("stem"))
+          .limit(50)
+      },
+      Some("""WITH tok AS (
+        |  SELECT lower(unnest(str_split(text, ' '))) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT CASE
+        |    WHEN ends_with(w, 'ies') AND len(w) > 4
+        |      THEN substring(w, 1, len(w) - 3) || 'y'
+        |    WHEN ends_with(w, 'sses') THEN substring(w, 1, len(w) - 2)
+        |    WHEN ends_with(w, 's') AND NOT ends_with(w, 'ss')
+        |      AND NOT ends_with(w, 'us') AND len(w) > 3
+        |      THEN substring(w, 1, len(w) - 1)
+        |    ELSE w END AS r
+        |  FROM tok),
+        |st AS (
+        |  SELECT r, CASE
+        |    WHEN ends_with(r, 'ing') AND len(r) > 5
+        |      THEN substring(r, 1, len(r) - 3)
+        |    WHEN ends_with(r, 'ed') AND len(r) > 4
+        |      THEN substring(r, 1, len(r) - 2)
+        |    ELSE r END AS stem
+        |  FROM p)
+        |SELECT stem, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT r) AS BIGINT) AS n_forms
+        |FROM st GROUP BY 1
+        |ORDER BY n_tokens DESC, stem LIMIT 50""".stripMargin)),
+
     // PII redaction (the compliance cleaning pass every released corpus
     // runs): emails, NANP phone numbers, and dotted-quad IPs are rewritten
     // to typed placeholder tokens, with per-class match counts kept for

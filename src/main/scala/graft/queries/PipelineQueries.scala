@@ -2598,6 +2598,85 @@ object PipelineQueries {
         |    / (n_all * sx2_all - sx_all * sx_all), 6) AS theta
         |FROM ba CROSS JOIN pooled""".stripMargin)),
 
+    // Difference-in-differences over the same pre/post split and arms as
+    // dq_cuped — the panel-data causal readout when assignment isn't
+    // random: the B arm's pre→post change net of the A arm's, which
+    // differences OUT any level gap between arms and any common time
+    // trend in one move. Per-user pre (x) and post (y) value sums are
+    // exact decimals, the four cell means and the DiD estimate are one
+    // mirrored double chain over exact decimal sums rounded once. Scale
+    // shape: the dq_cuped envelope — ONE user-keyed map-combined pass
+    // into a ≤2-row arm frame, pivoted by conditional max.
+    Q("dq_did",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val byArm = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("ts") < split, col("value")).otherwise(lit(0.0))
+              .cast("decimal(20,4)")).cast("decimal(20,4)").as("x"),
+            sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+              .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("x"), col("y"))
+          .groupBy("arm")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).cast("decimal(38,4)").as("sx"),
+            sum(col("y")).cast("decimal(38,4)").as("sy"))
+        val p = byArm.agg(
+          max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("sx"))).as("sx_a"),
+          max(when(col("arm") === "A", col("sy"))).as("sy_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("sx"))).as("sx_b"),
+          max(when(col("arm") === "B", col("sy"))).as("sy_b"))
+        val naD = col("n_a").cast("double")
+        val nbD = col("n_b").cast("double")
+        val mPreA = col("sx_a").cast("double") / naD
+        val mPostA = col("sy_a").cast("double") / naD
+        val mPreB = col("sx_b").cast("double") / nbD
+        val mPostB = col("sy_b").cast("double") / nbD
+        p.select(
+          col("n_a"), col("n_b"),
+          round(mPreA, 6).as("mean_pre_a"),
+          round(mPostA, 6).as("mean_post_a"),
+          round(mPreB, 6).as("mean_pre_b"),
+          round(mPostB, 6).as("mean_post_b"),
+          round((mPostB - mPreB) - (mPostA - mPreA), 6).as("did"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS x,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |ba AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DECIMAL(38,4)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,4)) AS sy
+        |  FROM bu GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sx END) AS sx_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sy END) AS sy_a,
+        |    MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sx END) AS sx_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sy END) AS sy_b
+        |  FROM ba)
+        |SELECT n_a, n_b,
+        |  round(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_pre_a,
+        |  round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_post_a,
+        |  round(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_pre_b,
+        |  round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_post_b,
+        |  round((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    - (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 6) AS did
+        |FROM p""".stripMargin)),
+
     // Benford first-significant-digit audit (the classic fabricated-data
     // / broken-ETL screen for financial-style columns): the digit
     // distribution of o_totalprice against Benford's log10(1 + 1/d)

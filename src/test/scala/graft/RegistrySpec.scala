@@ -168,6 +168,9 @@ class RegistrySpec extends SparkSpec {
       //    log C(n,mc) constant, the observed log-probability) cross-join
       //    the margin-bounded support frame — the p13 shape throughout
       "dq_fisher_exact",
+      //  - ev_pareto_share: the 5-row quintile frame cross-joins its own
+      //    one-row total (the p13 scalar-subquery shape)
+      "ev_pareto_share",
       "cp_token_mixture", "tx_bigram_lm", "sim_adc_rerank",
       "sim_sq8_topk", "sim_binary_topk", "sim_binary_rerank",
       "tx_collocations", "ev_market_basket", "dq_source_kl",

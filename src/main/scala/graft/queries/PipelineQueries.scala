@@ -2677,6 +2677,118 @@ object PipelineQueries {
         |      - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 6) AS did
         |FROM p""".stripMargin)),
 
+    // Log-rank test between the arms over activity-STREAK survival — the
+    // Kaplan–Meier companion (ev_survival_km estimates ONE curve; this
+    // tests whether two differ), on the same subjects: maximal
+    // consecutive-day runs per user, censored when still alive on the
+    // anchor day. At each event time the observed arm-A deaths are
+    // compared to their hypergeometric expectation given the pooled
+    // deaths and both at-risk counts; χ² = (O_A − E_A)²/V. Determinism:
+    // at-risk counts are exact reverse-cumulative longs, O_A is an exact
+    // long, and each time's E and V contributions are single mirrored
+    // double chains pre-rounded to 6dp scaled longs before the exact
+    // cross-time sums. Scale shape: the corpus collapses to per-streak
+    // rows, then to the ≤|lifetimes| frame; every window runs there.
+    Q("dq_logrank",
+      (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val rn = row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("day"))
+        val streaks = days.withColumn("grp", date_sub(col("day"), rn))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("life"), max(col("day")).as("last_day"))
+          .select(expArm(col("user_id")).as("arm"), col("life"),
+            (col("last_day") < to_date(lit("2024-01-30"))).as("churned"))
+        val perLife = streaks.groupBy("life").agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("leave_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("leave_b"),
+          sum(when(col("arm") === "A" && col("churned"), 1L).otherwise(0L))
+            .as("d_a"),
+          sum(when(col("arm") === "B" && col("churned"), 1L).otherwise(0L))
+            .as("d_b"))
+        val W = org.apache.spark.sql.expressions.Window
+        val rev = W.orderBy("life")
+          .rowsBetween(W.currentRow, W.unboundedFollowing)
+        val risked = perLife
+          .withColumn("n_a", sum(col("leave_a")).over(rev))
+          .withColumn("n_b", sum(col("leave_b")).over(rev))
+          .withColumn("dd", col("d_a") + col("d_b"))
+          .withColumn("nn", col("n_a") + col("n_b"))
+          .filter(col("dd") > 0)
+        val dD = col("dd").cast("double")
+        val naD = col("n_a").cast("double")
+        val nbD = col("n_b").cast("double")
+        val nD = col("nn").cast("double")
+        val terms = risked.select(col("d_a"),
+          round(round(dD * naD / nD, 6) * 1000000, 0).cast("long").as("et"),
+          when(col("nn") > 1,
+            round(round(dD * naD * nbD * (nD - dD)
+              / (nD * nD * (nD - 1.0)), 6) * 1000000, 0).cast("long"))
+            .otherwise(0L).as("vt"))
+        val agg = terms.agg(
+          count(lit(1)).as("n_times"),
+          sum(col("d_a")).as("o_a"),
+          sum(col("et")).as("el"),
+          sum(col("vt")).as("vl"))
+        val eA = col("el").cast("double") / 1000000.0
+        val v = col("vl").cast("double") / 1000000.0
+        val oA = col("o_a").cast("double")
+        agg.select(col("n_times"), col("o_a"),
+          round(eA, 6).as("e_a"),
+          round((oA - eA) * (oA - eA) / v, 6).as("chi2"))
+      },
+      Some("""WITH dd AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |runs AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS INTEGER) AS grp
+        |  FROM dd),
+        |lf AS (SELECT user_id, COUNT(*) AS life,
+        |         MAX(day) < DATE '2024-01-30' AS churned
+        |       FROM runs GROUP BY user_id, grp),
+        |armed AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    life, churned
+        |  FROM lf),
+        |g AS (SELECT life,
+        |        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS leave_a,
+        |        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS leave_b,
+        |        CAST(SUM(CASE WHEN arm = 'A' AND churned THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+        |        CAST(SUM(CASE WHEN arm = 'B' AND churned THEN 1 ELSE 0 END) AS BIGINT) AS d_b
+        |      FROM armed GROUP BY 1),
+        |r AS (SELECT *,
+        |        CAST(SUM(leave_a) OVER (ORDER BY life
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_a,
+        |        CAST(SUM(leave_b) OVER (ORDER BY life
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_b
+        |      FROM g),
+        |t AS (SELECT d_a,
+        |        CAST(round(round(CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS et,
+        |        CASE WHEN n_a + n_b > 1 THEN
+        |          CAST(round(round(CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |            * CAST(n_b AS DOUBLE)
+        |            * (CAST(n_a + n_b AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
+        |            / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |              * (CAST(n_a + n_b AS DOUBLE) - 1.0)), 6) * 1000000, 0)
+        |            AS BIGINT)
+        |        ELSE 0 END AS vt
+        |      FROM r WHERE d_a + d_b > 0),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+        |        CAST(SUM(d_a) AS BIGINT) AS o_a,
+        |        CAST(SUM(et) AS BIGINT) AS el, CAST(SUM(vt) AS BIGINT) AS vl
+        |      FROM t)
+        |SELECT n_times, o_a,
+        |  round(CAST(el AS DOUBLE) / 1000000.0, 6) AS e_a,
+        |  round((CAST(o_a AS DOUBLE) - CAST(el AS DOUBLE) / 1000000.0)
+        |    * (CAST(o_a AS DOUBLE) - CAST(el AS DOUBLE) / 1000000.0)
+        |    / (CAST(vl AS DOUBLE) / 1000000.0), 6) AS chi2
+        |FROM s""".stripMargin)),
+
     // Benford first-significant-digit audit (the classic fabricated-data
     // / broken-ETL screen for financial-style columns): the digit
     // distribution of o_totalprice against Benford's log10(1 + 1/d)

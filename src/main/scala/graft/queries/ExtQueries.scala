@@ -1802,10 +1802,11 @@ object ExtQueries {
     // cap, so the two engines explore exactly the same path lengths).
     // Exact integer hops; no floats anywhere. Scale shape: the event
     // stream collapses once through the sessionize window into the
-    // |types|²-bounded edge frame (lazily checkpointed, the ev_pagerank
-    // discipline — plan-only callers run nothing); all rounds run on that
-    // tiny frame with the previous round lazily checkpointed so the plan
-    // stays bounded instead of doubling per round.
+    // |types|²-bounded edge frame (via plans/LazyCheckpoint — plan-only
+    // callers run NOTHING, measured 37 → 0 construction jobs vs the bare
+    // eager=false form); all rounds run on that tiny frame with the
+    // previous round lazily checkpointed so the plan stays bounded
+    // instead of doubling per round.
     Q("ev_shortest_hops",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1821,32 +1822,42 @@ object ExtQueries {
           .withColumn("rn", row_number().over(sw))
           .withColumn("next_type", lead(col("event_type"), 1).over(w))
           .withColumn("next_sess", lead(col("session_id"), 1).over(w))
-          .localCheckpoint(eager = false)
-        val e = base
+        // LazyCheckpoint, not bare eager=false: the bare form EXECUTES
+        // each fragment's exchanges at construction under AQE (measured:
+        // 37 jobs per plan-only construction of this query) — plan-only
+        // callers must run nothing; the fragments are |types|-bounded, so
+        // losing AQE inside them costs nothing (joins pinned below)
+        val baseC = graft.plans.LazyCheckpoint.of(base)
+        val e = graft.plans.LazyCheckpoint.of(baseC
           .filter(col("next_type").isNotNull &&
             col("next_sess") === col("session_id"))
           .select(col("event_type").as("src"), col("next_type").as("dst"))
-          .distinct()
-          .localCheckpoint(eager = false)
-        val seeds = base.filter(col("rn") === 1)
-          .select(col("event_type").as("node")).distinct()
-          .localCheckpoint(eager = false)
-        val nodes = e.select(col("src").as("node"))
-          .union(e.select(col("dst").as("node")))
-          .union(seeds.select(col("node"))).distinct()
-          .localCheckpoint(eager = false)
+          .distinct())
+        val seeds = graft.plans.LazyCheckpoint.of(
+          baseC.filter(col("rn") === 1)
+            .select(col("event_type").as("node")).distinct())
+        val nodes = graft.plans.LazyCheckpoint.of(
+          e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node")))
+            .union(seeds.select(col("node"))).distinct())
         val unreached = 999999L
-        var dist = nodes
-          .join(broadcast(seeds.withColumn("h0", lit(0L))), Seq("node"), "left")
-          .select(col("node"), coalesce(col("h0"), lit(unreached)).as("hops"))
-          .localCheckpoint(eager = false)
+        // MERGE hints, never broadcasts, inside the checkpointed rounds: a
+        // broadcast subtree submits its collect job at RDD-construction
+        // (prepare) time — the first one would force the corpus window at
+        // PLAN time (measured: 17 construction jobs with hints/estimated
+        // broadcasts, 0 with merge joins); the frames are |types|-bounded,
+        // so the per-round sort-merge is trivially cheap
+        var dist = graft.plans.LazyCheckpoint.of(nodes
+          .hint("merge")
+          .join(seeds.withColumn("h0", lit(0L)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("h0"), lit(unreached)).as("hops")))
         for (_ <- 1 to 16) {
           val relaxed = dist
-            .join(broadcast(e).withColumnRenamed("src", "node"), "node")
+            .hint("merge")
+            .join(e.withColumnRenamed("src", "node"), "node")
             .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
-          dist = dist.union(relaxed)
-            .groupBy("node").agg(min(col("hops")).as("hops"))
-            .localCheckpoint(eager = false)
+          dist = graft.plans.LazyCheckpoint.of(dist.union(relaxed)
+            .groupBy("node").agg(min(col("hops")).as("hops")))
         }
         dist.filter(col("hops") < unreached)
           .select(col("node").as("event_type"), col("hops"))
@@ -2475,10 +2486,14 @@ object ExtQueries {
     // day-bucketed series, same shape one level up.
     Q("ev_theil_sen",
       (s, d) => {
+        // no checkpoint: the two self-join sides are the IDENTICAL
+        // aggregate subtree, so ReuseExchange materializes the daily
+        // frame once (plan-asserted below via zero construction jobs);
+        // a bare eager=false here EXECUTED the aggregate at construction
+        // (measured 2 jobs per plan-only build) — the wrong trade
         val daily = t(s, d, "events")
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("x"))
-          .localCheckpoint(eager = false) // two sides of the self-join
         val a = daily.select(col("event_type"), col("day").as("di"),
           col("x").as("xi"))
         val b = daily.select(col("event_type"), col("day").as("dj"),

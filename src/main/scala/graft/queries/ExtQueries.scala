@@ -1741,14 +1741,17 @@ object ExtQueries {
     // table is scanned once. The oracle unrolls the same ten iterations as
     // chained CTEs — no recursive-CTE aggregate restrictions to dodge.
     //
-    // The edge and node frames are materialized ONCE via lazy
-    // localCheckpoint (the connectedComponents discipline): without the
+    // The edge and node frames are materialized ONCE via
+    // plans/LazyCheckpoint (the dd_lsh_pairs discipline): without the
     // cut, every iteration re-derives the sessionize window per branch
     // and the static plan balloons to 100+ parquet scans of the SAME
     // events table; with it, ten iterations reference two tiny
-    // checkpointed frames and the stream is scanned once. eager = false
-    // keeps plan construction side-effect-free (registry scans,
-    // fingerprints, explain must not run the window).
+    // checkpointed frames and the stream is scanned once. A bare
+    // eager=false here EXECUTED the window at plan construction
+    // (measured: 5 jobs per plan-only build — a corpus scan per .explain
+    // at scale); the scoped-AQE-off checkpoint plus a merge hint on the
+    // fragment's own join (a broadcast subtree would submit its collect
+    // job at RDD-construction time) makes construction run NOTHING.
     Q("ev_pagerank",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1766,11 +1769,11 @@ object ExtQueries {
           .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
           .agg(count(lit(1)).as("n"))
         val out = edges.groupBy("src").agg(sum(col("n")).as("out_n"))
-        val e = edges.join(broadcast(out), "src")
-          .localCheckpoint(eager = false)
-        val nodes = e.select(col("src").as("node"))
-          .union(e.select(col("dst").as("node"))).distinct()
-          .localCheckpoint(eager = false)
+        val e = graft.plans.LazyCheckpoint.of(
+          edges.hint("merge").join(out, "src"))
+        val nodes = graft.plans.LazyCheckpoint.of(
+          e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node"))).distinct())
         val nn = nodes.agg(count(lit(1)).as("n_nodes"))
         var pr = nodes.crossJoin(broadcast(nn))
           .select(col("node"), expr("1000000000000 div n_nodes").as("r"))

@@ -2677,6 +2677,63 @@ object PipelineQueries {
         |      - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 6) AS did
         |FROM p""".stripMargin)),
 
+    // McNemar's test on PAIRED pre/post conversion per user — the
+    // within-subject counterpart of the between-arm family: did the same
+    // users' conversion state flip across the split, judged only on the
+    // discordant pairs (pre-only b vs post-only c; concordant users
+    // carry no information about the change). Continuity-corrected
+    // χ² = (|b−c|−1)²/(b+c). Determinism: b and c are exact integer
+    // counts of per-user boolean flags; the statistic is one mirrored
+    // double chain rounded once. Scale shape: ONE user-keyed
+    // map-combined aggregate into a single row.
+    Q("dq_mcnemar",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        def conv(cond: org.apache.spark.sql.Column) =
+          max(when(cond && col("event_type") === "purchase" &&
+            col("value") > 90, 1L).otherwise(0L))
+        val flags = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(conv(col("ts") < split).as("pre"),
+            conv(col("ts") >= split).as("post"))
+        val cells = flags.agg(
+          sum(when(col("pre") === 1 && col("post") === 0, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("pre") === 0 && col("post") === 1, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("pre") === 1 && col("post") === 1, 1L)
+            .otherwise(0L)).as("both_conv"),
+          sum(when(col("pre") === 0 && col("post") === 0, 1L)
+            .otherwise(0L)).as("neither"))
+        val bD = col("b").cast("double")
+        val cD = col("c").cast("double")
+        cells.select(col("b").as("pre_only"), col("c").as("post_only"),
+          col("both_conv"), col("neither"),
+          round((abs(bD - cD) - 1.0) * (abs(bD - cD) - 1.0) / (bD + cD), 6)
+            .as("chi2_corrected"))
+      },
+      Some("""WITH f AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      AND event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS pre,
+        |    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      AND event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS post
+        |  FROM events GROUP BY 1),
+        |cells AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_conv,
+        |    CAST(SUM(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neither
+        |  FROM f)
+        |SELECT b AS pre_only, c AS post_only, both_conv, neither,
+        |  round((abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+        |    * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+        |    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) AS chi2_corrected
+        |FROM cells""".stripMargin)),
+
     // Log-rank test between the arms over activity-STREAK survival — the
     // Kaplan–Meier companion (ev_survival_km estimates ONE curve; this
     // tests whether two differ), on the same subjects: maximal

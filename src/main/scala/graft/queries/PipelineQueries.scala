@@ -2064,7 +2064,7 @@ object PipelineQueries {
           .agg(max(when(col("event_type") === "purchase" &&
               col("value") > 90, 1L).otherwise(0L)).as("conv"))
           .select(expArm(col("user_id")).as("arm"), col("conv"))
-        val tab = byUser.agg(
+        val tab0 = byUser.agg(
           sum(when(col("arm") === "A" && col("conv") === 1, 1L)
             .otherwise(0L)).as("a"),
           sum(when(col("arm") === "A" && col("conv") === 0, 1L)
@@ -2077,7 +2077,12 @@ object PipelineQueries {
           .withColumn("m2", col("c") + col("d"))
           .withColumn("mc", col("a") + col("c"))
           .withColumn("n", col("a") + col("b") + col("c") + col("d"))
-          .localCheckpoint(eager = false) // one row feeding every frame below
+        // one row feeding every frame below — LazyCheckpoint, not a bare
+        // localCheckpoint(eager = false): the bare form EXECUTES the
+        // corpus-touching user aggregate's exchanges at plan construction
+        // under AQE (the plans/LazyCheckpoint root cause; measured
+        // construction_jobs 2 → 0 with the JobCount diagnostic)
+        val tab = graft.plans.LazyCheckpoint.of(tab0)
         def r6(c: org.apache.spark.sql.Column) =
           round(round(c, 6) * 1000000, 0).cast("long")
         val W = org.apache.spark.sql.expressions.Window
@@ -2099,8 +2104,17 @@ object PipelineQueries {
               / col("j").cast("double")))))
           .withColumn("lc2", sum(col("t2")).over(jw))
           .select(col("j"), col("lc2"))
+        // Degenerate-margin guard: when mc = 0 (zero conversions in the
+        // fixture), Spark's sequence(1, 0) defaults to step -1 and yields
+        // a DESCENDING [1, 0] — injecting an i = 0 division term — while
+        // DuckDB's generate_series(1, 0) is EMPTY. Bounding the exploded i
+        // to [1, mc] gives both engines the same support (no rows → null
+        // lc3 → null logp → empty final frame on both sides); for mc ≥ 1
+        // the filter is a no-op.
         val lc3 = tab
-          .select(col("n"), explode(sequence(lit(1L), col("mc"))).as("i"))
+          .select(col("n"), col("mc"),
+            explode(sequence(lit(1L), greatest(col("mc"), lit(1L)))).as("i"))
+          .filter(col("i") >= 1L && col("i") <= col("mc"))
           .select(r6(log((col("n") - col("i") + 1).cast("double")
             / col("i").cast("double"))).as("t3"))
           .agg(sum(col("t3")).as("lc3"))
@@ -2529,7 +2543,7 @@ object PipelineQueries {
     Q("dq_cuped",
       (s, d) => {
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
-        val byArm = t(s, d, "events")
+        val byArm0 = t(s, d, "events")
           .groupBy("user_id")
           .agg(
             sum(when(col("ts") < split, col("value")).otherwise(lit(0.0))
@@ -2545,7 +2559,9 @@ object PipelineQueries {
               .cast("decimal(38,8)").as("sx2d"),
             sum((col("x") * col("y")).cast("decimal(38,8)"))
               .cast("decimal(38,8)").as("sxyd"))
-          .localCheckpoint(eager = false) // reused: arm rows + pooled row
+        // reused: arm rows + pooled row — LazyCheckpoint so plan-only
+        // construction never runs the corpus aggregate (see dq_fisher_exact)
+        val byArm = graft.plans.LazyCheckpoint.of(byArm0)
         val pooled = byArm.agg(
           sum(col("n_users")).cast("double").as("n_all"),
           sum(col("sxd")).cast("double").as("sx_all"),

@@ -102,6 +102,124 @@ object Bench {
       Seq("dup", "vector", "window", "stream"), k = 20)
   }
 
+  /** Stored-model quality serve (round 13 — the verdict's top ask): the
+    * logistic weights are TRAINED ONCE outside the timed window (memoized
+    * per SF dir, the lexServe pattern) and the measured unit is what a
+    * quality-filtered ingest pays per batch — one row-local scoring map
+    * with the one-row weights broadcast in. Training cost stays visible
+    * as the separate `tx_quality_train` micro. */
+  private val qualityModelDirs = scala.collection.mutable.Map.empty[String, String]
+  private def qualityModelDir(spark: SparkSession, sfDir: String): String =
+    qualityModelDirs.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("bench-qualitymodel").toString
+      graft.operators.QualityModel.build(
+        graft.sources.Tables(spark, sfDir, "documents"), col("text"), dir)
+      dir
+    })
+  private def qualityServe(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.QualityModel.score(qualityModelDir(spark, sfDir),
+      graft.sources.Tables(spark, sfDir, "documents"), col("text"))
+
+  /** Stored-graph ANN serve: [[graft.operators.GraphIndex.searchTopK]]
+    * against a prebuilt index (memoized build outside the timed window) —
+    * LSH-bucket seeds, stored-edge expansion, exact rerank. The build cost
+    * stays visible as `sim_nndescent_train` (the raw graph construction,
+    * the number previously reported AS sim_nndescent's bench entry). */
+  private val graphIndexDirs = scala.collection.mutable.Map.empty[String, String]
+  private def graphIndexDir(spark: SparkSession, sfDir: String): String =
+    graphIndexDirs.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("bench-graphindex").toString
+      graft.operators.GraphIndex.build(
+        graft.sources.Tables(spark, sfDir, "embeddings"), dir,
+        k = 16, iters = 3, revCap = 16)
+      dir
+    })
+  private def graphServe(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.GraphIndex.searchTopK(spark,
+      graphIndexDir(spark, sfDir),
+      graft.sources.Tables(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 256),
+      k = 10, hops = 2, seedK = 8)
+
+  /** Per-batch SCD2 dimension merge (round-12's k5 semantics on the same
+    * inputs) — the maintenance path a streaming dimension sink pays per
+    * batch; correctness is judged (`k5_scd2_merge`), this guards its
+    * wall-clock. */
+  private def scd2Merge(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val cur = graft.sources.Tables(spark, sfDir, "customer").select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+      to_timestamp(lit("1995-01-01")).as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"))
+    val upd = graft.sources.Tables(spark, sfDir, "orders").select(
+      col("o_custkey").as("k"), col("o_orderpriority").as("seg"),
+      col("o_orderdate").as("ts"))
+    graft.warehouse.Scd2.merge(cur, upd, Seq("k"), Seq("seg"), "ts")
+  }
+
+  /** One-pass model/maintenance micros (no warm-up, one timed run — these
+    * are BUILD-shaped: a second "warm" pass would just train again). */
+
+  /** Full classifier training cost, end-to-end: GD rounds + the persisted
+    * one-row weights. A fresh temp dir per run — nothing memoized, the
+    * point IS the build. */
+  private def qualityTrain(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("bench-qualitytrain").toString
+    graft.operators.QualityModel.build(
+      graft.sources.Tables(spark, sfDir, "documents"), col("text"), dir)
+    graft.operators.QualityModel.weights(spark, dir)
+  }
+
+  /** Raw NN-Descent k-NN graph construction (the judged sim_nndescent
+    * trajectory, timed as the build it is). */
+  private def nndescentTrain(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.NnDescent.knnGraph(
+      graft.sources.Tables(spark, sfDir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 16, iters = 3, revCap = 16)
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  /** GraphIndex maintenance cycle (round-12 made it correct; this guards
+    * its cost): on a COPY of the prebuilt index — the serve index stays
+    * pristine — append a 256-vector batch, `compact(relink = true)` (the
+    * staleness heal), then serve top-k from the healed index. The whole
+    * cycle is timed: copy + append + relink + serve is what an index
+    * owner pays per maintenance window. */
+  private def graphIndexMaintain(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val base = graphIndexDir(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bench-graphmaint").toString
+    copyDir(base, dir)
+    val batch = graft.sources.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 256)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    graft.operators.GraphIndex.append(spark, dir, batch)
+    graft.operators.GraphIndex.compact(spark, dir, relink = true)
+    graft.operators.GraphIndex.searchTopK(spark, dir,
+      graft.sources.Tables(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 64),
+      k = 10, hops = 2, seedK = 8)
+  }
+
   /** Cumulative codegen compilation count for this JVM (driver-side is the
     * compiling side in local mode; the metric registers compilations from
     * `CodeGenerator.compile` cache misses). */
@@ -158,13 +276,28 @@ object Bench {
       ctx.updateLoggers()
     }
     val tier1 = Registry.all.filter(_.headline).map(q => B(q.name, q.fn))
-    // tier 2 (round 12): the heaviest operator families — marked in
-    // Registry.Tier2 — plus the persisted-index serve micro. Measured with
-    // the same interleaved-min protocol but 3 passes instead of 5 (these
-    // are multi-second operators; 3 passes bounds suite wall-clock while
-    // still shedding one co-tenant spike).
-    val tier2 = Registry.all.filter(_.headline2).map(q => B(q.name, q.fn)) :+
-      B("lex_index_serve", lexServe)
+    // tier 2 (round 12, re-cut round 13): the heaviest QUERY-shaped
+    // operator families — marked in Registry.Tier2 — plus the stored-
+    // model/index SERVE micros (lex BM25, quality scoring, graph ANN) and
+    // the per-batch SCD2 merge. Measured with the same interleaved-min
+    // protocol but 3 passes instead of 5 (these are multi-second
+    // operators; 3 passes bounds suite wall-clock while still shedding
+    // one co-tenant spike). The model/graph BUILD costs are measured
+    // separately below (tier2build) so a serve-path regression is no
+    // longer invisible inside training noise — the round-12 verdict's
+    // top finding.
+    val tier2 = Registry.all.filter(_.headline2).map(q => B(q.name, q.fn)) ++
+      Seq(B("lex_index_serve", lexServe),
+        B("quality_model_serve", qualityServe),
+        B("graph_index_serve", graphServe),
+        B("scd2_merge", scd2Merge))
+    // build/maintenance micros: ONE timed pass each, no warm-up — these
+    // are build-shaped (a warm-up would just train twice) and their cost
+    // is inherently one-shot per maintenance window.
+    val tier2build = Seq(
+      B("tx_quality_train", qualityTrain),
+      B("sim_nndescent_train", nndescentTrain),
+      B("graph_index_maintain", graphIndexMaintain))
     def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -213,8 +346,29 @@ object Bench {
         b.name -> (System.nanoTime() - t0) / 1e9
       }
 
+    /** One COLD timed pass per entry — the build-micro protocol (the
+      * serve micros' one-time builds are forced FIRST via their memoized
+      * dirs so e.g. tx_quality_train doesn't also pay the serve path's
+      * memoization). */
+    def measureOnce(bs: Seq[B], dir: String)
+        : (Seq[(String, Double)], Set[String]) = {
+      val failedQ = collection.mutable.Set.empty[String]
+      val rs = bs.map { b =>
+        val t0 = System.nanoTime()
+        try runNoop(b.mk(spark, dir))
+        catch { case e: Throwable =>
+          failedQ += b.name
+          System.err.println(s"[bench] ${b.name} FAILED at $dir: ${e.getMessage}")
+        }
+        b.name -> (if (failedQ(b.name)) -1.0
+          else (System.nanoTime() - t0) / 1e9)
+      }
+      (rs, failedQ.toSet)
+    }
+
     val (results, compiles, failed1) = measure(tier1, sfDir, nRuns = 5)
     val (results2, compiles2, failed2) = measure(tier2, sfDir, nRuns = 3)
+    val (resultsB, failedB) = measureOnce(tier2build, sfDir)
     val planSec = planSplit(tier1, sfDir)
     val planSec2 = planSplit(tier2, sfDir)
 
@@ -229,9 +383,11 @@ object Bench {
       if (smallDir != sfDir && new java.io.File(smallDir).isDirectory
           && sys.env.getOrElse("SPARK_GRAFT_SLOPE", "1") == "1") {
         val (small, _, _) = measure(tier1 ++ tier2, smallDir, nRuns = 3)
-        val bigByName = (results ++ results2).toMap
-        small.collect { case (n, s) if s > 0 && bigByName.getOrElse(n, -1.0) >= 0 =>
-          n -> bigByName(n) / s
+        val (smallB, _) = measureOnce(tier2build, smallDir)
+        val bigByName = (results ++ results2 ++ resultsB).toMap
+        (small ++ smallB).collect {
+          case (n, s) if s > 0 && bigByName.getOrElse(n, -1.0) >= 0 =>
+            n -> bigByName(n) / s
         }
       } else Nil
 
@@ -254,7 +410,8 @@ object Bench {
       rs.collect { case (_, v) if v >= 0 => v }.sum
     val total = totalOf(results)
     val total2 = totalOf(results2)
-    val failedQ = failed1 ++ failed2
+    val totalB = totalOf(resultsB)
+    val failedQ = failed1 ++ failed2 ++ failedB
     val failedField =
       if (failedQ.isEmpty) ""
       else failedQ.toSeq.sorted.map("\"" + _ + "\"")
@@ -262,7 +419,11 @@ object Bench {
     val slopeField =
       if (slope.isEmpty) ""
       else s""","slope":${jmap(slope)},"slope_sf":"$smallDir""""
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f$failedField,"queries":${jmap(results)},"plan_sec":${jmap(planSec)},"codegen_compiles":${jcomp(tier1, compiles)},"tier2_total_sec":$total2%.3f,"tier2_queries":${jmap(results2)},"tier2_plan_sec":${jmap(planSec2)},"tier2_codegen_compiles":${jcomp(tier2, compiles2)}$slopeField,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f$failedField,"queries":${jmap(results)},"plan_sec":${jmap(planSec)},"codegen_compiles":${jcomp(tier1, compiles)},"tier2_total_sec":$total2%.3f,"tier2_queries":${jmap(results2)},"tier2_plan_sec":${jmap(planSec2)},"tier2_codegen_compiles":${jcomp(tier2, compiles2)},"tier2_build_total_sec":$totalB%.3f,"tier2_build_sec":${jmap(resultsB)}$slopeField,"sf":"$sfDir"}""")
+    // compact totals-only line AFTER the full line: the driver's bounded
+    // tail capture truncated BENCH_r12's (large) JSON and lost the
+    // headline — the most important numbers must survive any tail window
+    println(f"""{"metric":"bench_summary","total_headline_sec":$total%.3f,"tier2_total_sec":$total2%.3f,"tier2_build_total_sec":$totalB%.3f,"calibration_sec":$calib%.3f,"failed":${failedQ.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

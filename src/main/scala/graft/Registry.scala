@@ -28,13 +28,18 @@ final case class Q(
 object Registry {
 
   /** The tier-2 bench set, assigned HERE (one list, not per-entry flags):
-    * the engine's heaviest operator families — exact similarity join,
-    * NN-Descent graph build, cross-doc boilerplate spans, winnowing pair
-    * generation, triangle counting, classifier training. Registered by
-    * name so a rename or removal fails loudly below. */
+    * the engine's heaviest QUERY-shaped operator families — exact
+    * similarity join, cross-doc boilerplate spans, winnowing pair
+    * generation, triangle counting. Registered by name so a rename or
+    * removal fails loudly below. The model/graph BUILD operators
+    * (classifier training, NN-Descent) are benched in [[Bench]] as
+    * explicit `*_train` micros plus stored-model SERVE micros instead of
+    * through their judged registry entries — their judged entries time
+    * training under a query protocol, which hides serve-path regressions
+    * (the round-12 verdict's top finding). */
   private val Tier2: Set[String] = Set(
-    "dd_prefix_pairs", "sim_nndescent", "tx_boilerplate",
-    "dd_winnow_pairs", "ev_triangles", "tx_quality_classifier")
+    "dd_prefix_pairs", "tx_boilerplate",
+    "dd_winnow_pairs", "ev_triangles")
 
   def all: Seq[Q] = {
     val qs = (queries.CoreQueries.all ++ queries.ExtQueries.all ++

@@ -299,9 +299,15 @@ object Composition {
       }: _*)).as("x"))
       .groupBy(col("x.e").as("e"), col("bucket"))
       .agg(max(col("n_in")).as("n_in"), sum(col("x.f")).as("n_sampled"))
-      .localCheckpoint(eager = false) // two consumers: per-e totals + output
-    val tot = flags.groupBy("e").agg(sum(col("n_sampled")).as("tot"))
-    flags.join(broadcast(tot), "e")
+    // per-e totals via ONE window over the |sources|·maxE-bounded frame
+    // (round 13): the former agg + join-back needed a lineage-cutting
+    // checkpoint whose construction ran the corpus scan (a bare lazy
+    // checkpoint executes under AQE — 5 jobs per plan-only build); the
+    // window keeps the frame single-consumer, so nothing is forced at
+    // construction and the corpus-side broadcasts stay adaptive.
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("e")
+    flags
+      .withColumn("tot", sum(col("n_sampled")).over(wTot))
       .select(col("e"),
         (lit(1.0) - lit(1.0) / col("e").cast("double")).as("alpha"),
         col("bucket"), col("n_in"), col("n_sampled"),
@@ -333,18 +339,37 @@ object Composition {
     def roundAgg(st: DataFrame) = st.agg(
       coalesce(sum(when(col("sat") === 1L, col("a"))), lit(0L)).as("asat"),
       coalesce(sum(when(col("sat") === 0L, col("w"))), lit(0L)).as("wu"))
-    var st = avail.select(col("source"), col("a").cast("long").as("a"))
-      .join(broadcast(wdf), "source")
-      .withColumn("sat", lit(0L))
-      .localCheckpoint(eager = false)
+    // Round totals ride a WHOLE-FRAME window instead of a broadcast
+    // attach (round 13): a broadcast inside a checkpointed fragment
+    // submits its collect at construction, and with a bare lazy
+    // checkpoint every round's exchanges ran at plan-only build
+    // (measured 8 jobs). The window is a single-partition pass over the
+    // |sources|-sized state — free — and LazyCheckpoint keeps each
+    // round's lineage cut job-free. The FINAL total attach (below) is
+    // never checkpointed, so its broadcast stays lazy.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // no broadcast hint on wdf: inside the lazily-checkpointed fragment
+    // the hinted exchange collects its (projected-LocalRelation) side at
+    // construction — one job per plan-only build; both sides are
+    // |sources|-bounded, so the SMJ the planner picks instead is free
+    var st = graft.plans.LazyCheckpoint.of(
+      avail.select(col("source"), col("a").cast("long").as("a"))
+        .join(wdf, "source")
+        .withColumn("sat", lit(0L)))
     for (_ <- weights.indices) {
-      st = st.crossJoin(broadcast(roundAgg(st)))
+      st = graft.plans.LazyCheckpoint.of(st
+        .withColumn("asat",
+          coalesce(sum(when(col("sat") === 1L, col("a"))).over(wAll), lit(0L)))
+        .withColumn("wu",
+          coalesce(sum(when(col("sat") === 0L, col("w"))).over(wAll), lit(0L)))
         .select(col("source"), col("a"), col("w"),
           when(col("sat") === 1L ||
             (col("wu") > 0 &&
               col("a") * col("wu") <= (lit(budget) - col("asat")) * col("w")),
-            1L).otherwise(0L).as("sat"))
-        .localCheckpoint(eager = false)
+            1L).otherwise(0L).as("sat")))
     }
     st.crossJoin(broadcast(roundAgg(st)))
       .select(col("source"), col("a").as("available"), col("w").as("weight"),

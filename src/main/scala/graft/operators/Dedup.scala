@@ -355,10 +355,18 @@ object Dedup {
     // exchanges) plans and runs twice. LazyCheckpoint so construction
     // stays job-free (the fragment's df join is token-keyed SMJ under
     // either planner — no AQE broadcast to lose).
-    val prefix = graft.plans.LazyCheckpoint.of(ex.join(dfreq, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - ceilT(col("n")) + 1)
-      .select(col("doc_id"), col("n"), col("rn"), col("shingle")))
+    // merge hint (the CONSTRUCTION_JOBS.md category-2 rule): checkpoint
+    // PRESERVES the source's small stats, so inside this non-adaptive
+    // fragment the static planner would BROADCAST the exploded-corpus ex
+    // side at small SF (measured at sf0.1: BuildLeft on ex) — submitting
+    // the collect job at plan construction AND driver-collecting every
+    // (doc, shingle) row. The token-keyed SMJ is the scale shape; the
+    // shingle exchange it adds is one the dfreq side pays anyway.
+    val prefix = graft.plans.LazyCheckpoint.of(
+      ex.hint("merge").join(dfreq, "shingle")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - ceilT(col("n")) + 1)
+        .select(col("doc_id"), col("n"), col("rn"), col("shingle")))
     val joined = prefix.as("a").join(prefix.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id") &&
         greatest(col("a.n"), col("b.n")) * threshold <=

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** `localCheckpoint(eager = false)` WITHOUT the hidden construction-time
   * job.
@@ -25,10 +25,31 @@ import org.apache.spark.sql.DataFrame
   * want — deterministic-width fan-out projections, bounded iterative
   * rounds — not for fragments with size-surprising joins.
   *
+  * HOW the AQE-off scope is obtained (round 13 — replaces the round-12
+  * session-global conf flip, which made concurrent unrelated
+  * constructions on the same session plan non-adaptively during the
+  * window): the fragment is re-planned under a dedicated SIBLING session
+  * (`SparkSession.newSession()` — same `SparkContext`, same shared state,
+  * its own `SQLConf`) whose runtime conf is refreshed from the caller's
+  * session on every call and then pinned to `spark.sql.adaptive.enabled
+  * = false`. The caller's conf is NEVER touched, so any concurrent
+  * construction on the caller's session keeps AQE at all times. The
+  * analyzed fragment crosses sessions through a uniquely-named GLOBAL
+  * temp view (the one catalog namespace `newSession` shares — public API,
+  * no private[sql] constructors), and the checkpointed result (a
+  * `LogicalRDD` leaf over the shared context) is transplanted back the
+  * same way, so the frame the caller receives is bound to the CALLER's
+  * session and composes with its other frames. Both views are dropped
+  * before returning; names carry a UUID so concurrent calls never
+  * collide.
+  *
   * Contract: pass a frame whose physical plan has not been forced yet
   * (construct, then checkpoint immediately); `executedPlan` is a lazy val,
   * so a frame that was already executed adaptively would ignore the scoped
-  * conf.
+  * conf. A statically-planned BROADCAST subtree inside the fragment still
+  * submits its collect job at RDD-construction time even with AQE off —
+  * use merge-join hints inside checkpointed fragments (their frames are
+  * bounded by construction).
   *
   * When NOT to use — BUILD-shaped iterative operators (NnDescent rounds,
   * triangle orientation, k-core peels): constructing those frames IS
@@ -41,17 +62,61 @@ import org.apache.spark.sql.DataFrame
   * either planner — dd_lsh_pairs −18%, dd_prefix_pairs −45% measured).
   */
 object LazyCheckpoint {
-  /** The conf flip is session-global, so concurrent `of` calls on one
-    * session serialize on the session monitor (concurrent UNRELATED
-    * queries on the same session during the window would plan
-    * non-adaptively — a documented single-writer-style caveat; the
-    * engine's mains and test JVM construct frames sequentially). */
-  def of(df: DataFrame): DataFrame = df.sparkSession.synchronized {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.adaptive.enabled"
-    val prev = conf.get(key, "true")
-    conf.set(key, "false")
-    try df.localCheckpoint(eager = false)
-    finally conf.set(key, prev)
+
+  /** One planner session per caller session, created lazily and held
+    * weakly (a dropped caller session must not be pinned by its planner).
+    * Runtime confs are RE-COPIED from the caller on every `of` call —
+    * session-conf changes made after the first call still reach the
+    * fragment's planning — and static confs that refuse `set` are
+    * skipped (they were fixed at context construction and are shared
+    * anyway). */
+  private val planners =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def plannerFor(s: SparkSession): SparkSession =
+    planners.synchronized {
+      var p = planners.get(s)
+      if (p == null) { p = s.newSession(); planners.put(s, p) }
+      p
+    }
+
+  def of(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val planner = plannerFor(s)
+    // serialize on the PLANNER (not the caller session): concurrent `of`
+    // calls queue here, while unrelated constructions on the caller's
+    // session proceed adaptively in parallel — the round-12 caveat gone.
+    planner.synchronized {
+      s.conf.getAll.foreach { case (k, v) =>
+        try planner.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+      planner.conf.set("spark.sql.adaptive.enabled", "false")
+      // no STATICALLY-planned broadcasts inside checkpointed fragments:
+      // BroadcastExchangeExec.doPrepare submits its collect job at
+      // RDD-construction time even with AQE off, so an auto-broadcast
+      // here is a construction-time job (and, when the "small" side is a
+      // checkpoint-preserved stat of a corpus-derived frame, a driver
+      // collect of corpus-sized data — dd_prefix_pairs measured the
+      // static planner broadcasting the exploded-corpus side at sf0.1).
+      // Explicit broadcast() hints on the caller's side still win; the
+      // fragments routed through here are aggregates and token-keyed
+      // joins that SMJ at scale anyway.
+      planner.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val id = java.util.UUID.randomUUID().toString.replace("-", "")
+      val inName = s"graft_lc_in_$id"
+      df.createOrReplaceGlobalTempView(inName)
+      try {
+        val ck = planner.table(s"global_temp.$inName")
+          .localCheckpoint(eager = false)
+        val outName = s"graft_lc_out_$id"
+        ck.createOrReplaceGlobalTempView(outName)
+        // s.table analyzes EAGERLY (the view's plan — the LogicalRDD leaf —
+        // is inlined at Dataset construction), so dropping the view before
+        // returning leaves the frame intact
+        try s.table(s"global_temp.$outName")
+        finally s.catalog.dropGlobalTempView(outName)
+      } finally s.catalog.dropGlobalTempView(inName)
+    }
   }
 }

@@ -2208,12 +2208,19 @@ object ExtQueries {
         // checkpoint: the holdout frame feeds both the history build and
         // the final hit join — cut the lineage so the user-keyed window
         // runs once, not once per consumer
-        val last = v.withColumn("rn", row_number().over(wLast))
-          .filter(col("rn") === 1).select(col("user_id"), col("item").as("held"))
-          .localCheckpoint(eager = false)
-        val hist = v.join(last, "user_id").filter(col("item") =!= col("held"))
-          .select("user_id", "item").distinct()
-          .localCheckpoint(eager = false)
+        // LazyCheckpoint + merge hint (the ev_pagerank discipline): bare
+        // eager=false ran the user-keyed window + distinct at plan
+        // construction (measured 3 jobs), and inside the non-adaptive
+        // hist fragment a statically-broadcast `last` side would submit
+        // its collect at construction
+        val last = graft.plans.LazyCheckpoint.of(
+          v.withColumn("rn", row_number().over(wLast))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("item").as("held")))
+        val hist = graft.plans.LazyCheckpoint.of(
+          v.hint("merge").join(last, "user_id")
+            .filter(col("item") =!= col("held"))
+            .select("user_id", "item").distinct())
         val ic = hist.groupBy("item").agg(count(lit(1)).as("n"))
         val cos = EventOps.covisitationEdges(
             hist.select(col("user_id"), col("item")), col("item"), minUsers = 1L)

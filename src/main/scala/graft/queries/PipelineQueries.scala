@@ -1753,13 +1753,15 @@ object PipelineQueries {
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("arm").orderBy(col("y").asc, col("user_id").asc)
-        val ranked = t(s, d, "events")
+        val ranked0 = t(s, d, "events")
           .groupBy("user_id")
           .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
             .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
           .select(expArm(col("user_id")).as("arm"), col("user_id"), col("y"))
           .withColumn("rank", row_number().over(w))
-          .localCheckpoint(eager = false) // three consumers: n, bounds, sums
+        // three consumers: n, bounds, sums — LazyCheckpoint so plan-only
+        // construction never runs the corpus aggregate + rank window
+        val ranked = graft.plans.LazyCheckpoint.of(ranked0)
         val narm = ranked.groupBy("arm")
           .agg(count(lit(1)).as("n"))
           .withColumn("k", floor(col("n") / 10))
@@ -1841,13 +1843,15 @@ object PipelineQueries {
         val split = lit("2024-01-15 00:00:00").cast("timestamp")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("arm").orderBy(col("y").asc, col("user_id").asc)
-        val ranked = t(s, d, "events")
+        val ranked0 = t(s, d, "events")
           .groupBy("user_id")
           .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
             .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
           .select(expArm(col("user_id")).as("arm"), col("user_id"), col("y"))
           .withColumn("rank", row_number().over(w))
-          .localCheckpoint(eager = false) // two consumers: counts + pick
+        // two consumers: counts + pick — LazyCheckpoint so plan-only
+        // construction never runs the corpus aggregate + rank window
+        val ranked = graft.plans.LazyCheckpoint.of(ranked0)
         val targets = ranked.groupBy("arm")
           .agg(count(lit(1)).as("n"))
           .select(col("arm"), col("n"),
@@ -3231,13 +3235,13 @@ object PipelineQueries {
         val docs = t(s, d, "documents")
         val pairs = Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"),
           NumHashes, Bands)
-        val sigs = graft.operators.Parallelism.fanOut(
-            docs.select(col("doc_id"), col("text")))
-          .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .select(col("doc_id"), col("sh"),
-            TextFunctions.minhashSignature(col("sh"), NumHashes).as("sig"))
-          .localCheckpoint(eager = false)
+        val sigs = graft.plans.LazyCheckpoint.of(
+          graft.operators.Parallelism.fanOut(
+              docs.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), shingles(col("text"), 2).as("sh"))
+            .filter(size(col("sh")) > 0)
+            .select(col("doc_id"), col("sh"),
+              TextFunctions.minhashSignature(col("sh"), NumHashes).as("sig")))
         pairs
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
             col("sh").as("sh_a")), "doc_a")
@@ -4687,7 +4691,13 @@ object PipelineQueries {
               .cast("binary")), 1, 1) === "0", i)),
             x => x.isNotNull))
           .otherwise(array().cast("array<int>"))
-        val chunks = docs
+        // three consumers (frequency cap + both self-join sides): the
+        // dd_lsh_pairs checkpointed-projection pattern — one chunk
+        // explode materializes, nothing rescans the corpus. LazyCheckpoint
+        // so plan-only construction runs nothing (a bare eager=false
+        // executed the distinct's exchanges at construction — measured 2
+        // jobs per plan-only build).
+        val chunks = graft.plans.LazyCheckpoint.of(docs
           .select(col("doc_id"), col("text"), col("len"),
             concat(array(lit(1)), bounds).as("starts"))
           .select(col("doc_id"), col("text"),
@@ -4699,11 +4709,7 @@ object PipelineQueries {
           .select(col("doc_id"),
             md5(col("text").substr(col("c.s"), col("c.n") - col("c.s"))
               .cast("binary")).as("h"))
-          .distinct()
-          // three consumers (frequency cap + both self-join sides): the
-          // dd_lsh_pairs checkpointed-projection pattern — one chunk
-          // explode materializes, nothing rescans the corpus
-          .localCheckpoint(eager = false)
+          .distinct())
         val keptH = chunks.groupBy("h").agg(count(lit(1)).as("nd"))
           .filter(col("nd") >= 2 && col("nd") <= 16)
           .select("h")
@@ -5250,7 +5256,7 @@ object PipelineQueries {
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
         val parts = tokens(col("text"))
-        val bc = graft.operators.Parallelism.fanOut(docs)
+        val bc0 = graft.operators.Parallelism.fanOut(docs)
           .select(explode(when(size(parts) >= 2,
             transform(sequence(lit(1), size(parts) - 1), i =>
               concat(element_at(parts, i), lit(" "), element_at(parts, i + 1))))
@@ -5258,7 +5264,9 @@ object PipelineQueries {
           .groupBy("bg").agg(count(lit(1)).as("cb"))
           .withColumn("w1", split(col("bg"), " ").getItem(0))
           .withColumn("w2", split(col("bg"), " ").getItem(1))
-          .localCheckpoint(eager = false)
+        // four consumers — LazyCheckpoint so plan-only construction never
+        // runs the corpus bigram aggregate (measured 2 jobs bare)
+        val bc = graft.plans.LazyCheckpoint.of(bc0)
         val hist = bc.groupBy("w1")
           .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p"))
         val cont = bc.groupBy("w2").agg(count(lit(1)).as("n1c"))
@@ -5390,7 +5398,9 @@ object PipelineQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("pos")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val ph = tok
+        // LazyCheckpoint: a bare eager=false ran the phrase window +
+        // aggregate at plan construction (measured 2 jobs)
+        val ph = graft.plans.LazyCheckpoint.of(tok
           .withColumn("sid", sum(col("stop").cast("long")).over(w))
           .filter(!col("stop"))
           .groupBy(col("doc_id"), col("sid"))
@@ -5398,8 +5408,7 @@ object PipelineQueries {
           .select(
             array_join(transform(array_sort(col("pw")),
               x => x.getField("token")), " ").as("phrase"),
-            size(col("pw")).as("plen"))
-          .localCheckpoint(eager = false)
+            size(col("pw")).as("plen")))
         val wsc = ph
           .select(col("plen"), explode(split(col("phrase"), " ")).as("word"))
           .groupBy("word")
@@ -5468,11 +5477,13 @@ object PipelineQueries {
         val edges = e0.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
           .groupBy("src", "dst").agg(count(lit(1)).as("n"))
-        val e = edges
-          .join(edges.groupBy("src").agg(sum(col("n")).as("out_n")), "src")
-          .localCheckpoint(eager = false)
-        val nodes = e.select(col("src").as("node")).distinct()
-          .localCheckpoint(eager = false)
+        // LazyCheckpoint + merge hint, the ev_pagerank discipline: a bare
+        // eager=false EXECUTED the corpus-token window + edge aggregates
+        // at plan construction (measured: 6 jobs per plan-only build)
+        val e = graft.plans.LazyCheckpoint.of(edges.hint("merge")
+          .join(edges.groupBy("src").agg(sum(col("n")).as("out_n")), "src"))
+        val nodes = graft.plans.LazyCheckpoint.of(
+          e.select(col("src").as("node")).distinct())
         val nn = nodes.agg(count(lit(1)).as("n_nodes"))
         var pr = nodes.crossJoin(broadcast(nn))
           .select(col("node"), expr("1000000000000 div n_nodes").as("r"))
@@ -8395,8 +8406,10 @@ object PipelineQueries {
         val vocab = t(s, d, "documents")
           .select(explode(tokens(col("text"))).as("token"))
           .groupBy("token").agg(count(lit(1)).as("r"))
-        val ff = vocab.groupBy("r").agg(count(lit(1)).as("n_r"))
-          .localCheckpoint(eager = false) // feeds both sides of the r+1 join
+        // feeds both sides of the r+1 join — LazyCheckpoint so plan-only
+        // construction never runs the corpus token count (measured 2 bare)
+        val ff = graft.plans.LazyCheckpoint.of(
+          vocab.groupBy("r").agg(count(lit(1)).as("n_r")))
         ff.join(ff.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
             Seq("r"), "left")
           .select(col("r"), col("n_r"),
@@ -8834,11 +8847,13 @@ object PipelineQueries {
     // never the corpus.
     Q("tx_head_mass",
       (s, d) => {
-        val counts = graft.operators.Parallelism.fanOut(
-            t(s, d, "documents").select("text"))
-          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-          .groupBy("token").agg(count(lit(1)).as("n"))
-          .localCheckpoint(eager = false) // two consumers: totals + ranking
+        // two consumers: totals + ranking — LazyCheckpoint so plan-only
+        // construction never runs the corpus token count (measured 2 bare)
+        val counts = graft.plans.LazyCheckpoint.of(
+          graft.operators.Parallelism.fanOut(
+              t(s, d, "documents").select("text"))
+            .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+            .groupBy("token").agg(count(lit(1)).as("n")))
         val tot = counts.agg(count(lit(1)).as("v"), sum(col("n")).as("total"))
         val wr = org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("token"))
@@ -9551,11 +9566,13 @@ object PipelineQueries {
     // frame is localCheckpoint-ed so both branches plan it once.
     Q("tx_oov_rate",
       (s, d) => {
-        val st = t(s, d, "documents").filter(col("text").isNotNull)
-          .select(col("source"),
-            explode(TextFunctions.tokens(col("text"))).as("token"))
-          .groupBy("source", "token").agg(count(lit(1)).as("n"))
-          .localCheckpoint(eager = false)
+        // dual-consumer — LazyCheckpoint so plan-only construction never
+        // runs the corpus (source, token) count (measured 1 job bare)
+        val st = graft.plans.LazyCheckpoint.of(
+          t(s, d, "documents").filter(col("text").isNotNull)
+            .select(col("source"),
+              explode(TextFunctions.tokens(col("text"))).as("token"))
+            .groupBy("source", "token").agg(count(lit(1)).as("n")))
         val vocab = st.groupBy("token").agg(sum(col("n")).as("tn"))
           .orderBy(col("tn").desc, col("token")).limit(50)
           .select(col("token"), lit(1).as("in_vocab"))

@@ -3525,6 +3525,104 @@ object ExtQueries {
         |    / CAST(n_days * sc AS DOUBLE) AS fano
         |FROM m""".stripMargin)),
 
+    // Rescaled-range (R/S) statistic per event type (Hurst 1951, the
+    // Mandelbrot–Wallis estimator) — the long-memory readout the
+    // variance-family signals (ev_fano, ev_acf) can't give: a series can
+    // be over-dispersed yet memoryless, while persistent trends
+    // (self-reinforcing engagement, slow drifts) push R/S above the
+    // √T random-walk law and H = ln(R/S)/ln(T/2) above 0.5. Over the
+    // SAME zero-filled daily grid as ev_fano: R = max−min of the
+    // mean-adjusted cumulative deviations, S = population sd. Exact-chain
+    // determinism trick: Z_t = cumsum(c) − t·μ with cumsum an EXACT LONG
+    // window — each Z_t is one independent double expression (long −
+    // long·double), so no double ACCUMULATION order exists to disagree
+    // on; S² = scc/n − μ² from exact longs; the one ln pair takes
+    // 6dp-pre-rounded R/S (the engine ln discipline). Scale: the corpus
+    // collapses to (type, day) counts in one map-combined pass; every
+    // window runs on the |types|·|days| grid.
+    Q("ev_rescaled_range",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val counts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = ev.select("event_type").distinct()
+        val grid = types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val wCum = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val z = grid
+          .withColumn("t", count(lit(1)).over(wCum))
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("sc", sum(col("c")).over(wAll))
+          .withColumn("scc", sum(col("c") * col("c")).over(wAll))
+          .withColumn("z",
+            col("cum").cast("double") - col("t").cast("double") *
+              (col("sc").cast("double") / col("n").cast("double")))
+        z.groupBy("event_type")
+          .agg(max(col("n")).as("n_days"), max(col("sc")).as("sc"),
+            max(col("scc")).as("scc"),
+            (max(col("z")) - min(col("z"))).as("r"))
+          .select(col("event_type"), col("n_days"), col("sc"),
+            col("r"),
+            sqrt(col("scc").cast("double") / col("n_days").cast("double") -
+              (col("sc").cast("double") / col("n_days").cast("double")) *
+              (col("sc").cast("double") / col("n_days").cast("double")))
+              .as("s"))
+          .select(col("event_type"), col("n_days"), col("sc"),
+            round(col("r"), 6).as("range_adj"),
+            round(col("s"), 6).as("sd"),
+            round(col("r") / col("s"), 6).as("rs_ratio"),
+            round(log(round(col("r") / col("s"), 6)) /
+              log(col("n_days").cast("double") / 2.0), 6).as("hurst"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |z AS (
+        |  SELECT event_type, day,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) OVER (PARTITION BY event_type) AS BIGINT) AS scc
+        |  FROM grid),
+        |zz AS (
+        |  SELECT event_type, n, sc, scc,
+        |    CAST(cum AS DOUBLE) - CAST(t AS DOUBLE)
+        |      * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS zval
+        |  FROM z),
+        |agg AS (
+        |  SELECT event_type, MAX(n) AS n_days, MAX(sc) AS sc,
+        |    MAX(scc) AS scc, MAX(zval) - MIN(zval) AS r
+        |  FROM zz GROUP BY 1),
+        |fin AS (
+        |  SELECT event_type, n_days, sc, r,
+        |    sqrt(CAST(scc AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |      - (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |        * (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))) AS s
+        |  FROM agg)
+        |SELECT event_type, n_days, sc,
+        |  round(r, 6) AS range_adj, round(s, 6) AS sd,
+        |  round(r / s, 6) AS rs_ratio,
+        |  round(ln(round(r / s, 6))
+        |    / ln(CAST(n_days AS DOUBLE) / 2.0), 6) AS hurst
+        |FROM fin""".stripMargin)),
+
     // Empirical entropy rate of the session Markov chain (Shannon 1948) —
     // ONE number for "how predictable is user behavior": H = −Σ_{ij}
     // p(i,j)·ln p(j|i) over ev_markov's transition counts, equivalently

@@ -2754,6 +2754,189 @@ object PipelineQueries {
         |    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) AS chi2_corrected
         |FROM cells""".stripMargin)),
 
+    // TOST equivalence test (Schuirmann 1987) — the question the whole
+    // difference-testing family CANNOT answer: "are the arms the SAME?"
+    // (failing to reject a difference is not evidence of equivalence).
+    // Two one-sided Welch tests against a declared ±δ margin (δ = 10% of
+    // the pooled post-period per-user mean — the conventional relative
+    // margin): equivalent iff (diff+δ)/SE ≥ z₀.₉₅ AND (diff−δ)/SE ≤
+    // −z₀.₉₅, with 1.644854 as the single literal (the dq_srm
+    // critical-value-as-literal contract; normal approximation declared —
+    // user-level df is thousands). Determinism: the SAME exact-decimal
+    // per-user sufficient statistics as dq_ab_welch; the verdict compares
+    // the 6dp-ROUNDED t statistics so the flag can't flip inside
+    // rounding noise. Scale: one user-keyed map-combined pass into a
+    // 1-row frame.
+    Q("dq_tost_equivalence",
+      (s, d) => {
+        val split = lit("2024-01-15 00:00:00").cast("timestamp")
+        val byArm = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+            .cast("decimal(20,4)")).cast("decimal(20,4)").as("y"))
+          .select(expArm(col("user_id")).as("arm"), col("y"))
+          .groupBy("arm")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("y")).cast("double").as("sy"),
+            sum((col("y") * col("y")).cast("decimal(38,8)")).cast("double")
+              .as("sy2"))
+        val p = byArm.agg(
+          max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("sy"))).as("sy_a"),
+          max(when(col("arm") === "A", col("sy2"))).as("sy2_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("sy"))).as("sy_b"),
+          max(when(col("arm") === "B", col("sy2"))).as("sy2_b"))
+        val diff = col("sy_a") / col("n_a") - col("sy_b") / col("n_b")
+        val se = sqrt(
+          ((col("sy2_a") - col("sy_a") * col("sy_a") / col("n_a"))
+            / (col("n_a") - lit(1.0))) / col("n_a") +
+          ((col("sy2_b") - col("sy_b") * col("sy_b") / col("n_b"))
+            / (col("n_b") - lit(1.0))) / col("n_b"))
+        val delta = lit(0.1) *
+          ((col("sy_a") + col("sy_b")) / (col("n_a") + col("n_b")))
+        p.select(
+            col("n_a").cast("long").as("n_a"),
+            col("n_b").cast("long").as("n_b"),
+            round(diff, 6).as("diff"),
+            round(se, 6).as("se"),
+            round(delta, 6).as("delta"),
+            round((diff + delta) / se, 6).as("t_lower"),
+            round((diff - delta) / se, 6).as("t_upper"))
+          .withColumn("equivalent",
+            when(col("t_lower") >= 1.644854 && col("t_upper") <= -1.644854,
+              1L).otherwise(0L))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN value ELSE 0.0 END AS DECIMAL(20,4))) AS DECIMAL(20,4)) AS y
+        |  FROM events GROUP BY 1),
+        |ba AS (
+        |  SELECT CASE WHEN substring(md5(user_id::VARCHAR), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS sy2
+        |  FROM bu GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sy END) AS sy_a,
+        |    MAX(CASE WHEN arm = 'A' THEN sy2 END) AS sy2_a,
+        |    MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sy END) AS sy_b,
+        |    MAX(CASE WHEN arm = 'B' THEN sy2 END) AS sy2_b
+        |  FROM ba),
+        |q AS (
+        |  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |    round(sy_a / n_a - sy_b / n_b, 6) AS diff,
+        |    round(sqrt(((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a
+        |             + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b), 6)
+        |      AS se,
+        |    round(0.1 * ((sy_a + sy_b) / (n_a + n_b)), 6) AS delta,
+        |    round(((sy_a / n_a - sy_b / n_b)
+        |        + 0.1 * ((sy_a + sy_b) / (n_a + n_b)))
+        |      / sqrt(((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a
+        |           + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b), 6)
+        |      AS t_lower,
+        |    round(((sy_a / n_a - sy_b / n_b)
+        |        - 0.1 * ((sy_a + sy_b) / (n_a + n_b)))
+        |      / sqrt(((sy2_a - sy_a * sy_a / n_a) / (n_a - 1.0)) / n_a
+        |           + ((sy2_b - sy_b * sy_b / n_b) / (n_b - 1.0)) / n_b), 6)
+        |      AS t_upper
+        |  FROM p)
+        |SELECT n_a, n_b, diff, se, delta, t_lower, t_upper,
+        |  CAST(CASE WHEN t_lower >= 1.644854 AND t_upper <= -1.644854
+        |    THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+        |FROM q""".stripMargin)),
+
+    // Benjamini–Hochberg FDR correction (B&H 1995) — the multiple-testing
+    // control every per-segment metric sweep needs (5 tests at α=0.05
+    // expect a false positive every 4 sweeps; a 100-segment data-quality
+    // dashboard without FDR control is a false-alarm generator). The test
+    // family here: per event type, a χ² uniformity test of event mass
+    // across the date span's 3 equal terciles (expected n/3 each; df = 2,
+    // so p = exp(−χ²/2) EXACTLY — the closed form that needs no
+    // incomplete-gamma, which is precisely why a 2-df family was chosen
+    // as the judged carrier). Determinism: tercile = (d·3) div span on
+    // exact day integers (Spark div ≡ DuckDB //); χ² = (3·Σo² − n²)/n
+    // from exact longs (Σ(o−n/3)² = Σo² − n²/3 — zero cells contribute
+    // nothing to Σo², so no grid completion needed); the one exp gets
+    // the ln discipline (6dp-pre-rounded argument); the BH ladder
+    // (p·m/i, then the right-to-left running min that enforces
+    // monotonicity) runs on identical doubles in both engines over the
+    // |types|-row frame. Scale: ONE corpus pass collapses to
+    // (type, tercile) counts; everything after is |types|-bounded.
+    Q("dq_fdr_bh",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val span = ev.agg(min(col("day")).as("d0"),
+          (datediff(max(col("day")), min(col("day"))) + 1).as("nd"))
+        val cells = ev.crossJoin(broadcast(span))
+          .select(col("event_type"),
+            expr("(datediff(day, d0) * 3) div nd").as("terc"))
+          .groupBy("event_type", "terc").agg(count(lit(1)).as("o"))
+        val stats = cells.groupBy("event_type")
+          .agg(sum(col("o")).as("n"), sum(col("o") * col("o")).as("so2"))
+          .select(col("event_type"), col("n"),
+            ((lit(3.0) * col("so2").cast("double") -
+              col("n").cast("double") * col("n").cast("double"))
+              / col("n").cast("double")).as("chi2"))
+          .withColumn("p", exp(-round(col("chi2") / 2.0, 6)))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        val wAsc = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy(col("p").asc, col("event_type").asc)
+        val wDesc = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy(col("p").desc, col("event_type").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        stats
+          .withColumn("m", count(lit(1)).over(wAll))
+          .withColumn("i", row_number().over(wAsc))
+          .withColumn("raw",
+            col("p") * col("m").cast("double") / col("i").cast("double"))
+          .withColumn("adj_p", least(min(col("raw")).over(wDesc), lit(1.0)))
+          .select(col("event_type"), col("n"), round(col("chi2"), 6).as("chi2"),
+            round(col("p"), 10).as("p"), col("i").as("rank"),
+            round(col("adj_p"), 10).as("adj_p"),
+            when(col("adj_p") <= 0.05, 1L).otherwise(0L).as("significant"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |span AS (SELECT MIN(day) AS d0,
+        |    CAST(MAX(day) - MIN(day) AS BIGINT) + 1 AS nd FROM ev),
+        |cells AS (
+        |  SELECT event_type,
+        |    (CAST(day - d0 AS BIGINT) * 3) // nd AS terc, COUNT(*) AS o
+        |  FROM ev CROSS JOIN span GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, CAST(SUM(o) AS BIGINT) AS n,
+        |    (3.0 * CAST(SUM(o * o) AS DOUBLE)
+        |      - CAST(SUM(o) AS DOUBLE) * CAST(SUM(o) AS DOUBLE))
+        |      / CAST(SUM(o) AS DOUBLE) AS chi2
+        |  FROM cells GROUP BY 1),
+        |ps AS (SELECT event_type, n, chi2, exp(-round(chi2 / 2.0, 6)) AS p
+        |  FROM stats),
+        |ladder AS (
+        |  SELECT event_type, n, chi2, p,
+        |    COUNT(*) OVER () AS m,
+        |    row_number() OVER (ORDER BY p ASC, event_type ASC) AS i
+        |  FROM ps),
+        |adj AS (
+        |  SELECT *,
+        |    least(MIN(p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE))
+        |      OVER (ORDER BY p DESC, event_type DESC
+        |        ROWS UNBOUNDED PRECEDING), 1.0) AS adj_p
+        |  FROM ladder)
+        |SELECT event_type, n, round(chi2, 6) AS chi2, round(p, 10) AS p,
+        |  i AS rank, round(adj_p, 10) AS adj_p,
+        |  CAST(CASE WHEN adj_p <= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS significant
+        |FROM adj""".stripMargin)),
+
     // Log-rank test between the arms over activity-STREAK survival — the
     // Kaplan–Meier companion (ev_survival_km estimates ONE curve; this
     // tests whether two differ), on the same subjects: maximal

@@ -292,11 +292,16 @@ class RegistrySpec extends SparkSpec {
       //  - dq_event_sanity: three ONE-ROW summary aggregates cross-joined
       //    into the single audit row (the p13 scalar-subquery shape)
       "dq_event_sanity",
-      //  - ev_fano / ev_acf / ev_seasonal_naive: the BNLJ crosses the
-      //    |types|-bounded distinct frame with the broadcast |days|-bounded
-      //    scaffold (both collapse from one-row/grouped aggregates — the
-      //    zero-fill grid, not data)
-      "ev_fano", "ev_acf", "ev_seasonal_naive",
+      //  - ev_fano / ev_acf / ev_seasonal_naive / ev_rescaled_range: the
+      //    BNLJ crosses the |types|-bounded distinct frame with the
+      //    broadcast |days|-bounded scaffold (both collapse from
+      //    one-row/grouped aggregates — the zero-fill grid, not data)
+      "ev_fano", "ev_acf", "ev_seasonal_naive", "ev_rescaled_range",
+      //  - dq_fdr_bh: the ONE-ROW (d0, nd) date-span aggregate
+      //    cross-joins the event scan to assign terciles (the p13
+      //    scalar-subquery shape); the BH ladder runs on the
+      //    |types|-bounded frame
+      "dq_fdr_bh",
       //  - tx_heldout_ppl: the tx_bigram_lm shape on the train split —
       //    the ONE-ROW (n, V) totals frame cross-joins the eval bigram
       //    scoring pass; model joins are keyed or vocab-bounded broadcasts

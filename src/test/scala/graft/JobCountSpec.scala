@@ -61,15 +61,15 @@ class JobCountSpec extends SparkSpec {
     "ev_triangles" -> 12, // (5) orientation build
     "sim_adc_recall" -> 30, // (14) PQ codebook EM
     "sim_adc_rerank" -> 30, // (14)
-    "sim_ari" -> 600, // (427) shared NN-Descent + kmeans builds
-    "sim_cluster_purity" -> 600, // (427)
-    "sim_nmi" -> 600, // (427)
-    "sim_graph_expand" -> 60, // (29) NN-Descent build
-    "sim_knn_components" -> 250, // (139) kNN graph + CC fixpoint
+    // sim_nndescent/sim_ari/sim_nmi/sim_cluster_purity/
+    // sim_knn_components/sim_nndescent_recall are NOT listed: their
+    // shared graph/CC builds are memoized per (session, fixture,
+    // threshold) since round 13 (knn16/mutualComponents in
+    // PipelineQueries), so steady-state construction is 0 — the build
+    // charges once to whichever entry constructs first.
+    "sim_graph_expand" -> 60, // (29) NN-Descent build on a FILTERED corpus
     "sim_mmr_exact" -> 80, // (39) greedy selection rounds
     "sim_mmr_rerank" -> 20, // (9)
-    "sim_nndescent" -> 50, // (25) the judged graph build
-    "sim_nndescent_recall" -> 50, // (25)
     "sim_pq_adc_topk" -> 32, // (16)
     "sim_pq_codes" -> 24, // (11)
     "sm_coreset_coverage" -> 16, // (7) k-center rounds

@@ -231,7 +231,20 @@ object TextFunctions {
     * (zero exchanges); docs too short for a gram yield an empty array.
     * ONE definition feeds the judged `tx_winnowing` projection and
     * [[graft.operators.Dedup.winnowCandidatePairs]]. */
-  def winnowFingerprints(c: Column, gramK: Int = 3, window: Int = 4): Column = {
+  def winnowFingerprints(c: Column, gramK: Int = 3, window: Int = 4): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.WinnowFingerprints(
+        org.apache.spark.sql.GraftBridge.expression(c), gramK, window))
+
+  /** The original array-lambda formulation, kept as the DIFFERENTIAL
+    * parity reference for [[graft.expressions.WinnowFingerprints]] (the
+    * spec pins expression == lambda on a generated corpus). Not used on
+    * any hot path: Spark's higher-order functions have no codegen, so
+    * this form pays interpreted per-gram md5 + a fresh slice allocation
+    * per window — measured ~14 s for the fingerprint pass alone at
+    * sf0.1 vs well under a second for the expression. */
+  private[graft] def winnowFingerprintsLambda(c: Column, gramK: Int = 3,
+      window: Int = 4): Column = {
     val parts = tokens(c)
     val grams = when(size(parts) >= gramK,
       transform(sequence(lit(1), size(parts) - (gramK - 1)), i =>

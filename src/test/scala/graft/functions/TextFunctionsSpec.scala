@@ -123,6 +123,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(row.getAs[Double]("stopword_ratio") == 1.0 / 6.0)
   }
 
+  test("WinnowFingerprints expression ≡ the lambda reference form, " +
+      "element-for-element, on real corpus text + edge cases") {
+    import org.apache.spark.sql.functions._
+    // the native expression replaced the lambda chain on the hot path
+    // (round 13 — HOFs have no codegen); this differential pin is the
+    // contract that the swap changed NOTHING: same values, same order,
+    // same empties, across real text, nulls, short docs, repeated
+    // tokens, and both non-default parameterizations
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+        "documents").select(col("text")).limit(200)
+      .unionAll(Seq(null.asInstanceOf[String], "", " ", "a", "a b",
+        "a b c", "a b c d e f g", "x x x x x x x x").toDF("text"))
+    for ((g, w) <- Seq((3, 4), (2, 3), (1, 2))) {
+      val rows = docs.select(
+          TextFunctions.winnowFingerprints(col("text"), g, w).as("e"),
+          TextFunctions.winnowFingerprintsLambda(col("text"), g, w).as("l"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"expression/lambda mismatch at gramK=$g window=$w")
+      }
+    }
+  }
+
   test("property: winnowing's locality guarantee — any shared run of " +
       "window+gramK-1 tokens forces a shared fingerprint; short docs empty") {
     import org.apache.spark.sql.functions._

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch perf-experiment main (not part of the judged surface).
-  * Round 13: stage-attribute dd_winnow_pairs' 11s at sf0.1. */
+  * Round 13: stage-attribute dd_prefix_pairs at sf0.1. */
 object Scratch {
   def time[A](label: String)(f: => A): Unit = {
     (1 to 3).foreach { i =>
@@ -29,22 +29,55 @@ object Scratch {
       df.write.format("noop").mode("overwrite").save()
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     docs.count()
-    def fps = graft.operators.Parallelism.fanOut(
+    def sets = graft.operators.Parallelism.fanOut(
         docs.select(col("doc_id"), col("text").as("__text")))
       .select(col("doc_id"),
-        explode(graft.functions.TextFunctions
-          .winnowFingerprints(col("__text"), 3, 4)).as("fp"))
-    noop(fps) // warm
-    time("stage1: fingerprints only") { noop(fps) }
-    val fpCount = fps.count()
-    val bucketStats = fps.groupBy("fp").count()
-      .agg(count(lit(1)).as("n_buckets"), max(col("count")).as("max_bucket"),
-        sum(col("count") * (col("count") - 1) / 2).as("pairs_upper"))
-      .collect()(0)
-    println(s"[scratch] fp rows=$fpCount buckets=$bucketStats")
-    val full = Registry.byName("dd_winnow_pairs")
-    noop(full.fn(spark, sfDir)) // warm
-    time("full dd_winnow_pairs") { noop(full.fn(spark, sfDir)) }
+        graft.functions.TextFunctions.shingles(col("__text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+    noop(sets)
+    time("stage1: shingle sets only") { noop(sets) }
+    def ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    time("stage2: + explode") { noop(ex) }
+    def dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    time("stage3: + dfreq agg") { noop(dfreq) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "shingle")
+    def prefix = ex.hint("merge").join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(lit(0.5) * col("n") - lit(1e-9))
+        .cast("long") + 1)
+    time("stage4: + join + rank window") { noop(prefix) }
+    def ceilT(x: org.apache.spark.sql.Column) =
+      ceil(lit(0.5) * x - lit(1e-9)).cast("long")
+    def prefixCk = graft.plans.LazyCheckpoint.of(
+      ex.hint("merge").join(dfreq, "shingle")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - ceilT(col("n")) + 1)
+        .select(col("doc_id"), col("n"), col("rn"), col("shingle")))
+    def candOf(p: org.apache.spark.sql.DataFrame) = {
+      val joined = p.as("a").join(p.as("b"), "shingle")
+        .filter(col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * 0.5 <=
+            least(col("a.n"), col("b.n")))
+      joined.filter(
+          lit(1L) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
+            ceilT(greatest(col("a.n"), col("b.n"))))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+    time("stage5: candidate self-join (fresh ckpt per run)") {
+      noop(candOf(prefixCk))
+    }
+    val pMat = prefixCk
+    noop(candOf(pMat))
+    time("stage5b: candidate self-join (ckpt materialized once)") {
+      noop(candOf(pMat))
+    }
+    println(s"[scratch] prefix rows=${pMat.count()} cand rows=${candOf(pMat).count()}")
+    val full = Registry.byName("dd_prefix_pairs")
+    noop(full.fn(spark, sfDir))
+    time("full dd_prefix_pairs") { noop(full.fn(spark, sfDir)) }
     spark.stop()
   }
 }

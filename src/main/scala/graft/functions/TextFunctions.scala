@@ -49,10 +49,21 @@ object TextFunctions {
       graft.expressions.GearChunkStarts(
         org.apache.spark.sql.GraftBridge.expression(c), maskBits))
 
-  /** Distinct k-gram (word) shingles, computed row-wise with `transform`
-    * over an index sequence — no explode, no shuffle. Docs shorter than k
-    * words → empty array. */
-  def shingles(c: Column, k: Int = 2): Column = {
+  /** Distinct k-gram (word) shingles, computed row-wise — no explode, no
+    * shuffle. Docs shorter than k words → empty array. Since round 13
+    * this is the native [[graft.expressions.ShingleSet]] expression (the
+    * WinnowFingerprints rationale: array HOFs have no codegen and this
+    * column sits on every shingle-dedup hot path plus the
+    * quality-features repetition ratio). */
+  def shingles(c: Column, k: Int = 2): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.ShingleSet(
+        org.apache.spark.sql.GraftBridge.expression(c), k))
+
+  /** The original array-lambda formulation, kept as the DIFFERENTIAL
+    * parity reference for [[graft.expressions.ShingleSet]] (spec-pinned
+    * element-for-element). Not used on any hot path. */
+  private[graft] def shinglesLambda(c: Column, k: Int = 2): Column = {
     val parts = tokens(c)
     val grams = transform(
       sequence(lit(0), size(parts) - k),

@@ -259,6 +259,18 @@ object Dedup {
     newBatch.join(hits, idCol === col("__hit_id"), "left_anti")
   }
 
+  /** Merge-walk intersection count over SORTED distinct shingle arrays —
+    * see [[graft.expressions.SortedIntersectCount]]. Producers must sort
+    * (`sort_array`); with distinct sets, Jaccard needs only this count:
+    * |A∪B| = |A| + |B| − |A∩B|, so the per-pair hash-set + union-array
+    * materialization of `array_intersect`/`array_union` disappears from
+    * the million-pair refine steps. */
+  private def sortedIntersect(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** Exact k-gram Jaccard similarity for all pairs within `docs` — O(n²) in
     * candidate pairs; intended for verification subsets or as the refine
     * step after [[lshCandidatePairs]]. The join key is the shingle, so
@@ -315,7 +327,10 @@ object Dedup {
     graft.plans.LazyCheckpoint.of(
       Parallelism.fanOut(
           docs.select(idCol.as("doc_id"), textCol.as("__text")))
-        .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
+        // sorted: the refine's merge-walk intersection requires it, and
+        // the candidate explode/window below are order-insensitive
+        .select(col("doc_id"),
+          sort_array(shingles(col("__text"), shingleK)).as("sh"))
         .filter(size(col("sh")) > 0))
 
   /** Prefix-filter candidate generation over [[prefixShingleSets]] output:
@@ -388,9 +403,10 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("i", sortedIntersect(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -410,12 +426,13 @@ object Dedup {
       shingleK: Int = 2): DataFrame = {
     val pairs = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleK)
     val sets = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
-      .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
+      .select(col("doc_id"),
+        sort_array(shingles(col("__text"), shingleK)).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        sortedIntersect(col("sh_a"), col("sh_b")).cast("double") /
           least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
@@ -435,13 +452,15 @@ object Dedup {
       numHashes: Int, bands: Int, shingleK: Int = 2): DataFrame = {
     val pairs = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleK)
     val sets = Parallelism.fanOut(docs.select(idCol.as("doc_id"), textCol.as("__text")))
-      .select(col("doc_id"), shingles(col("__text"), shingleK).as("sh"))
+      .select(col("doc_id"),
+        sort_array(shingles(col("__text"), shingleK)).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("i", sortedIntersect(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("i")).cast("double"))
       .select("doc_a", "doc_b", "jaccard")
   }
 

@@ -147,6 +147,25 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ShingleSet expression ≡ the lambda reference form, " +
+      "element-for-element, on real corpus text + edge cases") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+        "documents").select(col("text")).limit(200)
+      .unionAll(Seq(null.asInstanceOf[String], "", " ", "a", "a b",
+        "a b a b a", "x  y  z").toDF("text"))
+    for (k <- Seq(1, 2, 3)) {
+      val rows = docs.select(
+          TextFunctions.shingles(col("text"), k).as("e"),
+          TextFunctions.shinglesLambda(col("text"), k).as("l"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"expression/lambda mismatch at k=$k")
+      }
+    }
+  }
+
   test("property: winnowing's locality guarantee — any shared run of " +
       "window+gramK-1 tokens forces a shared fingerprint; short docs empty") {
     import org.apache.spark.sql.functions._

@@ -337,13 +337,19 @@ object Bench {
 
     /** Planning-vs-execution split: time to construct + fully plan a FRESH
       * frame (what every measured run pays before its first task); called
-      * after the timed runs so the split never perturbs them. */
+      * after the timed runs so the split never perturbs them. Min-of-2 —
+      * a single cold sample can exceed the min-of-N run totals it is
+      * compared against (BENCH_r13 caught lex_index_serve's one-shot
+      * plan reading above its own serve time on an I/O hiccup). */
     def planSplit(bs: Seq[B], dir: String): Seq[(String, Double)] =
       bs.map { b =>
-        val t0 = System.nanoTime()
-        try { b.mk(spark, dir).queryExecution.executedPlan; () }
-        catch { case _: Throwable => () }
-        b.name -> (System.nanoTime() - t0) / 1e9
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { b.mk(spark, dir).queryExecution.executedPlan; () }
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        b.name -> samples.min
       }
 
     /** One COLD timed pass per entry — the build-micro protocol (the

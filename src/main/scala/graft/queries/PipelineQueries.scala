@@ -2981,6 +2981,90 @@ object PipelineQueries {
         |    AS significant
         |FROM adj""".stripMargin)),
 
+    // Cochran–Armitage trend test (Cochran 1954, Armitage 1955) — the
+    // ORDERED-alternative member of the categorical family: dq_chi2 asks
+    // "is conversion independent of group?", this asks the sharper
+    // dose-response question "does conversion rate INCREASE with
+    // engagement?" (a monotone trend splits its signal across the
+    // unordered χ²'s df). Doses are declared fixed activity bands
+    // (active days <26 / <28 / ≥28, scores w = 1,2,3 — thresholds, not
+    // ranks, so no rank machinery and no ties rule). Determinism: every
+    // sufficient statistic (n_i, r_i, N, R, Σwn, Σw²n) is an exact long;
+    // T·N = Σ wᵢ(N·rᵢ − nᵢ·R) stays an exact long, and
+    // z² = (T·N)²·N / (R(N−R)(N·Σw²n − (Σwn)²)) is ONE mirrored double
+    // chain rounded once (z's sign from the exact integer T·N). Scale:
+    // one user-keyed map-combined pass → ≤3-row dose frame → 1 row.
+    Q("dq_cochran_armitage",
+      (s, d) => {
+        val byUser = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(countDistinct(to_date(col("ts"))).as("n_days"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 90, 1L).otherwise(0L)).as("conv"))
+          .select(
+            when(col("n_days") < 26, 1L).when(col("n_days") < 28, 2L)
+              .otherwise(3L).as("w"),
+            col("conv"))
+        val dose = byUser.groupBy("w")
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("r"))
+        dose.agg(
+            sum(col("n")).as("n_all"), sum(col("r")).as("r_all"),
+            sum(col("w") * col("n")).as("swn"),
+            sum(col("w") * col("w") * col("n")).as("sw2n"),
+            sum(col("w") * col("r")).as("swr"),
+            max(when(col("w") === 1, col("n"))).as("n1"),
+            max(when(col("w") === 2, col("n"))).as("n2"),
+            max(when(col("w") === 3, col("n"))).as("n3"),
+            max(when(col("w") === 1, col("r"))).as("r1"),
+            max(when(col("w") === 2, col("r"))).as("r2"),
+            max(when(col("w") === 3, col("r"))).as("r3"))
+          .withColumn("tn", col("n_all") * col("swr") -
+            col("swn") * col("r_all")) // T·N, exact long
+          .select(col("n1"), col("n2"), col("n3"),
+            col("r1"), col("r2"), col("r3"),
+            round(
+              (col("tn") * col("tn")).cast("double") *
+                col("n_all").cast("double") /
+                nullif((col("r_all") * (col("n_all") - col("r_all"))).cast("double") *
+                  (col("n_all") * col("sw2n") -
+                    col("swn") * col("swn")).cast("double"), lit(0.0)), 6)
+              .as("chi2_trend"),
+            signum(col("tn").cast("double")).cast("long").as("trend_sign"))
+      },
+      Some("""WITH bu AS (
+        |  SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |dosed AS (
+        |  SELECT CASE WHEN n_days < 26 THEN 1 WHEN n_days < 28 THEN 2
+        |    ELSE 3 END AS w, conv FROM bu),
+        |dose AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS r
+        |  FROM dosed GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+        |    CAST(SUM(r) AS BIGINT) AS r_all,
+        |    CAST(SUM(w * n) AS BIGINT) AS swn,
+        |    CAST(SUM(w * w * n) AS BIGINT) AS sw2n,
+        |    CAST(SUM(w * r) AS BIGINT) AS swr,
+        |    MAX(CASE WHEN w = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN w = 2 THEN n END) AS n2,
+        |    MAX(CASE WHEN w = 3 THEN n END) AS n3,
+        |    MAX(CASE WHEN w = 1 THEN r END) AS r1,
+        |    MAX(CASE WHEN w = 2 THEN r END) AS r2,
+        |    MAX(CASE WHEN w = 3 THEN r END) AS r3
+        |  FROM dose),
+        |tt AS (SELECT *, n_all * swr - swn * r_all AS tn FROM agg)
+        |SELECT n1, n2, n3, r1, r2, r3,
+        |  round(CAST(tn * tn AS DOUBLE) * CAST(n_all AS DOUBLE)
+        |    / NULLIF(CAST(r_all * (n_all - r_all) AS DOUBLE)
+        |      * CAST(n_all * sw2n - swn * swn AS DOUBLE), 0.0), 6)
+        |    AS chi2_trend,
+        |  CAST(sign(CAST(tn AS DOUBLE)) AS BIGINT) AS trend_sign
+        |FROM tt""".stripMargin)),
+
     // Log-rank test between the arms over activity-STREAK survival — the
     // Kaplan–Meier companion (ev_survival_km estimates ONE curve; this
     // tests whether two differ), on the same subjects: maximal

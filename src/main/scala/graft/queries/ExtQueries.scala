@@ -3525,6 +3525,91 @@ object ExtQueries {
         |    / CAST(n_days * sc AS DOUBLE) AS fano
         |FROM m""".stripMargin)),
 
+    // Page–Hinkley drift statistic per event type (Page 1954, Hinkley
+    // 1971) — the ONLINE-monitor member of the drift trio (ev_cusum
+    // accumulates one-sided excesses over a fixed reference;
+    // ev_changepoint fits the single best split offline; THIS is the
+    // classic mean-shift detector a streaming monitor runs): over the
+    // zero-filled daily grid, cumulative deviations from the series'
+    // own mean M_t = Σ(c_i − μ), and PH_t = M_t − min_{s≤t} M_s — the
+    // rise from the running minimum, which grows without bound exactly
+    // when the mean has shifted UP (δ = 0 drift allowance, declared).
+    // Reported per type: the max PH, its day (earliest tiebreak), and
+    // the day count — the alarm threshold is the caller's policy knob.
+    // Determinism: the ev_rescaled_range Z_t trick — M_t = exact-long
+    // cumsum − t·μ, so every M_t is ONE independent double expression
+    // (no double accumulation order); running min / max / argmax are
+    // order-fixed windows over identical doubles. Scale: one
+    // map-combined corpus pass to (type, day) counts; every window runs
+    // on the |types|·|days| grid.
+    Q("ev_page_hinkley",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val counts = ev.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = ev.select("event_type").distinct()
+        val grid = types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val wCum = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val ph = grid
+          .withColumn("t", count(lit(1)).over(wCum))
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("sc", sum(col("c")).over(wAll))
+          .withColumn("m",
+            col("cum").cast("double") - col("t").cast("double") *
+              (col("sc").cast("double") / col("n").cast("double")))
+          .withColumn("ph", col("m") - min(col("m")).over(wCum))
+        val wPick = Window.partitionBy("event_type")
+          .orderBy(col("ph").desc, col("day").asc)
+        ph.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("n").as("n_days"),
+            round(col("ph"), 6).as("ph_max"), col("day").as("ph_day"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |z AS (
+        |  SELECT event_type, day,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS sc
+        |  FROM grid),
+        |m AS (
+        |  SELECT event_type, day, n,
+        |    CAST(cum AS DOUBLE) - CAST(t AS DOUBLE)
+        |      * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS mval
+        |  FROM z),
+        |phs AS (
+        |  SELECT event_type, day, n,
+        |    mval - MIN(mval) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS ph
+        |  FROM m),
+        |pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY ph DESC, day ASC) AS rn
+        |  FROM phs)
+        |SELECT event_type, n AS n_days, round(ph, 6) AS ph_max,
+        |  day AS ph_day
+        |FROM pick WHERE rn = 1""".stripMargin)),
+
     // Rescaled-range (R/S) statistic per event type (Hurst 1951, the
     // Mandelbrot–Wallis estimator) — the long-memory readout the
     // variance-family signals (ev_fano, ev_acf) can't give: a series can

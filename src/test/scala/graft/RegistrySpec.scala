@@ -297,6 +297,7 @@ class RegistrySpec extends SparkSpec {
       //    broadcast |days|-bounded scaffold (both collapse from
       //    one-row/grouped aggregates — the zero-fill grid, not data)
       "ev_fano", "ev_acf", "ev_seasonal_naive", "ev_rescaled_range",
+      "ev_page_hinkley",
       //  - dq_fdr_bh: the ONE-ROW (d0, nd) date-span aggregate
       //    cross-joins the event scan to assign terciles (the p13
       //    scalar-subquery shape); the BH ladder runs on the

@@ -76,6 +76,41 @@ object Bench {
       .select(xxhash64(col("id")).as("k"))
       .orderBy("k")
 
+  /** SECOND calibration sentinel (round-14 directive): a differently-
+    * SHAPED fixed workload — a 64M-row scan-aggregate with zero shuffle
+    * beyond the final one-row agg, so it is memory-bandwidth/ALU-bound
+    * where [[calibration]] is sort/exchange-bound. Two sentinels that
+    * disagree flag WHICH resource a co-tenant is stealing; round-over-
+    * round normalization stops hinging on one noisy divisor. */
+  private def calibration2(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.range(0, 64000000L)
+      // the % bounds each term well under 2^20 so the 64M-row ANSI long
+      // sum cannot overflow (≤ ~2^46)
+      .select(((col("id") * lit(2654435761L) + lit(104729L)) % lit(1048576L))
+        .as("x"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+
+  /** Every scratch/memoized dir this bench run created, deleted by ONE
+    * shutdown hook — repeated bench invocations and SF sweeps must not
+    * accumulate disk under java.io.tmpdir (round-13 ADVICE). */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def newScratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratchDirs.add(d)
+    d
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }))
+  }
+
   /** One benchable unit: a name and a DataFrame constructor bound to an
     * SF dir. Registry queries wrap `q.fn`; bench-local micros (the
     * persisted-index serve) supply their own constructor. */
@@ -85,22 +120,29 @@ object Bench {
   /** Persisted-index serve micro: BM25 top-k against a pre-built
     * [[graft.operators.LexIndex]]. The build is a one-time cost (like
     * loading the tables) and runs OUTSIDE the timed window, memoized per
-    * SF dir; the measured unit is what a serving tier pays per query —
-    * bucket-pruned posting scans + the k-bounded rank. */
+    * SF dir — and so is the serve FRAME (round-14 directive): a real
+    * serving tier reads the manifest and plans its query shape ONCE,
+    * then re-executes it per request, so re-paying the manifest read +
+    * bucket-key collect + Catalyst assembly inside every timed pass
+    * measured plan-protocol cost, not serving (30–60% of the r13 serve
+    * numbers). The index is immutable post-build, so the memoized frame
+    * serves the same snapshot every pass. */
   private val lexIndexDirs = scala.collection.mutable.Map.empty[String, String]
+  private val lexServeFrames =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
   private def lexServe(spark: SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame = {
-    val p = lexIndexDirs.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files
-        .createTempDirectory("bench-lexindex").toString
-      graft.operators.LexIndex.build(
-        graft.sources.Tables(spark, sfDir, "documents")
-          .select("doc_id", "text"), dir, buckets = 64)
-      dir
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    lexServeFrames.getOrElseUpdate(sfDir, {
+      val p = lexIndexDirs.getOrElseUpdate(sfDir, {
+        val dir = newScratchDir("bench-lexindex")
+        graft.operators.LexIndex.build(
+          graft.sources.Tables(spark, sfDir, "documents")
+            .select("doc_id", "text"), dir, buckets = 64)
+        dir
+      })
+      graft.operators.LexIndex.searchTopK(spark, p,
+        Seq("dup", "vector", "window", "stream"), k = 20)
     })
-    graft.operators.LexIndex.searchTopK(spark, p,
-      Seq("dup", "vector", "window", "stream"), k = 20)
-  }
 
   /** Stored-model quality serve (round 13 — the verdict's top ask): the
     * logistic weights are TRAINED ONCE outside the timed window (memoized
@@ -111,16 +153,21 @@ object Bench {
   private val qualityModelDirs = scala.collection.mutable.Map.empty[String, String]
   private def qualityModelDir(spark: SparkSession, sfDir: String): String =
     qualityModelDirs.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files
-        .createTempDirectory("bench-qualitymodel").toString
+      val dir = newScratchDir("bench-qualitymodel")
       graft.operators.QualityModel.build(
         graft.sources.Tables(spark, sfDir, "documents"), col("text"), dir)
       dir
     })
+  // serve FRAME memoized per SF dir (see lexServe): the stored weights are
+  // immutable post-build, so re-reading meta/commit/weights per timed pass
+  // (two head() jobs + a parquet read) measured protocol, not scoring
+  private val qualityServeFrames =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
   private def qualityServe(spark: SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
-    graft.operators.QualityModel.score(qualityModelDir(spark, sfDir),
-      graft.sources.Tables(spark, sfDir, "documents"), col("text"))
+    qualityServeFrames.getOrElseUpdate(sfDir,
+      graft.operators.QualityModel.score(qualityModelDir(spark, sfDir),
+        graft.sources.Tables(spark, sfDir, "documents"), col("text")))
 
   /** Stored-graph ANN serve: [[graft.operators.GraphIndex.searchTopK]]
     * against a prebuilt index (memoized build outside the timed window) —
@@ -130,20 +177,25 @@ object Bench {
   private val graphIndexDirs = scala.collection.mutable.Map.empty[String, String]
   private def graphIndexDir(spark: SparkSession, sfDir: String): String =
     graphIndexDirs.getOrElseUpdate(sfDir, {
-      val dir = java.nio.file.Files
-        .createTempDirectory("bench-graphindex").toString
+      val dir = newScratchDir("bench-graphindex")
       graft.operators.GraphIndex.build(
         graft.sources.Tables(spark, sfDir, "embeddings"), dir,
         k = 16, iters = 3, revCap = 16)
       dir
     })
+  // serve FRAME memoized per SF dir (see lexServe): the manifest read +
+  // meta head() + plan assembly of the seed/expand/rerank shape happen
+  // once, the way a serving tier holds a prepared frame per snapshot
+  private val graphServeFrames =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
   private def graphServe(spark: SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
-    graft.operators.GraphIndex.searchTopK(spark,
-      graphIndexDir(spark, sfDir),
-      graft.sources.Tables(spark, sfDir, "embeddings")
-        .filter(col("vec_id") < 256),
-      k = 10, hops = 2, seedK = 8)
+    graphServeFrames.getOrElseUpdate(sfDir,
+      graft.operators.GraphIndex.searchTopK(spark,
+        graphIndexDir(spark, sfDir),
+        graft.sources.Tables(spark, sfDir, "embeddings")
+          .filter(col("vec_id") < 256),
+        k = 10, hops = 2, seedK = 8))
 
   /** Per-batch SCD2 dimension merge (round-12's k5 semantics on the same
     * inputs) — the maintenance path a streaming dimension sink pays per
@@ -169,8 +221,7 @@ object Bench {
     * point IS the build. */
   private def qualityTrain(spark: SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("bench-qualitytrain").toString
+    val dir = newScratchDir("bench-qualitytrain")
     graft.operators.QualityModel.build(
       graft.sources.Tables(spark, sfDir, "documents"), col("text"), dir)
     graft.operators.QualityModel.weights(spark, dir)
@@ -206,8 +257,7 @@ object Bench {
   private def graphIndexMaintain(spark: SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
     val base = graphIndexDir(spark, sfDir)
-    val dir = java.nio.file.Files
-      .createTempDirectory("bench-graphmaint").toString
+    val dir = newScratchDir("bench-graphmaint")
     copyDir(base, dir)
     val batch = graft.sources.Tables(spark, sfDir, "embeddings")
       .filter(col("vec_id") < 256)
@@ -384,7 +434,11 @@ object Bench {
     // 100× scale-up breaks first — caught here before it happens. Slopes
     // of sub-second queries are noisy (fixed per-query overhead dominates
     // at the small SF); read them against the absolute times.
-    val smallDir = sfDir.replace("sf0.1", "sf0.01")
+    // SPARK_GRAFT_SLOPE_DIR overrides the sibling-SF convention — the sf1
+    // rehearsal (GenScale output under /tmp) pairs with sf0.1 as its
+    // 10×-smaller sibling
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SLOPE_DIR",
+      sfDir.replace("sf0.1", "sf0.01"))
     val slope: Seq[(String, Double)] =
       if (smallDir != sfDir && new java.io.File(smallDir).isDirectory
           && sys.env.getOrElse("SPARK_GRAFT_SLOPE", "1") == "1") {
@@ -397,13 +451,20 @@ object Bench {
         }
       } else Nil
 
-    // calibration sentinel: same warm-up + min-of-5 protocol as the queries
-    runNoop(calibration(spark))
-    val calib = (1 to 5).map { _ =>
-      val t0 = System.nanoTime()
-      runNoop(calibration(spark))
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    // calibration sentinels: same warm-up + min-of-5 protocol as the
+    // queries; two differently-shaped workloads (sort/exchange-bound vs
+    // scan-agg bandwidth-bound) so cross-round normalization has a second
+    // witness — see the calibration2 scaladoc
+    def timedMin5(mk: => org.apache.spark.sql.DataFrame): Double = {
+      runNoop(mk)
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        runNoop(mk)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val calib = timedMin5(calibration(spark))
+    val calib2 = timedMin5(calibration2(spark))
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     def jcomp(bs: Seq[B], m: Map[String, Long]): String =
@@ -425,11 +486,11 @@ object Bench {
     val slopeField =
       if (slope.isEmpty) ""
       else s""","slope":${jmap(slope)},"slope_sf":"$smallDir""""
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f$failedField,"queries":${jmap(results)},"plan_sec":${jmap(planSec)},"codegen_compiles":${jcomp(tier1, compiles)},"tier2_total_sec":$total2%.3f,"tier2_queries":${jmap(results2)},"tier2_plan_sec":${jmap(planSec2)},"tier2_codegen_compiles":${jcomp(tier2, compiles2)},"tier2_build_total_sec":$totalB%.3f,"tier2_build_sec":${jmap(resultsB)}$slopeField,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f$failedField,"queries":${jmap(results)},"plan_sec":${jmap(planSec)},"codegen_compiles":${jcomp(tier1, compiles)},"tier2_total_sec":$total2%.3f,"tier2_queries":${jmap(results2)},"tier2_plan_sec":${jmap(planSec2)},"tier2_codegen_compiles":${jcomp(tier2, compiles2)},"tier2_build_total_sec":$totalB%.3f,"tier2_build_sec":${jmap(resultsB)}$slopeField,"sf":"$sfDir"}""")
     // compact totals-only line AFTER the full line: the driver's bounded
     // tail capture truncated BENCH_r12's (large) JSON and lost the
     // headline — the most important numbers must survive any tail window
-    println(f"""{"metric":"bench_summary","total_headline_sec":$total%.3f,"tier2_total_sec":$total2%.3f,"tier2_build_total_sec":$totalB%.3f,"calibration_sec":$calib%.3f,"failed":${failedQ.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"bench_summary","total_headline_sec":$total%.3f,"tier2_total_sec":$total2%.3f,"tier2_build_total_sec":$totalB%.3f,"calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f,"failed":${failedQ.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

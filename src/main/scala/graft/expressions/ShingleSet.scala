@@ -9,7 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Distinct word k-gram shingles as ONE per-row expression —
   * value-identical (elements AND first-occurrence order) to the
   * array-lambda form kept as
-  * [[graft.functions.TextFunctions.shinglesLambda]] and to the DuckDB
+  * the test-only `graft.functions.LambdaReference.shinglesLambda` and to the DuckDB
   * shingle CTEs the dedup oracles run.
   *
   * WHY (the [[WinnowFingerprints]] rationale): `transform` +

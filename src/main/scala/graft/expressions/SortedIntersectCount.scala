@@ -31,16 +31,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // containsNull = false is REQUIRED, not just documented: the merge
+    // walk calls getUTF8String per element and a null element would NPE
+    // mid-walk — reject at ANALYSIS instead (every producer is
+    // `sort_array(ShingleSet(...))`-shaped, whose element type is
+    // non-null by construction)
     def ok(dt: DataType) = dt match {
-      case ArrayType(StringType, _) => true
+      case ArrayType(StringType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count expects two string arrays, got " +
-          s"${left.dataType} / ${right.dataType}")
+        s"sorted_intersect_count expects two string arrays with " +
+          s"containsNull = false, got ${left.dataType} / ${right.dataType}")
   }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {

@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracles mirror with `conv(substring(md5(g),1,4),16,10)`), and returns
   * the DISTINCT minima of every `window`-wide sliding window, in first-
   * occurrence order — value-identical to the
-  * [[graft.functions.TextFunctions.winnowFingerprintsLambda]] column
+  * the test-only `graft.functions.LambdaReference.winnowFingerprintsLambda` column
   * form (spec-pinned differentially) and to the oracle CTEs.
   *
   * WHY an Expression when array lambdas express the same thing: Spark's

@@ -60,17 +60,10 @@ object TextFunctions {
       graft.expressions.ShingleSet(
         org.apache.spark.sql.GraftBridge.expression(c), k))
 
-  /** The original array-lambda formulation, kept as the DIFFERENTIAL
-    * parity reference for [[graft.expressions.ShingleSet]] (spec-pinned
-    * element-for-element). Not used on any hot path. */
-  private[graft] def shinglesLambda(c: Column, k: Int = 2): Column = {
-    val parts = tokens(c)
-    val grams = transform(
-      sequence(lit(0), size(parts) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(parts, i + j + 1)): _*))
-    when(size(parts) >= k, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  // The original array-lambda formulation lives TEST-ONLY as
+  // graft.functions.LambdaReference.shinglesLambda (the differential
+  // parity reference for ShingleSet) — deliberately unreachable from
+  // queries/, being ~10× the native expression.
 
   /** One MinHash component of THE canonical hash family — identical to
     * [[graft.expressions.MinHashSignature]], [[graft.expressions.MinHashSig]]
@@ -247,26 +240,11 @@ object TextFunctions {
       graft.expressions.WinnowFingerprints(
         org.apache.spark.sql.GraftBridge.expression(c), gramK, window))
 
-  /** The original array-lambda formulation, kept as the DIFFERENTIAL
-    * parity reference for [[graft.expressions.WinnowFingerprints]] (the
-    * spec pins expression == lambda on a generated corpus). Not used on
-    * any hot path: Spark's higher-order functions have no codegen, so
-    * this form pays interpreted per-gram md5 + a fresh slice allocation
-    * per window — measured ~14 s for the fingerprint pass alone at
-    * sf0.1 vs well under a second for the expression. */
-  private[graft] def winnowFingerprintsLambda(c: Column, gramK: Int = 3,
-      window: Int = 4): Column = {
-    val parts = tokens(c)
-    val grams = when(size(parts) >= gramK,
-      transform(sequence(lit(1), size(parts) - (gramK - 1)), i =>
-        concat_ws(" ", (0 until gramK).map(o => element_at(parts, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-    val hashes = transform(grams, g =>
-      conv(substring(md5(g), 1, 4), 16, 10).cast("long"))
-    when(size(hashes) >= 1,
-      array_distinct(transform(
-        sequence(lit(1), greatest(lit(1), size(hashes) - (window - 1))), j =>
-          array_min(slice(hashes, j, lit(window))))))
-      .otherwise(array().cast("array<long>"))
-  }
+  // The original array-lambda formulation lives TEST-ONLY as
+  // graft.functions.LambdaReference.winnowFingerprintsLambda (the
+  // differential parity reference for WinnowFingerprints): Spark's
+  // higher-order functions have no codegen, so that form pays
+  // interpreted per-gram md5 + a fresh slice allocation per window —
+  // measured ~14 s for the fingerprint pass alone at sf0.1 vs well
+  // under a second for the expression.
 }

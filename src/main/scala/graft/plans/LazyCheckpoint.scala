@@ -65,44 +65,69 @@ object LazyCheckpoint {
 
   /** One planner session per caller session, created lazily and held
     * weakly (a dropped caller session must not be pinned by its planner).
-    * Runtime confs are RE-COPIED from the caller on every `of` call —
-    * session-conf changes made after the first call still reach the
-    * fragment's planning — and static confs that refuse `set` are
-    * skipped (they were fixed at context construction and are shared
-    * anyway). */
+    * The planner's runtime conf is SYNCED from the caller on every `of`
+    * call — session-conf changes made after the first call still reach
+    * the fragment's planning — but the sync is EPOCH-CACHED: the caller's
+    * `getAll` snapshot is compared to the last-synced snapshot and the
+    * per-key `set` loop (hundreds of validated SQLConf writes) runs only
+    * when something actually changed. Keys the caller UNSET since the
+    * last sync are unset on the planner too (`getAll` returns only
+    * explicitly-set keys, so a set-only copy would pin stale values —
+    * e.g. a reverted shuffle.partitions override). Static confs that
+    * refuse `set` are skipped (they were fixed at context construction
+    * and are shared anyway). Measured at sf0.1 the full re-copy was
+    * ~10-20ms per call, paid on every construction of every
+    * checkpoint-bearing operator — the r13 dd_lsh_pairs drift suspect. */
+  private final class Planner(val session: SparkSession) {
+    var lastConf: Map[String, String] = null
+  }
   private val planners =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, Planner]()
 
-  private def plannerFor(s: SparkSession): SparkSession =
+  private def plannerFor(s: SparkSession): Planner =
     planners.synchronized {
       var p = planners.get(s)
-      if (p == null) { p = s.newSession(); planners.put(s, p) }
+      if (p == null) { p = new Planner(s.newSession()); planners.put(s, p) }
       p
     }
 
   def of(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    val planner = plannerFor(s)
+    val p = plannerFor(s)
+    val planner = p.session
     // serialize on the PLANNER (not the caller session): concurrent `of`
     // calls queue here, while unrelated constructions on the caller's
     // session proceed adaptively in parallel — the round-12 caveat gone.
     planner.synchronized {
-      s.conf.getAll.foreach { case (k, v) =>
-        try planner.conf.set(k, v)
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      val callerConf = s.conf.getAll
+      if (p.lastConf != callerConf) {
+        if (p.lastConf != null)
+          (p.lastConf.keySet -- callerConf.keySet).foreach { k =>
+            try planner.conf.unset(k)
+            catch { case _: org.apache.spark.sql.AnalysisException => () }
+          }
+        callerConf.foreach { case (k, v) =>
+          if (p.lastConf == null || !p.lastConf.get(k).contains(v))
+            try planner.conf.set(k, v)
+            catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
+        p.lastConf = callerConf
+        // the two pins are re-asserted only after a sync touched the conf;
+        // they are not in lastConf (planner-only keys), so the stale-key
+        // unset above can never drop them
+        planner.conf.set("spark.sql.adaptive.enabled", "false")
+        // no STATICALLY-planned broadcasts inside checkpointed fragments:
+        // BroadcastExchangeExec.doPrepare submits its collect job at
+        // RDD-construction time even with AQE off, so an auto-broadcast
+        // here is a construction-time job (and, when the "small" side is a
+        // checkpoint-preserved stat of a corpus-derived frame, a driver
+        // collect of corpus-sized data — dd_prefix_pairs measured the
+        // static planner broadcasting the exploded-corpus side at sf0.1).
+        // Explicit broadcast() hints on the caller's side still win; the
+        // fragments routed through here are aggregates and token-keyed
+        // joins that SMJ at scale anyway.
+        planner.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       }
-      planner.conf.set("spark.sql.adaptive.enabled", "false")
-      // no STATICALLY-planned broadcasts inside checkpointed fragments:
-      // BroadcastExchangeExec.doPrepare submits its collect job at
-      // RDD-construction time even with AQE off, so an auto-broadcast
-      // here is a construction-time job (and, when the "small" side is a
-      // checkpoint-preserved stat of a corpus-derived frame, a driver
-      // collect of corpus-sized data — dd_prefix_pairs measured the
-      // static planner broadcasting the exploded-corpus side at sf0.1).
-      // Explicit broadcast() hints on the caller's side still win; the
-      // fragments routed through here are aggregates and token-keyed
-      // joins that SMJ at scale anyway.
-      planner.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val id = java.util.UUID.randomUUID().toString.replace("-", "")
       val inName = s"graft_lc_in_$id"
       df.createOrReplaceGlobalTempView(inName)

@@ -58,6 +58,27 @@ object ExtQueries {
     }
   }
 
+  /** Memoized degree-ordered ORIENTATION of the ≥5-shared-viewer
+    * co-visitation graph (the knn16 discipline, round-14 directive):
+    * [[Graph.orient]] is build-shaped — its lineage-cut checkpoint runs
+    * the degree joins on first use — and ev_triangles previously re-ran
+    * that build on EVERY construction (86% of its tier-2 bench time was
+    * construction). One orientation per (session, events fingerprint,
+    * shuffle conf) makes repeated triangle queries what they are at
+    * 100 TB: wedge-join reads of a stored oriented graph. */
+  private val orientedCovisMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def orientedCovisitation(s: SparkSession, d: String): DataFrame =
+    orientedCovisMemo.getOrElseUpdate({
+      val fp = graft.sources.FileFingerprint.of(s, s"$d/events.parquet")
+      (s, d, fp + "|shuffle=" + s.conf.get("spark.sql.shuffle.partitions"))
+    }, Graph.orient(
+      EventOps.covisitationEdges(
+        t(s, d, "events").filter(col("event_type") === "view"),
+        get_json_object(col("props"), "$.k").cast("long"), minUsers = 5L)
+        .select("u", "v")))
+
   private def runLateSessions(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import s.implicits._
@@ -2076,11 +2097,7 @@ object ExtQueries {
     // by the naive three-way id-ordered join: orientation changes the
     // work, provably not the triangle set.
     Q("ev_triangles",
-      (s, d) => Graph.triangleCounts(
-        EventOps.covisitationEdges(
-          t(s, d, "events").filter(col("event_type") === "view"),
-          get_json_object(col("props"), "$.k").cast("long"), minUsers = 5L)
-          .select("u", "v"))
+      (s, d) => Graph.triangleCountsFromOriented(orientedCovisitation(s, d))
         .withColumnRenamed("node", "item"),
       Some("""WITH vi AS (
         |  SELECT DISTINCT user_id,
@@ -3662,8 +3679,12 @@ object ExtQueries {
           .select(col("event_type"), col("n_days"), col("sc"),
             round(col("r"), 6).as("range_adj"),
             round(col("s"), 6).as("sd"),
-            round(col("r") / col("s"), 6).as("rs_ratio"),
-            round(log(round(col("r") / col("s"), 6)) /
+            // nullif: a constant-count series has sd = 0 — Spark's x/0.0
+            // yields NULL while DuckDB (ieee_floating_point_ops) yields
+            // inf/nan; NULL on BOTH sides is the divergence-proof contract
+            // (the dq_cochran_armitage discipline)
+            round(col("r") / nullif(col("s"), lit(0.0)), 6).as("rs_ratio"),
+            round(log(round(col("r") / nullif(col("s"), lit(0.0)), 6)) /
               log(col("n_days").cast("double") / 2.0), 6).as("hurst"))
       },
       Some("""WITH ev AS (
@@ -3703,9 +3724,296 @@ object ExtQueries {
         |  FROM agg)
         |SELECT event_type, n_days, sc,
         |  round(r, 6) AS range_adj, round(s, 6) AS sd,
-        |  round(r / s, 6) AS rs_ratio,
-        |  round(ln(round(r / s, 6))
+        |  round(r / nullif(s, 0.0), 6) AS rs_ratio,
+        |  round(ln(round(r / nullif(s, 0.0), 6))
         |    / ln(CAST(n_days AS DOUBLE) / 2.0), 6) AS hurst
+        |FROM fin""".stripMargin)),
+
+    // Mann–Kendall trend test (Mann 1945, Kendall 1975) per event type
+    // over the SAME zero-filled daily grid as ev_fano/ev_rescaled_range —
+    // the nonparametric companion to ev_theil_sen (that one estimates the
+    // slope; this one tests whether a monotone trend EXISTS, robust to
+    // the count spikes that break an OLS-on-time test). S = Σ_{i<j}
+    // sign(c_j − c_i) is an exact long over the |days|²-per-type pair
+    // frame (the grid is corpus-collapsed to |types|·|days| rows FIRST,
+    // so the self-join is bounded regardless of corpus size); Var(S)
+    // carries the tie correction Σ t(t−1)(2t+5) (zero-heavy daily counts
+    // are tie-rich — skipping it inflates z badly), and z applies the
+    // ±1 continuity correction with the sd divisor null-guarded. Scale:
+    // one map-combined corpus pass, then window/join algebra on the
+    // bounded grid only.
+    Q("dq_mann_kendall",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        // the collapsed (type, day) counts are LazyCheckpoint-ed: span,
+        // types, both pair legs and the tie aggregate all read the SAME
+        // materialized |types|·|days| frame, so the corpus is scanned
+        // exactly ONCE however many branches reference the grid (a bare
+        // multi-reference re-plans the map-combined corpus pass per
+        // branch — this query has five); n_days folds into the tie
+        // aggregate as Σ tcnt
+        val counts = graft.plans.LazyCheckpoint.of(
+          ev.groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+        val span = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = counts.select("event_type").distinct()
+        val grid = types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val pairs = grid.as("a").join(grid.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.day") < col("b.day"))
+          .select(col("a.event_type").as("event_type"),
+            when(col("b.c") > col("a.c"), 1L)
+              .when(col("b.c") < col("a.c"), -1L).otherwise(0L).as("sg"))
+        val sStat = pairs.groupBy("event_type").agg(sum(col("sg")).as("s_stat"))
+        val ties = grid.groupBy("event_type", "c")
+          .agg(count(lit(1)).as("tcnt"))
+          .groupBy("event_type")
+          .agg(sum(col("tcnt")).as("n_days"),
+            sum(col("tcnt") * (col("tcnt") - 1) *
+              (lit(2L) * col("tcnt") + 5)).as("tie_term"))
+        val n = col("n_days")
+        val varS = (n * (n - 1) * (lit(2L) * n + 5) - col("tie_term"))
+          .cast("double") / 18.0
+        val sd = nullif(sqrt(varS), lit(0.0))
+        val sD = col("s_stat").cast("double")
+        ties.join(sStat, "event_type")
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            round(varS, 6).as("var_s"),
+            round(when(col("s_stat") > 0, (sD - 1.0) / sd)
+              .when(col("s_stat") < 0, (sD + 1.0) / sd)
+              .otherwise(0.0), 6).as("z_mk"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+        |  FROM grid a JOIN grid b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |s AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat
+        |  FROM p GROUP BY 1),
+        |tie AS (
+        |  SELECT event_type,
+        |    CAST(SUM(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS tcnt
+        |    FROM grid GROUP BY 1, 2) GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM grid GROUP BY 1),
+        |fin AS (
+        |  SELECT n.event_type, n.n_days, s.s_stat,
+        |    CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term
+        |      AS DOUBLE) / 18.0 AS vs
+        |  FROM nd n JOIN s ON s.event_type = n.event_type
+        |  JOIN tie t ON t.event_type = n.event_type)
+        |SELECT event_type, n_days, s_stat, round(vs, 6) AS var_s,
+        |  round(CASE WHEN s_stat > 0
+        |      THEN (CAST(s_stat AS DOUBLE) - 1.0) / nullif(sqrt(vs), 0.0)
+        |    WHEN s_stat < 0
+        |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / nullif(sqrt(vs), 0.0)
+        |    ELSE 0.0 END, 6) AS z_mk
+        |FROM fin""".stripMargin)),
+
+    // Wald–Wolfowitz runs test per event type on the above-mean /
+    // at-or-below-mean daily-count sequence — the randomness audit the
+    // trend tests can't give: a series can be trend-free yet serially
+    // CLUMPED (bursts, release waves, bot storms), which shows up as too
+    // few runs; over-alternation (load-balancer artifacts) as too many.
+    // Determinism: the above-mean indicator compares c·n > Σc in EXACT
+    // LONGS (no mean double), the run count is an exact lag-window sum,
+    // and μ_R/σ_R are one mirrored double chain from exact n1/n2 with
+    // the σ divisor null-guarded (n1 = 0 or n2 = 0 ⇒ z NULL both
+    // engines). Scale: map-combined collapse to the grid, then one
+    // |types|-keyed window pass.
+    Q("dq_runs_test",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        // LazyCheckpoint-ed collapsed counts (the dq_mann_kendall note):
+        // the whole query is ONE corpus scan
+        val counts = graft.plans.LazyCheckpoint.of(
+          ev.groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+        val span = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = counts.select("event_type").distinct()
+        val grid = types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val wAll = Window.partitionBy("event_type")
+        val wSeq = Window.partitionBy("event_type").orderBy("day")
+        val flagged = grid
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("sc", sum(col("c")).over(wAll))
+          .withColumn("ab",
+            when(col("c") * col("n") > col("sc"), 1L).otherwise(0L))
+          .withColumn("chg",
+            when(lag(col("ab"), 1).over(wSeq).isNotNull &&
+              col("ab") =!= lag(col("ab"), 1).over(wSeq), 1L).otherwise(0L))
+        val agg = flagged.groupBy("event_type").agg(
+          count(lit(1)).as("n_days"), sum(col("ab")).as("n_above"),
+          (sum(col("chg")) + 1L).as("runs"))
+        val n1 = col("n_above").cast("double")
+        val n2 = (col("n_days") - col("n_above")).cast("double")
+        val muR = lit(2.0) * n1 * n2 / (n1 + n2) + 1.0
+        val varR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+          ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+        agg.select(col("event_type"), col("n_days"), col("n_above"),
+          col("runs"),
+          round((col("runs").cast("double") - muR) /
+            nullif(sqrt(varR), lit(0.0)), 6).as("z_runs"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |f AS (
+        |  SELECT event_type, day, c,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS sc
+        |  FROM grid),
+        |g AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN c * n > sc THEN 1 ELSE 0 END AS ab
+        |  FROM f),
+        |h AS (
+        |  SELECT event_type, ab,
+        |    CASE WHEN lag(ab) OVER (PARTITION BY event_type ORDER BY day)
+        |        IS NOT NULL
+        |      AND ab <> lag(ab) OVER (PARTITION BY event_type ORDER BY day)
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM g),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(ab) AS BIGINT) AS n_above,
+        |    CAST(SUM(chg) + 1 AS BIGINT) AS runs
+        |  FROM h GROUP BY 1),
+        |fin AS (
+        |  SELECT *, CAST(n_above AS DOUBLE) AS n1,
+        |    CAST(n_days - n_above AS DOUBLE) AS n2
+        |  FROM agg)
+        |SELECT event_type, n_days, n_above, runs,
+        |  round((CAST(runs AS DOUBLE)
+        |      - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+        |    / nullif(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        |      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 0.0), 6) AS z_runs
+        |FROM fin""".stripMargin)),
+
+    // Day-of-week seasonality strength per event type — one-way ANOVA of
+    // the daily counts across the 7 weekday classes on the zero-filled
+    // grid: F = (SSB/(k−1))/(SSW/(n−k)) plus the bounded readout
+    // SSB/SST ∈ [0,1] ("what share of daily variance is weekday
+    // rhythm"), the signal behind weekday-aware anomaly thresholds and
+    // the seasonal-naive forecast (ev_seasonal_naive assumes it; this
+    // MEASURES it). Weekday classes via pmod(datediff(day, anchor), 7) —
+    // an engine-agnostic formula, no dow() convention mismatch.
+    // Determinism: per-class (n_g, Σc) and per-type (n, Σc, Σc²) are
+    // exact longs; the SSB class terms pre-round to 6dp scaled longs
+    // before the exact sum (the dq_anova discipline); F and strength are
+    // one mirrored double chain, nullif-guarded for constant series.
+    Q("ev_dow_seasonality",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        // LazyCheckpoint-ed collapsed counts (the dq_mann_kendall note),
+        // and BOTH rollup levels (per-dow, per-type) fold out of ONE grid
+        // reference — the per-type sufficient statistics (n, Σc, Σc²) are
+        // sums of the per-dow ones: the whole query is ONE corpus scan
+        val counts = graft.plans.LazyCheckpoint.of(
+          ev.groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+        val span = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = counts.select("event_type").distinct()
+        val grid = types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"),
+            pmod(datediff(col("day"), to_date(lit("2024-01-01"))), lit(7))
+              .as("dow"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val byDow = grid.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+            sum(col("c") * col("c")).as("sgg"))
+        val bt = round(round(col("sg").cast("double") *
+          col("sg").cast("double") / col("ng").cast("double"), 6) *
+          1000000, 0).cast("long")
+        val perType = byDow
+          .select(col("event_type"), bt.as("bt"), col("ng"), col("sg"),
+            col("sgg"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("k"), sum(col("bt")).as("btl"),
+            sum(col("ng")).as("n_days"), sum(col("sg")).as("sc"),
+            sum(col("sgg")).as("scc"))
+        val nD = col("n_days").cast("double")
+        val kD = col("k").cast("double")
+        val cf = col("sc").cast("double") * col("sc").cast("double") / nD
+        val ssb = col("btl").cast("double") / 1000000.0 - cf
+        val sst = col("scc").cast("double") - cf
+        val ssw = sst - ssb
+        perType
+          .select(col("event_type"), col("n_days"), col("k").as("n_classes"),
+            round(ssb, 6).as("ss_between"),
+            round((ssb / (kD - 1.0)) /
+              nullif(ssw / (nD - kD), lit(0.0)), 6).as("f_dow"),
+            round(ssb / nullif(sst, lit(0.0)), 6).as("seasonal_strength"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type,
+        |    ((CAST(d.day - DATE '2024-01-01' AS BIGINT) % 7) + 7) % 7 AS dow,
+        |    COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |bydow AS (
+        |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(c) AS BIGINT) AS sg
+        |  FROM grid GROUP BY 1, 2),
+        |pertype AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(CAST(round(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |        / CAST(ng AS DOUBLE), 6) * 1000000, 0) AS BIGINT))
+        |      AS BIGINT) AS btl
+        |  FROM bydow GROUP BY 1),
+        |tots AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+        |  FROM grid GROUP BY 1),
+        |fin AS (
+        |  SELECT t.event_type, t.n_days, p.k,
+        |    CAST(p.btl AS DOUBLE) / 1000000.0
+        |      - CAST(t.sc AS DOUBLE) * CAST(t.sc AS DOUBLE)
+        |        / CAST(t.n_days AS DOUBLE) AS ssb,
+        |    CAST(t.scc AS DOUBLE)
+        |      - CAST(t.sc AS DOUBLE) * CAST(t.sc AS DOUBLE)
+        |        / CAST(t.n_days AS DOUBLE) AS sst
+        |  FROM tots t JOIN pertype p ON p.event_type = t.event_type)
+        |SELECT event_type, n_days, k AS n_classes,
+        |  round(ssb, 6) AS ss_between,
+        |  round((ssb / (CAST(k AS DOUBLE) - 1.0))
+        |    / nullif((sst - ssb) / (CAST(n_days AS DOUBLE)
+        |      - CAST(k AS DOUBLE)), 0.0), 6) AS f_dow,
+        |  round(ssb / nullif(sst, 0.0), 6) AS seasonal_strength
         |FROM fin""".stripMargin)),
 
     // Empirical entropy rate of the session Markov chain (Shannon 1948) —

@@ -2433,6 +2433,94 @@ object PipelineQueries {
         |      / (CAST(nn AS DOUBLE) - CAST(g AS DOUBLE))), 6) AS f_stat
         |FROM p""".stripMargin)),
 
+    // Bartlett's test (Bartlett 1937) of variance HOMOGENEITY across the
+    // same event-type groups — the assumption dq_anova's F silently
+    // makes; a pipeline that gates on the ANOVA should gate on this
+    // first (heteroscedastic groups → Welch instead). χ² =
+    // [(N−k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] / C with Bartlett's
+    // correction C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+    // Determinism: per-group (n, Σy, Σy²) are exact decimals (the
+    // dq_anova discipline); each group's s_i² pre-rounds to 6dp BEFORE
+    // its ln, and the three Σ-terms ((n_i−1)ln s_i², (n_i−1)s_i²,
+    // 1/(n_i−1)) pre-round to 6dp scaled longs summed exactly, so no
+    // cross-group double-accumulation order exists; the closing χ²
+    // chain is one mirrored double expression, nullif-guarded for a
+    // degenerate (constant) group. Scale: one map-combined corpus pass
+    // → |types|-row frame → 1 row.
+    Q("dq_bartlett",
+      (s, d) => {
+        val grp = t(s, d, "events")
+          .select(col("event_type"),
+            col("value").cast("decimal(20,4)").as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).cast("decimal(38,4)").as("sy"),
+            sum((col("y") * col("y")).cast("decimal(38,8)"))
+              .cast("decimal(38,8)").as("sy2"))
+        val nd = col("n").cast("double")
+        val syd = col("sy").cast("double")
+        val sy2d = col("sy2").cast("double")
+        val s2 = round((sy2d - syd * syd / nd) / (nd - 1.0), 6)
+        val terms = grp.select(col("n"),
+          round(((nd - 1.0) * log(nullif(s2, lit(0.0)))) * 1000000, 0)
+            .cast("long").as("lnl"),
+          round(((nd - 1.0) * s2) * 1000000, 0).cast("long").as("wsl"),
+          round((lit(1.0) / (nd - 1.0)) * 1000000, 0).cast("long").as("invl"))
+        val tot = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+          sum(col("lnl")).as("lns"), sum(col("wsl")).as("wss"),
+          sum(col("invl")).as("invs"))
+        val kD = col("k").cast("double")
+        val nD = col("nn").cast("double")
+        val sp2 = round((col("wss").cast("double") / 1000000.0) /
+          (nD - kD), 6)
+        val num = (nD - kD) * log(nullif(sp2, lit(0.0))) -
+          col("lns").cast("double") / 1000000.0
+        val den = lit(1.0) + (col("invs").cast("double") / 1000000.0 -
+          lit(1.0) / (nD - kD)) / (lit(3.0) * (kD - 1.0))
+        tot.select(col("k").cast("long").as("n_groups"), col("nn").as("n"),
+          sp2.as("pooled_var"), round(num / den, 6).as("chi2_bartlett"))
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DECIMAL(38,4)) AS sy,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(20,4))
+        |        * CAST(value AS DECIMAL(20,4)) AS DECIMAL(38,8)))
+        |      AS DECIMAL(38,8)) AS sy2
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT n,
+        |    CAST(round((CAST(n AS DOUBLE) - 1.0)
+        |      * ln(nullif(round((CAST(sy2 AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6), 0.0))
+        |      * 1000000, 0) AS BIGINT) AS lnl,
+        |    CAST(round((CAST(n AS DOUBLE) - 1.0)
+        |      * round((CAST(sy2 AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6)
+        |      * 1000000, 0) AS BIGINT) AS wsl,
+        |    CAST(round(1.0 / (CAST(n AS DOUBLE) - 1.0) * 1000000, 0)
+        |      AS BIGINT) AS invl
+        |  FROM g),
+        |p AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(lnl) AS BIGINT) AS lns, CAST(SUM(wsl) AS BIGINT) AS wss,
+        |    CAST(SUM(invl) AS BIGINT) AS invs
+        |  FROM t),
+        |fin AS (
+        |  SELECT k, nn,
+        |    round((CAST(wss AS DOUBLE) / 1000000.0)
+        |      / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)), 6) AS sp2,
+        |    CAST(lns AS DOUBLE) / 1000000.0 AS lnsum,
+        |    CAST(invs AS DOUBLE) / 1000000.0 AS invsum
+        |  FROM p)
+        |SELECT k AS n_groups, nn AS n, sp2 AS pooled_var,
+        |  round(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+        |      * ln(nullif(sp2, 0.0)) - lnsum)
+        |    / (1.0 + (invsum - 1.0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+        |      / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) AS chi2_bartlett
+        |FROM fin""".stripMargin)),
+
     // Kruskal–Wallis H across the same event-type groups — dq_anova's
     // nonparametric sibling (rank-based, so heavy-tailed value
     // distributions can't fake or hide a level difference), with the
@@ -3023,7 +3111,10 @@ object PipelineQueries {
           .select(col("n1"), col("n2"), col("n3"),
             col("r1"), col("r2"), col("r3"),
             round(
-              (col("tn") * col("tn")).cast("double") *
+              // tn is exact-long but tn² can overflow at large user counts
+              // (Spark wraps silently, DuckDB raises) — square as the ONE
+              // mirrored double, like the rest of the chain
+              (col("tn").cast("double") * col("tn").cast("double")) *
                 col("n_all").cast("double") /
                 nullif((col("r_all") * (col("n_all") - col("r_all"))).cast("double") *
                   (col("n_all") * col("sw2n") -
@@ -3058,7 +3149,7 @@ object PipelineQueries {
         |  FROM dose),
         |tt AS (SELECT *, n_all * swr - swn * r_all AS tn FROM agg)
         |SELECT n1, n2, n3, r1, r2, r3,
-        |  round(CAST(tn * tn AS DOUBLE) * CAST(n_all AS DOUBLE)
+        |  round(CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE) * CAST(n_all AS DOUBLE)
         |    / NULLIF(CAST(r_all * (n_all - r_all) AS DOUBLE)
         |      * CAST(n_all * sw2n - swn * swn AS DOUBLE), 0.0), 6)
         |    AS chi2_trend,

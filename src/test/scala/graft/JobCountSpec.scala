@@ -58,7 +58,10 @@ class JobCountSpec extends SparkSpec {
     "ev_hits" -> 80, // (42)
     "ev_kcore" -> 12, // (5) peel rounds
     "ev_label_prop" -> 20, // (9)
-    "ev_triangles" -> 12, // (5) orientation build
+    // ev_triangles is NOT listed since round 14: its degree-ordered
+    // orientation is memoized per (session, fixture) in ExtQueries
+    // (orientedCovisitation — the knn16 pattern), so steady-state
+    // construction is 0; the build charges once to the first construction
     "sim_adc_recall" -> 30, // (14) PQ codebook EM
     "sim_adc_rerank" -> 30, // (14)
     // sim_nndescent/sim_ari/sim_nmi/sim_cluster_purity/

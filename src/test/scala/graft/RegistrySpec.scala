@@ -298,6 +298,11 @@ class RegistrySpec extends SparkSpec {
       //    one-row/grouped aggregates — the zero-fill grid, not data)
       "ev_fano", "ev_acf", "ev_seasonal_naive", "ev_rescaled_range",
       "ev_page_hinkley",
+      //  - dq_mann_kendall / dq_runs_test / ev_dow_seasonality: the same
+      //    zero-fill grid (|types| × broadcast |days| scaffold) over the
+      //    LazyCheckpoint-ed counts collapse; every data-bearing join is
+      //    keyed
+      "dq_mann_kendall", "dq_runs_test", "ev_dow_seasonality",
       //  - dq_fdr_bh: the ONE-ROW (d0, nd) date-span aggregate
       //    cross-joins the event scan to assign terciles (the p13
       //    scalar-subquery shape); the BH ladder runs on the

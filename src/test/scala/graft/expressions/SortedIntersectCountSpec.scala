@@ -40,20 +40,43 @@ class SortedIntersectCountSpec extends SparkSpec {
     }
   }
 
+  // the expression requires containsNull = false (the analysis-time
+  // null-element rejection), which `toDF`'s encoder never produces —
+  // build the fixture with an explicit schema, the producer-shaped type
+  private def noNullArrays(rows: Seq[(Seq[String], Seq[String], Long)])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(StringType, containsNull = false), nullable = true),
+      StructField("b", ArrayType(StringType, containsNull = false), nullable = true),
+      StructField("want", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      schema)
+  }
+
   test("edge cases: empty, disjoint, identical, subset, null") {
-    def arr(xs: String*) = xs.sorted
-    val df = Seq(
+    def arr(xs: String*): Seq[String] = xs.sorted
+    val df = noNullArrays(Seq(
       (arr(), arr("a"), 0L),
       (arr("a", "b"), arr("c", "d"), 0L),
       (arr("a", "b", "c"), arr("a", "b", "c"), 3L),
       (arr("a", "b", "c", "d"), arr("b", "d"), 2L),
-      (arr("x"), arr(), 0L))
-      .toDF("a", "b", "want")
+      (arr("x"), arr(), 0L)))
     df.select(sic(col("a"), col("b")).as("got"), col("want")).collect()
       .foreach(r => assert(r.getLong(0) === r.getLong(1)))
-    val nul = Seq((Option.empty[Seq[String]], Option(Seq("a"))))
-      .toDF("a", "b")
+    val nul = noNullArrays(Seq((null, arr("a"), 0L)))
       .select(sic(col("a"), col("b")).as("got")).collect()
     assert(nul.head.isNullAt(0), "null input must yield null")
+  }
+
+  test("containsNull = true inputs are rejected at analysis (null elements " +
+      "would NPE the merge walk)") {
+    val df = Seq((Seq("a"), Seq("a"))).toDF("a", "b") // encoder: containsNull=true
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(sic(col("a"), col("b"))).queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("containsNull"))
   }
 }

@@ -138,7 +138,7 @@ class TextFunctionsSpec extends SparkSpec {
     for ((g, w) <- Seq((3, 4), (2, 3), (1, 2))) {
       val rows = docs.select(
           TextFunctions.winnowFingerprints(col("text"), g, w).as("e"),
-          TextFunctions.winnowFingerprintsLambda(col("text"), g, w).as("l"))
+          LambdaReference.winnowFingerprintsLambda(col("text"), g, w).as("l"))
         .collect()
       rows.foreach { r =>
         assert(r.getSeq[Long](0) === r.getSeq[Long](1),
@@ -157,7 +157,7 @@ class TextFunctionsSpec extends SparkSpec {
     for (k <- Seq(1, 2, 3)) {
       val rows = docs.select(
           TextFunctions.shingles(col("text"), k).as("e"),
-          TextFunctions.shinglesLambda(col("text"), k).as("l"))
+          LambdaReference.shinglesLambda(col("text"), k).as("l"))
         .collect()
       rows.foreach { r =>
         assert(r.getSeq[String](0) === r.getSeq[String](1),

@@ -112,4 +112,20 @@ class LazyCheckpointSpec extends SparkSpec {
         "fragment must plan with the caller's runtime shuffle partitions")
     } finally spark.conf.set(key, prev)
   }
+
+  test("a conf UNSET on the caller is unset on the planner too (no stale pin)") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "3")
+      assert(LazyCheckpoint.of(fragment()).rdd.getNumPartitions === 3)
+      // unset falls back to the context-level SparkConf value; a set-only
+      // sync would leave the planner pinned at the stale session value 3
+      spark.conf.unset(key)
+      val fallback = spark.conf.get(key).toInt
+      assert(fallback !== 3, "test needs a fallback that differs from 3")
+      assert(LazyCheckpoint.of(fragment()).rdd.getNumPartitions === fallback,
+        "planner kept a stale session conf after the caller unset it")
+    } finally spark.conf.set(key, prev)
+  }
 }

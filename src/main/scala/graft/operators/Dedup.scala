@@ -345,62 +345,177 @@ object Dedup {
     * the filter is provably lossless (spec-pinned: positional == plain on
     * results, ⊆ on candidates); it exists purely to shrink the refine's
     * input. Exposed test-visibly so the spec can count candidates. */
-  private[operators] def prefixCandidates(sets: DataFrame, threshold: Double,
-      positional: Boolean): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0, 1], got $threshold")
+  /** ⌈t·n⌉ with a one-sided fp guard: when t·n is an exact integer
+    * mathematically but rounds UP in floating point (t=0.8, n=5 →
+    * 4.0000000000000002 → ceil 5), a naive ceil shortens the prefix /
+    * raises the overlap floor and can LOSE qualifying pairs. Subtracting
+    * 1e-9 before ceil restores the exact integer and otherwise changes
+    * nothing; any slack only lengthens prefixes / weakens pruning —
+    * completeness is never at risk from this direction. */
+  private def ceilT(threshold: Double)(x: Column): Column =
+    ceil(lit(threshold) * x - lit(1e-9)).cast("long")
+
+  /** The checkpointed per-doc PREFIX token rows (doc_id, n, rn, shingle):
+    * rarest-first global token order (document frequency asc, token asc),
+    * each doc keeping its first n − ⌈t·n⌉ + 1 tokens.
+    *
+    * LazyCheckpoint so construction stays job-free AND every downstream
+    * reference (candidate enumeration legs, the fused refine) reads the
+    * materialized frame instead of re-running the df-count + ranking
+    * pipeline (two keyed exchanges).
+    * merge hint (the CONSTRUCTION_JOBS.md category-2 rule): checkpoint
+    * PRESERVES the source's small stats, so inside this non-adaptive
+    * fragment the static planner would BROADCAST the exploded-corpus ex
+    * side at small SF (measured at sf0.1: BuildLeft on ex) — submitting
+    * the collect job at plan construction AND driver-collecting every
+    * (doc, shingle) row. The token-keyed SMJ is the scale shape; the
+    * shingle exchange it adds is one the dfreq side pays anyway. */
+  private def prefixTokens(sets: DataFrame, threshold: Double): DataFrame = {
     val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // ⌈t·n⌉ with a one-sided fp guard: when t·n is an exact integer
-    // mathematically but rounds UP in floating point (t=0.8, n=5 →
-    // 4.0000000000000002 → ceil 5), a naive ceil shortens the prefix /
-    // raises the overlap floor and can LOSE qualifying pairs. Subtracting
-    // 1e-9 before ceil restores the exact integer and otherwise changes
-    // nothing; any slack only lengthens prefixes / weakens pruning —
-    // completeness is never at risk from this direction.
-    def ceilT(x: Column): Column =
-      ceil(lit(threshold) * x - lit(1e-9)).cast("long")
     // rarest-first rank within each doc; prefix keeps the first
     // n − ⌈t·n⌉ + 1 tokens (both engines evaluate the identical double
     // product, so the cut index is engine-portable)
     val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    // checkpoint: BOTH sides of the candidate self-join read this frame —
-    // without the cut the df-count + ranking pipeline (two keyed
-    // exchanges) plans and runs twice. LazyCheckpoint so construction
-    // stays job-free (the fragment's df join is token-keyed SMJ under
-    // either planner — no AQE broadcast to lose).
-    // merge hint (the CONSTRUCTION_JOBS.md category-2 rule): checkpoint
-    // PRESERVES the source's small stats, so inside this non-adaptive
-    // fragment the static planner would BROADCAST the exploded-corpus ex
-    // side at small SF (measured at sf0.1: BuildLeft on ex) — submitting
-    // the collect job at plan construction AND driver-collecting every
-    // (doc, shingle) row. The token-keyed SMJ is the scale shape; the
-    // shingle exchange it adds is one the dfreq side pays anyway.
-    val prefix = graft.plans.LazyCheckpoint.of(
+    graft.plans.LazyCheckpoint.of(
       ex.hint("merge").join(dfreq, "shingle")
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= col("n") - ceilT(col("n")) + 1)
+        .filter(col("rn") <= col("n") - ceilT(threshold)(col("n")) + 1)
         .select(col("doc_id"), col("n"), col("rn"), col("shingle")))
-    val joined = prefix.as("a").join(prefix.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id") &&
-        greatest(col("a.n"), col("b.n")) * threshold <=
-          least(col("a.n"), col("b.n")))
+  }
+
+  private[operators] def prefixCandidates(sets: DataFrame, threshold: Double,
+      positional: Boolean): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    def ceilT(x: Column): Column = Dedup.ceilT(threshold)(x)
+    val prefix = prefixTokens(sets, threshold)
+    // candidate enumeration through [[bucketPairs]], NOT a prefix⋈prefix
+    // self-join (round-14 sf1 rehearsal finding): rarest-first ranking
+    // concentrates prefix mass on the globally rarest tokens, so on an
+    // entropy-bounded vocabulary a few shingle buckets hold a large doc
+    // fraction — the self-join SMJ then BUFFERS one side's entire key
+    // group per mega-bucket (spill + rescan per probe row; measured
+    // 343 s at the 50k-doc sf1 fixture, a 70× slope for 10× data).
+    // bucketPairs shuffles each bucket once as a grouped array, chunks
+    // it, and spreads the C(nc, 2) chunk-pair expansion units across the
+    // cluster explicitly — the same quadratic candidate count (exact
+    // recall keeps every shared-prefix pair) but O(chunk) memory, no
+    // spill, and cluster-wide balance. Candidate SET is unchanged
+    // (same pairs, same distinct), so results are hash-identical.
+    val emitted = bucketPairs(prefix, Seq("shingle"),
+        struct(col("doc_id"), col("n"), col("rn")))
+      .select(col("a.doc_id").as("da"), col("a.n").as("na"),
+        col("a.rn").as("ra"), col("b.doc_id").as("db"),
+        col("b.n").as("nb"), col("b.rn").as("rb"))
+    // items sort ascending by the struct (doc_id leads and is unique per
+    // bucket), so every emitted pair already has da < db
+    val banded = emitted.filter(
+      greatest(col("na"), col("nb")) * threshold <=
+        least(col("na"), col("nb")))
     val base =
-      if (!positional) joined
-      else joined.filter(
-        lit(1L) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
-          ceilT(greatest(col("a.n"), col("b.n"))))
+      if (!positional) banded
+      else banded.filter(
+        lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          ceilT(greatest(col("na"), col("nb"))))
     base
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .distinct()
   }
 
+  /** Exact prefix-filter Jaccard join, FUSED screen + exact confirm
+    * (round-14 sf1 rehearsal finding): the candidates-then-attach
+    * pipeline shuffled the full shingle arrays once per CANDIDATE PAIR —
+    * at the sf1 fixture (t = 0.5, entropy-bounded vocab) the prefix
+    * filter admits 447M candidates (36% of all pairs), so the doc_b
+    * attach join moved ~450 GB of array payload and the operator took
+    * ~400 s. Here the quadratic mass NEVER crosses the wire and never
+    * materializes as rows: prefix rows join their doc's sorted 64-bit
+    * shingle-HASH array once (corpus-linear), each shingle bucket is
+    * split into doc-id-ordered chunks of ≤[[DefaultChunk]] items
+    * (bounded row size — collecting whole mega-buckets as single rows
+    * OOMs), the (ci ≤ cj) chunk-index pairs are enumerated FLAT, each
+    * unit attaches its two chunk arrays by equi-join and is explicitly
+    * redistributed (a unit's shuffle bytes are O(chunk) but its emission
+    * is O(chunk²) — AQE must not coalesce them), and the length band,
+    * positional filter, and threshold-Jaccard test all run inside ONE
+    * [[graft.expressions.ChunkPairJaccard]] loop over primitive longs.
+    * The hash screen is LOSSLESS (hashing can only merge distinct
+    * shingles, so hash-Jaccard ≥ true Jaccard); the output-sized
+    * survivor set is then exact-confirmed by the string merge walk.
+    * CPU stays inherently quadratic in bucket occupancy — exact recall
+    * enumerates every shared-prefix pair; the probabilistic 100 TB path
+    * is [[lshCandidatePairs]]. Results identical to the unfused form:
+    * same pairs, same jaccard, one row per qualifying pair. */
   def prefixFilterPairs(docs: DataFrame, idCol: Column, textCol: Column,
       threshold: Double, shingleK: Int = 2): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     val sets = prefixShingleSets(docs, idCol, textCol, shingleK)
-    val cand = prefixCandidates(sets, threshold, positional = true)
-    cand
+    val prefix = prefixTokens(sets, threshold)
+    // chunk size trade: the unit join's wire cost is Σ_bucket
+    // nc²·chunk_bytes ∝ bucket²·item_bytes / chunk (bigger cuts wire),
+    // but a chunk row allocates items·item_bytes CONTIGUOUSLY — multi-MB
+    // chunk rows are G1 humongous allocations and 32 concurrent tasks
+    // fragment the heap to an OOM (measured at sf1 with 4096-item
+    // string-array chunks); 1024 hash-array items (~0.4 MB) stay well
+    // under the humongous threshold at default region sizes
+    val chunk = DefaultChunk
+    // prefix rows + their doc's SORTED 64-bit shingle-hash array (one
+    // id-keyed join — the only array attach before the confirm step,
+    // corpus-linear; hashes, not strings: the screen walks primitive
+    // longs and the wire carries ~8 bytes per shingle), then
+    // doc-id-ordered chunk index within each bucket: chunk rows stay
+    // ≤ chunk items
+    val setsH = sets.select(col("doc_id"),
+      sort_array(transform(col("sh"), x => xxhash64(x))).as("shh"))
+    val wB = Window.partitionBy("shingle").orderBy("doc_id")
+    val chunks = prefix.join(setsH, "doc_id")
+      .withColumn("ci",
+        ((row_number().over(wB) - 1) / chunk).cast("int"))
+      .groupBy("shingle", "ci")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n"), col("rn"), col("shh")))).as("items"))
+    // flat (shingle, ci, cj) unit enumeration — no arrays carried
+    // 1-item buckets keep their single diagonal unit and emit nothing
+    // (the tail slice past a 1-element chunk is empty)
+    val units = chunks.groupBy("shingle")
+      .agg(max(col("ci")).as("mx"))
+      .select(col("shingle"), col("mx"),
+        explode(sequence(lit(0), col("mx"))).as("ci"))
+      .select(col("shingle"), col("ci"),
+        explode(sequence(col("ci"), col("mx"))).as("cj"))
+    // one [[graft.expressions.ChunkPairJaccard]] evaluation per unit: the
+    // band, positional, and hash-walk screen run pair-by-pair inside the
+    // expression's loop — a GENERATOR-based expansion would copy the
+    // partner chunk's array into every emitted row (measured
+    // allocation-rate OOM at sf1); here only screen survivors
+    // (output-sized) materialize
+    val survivors = units
+      .join(chunks.select(col("shingle"), col("ci"), col("items").as("ba")),
+        Seq("shingle", "ci"))
+      .join(chunks.select(col("shingle"), col("ci").as("cj"),
+        col("items").as("bb")), Seq("shingle", "cj"))
+      // explicit unit redistribution (REPARTITION_BY_NUM — the
+      // bucketPairs rule): unit emission is O(chunk²), map-output size
+      // is not a proxy for its work
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("shingle"), col("ci"), col("cj"))
+      .select(explode(org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.ChunkPairJaccard(
+          org.apache.spark.sql.GraftBridge.expression(col("ba")),
+          org.apache.spark.sql.GraftBridge.expression(col("bb")),
+          org.apache.spark.sql.GraftBridge.expression(col("ci") === col("cj")),
+          threshold))).as("r"))
+      .select(col("r.doc_a").as("doc_a"), col("r.doc_b").as("doc_b"))
+      .distinct()
+    // exact CONFIRM on the (output-sized) screen survivors: the string
+    // merge walk recomputes the true intersection — a ~2⁻⁶⁴-rate hash
+    // false-admit is filtered here, and the reported jaccard is the
+    // exact value. The survivor side is tiny, so these joins broadcast
+    // it and the corpus-array side never re-shuffles.
+    survivors
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("i", sortedIntersect(col("sh_a"), col("sh_b")))

@@ -356,10 +356,27 @@ object Bench {
       * set. Interleaving (round-robin passes, not back-to-back runs per
       * query) keeps a sustained co-tenant spike from poisoning every
       * sample of one query — the BENCH_r06 lesson; the codegen cache is
-      * sized to the suite so interleaving no longer thrashes it. */
-    def measure(bs: Seq[B], dir: String, nRuns: Int)
-        : (Seq[(String, Double)], Map[String, Long], Set[String]) = {
-      bs.foreach { b =>
+      * sized to the suite so interleaving no longer thrashes it.
+      *
+      * Self-normalization (round-15 directive — BENCH_r14's driver
+      * artifact logged a 35% phantom headline regression that only a
+      * judge re-run could de-noise): BOTH calibration sentinels run
+      * INSIDE every measured pass, at its head, so each pass carries its
+      * own machine-state witness taken at the same moment as its query
+      * samples — the end-of-run sentinel measures a different machine
+      * state minutes later (r14's three-states-in-one-artifact failure).
+      * Per-pass suite sums are kept so the ledger can report a min-of-N
+      * whole-pass sample next to the per-query mins. */
+    case class Measured(results: Seq[(String, Double)],
+        compiles: Map[String, Long], failed: Set[String],
+        passSums: Seq[Double], passCalib: Seq[Double],
+        passCalib2: Seq[Double])
+    val Cal1 = "__calib1"
+    val Cal2 = "__calib2"
+    def measure(bs: Seq[B], dir: String, nRuns: Int): Measured = {
+      val withCal = Seq(B(Cal1, (s, _) => calibration(s)),
+        B(Cal2, (s, _) => calibration2(s))) ++ bs
+      withCal.foreach { b =>
         try runNoop(b.mk(spark, dir))
         catch { case _: Throwable => () }
       }
@@ -367,7 +384,7 @@ object Bench {
       val compiles = collection.mutable.Map.empty[String, Long]
         .withDefaultValue(0L)
       val failedQ = collection.mutable.Set.empty[String]
-      for (_ <- 1 to nRuns; b <- bs) {
+      for (_ <- 1 to nRuns; b <- withCal) {
         val c0 = codegenCompileCount
         val t0 = System.nanoTime()
         try runNoop(b.mk(spark, dir))
@@ -382,7 +399,16 @@ object Bench {
       // a failed query must not report a flatteringly tiny time
       val results = bs.map(b =>
         b.name -> (if (failedQ(b.name)) -1.0 else samples(b.name).min))
-      (results, compiles.toMap.withDefaultValue(0L), failedQ.toSet)
+      // post-hoc per-pass sums over NON-failed queries only (samples are
+      // recorded latest-first; index nRuns-1-pass recovers pass order)
+      val ok = bs.map(_.name).filterNot(failedQ)
+      val passSums = (0 until nRuns).map(p =>
+        ok.map(n => samples(n)(nRuns - 1 - p)).sum)
+      def passOf(n: String): Seq[Double] =
+        (0 until nRuns).map(p => samples(n)(nRuns - 1 - p))
+      Measured(results, compiles.toMap.withDefaultValue(0L),
+        failedQ.toSet - Cal1 - Cal2,
+        passSums, passOf(Cal1), passOf(Cal2))
     }
 
     /** Planning-vs-execution split: time to construct + fully plan a FRESH
@@ -422,8 +448,10 @@ object Bench {
       (rs, failedQ.toSet)
     }
 
-    val (results, compiles, failed1) = measure(tier1, sfDir, nRuns = 5)
-    val (results2, compiles2, failed2) = measure(tier2, sfDir, nRuns = 3)
+    val m1 = measure(tier1, sfDir, nRuns = 5)
+    val (results, compiles, failed1) = (m1.results, m1.compiles, m1.failed)
+    val m2 = measure(tier2, sfDir, nRuns = 3)
+    val (results2, compiles2, failed2) = (m2.results, m2.compiles, m2.failed)
     val (resultsB, failedB) = measureOnce(tier2build, sfDir)
     val planSec = planSplit(tier1, sfDir)
     val planSec2 = planSplit(tier2, sfDir)
@@ -442,7 +470,7 @@ object Bench {
     val slope: Seq[(String, Double)] =
       if (smallDir != sfDir && new java.io.File(smallDir).isDirectory
           && sys.env.getOrElse("SPARK_GRAFT_SLOPE", "1") == "1") {
-        val (small, _, _) = measure(tier1 ++ tier2, smallDir, nRuns = 3)
+        val small = measure(tier1 ++ tier2, smallDir, nRuns = 3).results
         val (smallB, _) = measureOnce(tier2build, smallDir)
         val bigByName = (results ++ results2 ++ resultsB).toMap
         (small ++ smallB).collect {
@@ -465,8 +493,19 @@ object Bench {
     }
     val calib = timedMin5(calibration(spark))
     val calib2 = timedMin5(calibration2(spark))
+    // normalization divisors (round-15 directive): the MIN of each
+    // sentinel's interleaved in-pass samples and its end-of-run min-of-5 —
+    // the best machine state any witness saw this run. Dividing a query's
+    // raw seconds by this yields a unit-less multiple-of-sentinel that
+    // survives co-tenant load differences between rounds.
+    val calN = (m1.passCalib ++ m2.passCalib :+ calib).min
+    val calN2 = (m1.passCalib2 ++ m2.passCalib2 :+ calib2).min
+    def norm(rs: Seq[(String, Double)], c: Double): Seq[(String, Double)] =
+      rs.map { case (k, v) => k -> (if (v < 0) v else v / c) }
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def jarr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     def jcomp(bs: Seq[B], m: Map[String, Long]): String =
       bs.map(b => "\"" + b.name + s"""":${m(b.name)}""")
         .mkString("{", ",", "}")
@@ -486,11 +525,28 @@ object Bench {
     val slopeField =
       if (slope.isEmpty) ""
       else s""","slope":${jmap(slope)},"slope_sf":"$smallDir""""
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f$failedField,"queries":${jmap(results)},"plan_sec":${jmap(planSec)},"codegen_compiles":${jcomp(tier1, compiles)},"tier2_total_sec":$total2%.3f,"tier2_queries":${jmap(results2)},"tier2_plan_sec":${jmap(planSec2)},"tier2_codegen_compiles":${jcomp(tier2, compiles2)},"tier2_build_total_sec":$totalB%.3f,"tier2_build_sec":${jmap(resultsB)}$slopeField,"sf":"$sfDir"}""")
+    // whole-pass headline samples: each of the 5 interleaved passes yields
+    // ONE suite-sum sample (and its own in-pass sentinel), so the ledger
+    // carries a min-of-5 whole-suite number — one co-tenant spike can no
+    // longer write a phantom regression into the round-over-round story —
+    // plus the per-pass sentinel-normalized minimum, the cross-round
+    // comparable form
+    val passMin = m1.passSums.min
+    val passNormMin =
+      m1.passSums.zip(m1.passCalib).map { case (s0, c) => s0 / c }.min
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f,"calibration_interleaved_sec":$calN%.3f,"calibration2_interleaved_sec":$calN2%.3f$failedField,"queries":${jmap(results)},"queries_norm":${jmap(norm(results, calN))},"queries_norm2":${jmap(norm(results, calN2))},"headline_pass_sec":${jarr(m1.passSums)},"headline_pass_min_sec":$passMin%.3f,"headline_pass_norm_min":$passNormMin%.3f,"plan_sec":${jmap(planSec)},"codegen_compiles":${jcomp(tier1, compiles)},"tier2_total_sec":$total2%.3f,"tier2_queries":${jmap(results2)},"tier2_queries_norm":${jmap(norm(results2, calN))},"tier2_plan_sec":${jmap(planSec2)},"tier2_codegen_compiles":${jcomp(tier2, compiles2)},"tier2_build_total_sec":$totalB%.3f,"tier2_build_sec":${jmap(resultsB)}$slopeField,"sf":"$sfDir"}""")
     // compact totals-only line AFTER the full line: the driver's bounded
     // tail capture truncated BENCH_r12's (large) JSON and lost the
     // headline — the most important numbers must survive any tail window
-    println(f"""{"metric":"bench_summary","total_headline_sec":$total%.3f,"tier2_total_sec":$total2%.3f,"tier2_build_total_sec":$totalB%.3f,"calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f,"failed":${failedQ.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"bench_summary","total_headline_sec":$total%.3f,"headline_pass_min_sec":$passMin%.3f,"headline_pass_norm_min":$passNormMin%.3f,"total_headline_norm":${total / calN}%.3f,"total_headline_norm2":${total / calN2}%.3f,"tier2_total_sec":$total2%.3f,"tier2_total_norm":${total2 / calN}%.3f,"tier2_build_total_sec":$totalB%.3f,"calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f,"calibration_interleaved_sec":$calN%.3f,"calibration2_interleaved_sec":$calN2%.3f,"failed":${failedQ.size},"sf":"$sfDir"}""")
+    // the serve-frame memos are keyed by SF dir alone and their frames are
+    // bound to THIS session (round-15 ADVICE): a later Bench/BenchScale
+    // main in the same JVM must rebuild them on its own session, not
+    // inherit frames pinned to a stopped one. The index DIRS stay memoized
+    // — on-disk artifacts are session-independent and rebuild-expensive.
+    lexServeFrames.clear()
+    qualityServeFrames.clear()
+    graphServeFrames.clear()
     spark.stop()
   }
 }

@@ -471,12 +471,20 @@ object Dedup {
     val setsH = sets.select(col("doc_id"),
       sort_array(transform(col("sh"), x => xxhash64(x))).as("shh"))
     val wB = Window.partitionBy("shingle").orderBy("doc_id")
-    val chunks = prefix.join(setsH, "doc_id")
-      .withColumn("ci",
-        ((row_number().over(wB) - 1) / chunk).cast("int"))
-      .groupBy("shingle", "ci")
-      .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("n"), col("rn"), col("shh")))).as("items"))
+    // LazyCheckpoint-ed (round-15 ADVICE): `chunks` feeds THREE consumers
+    // below (the unit enumeration and both chunk-array attach legs), so
+    // without the lineage cut the prefix⋈setsH join, the per-bucket
+    // window, and the collect_list shuffle of the full hash arrays would
+    // re-execute once per consumer — the "one-time corpus-linear array
+    // attach" would run three times
+    val chunks = graft.plans.LazyCheckpoint.of(
+      prefix.join(setsH, "doc_id")
+        .withColumn("ci",
+          ((row_number().over(wB) - 1) / chunk).cast("int"))
+        .groupBy("shingle", "ci")
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("n"), col("rn"), col("shh"))))
+          .as("items")))
     // flat (shingle, ci, cj) unit enumeration — no arrays carried
     // 1-item buckets keep their single diagonal unit and emit nothing
     // (the tail slice past a 1-element chunk is empty)

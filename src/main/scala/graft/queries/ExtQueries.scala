@@ -65,19 +65,41 @@ object ExtQueries {
     * that build on EVERY construction (86% of its tier-2 bench time was
     * construction). One orientation per (session, events fingerprint,
     * shuffle conf) makes repeated triangle queries what they are at
-    * 100 TB: wedge-join reads of a stored oriented graph. */
-  private val orientedCovisMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    * 100 TB: wedge-join reads of a stored oriented graph.
+    *
+    * Lifetime (round-15 ADVICE): sessions are held WEAKLY (the
+    * LazyCheckpoint planners pattern — a dropped session must not be
+    * pinned, with its checkpoint RDD blocks, for the JVM lifetime) and
+    * the per-session map is keyed by DIR with the (fingerprint, conf)
+    * epoch inside the VALUE, so a rewritten fixture or a changed shuffle
+    * width REPLACES its entry instead of accreting a new one — bounded
+    * by the number of distinct fixture dirs a live session touches. */
+  private val orientedCovisMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]()
 
-  private def orientedCovisitation(s: SparkSession, d: String): DataFrame =
-    orientedCovisMemo.getOrElseUpdate({
-      val fp = graft.sources.FileFingerprint.of(s, s"$d/events.parquet")
-      (s, d, fp + "|shuffle=" + s.conf.get("spark.sql.shuffle.partitions"))
-    }, Graph.orient(
-      EventOps.covisitationEdges(
-        t(s, d, "events").filter(col("event_type") === "view"),
-        get_json_object(col("props"), "$.k").cast("long"), minUsers = 5L)
-        .select("u", "v")))
+  private def orientedCovisitation(s: SparkSession, d: String): DataFrame = {
+    val inner = orientedCovisMemo.synchronized {
+      var m = orientedCovisMemo.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        orientedCovisMemo.put(s, m)
+      }
+      m
+    }
+    val fp = graft.sources.FileFingerprint.of(s, s"$d/events.parquet") +
+      "|shuffle=" + s.conf.get("spark.sql.shuffle.partitions")
+    inner.get(d) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = Graph.orient(
+          EventOps.covisitationEdges(
+            t(s, d, "events").filter(col("event_type") === "view"),
+            get_json_object(col("props"), "$.k").cast("long"), minUsers = 5L)
+            .select("u", "v"))
+        inner.put(d, (fp, df))
+        df
+    }
+  }
 
   private def runLateSessions(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -3969,8 +3991,14 @@ object ExtQueries {
         perType
           .select(col("event_type"), col("n_days"), col("k").as("n_classes"),
             round(ssb, 6).as("ss_between"),
-            round((ssb / (kD - 1.0)) /
-              nullif(ssw / (nD - kD), lit(0.0)), 6).as("f_dow"),
+            // nullif sits on each DIVISOR, not around the division
+            // (round-15 ADVICE): n_days == k makes ssw/(nD−kD) an x/0 the
+            // two engines disagree on (Spark NULL, DuckDB inf — and
+            // nullif(inf, 0) keeps the inf), and k == 1 left ssb/(kD−1.0)
+            // unguarded entirely
+            round((ssb / nullif(kD - 1.0, lit(0.0))) /
+              nullif(ssw / nullif(nD - kD, lit(0.0)), lit(0.0)), 6)
+              .as("f_dow"),
             round(ssb / nullif(sst, lit(0.0)), 6).as("seasonal_strength"))
       },
       Some("""WITH ev AS (
@@ -4010,9 +4038,9 @@ object ExtQueries {
         |  FROM tots t JOIN pertype p ON p.event_type = t.event_type)
         |SELECT event_type, n_days, k AS n_classes,
         |  round(ssb, 6) AS ss_between,
-        |  round((ssb / (CAST(k AS DOUBLE) - 1.0))
-        |    / nullif((sst - ssb) / (CAST(n_days AS DOUBLE)
-        |      - CAST(k AS DOUBLE)), 0.0), 6) AS f_dow,
+        |  round((ssb / nullif(CAST(k AS DOUBLE) - 1.0, 0.0))
+        |    / nullif((sst - ssb) / nullif(CAST(n_days AS DOUBLE)
+        |      - CAST(k AS DOUBLE), 0.0), 0.0), 6) AS f_dow,
         |  round(ssb / nullif(sst, 0.0), 6) AS seasonal_strength
         |FROM fin""".stripMargin)),
 

@@ -2444,8 +2444,15 @@ object PipelineQueries {
     // its ln, and the three Σ-terms ((n_i−1)ln s_i², (n_i−1)s_i²,
     // 1/(n_i−1)) pre-round to 6dp scaled longs summed exactly, so no
     // cross-group double-accumulation order exists; the closing χ²
-    // chain is one mirrored double expression, nullif-guarded for a
-    // degenerate (constant) group. Scale: one map-combined corpus pass
+    // chain is one mirrored double expression. Degeneracy contract
+    // (round-15 ADVICE): single-row groups are EXCLUDED up front —
+    // they carry no variance information and their s² is 0/0, which the
+    // two engines disagree on (Spark NULL vs DuckDB NaN, whose scaled-
+    // long CAST then errors) — and if ANY remaining group has
+    // non-positive s² the statistic itself is undefined (ln s² does not
+    // exist), so χ² goes NULL outright instead of being silently
+    // computed from the OTHER groups' terms while the degenerate
+    // group's n still inflates N. Scale: one map-combined corpus pass
     // → |types|-row frame → 1 row.
     Q("dq_bartlett",
       (s, d) => {
@@ -2457,28 +2464,34 @@ object PipelineQueries {
             sum(col("y")).cast("decimal(38,4)").as("sy"),
             sum((col("y") * col("y")).cast("decimal(38,8)"))
               .cast("decimal(38,8)").as("sy2"))
+          .filter(col("n") > 1)
         val nd = col("n").cast("double")
         val syd = col("sy").cast("double")
         val sy2d = col("sy2").cast("double")
         val s2 = round((sy2d - syd * syd / nd) / (nd - 1.0), 6)
         val terms = grp.select(col("n"),
-          round(((nd - 1.0) * log(nullif(s2, lit(0.0)))) * 1000000, 0)
-            .cast("long").as("lnl"),
+          when(s2 <= 0.0, lit(null).cast("long")).otherwise(
+            round(((nd - 1.0) * log(s2)) * 1000000, 0).cast("long"))
+            .as("lnl"),
           round(((nd - 1.0) * s2) * 1000000, 0).cast("long").as("wsl"),
-          round((lit(1.0) / (nd - 1.0)) * 1000000, 0).cast("long").as("invl"))
+          round((lit(1.0) / (nd - 1.0)) * 1000000, 0).cast("long").as("invl"),
+          when(s2 <= 0.0, 1L).otherwise(0L).as("bad"))
         val tot = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
           sum(col("lnl")).as("lns"), sum(col("wsl")).as("wss"),
-          sum(col("invl")).as("invs"))
+          sum(col("invl")).as("invs"), sum(col("bad")).as("bads"))
         val kD = col("k").cast("double")
         val nD = col("nn").cast("double")
         val sp2 = round((col("wss").cast("double") / 1000000.0) /
-          (nD - kD), 6)
+          nullif(nD - kD, lit(0.0)), 6)
         val num = (nD - kD) * log(nullif(sp2, lit(0.0))) -
           col("lns").cast("double") / 1000000.0
         val den = lit(1.0) + (col("invs").cast("double") / 1000000.0 -
-          lit(1.0) / (nD - kD)) / (lit(3.0) * (kD - 1.0))
+          lit(1.0) / nullif(nD - kD, lit(0.0))) /
+          nullif(lit(3.0) * (kD - 1.0), lit(0.0))
         tot.select(col("k").cast("long").as("n_groups"), col("nn").as("n"),
-          sp2.as("pooled_var"), round(num / den, 6).as("chi2_bartlett"))
+          sp2.as("pooled_var"),
+          when(col("bads") > 0, lit(null).cast("double"))
+            .otherwise(round(num / den, 6)).as("chi2_bartlett"))
       },
       Some("""WITH g AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -2486,39 +2499,44 @@ object PipelineQueries {
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(20,4))
         |        * CAST(value AS DECIMAL(20,4)) AS DECIMAL(38,8)))
         |      AS DECIMAL(38,8)) AS sy2
-        |  FROM events GROUP BY 1),
+        |  FROM events GROUP BY 1 HAVING COUNT(*) > 1),
+        |v AS (
+        |  SELECT n, round((CAST(sy2 AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0), 6) AS s2
+        |  FROM g),
         |t AS (
         |  SELECT n,
-        |    CAST(round((CAST(n AS DOUBLE) - 1.0)
-        |      * ln(nullif(round((CAST(sy2 AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-        |          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6), 0.0))
-        |      * 1000000, 0) AS BIGINT) AS lnl,
-        |    CAST(round((CAST(n AS DOUBLE) - 1.0)
-        |      * round((CAST(sy2 AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
-        |          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6)
-        |      * 1000000, 0) AS BIGINT) AS wsl,
+        |    CASE WHEN s2 <= 0.0 THEN NULL
+        |      ELSE CAST(round((CAST(n AS DOUBLE) - 1.0) * ln(s2)
+        |        * 1000000, 0) AS BIGINT) END AS lnl,
+        |    CAST(round((CAST(n AS DOUBLE) - 1.0) * s2 * 1000000, 0)
+        |      AS BIGINT) AS wsl,
         |    CAST(round(1.0 / (CAST(n AS DOUBLE) - 1.0) * 1000000, 0)
-        |      AS BIGINT) AS invl
-        |  FROM g),
+        |      AS BIGINT) AS invl,
+        |    CASE WHEN s2 <= 0.0 THEN 1 ELSE 0 END AS bad
+        |  FROM v),
         |p AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
         |    CAST(SUM(lnl) AS BIGINT) AS lns, CAST(SUM(wsl) AS BIGINT) AS wss,
-        |    CAST(SUM(invl) AS BIGINT) AS invs
+        |    CAST(SUM(invl) AS BIGINT) AS invs,
+        |    CAST(SUM(bad) AS BIGINT) AS bads
         |  FROM t),
         |fin AS (
-        |  SELECT k, nn,
+        |  SELECT k, nn, bads,
         |    round((CAST(wss AS DOUBLE) / 1000000.0)
-        |      / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)), 6) AS sp2,
+        |      / nullif(CAST(nn AS DOUBLE) - CAST(k AS DOUBLE), 0.0), 6) AS sp2,
         |    CAST(lns AS DOUBLE) / 1000000.0 AS lnsum,
         |    CAST(invs AS DOUBLE) / 1000000.0 AS invsum
         |  FROM p)
         |SELECT k AS n_groups, nn AS n, sp2 AS pooled_var,
-        |  round(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
-        |      * ln(nullif(sp2, 0.0)) - lnsum)
-        |    / (1.0 + (invsum - 1.0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
-        |      / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) AS chi2_bartlett
+        |  CASE WHEN bads > 0 THEN NULL
+        |    ELSE round(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+        |        * ln(nullif(sp2, 0.0)) - lnsum)
+        |      / (1.0 + (invsum - 1.0
+        |          / nullif(CAST(nn AS DOUBLE) - CAST(k AS DOUBLE), 0.0))
+        |        / nullif(3.0 * (CAST(k AS DOUBLE) - 1.0), 0.0)), 6)
+        |  END AS chi2_bartlett
         |FROM fin""".stripMargin)),
 
     // Kruskal–Wallis H across the same event-type groups — dq_anova's

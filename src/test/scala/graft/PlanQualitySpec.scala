@@ -47,6 +47,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p)
     val nExchanges = "(?<!Broadcast)Exchange (?!SinglePartition)".r.findAllIn(p).size
     assert(nExchanges <= 1, s"w1_window_rank plans $nExchanges data exchanges:\n$p")
+    // the rk <= 3 filter must push down as a rank-limit: a PARTIAL
+    // WindowGroupLimit below the exchange caps each map partition's
+    // contribution at k rows per group present, and the final one bounds
+    // the window's input — without it the full fact table crosses the
+    // wire and sorts per key (round-15 directive: this is what keeps w1's
+    // upper-decade growth a shuffle-WIDTH story, not a superlinear one).
+    // UnwrapCastInBinaryComparison must keep seeing through the
+    // rank().cast("long") — a predicate shape it can't unwrap silently
+    // loses both WindowGroupLimits.
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"w1 lost the partial+final rank-limit pushdown:\n$p")
   }
 
   test("w4: custom top-k-per-group plans one exchange and NO sort") {

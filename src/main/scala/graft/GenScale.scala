@@ -43,10 +43,35 @@ object GenScale {
 
   private val Factor = 10
 
+  /** Bumped whenever ANY generation parameter or algorithm changes, so a
+    * stale on-disk fixture can never silently serve a new protocol run. */
+  private val GeneratorVersion = 1
+
+  /** The manifest a finished generation writes next to its tables; a rerun
+    * with an identical manifest skips regeneration (the round-15
+    * repeatable-rehearsal directive: `scripts/bench_scale.sh` must be
+    * rerunnable without paying the ~1 min generation each time, yet a
+    * changed generator or base fixture must regenerate). */
+  private def manifest(src: String): String =
+    s"""{"generator_version":$GeneratorVersion,"factor":$Factor,"seed":42,"base":"$src"}"""
+
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/tmp/graft-sf1")
+    val out = args.filterNot(_ == "--force").headOption
+      .getOrElse("/tmp/graft-sf1")
     val src = sys.env.getOrElse("SPARK_GRAFT_BASE", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val manifestFile = new java.io.File(s"$out/_genscale_manifest.json")
+    val force = args.contains("--force") ||
+      sys.env.get("SPARK_GRAFT_GENSCALE_FORCE").contains("1")
+    if (!force && manifestFile.isFile && {
+      val have = new String(java.nio.file.Files.readAllBytes(
+        manifestFile.toPath), "UTF-8").trim
+      have == manifest(src)
+    }) {
+      println(s"""{"metric":"genscale","out":"$out","skipped":true}""")
+      return
+    }
+    if (manifestFile.isFile) manifestFile.delete() // stale: invalidate first
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,6 +122,9 @@ object GenScale {
     write(genDocuments(spark, nDocs = 50000), "documents")
     write(genEmbeddings(spark, read("embeddings"), nVecs = 8000), "embeddings")
 
+    // manifest LAST: its presence asserts every table above completed
+    java.nio.file.Files.write(manifestFile.toPath,
+      (manifest(src) + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"genscale","out":"$out","factor":$Factor}""")
     spark.stop()
   }

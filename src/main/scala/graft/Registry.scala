@@ -39,7 +39,11 @@ object Registry {
     * (the round-12 verdict's top finding). */
   private val Tier2: Set[String] = Set(
     "dd_prefix_pairs", "tx_boilerplate",
-    "dd_winnow_pairs", "ev_triangles")
+    "dd_winnow_pairs", "ev_triangles",
+    // round-15: the zero-fill (type,day) grid shape — with dd_prefix_pairs
+    // (already above) these are the two shapes the sf1 rehearsal proved
+    // most scale-sensitive, so both stay in the per-round slope table
+    "dq_mann_kendall")
 
   def all: Seq[Q] = {
     val qs = (queries.CoreQueries.all ++ queries.ExtQueries.all ++

@@ -37,10 +37,16 @@ import org.apache.spark.sql.types._
   * Inputs must be doc-id-sorted with doc_id leading the struct
   * (sort_array order), so every emitted pair has doc_a < doc_b: the
   * diagonal walks j > i, and in a cross pair every left-chunk id
-  * precedes every right-chunk id. Filter semantics bit-match the Column
-  * forms they replace: band `max(na,nb)·t ≤ min(na,nb)` as the same
-  * double product; positional `1 + min(na−ra, nb−rb) ≥
-  * ⌈t·max(na,nb) − 1e-9⌉` with the same one-sided fp guard.
+  * precedes every right-chunk id. Filter semantics match the Column
+  * forms they replace, and EVERY threshold comparison carries the same
+  * one-sided 1e-9 fp guard as ceilT: band `max·t − 1e-9 ≤ min`,
+  * positional `1 + min(na−ra, nb−rb) ≥ ⌈t·max − 1e-9⌉`, early-exit
+  * bail only when clearly below `t·(na+nb) − 1e-9`. A double product
+  * can round ABOVE its rational value (10·0.9 = 9.000000000000002;
+  * 9·1.9 = 17.099999999999998 < 0.9·19 = 17.1), which without the
+  * guard rejects pairs whose true jaccard EQUALS the threshold —
+  * caught by PrefixGuardSpec's boundary corpus in round 15. The slack
+  * only admits candidates; the exact confirm removes false admits.
   */
 case class ChunkPairJaccard(first: Expression, second: Expression,
     third: Expression, threshold: Double)
@@ -87,9 +93,12 @@ case class ChunkPairJaccard(first: Expression, second: Expression,
     var n = 0L
     while (i < na && j < nb) {
       // even matching EVERY remaining element cannot reach the
-      // threshold: maxAch·(1+t) < t·(na+nb) ⇒ bail (kept at equality)
+      // threshold: maxAch·(1+t) < t·(na+nb) ⇒ bail — only when CLEARLY
+      // below (one-sided 1e-9 guard): at rational equality the fp
+      // products can straddle (9·1.9 < 0.9·19 in doubles) and an
+      // unguarded bail drops a true boundary pair
       val maxAch = n + math.min(na - i, nb - j)
-      if (maxAch * (1.0 + threshold) < tSum) return -1L
+      if (maxAch * (1.0 + threshold) < tSum - 1e-9) return -1L
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { n += 1; i += 1; j += 1 }
@@ -117,10 +126,10 @@ case class ChunkPairJaccard(first: Expression, second: Expression,
       while (j < nB) {
         val b = bb.getStruct(j, 4)
         val nb = b.getInt(1)
-        // length band: the same double product as the Column form
+        // length band: the same guarded double product as the Column form
         val mx = if (na > nb) na else nb
         val mn = if (na > nb) nb else na
-        if (mx * threshold <= mn) {
+        if (mx * threshold - 1e-9 <= mn) {
           val rb = b.getInt(2)
           // positional filter with the shared one-sided fp guard
           val reach = 1L + math.min(na - ra, nb - rb).toLong

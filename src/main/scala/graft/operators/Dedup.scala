@@ -370,7 +370,7 @@ object Dedup {
     * the collect job at plan construction AND driver-collecting every
     * (doc, shingle) row. The token-keyed SMJ is the scale shape; the
     * shingle exchange it adds is one the dfreq side pays anyway. */
-  private def prefixTokens(sets: DataFrame, threshold: Double): DataFrame = {
+  private[operators] def prefixTokens(sets: DataFrame, threshold: Double): DataFrame = {
     val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -411,8 +411,13 @@ object Dedup {
         col("b.n").as("nb"), col("b.rn").as("rb"))
     // items sort ascending by the struct (doc_id leads and is unique per
     // bucket), so every emitted pair already has da < db
+    // band with the one-sided fp guard (the ceilT rationale): max·t can
+    // round ABOVE its rational value (10·0.9 = 9.000000000000002) and
+    // silently reject a boundary pair whose true jaccard equals t; the
+    // 1e-9 slack only admits more candidates — the exact refine removes
+    // any false admit, so completeness is never at risk
     val banded = emitted.filter(
-      greatest(col("na"), col("nb")) * threshold <=
+      greatest(col("na"), col("nb")) * threshold - lit(1e-9) <=
         least(col("na"), col("nb")))
     val base =
       if (!positional) banded
@@ -449,11 +454,56 @@ object Dedup {
     * is [[lshCandidatePairs]]. Results identical to the unfused form:
     * same pairs, same jaccard, one row per qualifying pair. */
   def prefixFilterPairs(docs: DataFrame, idCol: Column, textCol: Column,
-      threshold: Double, shingleK: Int = 2): DataFrame = {
+      threshold: Double, shingleK: Int = 2,
+      guardFraction: Double = DefaultGuardFraction,
+      autoRouteToLsh: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val sets = prefixShingleSets(docs, idCol, textCol, shingleK)
     val prefix = prefixTokens(sets, threshold)
+    /** Exact string-shingle confirm over an (output-sized) candidate set:
+      * re-derives the true intersection and Jaccard — shared by the main
+      * path's screen survivors and the guard's LSH route. */
+    def exactConfirm(pairs: DataFrame): DataFrame = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("i", sortedIntersect(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+    // applicability pre-flight (round-15 directive: the 36%-candidate
+    // regime the sf1 rehearsal measured was documented but not DETECTED).
+    // One count-agg over the already-checkpointed prefix relation — cost
+    // is corpus-linear and trivially small next to the refine it guards.
+    // The estimate is MEMOIZED per (session, corpus plan, k, t): the
+    // construction-job gate (JobCountSpec) requires steady-state
+    // construction to run ZERO jobs, so only the FIRST construction on a
+    // corpus pays the estimator's aggregate (and warns); repeats hit the
+    // memo. A fixture rewritten in place under the same path keeps its
+    // cached estimate for the session — acceptable for a warn-only guard.
+    if (guardFraction > 0) {
+      val est = cachedCandidateFraction(docs, shingleK, threshold,
+        () => estimatedCandidateFraction(prefix, sets.count()))
+      if (est > guardFraction) {
+        val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+        if (autoRouteToLsh) {
+          log.warn(f"prefixFilterPairs: estimated candidate fraction $est%.3f" +
+            f" exceeds $guardFraction%.3f — routing to LSH candidates + exact" +
+            " confirm (approximate recall; pass autoRouteToLsh=false to force" +
+            " the exact-recall quadratic refine)")
+          return exactConfirm(
+            lshCandidatePairs(docs, idCol, textCol,
+              numHashes = 16, bands = 8, shingleK))
+        }
+        log.warn(f"prefixFilterPairs: estimated candidate fraction $est%.3f of" +
+          f" all doc pairs exceeds $guardFraction%.3f — the prefix filter is" +
+          " outside its applicability regime (low-entropy vocabulary or low" +
+          " threshold); cost is Ω(candidates). Consider lshCandidatePairs," +
+          " or pass autoRouteToLsh=true.")
+      }
+    }
     // chunk size trade: the unit join's wire cost is Σ_bucket
     // nc²·chunk_bytes ∝ bucket²·item_bytes / chunk (bigger cuts wire),
     // but a chunk row allocates items·item_bytes CONTIGUOUSLY — multi-MB
@@ -523,15 +573,52 @@ object Dedup {
     // false-admit is filtered here, and the reported jaccard is the
     // exact value. The survivor side is tiny, so these joins broadcast
     // it and the corpus-array side never re-shuffles.
-    survivors
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("i", sortedIntersect(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("i").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("i")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    exactConfirm(survivors)
+  }
+
+  /** Declared applicability bound for [[prefixFilterPairs]]: warn when the
+    * prefix filter is estimated to admit more than this fraction of all
+    * C(n,2) doc pairs. 5% of all pairs is already far past the regime the
+    * prefix-filter theory targets (Zipf vocabularies admit ≪1%); the sf1
+    * rehearsal's pathological fixture measured 36%. */
+  val DefaultGuardFraction: Double = 0.05
+
+  /** Per-session estimate memo for the [[prefixFilterPairs]] guard, keyed
+    * by (corpus analyzed-plan semantic hash, shingleK, threshold) —
+    * sessions held weakly (the LazyCheckpoint planners pattern). */
+  private val guardEstMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[(Int, Int, Double), Double]]()
+
+  private def cachedCandidateFraction(docs: DataFrame, shingleK: Int,
+      threshold: Double, compute: () => Double): Double = {
+    val s = docs.sparkSession
+    val inner = guardEstMemo.synchronized {
+      var m = guardEstMemo.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        guardEstMemo.put(s, m)
+      }
+      m
+    }
+    val key = (docs.queryExecution.analyzed.semanticHash(), shingleK, threshold)
+    inner.getOrElseUpdate(key, compute())
+  }
+
+  /** Estimated fraction of all C(n,2) doc pairs the prefix filter admits,
+    * from prefix-bucket occupancy: Σ_bucket C(c, 2) counts every
+    * shared-prefix emission — an upper bound on distinct admitted
+    * candidates (the length band and positional filter only remove).
+    * One groupBy-count over the checkpointed prefix relation; exact for
+    * the emission count, conservative for the candidate count. */
+  private[operators] def estimatedCandidateFraction(prefix: DataFrame,
+      nDocs: Long): Double = {
+    if (nDocs < 2) return 0.0
+    val row = prefix.groupBy("shingle").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - lit(1L)) / lit(2.0)).as("cand"))
+      .head()
+    val cand = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    cand / (nDocs.toDouble * (nDocs - 1) / 2.0)
   }
 
   /** Asymmetric containment over LSH candidate pairs: |A∩B| / min(|A|,|B|)

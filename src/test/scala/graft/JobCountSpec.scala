@@ -39,47 +39,50 @@ class JobCountSpec extends SparkSpec {
     * catch ORDER-OF-MAGNITUDE regressions (a corpus scan sneaking into a
     * checkpoint), not to pin exact job counts. */
   private val allowed: Map[String, Int] = Map(
+    // caps re-swept round 15 from the "allowlist measured" info line:
+    // every entry measured NONZERO and each cap is
+    // max(2 × measured, measured + 2) — the +2 floor covers AQE's
+    // stage-count jitter on the 1-job range-sampling entries
     // category 3 — two-phase global ranks (range-sampling pass);
-    // measured 1–5 steady-state at sf0.001 (round-13 sweep), cap ≈ 2×
-    "dq_spearman" -> 8,
-    "dq_kruskal_wallis" -> 4,
-    "dq_mannwhitney_2p" -> 4,
-    "ev_rfm_2p" -> 10,
-    "ev_pareto_share" -> 4,
-    "tx_ppl_buckets_2p" -> 8,
+    // measured steady-state at sf0.001 in parentheses
+    "dq_spearman" -> 6, // (3)
+    "dq_kruskal_wallis" -> 3, // (1)
+    "dq_mannwhitney_2p" -> 3, // (1)
+    "ev_rfm_2p" -> 10, // (5)
+    "ev_pareto_share" -> 3, // (1)
+    "tx_ppl_buckets_2p" -> 6, // (3)
     // category 4 — build-shaped: constructing runs the build
     // (kmeans/NN-Descent/PQ/coreset/GD/peel/power iterations —
-    // deliberately NOT lazy, see plans/LazyCheckpoint scaladoc);
-    // measured steady-state at sf0.001 in parentheses, cap ≈ 2×
+    // deliberately NOT lazy, see plans/LazyCheckpoint scaladoc)
     "dd_fuzzy_keep" -> 60, // (30) embed-kmeans refine
-    "dd_semantic_keep" -> 300, // (178) embedding kmeans build
-    "emb_abtt" -> 80, // (42) top-eigen power iteration
-    "emb_top_eigen" -> 80, // (42)
-    "ev_hits" -> 80, // (42)
-    "ev_kcore" -> 12, // (5) peel rounds
-    "ev_label_prop" -> 20, // (9)
+    "dd_semantic_keep" -> 356, // (178) embedding kmeans build
+    "emb_abtt" -> 84, // (42) top-eigen power iteration
+    "emb_top_eigen" -> 84, // (42)
+    "ev_hits" -> 84, // (42)
+    "ev_kcore" -> 10, // (5) peel rounds
+    "ev_label_prop" -> 18, // (9)
     // ev_triangles is NOT listed since round 14: its degree-ordered
     // orientation is memoized per (session, fixture) in ExtQueries
     // (orientedCovisitation — the knn16 pattern), so steady-state
     // construction is 0; the build charges once to the first construction
-    "sim_adc_recall" -> 30, // (14) PQ codebook EM
-    "sim_adc_rerank" -> 30, // (14)
+    "sim_adc_recall" -> 28, // (14) PQ codebook EM
+    "sim_adc_rerank" -> 28, // (14)
     // sim_nndescent/sim_ari/sim_nmi/sim_cluster_purity/
     // sim_knn_components/sim_nndescent_recall are NOT listed: their
     // shared graph/CC builds are memoized per (session, fixture,
     // threshold) since round 13 (knn16/mutualComponents in
     // PipelineQueries), so steady-state construction is 0 — the build
     // charges once to whichever entry constructs first.
-    "sim_graph_expand" -> 60, // (29) NN-Descent build on a FILTERED corpus
-    "sim_mmr_exact" -> 80, // (39) greedy selection rounds
-    "sim_mmr_rerank" -> 20, // (9)
+    "sim_graph_expand" -> 58, // (29) NN-Descent build on a FILTERED corpus
+    "sim_mmr_exact" -> 78, // (39) greedy selection rounds
+    "sim_mmr_rerank" -> 18, // (9)
     "sim_pq_adc_topk" -> 32, // (16)
-    "sim_pq_codes" -> 24, // (11)
-    "sm_coreset_coverage" -> 16, // (7) k-center rounds
-    "sm_facility_coreset" -> 48, // (23)
-    "sm_kcenter_coreset" -> 16, // (7)
-    "tx_bpe_train" -> 40, // (17) merge rounds
-    "tx_quality_classifier" -> 160) // (81) GD training rounds
+    "sim_pq_codes" -> 22, // (11)
+    "sm_coreset_coverage" -> 14, // (7) k-center rounds
+    "sm_facility_coreset" -> 46, // (23)
+    "sm_kcenter_coreset" -> 14, // (7)
+    "tx_bpe_train" -> 34, // (17) merge rounds
+    "tx_quality_classifier" -> 162) // (81) GD training rounds
 
   /** Exact listener-bus drain via reflection: `SparkContext.listenerBus`
     * and `LiveListenerBus.waitUntilEmpty` are private[spark] in Scala
@@ -128,6 +131,7 @@ class JobCountSpec extends SparkSpec {
     withCounter { jobs =>
       val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
       val staleAllow = scala.collection.mutable.ArrayBuffer.empty[String]
+      val measured = scala.collection.mutable.ArrayBuffer.empty[String]
       for (q <- Registry.all) {
         q.fn(spark, sf).queryExecution.executedPlan // one-time work lands here
         drain()
@@ -138,7 +142,12 @@ class JobCountSpec extends SparkSpec {
         val cap = allowed.getOrElse(q.name, 0)
         if (n > cap) offenders += s"${q.name}: steady-state $n jobs > cap $cap"
         if (n == 0 && allowed.contains(q.name)) staleAllow += q.name
+        if (allowed.contains(q.name)) measured += s"${q.name}=$n/cap$cap"
       }
+      // the per-round sweep input (round-13 directive #6 / round-15 #5):
+      // measured steady-state counts vs caps, so cap-tightening is a read
+      // of this line, not a separate instrumented run
+      info("allowlist measured: " + measured.mkString(", "))
       if (staleAllow.nonEmpty)
         info(s"allowlisted but measured 0 (tighten when stable): " +
           staleAllow.mkString(", "))

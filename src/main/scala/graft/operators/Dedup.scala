@@ -484,24 +484,28 @@ object Dedup {
     // memo. A fixture rewritten in place under the same path keeps its
     // cached estimate for the session — acceptable for a warn-only guard.
     if (guardFraction > 0) {
-      val est = cachedCandidateFraction(docs, shingleK, threshold,
+      val (est, fresh) = cachedCandidateFraction(docs, shingleK, threshold,
         () => estimatedCandidateFraction(prefix, sets.count()))
       if (est > guardFraction) {
         val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
         if (autoRouteToLsh) {
+          // ASCII only: the bench log's console encoding mangles non-ASCII
           log.warn(f"prefixFilterPairs: estimated candidate fraction $est%.3f" +
-            f" exceeds $guardFraction%.3f — routing to LSH candidates + exact" +
+            f" exceeds $guardFraction%.3f - routing to LSH candidates + exact" +
             " confirm (approximate recall; pass autoRouteToLsh=false to force" +
             " the exact-recall quadratic refine)")
           return exactConfirm(
             lshCandidatePairs(docs, idCol, textCol,
               numHashes = 16, bands = 8, shingleK))
         }
-        log.warn(f"prefixFilterPairs: estimated candidate fraction $est%.3f of" +
-          f" all doc pairs exceeds $guardFraction%.3f — the prefix filter is" +
-          " outside its applicability regime (low-entropy vocabulary or low" +
-          " threshold); cost is Ω(candidates). Consider lshCandidatePairs," +
-          " or pass autoRouteToLsh=true.")
+        // warn once per (session, corpus, k, t) — repeated constructions
+        // of the same judged query must not turn the log into a siren
+        if (fresh)
+          log.warn(f"prefixFilterPairs: estimated candidate fraction $est%.3f" +
+            f" of all doc pairs exceeds $guardFraction%.3f - the prefix" +
+            " filter is outside its applicability regime (low-entropy" +
+            " vocabulary or low threshold); cost is Omega(candidates)." +
+            " Consider lshCandidatePairs, or pass autoRouteToLsh=true.")
       }
     }
     // chunk size trade: the unit join's wire cost is Σ_bucket
@@ -590,8 +594,10 @@ object Dedup {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[(Int, Int, Double), Double]]()
 
+  /** Returns (estimate, freshlyComputed) — `fresh` lets the caller warn
+    * once per memo entry instead of once per construction. */
   private def cachedCandidateFraction(docs: DataFrame, shingleK: Int,
-      threshold: Double, compute: () => Double): Double = {
+      threshold: Double, compute: () => Double): (Double, Boolean) = {
     val s = docs.sparkSession
     val inner = guardEstMemo.synchronized {
       var m = guardEstMemo.get(s)
@@ -602,7 +608,13 @@ object Dedup {
       m
     }
     val key = (docs.queryExecution.analyzed.semanticHash(), shingleK, threshold)
-    inner.getOrElseUpdate(key, compute())
+    inner.get(key) match {
+      case Some(e) => (e, false)
+      case None =>
+        val e = compute()
+        inner.put(key, e)
+        (e, true)
+    }
   }
 
   /** Estimated fraction of all C(n,2) doc pairs the prefix filter admits,
@@ -610,7 +622,11 @@ object Dedup {
     * shared-prefix emission — an upper bound on distinct admitted
     * candidates (the length band and positional filter only remove).
     * One groupBy-count over the checkpointed prefix relation; exact for
-    * the emission count, conservative for the candidate count. */
+    * the emission count, conservative for the candidate count (a pair
+    * sharing several prefix tokens is counted once per shared token, so
+    * values ABOVE 1.0 are possible — and read "hopeless": measured 1.32
+    * at the degenerate sf0.1 fixture, under 0.01 at the guard spec's
+    * Zipf-shaped corpus). */
   private[operators] def estimatedCandidateFraction(prefix: DataFrame,
       nDocs: Long): Double = {
     if (nDocs < 2) return 0.0

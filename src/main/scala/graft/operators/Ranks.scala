@@ -165,6 +165,40 @@ object Ranks {
       .drop("__pid", "__lr", "__off", "__n", "__q", "__rem", "__r")
   }
 
+  /** Per-KEY global row number over a strict per-key order — the
+    * production form of
+    * `row_number().over(Window.partitionBy(keys).orderBy(...))` when one
+    * key's population exceeds a task (the tx_length_gini rank attach):
+    * the [[ntilePerKey]] machinery without the bucket arithmetic — range
+    * repartition on (keys ++ order) keeps each key's rows contiguous,
+    * per-(partition, key) counts prefix-sum into per-key offsets (a
+    * keys×P-row frame), local row_number at full cluster width.
+    * `orderCols` MUST be a total order within each key. */
+  def rowNumberPerKey(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[Column], outCol: String, parts: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty)
+    val p =
+      if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val keys = keyCols.map(col)
+    val ranged = graft.plans.LazyCheckpoint.of(
+      df.repartitionByRange(p, keys ++ orderCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.partitionBy(keys: _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(keys :+ col("__pid"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .select(keys :+ col("__pid") :+ col("__off"): _*)
+    val localW = Window.partitionBy(keys :+ col("__pid"): _*)
+      .orderBy(orderCols: _*)
+    ranged
+      .withColumn("__lr", row_number().over(localW).cast("long"))
+      .join(broadcast(offsets), keyCols :+ "__pid")
+      .withColumn(outCol, col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
+
   /** Mann–Whitney U + tie-corrected z over (arm, y) rows, built on the
     * two-phase ranks — the at-scale form of the judged dq_mannwhitney
     * (which uses a global window for its oracle parity). Output schema and

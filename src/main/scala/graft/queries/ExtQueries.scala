@@ -3847,6 +3847,108 @@ object ExtQueries {
         |    ELSE 0.0 END, 6) AS z_mk
         |FROM fin""".stripMargin)),
 
+    // Ljung–Box portmanteau test per event type (Ljung & Box, Biometrika
+    // 1978) — where ev_acf reads single lags, Q_LB = n(n+2)·Σ_{k=1..7}
+    // ρ_k²/(n−k) tests the JOINT null that the first seven daily-count
+    // autocorrelations are all zero — the one-number whiteness audit a
+    // forecast-residual or bot-cadence screen needs. Same zero-filled
+    // (type, day) grid, collapsed from the corpus ONCE (LazyCheckpoint);
+    // lagged products come from a (grid × 7-lag) day-arithmetic join
+    // (identical on both engines — the grid has every day, so day+k
+    // equi-join ≡ lead(k)), all per-lag sufficient statistics are exact
+    // longs, ρ_k's chain is mirrored doubles from those longs, each
+    // ρ_k²/(n−k) term pre-rounds to a scaled-1e9 long summed exactly
+    // (no cross-lag double order), and a constant series (denominator 0)
+    // propagates NULL through every term to a NULL Q. Scale: one
+    // map-combined corpus pass; everything after is |types|·|days|·7
+    // bounded.
+    Q("dq_ljung_box",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val counts = graft.plans.LazyCheckpoint.of(
+          ev.groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+        val span = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = counts.select("event_type").distinct()
+        val grid = types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+        val pairs = grid.as("a").crossJoin(broadcast(lags))
+          .join(grid.as("b"),
+            col("b.event_type") === col("a.event_type") &&
+              col("b.day") === date_add(col("a.day"), col("lag")))
+          .select(col("a.event_type").as("event_type"), col("lag"),
+            col("a.c").as("x"), col("b.c").as("y"))
+        val lagStats = pairs.groupBy("event_type", "lag").agg(
+          count(lit(1)).as("m"),
+          sum(col("x") * col("y")).as("pk"),
+          sum(col("x")).as("hk"), sum(col("y")).as("tk"))
+        val totals = grid.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("c")).as("ss"), sum(col("c") * col("c")).as("s2"))
+        val nD = col("n").cast("double")
+        val xb = col("ss").cast("double") / nD
+        val mD = col("m").cast("double")
+        val num = col("pk").cast("double") -
+          xb * (col("hk") + col("tk")).cast("double") + mD * xb * xb
+        val den = col("s2").cast("double") - col("ss").cast("double") * xb
+        val rho = num / nullif(den, lit(0.0))
+        val t9 = round(rho * rho / mD * 1.0e9, 0).cast("long")
+        lagStats.join(broadcast(totals), "event_type")
+          .select(col("event_type"), col("n"), t9.as("t9"))
+          .groupBy("event_type", "n")
+          .agg(sum(col("t9")).as("ts9"), count(col("t9")).as("n_lags"))
+          .select(col("event_type"), col("n").as("n_days"), col("n_lags"),
+            round(nD * (nD + 2.0) * col("ts9").cast("double") / 1.0e9, 6)
+              .as("q_lb"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS lag),
+        |pairs AS (SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+        |  FROM grid a CROSS JOIN lags l
+        |  JOIN grid b ON b.event_type = a.event_type
+        |    AND b.day = a.day + l.lag * INTERVAL 1 DAY),
+        |ls AS (SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(x * y) AS BIGINT) AS pk, CAST(SUM(x) AS BIGINT) AS hk,
+        |    CAST(SUM(y) AS BIGINT) AS tk
+        |  FROM pairs GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS ss, CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM grid GROUP BY 1),
+        |terms AS (SELECT l.event_type, t.n,
+        |    CAST(l.pk AS DOUBLE)
+        |      - CAST(t.ss AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |        * CAST(l.hk + l.tk AS DOUBLE)
+        |      + CAST(l.m AS DOUBLE)
+        |        * (CAST(t.ss AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |        * (CAST(t.ss AS DOUBLE) / CAST(t.n AS DOUBLE)) AS num,
+        |    CAST(t.s2 AS DOUBLE) - CAST(t.ss AS DOUBLE)
+        |      * (CAST(t.ss AS DOUBLE) / CAST(t.n AS DOUBLE)) AS den,
+        |    CAST(l.m AS DOUBLE) AS md
+        |  FROM ls l JOIN tot t USING (event_type)),
+        |t9 AS (SELECT event_type, n,
+        |    CAST(round((num / nullif(den, 0.0)) * (num / nullif(den, 0.0))
+        |      / md * 1e9, 0) AS BIGINT) AS t9
+        |  FROM terms),
+        |fin AS (SELECT event_type, n, CAST(SUM(t9) AS BIGINT) AS ts9,
+        |    CAST(COUNT(t9) AS BIGINT) AS n_lags
+        |  FROM t9 GROUP BY 1, 2)
+        |SELECT event_type, n AS n_days, n_lags,
+        |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+        |    * CAST(ts9 AS DOUBLE) / 1e9, 6) AS q_lb
+        |FROM fin""".stripMargin)),
+
     // Wald–Wolfowitz runs test per event type on the above-mean /
     // at-or-below-mean daily-count sequence — the randomness audit the
     // trend tests can't give: a series can be trend-free yet serially

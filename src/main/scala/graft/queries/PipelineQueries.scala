@@ -2539,6 +2539,194 @@ object PipelineQueries {
         |  END AS chi2_bartlett
         |FROM fin""".stripMargin)),
 
+    // Brown–Forsythe test (Levene's test on MEDIAN-centered deviations,
+    // Brown & Forsythe JASA 1974) — dq_bartlett's robust sibling:
+    // Bartlett's χ² is exact under normality but explodes on heavy tails;
+    // Brown–Forsythe runs one-way ANOVA on z = |y − median_g|, which keeps
+    // its size under non-normality — the variance-homogeneity check to
+    // actually trust on real event-value distributions. Exactness: group
+    // medians are exact interpolated percentiles rounded to scaled-1e5
+    // longs (data is 4dp, so the true median is a 5dp rational and both
+    // engines' interpolated doubles round to the SAME long); z is then an
+    // exact long per row, group Σz / Σz² are exact decimals, and the
+    // between/within ANOVA terms are per-group mirrored doubles
+    // pre-rounded to 6dp decimals summed exactly — no cross-group double
+    // accumulation order exists. F's closing chain is one mirrored
+    // division, nullif-guarded for k = 1 and all-constant groups. Exact
+    // percentile is event-type-bounded here (the ev_mad_outliers
+    // adjudication — groups are |types|, never per-fact-key); the
+    // production swap at 100 TB is the mergeable quantile sketch (a19's
+    // shape), which changes the median's error bound, not this chain.
+    // Scale shape: one corpus pass for medians, one join + map-combined
+    // pass for z sums, then |types|-row algebra.
+    Q("dq_levene",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("value").cast("double").as("y"))
+        val med = ev.groupBy("event_type")
+          .agg(round(expr("percentile(y, 0.5)") * 100000, 0)
+            .cast("long").as("medl"))
+        val z = ev.join(broadcast(med), "event_type")
+          .select(col("event_type"),
+            abs(round(col("y") * 100000, 0).cast("long") - col("medl"))
+              .as("zl"))
+        val grp = z.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("zl")).cast("decimal(38,0)").as("sz"),
+          sum((col("zl") * col("zl")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("sz2"))
+        val tot = grp.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+          sum(col("sz")).cast("decimal(38,0)").as("gsz"))
+        val ngD = col("n").cast("double")
+        val zbg = (col("sz").cast("double") / 100000.0) / ngD
+        val zb = (col("gsz").cast("double") / 100000.0) /
+          col("nn").cast("double")
+        val bt = round(ngD * ((zbg - zb) * (zbg - zb)), 6)
+          .cast("decimal(38,6)")
+        val wt = round(col("sz2").cast("double") / 1.0e10 -
+          ngD * (zbg * zbg), 6).cast("decimal(38,6)")
+        grp.crossJoin(broadcast(tot))
+          .select(col("k"), col("nn"), bt.as("bt"), wt.as("wt"))
+          .groupBy("k", "nn")
+          .agg(sum(col("bt")).as("b"), sum(col("wt")).as("w"))
+          .select(col("k").cast("long").as("n_groups"), col("nn").as("n"),
+            round(((col("nn") - col("k")).cast("double") *
+              col("b").cast("double")) /
+              nullif((col("k") - lit(1L)).cast("double") *
+                col("w").cast("double"), lit(0.0)), 6).as("f_bf"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS y FROM events),
+        |med AS (SELECT event_type,
+        |    CAST(round(quantile_cont(y, 0.5) * 100000, 0) AS BIGINT) AS medl
+        |  FROM ev GROUP BY 1),
+        |z AS (SELECT ev.event_type,
+        |    abs(CAST(round(y * 100000, 0) AS BIGINT) - medl) AS zl
+        |  FROM ev JOIN med USING (event_type)),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(zl) AS DECIMAL(38,0)) AS sz,
+        |    CAST(SUM(zl * zl) AS DECIMAL(38,0)) AS sz2
+        |  FROM z GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(sz) AS DECIMAL(38,0)) AS gsz FROM g),
+        |terms AS (SELECT k, nn,
+        |    CAST(round(CAST(n AS DOUBLE) *
+        |      (((CAST(sz AS DOUBLE) / 100000.0) / CAST(n AS DOUBLE)
+        |          - (CAST(gsz AS DOUBLE) / 100000.0) / CAST(nn AS DOUBLE))
+        |        * ((CAST(sz AS DOUBLE) / 100000.0) / CAST(n AS DOUBLE)
+        |          - (CAST(gsz AS DOUBLE) / 100000.0) / CAST(nn AS DOUBLE))),
+        |      6) AS DECIMAL(38,6)) AS bt,
+        |    CAST(round(CAST(sz2 AS DOUBLE) / 1e10
+        |      - CAST(n AS DOUBLE) *
+        |        (((CAST(sz AS DOUBLE) / 100000.0) / CAST(n AS DOUBLE))
+        |          * ((CAST(sz AS DOUBLE) / 100000.0) / CAST(n AS DOUBLE))),
+        |      6) AS DECIMAL(38,6)) AS wt
+        |  FROM g CROSS JOIN tot),
+        |fin AS (SELECT k, nn, CAST(SUM(bt) AS DECIMAL(38,6)) AS b,
+        |    CAST(SUM(wt) AS DECIMAL(38,6)) AS w
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT k AS n_groups, nn AS n,
+        |  round((CAST(nn - k AS DOUBLE) * CAST(b AS DOUBLE))
+        |    / nullif(CAST(k - 1 AS DOUBLE) * CAST(w AS DOUBLE), 0.0), 6)
+        |    AS f_bf
+        |FROM fin""".stripMargin)),
+
+    // Jarque–Bera normality test per event-type group (Jarque & Bera
+    // 1980) — the moment-based screen that says whether dq_anova /
+    // dq_bartlett's normality assumption is even tenable, from the same
+    // single corpus pass shape: JB = n/6·(S² + (K−3)²/4) with S, K the
+    // sample skewness and kurtosis. Sufficient statistics are the four
+    // raw power sums, each pre-rounded per row to a scaled-1e6 value and
+    // summed as exact decimal(38,0) (y⁴ outgrows both a scaled long and
+    // exact decimal at corpus scale; the per-row round is computed from
+    // the SAME stored double on both engines, so the sums are
+    // bit-deterministic even where not exact); the central-moment
+    // algebra and the closing JB chain are one mirrored double
+    // expression, with sqrt(m2³) in place of pow(m2, 1.5) (sqrt is
+    // correctly-rounded IEEE; pow is not guaranteed cross-engine) and an
+    // explicit m2 ≤ 0 NULL for degenerate groups. Scale: one
+    // map-combined corpus pass → |types| rows.
+    Q("dq_jarque_bera",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("value").cast("double").as("y"))
+        val grp = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(round(col("y") * 1000000, 0).cast("decimal(38,0)")).as("s1"),
+          sum(round(col("y") * col("y") * 1000000, 0)
+            .cast("decimal(38,0)")).as("s2"),
+          sum(round(col("y") * col("y") * col("y") * 1000000, 0)
+            .cast("decimal(38,0)")).as("s3"),
+          sum(round(col("y") * col("y") * col("y") * col("y") * 1000000, 0)
+            .cast("decimal(38,0)")).as("s4"))
+        val nD = col("n").cast("double")
+        def u(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          c.cast("double") / 1.0e6 / nD
+        val m1 = u(col("s1"))
+        val r2 = u(col("s2"))
+        val r3 = u(col("s3"))
+        val r4 = u(col("s4"))
+        val m2 = r2 - m1 * m1
+        val m3 = r3 - lit(3.0) * m1 * r2 + lit(2.0) * (m1 * m1 * m1)
+        val m4 = r4 - lit(4.0) * m1 * r3 + lit(6.0) * (m1 * m1) * r2 -
+          lit(3.0) * (m1 * m1 * m1 * m1)
+        val skew = m3 / sqrt(m2 * m2 * m2)
+        val kurt = m4 / (m2 * m2)
+        grp.select(col("event_type"), col("n"),
+          when(m2 <= 0.0, lit(null).cast("double"))
+            .otherwise(round(skew, 6)).as("skewness"),
+          when(m2 <= 0.0, lit(null).cast("double"))
+            .otherwise(round(kurt, 6)).as("kurtosis"),
+          when(m2 <= 0.0, lit(null).cast("double"))
+            .otherwise(round(nD / 6.0 *
+              (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6))
+            .as("jb"))
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 1000000, 0)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CAST(round(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        |      * 1000000, 0) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(CAST(round(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        |      * CAST(value AS DOUBLE) * 1000000, 0) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s3,
+        |    CAST(SUM(CAST(round(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        |      * CAST(value AS DOUBLE) * CAST(value AS DOUBLE) * 1000000, 0)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s4
+        |  FROM events GROUP BY 1),
+        |mom AS (SELECT event_type, n,
+        |    CAST(s2 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS m2,
+        |    CAST(s3 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+        |      - 3.0 * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s2 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |      + 2.0 * ((CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))) AS m3,
+        |    CAST(s4 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+        |      - 4.0 * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s3 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |      + 6.0 * ((CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)))
+        |        * (CAST(s2 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |      - 3.0 * ((CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))) AS m4
+        |  FROM g)
+        |SELECT event_type, n,
+        |  CASE WHEN m2 <= 0.0 THEN NULL
+        |    ELSE round(m3 / sqrt(m2 * m2 * m2), 6) END AS skewness,
+        |  CASE WHEN m2 <= 0.0 THEN NULL
+        |    ELSE round(m4 / (m2 * m2), 6) END AS kurtosis,
+        |  CASE WHEN m2 <= 0.0 THEN NULL
+        |    ELSE round(CAST(n AS DOUBLE) / 6.0 *
+        |      ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
+        |        + ((m4 / (m2 * m2)) - 3.0) * ((m4 / (m2 * m2)) - 3.0)
+        |          / 4.0), 6) END AS jb
+        |FROM mom""".stripMargin)),
+
     // Kruskal–Wallis H across the same event-type groups — dq_anova's
     // nonparametric sibling (rank-based, so heavy-tailed value
     // distributions can't fake or hide a level difference), with the
@@ -9261,6 +9449,60 @@ object PipelineQueries {
         |  FROM qs JOIN cum c
         |    ON c.cum >= ceil(qs.q * CAST(c.n AS DOUBLE)))
         |WHERE rn = 1""".stripMargin)),
+
+    // Per-language Gini coefficient of document token counts — the
+    // corpus-balance data card next to tx_length_quantiles' brackets: a
+    // language whose token mass is concentrated in a few giant documents
+    // (G → 1) needs different packing/sampling treatment than one with
+    // uniform lengths (G → 0), and the length-Gini is the standard
+    // single-number audit for that. Exact rank formulation
+    // G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) over the per-language
+    // (len, doc_id) total order; ranks come from the TWO-PHASE per-key
+    // machinery ([[graft.operators.Ranks.rowNumberPerKey]] — no
+    // single-partition window; a dominant language is range-spread across
+    // the cluster), rank·len sums are exact decimals (they outgrow a long
+    // at corpus scale), and the closing chain is one mirrored double
+    // division. Ties contribute identically under any tie order (equal x
+    // swaps leave Σ r·x unchanged), so the doc_id tiebreak is for
+    // determinism of the RANK FRAME, not the statistic. Scale shape: one
+    // range exchange + per-partition windows, one map-combined rollup.
+    Q("tx_length_gini",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("len"))
+        graft.operators.Ranks.rowNumberPerKey(
+            docs, Seq("lang"), Seq(col("len"), col("doc_id")), "rn")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("len")).cast("decimal(38,0)").as("sx"),
+            sum((col("rn") * col("len")).cast("decimal(38,0)"))
+              .cast("decimal(38,0)").as("srx"))
+          .select(col("lang"), col("n_docs"),
+            round((lit(2.0) * col("srx").cast("double") -
+              (col("n_docs") + lit(1L)).cast("double") *
+                col("sx").cast("double")) /
+              nullif(col("n_docs").cast("double") *
+                col("sx").cast("double"), lit(0.0)), 6).as("gini"))
+      },
+      Some("""WITH docs AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |r AS (SELECT lang, len,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY len, doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM docs),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(rn * len) AS DECIMAL(38,0)) AS srx
+        |  FROM r GROUP BY 1)
+        |SELECT lang, n_docs,
+        |  round((2.0 * CAST(srx AS DOUBLE)
+        |      - CAST(n_docs + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / nullif(CAST(n_docs AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+        |    AS gini
+        |FROM g""".stripMargin)),
 
     // token-keyed aggregate over the corpus; the ranking window and decile
     // rollup run on the VOCABULARY-sized frame (the tx_zipf discipline),

@@ -51,6 +51,7 @@ class JobCountSpec extends SparkSpec {
     "ev_rfm_2p" -> 10, // (5)
     "ev_pareto_share" -> 3, // (1)
     "tx_ppl_buckets_2p" -> 6, // (3)
+    "tx_length_gini" -> 3, // (1) rowNumberPerKey range-sampling pass
     // category 4 — build-shaped: constructing runs the build
     // (kmeans/NN-Descent/PQ/coreset/GD/peel/power iterations —
     // deliberately NOT lazy, see plans/LazyCheckpoint scaladoc)

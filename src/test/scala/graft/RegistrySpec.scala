@@ -303,6 +303,15 @@ class RegistrySpec extends SparkSpec {
       //    LazyCheckpoint-ed counts collapse; every data-bearing join is
       //    keyed
       "dq_mann_kendall", "dq_runs_test", "ev_dow_seasonality",
+      //  - dq_ljung_box: the same zero-fill grid scaffold, plus the
+      //    7-ROW constant lag frame crossed onto the |types|·|days| grid
+      //    (both bounded); the lagged-pair join itself is keyed on
+      //    (event_type, day)
+      "dq_ljung_box",
+      //  - dq_levene: the ONE-ROW (k, N, grand-z) aggregate cross-joins
+      //    onto the |types|-row group frame (the p13 scalar-subquery
+      //    shape); the corpus-sized joins are keyed on event_type
+      "dq_levene",
       //  - dq_fdr_bh: the ONE-ROW (d0, nd) date-span aggregate
       //    cross-joins the event scan to assign terciles (the p13
       //    scalar-subquery shape); the BH ladder runs on the
@@ -371,8 +380,11 @@ class RegistrySpec extends SparkSpec {
     //    (its scaladoc owns the production swap to mergeable quantile
     //    sketches, a19's shape, without changing the flag rule); the
     //    grouped frames are event-type-bounded, not per-fact-key
+    //  - dq_levene: Brown–Forsythe is DEFINED on group medians (same
+    //    adjudication as ev_mad_outliers — |types|-bounded groups, scaladoc
+    //    owns the sketch swap at 100 TB)
     val exactOk = Set("a10_percentiles", "a17_median", "a19_approx_percentile",
-      "ev_mad_outliers")
+      "ev_mad_outliers", "dq_levene")
     val exactAgg = "(?<![_a-z])(percentile|median)\\(".r
     val violations = Registry.all.filter(q => q.sql.isDefined && !exactOk(q.name))
       .flatMap { q =>

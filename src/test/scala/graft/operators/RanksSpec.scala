@@ -102,4 +102,20 @@ class RanksSpec extends SparkSpec {
     val judged = graft.Registry.byName("dq_mannwhitney").fn(spark, sf)
     assert(rowSet(prod) === rowSet(judged))
   }
+
+  test("per-key two-phase row_number equals the per-key window row_number " +
+      "(the tx_length_gini rank attach)") {
+    // dominant key spanning many range partitions + a key smaller than
+    // one partition + heavy ties in the order column
+    val df = spark.range(0, 500)
+      .select(when(col("id") < 420, lit("en")).otherwise(
+        when(col("id") < 470, lit("de")).otherwise(lit("fr"))).as("lang"),
+        (col("id") % 13).as("len"), col("id"))
+    val win = df.withColumn("rn", row_number().over(
+      Window.partitionBy("lang").orderBy(col("len"), col("id"))).cast("long"))
+    val got = Ranks.rowNumberPerKey(df, Seq("lang"),
+      Seq(col("len"), col("id")), "rn", parts = 8)
+    assert(rowSet(got.select("lang", "id", "rn")) ===
+      rowSet(win.select("lang", "id", "rn")))
+  }
 }

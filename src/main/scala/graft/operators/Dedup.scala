@@ -1162,35 +1162,57 @@ object Dedup {
     * only WITHIN one document is not boilerplate (that is
     * [[graft.functions.TextFunctions]] intra-doc territory).
     *
-    * Scale shape: gram derivation is row-local (slice over the token
-    * array — no per-gram string explosion until the single gram-keyed
-    * exchange); the duplicated-gram set is found with one map-side-combined
-    * distinct-count per gram; flagged occurrences join back on the SAME
-    * gram key (exchange reuse); covered positions aggregate per doc (one
-    * doc-keyed exchange) and the final cut is a row-local hash-based set
-    * difference over the position range (linear in tokens + covered, not
-    * tokens × covered). No all-pairs step anywhere:
-    * cost is bounded by occurrences of duplicated grams, not corpus². */
-  def boilerplateSpans(docs: DataFrame, idCol: Column, textCol: Column,
-      k: Int, minDocs: Int): DataFrame = {
-    require(k >= 1 && minDocs >= 2, "need k >= 1 and minDocs >= 2")
-    val toks = docs.select(idCol.as("doc_id"), split(textCol, " ").as("__toks"))
-    val grams = toks.select(col("doc_id"),
-        explode(when(size(col("__toks")) >= k,
-          expr(s"transform(sequence(0, size(__toks) - $k), " +
-            s"i -> struct(i AS start, concat_ws(' ', slice(__toks, i + 1, $k)) AS gram))"))
-          .otherwise(array())).as("__g"))
-      .select(col("doc_id"), col("__g.start").as("start"), col("__g.gram").as("gram"))
-    val flagged = grams.groupBy("gram")
+    * Scale shape (round 15 — fingerprinted): gram derivation is ONE
+    * native-expression pass per row ([[graft.expressions.GramHashes]];
+    * the old transform/slice/concat_ws lambda chain was interpreted and
+    * allocated a gram string per position), grams travel as 8-byte
+    * positional fingerprints (the ~6·k-byte gram string never exists;
+    * see GramHashes' fingerprint-equality contract for the 2⁻⁶⁴
+    * collision trade), the checkpointed gram frame feeds BOTH the
+    * map-side-combined distinct-count and the join-back on the same
+    * key; covered positions aggregate per doc (one doc-keyed exchange)
+    * and the final cut is a row-local hash-based set difference over
+    * the position range (linear in tokens + covered, not tokens ×
+    * covered). No all-pairs step anywhere: cost is bounded by
+    * occurrences of duplicated grams, not corpus². */
+  /** Shared flag-and-cover stage of the boilerplate/dup-span family:
+    * (doc_id, sorted positions covered by any k-gram occurring in >=
+    * minDocs distinct docs). Grams travel as 64-bit positional
+    * FINGERPRINTS from ONE native-expression pass
+    * ([[graft.expressions.GramHashes]] — see its fingerprint-equality
+    * contract: a 2⁻⁶⁴ collision flags one innocent gram, the
+    * lshCandidatePairs digest-key precedent), LazyCheckpoint-ed so the
+    * flag aggregate and the join-back leg share one materialization —
+    * the PlanMetrics profile showed the old string-gram lambda chain
+    * running TWICE (interpreted, one gram string per position) and
+    * shuffling ~6·k-byte string keys where this shuffles 8-byte longs. */
+  private def gramCoveredPositions(docs: DataFrame, idCol: Column,
+      textCol: Column, k: Int, minDocs: Int, outCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val grams = graft.plans.LazyCheckpoint.of(
+      docs.select(idCol.as("doc_id"),
+          explode(GraftBridge.column(graft.expressions.GramHashes(
+            GraftBridge.expression(textCol), k))).as("__g"))
+        .select(col("doc_id"), col("__g.start").as("start"),
+          col("__g.gh").as("gh")))
+    val flagged = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select("gram")
-    val covered = grams.join(flagged, "gram")
+      .select("gh")
+    grams.join(flagged, "gh")
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
       .distinct()
       .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("pos"))).as("__covered"))
+      .agg(sort_array(collect_set(col("pos"))).as(outCol))
+  }
+
+  def boilerplateSpans(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int, minDocs: Int): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "need k >= 1 and minDocs >= 2")
+    val toks = docs.select(idCol.as("doc_id"), split(textCol, " ").as("__toks"))
+    val covered =
+      gramCoveredPositions(docs, idCol, textCol, k, minDocs, "__covered")
     // the cut is hash-based set difference over the position range, NOT a
     // per-token array_contains probe: array_except builds one hash set of
     // the covered positions, so a long heavily-boilerplated doc pays
@@ -1234,22 +1256,7 @@ object Dedup {
     require(k >= 1 && minDocs >= 2 && minLen >= k,
       "need k >= 1, minDocs >= 2, minLen >= k")
     val toks = docs.select(idCol.as("doc_id"), split(textCol, " ").as("__toks"))
-    val grams = toks.select(col("doc_id"),
-        explode(when(size(col("__toks")) >= k,
-          expr(s"transform(sequence(0, size(__toks) - $k), " +
-            s"i -> struct(i AS start, concat_ws(' ', slice(__toks, i + 1, $k)) AS gram))"))
-          .otherwise(array())).as("__g"))
-      .select(col("doc_id"), col("__g.start").as("start"), col("__g.gram").as("gram"))
-    val flagged = grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select("gram")
-    val covered = grams.join(flagged, "gram")
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("pos"))).as("__c"))
+    val covered = gramCoveredPositions(docs, idCol, textCol, k, minDocs, "__c")
     // islands: indexes where the sorted covered array breaks contiguity
     // (run starts) zipped against run ends — both filters yield one
     // entry per island in the same order, so zip_with pairs them 1:1

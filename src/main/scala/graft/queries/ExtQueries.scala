@@ -3949,6 +3949,168 @@ object ExtQueries {
         |    * CAST(ts9 AS DOUBLE) / 1e9, 6) AS q_lb
         |FROM fin""".stripMargin)),
 
+    // Friedman test (Friedman 1937, Conover's tie-robust form) over the
+    // (day × type) grid: each DAY is a block, the k event types are
+    // ranked within it, and the test asks whether any type's daily-count
+    // level systematically differs — the nonparametric repeated-measures
+    // companion to dq_kruskal_wallis (that one pools all rows; this one
+    // controls for the day, so a global traffic swing can't fake a
+    // between-type difference). Determinism: within-day midranks as
+    // INTEGER 2·midranks (the dq_mannwhitney trick — no .5 rational),
+    // and the ×4-scaled identity Q = (k−1)·Σ_j(R2_j − n(k+1))² /
+    // (Σ r2² − nk(k+1)²) makes numerator AND denominator exact longs —
+    // ONE final division, no intermediate doubles at all. Degenerate
+    // (every day fully tied) → NULL via nullif. Scale shape: one
+    // map-combined corpus collapse, per-day rank windows on the bounded
+    // grid (blocks are k-row groups), |types|-row algebra.
+    Q("dq_friedman",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val counts = graft.plans.LazyCheckpoint.of(
+          ev.groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+        val span = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val types = counts.select("event_type").distinct()
+        val grid = types.crossJoin(broadcast(days))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val wR = Window.partitionBy("day").orderBy("c")
+        val wT = Window.partitionBy("day", "c")
+        val ranked = grid
+          .withColumn("r2", lit(2L) * rank().over(wR).cast("long") +
+            count(lit(1)).over(wT) - lit(1L))
+        val perType = ranked.groupBy("event_type")
+          .agg(sum(col("r2")).as("rr2"), count(lit(1)).as("n"))
+        val cells = ranked.agg(sum(col("r2") * col("r2")).as("a2"),
+          count(lit(1)).as("nk"))
+        val tots = perType.agg(count(lit(1)).as("k"), max(col("n")).as("nd"))
+        val kk = col("k")
+        val nn = col("nd")
+        val num = perType.crossJoin(broadcast(tots))
+          .select(((col("rr2") - nn * (kk + lit(1L))) *
+            (col("rr2") - nn * (kk + lit(1L)))).as("d4"),
+            kk.as("k"), nn.as("nd"))
+          .groupBy("k", "nd").agg(sum(col("d4")).as("n4"))
+        num.crossJoin(broadcast(cells))
+          .select(col("k").cast("long").as("n_types"),
+            col("nd").as("n_days"),
+            round((col("k") - lit(1L)).cast("double") *
+              col("n4").cast("double") /
+              nullif((col("a2") - col("nd") * col("k") *
+                (col("k") + lit(1L)) * (col("k") + lit(1L))).cast("double"),
+                lit(0.0)), 6).as("q_friedman"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+        |ranked AS (SELECT event_type, day, c,
+        |    2 * CAST(rank() OVER (PARTITION BY day ORDER BY c) AS BIGINT)
+        |      + CAST(COUNT(*) OVER (PARTITION BY day, c) AS BIGINT) - 1 AS r2
+        |  FROM grid),
+        |pt AS (SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rr2,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ranked GROUP BY 1),
+        |cells AS (SELECT CAST(SUM(r2 * r2) AS BIGINT) AS a2 FROM ranked),
+        |tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(MAX(n) AS BIGINT) AS nd FROM pt),
+        |num AS (SELECT k, nd, CAST(SUM((rr2 - nd * (k + 1))
+        |      * (rr2 - nd * (k + 1))) AS BIGINT) AS n4
+        |  FROM pt CROSS JOIN tots GROUP BY 1, 2)
+        |SELECT k AS n_types, nd AS n_days,
+        |  round(CAST(k - 1 AS DOUBLE) * CAST(n4 AS DOUBLE)
+        |    / nullif(CAST(a2 - nd * k * (k + 1) * (k + 1) AS DOUBLE), 0.0), 6)
+        |    AS q_friedman
+        |FROM num CROSS JOIN cells""".stripMargin)),
+
+    // Kendall τ-b between two metric SERIES on the same grid (view vs
+    // click daily counts) — dq_spearman reads row-level rank
+    // correlation; this reads whether two metrics MOVE TOGETHER
+    // day-over-day, with the tie handling zero-heavy daily counts need
+    // (τ-b discounts tied pairs in either series; plain τ-a would
+    // understate association badly on sparse days). Every sufficient
+    // statistic is an exact long over the |days|²-bounded day-pair
+    // frame (the dq_mann_kendall shape — the corpus collapses FIRST):
+    // concordant/discordant pair counts, per-value tie terms n1/n2;
+    // the closing chain is one sqrt of an exact long product.
+    Q("dq_kendall_tau",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val counts = graft.plans.LazyCheckpoint.of(
+          ev.groupBy("event_type", "day").agg(count(lit(1)).as("c")))
+        val span = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val xy = days
+          .join(counts.filter(col("event_type") === "view")
+            .select(col("day"), col("c").as("x")), Seq("day"), "left")
+          .join(counts.filter(col("event_type") === "click")
+            .select(col("day"), col("c").as("y")), Seq("day"), "left")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+            coalesce(col("y"), lit(0L)).as("y"))
+        // explicit broadcast: the non-equi (day <) pair join must plan as
+        // a BNLJ over the |days|-bounded broadcast grid, not a cartesian
+        // (the grid is day-bounded — broadcasting it is right at any SF)
+        val pairs = xy.as("a").join(broadcast(xy.as("b")),
+            col("a.day") < col("b.day"))
+          .select(
+            (col("b.x") - col("a.x")).as("dx"),
+            (col("b.y") - col("a.y")).as("dy"))
+        val cd = pairs.agg(
+          sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("conc"),
+          sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("disc"),
+          count(lit(1)).as("n0"))
+        val t1 = xy.groupBy("x").agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * (col("t") - 1) / 2).as("n1"))
+        val t2 = xy.groupBy("y").agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * (col("t") - 1) / 2).as("n2"))
+        cd.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+          .select(col("n0"), col("conc"), col("disc"),
+            round((col("conc") - col("disc")).cast("double") /
+              nullif(sqrt(((col("n0") - col("n1")) *
+                (col("n0") - col("n2"))).cast("double")), lit(0.0)), 6)
+              .as("tau_b"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |counts AS (SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |xy AS (SELECT d.day,
+        |    COALESCE(v.c, 0) AS x, COALESCE(k.c, 0) AS y
+        |  FROM days d
+        |  LEFT JOIN counts v ON v.day = d.day AND v.event_type = 'view'
+        |  LEFT JOIN counts k ON k.day = d.day AND k.event_type = 'click'),
+        |pairs AS (SELECT b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM xy a JOIN xy b ON a.day < b.day),
+        |cd AS (SELECT
+        |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conc,
+        |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS disc,
+        |    CAST(COUNT(*) AS BIGINT) AS n0
+        |  FROM pairs),
+        |t1 AS (SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+        |  FROM (SELECT x, COUNT(*) AS t FROM xy GROUP BY 1)),
+        |t2 AS (SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+        |  FROM (SELECT y, COUNT(*) AS t FROM xy GROUP BY 1))
+        |SELECT n0, conc, disc,
+        |  round(CAST(conc - disc AS DOUBLE)
+        |    / nullif(sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 0.0), 6)
+        |    AS tau_b
+        |FROM cd CROSS JOIN t1 CROSS JOIN t2""".stripMargin)),
+
     // Wald–Wolfowitz runs test per event type on the above-mean /
     // at-or-below-mean daily-count sequence — the randomness audit the
     // trend tests can't give: a series can be trend-free yet serially

@@ -2727,6 +2727,50 @@ object PipelineQueries {
         |          / 4.0), 6) END AS jb
         |FROM mom""".stripMargin)),
 
+    // Theil index of per-user activity concentration (Theil 1967) — the
+    // inequality audit behind user-level sampling and cap decisions: a
+    // corpus where 1% of users generate most events (T large) needs
+    // per-user caps before user-correlated behaviors dominate training
+    // signals; T = (1/n)·Σ (x_i/μ)·ln(x_i/μ) is the decomposable
+    // entropy-family measure of that concentration (0 = uniform,
+    // ln n = maximal). Determinism: x_i and (n, N) are exact longs,
+    // x_i/μ = x_i·n/N is one mirrored double ratio per user, the
+    // r·ln(r) term pre-rounds to a scaled-1e6 long (the ln discipline)
+    // and sums exactly — no cross-row double order. Scale shape: one
+    // user-keyed map-combined count, a broadcast one-row total, one
+    // map-combined term sum.
+    Q("dq_theil_index",
+      (s, d) => {
+        val perUser = t(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("x"))
+        val tot = perUser.agg(count(lit(1)).as("n"), sum(col("x")).as("nn"))
+        val r = col("x").cast("double") * col("n").cast("double") /
+          col("nn").cast("double")
+        val t6 = round(r * log(r) * 1000000, 0).cast("long")
+        perUser.crossJoin(broadcast(tot))
+          .select(col("n"), col("nn"), t6.as("t6"))
+          .groupBy("n", "nn").agg(sum(col("t6")).as("s6"))
+          .select(col("n").cast("long").as("n_users"),
+            col("nn").as("n_events"),
+            round(col("s6").cast("double") / 1000000.0 /
+              col("n").cast("double"), 6).as("theil"))
+      },
+      Some("""WITH pu AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS nn FROM pu),
+        |terms AS (SELECT n, nn,
+        |    CAST(round(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / CAST(nn AS DOUBLE)
+        |      * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / CAST(nn AS DOUBLE)) * 1000000, 0) AS BIGINT) AS t6
+        |  FROM pu CROSS JOIN tot)
+        |SELECT n AS n_users, nn AS n_events,
+        |  round(CAST(SUM(t6) AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        |    AS theil
+        |FROM terms GROUP BY n, nn""".stripMargin)),
+
     // Kruskal–Wallis H across the same event-type groups — dq_anova's
     // nonparametric sibling (rank-based, so heavy-tailed value
     // distributions can't fake or hide a level difference), with the
@@ -9503,6 +9547,63 @@ object PipelineQueries {
         |    / nullif(CAST(n_docs AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
         |    AS gini
         |FROM g""".stripMargin)),
+
+    // Corpus conditional bigram entropy H(W₂|W₁) = Σ p(w₁,w₂)·ln
+    // c(w₁·)/c(w₁,w₂) — the per-token predictability number that sits
+    // between tx_entropy's unigram H (context-free) and the
+    // tx_heldout_ppl model scores (model-dependent): low H(W₂|W₁) with
+    // normal unigram H means templated/repetitive text (each word
+    // determines the next), and the gap H(W₂) − H(W₂|W₁) is the mutual
+    // information a bigram LM can exploit. Within-doc adjacent pairs
+    // only (no cross-doc splicing). Determinism: the ev_entropy_rate
+    // pattern — exact bigram/left-marginal counts, ln of the exact
+    // count ratio pre-rounded to a scaled-1e6 long per DISTINCT bigram
+    // (vocabulary²-bounded), weighted by the exact count, summed
+    // exactly, one final division. Scale shape: one doc-keyed window
+    // for adjacency (the sessionize exchange), one bigram-keyed
+    // map-combined count; everything after rides the vocab²-bounded
+    // frame.
+    Q("tx_bigram_cond_entropy",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+        val pairs = toks
+          .withColumn("w2", lead(col("w1"), 1).over(w))
+          .filter(col("w2").isNotNull)
+        val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val uni = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+        val terms = big.join(uni, "w1")
+          .select(col("c12"),
+            round(log(col("c1").cast("double") / col("c12").cast("double"))
+              * 1000000, 0).cast("long").as("ln6"))
+        terms.agg(sum(col("c12")).as("n_bigrams"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c12") * col("ln6")).as("s6"))
+          .select(col("n_bigrams"), col("n_distinct"),
+            round(col("s6").cast("double") / 1000000.0 /
+              col("n_bigrams").cast("double"), 6).as("cond_entropy"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS parts FROM documents),
+        |pairs AS (
+        |  SELECT parts[i] AS w1, parts[i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(parts) - 1)) AS g(i)),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        |  FROM big GROUP BY 1),
+        |terms AS (SELECT c12,
+        |    CAST(round(ln(CAST(c1 AS DOUBLE) / CAST(c12 AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT) AS ln6
+        |  FROM big JOIN uni USING (w1))
+        |SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  round(CAST(SUM(c12 * ln6) AS DOUBLE) / 1000000.0
+        |    / CAST(SUM(c12) AS DOUBLE), 6) AS cond_entropy
+        |FROM terms""".stripMargin)),
 
     // token-keyed aggregate over the corpus; the ranking window and decile
     // rollup run on the VOCABULARY-sized frame (the tx_zipf discipline),

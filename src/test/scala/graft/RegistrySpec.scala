@@ -308,6 +308,19 @@ class RegistrySpec extends SparkSpec {
       //    (both bounded); the lagged-pair join itself is keyed on
       //    (event_type, day)
       "dq_ljung_box",
+      //  - dq_friedman: the grid scaffold plus ONE-ROW (k, n) / (a2)
+      //    aggregates cross-joined onto the |types|-row rank-sum frame
+      //    (the p13 scalar-subquery shape)
+      "dq_friedman",
+      //  - dq_kendall_tau: the day-pair self-join (a.day < b.day) rides
+      //    the |days|-bounded two-series grid — the dq_mann_kendall
+      //    pair-frame adjudication with a single series key — plus
+      //    one-row tie/total scalars cross-joined for the closing chain
+      "dq_kendall_tau",
+      //  - dq_theil_index: the ONE-ROW (n, N) total cross-joins onto the
+      //    per-user count frame (the p13 scalar-subquery shape); the
+      //    corpus collapses through one user-keyed map-combined count
+      "dq_theil_index",
       //  - dq_levene: the ONE-ROW (k, N, grand-z) aggregate cross-joins
       //    onto the |types|-row group frame (the p13 scalar-subquery
       //    shape); the corpus-sized joins are keyed on event_type

@@ -1,10 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch perf-experiment main (not part of the judged surface).
-  * Round 14: time dd_prefix_pairs (fused bucket-refine) and dd_lsh_pairs
-  * at SPARK_GRAFT_SF_DIR. */
+  * Round 15: time the build micros (quality train / NN-Descent /
+  * graph-index maintain) in the Bench protocol's session shape —
+  * the round's optimization targets. */
 object Scratch {
   def time[A](label: String, runs: Int = 3)(f: => A): Unit = {
     (1 to runs).foreach { i =>
@@ -15,7 +17,8 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft-sf1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val which = if (args.nonEmpty) args.toSet else Set("train", "nnd")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,11 +30,62 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    for (name <- Seq("dd_prefix_pairs", "dd_lsh_pairs")) {
-      val q = Registry.byName(name)
-      noop(q.fn(spark, sfDir))
-      time(name) { noop(q.fn(spark, sfDir)) }
+    if (which("train"))
+      time("tx_quality_train") {
+        noop(graft.operators.QualityClassifier.train(
+          graft.sources.Tables(spark, sfDir, "documents"),
+          graft.operators.QualityClassifier.marginFeatures(col("text")),
+          graft.functions.TextFunctions.gateRules(col("text"))
+            .map(_._2).reduce(_ && _), iters = 40, lr = 4.0))
+      }
+    if (which("nnd"))
+      time("sim_nndescent_train") {
+        noop(graft.operators.NnDescent.knnGraph(
+          graft.sources.Tables(spark, sfDir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 16, iters = 3, revCap = 16))
+      }
+    if (which("nndjobs")) {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet()
+            stages.addAndGet(j.stageInfos.size)
+            tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+            ()
+          }
+        })
+      noop(graft.operators.NnDescent.knnGraph(
+        graft.sources.Tables(spark, sfDir, "embeddings"),
+        col("vec_id"), col("embedding"), k = 16, iters = 3, revCap = 16))
+      jobs.set(0); stages.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
+      noop(graft.operators.NnDescent.knnGraph(
+        graft.sources.Tables(spark, sfDir, "embeddings"),
+        col("vec_id"), col("embedding"), k = 16, iters = 3, revCap = 16))
+      println(f"[scratch] nndjobs warm: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        s" jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
+    if (which("nnditer"))
+      for (it <- 0 to 3)
+        time(s"nnd_iters_$it", runs = 2) {
+          noop(graft.operators.NnDescent.knnGraph(
+            graft.sources.Tables(spark, sfDir, "embeddings"),
+            col("vec_id"), col("embedding"), k = 16, iters = it, revCap = 16))
+        }
+    if (which("nndfull"))
+      time("sim_nndescent_train_full") {
+        val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+        var knn = graft.operators.NnDescent.knnGraph(
+          emb, col("vec_id"), col("embedding"), k = 16, iters = 0, revCap = 16)
+        for (_ <- 1 to 3)
+          knn = graft.operators.NnDescent.refineRound(
+            knn, emb, col("vec_id"), col("embedding"), k = 16, revCap = 16)
+        noop(knn)
+      }
     spark.stop()
   }
 }

@@ -95,12 +95,29 @@ object NnDescent {
       .select(col("dst").as("src"), col("src").as("dst"), col("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= revCap).drop("rn")
-    val gen = knn.select("src", "dst")
-      .unionByName(rev.select("src", "dst")).distinct()
-    val pairs = gen.as("a")
-      .join(gen.as("b"),
-        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
-      .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+    // per-node general-neighbor ARRAYS instead of the round-13 gen
+    // self-join (round 15 — the [[Dedup.bucketPairs]] idiom): one
+    // map-combined groupBy collapses each node's ≤ k+revCap distinct
+    // neighbors, and the unordered pairs explode ROW-LOCALLY from the
+    // sorted array (ns[i] with every later element — ascending ids, so
+    // src < dst exactly like the old a.dst < b.dst join emission). Same
+    // pair set, two fewer exchanges per round than the self-join form —
+    // the profile showed a warm 3-round build spending its 4.4s on 26
+    // AQE stage-jobs, not on the million cosines. The explicit
+    // REPARTITION_BY_NUM pins generator width: each collapsed row emits
+    // O((k+revCap)²) pairs, so AQE's size-based coalescing of the
+    // (tiny-bytes) agg output would serialize the expansion — the
+    // bucketPairs rule.
+    val gens = knn.select("src", "dst")
+      .unionByName(rev.select("src", "dst"))
+      .repartition(knn.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
+      .groupBy("src").agg(sort_array(collect_set(col("dst"))).as("ns"))
+    val pairs = gens
+      .select(col("ns"), posexplode(col("ns")).as(Seq("i", "a")))
+      .select(col("a").as("src"),
+        explode(slice(col("ns"), col("i") + lit(2), size(col("ns"))))
+          .as("dst"))
       .distinct()
     val scored = score(pairs)
     val cand = scored.unionByName(
@@ -113,9 +130,19 @@ object NnDescent {
     // score joins fell back to sort-merge. The construction-time stage
     // execution that AQE implies here is the build's real work, not a
     // hidden side effect.
+    //
+    // The competition dedups by (src, dst) under ONE hash(src) exchange
+    // (round 15; was distinct() + a second exchange into the window):
+    // sim is a pure function of the (src, dst) embeddings, so rows equal
+    // on (src, dst) are equal on sim and dropDuplicates keeps the same
+    // row distinct() would; hash(src) clusters (src, dst) for the dedup
+    // aggregate AND satisfies the window's partitioning, so both run on
+    // the single explicit exchange.
     knn.unionByName(cand)
       .filter(col("src") =!= col("dst"))
-      .distinct()
+      .repartition(knn.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
+      .dropDuplicates("src", "dst")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
       .localCheckpoint(eager = false)

@@ -83,42 +83,76 @@ object QualityClassifier {
     * Determinism: per-doc gradient contributions `(p − y)·x_j` are
     * rounded to 1e-6 scaled longs and integer-summed (order-free); the
     * update `w_j − lr·(G_j/1e6)/n` is then a fixed chain of IEEE ops on
-    * exact integers. Each round's weights are lazily localCheckpoint-ed
-    * so `iters` rounds keep bounded lineage (the [[BpeTrainer]] shape).
-    */
+    * exact integers — evaluated on the DRIVER over the per-round
+    * collected gradient row, which is bounded by construction
+    * (nFeatures + 1 longs, the model-table collect class). The weights
+    * travel back into each round as LITERALS, so a round's plan is one
+    * Aggregate over the checkpointed projection — round 15 replaced the
+    * one-row-DataFrame weight carry (per-round crossJoin(broadcast(w)) +
+    * LazyCheckpoint lineage cut) after profiling showed the 40-round
+    * loop's cost was almost entirely that per-round Catalyst machinery
+    * (~6.2s of plan assembly at sf0.1; the gradient jobs themselves are
+    * milliseconds on the ~50-byte/doc projection). Bit-identical by
+    * construction: same per-doc expression, same integer sums, and the
+    * driver update mirrors the old Catalyst chain op for op
+    * (`w_j − lr·((g/1e6)/n)` — literal-vs-column only changes where the
+    * double lives, not the IEEE ops; QualityClassifierSpec pins the
+    * fitted weights). An empty corpus yields null sums → null weights,
+    * exactly the old null-propagation behavior. */
   def train(docs: DataFrame, features: Column, label: Column,
       iters: Int = 40, lr: Double = 4.0,
       nFeatures: Int = NumFeatures): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val f = nFeatures
     // LazyCheckpoint: construction must not run the feature scan (the
-    // fragment is a fan-out projection; every round's join below carries
-    // an explicit broadcast hint, so no AQE decision is lost)
+    // fragment is a fan-out projection with no joins, so no AQE decision
+    // is lost; the checkpointed RDD materializes once, at round 1)
     val data = graft.plans.LazyCheckpoint.of(Parallelism.fanOut(docs)
       .select(features.as("x"), label.cast("double").as("y")))
-    var w: DataFrame = data.sparkSession.range(1)
-      .select(array(Seq.fill(f)(lit(0.0)): _*).as("w"))
-    for (_ <- 0 until iters) {
-      val p = sigmoid(dot(col("w"), col("x")))
-      val contrib = data.crossJoin(broadcast(w))
+    val spark = data.sparkSession
+    var w: Array[java.lang.Double] = Array.fill(f)(Double.box(0.0))
+    def wCol: Column = array(w.map(v =>
+      if (v == null) lit(null).cast("double") else lit(v.doubleValue)): _*)
+    // rounds 2..iters run over a SIZE-ADAPTIVE coalesce of the
+    // checkpointed projection: round 1 (at full fan-out width — the
+    // feature scan itself must run wide) reports the exact row count, and
+    // ~32 MB of the ~8(f+1)+16-byte rows per task is plenty for the
+    // per-round gradient pass — without it every round schedules
+    // shuffle-width tasks over what is, after the collapse, a few KB per
+    // core (39 × 33 near-empty tasks measured ≈ half the training time at
+    // sf0.1). Coalesce is count-preserving and the sums are order-free
+    // integers, so the fitted weights are unchanged at any width.
+    var dataR = data
+    for (i <- 0 until iters) {
+      val p = sigmoid(dot(wCol, col("x")))
+      val grads = dataR
         .select(Seq(lit(1L).as("n")) ++ (0 until f).map { j =>
           round((p - col("y")) * element_at(col("x"), j + 1) * 1e6, 0)
             .cast("long").as(s"g$j")
         }: _*)
-      val grads = contrib.agg(sum(col("n")).as("n"),
-        (0 until f).map(j => sum(col(s"g$j")).as(s"g$j")): _*)
-      // per-round lineage cut (LazyCheckpoint: construction stays
-      // job-free; the broadcast hints make the fragment planner-neutral).
-      // Cadence A/B'd at sf0.1: cutting every 5th round instead NESTS the
-      // intermediate plans and costs MORE Catalyst time (plan_sec 6.2s →
-      // 7.9s) — 40 shallow plans beat 8 deep ones, so per-round stays.
-      w = graft.plans.LazyCheckpoint.of(w.crossJoin(broadcast(grads))
-        .select(array((0 until f).map { j =>
-          element_at(col("w"), j + 1) -
-            lit(lr) * (col(s"g$j").cast("double") / 1e6 / col("n").cast("double"))
-        }: _*).as("w")))
+        .agg(sum(col("n")).as("n"),
+          (0 until f).map(j => sum(col(s"g$j")).as(s"g$j")): _*)
+        .head() // bounded: f + 1 longs — the model-table collect class
+      w =
+        if (grads.isNullAt(0)) Array.fill(f)(null) // empty corpus: null w
+        else {
+          val n = grads.getLong(0).toDouble
+          if (i == 0) {
+            val rowBytes = 8L * (f + 1) + 16
+            val target = math.min(
+              math.max(1L, grads.getLong(0) * rowBytes / (32L << 20)),
+              data.rdd.getNumPartitions.toLong).toInt
+            if (target < data.rdd.getNumPartitions)
+              dataR = data.coalesce(target)
+          }
+          Array.tabulate(f) { j =>
+            if (w(j) == null) null
+            else Double.box(w(j).doubleValue -
+              lr * (grads.getLong(j + 1).toDouble / 1e6 / n))
+          }
+        }
     }
-    w
+    spark.range(1).select(wCol.as("w"))
   }
 
   /** Score + gate every row of `docs`: adds `quality_score` (the model

@@ -31,6 +31,55 @@ class NnDescentSpec extends SparkSpec {
       "every node must carry a neighbor list")
   }
 
+  test("array-collapsed candidate generation matches the self-join " +
+      "reference round for round (round-15 internals change)") {
+    // the pre-round-15 refineRound, verbatim: rev window, gen = distinct
+    // union, pairs = gen ⋈ gen on src with a.dst < b.dst, score, compete
+    // via distinct() + top-k window. The production round replaced the
+    // self-join with a per-src sorted-array explosion and the
+    // distinct+window pair of exchanges with one repartition —
+    // this reference pins that every trajectory step is IDENTICAL.
+    def referenceRound(knn: org.apache.spark.sql.DataFrame, k: Int,
+        revCap: Int): org.apache.spark.sql.DataFrame = {
+      val e = vecs.select(col("vec_id"), col("embedding").as("v"))
+      def score(pairs: org.apache.spark.sql.DataFrame) = pairs
+        .join(e.select(col("vec_id").as("src"), col("v").as("va")), "src")
+        .join(e.select(col("vec_id").as("dst"), col("v").as("vb")), "dst")
+        .select(col("src"), col("dst"),
+          graft.functions.VectorFunctions
+            .cosineRounded(col("va"), col("vb")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("sim").desc, col("dst"))
+      val rev = knn
+        .select(col("dst").as("src"), col("src").as("dst"), col("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= revCap).drop("rn")
+      val gen = knn.select("src", "dst")
+        .unionByName(rev.select("src", "dst")).distinct()
+      val pairs = gen.as("a")
+        .join(gen.as("b"),
+          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+        .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+        .distinct()
+      val scored = score(pairs)
+      val cand = scored.unionByName(
+        scored.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+      knn.unionByName(cand)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+    }
+    var ref = NnDescent.knnGraph(vecs, col("vec_id"), col("embedding"),
+      k = 4, iters = 0, revCap = 4) // shared init (iters=0 = seed scoring)
+    for (it <- 1 to 3) {
+      ref = referenceRound(ref, k = 4, revCap = 4).localCheckpoint()
+      val got = rowSet(NnDescent.knnGraph(vecs, col("vec_id"),
+        col("embedding"), k = 4, iters = it, revCap = 4))
+      assert(got == rowSet(ref), s"trajectories diverged at iteration $it")
+    }
+  }
+
   test("descent: each iteration only improves per-node neighbor quality " +
       "and converges to the exact k-NN graph on the ring") {
     def meanSim(iters: Int): Double =

@@ -44,6 +44,74 @@ object Scratch {
           graft.sources.Tables(spark, sfDir, "embeddings"),
           col("vec_id"), col("embedding"), k = 16, iters = 3, revCap = 16))
       }
+    if (which("prefix"))
+      for (name <- Seq("dd_prefix_pairs", "dd_lsh_pairs")) {
+        val q = Registry.byName(name)
+        noop(q.fn(spark, sfDir))
+        time(name) { noop(q.fn(spark, sfDir)) }
+      }
+    if (which("prefixsum")) {
+      val t0 = System.nanoTime()
+      val r = Registry.byName("dd_prefix_pairs").fn(spark, sfDir)
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(xxhash64(col("doc_a"), col("doc_b"),
+            round(col("jaccard") * 1e6).cast("long")), lit(1000000007L)))
+            .as("h"))
+        .head()
+      println(f"[scratch] prefixsum: n=${r.getLong(0)} h=${r.getLong(1)}" +
+        f" (${(System.nanoTime() - t0) / 1e9}%.3f s)")
+    }
+    if (which("maint")) {
+      // decompose graph_index_maintain: build (untimed) then per-phase
+      val base = java.nio.file.Files.createTempDirectory("scr-gi").toString
+      graft.operators.GraphIndex.build(
+        graft.sources.Tables(spark, sfDir, "embeddings"), base,
+        k = 16, iters = 3, revCap = 16)
+      val jc = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jc.incrementAndGet(); ()
+          }
+        })
+      def phase[A](l: String)(f: => A): A = {
+        val j0 = jc.get()
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scratch] maint.$l: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+          s" jobs=${jc.get() - j0}")
+        r
+      }
+      for (i <- 1 to 2) {
+        val dir = java.nio.file.Files.createTempDirectory(s"scr-gi$i").toString
+        phase("copy") {
+          val s = java.nio.file.Paths.get(base)
+          val d = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.walk(s).forEach { p =>
+            val t = d.resolve(s.relativize(p))
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(t)
+            else { java.nio.file.Files.copy(p, t); () }
+          }
+        }
+        val batch = graft.sources.Tables(spark, sfDir, "embeddings")
+          .filter(col("vec_id") < 256)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        phase("append") {
+          graft.operators.GraphIndex.append(spark, dir, batch)
+        }
+        phase("compact_relink") {
+          graft.operators.GraphIndex.compact(spark, dir, relink = true)
+        }
+        phase("serve") {
+          noop(graft.operators.GraphIndex.searchTopK(spark, dir,
+            graft.sources.Tables(spark, sfDir, "embeddings")
+              .filter(col("vec_id") < 64),
+            k = 10, hops = 2, seedK = 8))
+        }
+      }
+    }
     if (which("nndjobs")) {
       val jobs = new java.util.concurrent.atomic.AtomicInteger
       val stages = new java.util.concurrent.atomic.AtomicInteger

@@ -539,37 +539,58 @@ object Dedup {
         .agg(sort_array(collect_list(
           struct(col("doc_id"), col("n"), col("rn"), col("shh"))))
           .as("items")))
-    // flat (shingle, ci, cj) unit enumeration — no arrays carried
-    // 1-item buckets keep their single diagonal unit and emit nothing
-    // (the tail slice past a 1-element chunk is empty)
-    val units = chunks.groupBy("shingle")
-      .agg(max(col("ci")).as("mx"))
-      .select(col("shingle"), col("mx"),
-        explode(sequence(lit(0), col("mx"))).as("ci"))
-      .select(col("shingle"), col("ci"),
-        explode(sequence(col("ci"), col("mx"))).as("cj"))
     // one [[graft.expressions.ChunkPairJaccard]] evaluation per unit: the
     // band, positional, and hash-walk screen run pair-by-pair inside the
     // expression's loop — a GENERATOR-based expansion would copy the
     // partner chunk's array into every emitted row (measured
     // allocation-rate OOM at sf1); here only screen survivors
-    // (output-sized) materialize
-    val survivors = units
-      .join(chunks.select(col("shingle"), col("ci"), col("items").as("ba")),
-        Seq("shingle", "ci"))
-      .join(chunks.select(col("shingle"), col("ci").as("cj"),
-        col("items").as("bb")), Seq("shingle", "cj"))
-      // explicit unit redistribution (REPARTITION_BY_NUM — the
-      // bucketPairs rule): unit emission is O(chunk²), map-output size
-      // is not a proxy for its work
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("shingle"), col("ci"), col("cj"))
-      .select(explode(org.apache.spark.sql.GraftBridge.column(
+    // (output-sized) materialize.
+    //
+    // Round 15 split the unit set by DIAGONALITY after reading the
+    // executed-plan metrics: at sf0.1 every bucket fits one chunk, so ALL
+    // units were diagonal — yet each paid the flat-unit attach machinery
+    // (two chunk-array joins + the unit repartition: 300 MB of exchange
+    // for 37 MB of chunk data, ~55% of the query). A diagonal unit IS its
+    // chunk row: evaluate the expression straight off the checkpointed
+    // chunk relation — zero joins, zero exchanges, width and distribution
+    // fixed by the checkpoint's own (shingle, ci) groupBy (32-partition
+    // static plan: LazyCheckpoint plans AQE-off, so nothing coalesces the
+    // O(chunk²)-emission rows). Off-diagonal units (multi-chunk buckets —
+    // the sf1 regime) keep the attach joins, with the explicit unit
+    // redistribution FUSED into the bb-leg join: repartition by
+    // (shingle, cj) is the exact partitioning that join requires, so the
+    // pinned exchange both distributes units and feeds the SMJ
+    // (REPARTITION_BY_NUM — the bucketPairs rule; one fewer array-bearing
+    // exchange than redistributing after the attach).
+    def screen(unitFrame: DataFrame, ba: Column, bb: Column,
+        diagonal: Boolean): DataFrame =
+      unitFrame.select(explode(org.apache.spark.sql.GraftBridge.column(
         graft.expressions.ChunkPairJaccard(
-          org.apache.spark.sql.GraftBridge.expression(col("ba")),
-          org.apache.spark.sql.GraftBridge.expression(col("bb")),
-          org.apache.spark.sql.GraftBridge.expression(col("ci") === col("cj")),
+          org.apache.spark.sql.GraftBridge.expression(ba),
+          org.apache.spark.sql.GraftBridge.expression(bb),
+          org.apache.spark.sql.GraftBridge.expression(lit(diagonal)),
           threshold))).as("r"))
+    val diag = screen(chunks, col("items"), col("items"), diagonal = true)
+    // flat (shingle, ci < cj) unit enumeration — no arrays carried; empty
+    // whenever every bucket fits one chunk (AQE's empty-relation
+    // propagation then prunes the attach joins outright)
+    val offUnits = chunks.groupBy("shingle")
+      .agg(max(col("ci")).as("mx"))
+      .filter(col("mx") > 0)
+      .select(col("shingle"), col("mx"),
+        explode(sequence(lit(0), col("mx") - 1)).as("ci"))
+      .select(col("shingle"), col("ci"),
+        explode(sequence(col("ci") + 1, col("mx"))).as("cj"))
+    val off = screen(
+      offUnits
+        .join(chunks.select(col("shingle"), col("ci"), col("items").as("ba")),
+          Seq("shingle", "ci"))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+          col("shingle"), col("cj"))
+        .join(chunks.select(col("shingle"), col("ci").as("cj"),
+          col("items").as("bb")), Seq("shingle", "cj")),
+      col("ba"), col("bb"), diagonal = false)
+    val survivors = diag.unionByName(off)
       .select(col("r.doc_a").as("doc_a"), col("r.doc_b").as("doc_b"))
       .distinct()
     // exact CONFIRM on the (output-sized) screen survivors: the string

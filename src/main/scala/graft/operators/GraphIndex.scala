@@ -193,17 +193,24 @@ object GraphIndex {
       // near-dup vectors arriving together still link to each other
       val pool = live.select("bucket", "vec_id", "embedding")
         .unionByName(fresh.select("bucket", "vec_id", "embedding"))
-      val mates = fresh.select(col("vec_id").as("src"), col("bucket"),
-          col("embedding").as("q_vec"))
+      // candidates travel as (src, cand) ID PAIRS; the query embedding is
+      // attached AFTER the hop expansion + dedup (round 15 — the
+      // shuffle-keys-not-payloads rule): carrying q_vec per candidate row
+      // pushed ~0.5 KB of vector through the expansion union and the
+      // dedup exchange per 16-byte decision row. Same candidate set, same
+      // scores — the vectors just move once, id-keyed, at the end.
+      val mates = fresh.select(col("vec_id").as("src"), col("bucket"))
         .join(pool.select(col("bucket"), col("vec_id").as("cand")), "bucket")
-        .select(col("src"), col("q_vec"), col("cand"))
+        .select(col("src"), col("cand"))
       val g = edgesAt(spark, path, m).select(col("src").as("cand"),
         col("dst").as("expand"))
-      val expanded = mates.select(col("src"), col("q_vec"), col("cand"))
+      val expanded = mates
         .unionByName(mates.join(g, "cand")
-          .select(col("src"), col("q_vec"), col("expand").as("cand")))
+          .select(col("src"), col("expand").as("cand")))
         .dropDuplicates("src", "cand")
       val newEdges = expanded
+        .join(fresh.select(col("vec_id").as("src"),
+          col("embedding").as("q_vec")), "src")
         .join(pool.select(col("vec_id").as("cand"),
           col("embedding").as("n_vec")), "cand")
         .filter(col("src") =!= col("cand"))

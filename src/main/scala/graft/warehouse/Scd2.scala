@@ -56,11 +56,19 @@ object Scd2 {
     require(keys.nonEmpty && attrs.nonEmpty, "scd2 needs keys and attrs")
     val open = current.filter(col("valid_to").isNull)
     val closed = current.filter(col("valid_to").isNotNull)
-    val tieW = Window.partitionBy((keys.map(col) :+ col(ts)): _*)
-      .orderBy(struct(attrs.map(col): _*).desc)
+    // tie collapse under the SAME key-only partitioning every later window
+    // uses (round 15; was its own (keys, ts)-partitioned window — a whole
+    // extra exchange of the batch): within one per-key sort by
+    // (ts, attrs desc), the first row of each equal-ts run IS the
+    // greatest-attribute row the old row_number kept, and the ordering is
+    // a superset of the (ts)-ordering the lag/lead windows below need, so
+    // one exchange + one sort serve the collapse and both windows.
+    val tieW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts), struct(attrs.map(col): _*).desc)
     val updates1 = updates
-      .withColumn("graft_tie", row_number().over(tieW))
-      .filter(col("graft_tie") === 1).drop("graft_tie")
+      .withColumn("graft_prev_ts", lag(col(ts), 1).over(tieW))
+      .filter(col("graft_prev_ts").isNull || col("graft_prev_ts") =!= col(ts))
+      .drop("graft_prev_ts")
 
     val openA = open.select(
       (keys.map(col) :+ col("valid_from").as("open_from")) ++

@@ -50,6 +50,15 @@ object Scratch {
         noop(q.fn(spark, sfDir))
         time(name) { noop(q.fn(spark, sfDir)) }
       }
+    if (which("t1")) {
+      val names = if (args.length > 1) args.drop(1).toSeq
+        else Seq("tx_tfidf", "dd_lsh_pairs")
+      for (name <- names) {
+        val q = Registry.byName(name)
+        noop(q.fn(spark, sfDir))
+        time(name) { noop(q.fn(spark, sfDir)) }
+      }
+    }
     if (which("prefixsum")) {
       val t0 = System.nanoTime()
       val r = Registry.byName("dd_prefix_pairs").fn(spark, sfDir)

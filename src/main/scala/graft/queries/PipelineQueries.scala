@@ -4877,10 +4877,16 @@ object PipelineQueries {
         // fan the (single-row-group) doc scan out so tokenization runs at
         // full width, then partition the exploded tokens by token ONCE:
         // HashPartitioning(token) satisfies both the (doc_id, token) group
-        // clustering and the token window — one 500k-row shuffle, not two
+        // clustering and the token window — one 500k-row shuffle, not two.
+        // Width pinned (REPARTITION_BY_NUM, round 15): the downstream
+        // agg + window are CPU-bound per row, and AQE's byte-based
+        // coalescing folded the few-MB token exchange to ONE partition —
+        // the whole tf aggregate and the df window ran single-task
+        // (~0.7 s of the query's 0.5–0.8 s at sf0.1, read off the
+        // executed-plan metrics: Window partitions=1, aggTime 413+331 ms)
         val toks = graft.operators.Parallelism.fanOut(docs.select("doc_id", "text"))
           .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
-          .repartition(col("token"))
+          .repartition(s.sparkContext.defaultParallelism, col("token"))
         val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         // document frequency as a count over a token-partitioned window on
         // the tf aggregate (already one row per doc-token): no second

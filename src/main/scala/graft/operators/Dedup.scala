@@ -64,7 +64,18 @@ object Dedup {
     require(chunk > 1, "chunk must exceed 1")
     val keyCols = keys.map(col)
     val nc = ceil(size(col("items")).cast("double") / chunk).cast("int")
-    rows.groupBy(keyCols: _*)
+    rows
+      // pinned-width bucket collapse (round 15): the collect_list +
+      // sort_array per bucket is CPU-per-row work, and AQE's byte-based
+      // coalescing folded the few-MB bucket exchange to ONE partition at
+      // bench scale (dd_winnow_pairs' executed plan: the whole bucket
+      // aggregate and chunk enumeration single-task). The explicit
+      // repartition IS the aggregate's exchange (same count, same keys) —
+      // partial collect_list doesn't shrink bytes, so shuffling raw rows
+      // costs the same wire either way.
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism,
+        keyCols: _*)
+      .groupBy(keyCols: _*)
       .agg(sort_array(collect_list(item)).as("items"))
       .filter(size(col("items")) > 1)
       .withColumn("nc", nc)

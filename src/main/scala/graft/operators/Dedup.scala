@@ -1231,10 +1231,15 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDocs)
       .select("gh")
+    // no distinct() before the collapse (round 15): collect_set dedups —
+    // including MAP-SIDE in its partial aggregate. Catalyst's
+    // RemoveRedundantAggregates was already eliding the old explicit
+    // distinct (before/after physical plans are identical, see
+    // plans/r15/tx_boilerplate_*), so this is source-level honesty, not a
+    // plan change — the collapse was always one exchange
     grams.join(flagged, "gh")
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
-      .distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as(outCol))
   }

@@ -146,6 +146,65 @@ object Scratch {
       println(f"[scratch] nndjobs warm: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
         s" jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
+    if (which("lshprof")) {
+      // decompose dd_lsh_pairs at bench scale: upstream signature scan
+      // (shared via minhashBands) vs the full candidate query, with
+      // job/stage/task counts per warm run
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet()
+            stages.addAndGet(j.stageInfos.size)
+            tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+            ()
+          }
+        })
+      def prof[A](l: String, runs: Int = 3)(f: => A): Unit = {
+        f // warm
+        (1 to runs).foreach { i =>
+          jobs.set(0); stages.set(0); tasks.set(0)
+          val t0 = System.nanoTime()
+          f
+          println(f"[scratch] lshprof.$l run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+            s" jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+        }
+      }
+      val docs = graft.sources.Tables(spark, sfDir, "documents")
+      prof("scan_only") { noop(docs.select(col("doc_id"), col("text"))) }
+      prof("fanout_only") {
+        noop(graft.operators.Parallelism.fanOut(
+          docs.select(col("doc_id"), col("text"))))
+      }
+      prof("sig_nofan") {
+        noop(docs.select(col("doc_id"),
+          org.apache.spark.sql.GraftBridge.column(
+            graft.expressions.MinHashSignature(
+              org.apache.spark.sql.GraftBridge.expression(col("text")),
+              2, 16)).as("sig")).filter(col("sig").isNotNull))
+      }
+      // construction+planning amortized: build the frame ONCE, noop it
+      // repeatedly (execution-only timing)
+      locally {
+        val bands = graft.operators.Dedup.minhashBands(
+          docs, col("doc_id"), col("text"), 16, 4)
+        prof("bands_prebuilt") { noop(bands) }
+        val full = graft.operators.Dedup.lshCandidatePairs(
+          docs, col("doc_id"), col("text"), 16, 4)
+        prof("full_prebuilt") { noop(full) }
+      }
+      prof("bands_only") {
+        noop(graft.operators.Dedup.minhashBands(
+          docs, col("doc_id"), col("text"), 16, 4))
+      }
+      prof("full") {
+        noop(graft.operators.Dedup.lshCandidatePairs(
+          docs, col("doc_id"), col("text"), 16, 4))
+      }
+    }
     if (which("nnditer"))
       for (it <- 0 to 3)
         time(s"nnd_iters_$it", runs = 2) {

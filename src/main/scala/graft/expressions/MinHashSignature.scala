@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -47,8 +45,8 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"minhash_signature expects a string column, got ${child.dataType}")
 
-  @transient private lazy val digests: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  @transient private lazy val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   private val numStreams: Int = (numHashes + 3) / 4
 
@@ -58,33 +56,55 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
       if (t == 0) Array.emptyByteArray else s"$t:".getBytes("UTF-8")).toArray
 
   override protected def nullSafeEval(input: Any): Any = {
-    // identical token semantics to functions.split(c, " "): split with
-    // limit -1 keeps trailing empty tokens
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    if (words.length < shingleK) return null
+    // Token semantics identical to `toString.split(" ", -1)` (split with
+    // limit -1 keeps trailing empty tokens), evaluated ZERO-COPY on the
+    // UTF-8 bytes (round 15 — profiled at sf0.1: the String + split +
+    // per-shingle StringBuilder/getBytes materialization was ~3× the md5
+    // work itself, ~90µs/doc single-task). The byte form is exact:
+    // 0x20 never occurs inside a multi-byte UTF-8 sequence, so byte-level
+    // splitting on ' ' equals char-level splitting, and a k-shingle
+    // joined with ' ' is BY CONSTRUCTION the original byte span from the
+    // start of word s to the end of word s+k−1 (each boundary was one
+    // space) — no shingle string is ever built, md5 streams straight
+    // over the document's byte array.
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    // word start offsets: starts(w) for w in [0, nWords); word w ends at
+    // starts(w+1)−1 (the space) or at n for the last word
+    var nWords = 1
+    var p = 0
+    while (p < n) { if (bytes(p) == ' '.toByte) nWords += 1; p += 1 }
+    if (nWords < shingleK) return null
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    p = 0
+    while (p < n) {
+      if (bytes(p) == ' '.toByte) { starts(w) = p + 1; w += 1 }
+      p += 1
+    }
+    starts(nWords) = n + 1 // sentinel: end(w) = starts(w+1) − 1
     // per-component 4-byte minima, packed as ints (unsigned compare)
     val mins = new Array[Int](numHashes)
     java.util.Arrays.fill(mins, -1) // 0xffffffff = unsigned max
-    var seen = false
     val md = digests.get()
-    val sb = new java.lang.StringBuilder
+    val h = new Array[Byte](16) // reused digest output buffer
     var s = 0
-    while (s <= words.length - shingleK) {
-      sb.setLength(0)
-      var j = 0
-      while (j < shingleK) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(s + j))
-        j += 1
-      }
-      seen = true
-      val shingleBytes = sb.toString.getBytes("UTF-8")
+    while (s <= nWords - shingleK) {
+      val off = starts(s)
+      val len = starts(s + shingleK) - 1 - off
       var t = 0
       while (t < numStreams) {
+        // MessageDigest, deliberately: a from-scratch one-block MD5 was
+        // prototyped and MEASURED SLOWER (0.60s vs 0.45s for the sf0.1
+        // single-task scan) — the JDK intrinsifies MD5's compression
+        // (JDK-8250902), so the state-machine overhead is cheaper than
+        // losing the intrinsic
         md.reset()
         if (streamPrefixes(t).length > 0) md.update(streamPrefixes(t))
-        md.update(shingleBytes)
-        val h = md.digest()
+        md.update(bytes, off, len)
+        try md.digest(h, 0, 16)
+        catch { case e: java.security.DigestException =>
+          throw new IllegalStateException(e) }
         var c = 0
         val lim = math.min(4, numHashes - t * 4)
         while (c < lim) {
@@ -98,7 +118,6 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
       }
       s += 1
     }
-    if (!seen) return null
     val hex = "0123456789abcdef"
     val arr = new Array[Any](numHashes)
     var j = 0

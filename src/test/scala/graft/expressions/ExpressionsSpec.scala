@@ -83,7 +83,13 @@ class ExpressionsSpec extends SparkSpec {
       (2L, "pack my box with five dozen liquor jugs and more words here"),
       (3L, "short"),            // < k words: no signature
       (4L, "trailing space "),  // empty trailing token must match split(-1)
-      (5L, "")
+      (5L, ""),
+      // byte-walk pins (round 15, zero-copy eval): consecutive spaces
+      // (empty middle tokens), a leading space, and multi-byte UTF-8
+      // words (0x20 must split at the same places the char walk did)
+      (6L, "double  space  tokens here"),
+      (7L, " leading space doc"),
+      (8L, "víde😀 ünïcode wörds détails")
     ).toDF("doc_id", "text")
 
     val viaExpr = docs.select(col("doc_id"),
@@ -101,7 +107,7 @@ class ExpressionsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
 
     assert(viaExpr == viaAgg)
-    assert(viaExpr.map(_._1) == Seq(1L, 2L, 4L))
+    assert(viaExpr.map(_._1) == Seq(1L, 2L, 4L, 6L, 7L, 8L))
   }
 
   test("VectorSum mean pairing: malformed vectors are excluded from sum AND divisor") {

@@ -134,7 +134,11 @@ class TextFunctionsSpec extends SparkSpec {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
         "documents").select(col("text")).limit(200)
       .unionAll(Seq(null.asInstanceOf[String], "", " ", "a", "a b",
-        "a b c", "a b c d e f g", "x x x x x x x x").toDF("text"))
+        "a b c", "a b c d e f g", "x x x x x x x x",
+        // byte-walk pins (round 15, zero-copy eval): consecutive spaces
+        // (empty tokens), leading/trailing space, multi-byte UTF-8 words
+        "double  space  here", " leading trailing ",
+        "víde😀 ünïcode wörds détails müst mätch").toDF("text"))
     for ((g, w) <- Seq((3, 4), (2, 3), (1, 2))) {
       val rows = docs.select(
           TextFunctions.winnowFingerprints(col("text"), g, w).as("e"),

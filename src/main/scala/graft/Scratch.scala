@@ -205,6 +205,35 @@ object Scratch {
           docs, col("doc_id"), col("text"), 16, 4))
       }
     }
+    if (which("aqesweep")) {
+      // sweep every benched query's EXECUTED plan for the round's
+      // recurring failure mode: AQE byte-coalescing folding a
+      // CPU-per-row stage to one partition (tx_tfidf, bucketPairs).
+      // Flags any node running on 1 partition while emitting > minRows.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val minRows = 20000L
+      def sweep(name: String, p: SparkPlan): Unit = {
+        val parts =
+          try p.outputPartitioning.numPartitions catch { case _: Throwable => -1 }
+        val rows = p.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        if (parts == 1 && rows > minRows &&
+            !p.nodeName.contains("Scan") && !p.nodeName.contains("Exchange"))
+          println(s"[scratch] aqesweep FLAG $name: ${p.nodeName} " +
+            s"partitions=1 rows=$rows")
+        p match {
+          case a: AdaptiveSparkPlanExec => sweep(name, a.executedPlan)
+          case s: QueryStageExec => sweep(name, s.plan)
+          case _ => p.children.foreach(sweep(name, _))
+        }
+      }
+      for (q <- Registry.all.filter(q => q.headline || q.headline2)) {
+        val df = q.fn(spark, sfDir)
+        df.queryExecution.toRdd.foreach(_ => ())
+        sweep(q.name, df.queryExecution.executedPlan)
+        println(s"[scratch] aqesweep done ${q.name}")
+      }
+    }
     if (which("nnditer"))
       for (it <- 0 to 3)
         time(s"nnd_iters_$it", runs = 2) {

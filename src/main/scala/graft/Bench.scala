@@ -453,6 +453,15 @@ object Bench {
     val m2 = measure(tier2, sfDir, nRuns = 3)
     val (results2, compiles2, failed2) = (m2.results, m2.compiles, m2.failed)
     val (resultsB, failedB) = measureOnce(tier2build, sfDir)
+    // SECOND build pass = steady-state (round-16 directive #4): the cold
+    // number folds in one-time costs a long-lived session never repays
+    // (first-use LazyCheckpoint materialization of the shared corpus
+    // frames, JIT) — sim_nndescent_train swung ±15% round-to-round on
+    // exactly that. Cold stays the headline build number (protocol
+    // unchanged); warm is reported alongside so regressions are judged on
+    // steady-state. Builds still rebuild from parquet end-to-end every
+    // pass (fresh scratch dirs; nothing result-shaped is reused).
+    val (resultsBWarm, failedBWarm) = measureOnce(tier2build, sfDir)
     val planSec = planSplit(tier1, sfDir)
     val planSec2 = planSplit(tier2, sfDir)
 
@@ -517,7 +526,8 @@ object Bench {
     val total = totalOf(results)
     val total2 = totalOf(results2)
     val totalB = totalOf(resultsB)
-    val failedQ = failed1 ++ failed2 ++ failedB
+    val totalBWarm = totalOf(resultsBWarm)
+    val failedQ = failed1 ++ failed2 ++ failedB ++ failedBWarm
     val failedField =
       if (failedQ.isEmpty) ""
       else failedQ.toSeq.sorted.map("\"" + _ + "\"")
@@ -534,11 +544,20 @@ object Bench {
     val passMin = m1.passSums.min
     val passNormMin =
       m1.passSums.zip(m1.passCalib).map { case (s0, c) => s0 / c }.min
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f,"calibration_interleaved_sec":$calN%.3f,"calibration2_interleaved_sec":$calN2%.3f$failedField,"queries":${jmap(results)},"queries_norm":${jmap(norm(results, calN))},"queries_norm2":${jmap(norm(results, calN2))},"headline_pass_sec":${jarr(m1.passSums)},"headline_pass_min_sec":$passMin%.3f,"headline_pass_norm_min":$passNormMin%.3f,"plan_sec":${jmap(planSec)},"codegen_compiles":${jcomp(tier1, compiles)},"tier2_total_sec":$total2%.3f,"tier2_queries":${jmap(results2)},"tier2_queries_norm":${jmap(norm(results2, calN))},"tier2_plan_sec":${jmap(planSec2)},"tier2_codegen_compiles":${jcomp(tier2, compiles2)},"tier2_build_total_sec":$totalB%.3f,"tier2_build_sec":${jmap(resultsB)}$slopeField,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f,"calibration_interleaved_sec":$calN%.3f,"calibration2_interleaved_sec":$calN2%.3f$failedField,"queries":${jmap(results)},"queries_norm":${jmap(norm(results, calN))},"queries_norm2":${jmap(norm(results, calN2))},"headline_pass_sec":${jarr(m1.passSums)},"headline_pass_min_sec":$passMin%.3f,"headline_pass_norm_min":$passNormMin%.3f,"plan_sec":${jmap(planSec)},"codegen_compiles":${jcomp(tier1, compiles)},"tier2_total_sec":$total2%.3f,"tier2_queries":${jmap(results2)},"tier2_queries_norm":${jmap(norm(results2, calN))},"tier2_plan_sec":${jmap(planSec2)},"tier2_codegen_compiles":${jcomp(tier2, compiles2)},"tier2_build_total_sec":$totalB%.3f,"tier2_build_sec":${jmap(resultsB)},"tier2_build_warm_total_sec":$totalBWarm%.3f,"tier2_build_warm_sec":${jmap(resultsBWarm)}$slopeField,"sf":"$sfDir"}""")
     // compact totals-only line AFTER the full line: the driver's bounded
     // tail capture truncated BENCH_r12's (large) JSON and lost the
     // headline — the most important numbers must survive any tail window
     println(f"""{"metric":"bench_summary","total_headline_sec":$total%.3f,"headline_pass_min_sec":$passMin%.3f,"headline_pass_norm_min":$passNormMin%.3f,"total_headline_norm":${total / calN}%.3f,"total_headline_norm2":${total / calN2}%.3f,"tier2_total_sec":$total2%.3f,"tier2_total_norm":${total2 / calN}%.3f,"tier2_build_total_sec":$totalB%.3f,"calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f,"calibration_interleaved_sec":$calN%.3f,"calibration2_interleaved_sec":$calN2%.3f,"failed":${failedQ.size},"sf":"$sfDir"}""")
+    // LAST: the compact per-query contract line (round-16 directive #2 —
+    // the driver's bounded tail capture truncated the big line's head for
+    // two rounds, so PERF's per-query comparator saw no data). One line in
+    // the original driver contract shape (metric/value/unit/queries/sf),
+    // small enough (~1.5 KB for 26 entries) to survive any tail window,
+    // with `queries` carrying EVERY benched entry's minimum — the big
+    // line's tier-1 values verbatim, plus the tier-2 and build entries
+    // (additions, never renames) — and the warm build micros alongside.
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":${jmap(results ++ results2 ++ resultsB)},"tier2_build_warm_sec":${jmap(resultsBWarm)},"total_headline_sec":$total%.3f,"headline_pass_min_sec":$passMin%.3f,"headline_pass_norm_min":$passNormMin%.3f,"tier2_total_sec":$total2%.3f,"tier2_build_total_sec":$totalB%.3f,"tier2_build_warm_total_sec":$totalBWarm%.3f,"calibration_sec":$calib%.3f,"calibration2_sec":$calib2%.3f,"calibration_interleaved_sec":$calN%.3f,"calibration2_interleaved_sec":$calN2%.3f,"failed":${failedQ.size},"sf":"$sfDir"}""")
     // the serve-frame memos are keyed by SF dir alone and their frames are
     // bound to THIS session (round-15 ADVICE): a later Bench/BenchScale
     // main in the same JVM must rebuild them on its own session, not

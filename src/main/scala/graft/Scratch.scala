@@ -153,16 +153,19 @@ object Scratch {
       val jobs = new java.util.concurrent.atomic.AtomicInteger
       val stages = new java.util.concurrent.atomic.AtomicInteger
       val tasks = new java.util.concurrent.atomic.AtomicInteger
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onJobStart(
-              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-            jobs.incrementAndGet()
-            stages.addAndGet(j.stageInfos.size)
-            tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
-            ()
-          }
-        })
+      // removed after the profiling block (round-15 ADVICE): a leaked
+      // counting listener double-counts any other scratch mode's counters
+      // run in the same session
+      val lshListener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(lshListener)
       def prof[A](l: String, runs: Int = 3)(f: => A): Unit = {
         f // warm
         (1 to runs).foreach { i =>
@@ -204,6 +207,7 @@ object Scratch {
         noop(graft.operators.Dedup.lshCandidatePairs(
           docs, col("doc_id"), col("text"), 16, 4))
       }
+      spark.sparkContext.removeSparkListener(lshListener)
     }
     if (which("aqesweep")) {
       // sweep every benched query's EXECUTED plan for the round's
@@ -233,6 +237,50 @@ object Scratch {
         sweep(q.name, df.queryExecution.executedPlan)
         println(s"[scratch] aqesweep done ${q.name}")
       }
+    }
+    if (which("gserve")) {
+      // decompose graph_index_serve: build once (untimed), then time the
+      // full serve and its stages — seeds-only, seeds+hops — with
+      // job/stage/task counts, the lshprof protocol
+      val dir = java.nio.file.Files.createTempDirectory("scr-gs").toString
+      graft.operators.GraphIndex.build(
+        graft.sources.Tables(spark, sfDir, "embeddings"), dir,
+        k = 16, iters = 3, revCap = 16)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      def prof[A](label: String, runs: Int = 3)(f: => A): Unit = {
+        f // warm
+        (1 to runs).foreach { i =>
+          jobs.set(0); stages.set(0); tasks.set(0)
+          val t0 = System.nanoTime()
+          f
+          println(f"[scratch] gserve.$label run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+            s" jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+        }
+      }
+      val queries = graft.sources.Tables(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 256)
+      val full = graft.operators.GraphIndex.searchTopK(spark, dir, queries,
+        k = 10, hops = 2, seedK = 8)
+      prof("full_prebuilt") { noop(full) }
+      val h1 = graft.operators.GraphIndex.searchTopK(spark, dir, queries,
+        k = 10, hops = 1, seedK = 8)
+      prof("hops1_prebuilt") { noop(h1) }
+      val h0 = graft.operators.GraphIndex.searchTopK(spark, dir, queries,
+        k = 10, hops = 0, seedK = 8)
+      prof("hops0_prebuilt") { noop(h0) }
+      spark.sparkContext.removeSparkListener(l)
     }
     if (which("nnditer"))
       for (it <- 0 to 3)

@@ -66,7 +66,10 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
     // joined with ' ' is BY CONSTRUCTION the original byte span from the
     // start of word s to the end of word s+k−1 (each boundary was one
     // space) — no shingle string is ever built, md5 streams straight
-    // over the document's byte array.
+    // over the document's byte array. Assumes well-formed UTF-8 (the
+    // parquet string contract): the old toString path replaced malformed
+    // sequences with U+FFFD before hashing, so only on invalid bytes
+    // could the byte walk and the char-split reference diverge.
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
     // word start offsets: starts(w) for w in [0, nWords); word w ends at

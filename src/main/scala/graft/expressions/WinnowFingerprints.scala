@@ -22,8 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * with per-element boxing, and the window minima allocate a fresh
   * slice per position. Measured at sf0.1 the lambda fingerprint pass
   * alone cost ~14 s — MORE than the whole judged winnow-pair query
-  * does with this expression (one tight JVM loop per row, a one-block
-  * [[Md5]] fast path, zero per-window allocation). Same preference
+  * does with this expression (one tight JVM loop per row, the JDK's
+  * intrinsified MessageDigest MD5 over byte spans in place, zero
+  * per-window allocation). Same preference
   * order as [[MinHashSignature]]/[[GearChunker]]: native `Expression`
   * over lambda chains over UDFs for the 100 TB row-local hot path.
   *
@@ -59,8 +60,10 @@ case class WinnowFingerprints(child: Expression, gramK: Int, window: Int)
     // split(" ", -1) semantics are exact on raw UTF-8 bytes (0x20 never
     // occurs inside a multi-byte sequence) and a gram joined with ' ' IS
     // the original byte span from word i to word i+gramK−1, so no gram
-    // string is ever built; [[Md5]]'s one-block fast path digests the
-    // span in place
+    // string is ever built; MessageDigest digests the span in place.
+    // Assumes well-formed UTF-8 input (the parquet string contract): the
+    // old toString path replaced malformed sequences with U+FFFD before
+    // hashing, so only on invalid bytes could the two forms differ
     val bytes = v.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
     var nWords = 1

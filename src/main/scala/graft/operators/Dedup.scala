@@ -64,6 +64,11 @@ object Dedup {
     require(chunk > 1, "chunk must exceed 1")
     val keyCols = keys.map(col)
     val nc = ceil(size(col("items")).cast("double") / chunk).cast("int")
+    // size-derived pin width (round 16 — replaces the bare
+    // defaultParallelism pin): core-count floor at bench scale, grows
+    // with planned input bytes so the raw-row exchange below never packs
+    // multi-GB partitions at cluster scale
+    val width = Parallelism.pinWidth(rows)
     rows
       // pinned-width bucket collapse (round 15): the collect_list +
       // sort_array per bucket is CPU-per-row work, and AQE's byte-based
@@ -73,8 +78,7 @@ object Dedup {
       // repartition IS the aggregate's exchange (same count, same keys) —
       // partial collect_list doesn't shrink bytes, so shuffling raw rows
       // costs the same wire either way.
-      .repartition(rows.sparkSession.sparkContext.defaultParallelism,
-        keyCols: _*)
+      .repartition(width, keyCols: _*)
       .groupBy(keyCols: _*)
       .agg(sort_array(collect_list(item)).as("items"))
       .filter(size(col("items")) > 1)
@@ -90,9 +94,10 @@ object Dedup {
       // explicit partition count (REPARTITION_BY_NUM): AQE's size-based
       // coalescing must NOT fold these units back together — a unit's
       // shuffle bytes are O(chunk) but its generator emission is O(chunk²),
-      // so "small" map output here does not mean small work
-      .repartition(rows.sparkSession.sparkContext.defaultParallelism,
-        (keyCols :+ col("ci") :+ col("cj")): _*)
+      // so "small" map output here does not mean small work. Same
+      // size-derived width as the bucket collapse (unit bytes track the
+      // bucket-array bytes they re-distribute).
+      .repartition(width, (keyCols :+ col("ci") :+ col("cj")): _*)
       .select(col("ba"), col("bb"), posexplode(col("ba")).as(Seq("i", "a")))
       .select(col("a"), explode(
         when(col("bb").isNull,
@@ -596,7 +601,13 @@ object Dedup {
       offUnits
         .join(chunks.select(col("shingle"), col("ci"), col("items").as("ba")),
           Seq("shingle", "ci"))
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        // size-derived pin width (round 16): the unit rows carry O(chunk)
+        // hash arrays bounded by the corpus's shingle-set bytes — width
+        // follows the scan-linear `sets` stats (core-count floor
+        // locally); `chunks` itself sits downstream of a join whose
+        // planner size estimate is a junk-high product (measured 44.8 GB
+        // for 37 MB of chunk data at sf0.1), so it must not drive width
+        .repartition(Parallelism.pinWidth(sets),
           col("shingle"), col("cj"))
         .join(chunks.select(col("shingle"), col("ci").as("cj"),
           col("items").as("bb")), Seq("shingle", "cj")),
@@ -1087,24 +1098,104 @@ object Dedup {
     * away). `minShared` > 1 screens single-fingerprint coincidences of
     * the 16-bit hash space.
     *
-    * Scale shape: the corpus reduces row-locally to its (doc_id,
-    * fingerprint) projection (zero exchanges in the derivation); pairs
-    * come from ONE fingerprint-keyed exchange through the capped
-    * [[bucketPairs]] splitter — no task materializes O(bucket²) — and the
-    * shared-count aggregate keys on the pair. No all-pairs step anywhere. */
+    * Scale shape (round 16 — the [[prefixFilterPairs]] chunk-unit pattern
+    * applied to the family's steepest entry): the corpus reduces
+    * row-locally to its sorted-distinct fingerprint ARRAY (zero exchanges
+    * in the derivation — [[graft.expressions.WinnowFingerprints]] emits
+    * the distinct set per row), each (fp, doc) occurrence carries its
+    * doc's array through ONE fingerprint-keyed exchange into
+    * doc-id-ordered chunks of ≤ [[DefaultChunk]] items, and the shared
+    * count is a merge walk INSIDE [[graft.expressions.ChunkPairOverlap]]
+    * — each qualifying pair emitted exactly once, from the bucket holding
+    * its MINIMUM shared fingerprint, already carrying its exact n_shared.
+    * The old formulation materialized one row per co-occurrence
+    * (Σ_bucket C(occupancy, 2) — 10⁷-scale at the sf1 fixture whose
+    * 30-word vocabulary makes every fingerprint hot) and shuffled that
+    * quadratic mass into a pair-keyed count aggregate with one hash-table
+    * group per candidate pair; here the quadratic mass is loop iterations
+    * over primitive longs and only output-sized rows materialize. No
+    * all-pairs step, no O(bucket²) task (chunk units spread a hot
+    * fingerprint's expansion cluster-wide), no pair-keyed shuffle at
+    * all. */
   def winnowCandidatePairs(docs: DataFrame, idCol: Column, textCol: Column,
-      minShared: Int = 2, gramK: Int = 3, window: Int = 4): DataFrame = {
+      minShared: Int = 2, gramK: Int = 3, window: Int = 4): DataFrame =
+    winnowCandidatePairsChunked(docs, idCol, textCol, minShared, gramK,
+      window, DefaultChunk)
+
+  /** [[winnowCandidatePairs]] with the chunk size exposed so specs can
+    * force multi-chunk (off-diagonal) buckets at fixture scale. */
+  private[operators] def winnowCandidatePairsChunked(docs: DataFrame,
+      idCol: Column, textCol: Column, minShared: Int, gramK: Int,
+      window: Int, chunk: Int): DataFrame = {
     require(minShared >= 1)
-    val fps = Parallelism.fanOut(
+    require(chunk > 1, "chunk must exceed 1")
+    // (doc_id, sorted distinct fingerprint array) — row-local; docs with
+    // no fingerprints drop (they cannot pair with anything)
+    val fpsets = Parallelism.fanOut(
         docs.select(idCol.as("doc_id"), textCol.as("__text")))
       .select(col("doc_id"),
-        explode(graft.functions.TextFunctions
-          .winnowFingerprints(col("__text"), gramK, window)).as("fp"))
-    bucketPairs(fps, Seq("fp"), struct(col("doc_id")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+        sort_array(graft.functions.TextFunctions
+          .winnowFingerprints(col("__text"), gramK, window)).as("fps"))
+      .filter(size(col("fps")) > 0)
+    // one (fp, doc_id, fps) row per DISTINCT fingerprint a doc carries:
+    // the doc's whole sorted array rides along so the overlap walk needs
+    // no attach join — ~25 longs per row vs the quadratic pair shuffle
+    // it replaces (the guide-§8 decide-with-small-rows trade, with the
+    // "small rows" being the arrays the decision genuinely needs)
+    val ex = fpsets.select(col("doc_id"), col("fps"),
+      explode(col("fps")).as("fp"))
+    val wB = Window.partitionBy("fp").orderBy("doc_id")
+    // doc-id-ordered chunk index within each bucket (chunk rows stay
+    // ≤ chunk items — a hot boilerplate fingerprint's bucket splits into
+    // units instead of one task owning its O(bucket²) walk); the pinned
+    // repartition IS the window/groupBy exchange (HashPartitioning(fp)
+    // satisfies both), kept explicit so AQE's byte-coalescing cannot
+    // fold the CPU-per-row walk to one partition (the bucketPairs rule).
+    // LazyCheckpoint: `chunks` feeds the diagonal walk, the unit
+    // enumeration, and both off-diagonal attach legs — without the
+    // lineage cut the fingerprint scan and the bucket window would
+    // re-execute once per consumer (the prefixFilterPairs rationale).
+    // size-derived pin width (round 16): core-count floor locally, grows
+    // with the array-bearing exploded rows' planned bytes at scale
+    val width = Parallelism.pinWidth(ex)
+    val chunks = graft.plans.LazyCheckpoint.of(
+      ex.repartition(width, col("fp"))
+        .withColumn("ci",
+          ((row_number().over(wB) - 1) / chunk).cast("int"))
+        .groupBy("fp", "ci")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("fps"))))
+          .as("items")))
+    def walk(unitFrame: DataFrame, ba: Column, bb: Column,
+        diagonal: Boolean): DataFrame =
+      unitFrame.select(explode(org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.ChunkPairOverlap(
+          org.apache.spark.sql.GraftBridge.expression(ba),
+          org.apache.spark.sql.GraftBridge.expression(bb),
+          org.apache.spark.sql.GraftBridge.expression(lit(diagonal)),
+          org.apache.spark.sql.GraftBridge.expression(col("fp")),
+          minShared))).as("r"))
+    val diag = walk(chunks, col("items"), col("items"), diagonal = true)
+    // flat (fp, ci < cj) unit enumeration — no arrays carried; empty
+    // whenever every bucket fits one chunk (AQE's empty-relation
+    // propagation then prunes the attach joins outright)
+    val offUnits = chunks.groupBy("fp")
+      .agg(max(col("ci")).as("mx"))
+      .filter(col("mx") > 0)
+      .select(col("fp"), col("mx"),
+        explode(sequence(lit(0), col("mx") - 1)).as("ci"))
+      .select(col("fp"), col("ci"),
+        explode(sequence(col("ci") + 1, col("mx"))).as("cj"))
+    val off = walk(
+      offUnits
+        .join(chunks.select(col("fp"), col("ci"), col("items").as("ba")),
+          Seq("fp", "ci"))
+        .repartition(width, col("fp"), col("cj"))
+        .join(chunks.select(col("fp"), col("ci").as("cj"),
+          col("items").as("bb")), Seq("fp", "cj")),
+      col("ba"), col("bb"), diagonal = false)
+    diag.unionByName(off)
+      .select(col("r.doc_a").as("doc_a"), col("r.doc_b").as("doc_b"),
+        col("r.n_shared").as("n_shared"))
   }
 
   /** The keep decision over [[winnowCandidatePairs]]: drop every doc that

@@ -84,6 +84,17 @@ object NnDescent {
   def refineRound(knn: DataFrame, emb: DataFrame, idCol: Column,
       vecCol: Column, k: Int, revCap: Int): DataFrame = {
     val e = emb.select(idCol.as("vec_id"), vecCol.as("v"))
+    // size-derived pin width (round 16 — replaces the bare
+    // defaultParallelism pins): the two pinned exchanges below move
+    // 24-byte id-pair rows whose count is an AMPLIFICATION of the corpus
+    // (≤ (k+revCap) gen rows and ≤ C(k+revCap, 2) candidate rows per
+    // node), so width derives from the scan-shaped embeddings relation —
+    // the one frame here with trustworthy planner stats (the knn/cand
+    // frames sit downstream of joins, whose size estimates are not) —
+    // at ~4 MB of embedding bytes per task ≈ 10⁴ nodes ≈ a few M
+    // candidate rows ≈ tens of MB per task at the widest exchange.
+    // Core-count floor keeps bench scale at machine width, unchanged.
+    val width = Parallelism.pinWidth(e, bytesPerTask = 4L << 20)
     def score(pairs: DataFrame): DataFrame =
       pairs
         .join(e.select(col("vec_id").as("src"), col("v").as("va")), "src")
@@ -110,8 +121,7 @@ object NnDescent {
     // bucketPairs rule.
     val gens = knn.select("src", "dst")
       .unionByName(rev.select("src", "dst"))
-      .repartition(knn.sparkSession.sparkContext.defaultParallelism,
-        col("src"))
+      .repartition(width, col("src"))
       .groupBy("src").agg(sort_array(collect_set(col("dst"))).as("ns"))
     val pairs = gens
       .select(col("ns"), posexplode(col("ns")).as(Seq("i", "a")))
@@ -140,8 +150,7 @@ object NnDescent {
     // the single explicit exchange.
     knn.unionByName(cand)
       .filter(col("src") =!= col("dst"))
-      .repartition(knn.sparkSession.sparkContext.defaultParallelism,
-        col("src"))
+      .repartition(width, col("src"))
       .dropDuplicates("src", "dst")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")

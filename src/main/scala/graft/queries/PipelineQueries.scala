@@ -4884,9 +4884,12 @@ object PipelineQueries {
         // the whole tf aggregate and the df window ran single-task
         // (~0.7 s of the query's 0.5–0.8 s at sf0.1, read off the
         // executed-plan metrics: Window partitions=1, aggTime 413+331 ms)
-        val toks = graft.operators.Parallelism.fanOut(docs.select("doc_id", "text"))
+        // width size-derived (round 16): core-count floor locally, grows
+        // with the scanned text bytes the exploded tokens track
+        val toksPre = graft.operators.Parallelism.fanOut(docs.select("doc_id", "text"))
           .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
-          .repartition(s.sparkContext.defaultParallelism, col("token"))
+        val toks = toksPre.repartition(
+          graft.operators.Parallelism.pinWidth(toksPre), col("token"))
         val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         // document frequency as a count over a token-partitioned window on
         // the tf aggregate (already one row per doc-token): no second

@@ -397,6 +397,39 @@ class OperatorsSpec extends SparkSpec {
       .count() == expectedSh)
   }
 
+  test("Dedup.winnowCandidatePairs: chunked overlap walk == pair-count reference, " +
+      "every minShared, forced multi-chunk buckets") {
+    // hot-fingerprint corpus: 60 docs share one passage (its winnow
+    // fingerprints land every sharer in the same buckets — the sf1 shape
+    // that made the old pair-count aggregate quadratic), plus near-dups
+    // and unrelated docs; chunk=4 forces the off-diagonal unit path the
+    // judged fixtures never reach
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((0 until 60).map(i =>
+        (i.toLong, s"$passage tail $i w${i % 5} w${i % 7} w${i % 11}")) ++
+      (60 until 90).map(i =>
+        (i.toLong, s"doc $i different content c${i * 3} c${i * 5} c${i * 7} end")) ++
+      Seq((90L, "alpha beta gamma delta epsilon zeta eta theta"), // exact passage copy
+          (91L, "xy"))) // too short to gram -> no fingerprints
+      .toDF("doc_id", "text")
+    // reference = the pre-round-16 formulation: one row per shared-fp
+    // co-occurrence, pair-keyed count, threshold filter
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions
+        .winnowFingerprints(col("text"), 3, 4)).as("fp"))
+    val ref = fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    for (minShared <- Seq(1, 2, 3); chunk <- Seq(4, 1024)) {
+      val got = Dedup.winnowCandidatePairsChunked(docs, col("doc_id"),
+        col("text"), minShared, 3, 4, chunk)
+      assert(rowSet(got) == rowSet(ref.filter(col("n_shared") >= minShared)),
+        s"minShared=$minShared chunk=$chunk")
+    }
+  }
+
   test("Dedup.bucketPairs: block split == unsplit pair set; mega-bucket emission spreads over tasks") {
     val item = struct(col("doc_id"))
     // one adversarial bucket of 2000 DISTINCT items (pre-collapse cannot

@@ -44,8 +44,23 @@ object GenScale {
   private val Factor = 10
 
   /** Bumped whenever ANY generation parameter or algorithm changes, so a
-    * stale on-disk fixture can never silently serve a new protocol run. */
-  private val GeneratorVersion = 1
+    * stale on-disk fixture can never silently serve a new protocol run.
+    * v2 (round 16): replicated tables are written as [[OutFiles]] files
+    * instead of inheriting the base fixture's 1–2-file layout — a 6M-row
+    * sf1 lineitem in 2 single-row-group files scans on ≤2 tasks of a
+    * 32-core machine, so every cheap scan+aggregate's upper-decade slope
+    * measured FILE LAYOUT, not the engine (q09/q05/q03/st decompositions
+    * under plans/r16/, the _sf1_metrics files: single-task scan pipelines
+    * of 0.5–2.2 s summed vs millisecond downstream stages). Content is
+    * unchanged —
+    * same rows, deterministic round-robin placement. */
+  private val GeneratorVersion = 2
+
+  /** File count for replicated-table writes: one scan task per file (the
+    * files are single-row-group at these sizes), sized so the rehearsal
+    * machine's 32 cores all participate in the scan — the §6 "fix input
+    * skew at the source" rule applied to our own generator. */
+  private val OutFiles = 32
 
   /** The manifest a finished generation writes next to its tables; a rerun
     * with an identical manifest skips regeneration (the round-15
@@ -96,6 +111,10 @@ object GenScale {
           case None => col(c)
         }
       }: _*)
+        // OutFiles single-row-group output files, not the base fixture's
+        // 1–2 (see GeneratorVersion v2): round-robin is deterministic
+        // under sortBeforeRepartition over the deterministic explode
+        .repartition(OutFiles)
     }
 
     // key strides measured off sf0.1 (max+1 of each key range)

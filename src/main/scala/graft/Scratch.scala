@@ -274,6 +274,23 @@ object Scratch {
       val full = graft.operators.GraphIndex.searchTopK(spark, dir, queries,
         k = 10, hops = 2, seedK = 8)
       prof("full_prebuilt") { noop(full) }
+      locally { // executed-plan SQLMetrics of the full serve (PlanMetrics idiom)
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        full.queryExecution.toRdd.foreach(_ => ())
+        def show(p: SparkPlan, depth: Int): Unit = {
+          val ms = p.metrics.toSeq.filter(_._2.value > 0).sortBy(_._1)
+            .map { case (k, m) => s"$k=${m.value}" }
+          println("  " * depth + p.nodeName +
+            (if (ms.isEmpty) "" else ms.mkString(" [", ", ", "]")))
+          p match {
+            case a: AdaptiveSparkPlanExec => show(a.executedPlan, depth + 1)
+            case s: QueryStageExec => show(s.plan, depth + 1)
+            case _ => p.children.foreach(show(_, depth + 1))
+          }
+        }
+        show(full.queryExecution.executedPlan, 0)
+      }
       val h1 = graft.operators.GraphIndex.searchTopK(spark, dir, queries,
         k = 10, hops = 1, seedK = 8)
       prof("hops1_prebuilt") { noop(h1) }

@@ -134,12 +134,32 @@ object GraphIndex {
     // the rerank scan all see the same snapshot even if a writer publishes
     // mid-query (the scaladoc's "readers pin complete snapshots" claim)
     val m = SegmentedTable.readManifest(spark, path)
-    val corpusB = vectorsAt(spark, path, m).select(col("bucket"),
-      col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
-    val queriesB = queries.select(
-      Similarity.signLshBucket(col("embedding"), planes).as("bucket"),
-      col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-    val seeded = queriesB.join(corpusB, "bucket")
+    // prepared probe (round 16 — the LexIndex.searchTopK pattern): a serve
+    // call's query batch is a bounded request batch (the bounded-driver
+    // contract every serve caller already meets), so materialize it ONCE
+    // at plan-build time as a LOCAL relation with each query's LSH bucket
+    // precomputed. Per-request execution then pays no query-side parquet
+    // scan or bucket hashing (the round-15 finding: the probe recomputed
+    // band keys per serve — twice, for seeds and rerank), and the literal
+    // bucket set makes the partition filter on the bucket-partitioned
+    // vectors scan FOLDABLE, so pruning is static file listing on
+    // selective batches. Same rows, same scores — the query side simply
+    // originates from a local relation instead of a per-pass re-scan.
+    val qLocal = {
+      val prepared = queries.select(
+        Similarity.signLshBucket(col("embedding"), planes).as("bucket"),
+        col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val rows = prepared.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        prepared.schema)
+    }
+    val wantedBuckets = qLocal.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpusB = vectorsAt(spark, path, m)
+      .filter(col("bucket").isin(wantedBuckets: _*))
+      .select(col("bucket"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+    val seeded = broadcast(qLocal).join(corpusB, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("sim"))
@@ -149,15 +169,19 @@ object GraphIndex {
       col("dst").as("expand"))
     var frontier = seeds
     var cands = seeds
-    for (_ <- 1 to hops) {
-      frontier = frontier.join(g, "cand")
-        .select(col("query_id"), col("expand").as("cand")).distinct()
+    for (h <- 1 to hops) {
+      val expanded = frontier.join(g, "cand")
+        .select(col("query_id"), col("expand").as("cand"))
+      // the per-hop distinct bounds re-expansion of the NEXT hop; the
+      // final hop's frontier is never expanded again, so its dedup is
+      // subsumed by the candidate distinct below (round 16 — the hop-2
+      // dedup re-aggregated the serve's biggest intermediate for nothing)
+      frontier = if (h < hops) expanded.distinct() else expanded
       cands = cands.unionByName(frontier)
     }
     val emb = vectorsAt(spark, path, m)
     val rerank = cands.distinct()
-      .join(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_vec")), "query_id")
+      .join(qLocal.select(col("query_id"), col("q_vec")), "query_id")
       .join(emb.select(col("vec_id").as("cand"),
         col("embedding").as("n_vec")), "cand")
       .filter(col("query_id") =!= col("cand"))
